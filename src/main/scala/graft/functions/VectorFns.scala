@@ -1,0 +1,41 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `array<float>` embedding columns as pure Column
+  * expressions (`zip_with` + `aggregate` higher-order functions).
+  *
+  * No UDFs: these stay in Tungsten and scale linearly with rows. At
+  * 100 TB the embeddings table is distributed; brute-force top-k is a
+  * single map + partial top-k + final top-k (TakeOrderedAndProject),
+  * and the LSH path buckets first so the candidate join is local per
+  * bucket.
+  */
+object VectorFns {
+
+  /** Dot product of two float-array columns, accumulated in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v
+    )
+
+  /** L2 norm. */
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; NULL when either norm is 0. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Sign-bit LSH bucket id from the first `bits` vector components:
+    * bit i set iff component i >= 0. Axis-aligned random-hyperplane LSH
+    * (components of a trained embedding are near-random directions);
+    * deterministic and reproducible in any engine. Vectors in the same
+    * bucket are cosine-close candidates. */
+  def signBucket(a: Column, bits: Int): Column =
+    (0 until bits)
+      .map(i => when(element_at(a, i + 1) >= 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+}

@@ -1,0 +1,26 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Shared parquet table loader for the synthetic testdata tables.
+  *
+  * The driver-generated `events` table stores `ts` as parquet
+  * INT64 TIMESTAMP(NANOS), which Spark's vectorized reader rejects
+  * outright ([PARQUET_TYPE_ILLEGAL]). We read nanos as plain longs
+  * (`spark.sql.legacy.parquet.nanosAsLong`) and rebuild the timestamp at
+  * micros precision — lossless here (the generator emits micro-precision
+  * values) and identical to what DuckDB's oracle sees.
+  */
+object Tables {
+
+  def load(s: SparkSession, dir: String, name: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    df.schema.fields.find(f => f.name == "ts" && f.dataType == LongType) match {
+      case Some(_) => df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast(LongType)))
+      case None    => df
+    }
+  }
+}
