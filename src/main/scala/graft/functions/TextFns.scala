@@ -104,14 +104,21 @@ object TextFns {
       i => substr(c, i, lit(k))
     )
 
-  /** Word n-grams over whitespace tokens, joined with single spaces. */
-  def wordNgrams(c: Column, n: Int): Column = {
-    val t = tokens(c)
+  /** Word n-grams over whitespace tokens, joined with single spaces.
+    *
+    * NOTE: `c` is referenced inside a higher-order-function lambda, which
+    * Catalyst evaluates per array element without common-subexpression
+    * elimination — pass an already-materialized token *attribute*
+    * (`withColumn("toks", tokens(...))`) via [[ngramsFromTokens]] in hot
+    * paths, or the tokenizing `split` re-runs O(n) times per row. */
+  def wordNgrams(c: Column, n: Int): Column = ngramsFromTokens(tokens(c), n)
+
+  /** Word n-grams from a token-array column (hot-path variant). */
+  def ngramsFromTokens(t: Column, n: Int): Column =
     transform(
       sequence(lit(1), greatest(size(t) - (n - 1), lit(1))),
       i => array_join(slice(t, i, lit(n)), " ")
     )
-  }
 
   /** MinHash value for one hash function: min over shingles of
     * md5(shingle || seed). Hex strings compare lexicographically, which
@@ -127,9 +134,12 @@ object TextFns {
     * sign of sum over tokens of (+1 / -1) by the parity of hex char b of
     * md5(token). ascii(hexchar) % 2 is a deterministic pseudo-bit that
     * any SQL engine reproduces exactly. */
-  def simhash(c: Column, bits: Int = 16): Column = {
+  def simhash(c: Column, bits: Int = 16): Column = simhashFromTokens(tokens(c), bits)
+
+  /** SimHash from a token-array column (hot-path variant: pass a
+    * materialized attribute so tokenization runs once, not once per bit). */
+  def simhashFromTokens(t: Column, bits: Int): Column = {
     require(bits <= 32, "md5 hex has 32 chars")
-    val t = tokens(c)
     val bitCols = (0 until bits).map { b =>
       val votes = aggregate(
         t,

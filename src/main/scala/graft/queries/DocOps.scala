@@ -54,14 +54,15 @@ object DocOps {
   // no shuffle except the output sort.
   def q19(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sh = TextFns.wordNgrams($"text", 3)
     t(s, dir, "documents")
+      .withColumn("toks", TextFns.tokens($"text"))
+      .withColumn("sh", TextFns.ngramsFromTokens($"toks", 3))
       .select(
         $"doc_id",
-        TextFns.minhash(sh, "s0").as("mh0"),
-        TextFns.minhash(sh, "s1").as("mh1"),
-        TextFns.minhash(sh, "s2").as("mh2"),
-        TextFns.minhash(sh, "s3").as("mh3")
+        TextFns.minhash($"sh", "s0").as("mh0"),
+        TextFns.minhash($"sh", "s1").as("mh1"),
+        TextFns.minhash($"sh", "s2").as("mh2"),
+        TextFns.minhash($"sh", "s3").as("mh3")
       )
       .orderBy($"doc_id")
   }
@@ -78,24 +79,33 @@ object DocOps {
 
   // --------------------------------------------------------------------
   // q20 — MinHash-LSH near-duplicate candidate pairs: band = the full
-  // 4-hash signature (bands of r=4 rows in LSH terms), bucket join on
-  // the band key, emit doc_id pairs (a < b). The self-join shuffles on
-  // the band hash, so cost tracks the number of colliding docs, not
-  // |docs|² — the standard web-scale fuzzy-dedup layout.
+  // 4-hash signature (bands of r=4 rows in LSH terms), bucket on the band
+  // key, emit doc_id pairs (a < b). Instead of a self-join (which would
+  // compute every signature twice and shuffle full signatures on both
+  // sides), group by band and expand in-bucket pairs with array lambdas:
+  // signatures are computed ONCE, there is ONE shuffle (on the band key),
+  // and shuffle volume is (band, id) — the web-scale fuzzy-dedup layout.
   def q20(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sh = TextFns.wordNgrams($"text", 3)
     val sig = t(s, dir, "documents")
+      .withColumn("toks", TextFns.tokens($"text"))
+      .withColumn("sh", TextFns.ngramsFromTokens($"toks", 3))
       .select(
         $"doc_id",
         concat_ws("|",
-          TextFns.minhash(sh, "s0"), TextFns.minhash(sh, "s1"),
-          TextFns.minhash(sh, "s2"), TextFns.minhash(sh, "s3")).as("band")
+          TextFns.minhash($"sh", "s0"), TextFns.minhash($"sh", "s1"),
+          TextFns.minhash($"sh", "s2"), TextFns.minhash($"sh", "s3")).as("band")
       )
-    sig.as("a")
-      .join(sig.as("b"),
-        col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val buckets = sig
+      .groupBy($"band")
+      .agg(sort_array(collect_list($"doc_id")).as("ids"))
+      .filter(size($"ids") > 1)
+    val pairs = flatten(transform($"ids", (a, i) =>
+      transform(slice($"ids", i + lit(2), size($"ids")),
+        b => struct(a.as("doc_a"), b.as("doc_b")))))
+    buckets
+      .select(explode(pairs).as("p"))
+      .select($"p.doc_a", $"p.doc_b")
       .orderBy($"doc_a", $"doc_b")
   }
 
@@ -119,7 +129,9 @@ object DocOps {
   def q21(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val d = t(s, dir, "documents")
-      .select($"doc_id", array_distinct(TextFns.wordNgrams($"text", 3)).as("sh"))
+      .withColumn("toks", TextFns.tokens($"text"))
+      .select($"doc_id",
+        array_distinct(TextFns.ngramsFromTokens($"toks", 3)).as("sh"))
     val inter = size(array_intersect(col("a.sh"), col("b.sh"))).cast("double")
     val uni = size(col("a.sh")) + size(col("b.sh")) -
       size(array_intersect(col("a.sh"), col("b.sh")))
@@ -151,7 +163,9 @@ object DocOps {
   def q22(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     t(s, dir, "documents")
-      .select($"doc_id", TextFns.simhash($"text", 16).cast("long").as("simhash16"))
+      .withColumn("toks", TextFns.tokens($"text"))
+      .select($"doc_id",
+        TextFns.simhashFromTokens($"toks", 16).cast("long").as("simhash16"))
       .orderBy($"doc_id")
   }
 
