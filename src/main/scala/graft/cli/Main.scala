@@ -1,0 +1,92 @@
+package graft.cli
+
+import org.apache.spark.sql.SparkSession
+
+import graft.ingest.{RideCsv, StationCsv}
+import graft.metrics.{DailyMetrics, MetricsJson}
+import graft.store.{Backfill, RidesTable}
+import graft.streaming.StatusStream
+import graft.transform.RideTransform
+
+/** CLI mirroring the reference's entry points (§3 of SURVEY.md):
+  * bike_rides_cli / compute_daily_metrics / pipeline / backfill_distance.
+  *
+  * Driver-side orchestration only — every data operation is a lazy Spark
+  * plan inside the library modules. (The reference's HTTP discovery /
+  * download steps are environment IO, out of the engine's scope here.)
+  *
+  * Usage:
+  *   load <ridesCsv> <stationsCsv> <storePath>
+  *   metrics-day <storePath> <yyyy-MM-dd> <outJson>
+  *   metrics-year <storePath> <year> <outJson>
+  *   metrics-latest <storePath> <outJson>
+  *   status-once <snapshotDir> <eventsPath>
+  *   backfill <storePath>
+  */
+object Main {
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("graft-bike")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(spark, args.toList)
+    finally spark.stop()
+  }
+
+  def run(spark: SparkSession, args: List[String]): Unit = args match {
+    case "load" :: csv :: stationsCsv :: store :: Nil =>
+      val cleaned = RideTransform(
+        RideCsv.read(spark, csv), StationCsv.read(spark, stationsCsv))
+      val n = RidesTable.append(spark, cleaned, store)
+      println(s"loaded $n new rides into $store")
+
+    case "metrics-day" :: store :: day :: out :: Nil =>
+      val m = DailyMetrics.forDay(RidesTable.read(spark, store), day)
+      MetricsJson.mergeDay(out, m)
+      println(s"Updated $day in: $out")
+
+    case "metrics-year" :: store :: yearStr :: out :: Nil =>
+      val year = yearStr.toInt
+      val all = DailyMetrics.allDaysTyped(
+        RidesTable.read(spark, store)
+          .filter(org.apache.spark.sql.functions.year(
+            org.apache.spark.sql.functions.col("start_time")) === year))
+        .collect().toSeq
+      MetricsJson.mergeYear(out, year, all)
+      println(s"Wrote yearly metrics for $year to: $out")
+
+    case "metrics-latest" :: store :: out :: Nil =>
+      val rides = RidesTable.read(spark, store)
+      DailyMetrics.latestDate(rides) match {
+        case Some(day) =>
+          MetricsJson.mergeDay(out, DailyMetrics.forDay(rides, day))
+          println(s"Updated $day in: $out")
+        case None => sys.error("No rows found in table; cannot determine latest date.")
+      }
+
+    case "status-once" :: dir :: events :: Nil =>
+      val n = StatusStream.runOnce(spark, dir, events)
+      println(s"recorded $n events")
+
+    case "backfill" :: store :: Nil =>
+      val rides = RidesTable.read(spark, store)
+      val n = Backfill.candidates(rides).count()
+      val rewritten = Backfill(rides)
+      val tmp = store + "_backfill_tmp"
+      rewritten.write.mode("overwrite").partitionBy("ride_date").parquet(tmp)
+      val conf = spark.sparkContext.hadoopConfiguration
+      val fs = new org.apache.hadoop.fs.Path(store).getFileSystem(conf)
+      fs.delete(new org.apache.hadoop.fs.Path(store), true)
+      fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(store))
+      println(s"backfilled $n distances in $store")
+
+    case other =>
+      sys.error(s"unknown command: ${other.mkString(" ")} — see Scaladoc for usage")
+  }
+}

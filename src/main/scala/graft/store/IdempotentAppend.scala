@@ -24,7 +24,7 @@ object IdempotentAppend {
   def newRows(incoming: DataFrame, existing: DataFrame, keys: Seq[String]): DataFrame =
     incoming
       .dropDuplicates(keys)
-      .join(existing.select(keys.map(incoming.col): _*), keys, "left_anti")
+      .join(existing.select(keys.map(existing.col): _*), keys, "left_anti")
 
   /** Full semantic: dedup + anti-join + append to `path` as parquet. */
   def appendTo(incoming: DataFrame, existing: DataFrame, keys: Seq[String], path: String): Long = {
