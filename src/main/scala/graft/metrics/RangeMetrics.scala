@@ -59,6 +59,31 @@ object RangeMetrics {
       .orderBy(col("total").desc, col("station").asc)
       .limit(topN)
 
+  /** T7 — date snapping against the sorted available-date vector
+    * (reference web/js/app.js:79–110 binary search): snap a requested
+    * date to the nearest available on-or-before / on-or-after / nearest
+    * date. Driver-side — the date vector is ≤366 entries/year. */
+  def snapDate(dates: Vector[String], target: String, mode: String = "nearest"): Option[String] = {
+    if (dates.isEmpty) return None
+    val i = dates.search(target).insertionPoint
+    val onOrBefore = if (i < dates.length && dates(i) == target) Some(dates(i))
+      else if (i > 0) Some(dates(i - 1)) else None
+    val onOrAfter = if (i < dates.length) Some(dates(i)) else None
+    mode match {
+      case "before" => onOrBefore
+      case "after"  => onOrAfter
+      case _ => (onOrBefore, onOrAfter) match {
+        case (Some(b), Some(a)) =>
+          val db = math.abs(java.time.LocalDate.parse(target).toEpochDay -
+            java.time.LocalDate.parse(b).toEpochDay)
+          val da = math.abs(java.time.LocalDate.parse(a).toEpochDay -
+            java.time.LocalDate.parse(target).toEpochDay)
+          if (db <= da) Some(b) else Some(a)
+        case (b, a) => b.orElse(a)
+      }
+    }
+  }
+
   /** A16/T3 — top routes over the range, key "start → end". */
   def topRoutes(daily: DataFrame, start: String, end: String, topN: Int = 5): DataFrame =
     inRange(daily, start, end)

@@ -423,6 +423,60 @@ object Core {
       |                    AND e2.event_id = events.event_id)
       |ORDER BY event_id""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q18b/q30 — the REAL library snapshot-diff operator (J4/ST2,
+  // graft.status.SnapshotDiff) on synthetic "snapshots" derived from the
+  // events table: full-outer keyed diff emitting departed/arrived events
+  // with null-safe station compare. Scale: one shuffle on bike_id.
+  def q30(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = t(s, dir, "events")
+    def snap(m: Int) = ev.filter($"event_id" % 3 === m)
+      .groupBy($"user_id")
+      .agg(
+        (count(lit(1)) % 5).cast("string").as("station_id"),
+        max($"event_type").as("station_name"),
+        bround(min($"value"), 2).as("lat"),
+        bround(max($"value"), 2).as("lon")
+      )
+      .select(
+        $"user_id".cast("string").as("bike_id"),
+        $"station_name", $"station_id", $"lat", $"lon",
+        lit(null).cast("string").as("bike_type"),
+        lit(null).cast("double").as("battery")
+      )
+    graft.status.SnapshotDiff
+      .events(snap(0), snap(1), "2024-02-01T00:00:00+01:00")
+      .orderBy($"bike_id", $"event_type", $"station_id")
+  }
+
+  val q30Sql: String =
+    """WITH p AS (
+      |  SELECT CAST(user_id AS VARCHAR) AS bike_id,
+      |         max(event_type) AS station_name,
+      |         CAST(count(*) % 5 AS VARCHAR) AS station_id,
+      |         round(min(value), 2) AS lat, round(max(value), 2) AS lon
+      |  FROM events WHERE event_id % 3 = 0 GROUP BY user_id),
+      | c AS (
+      |  SELECT CAST(user_id AS VARCHAR) AS bike_id,
+      |         max(event_type) AS station_name,
+      |         CAST(count(*) % 5 AS VARCHAR) AS station_id,
+      |         round(min(value), 2) AS lat, round(max(value), 2) AS lon
+      |  FROM events WHERE event_id % 3 = 1 GROUP BY user_id)
+      |SELECT '2024-02-01T00:00:00+01:00' AS timestamp, p.bike_id,
+      |       'departed' AS event_type, p.station_name, p.station_id,
+      |       p.lat, p.lon, CAST(NULL AS VARCHAR) AS bike_type,
+      |       CAST(NULL AS DOUBLE) AS battery
+      |FROM p LEFT JOIN c ON p.bike_id = c.bike_id
+      |WHERE c.bike_id IS NULL OR p.station_id IS DISTINCT FROM c.station_id
+      |UNION ALL
+      |SELECT '2024-02-01T00:00:00+01:00', c.bike_id, 'arrived',
+      |       c.station_name, c.station_id, c.lat, c.lon,
+      |       CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
+      |FROM c LEFT JOIN p ON p.bike_id = c.bike_id
+      |WHERE p.bike_id IS NULL OR p.station_id IS DISTINCT FROM c.station_id
+      |ORDER BY bike_id, event_type, station_id""".stripMargin
+
   /** Name → query function, for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -441,7 +495,8 @@ object Core {
     "q14_json_extract" -> (q14 _),
     "q15_haversine" -> (q15 _),
     "q16_status_diff" -> (q16 _),
-    "q17_idempotent_append" -> (q17 _)
+    "q17_idempotent_append" -> (q17 _),
+    "q30_snapshot_diff_fullouter" -> (q30 _)
   )
 
   /** Name → DuckDB oracle SQL, for SparkEntry. */
@@ -462,6 +517,7 @@ object Core {
     "q14_json_extract" -> q14Sql,
     "q15_haversine" -> q15Sql,
     "q16_status_diff" -> q16Sql,
-    "q17_idempotent_append" -> q17Sql
+    "q17_idempotent_append" -> q17Sql,
+    "q30_snapshot_diff_fullouter" -> q30Sql
   )
 }
