@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: dump formatted physical plans for the query catalog, to
+  * check pushdown / broadcast / codegen coverage per SURVEY.md's scale
+  * rules. Usage: runMain graft.Explain <sfDir> [queryName...] */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val names = if (args.length > 1) args.tail.toSet else Set.empty[String]
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      if (names.isEmpty || names.contains(name)) {
+        println(s"\n========== $name ==========")
+        try fn(spark, sfDir).explain("formatted")
+        catch { case e: Throwable => println(s"ERROR: ${e.getMessage}") }
+      }
+    }
+    spark.stop()
+  }
+}

@@ -14,8 +14,15 @@ import org.apache.spark.sql.functions._
   */
 object VectorFns {
 
-  /** Dot product of two float-array columns, accumulated in double. */
-  def dot(a: Column, b: Column): Column =
+  /** Dot product of two float-array columns, accumulated in double.
+    * Delegates to the native codegen'd expression
+    * ([[graft.plans.FloatVectorDot]]) — a tight Java loop inside
+    * whole-stage codegen instead of interpreted per-element lambdas. */
+  def dot(a: Column, b: Column): Column = graft.plans.VectorExpressions.dot(a, b)
+
+  /** Reference implementation via higher-order functions (kept for
+    * cross-checking the native expression in tests). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),
