@@ -391,6 +391,31 @@ object DocOps {
       | CAST(ascii(substr(text, 1, 1)) AS INTEGER) AS magic_byte
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q31 — multimodal decode stage: binary payload column → typed metadata
+  // via the partition-parallel mapPartitions operator (graft.ext
+  // .Multimodal). The decoder is the documented deterministic stub (no
+  // media libs in this container); the distributed plumbing — binary
+  // encoding, per-partition decoder init, batched iteration, typed
+  // output schema — is real and oracle-checked here.
+  def q31(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = graft.ext.Multimodal.mediaFromDocuments(s, t(s, dir, "documents"))
+    graft.ext.Multimodal.imageMeta(media).toDF().orderBy($"media_id")
+  }
+
+  val q31Sql: String =
+    """SELECT doc_id AS media_id,
+      | CAST(64 + strlen(text) % 1856 AS INTEGER) AS width,
+      | CAST(64 + (strlen(text) * 31 +
+      |   CASE WHEN strlen(text) = 0 THEN 0 ELSE ascii(text) END) % 1016
+      |   AS INTEGER) AS height,
+      | CAST(1 + (CASE WHEN strlen(text) = 0 THEN 0 ELSE ascii(text) END) % 30
+      |   AS INTEGER) AS n_frames,
+      | CASE strlen(text) % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+      |   ELSE 'webp' END AS format
+      |FROM documents ORDER BY media_id""".stripMargin
+
   /** Name → query function, for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q18_dedup_exact" -> (q18 _),
@@ -404,7 +429,8 @@ object DocOps {
     "q26_lang_id" -> (q26 _),
     "q27_text_quality" -> (q27 _),
     "q28_doc_fingerprint" -> (q28 _),
-    "q29_multimodal_meta" -> (q29 _)
+    "q29_multimodal_meta" -> (q29 _),
+    "q31_multimodal_decode" -> (q31 _)
   )
 
   /** Name → DuckDB oracle SQL, for SparkEntry. */
@@ -420,6 +446,7 @@ object DocOps {
     "q26_lang_id" -> q26Sql,
     "q27_text_quality" -> q27Sql,
     "q28_doc_fingerprint" -> q28Sql,
-    "q29_multimodal_meta" -> q29Sql
+    "q29_multimodal_meta" -> q29Sql,
+    "q31_multimodal_decode" -> q31Sql
   )
 }
