@@ -416,6 +416,45 @@ object DocOps {
       |   ELSE 'webp' END AS format
       |FROM documents ORDER BY media_id""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q32 — embedding-cosine near-duplicate pairs: LSH sign-bucket the
+  // vectors (4 hyperplanes ⇒ 16 buckets), self-join within buckets only,
+  // keep pairs above the similarity threshold. Scale: the shuffle key is
+  // the bucket id, candidate pairs ≈ N²/buckets instead of N²; cosine is
+  // the native codegen'd FloatVectorDot. floor(x*1e4+0.5)/1e4 rounding is
+  // IEEE-stable across engines (see q27 note).
+  def q32(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val b = t(s, dir, "embeddings")
+      .withColumn("bucket", VectorFns.signBucket($"embedding", 4))
+    val a = b.select($"bucket", $"vec_id".as("vec_a"), $"embedding".as("ea"))
+    val c = b.select($"bucket", $"vec_id".as("vec_b"), $"embedding".as("eb"))
+    a.join(c, Seq("bucket"))
+      .filter($"vec_a" < $"vec_b")
+      .select($"vec_a", $"vec_b",
+        (floor(VectorFns.cosine($"ea", $"eb") * 10000 + lit(0.5)) / 10000)
+          .as("cos_sim"))
+      .filter($"cos_sim" > 0.4)
+      .orderBy($"vec_a", $"vec_b")
+  }
+
+  val q32Sql: String = {
+    val cos =
+      s"""(list_sum(list_transform(list_zip(a.embedding, b2.embedding),
+         |   x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+         | (${normSql("a.embedding")} * ${normSql("b2.embedding")}))""".stripMargin
+    s"""WITH b AS (SELECT vec_id, embedding,
+       |   (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+       | + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
+       | + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
+       | + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS bucket FROM embeddings)
+       |SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+       |       floor($cos * 10000 + 0.5) / 10000 AS cos_sim
+       |FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+       |WHERE floor($cos * 10000 + 0.5) / 10000 > 0.4
+       |ORDER BY vec_a, vec_b""".stripMargin
+  }
+
   /** Name → query function, for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q18_dedup_exact" -> (q18 _),
@@ -430,7 +469,8 @@ object DocOps {
     "q27_text_quality" -> (q27 _),
     "q28_doc_fingerprint" -> (q28 _),
     "q29_multimodal_meta" -> (q29 _),
-    "q31_multimodal_decode" -> (q31 _)
+    "q31_multimodal_decode" -> (q31 _),
+    "q32_embedding_near_dup" -> (q32 _)
   )
 
   /** Name → DuckDB oracle SQL, for SparkEntry. */
@@ -447,6 +487,7 @@ object DocOps {
     "q27_text_quality" -> q27Sql,
     "q28_doc_fingerprint" -> q28Sql,
     "q29_multimodal_meta" -> q29Sql,
-    "q31_multimodal_decode" -> q31Sql
+    "q31_multimodal_decode" -> q31Sql,
+    "q32_embedding_near_dup" -> q32Sql
   )
 }

@@ -1,0 +1,95 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.ingest.SnapshotJson
+import graft.streaming.{StatefulStatusStream, StatusStream}
+import graft.streaming.StatefulStatusStream.Obs
+
+/** End-to-end Structured Streaming: real file-source stream (ST1) and the
+  * flatMapGroupsWithState extension. */
+class StreamingSpec extends SparkSpec {
+
+  private val snapA = "/root/reference/data/sample/snapA.json"
+  private val snapB = "/root/reference/data/sample/snapB.json"
+
+  test("file-source stream end-to-end: two micro-batches of snapshots") {
+    val landing = tmpDir("landing")
+    val eventsPath = tmpDir("sevents") + "/log"
+    val statePath = tmpDir("sstate") + "/last"
+    val checkpoint = tmpDir("ckpt")
+
+    // batch 1: snapA only → no events (first snapshot seeds state)
+    Files.copy(Paths.get(snapA), Paths.get(landing, "bike_rides_a.json"))
+    def runOnce(): Unit = {
+      val q = StatusStream.start(spark, landing, eventsPath, statePath,
+        checkpoint, Trigger.AvailableNow())
+      q.awaitTermination(120000)
+      ()
+    }
+    runOnce()
+    assert(spark.read.parquet(statePath).count() > 0, "state seeded")
+    assert(!Files.exists(Paths.get(eventsPath)) ||
+      spark.read.parquet(eventsPath).count() === 0)
+
+    // batch 2: snapB arrives → diff A→B events appended
+    Files.copy(Paths.get(snapB), Paths.get(landing, "bike_rides_b.json"))
+    runOnce()
+    val events = spark.read.parquet(eventsPath)
+    assert(events.filter(col("bike_id") === "590066").count() === 2)
+    assert(events.filter(col("timestamp") === "2025-08-21T15:06:02+02:00").count()
+      === events.count())
+  }
+
+  test("flatMapGroupsWithState emits arrive/move events with per-key state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Obs]
+    val query = StatefulStatusStream.events(input.toDS())
+      .writeStream.format("memory").queryName("stateful_events")
+      .outputMode("append").start()
+
+    def obs(ts: String, bike: String, station: String) =
+      Obs(ts, bike, Some(station), Some(station), Some(51.1), Some(17.0),
+        Some("standard"), None)
+
+    // batch 1: two bikes appear
+    input.addData(obs("t1", "b1", "S1"), obs("t1", "b2", "S2"))
+    query.processAllAvailable()
+    val afterB1 = spark.table("stateful_events").collect()
+    assert(afterB1.length === 2)
+    assert(afterB1.forall(_.getAs[String]("event_type") == "arrived"))
+
+    // batch 2: b1 moves (departed+arrived), b2 unchanged (nothing)
+    input.addData(obs("t2", "b1", "S3"), obs("t2", "b2", "S2"))
+    query.processAllAvailable()
+    val afterB2 = spark.table("stateful_events").collect()
+    assert(afterB2.length === 4)
+    val b1 = afterB2.filter(r => r.getAs[String]("bike_id") == "b1" &&
+      r.getAs[String]("timestamp") == "t2").sortBy(_.getAs[String]("event_type"))
+    assert(b1.map(_.getAs[String]("event_type")).toSeq === Seq("arrived", "departed"))
+    assert(b1.find(_.getAs[String]("event_type") == "departed").get
+      .getAs[String]("station_id") === "S1")
+
+    // batch 3: out-of-order inside one batch — applied in ts order
+    input.addData(obs("t4", "b1", "S5"), obs("t3", "b1", "S4"))
+    query.processAllAvailable()
+    val b1Events = spark.table("stateful_events")
+      .filter($"bike_id" === "b1" && $"timestamp".isin("t3", "t4")).collect()
+    assert(b1Events.length === 4, "S3→S4 and S4→S5 both emit dep+arr pairs")
+    query.stop()
+  }
+
+  test("stateful operator also runs on batch datasets (same code path)") {
+    val posA = SnapshotJson.positions(SnapshotJson.read(spark, snapA))
+    val obsDs = StatefulStatusStream.obsFrom(spark, posA)
+    val events = StatefulStatusStream.events(obsDs)
+    // batch mode: every bike is a first sighting → all arrived
+    val n = events.count()
+    assert(n === posA.count())
+  }
+}
