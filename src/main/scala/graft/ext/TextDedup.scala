@@ -1,0 +1,93 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+
+/** Corpus deduplication operators — the end-user API a 100 TB training
+  * pipeline calls. All stages are declarative plans:
+  *
+  *  1. [[dedupExact]] — content-hash groupBy, keeps the smallest id per
+  *     fingerprint (one shuffle of (hash, id) pairs).
+  *  2. [[lshCandidates]] — MinHash+LSH: shingle → `numHashes` minhashes →
+  *     `bands` band keys → per-band bucket grouping → in-bucket pair
+  *     expansion. Signatures are computed once; each band contributes one
+  *     shuffle keyed by (band_index, band_hash); pair volume tracks
+  *     actual collisions, never |docs|².
+  *  3. [[verifiedPairs]] — exact n-gram Jaccard over candidate pairs
+  *     (join back to text, per-row array intersection).
+  *
+  * Tuning at scale: more bands with fewer rows each = higher recall /
+  * more candidates; the standard (bands=b, rowsPerBand=r) S-curve
+  * threshold is (1/b)^(1/r).
+  */
+object TextDedup {
+
+  /** Exact duplicate groups: fingerprint → (keep_id, n_copies). */
+  def exactGroups(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.groupBy(TextFns.fingerprint(col(textCol)).as("fingerprint"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Exact dedup: one surviving row per distinct text. */
+  def dedupExact(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val keep = exactGroups(docs, textCol, idCol)
+      .select(col("keep_id").as(idCol))
+    docs.join(keep, Seq(idCol), "left_semi")
+  }
+
+  /** MinHash signature columns `mh0..mh{n-1}` for a token-shingle array
+    * column (materialize shingles as an attribute first — see TextFns). */
+  def minhashes(shingles: Column, numHashes: Int): Seq[Column] =
+    (0 until numHashes).map(i => TextFns.minhash(shingles, s"s$i").as(s"mh$i"))
+
+  /** LSH near-duplicate candidate pairs (id_a < id_b), deduplicated
+    * across bands. */
+  def lshCandidates(docs: DataFrame, textCol: String, idCol: String,
+      ngram: Int = 3, numHashes: Int = 4, bands: Int = 1): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val sig = docs
+      .withColumn("_toks", TextFns.tokens(col(textCol)))
+      .withColumn("_sh", TextFns.ngramsFromTokens(col("_toks"), ngram))
+      .select(col(idCol) +: minhashes(col("_sh"), numHashes): _*)
+
+    val bandDfs = (0 until bands).map { b =>
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh$i"))
+      sig.select(col(idCol),
+        concat_ws("|", lit(b.toString) +: cols: _*).as("band"))
+    }
+    val banded = bandDfs.reduce(_ unionByName _)
+
+    val buckets = banded
+      .groupBy(col("band"))
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .filter(size(col("ids")) > 1)
+    val pairs = flatten(transform(col("ids"), (a, i) =>
+      transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+        b2 => struct(a.as("id_a"), b2.as("id_b")))))
+    buckets
+      .select(explode(pairs).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .distinct() // a pair may collide in several bands
+  }
+
+  /** Exact n-gram Jaccard for candidate pairs: join text back, compute
+    * |A∩B| / |A∪B| over distinct shingle sets, keep pairs ≥ threshold. */
+  def verifiedPairs(docs: DataFrame, candidates: DataFrame,
+      textCol: String, idCol: String, ngram: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    val sh = docs
+      .withColumn("_toks", TextFns.tokens(col(textCol)))
+      .select(col(idCol),
+        array_distinct(TextFns.ngramsFromTokens(col("_toks"), ngram)).as("sh"))
+    val a = sh.select(col(idCol).as("id_a"), col("sh").as("sh_a"))
+    val b = sh.select(col(idCol).as("id_b"), col("sh").as("sh_b"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    val uni = (size(col("sh_a")) + size(col("sh_b"))).cast("double") -
+      size(array_intersect(col("sh_a"), col("sh_b")))
+    candidates.join(a, "id_a").join(b, "id_b")
+      .select(col("id_a"), col("id_b"), (inter / uni).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+}

@@ -37,9 +37,7 @@ object DocOps {
   // pairs move.
   def q18(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    t(s, dir, "documents")
-      .groupBy(TextFns.fingerprint($"text").as("fingerprint"))
-      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+    graft.ext.TextDedup.exactGroups(t(s, dir, "documents"), "text", "doc_id")
       .orderBy($"fingerprint")
   }
 
@@ -87,25 +85,10 @@ object DocOps {
   // and shuffle volume is (band, id) — the web-scale fuzzy-dedup layout.
   def q20(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sig = t(s, dir, "documents")
-      .withColumn("toks", TextFns.tokens($"text"))
-      .withColumn("sh", TextFns.ngramsFromTokens($"toks", 3))
-      .select(
-        $"doc_id",
-        concat_ws("|",
-          TextFns.minhash($"sh", "s0"), TextFns.minhash($"sh", "s1"),
-          TextFns.minhash($"sh", "s2"), TextFns.minhash($"sh", "s3")).as("band")
-      )
-    val buckets = sig
-      .groupBy($"band")
-      .agg(sort_array(collect_list($"doc_id")).as("ids"))
-      .filter(size($"ids") > 1)
-    val pairs = flatten(transform($"ids", (a, i) =>
-      transform(slice($"ids", i + lit(2), size($"ids")),
-        b => struct(a.as("doc_a"), b.as("doc_b")))))
-    buckets
-      .select(explode(pairs).as("p"))
-      .select($"p.doc_a", $"p.doc_b")
+    graft.ext.TextDedup
+      .lshCandidates(t(s, dir, "documents"), "text", "doc_id",
+        ngram = 3, numHashes = 4, bands = 1)
+      .select($"id_a".as("doc_a"), $"id_b".as("doc_b"))
       .orderBy($"doc_a", $"doc_b")
   }
 

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.TextDedup
+
+class TextDedupSpec extends SparkSpec {
+
+  private lazy val docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog today"), // exact dup of 1
+      (3L, "the quick brown fox jumps over the lazy cat today"), // near dup
+      (4L, "completely different text with other words entirely here now"),
+      (5L, "")
+    ).toDF("doc_id", "text")
+  }
+
+  test("dedupExact keeps one row per distinct text, smallest id wins") {
+    val kept = TextDedup.dedupExact(docs, "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq === Seq(1L, 3L, 4L, 5L))
+  }
+
+  test("lshCandidates finds exact dups in every band config") {
+    for (bands <- Seq(1, 2, 4)) {
+      val pairs = TextDedup.lshCandidates(docs, "text", "doc_id",
+        numHashes = 4, bands = bands)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs.contains((1L, 2L)), s"bands=$bands must catch exact dup")
+      assert(pairs.forall { case (a, b) => a < b })
+    }
+  }
+
+  test("more bands with shorter rows → higher recall") {
+    val strict = TextDedup.lshCandidates(docs, "text", "doc_id",
+      numHashes = 4, bands = 1).count()
+    val loose = TextDedup.lshCandidates(docs, "text", "doc_id",
+      numHashes = 4, bands = 4).count()
+    assert(loose >= strict)
+    // with 4 bands of 1 hash, the near-dup pair (1,3) collides on most
+    // hashes (8/9 shared shingles)
+    val loosePairs = TextDedup.lshCandidates(docs, "text", "doc_id",
+      numHashes = 4, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(loosePairs.exists(p => p == (1L, 3L) || p == (2L, 3L)),
+      s"near-dup should surface at bands=4, got $loosePairs")
+  }
+
+  test("verifiedPairs computes exact jaccard and filters by threshold") {
+    val cands = TextDedup.lshCandidates(docs, "text", "doc_id",
+      numHashes = 4, bands = 4)
+    val verified = TextDedup.verifiedPairs(docs, cands, "text", "doc_id",
+      threshold = 0.99)
+    val exact = verified.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact === Set((1L, 2L)), "only the exact dup survives jaccard>=0.99")
+    val lower = TextDedup.verifiedPairs(docs, cands, "text", "doc_id",
+      threshold = 0.5).count()
+    assert(lower >= 1)
+  }
+}
