@@ -1,0 +1,98 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFns
+
+/** IVF (inverted-file) approximate-nearest-neighbor index — the
+  * clustering-based scale path next to the LSH sign-bucket variant
+  * (queries q23/q25).
+  *
+  * Layout mirrors a production IVF deployment:
+  *  - TRAIN: k coarse centroids. Deterministic k-means (fixed number of
+  *    Lloyd iterations over DataFrame aggregates, seeded by the first k
+  *    vectors in id order) — no RNG, reproducible across engines, and
+  *    each iteration is one groupBy shuffle.
+  *  - INDEX: every vector assigned to its nearest centroid (`cell`
+  *    column). At 100 TB the table is written partitioned/bucketed by
+  *    `cell`, so a probe scan prunes to the probed cells' files.
+  *  - SEARCH: score the query against the k centroids (driver-side, k is
+  *    tiny), scan only the `nProbe` closest cells, brute-force cosine
+  *    inside them with the codegen'd dot, TakeOrderedAndProject top-k.
+  *
+  * Recall/latency trade-off is nProbe/k, the standard IVF dial.
+  */
+object VectorIndex {
+
+  /** Deterministic k-means centroids as driver arrays (k and dim are
+    * small: centroids are broadcast metadata, the DATA never collects). */
+  def trainCentroids(embeddings: DataFrame, vecCol: String, k: Int,
+      iterations: Int = 5, idCol: String = "vec_id"): Array[Array[Float]] = {
+    var centroids: Array[Array[Float]] = embeddings
+      .orderBy(col(idCol)).limit(k)
+      .select(vecCol).collect()
+      .map(_.getSeq[Float](0).toArray)
+
+    (0 until iterations).foreach { _ =>
+      val assigned = assignCells(embeddings, vecCol, centroids)
+      val dim = centroids.head.length
+      // mean per cell: aggregate(sum per component) / count, one shuffle
+      val sums = assigned
+        .groupBy(col("cell"))
+        .agg(
+          count(lit(1)).as("n"),
+          array((0 until dim).map(i =>
+            sum(element_at(col(vecCol), i + 1)).as(s"s$i")): _*).as("sums"))
+        .collect()
+      val updated = centroids.clone()
+      sums.foreach { r =>
+        val cell = r.getInt(0)
+        val n = r.getLong(1).toDouble
+        val s = r.getSeq[Double](2)
+        if (n > 0) updated(cell) = s.map(v => (v / n).toFloat).toArray
+      }
+      centroids = updated
+    }
+    centroids
+  }
+
+  /** Assignment: nearest centroid by cosine, as a single codegen-friendly
+    * expression over the broadcast centroid literals. */
+  def assignCells(embeddings: DataFrame, vecCol: String,
+      centroids: Array[Array[Float]]): DataFrame = {
+    val scores = centroids.zipWithIndex.map { case (c, i) =>
+      struct(VectorFns.cosine(col(vecCol), centroidLit(c)).as("score"),
+        lit(i).as("cell"))
+    }
+    embeddings.withColumn("cell",
+      greatest(scores: _*).getField("cell"))
+  }
+
+  private def centroidLit(c: Array[Float]) =
+    array(c.map(v => lit(v)): _*).cast("array<float>")
+
+  /** Top-k cosine search probing only the nProbe closest cells. */
+  def search(spark: SparkSession, indexed: DataFrame, vecCol: String,
+      idCol: String, centroids: Array[Array[Float]],
+      query: Array[Float], k: Int, nProbe: Int): DataFrame = {
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < math.min(a.length, b.length)) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+        i += 1
+      }
+      if (na == 0 || nb == 0) 0.0 else d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val probed = centroids.zipWithIndex
+      .sortBy { case (c, _) => -cos(c, query) }
+      .take(nProbe).map(_._2)
+    indexed
+      .filter(col("cell").isin(probed.toSeq: _*)) // partition-prunable at scale
+      .select(col(idCol),
+        VectorFns.cosine(col(vecCol), centroidLit(query)).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol).asc)
+      .limit(k)
+  }
+}

@@ -1,0 +1,45 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions entry point: registers graft's native
+  * expressions as SQL functions, so `spark.sql("SELECT vec_dot(a, b)")`
+  * and the Column API share one codegen'd implementation.
+  *
+  * Activate with
+  * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")` at
+  * session build time, or call [[GraftExtensions.register]] on a live
+  * session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def info(name: String) =
+    new ExpressionInfo(classOf[FloatVectorDot].getCanonicalName, null, name)
+
+  val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("vec_dot",
+      info("vec_dot"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "vec_dot takes exactly 2 arguments")
+        FloatVectorDot(args.head, args(1))
+      })
+  )
+
+  /** Register on an already-built session (tests, REPLs). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val registry: FunctionRegistry = spark.sessionState.functionRegistry
+    functions.foreach { case (name, inf, builder) =>
+      registry.registerFunction(FunctionIdentifier(name), inf, builder)
+    }
+  }
+}

@@ -32,6 +32,14 @@ class VectorExprSpec extends SparkSpec {
     assert(rows(2).getDouble(0) === 0.0)
   }
 
+  test("vec_dot is SQL-callable after GraftExtensions registration") {
+    graft.plans.GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT vec_dot(array(CAST(1 AS FLOAT), CAST(2 AS FLOAT)), " +
+        "array(CAST(3 AS FLOAT), CAST(4 AS FLOAT))) AS d").head()
+    assert(r.getDouble(0) === 11.0)
+  }
+
   test("codegen path is exercised (no fallback to interpreted)") {
     // force a plan and confirm it evaluates under wholestage codegen
     val e = graft.queries.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
