@@ -37,4 +37,82 @@ object Geo {
     * which is HALF_EVEN => Spark `bround`). */
   def distanceKm(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column =
     bround(haversineKm(lat1, lon1, lat2, lon2), 3)
+
+  // ---- ellipsoidal (geodesic) parity path ----
+
+  /** WGS-84 ellipsoid constants. */
+  val WGS84a: Double = 6378137.0 // semi-major axis, m
+  val WGS84f: Double = 1.0 / 298.257223563 // flattening
+  val WGS84b: Double = WGS84a * (1 - WGS84f)
+
+  /** Vincenty inverse distance in km on the WGS-84 ellipsoid — agrees
+    * with geopy's Karney geodesic to sub-millimeter except near-antipodal
+    * pairs (never at city scale). Iterative, so exposed as a Scala
+    * function + UDF rather than a codegen expression; use it when
+    * 3-decimal parity with reference-stored distances matters and
+    * [[distanceKm]] (haversine, codegen'd, within the reference's own
+    * test tolerance) otherwise. Returns NaN on non-convergence like
+    * geopy raises→NaN in the reference (data_load_sqlite.py:103–111). */
+  def vincentyKm(lat1: Double, lon1: Double, lat2: Double, lon2: Double): Double = {
+    if (lat1 == lat2 && lon1 == lon2) return 0.0
+    val L = math.toRadians(lon2 - lon1)
+    val U1 = math.atan((1 - WGS84f) * math.tan(math.toRadians(lat1)))
+    val U2 = math.atan((1 - WGS84f) * math.tan(math.toRadians(lat2)))
+    val sinU1 = math.sin(U1); val cosU1 = math.cos(U1)
+    val sinU2 = math.sin(U2); val cosU2 = math.cos(U2)
+
+    var lambda = L
+    var iter = 0
+    var sinSigma = 0.0; var cosSigma = 0.0; var sigma = 0.0
+    var cosSqAlpha = 0.0; var cos2SigmaM = 0.0
+    var converged = false
+    while (iter < 200 && !converged) {
+      val sinLambda = math.sin(lambda); val cosLambda = math.cos(lambda)
+      sinSigma = math.sqrt(
+        math.pow(cosU2 * sinLambda, 2) +
+          math.pow(cosU1 * sinU2 - sinU1 * cosU2 * cosLambda, 2))
+      if (sinSigma == 0.0) return 0.0 // coincident
+      cosSigma = sinU1 * sinU2 + cosU1 * cosU2 * cosLambda
+      sigma = math.atan2(sinSigma, cosSigma)
+      val sinAlpha = cosU1 * cosU2 * sinLambda / sinSigma
+      cosSqAlpha = 1 - sinAlpha * sinAlpha
+      cos2SigmaM =
+        if (cosSqAlpha == 0.0) 0.0
+        else cosSigma - 2 * sinU1 * sinU2 / cosSqAlpha
+      val C = WGS84f / 16 * cosSqAlpha * (4 + WGS84f * (4 - 3 * cosSqAlpha))
+      val lambdaPrev = lambda
+      lambda = L + (1 - C) * WGS84f * sinAlpha *
+        (sigma + C * sinSigma *
+          (cos2SigmaM + C * cosSigma * (-1 + 2 * cos2SigmaM * cos2SigmaM)))
+      if (math.abs(lambda - lambdaPrev) < 1e-12) converged = true
+      iter += 1
+    }
+    if (!converged) return Double.NaN
+    val uSq = cosSqAlpha * (WGS84a * WGS84a - WGS84b * WGS84b) / (WGS84b * WGS84b)
+    val A = 1 + uSq / 16384 * (4096 + uSq * (-768 + uSq * (320 - 175 * uSq)))
+    val B = uSq / 1024 * (256 + uSq * (-128 + uSq * (74 - 47 * uSq)))
+    val deltaSigma = B * sinSigma *
+      (cos2SigmaM + B / 4 *
+        (cosSigma * (-1 + 2 * cos2SigmaM * cos2SigmaM) -
+          B / 6 * cos2SigmaM * (-3 + 4 * sinSigma * sinSigma) *
+            (-3 + 4 * cos2SigmaM * cos2SigmaM)))
+    WGS84b * A * (sigma - deltaSigma) / 1000.0
+  }
+
+  /** NULL-tolerant geodesic UDF, rounded half-even to 3 decimals like the
+    * reference's stored distances. */
+  val geodesicKmUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((lat1: java.lang.Double, lon1: java.lang.Double,
+         lat2: java.lang.Double, lon2: java.lang.Double) =>
+      if (lat1 == null || lon1 == null || lat2 == null || lon2 == null) null
+      else {
+        val d = vincentyKm(lat1, lon1, lat2, lon2)
+        if (d.isNaN) null
+        else java.lang.Double.valueOf(
+          BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_EVEN).toDouble)
+      })
+
+  /** Geodesic distance column (ellipsoidal parity mode). */
+  def geodesicKm(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column =
+    geodesicKmUdf(lat1, lon1, lat2, lon2)
 }

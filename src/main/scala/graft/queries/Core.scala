@@ -477,6 +477,47 @@ object Core {
       |WHERE p.bike_id IS NULL OR p.station_id IS DISTINCT FROM c.station_id
       |ORDER BY bike_id, event_type, station_id""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q33 — the flagship metrics operator (graft.metrics.DailyMetrics
+  // .allDays: F2 global filter + A1–A11 + J3 + T1/T2 in ONE job) run on a
+  // rides-shaped projection of the events table and hash-checked against
+  // DuckDB. Integer metrics only, so the comparison is exact (the
+  // rounding-sensitive columns are covered by the ScalaTest goldens).
+  def q33(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rides = t(s, dir, "events").select(
+      $"ts".as("start_time"),
+      floor($"value").cast("int").as("duration"),
+      ($"value" / 10).as("distance"),
+      $"event_type".as("start_station"),
+      when($"value" > 50, $"event_type").otherwise(lit("Poza stacją"))
+        .as("end_station")
+    )
+    graft.metrics.DailyMetrics.allDays(rides)
+      .select($"date", $"total_rides", $"total_duration_min",
+        $"round_trips", $"left_outside_station")
+      .orderBy($"date")
+  }
+
+  val q33Sql: String =
+    """WITH r AS (
+      |  SELECT ts AS start_time, CAST(floor(value) AS INT) AS duration,
+      |         event_type AS start_station,
+      |         CASE WHEN value > 50 THEN event_type
+      |              ELSE 'Poza stacją' END AS end_station
+      |  FROM events),
+      | b AS (SELECT * FROM r WHERE duration > 2 AND start_time IS NOT NULL)
+      |SELECT strftime(CAST(start_time AS DATE), '%Y-%m-%d') AS date,
+      |       count(*) AS total_rides,
+      |       CAST(coalesce(sum(duration), 0) AS BIGINT) AS total_duration_min,
+      |       count(CASE WHEN start_station IS NOT NULL
+      |                   AND end_station IS NOT NULL
+      |                   AND start_station = end_station THEN 1 END)
+      |         AS round_trips,
+      |       count(CASE WHEN end_station = 'Poza stacją' THEN 1 END)
+      |         AS left_outside_station
+      |FROM b GROUP BY 1 ORDER BY date""".stripMargin
+
   /** Name → query function, for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -496,7 +537,8 @@ object Core {
     "q15_haversine" -> (q15 _),
     "q16_status_diff" -> (q16 _),
     "q17_idempotent_append" -> (q17 _),
-    "q30_snapshot_diff_fullouter" -> (q30 _)
+    "q30_snapshot_diff_fullouter" -> (q30 _),
+    "q33_daily_metrics_alldays" -> (q33 _)
   )
 
   /** Name → DuckDB oracle SQL, for SparkEntry. */
@@ -518,6 +560,7 @@ object Core {
     "q15_haversine" -> q15Sql,
     "q16_status_diff" -> q16Sql,
     "q17_idempotent_append" -> q17Sql,
-    "q30_snapshot_diff_fullouter" -> q30Sql
+    "q30_snapshot_diff_fullouter" -> q30Sql,
+    "q33_daily_metrics_alldays" -> q33Sql
   )
 }
