@@ -36,10 +36,16 @@ object TextDedup {
     docs.join(keep, Seq(idCol), "left_semi")
   }
 
-  /** MinHash signature columns `mh0..mh{n-1}` for a token-shingle array
-    * column (materialize shingles as an attribute first — see TextFns). */
-  def minhashes(shingles: Column, numHashes: Int): Seq[Column] =
-    (0 until numHashes).map(i => TextFns.minhash(shingles, s"s$i").as(s"mh$i"))
+  /** MinHash signature columns `mh0..mh{n-1}` from a digest-array
+    * attribute (see [[TextFns.shingleDigests]]): n ≤ 4 hash functions
+    * come from one md5 per shingle (8-hex chunks); beyond 4, salted
+    * digests per group of 4. */
+  def minhashes(digests: Column, numHashes: Int): Seq[Column] = {
+    require(numHashes <= 4,
+      "one md5 yields 4 chunk-hashes; extend with salted digests for more")
+    (0 until numHashes).map(i =>
+      TextFns.minhashFromDigests(digests, i).as(s"mh$i"))
+  }
 
   /** LSH near-duplicate candidate pairs (id_a < id_b), deduplicated
     * across bands. */
@@ -50,7 +56,8 @@ object TextDedup {
     val sig = docs
       .withColumn("_toks", TextFns.tokens(col(textCol)))
       .withColumn("_sh", TextFns.ngramsFromTokens(col("_toks"), ngram))
-      .select(col(idCol) +: minhashes(col("_sh"), numHashes): _*)
+      .withColumn("_dg", TextFns.shingleDigests(col("_sh")))
+      .select(col(idCol) +: minhashes(col("_dg"), numHashes): _*)
 
     val bandDfs = (0 until bands).map { b =>
       val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh$i"))

@@ -126,6 +126,21 @@ object TextFns {
   def minhash(shingles: Column, seed: String): Column =
     array_min(transform(shingles, s => md5(concat(s, lit(seed)))))
 
+  /** One md5 digest per shingle (materialize as an attribute, then feed
+    * [[minhashFromDigests]] — computes the digest ONCE for any number of
+    * hash functions). */
+  def shingleDigests(shingles: Column): Column =
+    transform(shingles, s => md5(s))
+
+  /** MinHash from pre-computed digests: hash function `i` is the i-th
+    * 8-hex-char chunk of the md5 (4 independent 32-bit hashes per
+    * digest — the standard one-digest-many-hashes minhash layout).
+    * Chunks compare lexicographically ⇒ valid uniform order. */
+  def minhashFromDigests(digests: Column, chunk: Int): Column = {
+    require(chunk >= 0 && chunk < 4, "md5 has four 8-hex chunks")
+    array_min(transform(digests, d => d.substr(lit(chunk * 8 + 1), lit(8))))
+  }
+
   /** MinHash signature: one [[minhash]] per seed, as an array column. */
   def minhashSignature(shingles: Column, seeds: Seq[String]): Column =
     array(seeds.map(minhash(shingles, _)): _*)

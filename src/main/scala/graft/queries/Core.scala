@@ -485,15 +485,7 @@ object Core {
   // rounding-sensitive columns are covered by the ScalaTest goldens).
   def q33(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val rides = t(s, dir, "events").select(
-      $"ts".as("start_time"),
-      floor($"value").cast("int").as("duration"),
-      ($"value" / 10).as("distance"),
-      $"event_type".as("start_station"),
-      when($"value" > 50, $"event_type").otherwise(lit("Poza stacją"))
-        .as("end_station")
-    )
-    graft.metrics.DailyMetrics.allDays(rides)
+    graft.metrics.DailyMetrics.allDays(ridesFromEvents(s, dir))
       .select($"date", $"total_rides", $"total_duration_min",
         $"round_trips", $"left_outside_station")
       .orderBy($"date")
@@ -518,6 +510,75 @@ object Core {
       |         AS left_outside_station
       |FROM b GROUP BY 1 ORDER BY date""".stripMargin
 
+  /** The rides-shaped projection of the events table shared by q33/q34. */
+  private def ridesFromEvents(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events").select(
+      $"ts".as("start_time"),
+      floor($"value").cast("int").as("duration"),
+      ($"value" / 10).as("distance"),
+      $"event_type".as("start_station"),
+      when($"value" > 50, $"event_type").otherwise(lit("Poza stacją"))
+        .as("end_station")
+    )
+  }
+
+  /** Shared oracle CTEs matching [[ridesFromEvents]] + the F2 filter. */
+  private val ridesFromEventsSql: String =
+    """r AS (
+      |  SELECT ts AS start_time, CAST(floor(value) AS INT) AS duration,
+      |         event_type AS start_station,
+      |         CASE WHEN value > 50 THEN event_type
+      |              ELSE 'Poza stacją' END AS end_station
+      |  FROM events),
+      | b AS (SELECT * FROM r WHERE duration > 2 AND start_time IS NOT NULL)""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q34 — the range re-aggregation surface (A15/T3, web/js/app.js:165–181)
+  // with the REAL library operators end-to-end: DailyMetrics.allDays
+  // builds per-day top-5 busiest-station lists, RangeMetrics
+  // .busiestStations explodes + re-ranks them over a date range —
+  // including the deliberately lossy aggregate-of-pre-truncated-top-5
+  // semantics the reference's browser implements.
+  def q34(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = graft.metrics.DailyMetrics.allDays(ridesFromEvents(s, dir))
+    graft.metrics.RangeMetrics
+      .busiestStations(daily, "2024-01-05", "2024-01-20")
+      .select($"station",
+        $"arrivals".cast("long").as("arrivals"),
+        $"departures".cast("long").as("departures"),
+        $"total".cast("long").as("total"))
+  }
+
+  val q34Sql: String =
+    s"""WITH $ridesFromEventsSql,
+       | dep AS (SELECT CAST(start_time AS DATE) AS day,
+       |                start_station AS station, count(*) AS departures
+       |         FROM b WHERE start_station IS NOT NULL
+       |           AND start_station <> 'Poza stacją' GROUP BY 1, 2),
+       | arr AS (SELECT CAST(start_time AS DATE) AS day,
+       |                end_station AS station, count(*) AS arrivals
+       |         FROM b WHERE end_station IS NOT NULL
+       |           AND end_station <> 'Poza stacją' GROUP BY 1, 2),
+       | j AS (SELECT coalesce(dep.day, arr.day) AS day,
+       |              coalesce(dep.station, arr.station) AS station,
+       |              coalesce(arrivals, 0) AS arrivals,
+       |              coalesce(departures, 0) AS departures
+       |       FROM dep FULL OUTER JOIN arr
+       |         ON dep.day = arr.day AND dep.station = arr.station),
+       | t AS (SELECT *, arrivals + departures AS total,
+       |              row_number() OVER (PARTITION BY day
+       |                ORDER BY arrivals + departures DESC, station ASC) AS rk
+       |       FROM j),
+       | top5 AS (SELECT * FROM t WHERE rk <= 5
+       |          AND day BETWEEN DATE '2024-01-05' AND DATE '2024-01-20')
+       |SELECT station, CAST(sum(arrivals) AS BIGINT) AS arrivals,
+       |       CAST(sum(departures) AS BIGINT) AS departures,
+       |       CAST(sum(total) AS BIGINT) AS total
+       |FROM top5 GROUP BY station
+       |ORDER BY total DESC, station ASC LIMIT 5""".stripMargin
+
   /** Name → query function, for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -538,7 +599,8 @@ object Core {
     "q16_status_diff" -> (q16 _),
     "q17_idempotent_append" -> (q17 _),
     "q30_snapshot_diff_fullouter" -> (q30 _),
-    "q33_daily_metrics_alldays" -> (q33 _)
+    "q33_daily_metrics_alldays" -> (q33 _),
+    "q34_range_busiest_rerank" -> (q34 _)
   )
 
   /** Name → DuckDB oracle SQL, for SparkEntry. */
@@ -561,6 +623,7 @@ object Core {
     "q16_status_diff" -> q16Sql,
     "q17_idempotent_append" -> q17Sql,
     "q30_snapshot_diff_fullouter" -> q30Sql,
-    "q33_daily_metrics_alldays" -> q33Sql
+    "q33_daily_metrics_alldays" -> q33Sql,
+    "q34_range_busiest_rerank" -> q34Sql
   )
 }

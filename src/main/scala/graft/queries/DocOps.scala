@@ -27,8 +27,8 @@ object DocOps {
     s"""list_transform(
        | generate_series(1, greatest(len($tokensSql) - ${n - 1}, 1)),
        | i -> array_to_string(list_slice($tokensSql, i, i + ${n - 1}), ' '))""".stripMargin
-  private def minhashSql(ngrams: String, seed: String): String =
-    s"list_min(list_transform($ngrams, s -> md5(s || '$seed')))"
+  private def minhashChunkSql(ngrams: String, chunk: Int): String =
+    s"list_min(list_transform($ngrams, s -> substr(md5(s), ${chunk * 8 + 1}, 8)))"
 
   // --------------------------------------------------------------------
   // q18 — exact dedup by content hash: the canonical first pass of any
@@ -55,12 +55,13 @@ object DocOps {
     t(s, dir, "documents")
       .withColumn("toks", TextFns.tokens($"text"))
       .withColumn("sh", TextFns.ngramsFromTokens($"toks", 3))
+      .withColumn("dg", TextFns.shingleDigests($"sh"))
       .select(
         $"doc_id",
-        TextFns.minhash($"sh", "s0").as("mh0"),
-        TextFns.minhash($"sh", "s1").as("mh1"),
-        TextFns.minhash($"sh", "s2").as("mh2"),
-        TextFns.minhash($"sh", "s3").as("mh3")
+        TextFns.minhashFromDigests($"dg", 0).as("mh0"),
+        TextFns.minhashFromDigests($"dg", 1).as("mh1"),
+        TextFns.minhashFromDigests($"dg", 2).as("mh2"),
+        TextFns.minhashFromDigests($"dg", 3).as("mh3")
       )
       .orderBy($"doc_id")
   }
@@ -68,10 +69,10 @@ object DocOps {
   val q19Sql: String = {
     val ng = ngramsSql(3)
     s"""SELECT doc_id,
-       | ${minhashSql(ng, "s0")} AS mh0,
-       | ${minhashSql(ng, "s1")} AS mh1,
-       | ${minhashSql(ng, "s2")} AS mh2,
-       | ${minhashSql(ng, "s3")} AS mh3
+       | ${minhashChunkSql(ng, 0)} AS mh0,
+       | ${minhashChunkSql(ng, 1)} AS mh1,
+       | ${minhashChunkSql(ng, 2)} AS mh2,
+       | ${minhashChunkSql(ng, 3)} AS mh3
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
@@ -96,8 +97,8 @@ object DocOps {
     val ng = ngramsSql(3)
     s"""WITH sig AS (
        | SELECT doc_id,
-       |  ${minhashSql(ng, "s0")} || '|' || ${minhashSql(ng, "s1")} || '|' ||
-       |  ${minhashSql(ng, "s2")} || '|' || ${minhashSql(ng, "s3")} AS band
+       |  ${minhashChunkSql(ng, 0)} || '|' || ${minhashChunkSql(ng, 1)} || '|' ||
+       |  ${minhashChunkSql(ng, 2)} || '|' || ${minhashChunkSql(ng, 3)} AS band
        | FROM documents)
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
        |FROM sig a JOIN sig b ON a.band = b.band AND a.doc_id < b.doc_id
