@@ -579,6 +579,34 @@ object Core {
        |FROM top5 GROUP BY station
        |ORDER BY total DESC, station ASC LIMIT 5""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q35 — range histogram mean (A14/C15, web/js/app.js:155–163) with the
+  // real operators: per-day sparse hour map from DailyMetrics.allDays,
+  // averaged over the range by RangeMetrics.histogramAvg — absent hours
+  // count 0, Math.round (HALF_UP via floor(x+0.5)) like the browser.
+  def q35(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = graft.metrics.DailyMetrics.allDays(ridesFromEvents(s, dir))
+    graft.metrics.RangeMetrics.histogramAvg(daily, "2024-01-05", "2024-01-20")
+  }
+
+  val q35Sql: String =
+    s"""WITH $ridesFromEventsSql,
+       | hr AS (SELECT CAST(start_time AS DATE) AS day,
+       |               CAST(hour(start_time) AS INTEGER) AS hour,
+       |               count(*) AS n
+       |        FROM b GROUP BY 1, 2),
+       | days AS (SELECT DISTINCT day FROM hr
+       |          WHERE day BETWEEN DATE '2024-01-05' AND DATE '2024-01-20'),
+       | grid AS (SELECT d.day, h.hour
+       |          FROM days d CROSS JOIN (SELECT unnest(generate_series(0, 23)) AS hour) h),
+       | filled AS (SELECT g.day, g.hour, coalesce(hr.n, 0) AS n
+       |            FROM grid g LEFT JOIN hr ON hr.day = g.day AND hr.hour = g.hour)
+       |SELECT hour,
+       |       CAST(floor(CAST(sum(n) AS DOUBLE) / (SELECT count(*) FROM days) + 0.5)
+       |            AS BIGINT) AS avg_rentals
+       |FROM filled GROUP BY hour ORDER BY hour""".stripMargin
+
   /** Name → query function, for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -600,7 +628,8 @@ object Core {
     "q17_idempotent_append" -> (q17 _),
     "q30_snapshot_diff_fullouter" -> (q30 _),
     "q33_daily_metrics_alldays" -> (q33 _),
-    "q34_range_busiest_rerank" -> (q34 _)
+    "q34_range_busiest_rerank" -> (q34 _),
+    "q35_range_histogram_avg" -> (q35 _)
   )
 
   /** Name → DuckDB oracle SQL, for SparkEntry. */
@@ -624,6 +653,7 @@ object Core {
     "q17_idempotent_append" -> q17Sql,
     "q30_snapshot_diff_fullouter" -> q30Sql,
     "q33_daily_metrics_alldays" -> q33Sql,
-    "q34_range_busiest_rerank" -> q34Sql
+    "q34_range_busiest_rerank" -> q34Sql,
+    "q35_range_histogram_avg" -> q35Sql
   )
 }

@@ -15,6 +15,14 @@ import org.apache.spark.sql.types.LongType
   */
 object Tables {
 
+  val All: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Register every testdata table as a temp view so users can drive the
+    * engine through plain `spark.sql(...)` (the reference's SQL surface). */
+  def registerAll(s: SparkSession, dir: String): Unit =
+    All.foreach(n => load(s, dir, n).createOrReplaceTempView(n))
+
   def load(s: SparkSession, dir: String, name: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = s.read.parquet(s"$dir/$name.parquet")
