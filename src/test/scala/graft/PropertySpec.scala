@@ -1,0 +1,99 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.functions.Geo
+import graft.metrics.MetricsJson
+
+/** Property tests for transform invariants (SURVEY.md §5): cleanup
+  * idempotence, distance NaN/NULL propagation and symmetry, dedup
+  * idempotence, JSON round-trips. Uses plain scalacheck generators with
+  * fixed seeds (scalatestplus is not in the offline dependency cache). */
+class PropertySpec extends SparkSpec {
+
+  /** Deterministic sampling: n values of gen, seeded by index. */
+  private def samples[A](gen: Gen[A], n: Int = 50): Seq[A] =
+    (0 until n).flatMap(i =>
+      gen.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val latGen = Gen.chooseNum(-89.9, 89.9)
+  private val lonGen = Gen.chooseNum(-179.9, 179.9)
+  private val pointPair = for {
+    la1 <- latGen; lo1 <- lonGen; la2 <- latGen; lo2 <- lonGen
+  } yield (la1, lo1, la2, lo2)
+
+  test("vincenty: symmetric, non-negative, zero iff same point") {
+    samples(pointPair, 100).foreach { case (la1, lo1, la2, lo2) =>
+      val d12 = Geo.vincentyKm(la1, lo1, la2, lo2)
+      val d21 = Geo.vincentyKm(la2, lo2, la1, lo1)
+      if (!d12.isNaN && !d21.isNaN) {
+        assert(d12 >= 0.0)
+        assert(math.abs(d12 - d21) < 1e-6, s"asymmetric: $d12 vs $d21")
+      }
+    }
+    assert(Geo.vincentyKm(10.0, 20.0, 10.0, 20.0) === 0.0)
+  }
+
+  test("vincenty within 0.6% of haversine everywhere (ellipsoid vs sphere)") {
+    samples(pointPair, 100).foreach { case (la1, lo1, la2, lo2) =>
+      val v = Geo.vincentyKm(la1, lo1, la2, lo2)
+      if (!v.isNaN && v > 1.0) {
+        val R = 6371.0088
+        val dphi = math.toRadians(la2 - la1)
+        val dl = math.toRadians(lo2 - lo1)
+        val a = math.pow(math.sin(dphi / 2), 2) +
+          math.cos(math.toRadians(la1)) * math.cos(math.toRadians(la2)) *
+            math.pow(math.sin(dl / 2), 2)
+        val h = 2 * R * math.asin(math.min(1.0, math.sqrt(a)))
+        assert(math.abs(v - h) / v < 0.006, s"v=$v h=$h at ($la1,$lo1)-($la2,$lo2)")
+      }
+    }
+  }
+
+  test("station cleanup is idempotent") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val strGen = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumChar, Gen.const(' '), Gen.const(' '),
+      Gen.const('ą'), Gen.const('#'))).map(_.mkString)
+    val names = samples(strGen, 200).toList
+    def clean(df: org.apache.spark.sql.DataFrame) = {
+      val stripped = rtrim(regexp_replace(col("s"), " ", ""))
+      df.select(when(stripped === "nan", lit(null)).otherwise(stripped).as("s"))
+    }
+    val once = clean(names.toDF("s")).collect().map(_.getString(0)).toSeq
+    val twice = clean(clean(names.toDF("s"))).collect().map(_.getString(0)).toSeq
+    assert(once === twice)
+  }
+
+  test("idempotent append: newRows(x, x) empty; newRows(x, empty) keeps keys") {
+    import spark.implicits._
+    val keys = samples(Gen.chooseNum(0L, 20L), 30).toList
+    val df = keys.toDF("uid")
+    assert(graft.store.IdempotentAppend.newRows(df, df, Seq("uid")).count() === 0)
+    val empty = spark.emptyDataset[Long].toDF("uid")
+    val kept = graft.store.IdempotentAppend.newRows(df, empty, Seq("uid"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept === keys.distinct.sorted)
+  }
+
+  test("pyFloat renders plain decimal for metric-scale magnitudes") {
+    samples(Gen.chooseNum(0.0, 1e12), 200).foreach { d =>
+      val s = MetricsJson.pyFloat(d)
+      assert(!s.contains("E") && !s.contains("e"), s)
+      assert(math.abs(s.toDouble - d) <= math.ulp(d) * 4)
+    }
+  }
+
+  test("JSON string escaping round-trips through a JSON parser") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    samples(Gen.asciiStr, 100).foreach { s =>
+      assert(mapper.readTree(MetricsJson.q(s)).asText() === s)
+    }
+    // non-ascii + control chars explicitly
+    Seq("Poza stacją", "a\nb\tc", "q\"q\\", "").foreach { s =>
+      assert(mapper.readTree(MetricsJson.q(s)).asText() === s)
+    }
+  }
+}
