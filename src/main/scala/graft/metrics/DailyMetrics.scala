@@ -68,20 +68,24 @@ object DailyMetrics {
         transform_keys(col("hist_by_hour"), (k, _) => k.cast("string"))
           .as("bike_rentals_histogram"))
 
-  /** J3/T1 — busiest stations top-5 per day (full-outer of dep/arr). */
+  /** J3/T1 — busiest stations top-5 per day. The reference computes
+    * dep/arr as two scans + a (UNION-emulated) full-outer join; the
+    * full-outer form lives on in q04. Here each ride explodes into its
+    * (station, role) contributions and ONE conditional groupBy(day,
+    * station) produces both counts — half the shuffles of the dep⟗arr
+    * plan at 100 TB, identical output. */
   private def busiest(b: DataFrame): DataFrame = {
-    val dep = b
-      .filter(col("start_station").isNotNull && col("start_station") =!= OutsideStation)
-      .groupBy(col("day"), col("start_station").as("station"))
-      .agg(count(lit(1)).as("departures"))
-    val arr = b
-      .filter(col("end_station").isNotNull && col("end_station") =!= OutsideStation)
-      .groupBy(col("day"), col("end_station").as("station"))
-      .agg(count(lit(1)).as("arrivals"))
-    val joined = dep.join(arr, Seq("day", "station"), "full_outer")
-      .select(col("day"), col("station"),
-        coalesce(col("arrivals"), lit(0L)).as("arrivals"),
-        coalesce(col("departures"), lit(0L)).as("departures"))
+    val joined = b
+      .select(col("day"), explode(array(
+        struct(col("start_station").as("station"), lit(1L).as("dep")),
+        struct(col("end_station").as("station"), lit(0L).as("dep"))
+      )).as("c"))
+      .select(col("day"), col("c.station").as("station"), col("c.dep").as("dep"))
+      .filter(col("station").isNotNull && col("station") =!= OutsideStation)
+      .groupBy(col("day"), col("station"))
+      .agg(
+        sum(lit(1L) - col("dep")).as("arrivals"),
+        sum(col("dep")).as("departures"))
       .withColumn("total", col("arrivals") + col("departures"))
     val w = Window.partitionBy(col("day"))
       .orderBy(col("total").desc, col("station").asc)
