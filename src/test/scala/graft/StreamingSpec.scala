@@ -84,6 +84,56 @@ class StreamingSpec extends SparkSpec {
     query.stop()
   }
 
+  test("watermarked tumbling-window aggregation over an event stream") {
+    import graft.model.StatusEvent
+    import graft.streaming.EventWindows
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StatusEvent]
+    val windowed = EventWindows.stationTraffic(
+      EventWindows.withEventTs(input.toDF()), "5 minutes", "10 minutes")
+    val query = windowed.writeStream.format("memory")
+      .queryName("windowed_traffic").outputMode("append").start()
+
+    def ev(ts: String, kind: String, station: String) =
+      StatusEvent(ts, "b1", kind, Some(station), Some(station),
+        Some(51.1), Some(17.0), Some("standard"), None)
+
+    input.addData(
+      ev("2025-08-21T15:01:00+02:00", "arrived", "S1"),
+      ev("2025-08-21T15:03:00+02:00", "departed", "S1"),
+      ev("2025-08-21T15:04:00+02:00", "arrived", "S2"))
+    query.processAllAvailable()
+    // advance event time far past the watermark so the first window closes
+    input.addData(ev("2025-08-21T16:00:00+02:00", "arrived", "S1"))
+    query.processAllAvailable()
+
+    val rows = spark.table("windowed_traffic").collect()
+    assert(rows.nonEmpty, "closed windows emitted in append mode")
+    val s1 = rows.find(r => r.getAs[String]("station_name") == "S1").get
+    assert(s1.getAs[Long]("arrivals") === 1 && s1.getAs[Long]("departures") === 1)
+    val s2 = rows.find(r => r.getAs[String]("station_name") == "S2").get
+    assert(s2.getAs[Long]("arrivals") === 1 && s2.getAs[Long]("departures") === 0)
+    // 15:01+02:00 == 13:01 UTC -> window [13:00, 13:05) under session TZ
+    assert(s1.getAs[java.sql.Timestamp]("window_start").toString
+      .startsWith("2025-08-21 13:00"))
+    query.stop()
+  }
+
+  test("windowed aggregation also runs in batch mode (same definition)") {
+    import graft.streaming.EventWindows
+    val posA = SnapshotJson.positions(SnapshotJson.read(spark, snapA))
+    val posB = SnapshotJson.positions(SnapshotJson.read(spark, snapB))
+    val events = graft.status.SnapshotDiff.events(posA, posB,
+      "2025-08-21T15:06:02+02:00")
+    val out = EventWindows.stationTraffic(
+      EventWindows.withEventTs(events), "5 minutes", "10 minutes")
+    assert(out.count() > 0)
+    assert(out.agg(org.apache.spark.sql.functions.sum("arrivals")).head().getLong(0) +
+      out.agg(org.apache.spark.sql.functions.sum("departures")).head().getLong(0)
+      === events.count())
+  }
+
   test("stateful operator also runs on batch datasets (same code path)") {
     val posA = SnapshotJson.positions(SnapshotJson.read(spark, snapA))
     val obsDs = StatefulStatusStream.obsFrom(spark, posA)
