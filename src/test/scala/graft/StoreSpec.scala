@@ -60,6 +60,21 @@ class StoreSpec extends SparkSpec {
     assert(out(2).getDouble(11) === 9.999)
   }
 
+  test("compaction merges many small appended files, preserving rows") {
+    import spark.implicits._
+    val path = tmpDir("compact") + "/log"
+    // simulate 20 micro-batch appends of a few rows each
+    (1 to 20).foreach { i =>
+      Seq((i.toLong, s"batch$i")).toDF("id", "v")
+        .repartition(2).write.mode("append").parquet(path)
+    }
+    val before = spark.read.parquet(path).collect().map(_.getLong(0)).sorted
+    val (nBefore, nAfter) = graft.store.Compaction.compact(spark, path)
+    assert(nBefore >= 20 && nAfter < nBefore, s"$nBefore -> $nAfter")
+    val after = spark.read.parquet(path).collect().map(_.getLong(0)).sorted
+    assert(after.toSeq === before.toSeq)
+  }
+
   test("RangeMetrics aggregates per-day top-5 lists, not raw facts") {
     import graft.metrics.{DailyMetrics, RangeMetrics}
     import spark.implicits._
