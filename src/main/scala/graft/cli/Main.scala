@@ -17,10 +17,13 @@ import graft.transform.RideTransform
   *
   * Usage:
   *   load <ridesCsv> <stationsCsv> <storePath>
+  *   load-folder <csvDir> <stationsCsv> <storePath> <interimDir>
+  *   fetch-latest <portalUrl> <rawDir>
   *   metrics-day <storePath> <yyyy-MM-dd> <outJson>
   *   metrics-year <storePath> <year> <outJson>
   *   metrics-latest <storePath> <outJson>
   *   status-once <snapshotDir> <eventsPath>
+  *   stream <landingDir> <eventsPath> <statePath> <checkpointDir>
   *   backfill <storePath>
   */
 object Main {
@@ -45,6 +48,41 @@ object Main {
         RideCsv.read(spark, csv), StationCsv.read(spark, stationsCsv))
       val n = RidesTable.append(spark, cleaned, store)
       println(s"loaded $n new rides into $store")
+
+    // load-folder (reference bike_rides_cli.py cmd_load): every CSV in
+    // the folder, in name order, each with an interim cleaned-CSV write.
+    case "load-folder" :: dir :: stationsCsv :: store :: interim :: Nil =>
+      val stations = StationCsv.read(spark, stationsCsv)
+      val files = new java.io.File(dir).listFiles()
+        .filter(_.getName.toLowerCase.endsWith(".csv")).map(_.getPath).sorted
+      if (files.isEmpty) sys.error(s"No CSV files in $dir")
+      files.foreach { f =>
+        val name = new java.io.File(f).getName.stripSuffix(".csv")
+        val cleaned = RideTransform(RideCsv.read(spark, f), stations)
+        graft.store.CsvSink.writeInterim(cleaned, s"$interim/${name}_clean")
+        RidesTable.append(spark, cleaned, store)
+        println(s"Processed file: ${new java.io.File(f).getName}")
+      }
+
+    // fetch-latest (reference cmd_latest): scrape portal, pick the
+    // newest filename-dated CSV, download with skip-if-exists.
+    case "fetch-latest" :: portalUrl :: rawDir :: Nil =>
+      val html = new String(
+        java.net.URI.create(portalUrl).toURL.openStream().readAllBytes(),
+        "UTF-8")
+      val urls = HttpIO.extractCsvUrls(html, portalUrl)
+      HttpIO.pickLatestCsv(urls) match {
+        case Some((url, name)) =>
+          val year = HttpIO.extractDtFromFilename(name)
+            .map(_.getYear).getOrElse(java.time.LocalDate.now.getYear)
+          val f = HttpIO.downloadFile(url, s"$rawDir/$year")
+          println(s"downloaded ${f.getPath}")
+        case None => sys.error("No CSV links found")
+      }
+
+    case "stream" :: landing :: events :: state :: checkpoint :: Nil =>
+      val q = StatusStream.start(spark, landing, events, state, checkpoint)
+      q.awaitTermination()
 
     case "metrics-day" :: store :: day :: out :: Nil =>
       val m = DailyMetrics.forDay(RidesTable.read(spark, store), day)

@@ -1,0 +1,54 @@
+package graft
+
+import graft.cli.Main
+
+/** The CLI surface end-to-end (reference bike_rides_cli load-folder +
+  * compute_daily_metrics CLI shapes), driven through Main.run. */
+class CliSpec extends SparkSpec {
+
+  private val sampleDir = "/root/reference/data/sample"
+  private val stationsCsv = "/root/reference/data/bike_stations_coords.csv"
+
+  test("load-folder + metrics-latest + metrics-day through the CLI") {
+    val base = tmpDir("cli")
+    val store = s"$base/store"
+    val interim = s"$base/interim"
+    val out = s"$base/2024.json"
+
+    Main.run(spark, List("load-folder", sampleDir, stationsCsv, store, interim))
+    assert(spark.read.parquet(store).count() > 40000)
+    val interimDirs = new java.io.File(interim).listFiles()
+    assert(interimDirs.length === 7, "one interim cleaned CSV per input file")
+
+    Main.run(spark, List("metrics-latest", store, out))
+    val (yr, days) = graft.metrics.MetricsJson.readYearFile(out)
+    assert(yr === Some(2024) && days.size === 1)
+
+    Main.run(spark, List("metrics-day", store, "2024-06-06", out))
+    val (_, days2) = graft.metrics.MetricsJson.readYearFile(out)
+    assert(days2.size === 2 && days2.contains("2024-06-06"))
+
+    Main.run(spark, List("metrics-year", store, "2024", out))
+    val (_, days3) = graft.metrics.MetricsJson.readYearFile(out)
+    assert(days3.size >= 7)
+  }
+
+  test("status-once through the CLI") {
+    val landing = tmpDir("cliland")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/reference/data/sample/snapA.json"),
+      java.nio.file.Paths.get(landing, "bike_rides_a.json"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/reference/data/sample/snapB.json"),
+      java.nio.file.Paths.get(landing, "bike_rides_b.json"))
+    val events = tmpDir("cliev") + "/log"
+    Main.run(spark, List("status-once", landing, events))
+    assert(spark.read.parquet(events).count() > 0)
+  }
+
+  test("unknown command fails loudly") {
+    intercept[RuntimeException] {
+      Main.run(spark, List("bogus"))
+    }
+  }
+}
