@@ -607,6 +607,35 @@ object Core {
        |            AS BIGINT) AS avg_rentals
        |FROM filled GROUP BY hour ORDER BY hour""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q36 — event-time tumbling-window aggregation (ST-extension surface,
+  // graft.streaming.EventWindows) in batch mode, oracle-checked: 6-hour
+  // windows align identically on epoch-midnight in Spark's window() and
+  // DuckDB's time_bucket. Scale: one shuffle on (window, station);
+  // streaming mode bounds state by the watermark.
+  def q36(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val events = t(s, dir, "events").select(
+      $"ts".as("event_ts"),
+      $"event_type".as("station_name"),
+      when($"value" > 50, lit("arrived")).otherwise(lit("departed"))
+        .as("event_type")
+    )
+    graft.streaming.EventWindows
+      .stationTraffic(events, "6 hours", "10 minutes")
+      .orderBy($"window_start", $"station_name")
+  }
+
+  val q36Sql: String =
+    """SELECT time_bucket(INTERVAL 6 HOURS, ts) AS window_start,
+      |       time_bucket(INTERVAL 6 HOURS, ts) + INTERVAL 6 HOURS AS window_end,
+      |       event_type AS station_name,
+      |       count(CASE WHEN value > 50 THEN 1 END) AS arrivals,
+      |       count(CASE WHEN value <= 50 THEN 1 END) AS departures
+      |FROM events
+      |GROUP BY 1, 2, 3
+      |ORDER BY window_start, station_name""".stripMargin
+
   /** Name → query function, for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -629,7 +658,8 @@ object Core {
     "q30_snapshot_diff_fullouter" -> (q30 _),
     "q33_daily_metrics_alldays" -> (q33 _),
     "q34_range_busiest_rerank" -> (q34 _),
-    "q35_range_histogram_avg" -> (q35 _)
+    "q35_range_histogram_avg" -> (q35 _),
+    "q36_windowed_traffic" -> (q36 _)
   )
 
   /** Name → DuckDB oracle SQL, for SparkEntry. */
@@ -654,6 +684,7 @@ object Core {
     "q30_snapshot_diff_fullouter" -> q30Sql,
     "q33_daily_metrics_alldays" -> q33Sql,
     "q34_range_busiest_rerank" -> q34Sql,
-    "q35_range_histogram_avg" -> q35Sql
+    "q35_range_histogram_avg" -> q35Sql,
+    "q36_windowed_traffic" -> q36Sql
   )
 }

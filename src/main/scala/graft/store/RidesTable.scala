@@ -51,6 +51,16 @@ object RidesTable {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Typed edge: the fact table as Dataset[Ride] (for consumers that
+    * want compile-time column safety; the DataFrame path stays the
+    * default — Catalyst sees through both identically). */
+  def readTyped(spark: SparkSession, path: String): org.apache.spark.sql.Dataset[graft.model.Ride] = {
+    import spark.implicits._
+    spark.read.parquet(path)
+      .drop("ride_date") // partition column, not part of the Ride schema
+      .as[graft.model.Ride]
+  }
+
   private def exists(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -60,6 +60,17 @@ class StoreSpec extends SparkSpec {
     assert(out(2).getDouble(11) === 9.999)
   }
 
+  test("readTyped round-trips rides through the Dataset[Ride] edge") {
+    import spark.implicits._
+    val store = tmpDir("typed") + "/bike_rides"
+    val rides = Seq(ride(1, "2024-06-08", Some(1.5)), ride(2, "2024-06-09", None))
+    RidesTable.append(spark, rides.toDF(), store)
+    val back = RidesTable.readTyped(spark, store).collect().sortBy(_.uid)
+    assert(back.length === 2)
+    assert(back(0).distance === Some(1.5) && back(1).distance === None)
+    assert(back(0).start_station === Some("A"))
+  }
+
   test("compaction merges many small appended files, preserving rows") {
     import spark.implicits._
     val path = tmpDir("compact") + "/log"
