@@ -31,6 +31,13 @@ class VerifySpec extends SparkSpec {
     assert(keys === SparkEntry.oracleSql.keySet)
   }
 
+  test("GraftSession registers vec_dot on an existing session") {
+    val s = GraftSession.build(master = "local[4]", shufflePartitions = 4)
+    val r = s.sql(
+      "SELECT vec_dot(array(CAST(2 AS FLOAT)), array(CAST(3 AS FLOAT)))").head()
+    assert(r.getDouble(0) === 6.0)
+  }
+
   test("charShingles produces overlapping k-grams, short text keeps one") {
     import graft.functions.TextFns
     import spark.implicits._
