@@ -30,9 +30,15 @@ object RideTransform {
     when(stripped === "nan", lit(null)).otherwise(stripped)
   }
 
-  /** @param raw      output of [[graft.ingest.RideCsv.read]]
-    * @param stations output of [[graft.ingest.StationCsv.read]] */
-  def apply(raw: DataFrame, stations: DataFrame): DataFrame = {
+  /** @param raw         output of [[graft.ingest.RideCsv.read]]
+    * @param stations    output of [[graft.ingest.StationCsv.read]]
+    * @param useGeodesic true ⇒ WGS-84 Vincenty distances
+    *                    ([[Geo.geodesicKm]], exact parity with the
+    *                    reference's geopy-stored values); false (default)
+    *                    ⇒ codegen'd haversine, within the reference's own
+    *                    test tolerance and UDF-free at scale. */
+  def apply(raw: DataFrame, stations: DataFrame,
+      useGeodesic: Boolean = false): DataFrame = {
     val cleaned = raw
       .withColumn("Stacja wynajmu", cleanStation(col("Stacja wynajmu")))
       .withColumn("Stacja zwrotu", cleanStation(col("Stacja zwrotu")))
@@ -61,8 +67,12 @@ object RideTransform {
         col("Stacja zwrotu").as("end_station"),
         expr("try_cast(`Czas trwania` AS INT)").as("duration"),
         col("lat_start"), col("lon_start"), col("lat_end"), col("lon_end"),
-        Geo.distanceKm(col("lat_start"), col("lon_start"),
-          col("lat_end"), col("lon_end")).as("distance")
+        (if (useGeodesic)
+          Geo.geodesicKm(col("lat_start"), col("lon_start"),
+            col("lat_end"), col("lon_end"))
+        else
+          Geo.distanceKm(col("lat_start"), col("lon_start"),
+            col("lat_end"), col("lon_end"))).as("distance")
       )
   }
 }

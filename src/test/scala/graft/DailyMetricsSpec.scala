@@ -100,6 +100,30 @@ class DailyMetricsSpec extends SparkSpec {
     assert(days.keySet === Set("2025-04-06", "2025-04-07"))
   }
 
+  // reference read_year_file legacy tolerance (compute_daily_metrics.py:205–221)
+  test("readYearFile tolerates legacy bare-map shape and corrupt files") {
+    val dir = tmpDir("legacy")
+    // legacy shape: {date: metrics} without the {year, days} wrapper
+    val legacy = s"$dir/legacy.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(legacy),
+      """{"2023-05-01": {"total_rides": 7}}""")
+    val (yr, days) = MetricsJson.readYearFile(legacy)
+    assert(yr === None && days.keySet === Set("2023-05-01"))
+    // merging a day on top preserves the legacy day and upgrades the shape
+    MetricsJson.mergeDay(legacy, DailyMetrics.forDay(fixture, "2025-04-07"))
+    val (yr2, days2) = MetricsJson.readYearFile(legacy)
+    assert(yr2 === Some(2025))
+    assert(days2.keySet === Set("2023-05-01", "2025-04-07"))
+
+    // corrupt file → treated as empty, like the reference
+    val corrupt = s"$dir/corrupt.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(corrupt), "{not json")
+    assert(MetricsJson.readYearFile(corrupt) === (None, scala.collection.immutable.ListMap.empty))
+    // and mergeDay recovers by rewriting it
+    MetricsJson.mergeDay(corrupt, DailyMetrics.forDay(fixture, "2025-04-06"))
+    assert(MetricsJson.readYearFile(corrupt)._2.keySet === Set("2025-04-06"))
+  }
+
   test("JSON byte-shape matches Python json.dump(indent=2, ensure_ascii=False)") {
     val m = graft.model.DayMetrics(
       date = "2025-04-07", total_rides = 2,

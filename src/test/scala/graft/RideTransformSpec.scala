@@ -111,6 +111,21 @@ class RideTransformSpec extends SparkSpec {
     assert(row.getString(4) === "Rynek")
   }
 
+  test("geodesic mode produces ellipsoidal distances close to haversine") {
+    val dir = tmpDir("geodesic")
+    val stations = writeFile(dir, "stations.csv",
+      "station_name,lat,lon\nA,51.109782,17.030175\nB,51.113871,17.034484\n")
+    val rides = writeFile(dir, "rides.csv",
+      s"$ridesHeader\n1,100,2025-04-07 10:00:00,2025-04-07 10:30:00,A,B,30\n")
+    val raw = RideCsv.read(spark, rides)
+    val st = StationCsv.read(spark, stations)
+    val hav = RideTransform(raw, st).head().getDouble(11)
+    val geo = RideTransform(raw, st, useGeodesic = true).head().getDouble(11)
+    assert(math.abs(geo - 0.546) < 0.005, s"geodesic $geo")
+    assert(math.abs(geo - hav) < 0.01 && geo != hav,
+      s"distinct but close: hav=$hav geo=$geo")
+  }
+
   test("sample CSV from the reference loads and transforms end-to-end") {
     val sample = "/root/reference/data/sample/Historia_przejazdow_2024-6-8_22_21_5.csv"
     val stations = "/root/reference/data/bike_stations_coords.csv"
