@@ -495,7 +495,8 @@ object Core {
     """WITH r AS (
       |  SELECT ts AS start_time, CAST(floor(value) AS INT) AS duration,
       |         event_type AS start_station,
-      |         CASE WHEN value > 50 THEN event_type
+      |         CASE WHEN value > 66 THEN reverse(event_type)
+      |              WHEN value > 50 THEN event_type
       |              ELSE 'Poza stacją' END AS end_station
       |  FROM events),
       | b AS (SELECT * FROM r WHERE duration > 2 AND start_time IS NOT NULL)
@@ -518,7 +519,9 @@ object Core {
       floor($"value").cast("int").as("duration"),
       ($"value" / 10).as("distance"),
       $"event_type".as("start_station"),
-      when($"value" > 50, $"event_type").otherwise(lit("Poza stacją"))
+      when($"value" > 66, reverse($"event_type"))        // moved: a→b route
+        .when($"value" > 50, $"event_type")              // round trip
+        .otherwise(lit("Poza stacją"))                   // left outside
         .as("end_station")
     )
   }
@@ -528,7 +531,8 @@ object Core {
     """r AS (
       |  SELECT ts AS start_time, CAST(floor(value) AS INT) AS duration,
       |         event_type AS start_station,
-      |         CASE WHEN value > 50 THEN event_type
+      |         CASE WHEN value > 66 THEN reverse(event_type)
+      |              WHEN value > 50 THEN event_type
       |              ELSE 'Poza stacją' END AS end_station
       |  FROM events),
       | b AS (SELECT * FROM r WHERE duration > 2 AND start_time IS NOT NULL)""".stripMargin
@@ -636,6 +640,38 @@ object Core {
       |GROUP BY 1, 2, 3
       |ORDER BY window_start, station_name""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q37 — range top-routes re-rank (A16/T3, web/js/app.js:183–194):
+  // completes the RangeMetrics trio under the oracle. Per-day top-5
+  // route lists from allDays, summed per "start → end" key, re-ranked.
+  def q37(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = graft.metrics.DailyMetrics.allDays(ridesFromEvents(s, dir))
+    graft.metrics.RangeMetrics
+      .topRoutes(daily, "2024-01-05", "2024-01-20")
+      .select($"route", $"rides".cast("long").as("rides"))
+  }
+
+  val q37Sql: String =
+    s"""WITH $ridesFromEventsSql,
+       | rc AS (SELECT CAST(start_time AS DATE) AS day,
+       |               start_station, end_station, count(*) AS rides
+       |        FROM b
+       |        WHERE start_station IS NOT NULL AND end_station IS NOT NULL
+       |          AND start_station <> end_station
+       |          AND start_station <> 'Poza stacją'
+       |          AND end_station <> 'Poza stacją'
+       |        GROUP BY 1, 2, 3),
+       | t AS (SELECT *, row_number() OVER (PARTITION BY day
+       |         ORDER BY rides DESC, start_station ASC, end_station ASC) AS rk
+       |       FROM rc),
+       | top5 AS (SELECT * FROM t WHERE rk <= 5
+       |          AND day BETWEEN DATE '2024-01-05' AND DATE '2024-01-20')
+       |SELECT start_station || ' → ' || end_station AS route,
+       |       CAST(sum(rides) AS BIGINT) AS rides
+       |FROM top5 GROUP BY 1
+       |ORDER BY rides DESC, route ASC LIMIT 5""".stripMargin
+
   /** Name → query function, for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -659,7 +695,8 @@ object Core {
     "q33_daily_metrics_alldays" -> (q33 _),
     "q34_range_busiest_rerank" -> (q34 _),
     "q35_range_histogram_avg" -> (q35 _),
-    "q36_windowed_traffic" -> (q36 _)
+    "q36_windowed_traffic" -> (q36 _),
+    "q37_range_top_routes" -> (q37 _)
   )
 
   /** Name → DuckDB oracle SQL, for SparkEntry. */
@@ -685,6 +722,7 @@ object Core {
     "q33_daily_metrics_alldays" -> q33Sql,
     "q34_range_busiest_rerank" -> q34Sql,
     "q35_range_histogram_avg" -> q35Sql,
-    "q36_windowed_traffic" -> q36Sql
+    "q36_windowed_traffic" -> q36Sql,
+    "q37_range_top_routes" -> q37Sql
   )
 }
