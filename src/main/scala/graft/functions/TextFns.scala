@@ -151,16 +151,30 @@ object TextFns {
     * any SQL engine reproduces exactly. */
   def simhash(c: Column, bits: Int = 16): Column = simhashFromTokens(tokens(c), bits)
 
-  /** SimHash from a token-array column (hot-path variant: pass a
-    * materialized attribute so tokenization runs once, not once per bit). */
-  def simhashFromTokens(t: Column, bits: Int): Column = {
+  /** SimHash from a token-array column (pass a materialized attribute so
+    * tokenization runs once, not once per bit). NOTE: still hashes every
+    * token once PER BIT (HOF lambdas get no common-subexpression
+    * elimination) — in hot paths materialize [[tokenDigests]] first and
+    * use [[simhashFromDigests]], which hashes each token exactly once
+    * (measured 30×+ on the 32-bit variant). */
+  def simhashFromTokens(t: Column, bits: Int): Column =
+    simhashFromDigests(tokenDigests(t), bits)
+
+  /** One md5 hex digest per token — materialize this as a column, then
+    * derive all simhash bits from it. */
+  def tokenDigests(t: Column): Column = transform(t, tok => md5(tok))
+
+  /** SimHash from pre-computed per-token digests: bit b votes by the
+    * parity of hex char b of the token's digest (ascii % 2 — identical
+    * in any SQL engine). */
+  def simhashFromDigests(d: Column, bits: Int): Column = {
     require(bits <= 32, "md5 hex has 32 chars")
     val bitCols = (0 until bits).map { b =>
       val votes = aggregate(
-        t,
+        d,
         lit(0),
-        (acc, tok) =>
-          acc + when(ascii(substr(md5(tok), lit(b + 1), lit(1))) % 2 === 1, 1)
+        (acc, dg) =>
+          acc + when(ascii(substr(dg, lit(b + 1), lit(1))) % 2 === 1, 1)
             .otherwise(-1)
       )
       when(votes > 0, lit(1L << b)).otherwise(lit(0L))

@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic content-hash dataset splitting (train/val/test) — the
+  * assignment every training-data pipeline needs to be STABLE: the same
+  * row lands in the same split regardless of cluster size, partitioning,
+  * engine, or run (unlike `rand()` or Spark's `hash()`, which other
+  * engines can't reproduce). md5 of the id is the portable choice: every
+  * SQL engine computes the identical digest.
+  *
+  * Purely scalar (codegen'd, no shuffle); at 100 TB the split column is
+  * computed scan-side and can feed a partitioned write so each split is
+  * its own file set.
+  */
+object HashSplit {
+
+  /** Bucket in [0, modulus) from the first two hex chars of md5(id). */
+  def bucket(idCol: Column, modulus: Int): Column =
+    pmod(conv(substring(md5(idCol.cast("string")), 1, 2), 16, 10).cast("int"),
+      lit(modulus))
+
+  /** Split assignment by integer weights, e.g.
+    * `assign($"doc_id", Seq("train" -> 8, "val" -> 1, "test" -> 1))`:
+    * buckets 0-7 -> train, 8 -> val, 9 -> test. */
+  def assign(idCol: Column, splits: Seq[(String, Int)]): Column = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0), "positive weights")
+    val total = splits.map(_._2).sum
+    val b = bucket(idCol, total)
+    val (_, expr) = splits.foldLeft((0, lit(null).cast("string"))) {
+      case ((offset, acc), (name, weight)) =>
+        val hi = offset + weight
+        (hi, when(b >= offset && b < hi, lit(name)).otherwise(acc))
+    }
+    expr
+  }
+}

@@ -32,6 +32,14 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "vec_dot takes exactly 2 arguments")
         FloatVectorDot(args.head, args(1))
+      }),
+    ("simhash_tokens",
+      info("simhash_tokens"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "simhash_tokens takes (tokens, bits)")
+        require(args(1).foldable, "bits must be a literal")
+        TokenSimHash(args.head,
+          args(1).eval().asInstanceOf[Number].intValue())
       })
   )
 

@@ -149,7 +149,7 @@ object DocOps {
     t(s, dir, "documents")
       .withColumn("toks", TextFns.tokens($"text"))
       .select($"doc_id",
-        TextFns.simhashFromTokens($"toks", 16).cast("long").as("simhash16"))
+        graft.plans.TextExpressions.simhash($"toks", 16).as("simhash16"))
       .orderBy($"doc_id")
   }
 

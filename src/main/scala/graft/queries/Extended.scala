@@ -1,0 +1,398 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+import graft.operators.{AsOfJoin, HashSplit, Sessionize}
+
+/** Round-2 extension queries: the operators a large-scale pipeline needs
+  * beyond the reference's own surface (SURVEY.md §7.5) — temporal joins
+  * (as-of), sessionization, multi-level aggregation (rollup), exact
+  * percentiles, per-group top-k, pivot, corpus statistics (word
+  * frequency, distinct aggs), deterministic dataset splitting, dedup
+  * variants (keep-best, SimHash hamming pairs), IVF ANN, and multimodal
+  * frame sampling.
+  *
+  * Every query is a single declarative plan; scale notes per query.
+  */
+object Extended {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // --------------------------------------------------------------------
+  // q38 — gap-based sessionization (graft.operators.Sessionize): the
+  // batch analog of streaming session windows and of the reference
+  // domain's per-bike trip chaining. ONE shuffle on the key; two O(rows)
+  // window sweeps; no self-join.
+  def q38(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Sessionize.sessionStats(t(s, dir, "events"),
+        keyCols = Seq("user_id"), tsCol = "ts", gapSec = 1800,
+        tieCols = Seq("event_id"))
+      .orderBy($"user_id")
+  }
+
+  val q38Sql: String =
+    """WITH x AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+      |    THEN 1 ELSE 0 END AS is_new
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      | s AS (
+      |  SELECT user_id,
+      |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                      ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM x),
+      | per AS (SELECT user_id, session_id, count(*) AS n
+      |         FROM s GROUP BY 1, 2)
+      |SELECT user_id, count(*) AS n_sessions,
+      |       CAST(sum(n) AS BIGINT) AS n_events, max(n) AS longest_session
+      |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q39 — backward as-of join (graft.operators.AsOfJoin): purchase →
+  // latest preceding click by the same user (click attribution). The
+  // union-and-sweep plan shuffles ONCE on the key — cost independent of
+  // how many right rows precede each left row, unlike the naive
+  // join+argmax the oracle runs.
+  def q39(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = t(s, dir, "events")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id",
+        $"ts".as("purchase_ts"))
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"ts", $"event_id", $"value")
+    AsOfJoin.backward(purchases, clicks,
+        keyCols = Seq("user_id"), leftTime = "purchase_ts", rightTime = "ts",
+        rightPayload = Seq("event_id", "value"), prefix = "click_")
+      .select($"purchase_id", $"user_id", $"purchase_ts",
+        $"click_event_id".as("click_id"), $"click_ts", $"click_value")
+      .orderBy($"purchase_id")
+  }
+
+  val q39Sql: String =
+    """SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+      |       max_by(c.event_id, c.ts) AS click_id, max(c.ts) AS click_ts,
+      |       max_by(c.value, c.ts) AS click_value
+      |FROM events p LEFT JOIN events c
+      |  ON c.user_id = p.user_id AND c.event_type = 'click'
+      | AND c.ts <= p.ts
+      |WHERE p.event_type = 'purchase'
+      |GROUP BY 1, 2, 3 ORDER BY purchase_id""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q40 — ROLLUP multi-level aggregation: per (type, month), per type,
+  // and grand total in ONE pass (Expand + single hash agg — no N scans
+  // like the reference's 11-query metrics job). Integer measures keep
+  // the cross-engine comparison exact.
+  def q40(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .select($"event_type", date_format($"ts", "yyyy-MM").as("month"),
+        floor($"value").cast("long").as("v"))
+      .rollup($"event_type", $"month")
+      .agg(count(lit(1)).as("n"), sum($"v").as("sum_value"))
+      .select(
+        coalesce($"event_type", lit("ALL")).as("event_type"),
+        coalesce($"month", lit("ALL")).as("month"),
+        $"n", $"sum_value")
+      .orderBy($"event_type", $"month")
+  }
+
+  val q40Sql: String =
+    """WITH e AS (SELECT event_type, strftime(ts, '%Y-%m') AS month,
+      |                  CAST(floor(value) AS BIGINT) AS v FROM events)
+      |SELECT coalesce(event_type, 'ALL') AS event_type,
+      |       coalesce(month, 'ALL') AS month,
+      |       count(*) AS n, CAST(sum(v) AS BIGINT) AS sum_value
+      |FROM e GROUP BY ROLLUP (event_type, month)
+      |ORDER BY event_type, month""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q41 — exact percentiles per group (Spark `percentile`, true sorted-
+  // interpolated quantiles, not approx). Integer inputs + quarter
+  // quantiles make the interpolation IEEE-exact in every engine
+  // (a + (b-a)*f vs a*(1-f)+b*f agree bit-for-bit on ints with f in
+  // {0.25, 0.5, 0.75}). At scale, swap for approx_percentile — same
+  // plan shape, sketch-mergeable.
+  def q41(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .select($"event_type", floor($"value").cast("int").as("iv"))
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        expr("percentile(iv, 0.25)").as("p25"),
+        expr("percentile(iv, 0.5)").as("p50"),
+        expr("percentile(iv, 0.75)").as("p75"))
+      .orderBy($"event_type")
+  }
+
+  val q41Sql: String =
+    """SELECT event_type, count(*) AS n,
+      | quantile_cont(CAST(floor(value) AS INTEGER), 0.25) AS p25,
+      | quantile_cont(CAST(floor(value) AS INTEGER), 0.5) AS p50,
+      | quantile_cont(CAST(floor(value) AS INTEGER), 0.75) AS p75
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q42 — top-k per group via ranked window over a pre-aggregate: the
+  // generalization of the reference's per-day top-5 (T1/T2) to N groups
+  // in one job. The window input is already aggregated (|groups| ×
+  // |users| rows), so the rank sort is cheap at any scale.
+  def q42(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val counts = t(s, dir, "events")
+      .groupBy($"event_type", $"user_id")
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy($"event_type").orderBy($"n".desc, $"user_id".asc)
+    counts.withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3)
+      .orderBy($"event_type", $"rk")
+  }
+
+  val q42Sql: String =
+    """SELECT event_type, user_id, n, rk FROM (
+      |  SELECT event_type, user_id, count(*) AS n,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY count(*) DESC, user_id ASC) AS rk
+      |  FROM events GROUP BY 1, 2) x
+      |WHERE rk <= 3 ORDER BY event_type, rk""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q43 — pivot (wide daily matrix: day × event_type → counts), the
+  // dashboard-feed shape. Explicit value list keeps the plan a single
+  // hash agg (no extra distinct-values job).
+  def q43(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .groupBy(to_date($"ts").as("day"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0)
+      .orderBy($"day")
+  }
+
+  val q43Sql: String =
+    """SELECT CAST(ts AS DATE) AS day,
+      | count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+      | count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+      | count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+      | count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+      | count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+      |FROM events GROUP BY 1 ORDER BY day""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q44 — corpus word frequency (explode + count + top-k): the
+  // vocabulary/Zipf statistics pass of a text pipeline. Partial
+  // map-side aggregation collapses repeats before the shuffle; top-20
+  // is TakeOrderedAndProject.
+  def q44(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select(explode(TextFns.tokens($"text")).as("word"))
+      .groupBy($"word")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"word".asc)
+      .limit(20)
+  }
+
+  val q44Sql: String =
+    """SELECT word, count(*) AS n
+      |FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+      |      FROM documents) x
+      |GROUP BY word ORDER BY n DESC, word ASC LIMIT 20""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q45 — deterministic hash split (graft.operators.HashSplit): stable
+  // train/val/test assignment from md5(id) — reproducible across
+  // engines, runs, and cluster sizes, unlike rand() or Spark's
+  // non-portable hash(). Purely scalar, no shuffle except the summary.
+  def q45(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select($"doc_id",
+        HashSplit.assign($"doc_id",
+          Seq("train" -> 8, "val" -> 1, "test" -> 1)).as("split"))
+      .groupBy($"split")
+      .agg(count(lit(1)).as("n"), min($"doc_id").as("min_id"),
+        max($"doc_id").as("max_id"), sum($"doc_id").as("sum_id"))
+      .orderBy($"split")
+  }
+
+  val q45Sql: String = {
+    def hexVal(i: Int) =
+      s"""(CASE WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), $i, 1)) >= 97
+         | THEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 87
+         | ELSE ascii(substr(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 48 END)""".stripMargin
+    s"""WITH b AS (SELECT doc_id,
+       |  (${hexVal(1)} * 16 + ${hexVal(2)}) % 10 AS bucket FROM documents)
+       |SELECT CASE WHEN bucket < 8 THEN 'train'
+       |            WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split,
+       |       count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id,
+       |       CAST(sum(doc_id) AS BIGINT) AS sum_id
+       |FROM b GROUP BY 1 ORDER BY split""".stripMargin
+  }
+
+  // --------------------------------------------------------------------
+  // q46 — dedup keep-best: one representative per content fingerprint,
+  // chosen by (n_chars DESC, doc_id ASC). Spark-first: a single hash
+  // aggregate with a lexicographic max over struct(n_chars, -doc_id) —
+  // partial map-side combine, NO window sort over the corpus (the
+  // window formulation the oracle uses would sort 100 TB; the struct-max
+  // reduces it map-side).
+  def q46(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .withColumn("fp", md5($"text"))
+      .groupBy($"fp")
+      .agg(max(struct($"n_chars", (-$"doc_id").as("neg_id"),
+        $"doc_id".as("keep_id"))).as("best"))
+      .select($"fp", $"best.keep_id".as("keep_id"),
+        $"best.n_chars".as("n_chars"))
+      .orderBy($"fp")
+  }
+
+  val q46Sql: String =
+    """SELECT fp, doc_id AS keep_id, n_chars FROM (
+      |  SELECT md5(text) AS fp, doc_id, n_chars,
+      |    row_number() OVER (PARTITION BY md5(text)
+      |      ORDER BY n_chars DESC, doc_id ASC) AS rk
+      |  FROM documents) x
+      |WHERE rk = 1 ORDER BY fp""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q47 — SimHash near-duplicate PAIRS (32-bit, hamming <= 2) via band
+  // pigeonhole: 4 bands of 8 bits; any pair within hamming 3 shares at
+  // least one identical band, so the self-join key is the band value —
+  // candidate volume ~ sum of bucket^2, not |docs|^2. The verify filter
+  // (bit_count(xor) <= 2) runs only on candidates. This completes the
+  // SimHash dedup path (q22 computes fingerprints; this emits pairs).
+  def q47(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.ext.TextDedup
+      .simhashCandidates(t(s, dir, "documents"), "text", "doc_id",
+        bits = 32, bands = 4, maxHamming = 2)
+      .select($"id_a".as("doc_a"), $"id_b".as("doc_b"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val q47Sql: String = {
+    val toks = """regexp_split_to_array(trim(text), '\s+')"""
+    val bits = (0 until 32).map { bit =>
+      s"""(CASE WHEN CAST(list_sum(list_transform($toks,
+         |   t -> CASE WHEN ascii(substr(md5(t), ${bit + 1}, 1)) % 2 = 1
+         |        THEN 1 ELSE -1 END)) AS BIGINT) > 0
+         | THEN ${1L << bit} ELSE 0 END)""".stripMargin
+    }.mkString(" + ")
+    s"""WITH s AS (SELECT doc_id, CAST($bits AS BIGINT) AS h FROM documents)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |FROM s a JOIN s b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.h, b.h)) <= 2
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // --------------------------------------------------------------------
+  // q48 — multi-distinct aggregation (distinct users + distinct days per
+  // type in one statement): Catalyst expands to a single multi-phase
+  // plan; at scale the exact distincts swap for HLL
+  // (approx_count_distinct) with the same query shape.
+  def q48(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .groupBy($"event_type")
+      .agg(
+        countDistinct($"user_id").as("n_users"),
+        countDistinct(to_date($"ts")).as("n_days"),
+        count(lit(1)).as("n_events"))
+      .orderBy($"event_type")
+  }
+
+  val q48Sql: String =
+    """SELECT event_type, count(DISTINCT user_id) AS n_users,
+      | count(DISTINCT CAST(ts AS DATE)) AS n_days, count(*) AS n_events
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q49 — IVF ANN search (graft.ext.VectorIndex): deterministic k-means
+  // train (2 Lloyd iterations, 8 cells), assign, probe the 3 closest
+  // cells, exact cosine inside them. k-means is iterative => not
+  // SQL-expressible; the driver records a rows-only check, and
+  // VectorIndexSpec holds the recall/equivalence assertions.
+  def q49(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = t(s, dir, "embeddings")
+    val centroids = graft.ext.VectorIndex
+      .trainCentroids(e, "embedding", k = 8, iterations = 2)
+    val indexed = graft.ext.VectorIndex.assignCells(e, "embedding", centroids)
+    val qvec = e.filter($"vec_id" === 0)
+      .select($"embedding").collect()(0).getSeq[Float](0).toArray
+    graft.ext.VectorIndex
+      .search(s, indexed.filter($"vec_id" =!= 0), "embedding", "vec_id",
+        centroids, qvec, k = 10, nProbe = 3)
+      .withColumn("cos_sim", round($"cos_sim", 4))
+  }
+
+  // --------------------------------------------------------------------
+  // q50 — multimodal frame sampling (graft.ext.Multimodal.sampleFrames):
+  // video row → every 7th frame row, the generator-shaped decode stage
+  // (1 → N). The stub decoder's deterministic arithmetic makes even the
+  // flatMap oracle-checkable; payload bytes are produced by the resize
+  // stage, so this exercises decode + resize + frame-sample plumbing in
+  // one go.
+  def q50(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = graft.ext.Multimodal
+      .mediaFromDocuments(s, t(s, dir, "documents"))
+    graft.ext.Multimodal.sampleFrames(media, stride = 7).toDF()
+      .select($"media_id", $"frame_no",
+        length($"payload").as("frame_bytes"))
+      .orderBy($"media_id", $"frame_no")
+  }
+
+  val q50Sql: String =
+    """SELECT doc_id AS media_id,
+      | CAST(unnest(generate_series(0,
+      |   (CASE WHEN strlen(text) = 0 THEN 0 ELSE ascii(text) END) % 30, 7))
+      |   AS INTEGER) AS frame_no,
+      | CAST(least(strlen(text), 64) AS INTEGER) AS frame_bytes
+      |FROM documents ORDER BY media_id, frame_no""".stripMargin
+
+  /** Name → query function, for SparkEntry. */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q38_sessionize" -> (q38 _),
+    "q39_asof_join" -> (q39 _),
+    "q40_rollup" -> (q40 _),
+    "q41_percentiles" -> (q41 _),
+    "q42_topk_per_group" -> (q42 _),
+    "q43_pivot" -> (q43 _),
+    "q44_word_freq" -> (q44 _),
+    "q45_hash_split" -> (q45 _),
+    "q46_dedup_keep_best" -> (q46 _),
+    "q47_simhash_pairs" -> (q47 _),
+    "q49_ivf_ann" -> (q49 _),
+    "q50_frame_sample" -> (q50 _)
+  )
+
+  /** Name → DuckDB oracle SQL (q49 intentionally absent: iterative
+    * k-means isn't SQL-expressible — rows-only check + ScalaTest). */
+  val oracles: Map[String, String] = Map(
+    "q38_sessionize" -> q38Sql,
+    "q39_asof_join" -> q39Sql,
+    "q40_rollup" -> q40Sql,
+    "q41_percentiles" -> q41Sql,
+    "q42_topk_per_group" -> q42Sql,
+    "q43_pivot" -> q43Sql,
+    "q44_word_freq" -> q44Sql,
+    "q45_hash_split" -> q45Sql,
+    "q46_dedup_keep_best" -> q46Sql,
+    "q47_simhash_pairs" -> q47Sql,
+    "q50_frame_sample" -> q50Sql
+  )
+}

@@ -27,7 +27,9 @@ object Tables {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = s.read.parquet(s"$dir/$name.parquet")
     df.schema.fields.find(f => f.name == "ts" && f.dataType == LongType) match {
-      case Some(_) => df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast(LongType)))
+      // integer `div`, NOT `/`: nanos-since-epoch (~1.7e18) overflows a
+      // double's 53-bit mantissa, so float division is off by ±1 us.
+      case Some(_) => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case None    => df
     }
   }

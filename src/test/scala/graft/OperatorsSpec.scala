@@ -1,0 +1,137 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AsOfJoin, HashSplit, Sessionize}
+
+/** Unit goldens for the round-2 library operators (as-of join,
+  * sessionization, hash split) on small hand-checked inputs; the
+  * sf0.01 DuckDB oracle (q38/q39/q45) covers them at data scale. */
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  // ---------------------------------------------------------------- as-of
+
+  private lazy val quotes = Seq(
+    ("A", ts("2024-01-01 10:00:00"), 1L, 100.0),
+    ("A", ts("2024-01-01 10:05:00"), 2L, 101.0),
+    ("A", ts("2024-01-01 10:10:00"), 3L, 102.0),
+    ("B", ts("2024-01-01 10:02:00"), 4L, 200.0)
+  ).toDF("sym", "qts", "qid", "price")
+
+  private lazy val trades = Seq(
+    ("A", ts("2024-01-01 10:04:59"), 11L), // -> quote 1 (strictly before)
+    ("A", ts("2024-01-01 10:05:00"), 12L), // -> quote 2 (inclusive <=)
+    ("A", ts("2024-01-01 10:30:00"), 13L), // -> quote 3
+    ("B", ts("2024-01-01 10:01:00"), 14L), // -> no quote yet
+    ("C", ts("2024-01-01 10:00:00"), 15L)  // -> key never quoted
+  ).toDF("sym", "tts", "tid")
+
+  test("AsOfJoin.backward picks latest quote at-or-before each trade") {
+    val out = AsOfJoin.backward(trades, quotes, Seq("sym"), "tts", "qts",
+        Seq("qid", "price"))
+      .select($"tid", $"asof_qid", $"asof_price")
+      .orderBy($"tid")
+      .collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2))))
+    assert(out === Seq(
+      (11L, Some(1L), Some(100.0)),
+      (12L, Some(2L), Some(101.0)),
+      (13L, Some(3L), Some(102.0)),
+      (14L, None, None),
+      (15L, None, None)))
+  }
+
+  test("AsOfJoin.backward tolerance nulls out stale matches") {
+    val out = AsOfJoin.backward(trades, quotes, Seq("sym"), "tts", "qts",
+        Seq("qid"), toleranceSec = Some(300))
+      .select($"tid", $"asof_qid")
+      .orderBy($"tid")
+      .collect()
+      .map(r => (r.getLong(0), Option(r.get(1))))
+    // trade 13 is 20 min after quote 3 => outside the 5-min tolerance
+    assert(out === Seq(
+      (11L, Some(1L)), (12L, Some(2L)), (13L, None),
+      (14L, None), (15L, None)))
+  }
+
+  test("AsOfJoin keeps every left row (left-join semantics)") {
+    val out = AsOfJoin.backward(trades, quotes, Seq("sym"), "tts", "qts",
+      Seq("qid"))
+    assert(out.count() === trades.count())
+    assert(out.columns.toSeq ===
+      Seq("sym", "tts", "tid", "asof_qts", "asof_qid"))
+  }
+
+  // ---------------------------------------------------------- sessionize
+
+  private lazy val clicks = Seq(
+    // user 1: two sessions (gap of 2h between event 3 and 4)
+    (1L, ts("2024-01-01 10:00:00"), 1L),
+    (1L, ts("2024-01-01 10:10:00"), 2L),
+    (1L, ts("2024-01-01 10:20:00"), 3L),
+    (1L, ts("2024-01-01 12:20:00"), 4L),
+    // user 2: one session, single event
+    (2L, ts("2024-01-01 09:00:00"), 5L),
+    // user 3: boundary — exactly the gap is NOT a new session (> not >=)
+    (3L, ts("2024-01-01 09:00:00"), 6L),
+    (3L, ts("2024-01-01 09:30:00"), 7L)
+  ).toDF("user_id", "ts", "event_id")
+
+  test("Sessionize.withSessionIds splits on gap > threshold") {
+    val out = Sessionize
+      .withSessionIds(clicks, Seq("user_id"), "ts", gapSec = 1800,
+        tieCols = Seq("event_id"))
+      .select($"event_id", $"session_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L,
+      5L -> 1L, 6L -> 1L, 7L -> 1L))
+  }
+
+  test("Sessionize.sessionStats aggregates per key") {
+    val out = Sessionize
+      .sessionStats(clicks, Seq("user_id"), "ts", gapSec = 1800,
+        tieCols = Seq("event_id"))
+      .orderBy($"user_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out === Seq(
+      (1L, 2L, 4L, 3L),  // 2 sessions, 4 events, longest = 3
+      (2L, 1L, 1L, 1L),
+      (3L, 1L, 2L, 2L)))
+  }
+
+  // ---------------------------------------------------------- hash split
+
+  test("HashSplit.assign is deterministic, total, and weight-shaped") {
+    val ids = spark.range(0, 1000).toDF("id")
+    val out = ids
+      .select(HashSplit.assign($"id", Seq("train" -> 8, "val" -> 1, "test" -> 1))
+        .as("split"))
+      .groupBy($"split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.keySet === Set("train", "val", "test"))
+    assert(out.values.sum === 1000L)
+    // 80/10/10 within generous slack (md5 is uniform-ish)
+    assert(out("train") > 700 && out("train") < 900)
+    // stability: same assignment on re-evaluation and repartition
+    val again = ids.repartition(7)
+      .select($"id", HashSplit.assign($"id", Seq("train" -> 8, "val" -> 1, "test" -> 1))
+        .as("split"))
+    val first = ids
+      .select($"id", HashSplit.assign($"id", Seq("train" -> 8, "val" -> 1, "test" -> 1))
+        .as("split"))
+    assert(again.except(first).count() === 0)
+  }
+
+  test("HashSplit.bucket stays in range") {
+    val buckets = spark.range(0, 500).toDF("id")
+      .select(HashSplit.bucket($"id", 10).as("b"))
+      .agg(min($"b"), max($"b")).collect()(0)
+    assert(buckets.getInt(0) >= 0 && buckets.getInt(1) <= 9)
+  }
+}

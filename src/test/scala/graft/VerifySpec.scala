@@ -13,8 +13,12 @@ class VerifySpec extends SparkSpec {
   }
 
   test("queries and oracleSql keys line up") {
-    assert(SparkEntry.queries.keySet === SparkEntry.oracleSql.keySet)
-    assert(SparkEntry.queries.size >= 36)
+    // Queries without an oracle get the driver's weaker rows-only check;
+    // each one must be deliberate (iterative/non-SQL-expressible ops).
+    val rowsOnly = Set("q49_ivf_ann")
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+    assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet === rowsOnly)
+    assert(SparkEntry.queries.size >= 49)
   }
 
   test("Verify.run dumps parquet per query and valid oracle_sql.json") {
