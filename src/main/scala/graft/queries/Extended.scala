@@ -364,6 +364,189 @@ object Extended {
       | CAST(least(strlen(text), 64) AS INTEGER) AS frame_bytes
       |FROM documents ORDER BY media_id, frame_no""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q51 — window FRAME specs (running + sliding aggregates per key):
+  // cumulative sum and a 3-row moving sum, ordered by event_id within
+  // user. One shuffle (partitionBy key); frames sweep sorted runs in
+  // O(rows). Integer measures keep the comparison exact.
+  def q51(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"event_id")
+    t(s, dir, "events")
+      .select($"user_id", $"event_id", floor($"value").cast("long").as("v"))
+      .withColumn("running_sum",
+        sum($"v").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("moving_sum3",
+        sum($"v").over(w.rowsBetween(-2, Window.currentRow)))
+      .orderBy($"user_id", $"event_id")
+  }
+
+  val q51Sql: String =
+    """SELECT user_id, event_id, CAST(floor(value) AS BIGINT) AS v,
+      | CAST(sum(CAST(floor(value) AS BIGINT)) OVER (
+      |   PARTITION BY user_id ORDER BY event_id
+      |   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_sum,
+      | CAST(sum(CAST(floor(value) AS BIGINT)) OVER (
+      |   PARTITION BY user_id ORDER BY event_id
+      |   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS moving_sum3
+      |FROM events ORDER BY user_id, event_id""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q52 — CUBE over (type, year): all four grouping sets in one Expand +
+  // hash agg pass (the reference's many-scans metrics job, generalized).
+  def q52(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .select($"event_type", year($"ts").cast("string").as("yr"),
+        floor($"value").cast("long").as("v"))
+      .cube($"event_type", $"yr")
+      .agg(count(lit(1)).as("n"), sum($"v").as("sum_value"))
+      .select(
+        coalesce($"event_type", lit("ALL")).as("event_type"),
+        coalesce($"yr", lit("ALL")).as("yr"),
+        $"n", $"sum_value")
+      .orderBy($"event_type", $"yr")
+  }
+
+  val q52Sql: String =
+    """WITH e AS (SELECT event_type, CAST(year(ts) AS VARCHAR) AS yr,
+      |                  CAST(floor(value) AS BIGINT) AS v FROM events)
+      |SELECT coalesce(event_type, 'ALL') AS event_type,
+      |       coalesce(yr, 'ALL') AS yr,
+      |       count(*) AS n, CAST(sum(v) AS BIGINT) AS sum_value
+      |FROM e GROUP BY CUBE (event_type, yr)
+      |ORDER BY event_type, yr""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q53 — most distinctive term per document (tf/df ranking — the
+  // integer-exact core of TF-IDF, engine-portable because the ratio
+  // compares identical small ints in both engines): explode → tf per
+  // (doc, word) → df per word → broadcast df back → rank per doc.
+  // Scale: tf/df are partial-agg'd map-side; df (vocab-sized) is the
+  // broadcast build side, so the corpus never shuffles for the join.
+  def q53(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tf = t(s, dir, "documents")
+      .select($"doc_id", explode(TextFns.tokens($"text")).as("word"))
+      .groupBy($"doc_id", $"word")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"word").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy($"doc_id")
+      .orderBy(($"tf".cast("double") / $"df").desc, $"word".asc)
+    tf.join(broadcast(df), Seq("word"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" === 1)
+      .select($"doc_id", $"word".as("term"), $"tf", $"df")
+      .orderBy($"doc_id")
+  }
+
+  val q53Sql: String =
+    """WITH toks AS (SELECT doc_id,
+      |    unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+      |  FROM documents),
+      | tf AS (SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY 1, 2),
+      | df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+      | r AS (SELECT doc_id, word, tf, df,
+      |    row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY CAST(tf AS DOUBLE) / df DESC, word ASC) AS rk
+      |  FROM tf JOIN df USING (word))
+      |SELECT doc_id, word AS term, tf, df FROM r WHERE rk = 1
+      |ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q54 — deterministic stratified sampling: per-language sampling rates
+  // applied via the md5 bucket (graft.operators.HashSplit) — the
+  // rebalancing step of corpus curation (downsample dominant languages),
+  // reproducible across engines/runs/cluster sizes unlike sampleBy's
+  // RNG. Scalar filter, no shuffle except the summary agg.
+  def q54(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val b = HashSplit.bucket($"doc_id", 100)
+    val rate = when($"lang" === "en", 20).otherwise(50)
+    t(s, dir, "documents")
+      .select($"doc_id", $"lang", b.as("bucket"), rate.as("rate"))
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_total"),
+        count(when($"bucket" < $"rate", 1)).as("n_sampled"),
+        sum(when($"bucket" < $"rate", $"doc_id")).as("sampled_id_sum"))
+      .orderBy($"lang")
+  }
+
+  val q54Sql: String = {
+    def hexVal(i: Int) =
+      s"""(CASE WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), $i, 1)) >= 97
+         | THEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 87
+         | ELSE ascii(substr(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 48 END)""".stripMargin
+    s"""WITH b AS (SELECT doc_id, lang,
+       |  (${hexVal(1)} * 16 + ${hexVal(2)}) % 100 AS bucket,
+       |  CASE WHEN lang = 'en' THEN 20 ELSE 50 END AS rate
+       |  FROM documents)
+       |SELECT lang, count(*) AS n_total,
+       |       count(CASE WHEN bucket < rate THEN 1 END) AS n_sampled,
+       |       CAST(sum(CASE WHEN bucket < rate THEN doc_id END) AS BIGINT)
+       |         AS sampled_id_sum
+       |FROM b GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
+  // --------------------------------------------------------------------
+  // q55 — bigram frequency (n-gram language-model counts): word 2-grams
+  // via the shared shingling machinery, top-20. Same partial-agg +
+  // top-k shape as q44.
+  def q55(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .withColumn("toks", TextFns.tokens($"text"))
+      .select(explode(TextFns.ngramsFromTokens($"toks", 2)).as("bigram"))
+      .groupBy($"bigram")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"bigram".asc)
+      .limit(20)
+  }
+
+  val q55Sql: String = {
+    val toks = """regexp_split_to_array(trim(text), '\s+')"""
+    s"""SELECT bigram, count(*) AS n
+       |FROM (SELECT unnest(list_transform(
+       |    generate_series(1, greatest(len($toks) - 1, 1)),
+       |    i -> array_to_string(list_slice($toks, i, i + 1), ' '))) AS bigram
+       |  FROM documents) x
+       |GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 20""".stripMargin
+  }
+
+  // --------------------------------------------------------------------
+  // q56 — vocabulary coverage / OOV rate per document: build the top-50
+  // corpus vocabulary, broadcast it, count each doc's out-of-vocabulary
+  // tokens. The standard "does this doc look like the training
+  // distribution" filter. Scale: vocab is tiny (broadcast); the token
+  // stream never shuffles except the per-doc count agg.
+  def q56(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = t(s, dir, "documents")
+      .select($"doc_id", explode(TextFns.tokens($"text")).as("word"))
+    val vocab = toks.groupBy($"word").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"word".asc).limit(50)
+      .select($"word", lit(1).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("word"), "left")
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        count(when($"in_vocab".isNull, 1)).as("n_oov"))
+      .orderBy($"doc_id")
+  }
+
+  val q56Sql: String =
+    """WITH toks AS (SELECT doc_id,
+      |    unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+      |  FROM documents),
+      | vocab AS (SELECT word FROM (
+      |    SELECT word, count(*) AS n FROM toks GROUP BY 1
+      |    ORDER BY n DESC, word ASC LIMIT 50))
+      |SELECT t.doc_id, count(*) AS n_tokens,
+      |       count(CASE WHEN v.word IS NULL THEN 1 END) AS n_oov
+      |FROM toks t LEFT JOIN vocab v ON t.word = v.word
+      |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+
   /** Name → query function, for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_sessionize" -> (q38 _),
@@ -377,7 +560,13 @@ object Extended {
     "q46_dedup_keep_best" -> (q46 _),
     "q47_simhash_pairs" -> (q47 _),
     "q49_ivf_ann" -> (q49 _),
-    "q50_frame_sample" -> (q50 _)
+    "q50_frame_sample" -> (q50 _),
+    "q51_window_frames" -> (q51 _),
+    "q52_cube" -> (q52 _),
+    "q53_distinctive_terms" -> (q53 _),
+    "q54_stratified_sample" -> (q54 _),
+    "q55_bigram_freq" -> (q55 _),
+    "q56_vocab_oov" -> (q56 _)
   )
 
   /** Name → DuckDB oracle SQL (q49 intentionally absent: iterative
@@ -393,6 +582,12 @@ object Extended {
     "q45_hash_split" -> q45Sql,
     "q46_dedup_keep_best" -> q46Sql,
     "q47_simhash_pairs" -> q47Sql,
-    "q50_frame_sample" -> q50Sql
+    "q50_frame_sample" -> q50Sql,
+    "q51_window_frames" -> q51Sql,
+    "q52_cube" -> q52Sql,
+    "q53_distinctive_terms" -> q53Sql,
+    "q54_stratified_sample" -> q54Sql,
+    "q55_bigram_freq" -> q55Sql,
+    "q56_vocab_oov" -> q56Sql
   )
 }
