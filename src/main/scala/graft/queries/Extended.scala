@@ -547,6 +547,90 @@ object Extended {
       |FROM toks t LEFT JOIN vocab v ON t.word = v.word
       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q57 — per-label embedding centroids (the building block of k-means /
+  // IVF training and of class-prototype classifiers): component means in
+  // one hash agg. At 10^9 vectors this is a partial+final agg of
+  // per-component sums — no collect, no iteration. Round-half-up via
+  // floor(x*1000+0.5) so both engines round the identical IEEE double.
+  def q57(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def c(i: Int) =
+      (floor(avg(element_at($"embedding", i)) * 1000 + lit(0.5)) / 1000)
+        .as(s"c$i")
+    t(s, dir, "embeddings")
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n"), c(1), c(2), c(3), c(4))
+      .orderBy($"label")
+  }
+
+  val q57Sql: String = {
+    def c(i: Int) =
+      s"floor(avg(embedding[$i]) * 1000 + 0.5) / 1000 AS c$i"
+    s"""SELECT label, count(*) AS n, ${c(1)}, ${c(2)}, ${c(3)}, ${c(4)}
+       |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
+  }
+
+  // --------------------------------------------------------------------
+  // q58 — left-semi join (existence filter without duplication or
+  // payload): completes the join-type inventory next to q03 (left),
+  // q04/q30 (full outer), q05 (anti), q23 (cross). Same scale shape as
+  // the anti join: shuffles only keys.
+  def q58(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders").filter($"o_totalprice" > 400000)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select($"c_custkey", $"c_name", $"c_mktsegment")
+      .orderBy($"c_custkey")
+  }
+
+  val q58Sql: String =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_totalprice > 400000 AND o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q59 — interval (range) join: events against a small campaign-window
+  // dimension, ON day BETWEEN start AND end — a genuine non-equi join
+  // (q36's time buckets are equi by construction; this one has
+  // OVERLAPPING intervals, so an event can match several campaigns).
+  // Scale: the interval dim is tiny => broadcast nested-loop, the fact
+  // side streams through codegen'd predicates with no shuffle. For a
+  // LARGE interval dim the plan changes to bucketed overlap join —
+  // documented, not needed here.
+  def q59(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val campaigns = Seq(
+      ("new_year", "2024-01-01", "2024-01-07"),
+      ("mid_month", "2024-01-10", "2024-01-14"),
+      ("payday", "2024-01-12", "2024-01-16"), // overlaps mid_month
+      ("closeout", "2024-01-25", "2024-01-31")
+    ).toDF("campaign", "s", "e")
+      .select($"campaign", to_date($"s").as("start_day"),
+        to_date($"e").as("end_day"))
+    t(s, dir, "events")
+      .join(broadcast(campaigns),
+        to_date($"ts").between($"start_day", $"end_day"))
+      .groupBy($"campaign")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct($"user_id").as("n_users"))
+      .orderBy($"campaign")
+  }
+
+  val q59Sql: String =
+    """WITH campaigns(campaign, start_day, end_day) AS (VALUES
+      |  ('new_year', DATE '2024-01-01', DATE '2024-01-07'),
+      |  ('mid_month', DATE '2024-01-10', DATE '2024-01-14'),
+      |  ('payday', DATE '2024-01-12', DATE '2024-01-16'),
+      |  ('closeout', DATE '2024-01-25', DATE '2024-01-31'))
+      |SELECT campaign, count(*) AS n_events,
+      |       count(DISTINCT user_id) AS n_users
+      |FROM events JOIN campaigns
+      |  ON CAST(ts AS DATE) BETWEEN start_day AND end_day
+      |GROUP BY campaign ORDER BY campaign""".stripMargin
+
   /** Name → query function, for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_sessionize" -> (q38 _),
@@ -566,7 +650,10 @@ object Extended {
     "q53_distinctive_terms" -> (q53 _),
     "q54_stratified_sample" -> (q54 _),
     "q55_bigram_freq" -> (q55 _),
-    "q56_vocab_oov" -> (q56 _)
+    "q56_vocab_oov" -> (q56 _),
+    "q57_label_centroids" -> (q57 _),
+    "q58_semi_join" -> (q58 _),
+    "q59_interval_join" -> (q59 _)
   )
 
   /** Name → DuckDB oracle SQL (q49 intentionally absent: iterative
@@ -588,6 +675,9 @@ object Extended {
     "q53_distinctive_terms" -> q53Sql,
     "q54_stratified_sample" -> q54Sql,
     "q55_bigram_freq" -> q55Sql,
-    "q56_vocab_oov" -> q56Sql
+    "q56_vocab_oov" -> q56Sql,
+    "q57_label_centroids" -> q57Sql,
+    "q58_semi_join" -> q58Sql,
+    "q59_interval_join" -> q59Sql
   )
 }

@@ -10,6 +10,10 @@ import graft.ingest.SnapshotJson
 import graft.streaming.{StatefulStatusStream, StatusStream}
 import graft.streaming.StatefulStatusStream.Obs
 
+/** Keyed event row for the StreamDedup tests (file scope for the
+  * Encoder's TypeTag). */
+case class DedupEv(ts: java.sql.Timestamp, uid: String, v: Double)
+
 /** End-to-end Structured Streaming: real file-source stream (ST1) and the
   * flatMapGroupsWithState extension. */
 class StreamingSpec extends SparkSpec {
@@ -141,5 +145,48 @@ class StreamingSpec extends SparkSpec {
     // batch mode: every bike is a first sighting → all arrived
     val n = events.count()
     assert(n === posA.count())
+  }
+
+  test("StreamDedup drops re-delivered keys within the watermark") {
+    import graft.streaming.StreamDedup
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ev(t: String, uid: String, v: Double) =
+      DedupEv(java.sql.Timestamp.valueOf(t), uid, v)
+
+    val input = MemoryStream[DedupEv]
+    val query = StreamDedup
+      .dedup(input.toDF(), "ts", "10 minutes", Seq("uid"))
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+
+    // batch 1: u1 delivered twice (in-batch dup), u2 once
+    input.addData(
+      ev("2024-01-01 10:00:00", "u1", 1.0),
+      ev("2024-01-01 10:00:30", "u1", 2.0),
+      ev("2024-01-01 10:01:00", "u2", 3.0))
+    query.processAllAvailable()
+    assert(spark.table("dedup_out").count() === 2, "in-batch dup dropped")
+
+    // batch 2: u1 re-delivered within the horizon → still dropped; u3 new
+    input.addData(
+      ev("2024-01-01 10:02:00", "u1", 4.0),
+      ev("2024-01-01 10:02:00", "u3", 5.0))
+    query.processAllAvailable()
+    val out = spark.table("dedup_out").as[DedupEv].collect().sortBy(_.uid)
+    assert(out.map(_.uid).toSeq === Seq("u1", "u2", "u3"))
+    assert(out.find(_.uid == "u1").get.v === 1.0, "first delivery wins")
+    query.stop()
+  }
+
+  test("StreamDedup batch mode = plain dropDuplicates") {
+    import graft.streaming.StreamDedup
+    import spark.implicits._
+    val df = Seq(
+      (java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), "a"),
+      (java.sql.Timestamp.valueOf("2024-01-01 11:00:00"), "a"),
+      (java.sql.Timestamp.valueOf("2024-01-01 12:00:00"), "b")
+    ).toDF("ts", "uid")
+    assert(StreamDedup.dedup(df, "ts", "10 minutes", Seq("uid")).count() === 2)
   }
 }
