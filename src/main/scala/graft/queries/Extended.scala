@@ -631,6 +631,30 @@ object Extended {
       |  ON CAST(ts AS DATE) BETWEEN start_day AND end_day
       |GROUP BY campaign ORDER BY campaign""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q60 — the SAME as-of semantics as q39 through the NATIVE operator
+  // (graft.plans.AsOfJoinExec: logical node → strategy → merge-sweep
+  // physical plan, SURVEY.md §4.3 rung c). Hash-checked against the
+  // identical oracle SQL, so both formulations are proven equivalent by
+  // the gate itself.
+  def q60(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = t(s, dir, "events")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id",
+        $"ts".as("purchase_ts"))
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"ts", $"event_id", $"value")
+    graft.plans.AsOfJoinNative.backward(purchases, clicks,
+        keyCols = Seq("user_id"), leftTime = "purchase_ts", rightTime = "ts",
+        prefix = "click_")
+      .select($"purchase_id", $"user_id", $"purchase_ts",
+        $"click_event_id".as("click_id"), $"click_ts", $"click_value")
+      .orderBy($"purchase_id")
+  }
+
+  val q60Sql: String = q39Sql
+
   /** Name → query function, for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_sessionize" -> (q38 _),
@@ -653,7 +677,8 @@ object Extended {
     "q56_vocab_oov" -> (q56 _),
     "q57_label_centroids" -> (q57 _),
     "q58_semi_join" -> (q58 _),
-    "q59_interval_join" -> (q59 _)
+    "q59_interval_join" -> (q59 _),
+    "q60_asof_native" -> (q60 _)
   )
 
   /** Name → DuckDB oracle SQL (q49 intentionally absent: iterative
@@ -678,6 +703,7 @@ object Extended {
     "q56_vocab_oov" -> q56Sql,
     "q57_label_centroids" -> q57Sql,
     "q58_semi_join" -> q58Sql,
-    "q59_interval_join" -> q59Sql
+    "q59_interval_join" -> q59Sql,
+    "q60_asof_native" -> q60Sql
   )
 }

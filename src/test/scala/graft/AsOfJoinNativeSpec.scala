@@ -1,0 +1,97 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.AsOfJoin
+import graft.plans.{AsOfJoinExec, AsOfJoinNative}
+
+/** The native merge-sweep as-of operator (logical node → strategy →
+  * physical exec): golden results, equivalence with the union+window
+  * formulation, plan shape, and tolerance. */
+class AsOfJoinNativeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private lazy val quotes = Seq(
+    ("A", ts("2024-01-01 10:00:00"), 1L, 100.0),
+    ("A", ts("2024-01-01 10:05:00"), 2L, 101.0),
+    ("A", ts("2024-01-01 10:10:00"), 3L, 102.0),
+    ("B", ts("2024-01-01 10:02:00"), 4L, 200.0)
+  ).toDF("sym", "qts", "qid", "price")
+
+  private lazy val trades = Seq(
+    ("A", ts("2024-01-01 10:04:59"), 11L),
+    ("A", ts("2024-01-01 10:05:00"), 12L), // inclusive <=
+    ("A", ts("2024-01-01 10:30:00"), 13L),
+    ("B", ts("2024-01-01 10:01:00"), 14L), // no quote yet
+    ("C", ts("2024-01-01 10:00:00"), 15L)  // key never quoted
+  ).toDF("sym", "tts", "tid")
+
+  test("native as-of join matches hand-checked goldens") {
+    val out = AsOfJoinNative.backward(trades, quotes, Seq("sym"), "tts", "qts")
+      .select($"tid", $"asof_qid", $"asof_price")
+      .orderBy($"tid")
+      .collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2))))
+    assert(out === Seq(
+      (11L, Some(1L), Some(100.0)),
+      (12L, Some(2L), Some(101.0)),
+      (13L, Some(3L), Some(102.0)),
+      (14L, None, None),
+      (15L, None, None)))
+  }
+
+  test("native plan contains AsOfJoinExec (strategy fired)") {
+    val df = AsOfJoinNative.backward(trades, quotes, Seq("sym"), "tts", "qts")
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("AsOfJoin"), s"expected AsOfJoinExec in:\n$physical")
+    // sparkPlan, not executedPlan: AQE wraps the tree in AdaptiveSparkPlanExec
+    assert(df.queryExecution.sparkPlan.collect {
+      case e: AsOfJoinExec => e
+    }.nonEmpty)
+  }
+
+  test("native tolerance nulls out stale matches") {
+    val out = AsOfJoinNative.backward(trades, quotes, Seq("sym"), "tts", "qts",
+        toleranceSec = Some(300))
+      .select($"tid", $"asof_qid")
+      .orderBy($"tid")
+      .collect()
+      .map(r => (r.getLong(0), Option(r.get(1))))
+    assert(out === Seq(
+      (11L, Some(1L)), (12L, Some(2L)), (13L, None),
+      (14L, None), (15L, None)))
+  }
+
+  test("native == union+window formulation on the events table (self-source)") {
+    val ev = graft.queries.Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("pid"), $"user_id", $"ts".as("pts"))
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"ts", $"event_id", $"value")
+
+    val native = AsOfJoinNative.backward(purchases, clicks,
+        Seq("user_id"), "pts", "ts")
+      .select($"pid", $"asof_event_id", $"asof_ts", $"asof_value")
+    val window = AsOfJoin.backward(purchases, clicks,
+        Seq("user_id"), "pts", "ts", Seq("event_id", "value"))
+      .select($"pid", $"asof_event_id".as("asof_event_id"),
+        $"asof_ts", $"asof_value")
+    assert(native.count() === purchases.count())
+    assert(native.except(window).count() === 0)
+    assert(window.except(native).count() === 0)
+  }
+
+  test("multi-column keys and empty right side") {
+    val l = Seq(("a", 1, ts("2024-01-01 10:00:00"), 1L))
+      .toDF("k1", "k2", "t", "id")
+    val r = Seq.empty[(String, Int, Timestamp, Long)]
+      .toDF("k1", "k2", "t", "rid")
+    val out = AsOfJoinNative.backward(l, r, Seq("k1", "k2"), "t", "t")
+    assert(out.count() === 1)
+    assert(out.select("asof_rid").head().isNullAt(0))
+  }
+}
