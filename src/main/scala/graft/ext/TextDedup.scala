@@ -53,11 +53,15 @@ object TextDedup {
       ngram: Int = 3, numHashes: Int = 4, bands: Int = 1): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
+    // native one-pass signature (shingle + md5 + chunk-min in one JVM
+    // loop); the HOF pipeline (tokens → ngrams → digests → minhashes)
+    // is the cross-checked reference implementation
     val sig = docs
       .withColumn("_toks", TextFns.tokens(col(textCol)))
-      .withColumn("_sh", TextFns.ngramsFromTokens(col("_toks"), ngram))
-      .withColumn("_dg", TextFns.shingleDigests(col("_sh")))
-      .select(col(idCol) +: minhashes(col("_dg"), numHashes): _*)
+      .withColumn("_sig",
+        graft.plans.TextExpressions.minhashSig(col("_toks"), ngram, numHashes))
+      .select(col(idCol) +: (0 until numHashes).map(i =>
+        element_at(col("_sig"), i + 1).as(s"mh$i")): _*)
 
     val bandDfs = (0 until bands).map { b =>
       val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh$i"))

@@ -97,9 +97,119 @@ case class TokenSimHash(child: Expression, bits: Int)
     copy(child = newChild)
 }
 
+/** Static eval core for [[MinHashSig]]: word n-gram shingling + md5 +
+  * per-chunk minima in one pass.
+  *
+  * Derivation is EXACTLY the HOF/oracle pipeline
+  * (TextFns.ngramsFromTokens → shingleDigests → minhashFromDigests):
+  * shingle i = tokens[i..i+n) joined with single spaces (short tail kept,
+  * min one shingle); hash j of a shingle = hex chars [8j, 8j+8) of
+  * md5(shingle); signature j = lexicographic min over shingles — all
+  * reproduced byte-for-byte from the digest bytes.
+  */
+object MinHashUtil {
+
+  private val md = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest =
+      MessageDigest.getInstance("MD5")
+  }
+
+  private val hex = "0123456789abcdef".toCharArray
+
+  /** [[compute]] wrapped as catalyst ArrayData (shared by interpreted
+    * eval and generated code). */
+  def computeArrayData(tokens: ArrayData, ngram: Int, numHashes: Int)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val mins = compute(tokens, ngram, numHashes)
+    val out = new Array[Any](mins.length)
+    var i = 0
+    while (i < mins.length) {
+      out(i) = org.apache.spark.unsafe.types.UTF8String.fromString(mins(i))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  def compute(tokens: ArrayData, ngram: Int, numHashes: Int): Array[String] = {
+    val digest = md.get()
+    val k = tokens.numElements()
+    val nShingles = math.max(k - (ngram - 1), 1)
+    val mins = new Array[String](numHashes)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < nShingles) {
+      sb.setLength(0)
+      var j = i
+      val end = math.min(i + ngram, k)
+      var first = true
+      while (j < end) {
+        if (!tokens.isNullAt(j)) { // array_join skips nulls
+          if (!first) sb.append(' ')
+          sb.append(tokens.getUTF8String(j).toString)
+          first = false
+        }
+        j += 1
+      }
+      digest.reset()
+      val d = digest.digest(sb.toString.getBytes("UTF-8"))
+      val hexChars = new Array[Char](32)
+      var b = 0
+      while (b < 16) {
+        hexChars(2 * b) = hex((d(b) >> 4) & 0x0f)
+        hexChars(2 * b + 1) = hex(d(b) & 0x0f)
+        b += 1
+      }
+      val hx = new String(hexChars)
+      var h = 0
+      while (h < numHashes) {
+        val chunk = hx.substring(h * 8, h * 8 + 8)
+        if (mins(h) == null || chunk.compareTo(mins(h)) < 0) mins(h) = chunk
+        h += 1
+      }
+      i += 1
+    }
+    mins
+  }
+}
+
+/** Native MinHash signature over a token array: `numHashes` (≤ 4)
+  * 8-hex-char chunk minima from one md5 per word `ngram`-shingle, in a
+  * single JVM pass — replaces a transform(md5) + `numHashes`
+  * interpreted `aggregate` lambdas. Same ladder as [[TokenSimHash]]. */
+case class MinHashSig(child: Expression, ngram: Int, numHashes: Int)
+    extends UnaryExpression {
+
+  require(ngram >= 1, "ngram >= 1")
+  require(numHashes >= 1 && numHashes <= 4, "md5 has four 8-hex chunks")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override protected def nullSafeEval(tokens: Any): Any =
+    MinHashUtil.computeArrayData(
+      tokens.asInstanceOf[ArrayData], ngram, numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.plans.MinHashUtil.computeArrayData($c, $ngram, $numHashes)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
 object TextExpressions {
 
   /** Codegen'd SimHash of an `array<string>` token column. */
   def simhash(tokens: Column, bits: Int): Column =
     Bridge.column(TokenSimHash(Bridge.expression(tokens), bits))
+
+  /** Codegen'd MinHash signature (array of `numHashes` hex chunks) of an
+    * `array<string>` token column over word `ngram`-shingles. */
+  def minhashSig(tokens: Column, ngram: Int, numHashes: Int): Column =
+    Bridge.column(MinHashSig(Bridge.expression(tokens), ngram, numHashes))
 }

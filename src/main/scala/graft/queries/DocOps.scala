@@ -54,14 +54,13 @@ object DocOps {
     import s.implicits._
     t(s, dir, "documents")
       .withColumn("toks", TextFns.tokens($"text"))
-      .withColumn("sh", TextFns.ngramsFromTokens($"toks", 3))
-      .withColumn("dg", TextFns.shingleDigests($"sh"))
+      .withColumn("sig", graft.plans.TextExpressions.minhashSig($"toks", 3, 4))
       .select(
         $"doc_id",
-        TextFns.minhashFromDigests($"dg", 0).as("mh0"),
-        TextFns.minhashFromDigests($"dg", 1).as("mh1"),
-        TextFns.minhashFromDigests($"dg", 2).as("mh2"),
-        TextFns.minhashFromDigests($"dg", 3).as("mh3")
+        element_at($"sig", 1).as("mh0"),
+        element_at($"sig", 2).as("mh1"),
+        element_at($"sig", 3).as("mh2"),
+        element_at($"sig", 4).as("mh3")
       )
       .orderBy($"doc_id")
   }

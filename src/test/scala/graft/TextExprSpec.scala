@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+import graft.plans.TextExpressions
+
+/** Native text expressions vs the HOF reference pipelines — must be
+  * bit-identical (the DuckDB oracles encode the HOF derivation). */
+class TextExprSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = graft.queries.Tables
+    .load(spark, "/root/testdata/sf0.001", "documents")
+    .withColumn("toks", TextFns.tokens($"text"))
+
+  test("TokenSimHash == HOF simhashFromDigests, 16 and 32 bits") {
+    Seq(16, 32).foreach { bits =>
+      val diff = docs
+        .withColumn("dg", TextFns.tokenDigests($"toks"))
+        .select(
+          TextExpressions.simhash($"toks", bits).as("native"),
+          TextFns.simhashFromDigests($"dg", bits).as("hof"))
+        .filter($"native" =!= $"hof")
+        .count()
+      assert(diff === 0, s"simhash mismatch at $bits bits")
+    }
+  }
+
+  test("MinHashSig == HOF ngrams->digests->minhash pipeline") {
+    Seq((3, 4), (2, 2), (5, 1)).foreach { case (ngram, nh) =>
+      val hof = docs
+        .withColumn("sh", TextFns.ngramsFromTokens($"toks", ngram))
+        .withColumn("dg", TextFns.shingleDigests($"sh"))
+        .select((0 until nh).map(i =>
+          TextFns.minhashFromDigests($"dg", i).as(s"h$i")): _*)
+      val native = docs
+        .withColumn("sig", TextExpressions.minhashSig($"toks", ngram, nh))
+        .select((0 until nh).map(i =>
+          element_at($"sig", i + 1).as(s"h$i")): _*)
+      assert(native.except(hof).count() === 0 &&
+        hof.except(native).count() === 0,
+        s"minhash mismatch at ngram=$ngram numHashes=$nh")
+    }
+  }
+
+  test("edge cases: empty text, single token, short-than-ngram text") {
+    val edge = Seq("", "one", "two words").toDF("text")
+      .withColumn("toks", TextFns.tokens($"text"))
+    val hof = edge
+      .withColumn("sh", TextFns.ngramsFromTokens($"toks", 3))
+      .withColumn("dg", TextFns.shingleDigests($"sh"))
+      .select($"text", TextFns.minhashFromDigests($"dg", 0).as("h"),
+        TextFns.simhashFromDigests(TextFns.tokenDigests($"toks"), 16).as("s"))
+    val native = edge.select($"text",
+      element_at(TextExpressions.minhashSig($"toks", 3, 1), 1).as("h"),
+      TextExpressions.simhash($"toks", 16).as("s"))
+    assert(native.except(hof).count() === 0)
+  }
+
+  test("simhash_tokens SQL function is registered") {
+    val s2 = GraftSession.build(master = "local[4]", shufflePartitions = 4)
+    val r = s2.sql(
+      "SELECT simhash_tokens(array('a', 'b'), 8)").head().getLong(0)
+    val viaApi = Seq(Seq("a", "b")).toDF("t")
+      .select(TextExpressions.simhash($"t", 8)).head().getLong(0)
+    assert(r === viaApi)
+  }
+}
