@@ -326,6 +326,9 @@ object Core {
   // --------------------------------------------------------------------
   // q14 — JSON field navigation + coerce-to-null cast (C16/P4,
   // bike_status_changes.py:41–46; data_load_sqlite.py:162–177).
+  // (Measured alternative: from_json with an explicit schema is NOT
+  // faster here — these props are single-field objects, so per-row parse
+  // setup dominates either way.)
   def q14(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     t(s, dir, "events")
