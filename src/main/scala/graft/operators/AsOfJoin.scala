@@ -66,8 +66,11 @@ object AsOfJoin {
 
     val inTol: Column = toleranceSec match {
       case Some(tol) =>
-        unix_micros(col(leftTime)) -
-          unix_micros(col("__m").getField(rightTime)) <= tol * 1000000L
+        // cast handles TIMESTAMP_NTZ inputs; the tz offset cancels in
+        // the difference
+        unix_micros(col(leftTime).cast("timestamp")) -
+          unix_micros(col("__m").getField(rightTime).cast("timestamp")) <=
+          tol * 1000000L
       case None => lit(true)
     }
     val m = when(col("__m").isNotNull && inTol, col("__m"))

@@ -27,9 +27,14 @@ object Sessionize {
     val order = (col(tsCol) +: tieCols.map(col)).map(_.asc)
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy(order: _*)
     val prev = lag(col(tsCol), 1).over(w)
+    // cast-to-timestamp makes TIMESTAMP_NTZ inputs work too (no-op on
+    // TIMESTAMP); the gap is a difference, so the tz interpretation of
+    // the cast cancels out
+    val micros = (c: org.apache.spark.sql.Column) =>
+      unix_micros(c.cast("timestamp"))
     val isNew = when(
       prev.isNull ||
-        unix_micros(col(tsCol)) - unix_micros(prev) > gapSec * 1000000L,
+        micros(col(tsCol)) - micros(prev) > gapSec * 1000000L,
       1).otherwise(0)
     df.withColumn("session_id",
       sum(isNew).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))

@@ -160,9 +160,15 @@ object AsOfJoinNative {
       prefix: String = "asof_", toleranceSec: Option[Long] = None): DataFrame = {
     val spark = leftDf.sparkSession
     Bridge.addStrategy(spark, AsOfJoinStrategy)
-    val renamed = rightDf.select(
+    // normalize TIMESTAMP_NTZ time columns (the exec compares raw micros,
+    // so a consistent cast on both sides preserves order and diffs)
+    def normTs(df: DataFrame, c: String): DataFrame =
+      if (df.schema(c).dataType == TimestampType) df
+      else df.withColumn(c, col(c).cast(TimestampType))
+    val l = normTs(leftDf, leftTime)
+    val renamed = normTs(rightDf, rightTime).select(
       rightDf.columns.map(c => col(c).as(prefix + c)).toIndexedSeq: _*)
-    val lPlan = Bridge.analyzed(leftDf)
+    val lPlan = Bridge.analyzed(l)
     val rPlan = Bridge.analyzed(renamed)
     def attr(plan: LogicalPlan, name: String): Attribute =
       plan.output.find(_.name == name).getOrElse(
