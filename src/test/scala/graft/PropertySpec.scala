@@ -96,4 +96,35 @@ class PropertySpec extends SparkSpec {
       assert(mapper.readTree(MetricsJson.q(s)).asText() === s)
     }
   }
+
+  test("as-of join: native merge exec == union+window on random keyed series") {
+    import spark.implicits._
+    // random (key, time) series; duplicate times across keys are common,
+    // (key, time) made unique per side so the match is well-defined
+    val rowGen = for {
+      key <- Gen.chooseNum(0, 8)
+      t <- Gen.chooseNum(0L, 2000L)
+    } yield (key.toString, t)
+    (0 until 5).foreach { round =>
+      val leftRaw = samples(rowGen, 120).distinct.zipWithIndex
+        .map { case ((k, t), i) => (k, new java.sql.Timestamp(t * 1000), i.toLong) }
+      val rightRaw = samples(rowGen, 120).distinct.zipWithIndex
+        .map { case ((k, t), i) =>
+          (k, new java.sql.Timestamp((t + round * 7) * 1000), 1000L + i, i * 1.5)
+        }
+      val left = leftRaw.groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+        .toDF("k", "lt", "lid")
+      val right = rightRaw.groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+        .toDF("k", "rt", "rid", "rv")
+      val native = graft.plans.AsOfJoinNative
+        .backward(left, right, Seq("k"), "lt", "rt")
+        .select($"lid", $"asof_rid", $"asof_rv")
+      val window = graft.operators.AsOfJoin
+        .backward(left, right, Seq("k"), "lt", "rt", Seq("rid", "rv"))
+        .select($"lid", $"asof_rid", $"asof_rv")
+      assert(native.count() === left.count())
+      assert(native.except(window).count() === 0 &&
+        window.except(native).count() === 0, s"round $round diverged")
+    }
+  }
 }

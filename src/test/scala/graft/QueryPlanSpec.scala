@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.exchange.Exchange
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec}
+
+/** Physical-plan contracts for the scale-sensitive queries: the plans
+  * the scale notes promise are asserted here, so a regression that adds
+  * a shuffle or drops a broadcast fails CI, not a cluster run. Uses the
+  * pre-AQE sparkPlan (AQE wraps the executed tree). */
+class QueryPlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): SparkPlan =
+    SparkEntry.queries(name)(spark, dir).queryExecution.sparkPlan
+
+  /** Post-EnsureRequirements tree (sparkPlan has no exchanges yet);
+    * unwraps the AQE shell. */
+  private def executed(name: String): SparkPlan =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case other => other
+    }
+
+  private def count(p: SparkPlan, pred: SparkPlan => Boolean): Int =
+    p.collect { case n if pred(n) => n }.size
+
+  test("q03: dimension join is broadcast (no shuffle of the fact side for the join)") {
+    assert(count(plan("q03_broadcast_join"),
+      _.isInstanceOf[BroadcastHashJoinExec]) === 1)
+  }
+
+  test("q53: df side of the tf/df join is broadcast") {
+    assert(count(plan("q53_distinctive_terms"),
+      _.isInstanceOf[BroadcastHashJoinExec]) === 1)
+  }
+
+  test("q56: vocab join is broadcast") {
+    assert(count(plan("q56_vocab_oov"),
+      _.isInstanceOf[BroadcastHashJoinExec]) === 1)
+  }
+
+  test("q59: interval join is broadcast nested-loop (tiny dim, non-equi)") {
+    assert(count(plan("q59_interval_join"),
+      _.isInstanceOf[BroadcastNestedLoopJoinExec]) === 1)
+  }
+
+  test("q60: native as-of exec with exactly one exchange per side + output sort") {
+    val p = executed("q60_asof_native")
+    assert(count(p, _.isInstanceOf[graft.plans.AsOfJoinExec]) === 1)
+    // 2 key exchanges (one per side) + the final orderBy range exchange
+    assert(count(p, _.isInstanceOf[Exchange]) === 3, p.toString)
+  }
+
+  test("q39: union+window as-of runs ONE key shuffle") {
+    val p = executed("q39_asof_join")
+    // 1 hash exchange for the window + 1 range exchange for the orderBy
+    assert(count(p, _.isInstanceOf[Exchange]) === 2, p.toString)
+  }
+
+  test("q38: sessionize runs ONE key shuffle") {
+    val p = executed("q38_sessionize")
+    // window exchange + final orderBy range exchange; the two
+    // aggregations after the window reuse the window partitioning
+    assert(count(p, _.isInstanceOf[Exchange]) <= 3, p.toString)
+  }
+
+  test("q02: filter and projection reach the parquet scan") {
+    val scans = plan("q02_filter_project").collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    val scan = scans.head
+    assert(scan.metadata("PushedFilters").contains("GreaterThan"),
+      scan.metadata("PushedFilters"))
+    assert(scan.schema.fieldNames.length <= 5,
+      s"column pruning lost: ${scan.schema.fieldNames.mkString(",")}")
+  }
+}
