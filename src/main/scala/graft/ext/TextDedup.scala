@@ -149,6 +149,57 @@ object TextDedup {
       .distinct() // a pair may collide in several bands
   }
 
+  /** Connected components over near-duplicate pairs — the final stage of
+    * fuzzy dedup: candidate/verified PAIRS become CLUSTERS, and each
+    * cluster keeps its minimum id. Iterative min-label propagation:
+    * every round each node takes the min of its own and its neighbors'
+    * labels (one shuffle join + one agg per round), until a round
+    * changes nothing. Deterministic (min over ids); rounds needed ≈
+    * graph diameter, and dup clusters are near-cliques, so 2-3 rounds
+    * in practice — the standard large-scale CC layout (cf. the
+    * large-star/small-star refinement for adversarial diameters).
+    * `localCheckpoint` truncates lineage so plans don't grow per round.
+    *
+    * @param pairs edges (id_a, id_b) — e.g. [[lshCandidates]] /
+    *              [[simhashCandidates]] output
+    * @param nodes one row per node id (docs without any pair become
+    *              singleton components)
+    * @return (node, component) with component = min id in the cluster
+    */
+  def connectedComponents(pairs: DataFrame, nodes: DataFrame,
+      srcCol: String = "id_a", dstCol: String = "id_b",
+      nodeCol: String = "id", maxRounds: Int = 15): DataFrame = {
+    val sym = pairs.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .union(pairs.select(col(dstCol).as("a"), col(srcCol).as("b")))
+    var labels = nodes
+      .select(col(nodeCol).as("node"), col(nodeCol).as("component"))
+      .localCheckpoint()
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val nbMin = sym.join(labels, sym("b") === labels("node"))
+        .groupBy(col("a")).agg(min(col("component")).as("nb"))
+      val updated = labels.join(nbMin, labels("node") === nbMin("a"), "left")
+        .select(col("node"),
+          least(col("component"), coalesce(col("nb"), col("component")))
+            .as("component"))
+        .localCheckpoint()
+      converged = updated.join(labels.withColumnRenamed("component", "old"),
+        "node").filter(col("component") =!= col("old")).isEmpty
+      labels = updated
+      round += 1
+    }
+    labels
+  }
+
+  /** Fuzzy dedup keep-set: one surviving id per near-dup cluster (the
+    * minimum), singletons kept as themselves. */
+  def dedupFuzzyKeepIds(pairs: DataFrame, nodes: DataFrame,
+      nodeCol: String = "id"): DataFrame =
+    connectedComponents(pairs, nodes, nodeCol = nodeCol)
+      .filter(col("node") === col("component"))
+      .select(col("node").as(nodeCol))
+
   /** Exact n-gram Jaccard for candidate pairs: join text back, compute
     * |A∩B| / |A∪B| over distinct shingle sets, keep pairs ≥ threshold. */
   def verifiedPairs(docs: DataFrame, candidates: DataFrame,

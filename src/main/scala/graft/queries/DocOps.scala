@@ -441,6 +441,46 @@ object DocOps {
        |ORDER BY vec_a, vec_b""".stripMargin
   }
 
+  // --------------------------------------------------------------------
+  // q61 — dedup clusters: connected components over the LSH candidate
+  // pairs (TextDedup.connectedComponents, iterative min-label
+  // propagation — one shuffle join per round, converges in ~diameter
+  // rounds; dup clusters are near-cliques so 2-3 rounds). Completes the
+  // fuzzy-dedup pipeline: signatures → candidate pairs → clusters →
+  // keep-min-id. The oracle computes the same components via a
+  // recursive-CTE transitive closure.
+  def q61(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    val pairs = graft.ext.TextDedup
+      .lshCandidates(docs, "text", "doc_id", ngram = 3, numHashes = 4, bands = 1)
+    graft.ext.TextDedup
+      .connectedComponents(pairs, docs.select($"doc_id"), nodeCol = "doc_id")
+      .orderBy($"node")
+  }
+
+  val q61Sql: String = {
+    val ng = ngramsSql(3)
+    s"""WITH RECURSIVE sig AS (
+       | SELECT doc_id,
+       |  ${minhashChunkSql(ng, 0)} || '|' || ${minhashChunkSql(ng, 1)} || '|' ||
+       |  ${minhashChunkSql(ng, 2)} || '|' || ${minhashChunkSql(ng, 3)} AS band
+       | FROM documents),
+       | pairs AS (SELECT a.doc_id AS ia, b.doc_id AS ib
+       |           FROM sig a JOIN sig b
+       |             ON a.band = b.band AND a.doc_id < b.doc_id),
+       | edges AS (SELECT ia AS a, ib AS b FROM pairs
+       |           UNION SELECT ib, ia FROM pairs),
+       | reach(src, dst) AS (
+       |   SELECT a, b FROM edges
+       |   UNION
+       |   SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+       |SELECT d.doc_id AS node,
+       |       least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS component
+       |FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+       |GROUP BY d.doc_id ORDER BY node""".stripMargin
+  }
+
   /** Name → query function, for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q18_dedup_exact" -> (q18 _),
@@ -456,7 +496,8 @@ object DocOps {
     "q28_doc_fingerprint" -> (q28 _),
     "q29_multimodal_meta" -> (q29 _),
     "q31_multimodal_decode" -> (q31 _),
-    "q32_embedding_near_dup" -> (q32 _)
+    "q32_embedding_near_dup" -> (q32 _),
+    "q61_dedup_clusters" -> (q61 _)
   )
 
   /** Name → DuckDB oracle SQL, for SparkEntry. */
@@ -474,6 +515,7 @@ object DocOps {
     "q28_doc_fingerprint" -> q28Sql,
     "q29_multimodal_meta" -> q29Sql,
     "q31_multimodal_decode" -> q31Sql,
-    "q32_embedding_near_dup" -> q32Sql
+    "q32_embedding_near_dup" -> q32Sql,
+    "q61_dedup_clusters" -> q61Sql
   )
 }

@@ -655,6 +655,33 @@ object Extended {
 
   val q60Sql: String = q39Sql
 
+  // --------------------------------------------------------------------
+  // q62 — table profiling (graft.ext.Profile): per-column quality stats
+  // in one shuffle — the pre-ingestion sanity pass. String min/max are
+  // lexicographic by contract; distinct is exact here, HLL at scale.
+  def q62(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.ext.Profile
+      .profile(t(s, dir, "events"), Seq("event_type", "user_id", "props"))
+      .orderBy($"col_name")
+  }
+
+  val q62Sql: String = {
+    def one(c: String) =
+      s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+         | count(CASE WHEN $c IS NULL THEN 1 END) AS n_null,
+         | count(DISTINCT CAST($c AS VARCHAR)) AS n_distinct,
+         | min(CAST($c AS VARCHAR)) AS min_str,
+         | max(CAST($c AS VARCHAR)) AS max_str
+         |FROM events""".stripMargin
+    s"""${one("event_type")}
+       |UNION ALL
+       |${one("user_id")}
+       |UNION ALL
+       |${one("props")}
+       |ORDER BY col_name""".stripMargin
+  }
+
   /** Name → query function, for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_sessionize" -> (q38 _),
@@ -678,7 +705,8 @@ object Extended {
     "q57_label_centroids" -> (q57 _),
     "q58_semi_join" -> (q58 _),
     "q59_interval_join" -> (q59 _),
-    "q60_asof_native" -> (q60 _)
+    "q60_asof_native" -> (q60 _),
+    "q62_profile" -> (q62 _)
   )
 
   /** Name → DuckDB oracle SQL (q49 intentionally absent: iterative
@@ -704,6 +732,7 @@ object Extended {
     "q57_label_centroids" -> q57Sql,
     "q58_semi_join" -> q58Sql,
     "q59_interval_join" -> q59Sql,
-    "q60_asof_native" -> q60Sql
+    "q60_asof_native" -> q60Sql,
+    "q62_profile" -> q62Sql
   )
 }

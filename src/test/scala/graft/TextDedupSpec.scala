@@ -1,4 +1,5 @@
 package graft
+// (connected-components tests at the bottom of this suite)
 
 import org.apache.spark.sql.functions._
 
@@ -58,5 +59,26 @@ class TextDedupSpec extends SparkSpec {
     val lower = TextDedup.verifiedPairs(docs, cands, "text", "doc_id",
       threshold = 0.5).count()
     assert(lower >= 1)
+  }
+
+  test("connectedComponents: chains merge, singletons stay, min id wins") {
+    import spark.implicits._
+    // components: {1,2,3,4} via a path (diameter 3), {10,11}, {20}
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L).toDF("id")
+    val cc = TextDedup.connectedComponents(pairs, nodes)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L))
+  }
+
+  test("dedupFuzzyKeepIds keeps one id per cluster") {
+    import spark.implicits._
+    val pairs = Seq((5L, 7L), (7L, 9L)).toDF("id_a", "id_b")
+    val nodes = Seq(5L, 7L, 9L, 42L).toDF("id")
+    val keep = TextDedup.dedupFuzzyKeepIds(pairs, nodes)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(keep === Seq(5L, 42L))
   }
 }
