@@ -682,6 +682,42 @@ object Extended {
        |ORDER BY col_name""".stripMargin
   }
 
+  // --------------------------------------------------------------------
+  // q63 — session windows via Spark's built-in session_window (dynamic-
+  // gap event-time windows, the streaming-native formulation of q38's
+  // manual sessionization; same definition runs under a watermark in a
+  // stream — see StreamingSpec). Boundary semantics: an event exactly
+  // `gap` after the previous one starts a NEW session (window end is
+  // exclusive), hence >= in the oracle's lag formulation.
+  def q63(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .groupBy($"user_id", session_window($"ts", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id", $"w.start".as("session_start"),
+        $"w.end".as("session_end"), $"n_events")
+      .orderBy($"user_id", $"session_start")
+  }
+
+  val q63Sql: String =
+    """WITH x AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+      |    THEN 1 ELSE 0 END AS is_new
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      | s AS (
+      |  SELECT user_id, ts,
+      |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+      |                      ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM x)
+      |SELECT user_id, min(ts) AS session_start,
+      |       max(ts) + INTERVAL 30 MINUTE AS session_end,
+      |       count(*) AS n_events
+      |FROM s GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
   /** Name → query function, for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_sessionize" -> (q38 _),
@@ -706,7 +742,8 @@ object Extended {
     "q58_semi_join" -> (q58 _),
     "q59_interval_join" -> (q59 _),
     "q60_asof_native" -> (q60 _),
-    "q62_profile" -> (q62 _)
+    "q62_profile" -> (q62 _),
+    "q63_session_window" -> (q63 _)
   )
 
   /** Name → DuckDB oracle SQL (q49 intentionally absent: iterative
@@ -733,6 +770,7 @@ object Extended {
     "q58_semi_join" -> q58Sql,
     "q59_interval_join" -> q59Sql,
     "q60_asof_native" -> q60Sql,
-    "q62_profile" -> q62Sql
+    "q62_profile" -> q62Sql,
+    "q63_session_window" -> q63Sql
   )
 }

@@ -179,6 +179,78 @@ class StreamingSpec extends SparkSpec {
     query.stop()
   }
 
+  test("stream-stream interval join attributes clicks within the horizon") {
+    import graft.streaming.StreamJoins
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+
+    val purchases = MemoryStream[DedupEv]
+    val clicks = MemoryStream[DedupEv]
+    val joined = StreamJoins.intervalJoin(
+      purchases.toDF().toDF("p_ts", "p_uid", "p_v"),
+      clicks.toDF().toDF("c_ts", "c_uid", "c_v"),
+      "p_uid", "c_uid", "p_ts", "c_ts", horizonSec = 3600,
+      joinType = "inner")
+    val query = joined.writeStream.format("memory")
+      .queryName("attribution").outputMode("append").start()
+
+    clicks.addData(DedupEv(t("2024-01-01 09:30:00"), "u1", 1.0))
+    clicks.addData(DedupEv(t("2024-01-01 05:00:00"), "u2", 2.0))
+    purchases.addData(DedupEv(t("2024-01-01 10:00:00"), "u1", 10.0))
+    purchases.addData(DedupEv(t("2024-01-01 10:00:00"), "u2", 20.0))
+    query.processAllAvailable()
+
+    val rows = spark.table("attribution").collect()
+    // u1's click is 30 min before the purchase => joined;
+    // u2's click is 5h before => outside the 1h horizon
+    assert(rows.length === 1)
+    assert(rows.head.getAs[String]("p_uid") === "u1")
+    assert(rows.head.getAs[Double]("c_v") === 1.0)
+    query.stop()
+  }
+
+  test("stream-stream interval join: same definition runs on batch") {
+    import graft.streaming.StreamJoins
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val p = Seq((t("2024-01-01 10:00:00"), "u1"), (t("2024-01-01 10:00:00"), "u2"))
+      .toDF("p_ts", "p_uid")
+    val c = Seq((t("2024-01-01 09:30:00"), "u1"), (t("2024-01-01 05:00:00"), "u2"))
+      .toDF("c_ts", "c_uid")
+    val out = StreamJoins.intervalJoin(p, c, "p_uid", "c_uid",
+      "p_ts", "c_ts", horizonSec = 3600)
+    assert(out.count() === 2) // left outer: u2 kept with null click
+    assert(out.filter($"c_uid".isNotNull).count() === 1)
+  }
+
+  test("session_window streams with a watermark (q63's definition)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val input = MemoryStream[DedupEv]
+    val sessions = input.toDF().toDF("ts", "uid", "v")
+      .withWatermark("ts", "10 minutes")
+      .groupBy($"uid", session_window($"ts", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+    val query = sessions.writeStream.format("memory")
+      .queryName("stream_sessions").outputMode("append").start()
+
+    input.addData(
+      DedupEv(t("2024-01-01 10:00:00"), "u1", 1.0),
+      DedupEv(t("2024-01-01 10:10:00"), "u1", 2.0))
+    query.processAllAvailable()
+    // push the watermark far past the session so it closes
+    input.addData(DedupEv(t("2024-01-01 12:00:00"), "u1", 3.0))
+    query.processAllAvailable()
+
+    val rows = spark.table("stream_sessions").collect()
+    assert(rows.length === 1, "first session closed and emitted")
+    assert(rows.head.getAs[Long]("n") === 2)
+    query.stop()
+  }
+
   test("StreamDedup batch mode = plain dropDuplicates") {
     import graft.streaming.StreamDedup
     import spark.implicits._
