@@ -108,6 +108,35 @@ object Multimodal {
     }
   }
 
+  case class MediaFeatures(media_id: Long, feature: Array[Float])
+
+  /** Feature-extraction stage: payload → fixed-dim float vector, the
+    * bridge from the multimodal store into the similarity-search path
+    * (VectorIndex / ANN queries). Same partition-parallel contract as
+    * [[imageMeta]]; the STUB featurizer samples every 7th codepoint of
+    * the decoded payload (deterministic and reproducible in SQL for the
+    * oracle — a real deployment swaps in a vision/audio encoder and
+    * nothing else changes). Codepoint values are exact in float. */
+  def features(media: Dataset[MediaRow], dim: Int = 4,
+      decoder: ImageDecoder = StubImageDecoder): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      decoder.init()
+      rows.map { r =>
+        val s = new String(r.payload, "UTF-8")
+        val cpLen = s.codePointCount(0, s.length)
+        val f = Array.tabulate(dim) { i =>
+          val cpIdx = i * 7
+          if (cpLen > cpIdx)
+            s.codePointAt(s.offsetByCodePoints(0, cpIdx)).toFloat
+          else 0f
+        }
+        MediaFeatures(r.media_id, f)
+      }
+    }
+  }
+
   /** Adapter: the synthetic documents table as a media table (payload =
     * UTF-8 text bytes) — the testbed for the plumbing above. */
   def mediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {

@@ -718,6 +718,90 @@ object Extended {
       |FROM s GROUP BY user_id, sid
       |ORDER BY user_id, session_start""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q64 — multimodal feature extraction (graft.ext.Multimodal.features):
+  // payload → fixed-dim float vector through the partition-parallel
+  // operator, components oracle-checked exactly (codepoints are
+  // float-exact). This is the bridge stage from the media store into
+  // the ANN path (q23/q25/q49 consume such vectors).
+  def q64(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = graft.ext.Multimodal
+      .mediaFromDocuments(s, t(s, dir, "documents"))
+    graft.ext.Multimodal.features(media, dim = 4).toDF()
+      .select($"media_id",
+        element_at($"feature", 1).cast("int").as("f1"),
+        element_at($"feature", 2).cast("int").as("f2"),
+        element_at($"feature", 3).cast("int").as("f3"),
+        element_at($"feature", 4).cast("int").as("f4"))
+      .orderBy($"media_id")
+  }
+
+  val q64Sql: String = {
+    def f(i: Int) = {
+      val pos = i * 7 + 1
+      s"""CAST(CASE WHEN length(text) > ${i * 7}
+         | THEN ascii(substr(text, $pos, 1)) ELSE 0 END AS INTEGER)
+         | AS f${i + 1}""".stripMargin
+    }
+    s"""SELECT doc_id AS media_id, ${f(0)}, ${f(1)}, ${f(2)}, ${f(3)}
+       |FROM documents ORDER BY media_id""".stripMargin
+  }
+
+  // --------------------------------------------------------------------
+  // q65 — salted join (graft.functions.Skew.saltedJoin): the hot-key
+  // spread for joins AQE can't re-plan, proven result-identical to the
+  // plain join by the oracle. The dim side is replicated saltFactor×
+  // (keep it broadcast-sized); the skewed key spreads over saltFactor
+  // reducers.
+  def q65(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dim = Seq(
+      ("click", "engage"), ("view", "engage"),
+      ("purchase", "convert"), ("signup", "convert"), ("error", "ops")
+    ).toDF("event_type", "category")
+    graft.functions.Skew
+      .saltedJoin(t(s, dir, "events"), dim, "event_type", n = 8)
+      .groupBy($"category")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct($"user_id").as("n_users"))
+      .orderBy($"category")
+  }
+
+  val q65Sql: String =
+    """WITH dim(event_type, category) AS (VALUES
+      |  ('click', 'engage'), ('view', 'engage'),
+      |  ('purchase', 'convert'), ('signup', 'convert'), ('error', 'ops'))
+      |SELECT category, count(*) AS n_events,
+      |       count(DISTINCT user_id) AS n_users
+      |FROM events JOIN dim USING (event_type)
+      |GROUP BY category ORDER BY category""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q66 — salted holistic aggregation (Skew.saltedCollectList): two-stage
+  // collect for aggregates whose partial state doesn't shrink; the
+  // oracle checks the per-key MULTISET via an order-insensitive digest
+  // (md5 of the sorted list), proving the salt+merge loses nothing.
+  def q66(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.Skew
+      .saltedCollectList(
+        t(s, dir, "events").filter($"user_id" < 10)
+          .select($"user_id", $"event_id"),
+        "user_id", "event_id", n = 8)
+      .select($"user_id",
+        size($"event_id_list").as("n"),
+        md5(concat_ws(",",
+          sort_array($"event_id_list").cast("array<string>"))).as("digest"))
+      .orderBy($"user_id")
+  }
+
+  val q66Sql: String =
+    """SELECT user_id, CAST(len(list(event_id)) AS INTEGER) AS n,
+      | md5(array_to_string(list_sort(list(event_id)), ',')) AS digest
+      |FROM events WHERE user_id < 10
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** Name → query function, for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_sessionize" -> (q38 _),
@@ -743,7 +827,10 @@ object Extended {
     "q59_interval_join" -> (q59 _),
     "q60_asof_native" -> (q60 _),
     "q62_profile" -> (q62 _),
-    "q63_session_window" -> (q63 _)
+    "q63_session_window" -> (q63 _),
+    "q64_media_features" -> (q64 _),
+    "q65_salted_join" -> (q65 _),
+    "q66_salted_holistic" -> (q66 _)
   )
 
   /** Name → DuckDB oracle SQL (q49 intentionally absent: iterative
@@ -771,6 +858,9 @@ object Extended {
     "q59_interval_join" -> q59Sql,
     "q60_asof_native" -> q60Sql,
     "q62_profile" -> q62Sql,
-    "q63_session_window" -> q63Sql
+    "q63_session_window" -> q63Sql,
+    "q64_media_features" -> q64Sql,
+    "q65_salted_join" -> q65Sql,
+    "q66_salted_holistic" -> q66Sql
   )
 }
