@@ -3,9 +3,10 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
-import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.expressions.{And, Ascending, Attribute, GenericInternalRow, JoinedRow, PredicateHelper, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.graft.Bridge
@@ -53,6 +54,31 @@ object AsOfJoinStrategy extends SparkStrategy {
     case AsOfJoinNode(l, r, lk, rk, lt, rt, tol) =>
       AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tol) :: Nil
     case _ => Nil
+  }
+}
+
+/** Optimizer rule: push left-side filters below [[AsOfJoinNode]].
+  *
+  * Catalyst's own PushPredicateThroughJoin only knows Join nodes, so a
+  * filter above a custom operator would otherwise run AFTER the join —
+  * scanning and sweeping rows the query immediately discards. Pushing a
+  * LEFT-side predicate is semantics-preserving for an as-of join:
+  * dropping a left row never changes any other row's match, and the
+  * right side is untouched. RIGHT-side predicates must NOT push (a
+  * filter on the matched payload selects a different "latest" row than
+  * filtering the join's output — the classic as-of pushdown trap).
+  */
+object AsOfJoinPushdown extends Rule[LogicalPlan] with PredicateHelper {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, aj: AsOfJoinNode) =>
+      val (leftOnly, rest) = splitConjunctivePredicates(cond)
+        .partition(p => p.deterministic &&
+          p.references.subsetOf(aj.left.outputSet))
+      if (leftOnly.isEmpty) f
+      else {
+        val pushed = aj.copy(left = Filter(leftOnly.reduce(And), aj.left))
+        rest.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+      }
   }
 }
 
@@ -160,6 +186,7 @@ object AsOfJoinNative {
       prefix: String = "asof_", toleranceSec: Option[Long] = None): DataFrame = {
     val spark = leftDf.sparkSession
     Bridge.addStrategy(spark, AsOfJoinStrategy)
+    Bridge.addOptimization(spark, AsOfJoinPushdown)
     // normalize TIMESTAMP_NTZ time columns (the exec compares raw micros,
     // so a consistent cast on both sides preserves order and diffs)
     def normTs(df: DataFrame, c: String): DataFrame =

@@ -39,4 +39,14 @@ object Bridge {
     if (!exp.extraStrategies.contains(strategy))
       exp.extraStrategies = exp.extraStrategies :+ strategy
   }
+
+  /** Register an extra optimizer rule on a live session. */
+  def addOptimization(spark: org.apache.spark.sql.SparkSession,
+      rule: org.apache.spark.sql.catalyst.rules.Rule[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]): Unit = {
+    val exp = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .experimental
+    if (!exp.extraOptimizations.contains(rule))
+      exp.extraOptimizations = exp.extraOptimizations :+ rule
+  }
 }

@@ -85,6 +85,35 @@ class AsOfJoinNativeSpec extends SparkSpec {
     assert(window.except(native).count() === 0)
   }
 
+  test("optimizer rule pushes LEFT filters below the as-of node, not right ones") {
+    import graft.plans.AsOfJoinNode
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+    val joined = AsOfJoinNative.backward(trades, quotes, Seq("sym"), "tts", "qts")
+
+    // left-side predicate: must land below the node
+    val leftFiltered = joined.filter($"tid" > 12L)
+    val planL = leftFiltered.queryExecution.optimizedPlan
+    val nodeL = planL.collectFirst { case n: AsOfJoinNode => n }.get
+    assert(nodeL.left.collectFirst { case f: LFilter => f }.nonEmpty,
+      s"left filter not pushed:\n$planL")
+    assert(planL.collectFirst { case f: LFilter
+      if f.child.isInstanceOf[AsOfJoinNode] => f }.isEmpty,
+      s"left filter still above the node:\n$planL")
+    // and results are identical to filtering the unpushed output
+    assert(leftFiltered.count() === 3)
+
+    // right-side predicate: must STAY above (pushing would change which
+    // quote is "latest")
+    val rightFiltered = joined.filter($"asof_price" > 100.5)
+    val planR = rightFiltered.queryExecution.optimizedPlan
+    val nodeR = planR.collectFirst { case n: AsOfJoinNode => n }.get
+    assert(nodeR.right.collectFirst { case f: LFilter => f }.isEmpty,
+      s"right filter wrongly pushed:\n$planR")
+    // trades 12, 13 match quotes 2 (101.0), 3 (102.0)
+    assert(rightFiltered.select($"tid").collect().map(_.getLong(0)).sorted
+      === Array(12L, 13L))
+  }
+
   test("multi-column keys and empty right side") {
     val l = Seq(("a", 1, ts("2024-01-01 10:00:00"), 1L))
       .toDF("k1", "k2", "t", "id")
