@@ -802,6 +802,128 @@ object Extended {
       |FROM events WHERE user_id < 10
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q67 — the remaining window-function family in one pass: lead,
+  // first_value (explicit ROWS frame), ntile. Same single key shuffle
+  // as q16/q51.
+  def q67(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"event_id")
+    t(s, dir, "events")
+      .select($"user_id", $"event_id", $"event_type")
+      .withColumn("next_type", lead($"event_type", 1).over(w))
+      .withColumn("first_type", first($"event_type")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("quartile", ntile(4).over(w))
+      .orderBy($"user_id", $"event_id")
+  }
+
+  val q67Sql: String =
+    """SELECT user_id, event_id, event_type,
+      | lead(event_type) OVER w AS next_type,
+      | first_value(event_type) OVER (PARTITION BY user_id ORDER BY event_id
+      |   ROWS UNBOUNDED PRECEDING) AS first_type,
+      | ntile(4) OVER w AS quartile
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+      |ORDER BY user_id, event_id""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q68 — INTERSECT / EXCEPT set semantics (the reference only has
+  // UNION, U1): converting users vs click-only users, tagged in one
+  // result. Both compile to aggregated semi/anti joins.
+  def q68(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = t(s, dir, "events")
+    val clickers = ev.filter($"event_type" === "click").select($"user_id")
+    val buyers = ev.filter($"event_type" === "purchase").select($"user_id")
+    clickers.intersect(buyers).withColumn("grp", lit("click_and_buy"))
+      .union(clickers.except(buyers).withColumn("grp", lit("click_only")))
+      .select($"grp", $"user_id")
+      .orderBy($"grp", $"user_id")
+  }
+
+  val q68Sql: String =
+    """SELECT 'click_and_buy' AS grp, user_id FROM (
+      |  SELECT user_id FROM events WHERE event_type = 'click'
+      |  INTERSECT
+      |  SELECT user_id FROM events WHERE event_type = 'purchase')
+      |UNION ALL
+      |SELECT 'click_only', user_id FROM (
+      |  SELECT user_id FROM events WHERE event_type = 'click'
+      |  EXCEPT
+      |  SELECT user_id FROM events WHERE event_type = 'purchase')
+      |ORDER BY grp, user_id""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q69 — correlated subquery through the SQL surface (spark.sql over a
+  // registered view): events whose value beats the same user's best
+  // click (max — exact in both engines; an avg here would be a
+  // float-summation knife edge). Catalyst decorrelates this into a
+  // join + aggregate automatically.
+  def q69(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "events").createOrReplaceTempView("ev_q69")
+    s.sql(
+      """SELECT event_id, user_id, event_type,
+        |       CAST(floor(value) AS INT) AS v
+        |FROM ev_q69 e
+        |WHERE value > (SELECT max(value) FROM ev_q69
+        |               WHERE user_id = e.user_id AND event_type = 'click')
+        |ORDER BY event_id""".stripMargin)
+  }
+
+  val q69Sql: String =
+    """SELECT event_id, user_id, event_type,
+      | CAST(floor(value) AS INTEGER) AS v
+      |FROM events e
+      |WHERE value > (SELECT max(value) FROM events
+      |               WHERE user_id = e.user_id AND event_type = 'click')
+      |ORDER BY event_id""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q70 — posexplode (generator with ordinality) over embeddings: the
+  // row-to-component layout used for columnar vector analytics.
+  // float→double casts are bit-exact.
+  def q70(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "embeddings")
+      .filter($"vec_id" < 10)
+      .select($"vec_id", posexplode($"embedding"))
+      .select($"vec_id", $"pos", $"col".cast("double").as("component"))
+      .orderBy($"vec_id", $"pos")
+  }
+
+  val q70Sql: String =
+    """SELECT vec_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS component
+      |FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+      |WHERE vec_id < 10
+      |ORDER BY vec_id, pos""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q71 — fuzzy string matching via edit distance (levenshtein): the
+  // canonical-entity pass (near-identical source/station names). Pairs
+  // over the DISTINCT values only — the dimension is small after
+  // dedup, so the quadratic stays tiny even at corpus scale.
+  def q71(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val src = t(s, dir, "documents").select($"source").distinct()
+    val a = src.select($"source".as("src_a"))
+    val b = src.select($"source".as("src_b"))
+    a.crossJoin(b)
+      .filter($"src_a" < $"src_b")
+      .withColumn("dist", levenshtein($"src_a", $"src_b"))
+      .filter($"dist" <= 1)
+      .orderBy($"src_a", $"src_b")
+  }
+
+  val q71Sql: String =
+    """WITH s AS (SELECT DISTINCT source FROM documents)
+      |SELECT a.source AS src_a, b.source AS src_b,
+      |       CAST(levenshtein(a.source, b.source) AS INTEGER) AS dist
+      |FROM s a JOIN s b ON a.source < b.source
+      |WHERE levenshtein(a.source, b.source) <= 1
+      |ORDER BY src_a, src_b""".stripMargin
+
   /** Name → query function, for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_sessionize" -> (q38 _),
@@ -830,7 +952,12 @@ object Extended {
     "q63_session_window" -> (q63 _),
     "q64_media_features" -> (q64 _),
     "q65_salted_join" -> (q65 _),
-    "q66_salted_holistic" -> (q66 _)
+    "q66_salted_holistic" -> (q66 _),
+    "q67_window_functions" -> (q67 _),
+    "q68_intersect_except" -> (q68 _),
+    "q69_correlated_subquery" -> (q69 _),
+    "q70_posexplode" -> (q70 _),
+    "q71_fuzzy_match" -> (q71 _)
   )
 
   /** Name → DuckDB oracle SQL (q49 intentionally absent: iterative
@@ -861,6 +988,11 @@ object Extended {
     "q63_session_window" -> q63Sql,
     "q64_media_features" -> q64Sql,
     "q65_salted_join" -> q65Sql,
-    "q66_salted_holistic" -> q66Sql
+    "q66_salted_holistic" -> q66Sql,
+    "q67_window_functions" -> q67Sql,
+    "q68_intersect_except" -> q68Sql,
+    "q69_correlated_subquery" -> q69Sql,
+    "q70_posexplode" -> q70Sql,
+    "q71_fuzzy_match" -> q71Sql
   )
 }
