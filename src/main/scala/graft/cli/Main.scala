@@ -25,6 +25,9 @@ import graft.transform.RideTransform
   *   status-once <snapshotDir> <eventsPath>
   *   stream <landingDir> <eventsPath> <statePath> <checkpointDir>
   *   backfill <storePath>
+  *   dedup <docsParquet> <idCol> <textCol> <outParquet>
+  *   profile <parquet> <col1,col2,...>
+  *   sessionize <eventsParquet> <keyCol> <tsCol> <gapSec> <outParquet>
   */
 object Main {
 
@@ -115,6 +118,34 @@ object Main {
       fs.delete(new org.apache.hadoop.fs.Path(store), true)
       fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(store))
       println(s"backfilled $n distances in $store")
+
+    // ---- extension-surface subcommands (SURVEY §7.5 operators) ----
+
+    // dedup <docsParquet> <idCol> <textCol> <outParquet>: exact + fuzzy
+    // (LSH candidates → connected components → keep min id per cluster).
+    case "dedup" :: in :: idCol :: textCol :: out :: Nil =>
+      val docs = spark.read.parquet(in)
+      val pairs = graft.ext.TextDedup
+        .lshCandidates(docs, textCol, idCol)
+      val keep = graft.ext.TextDedup
+        .dedupFuzzyKeepIds(pairs, docs.select(idCol), nodeCol = idCol)
+      val kept = docs.join(keep, Seq(idCol), "left_semi")
+      kept.write.mode("overwrite").parquet(out)
+      println(s"kept ${kept.count()} of ${docs.count()} docs into $out")
+
+    // profile <parquet> <col1,col2,...>: per-column quality stats.
+    case "profile" :: in :: cols :: Nil =>
+      graft.ext.Profile.profile(spark.read.parquet(in),
+          cols.split(",").toIndexedSeq)
+        .orderBy("col_name")
+        .show(truncate = false)
+
+    // sessionize <eventsParquet> <keyCol> <tsCol> <gapSec> <outParquet>
+    case "sessionize" :: in :: key :: ts :: gap :: out :: Nil =>
+      val stats = graft.operators.Sessionize
+        .sessionStats(spark.read.parquet(in), Seq(key), ts, gap.toLong)
+      stats.write.mode("overwrite").parquet(out)
+      println(s"wrote per-key session stats to $out")
 
     case other =>
       sys.error(s"unknown command: ${other.mkString(" ")} — see Scaladoc for usage")

@@ -179,14 +179,15 @@ object TextDedup {
     while (!converged && round < maxRounds) {
       val nbMin = sym.join(labels, sym("b") === labels("node"))
         .groupBy(col("a")).agg(min(col("component")).as("nb"))
-      val updated = labels.join(nbMin, labels("node") === nbMin("a"), "left")
-        .select(col("node"),
+      // carry the previous label through the checkpoint so convergence is
+      // a filter on materialized data, not another join per round
+      val merged = labels.join(nbMin, labels("node") === nbMin("a"), "left")
+        .select(col("node"), col("component").as("old"),
           least(col("component"), coalesce(col("nb"), col("component")))
             .as("component"))
         .localCheckpoint()
-      converged = updated.join(labels.withColumnRenamed("component", "old"),
-        "node").filter(col("component") =!= col("old")).isEmpty
-      labels = updated
+      converged = merged.filter(col("component") =!= col("old")).isEmpty
+      labels = merged.select(col("node"), col("component"))
       round += 1
     }
     labels

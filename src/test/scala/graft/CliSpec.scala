@@ -51,4 +51,33 @@ class CliSpec extends SparkSpec {
       Main.run(spark, List("bogus"))
     }
   }
+
+  test("dedup / profile / sessionize subcommands") {
+    import spark.implicits._
+    val base = tmpDir("cliext")
+
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"), // dup of 1
+      (3L, "totally different content here indeed")
+    ).toDF("doc_id", "text")
+    docs.write.parquet(s"$base/docs")
+    Main.run(spark, List("dedup", s"$base/docs", "doc_id", "text",
+      s"$base/deduped"))
+    val kept = spark.read.parquet(s"$base/deduped")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept === Array(1L, 3L), "dup cluster keeps min id")
+
+    Main.run(spark, List("profile", s"$base/docs", "doc_id,text"))
+
+    val ev = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00")),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 13:00:00"))
+    ).toDF("uid", "ts")
+    ev.write.parquet(s"$base/ev")
+    Main.run(spark, List("sessionize", s"$base/ev", "uid", "ts", "1800",
+      s"$base/sessions"))
+    val sess = spark.read.parquet(s"$base/sessions").collect()
+    assert(sess.length === 1 && sess.head.getAs[Long]("n_sessions") === 2L)
+  }
 }
