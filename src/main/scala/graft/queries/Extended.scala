@@ -924,6 +924,51 @@ object Extended {
       |WHERE levenshtein(a.source, b.source) <= 1
       |ORDER BY src_a, src_b""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q72 — regex extraction + occurrence counting (the C7 filename-regex
+  // family generalized): first numeric token and digit-run count per
+  // props payload. Spark's Java regex and DuckDB's RE2 agree on this
+  // dialect-neutral pattern; no-match extract is '' in both.
+  def q72(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .select($"event_id",
+        regexp_extract($"props", "([0-9]+)", 1).as("first_num"),
+        expr("regexp_count(props, '[0-9]+')").cast("int").as("n_nums"))
+      .orderBy($"event_id")
+  }
+
+  val q72Sql: String =
+    """SELECT event_id,
+      | regexp_extract(props, '([0-9]+)', 1) AS first_num,
+      | CAST(len(regexp_extract_all(props, '[0-9]+')) AS INTEGER) AS n_nums
+      |FROM events ORDER BY event_id""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q73 — date arithmetic family (C2–C4 generalized): week truncation
+  // (Monday start in both engines), month end, day-offset-in-month,
+  // date addition. All scalar, codegen'd, scan-side.
+  def q73(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .select($"event_id",
+        to_date(date_trunc("week", $"ts")).as("week_start"),
+        last_day($"ts").as("month_end"),
+        datediff(to_date($"ts"), to_date(date_trunc("month", $"ts")))
+          .as("day_of_month0"),
+        date_add(to_date($"ts"), 7).as("plus7"))
+      .orderBy($"event_id")
+  }
+
+  val q73Sql: String =
+    """SELECT event_id,
+      | CAST(date_trunc('week', ts) AS DATE) AS week_start,
+      | last_day(ts) AS month_end,
+      | CAST(date_diff('day', date_trunc('month', ts), CAST(ts AS DATE))
+      |   AS INTEGER) AS day_of_month0,
+      | CAST(ts AS DATE) + 7 AS plus7
+      |FROM events ORDER BY event_id""".stripMargin
+
   /** Name → query function, for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_sessionize" -> (q38 _),
@@ -957,7 +1002,9 @@ object Extended {
     "q68_intersect_except" -> (q68 _),
     "q69_correlated_subquery" -> (q69 _),
     "q70_posexplode" -> (q70 _),
-    "q71_fuzzy_match" -> (q71 _)
+    "q71_fuzzy_match" -> (q71 _),
+    "q72_regexp_extract" -> (q72 _),
+    "q73_date_math" -> (q73 _)
   )
 
   /** Name → DuckDB oracle SQL (q49 intentionally absent: iterative
@@ -993,6 +1040,8 @@ object Extended {
     "q68_intersect_except" -> q68Sql,
     "q69_correlated_subquery" -> q69Sql,
     "q70_posexplode" -> q70Sql,
-    "q71_fuzzy_match" -> q71Sql
+    "q71_fuzzy_match" -> q71Sql,
+    "q72_regexp_extract" -> q72Sql,
+    "q73_date_math" -> q73Sql
   )
 }
