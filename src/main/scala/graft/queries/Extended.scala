@@ -969,6 +969,30 @@ object Extended {
       | CAST(ts AS DATE) + 7 AS plus7
       |FROM events ORDER BY event_id""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q74 — RANGE window frame over event time (trailing 1-hour velocity
+  // per user): the rate/feature-engineering window that ROWS frames
+  // can't express (the frame is a TIME span, not a row count). Spark
+  // range frames need a numeric order key — epoch seconds — which is
+  // exactly DuckDB's RANGE INTERVAL semantics on the raw timestamp.
+  def q74(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy(unix_timestamp($"ts"))
+      .rangeBetween(-3600, 0)
+    t(s, dir, "events")
+      .select($"user_id", $"event_id", $"ts")
+      .withColumn("events_last_hour", count(lit(1)).over(w))
+      .orderBy($"user_id", $"event_id")
+  }
+
+  val q74Sql: String =
+    """SELECT user_id, event_id, ts,
+      | count(*) OVER (PARTITION BY user_id
+      |   ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+      |   RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+      |   AS events_last_hour
+      |FROM events ORDER BY user_id, event_id""".stripMargin
+
   /** Name → query function, for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_sessionize" -> (q38 _),
@@ -1004,7 +1028,8 @@ object Extended {
     "q70_posexplode" -> (q70 _),
     "q71_fuzzy_match" -> (q71 _),
     "q72_regexp_extract" -> (q72 _),
-    "q73_date_math" -> (q73 _)
+    "q73_date_math" -> (q73 _),
+    "q74_range_frame" -> (q74 _)
   )
 
   /** Name → DuckDB oracle SQL (q49 intentionally absent: iterative
@@ -1042,6 +1067,7 @@ object Extended {
     "q70_posexplode" -> q70Sql,
     "q71_fuzzy_match" -> q71Sql,
     "q72_regexp_extract" -> q72Sql,
-    "q73_date_math" -> q73Sql
+    "q73_date_math" -> q73Sql,
+    "q74_range_frame" -> q74Sql
   )
 }
