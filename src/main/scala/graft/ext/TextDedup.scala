@@ -212,11 +212,12 @@ object TextDedup {
         array_distinct(TextFns.ngramsFromTokens(col("_toks"), ngram)).as("sh"))
     val a = sh.select(col(idCol).as("id_a"), col("sh").as("sh_a"))
     val b = sh.select(col(idCol).as("id_b"), col("sh").as("sh_b"))
-    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
-    val uni = (size(col("sh_a")) + size(col("sh_b"))).cast("double") -
-      size(array_intersect(col("sh_a"), col("sh_b")))
     candidates.join(a, "id_a").join(b, "id_b")
-      .select(col("id_a"), col("id_b"), (inter / uni).as("jaccard"))
+      .select(col("id_a"), col("id_b"),
+        // native one-pass distinct-set jaccard — the verification stage
+        // runs once per candidate pair, the hot loop of fuzzy dedup
+        graft.plans.TextExpressions.jaccard(col("sh_a"), col("sh_b"))
+          .as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 }

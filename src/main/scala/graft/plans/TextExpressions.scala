@@ -202,11 +202,79 @@ case class MinHashSig(child: Expression, ngram: Int, numHashes: Int)
     copy(child = newChild)
 }
 
+/** Distinct-set Jaccard similarity of two `array<string>` columns —
+  * |A∩B| / |A∪B| over the DISTINCT elements, null elements skipped,
+  * NULL when the union is empty (divide-by-zero parity with the
+  * size(array_intersect)/size-arithmetic formulation).
+  *
+  * The verification stage of fuzzy dedup runs this once per candidate
+  * pair; `array_intersect` evaluates interpreted per element with a
+  * full intermediate array allocation, this is one hash-set pass. */
+case class StringArrayJaccard(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<string> arguments")
+    }
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "string_array_jaccard"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    JaccardUtil.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val v = ctx.freshName("jac")
+      s"""
+         |Object $v = graft.plans.JaccardUtil.compute($a, $b);
+         |if ($v == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ((Double) $v).doubleValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): StringArrayJaccard =
+    copy(left = newLeft, right = newRight)
+}
+
+object JaccardUtil {
+  /** Boxed Double (null when the union is empty). */
+  def compute(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val sa = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]()
+    var i = 0
+    while (i < a.numElements()) {
+      if (!a.isNullAt(i)) sa.add(a.getUTF8String(i))
+      i += 1
+    }
+    val seenB = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]()
+    var inter = 0
+    i = 0
+    while (i < b.numElements()) {
+      if (!b.isNullAt(i)) {
+        val e = b.getUTF8String(i)
+        if (seenB.add(e) && sa.contains(e)) inter += 1
+      }
+      i += 1
+    }
+    val union = sa.size + seenB.size - inter
+    if (union == 0) null else java.lang.Double.valueOf(inter.toDouble / union)
+  }
+}
+
 object TextExpressions {
 
   /** Codegen'd SimHash of an `array<string>` token column. */
   def simhash(tokens: Column, bits: Int): Column =
     Bridge.column(TokenSimHash(Bridge.expression(tokens), bits))
+
+  /** Codegen'd distinct-set Jaccard of two `array<string>` columns. */
+  def jaccard(a: Column, b: Column): Column =
+    Bridge.column(StringArrayJaccard(Bridge.expression(a), Bridge.expression(b)))
 
   /** Codegen'd MinHash signature (array of `numHashes` hex chunks) of an
     * `array<string>` token column over word `ngram`-shingles. */

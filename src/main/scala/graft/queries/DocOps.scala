@@ -117,15 +117,12 @@ object DocOps {
         array_distinct(TextFns.ngramsFromTokens($"toks", 3)).as("sh"))
     d.as("a")
       .join(d.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
-      // materialize |A∩B| as an attribute used twice below — CollapseProject
-      // keeps non-cheap multi-use aliases, so the intersection runs ONCE
-      // per pair (inlining it verbatim would evaluate it twice)
-      .withColumn("isz",
-        size(array_intersect(col("a.sh"), col("b.sh"))).cast("double"))
       .select(
         col("a.doc_id").as("doc_a"),
         col("b.doc_id").as("doc_b"),
-        round($"isz" / (size(col("a.sh")) + size(col("b.sh")) - $"isz"), 4)
+        // native one-pass distinct-set jaccard (array_intersect evaluates
+        // interpreted with a full intermediate array per pair)
+        round(graft.plans.TextExpressions.jaccard(col("a.sh"), col("b.sh")), 4)
           .as("jaccard")
       )
       .orderBy($"doc_a")

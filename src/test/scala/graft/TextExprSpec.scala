@@ -58,6 +58,31 @@ class TextExprSpec extends SparkSpec {
     assert(native.except(hof).count() === 0)
   }
 
+  test("StringArrayJaccard == HOF array_intersect formulation") {
+    val pairs = docs
+      .withColumn("sh", array_distinct(TextFns.ngramsFromTokens($"toks", 3)))
+      .select($"doc_id", $"sh")
+    val a = pairs.as("a")
+    val b = pairs.as("b")
+    val joined = a.join(b, col("b.doc_id") === col("a.doc_id") + 1)
+    val isz = size(array_intersect(col("a.sh"), col("b.sh"))).cast("double")
+    val diff = joined.select(
+        TextExpressions.jaccard(col("a.sh"), col("b.sh")).as("native"),
+        (isz / (size(col("a.sh")) + size(col("b.sh")) - isz)).as("hof"))
+      .filter($"native" =!= $"hof")
+      .count()
+    assert(diff === 0)
+    // edge semantics: empty union -> NULL, disjoint -> 0.0, equal -> 1.0
+    val edges = Seq(
+      (Seq.empty[String], Seq.empty[String]),
+      (Seq("a"), Seq("b")),
+      (Seq("a", "b"), Seq("b", "a"))
+    ).toDF("x", "y")
+      .select(TextExpressions.jaccard($"x", $"y").as("j"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(edges.toSeq === Seq(None, Some(0.0), Some(1.0)))
+  }
+
   test("simhash_tokens SQL function is registered") {
     val s2 = GraftSession.build(master = "local[4]", shufflePartitions = 4)
     val r = s2.sql(
