@@ -993,6 +993,31 @@ object Extended {
       |   AS events_last_hour
       |FROM events ORDER BY user_id, event_id""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q75 — unpivot (wide → long, the inverse of q43's pivot): melts the
+  // daily matrix back to (day, event_type, n), keeping explicit zeros —
+  // the normalization step before joins/aggs over pivoted exports.
+  // Compiles to Expand (one pass, no shuffle beyond q43's agg).
+  def q75(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    q43(s, dir) // reuses the pivot query (already day-sorted)
+      .unpivot(Array($"day"), types.map(col).toArray, "event_type", "n")
+      .orderBy($"day", $"event_type")
+  }
+
+  val q75Sql: String =
+    """WITH w AS (SELECT CAST(ts AS DATE) AS day,
+      |   count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+      |   count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+      |   count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+      |   count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+      |   count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+      | FROM events GROUP BY 1)
+      |UNPIVOT w ON click, error, purchase, signup, view
+      |INTO NAME event_type VALUE n
+      |ORDER BY day, event_type""".stripMargin
+
   /** Name → query function, for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_sessionize" -> (q38 _),
@@ -1029,7 +1054,8 @@ object Extended {
     "q71_fuzzy_match" -> (q71 _),
     "q72_regexp_extract" -> (q72 _),
     "q73_date_math" -> (q73 _),
-    "q74_range_frame" -> (q74 _)
+    "q74_range_frame" -> (q74 _),
+    "q75_unpivot" -> (q75 _)
   )
 
   /** Name → DuckDB oracle SQL (q49 intentionally absent: iterative
@@ -1068,6 +1094,7 @@ object Extended {
     "q71_fuzzy_match" -> q71Sql,
     "q72_regexp_extract" -> q72Sql,
     "q73_date_math" -> q73Sql,
-    "q74_range_frame" -> q74Sql
+    "q74_range_frame" -> q74Sql,
+    "q75_unpivot" -> q75Sql
   )
 }
