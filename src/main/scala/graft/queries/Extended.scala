@@ -1018,6 +1018,78 @@ object Extended {
       |INTO NAME event_type VALUE n
       |ORDER BY day, event_type""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q76 — percent-of-total via an EMPTY window frame (sum over the whole
+  // result): the share-of-traffic analytics shape. The global window
+  // runs over the already-aggregated group rows (|types| rows), so the
+  // single-partition window is trivially cheap at any scale.
+  def q76(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val byType = t(s, dir, "events")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"))
+    byType
+      .withColumn("total", sum($"n").over(Window.partitionBy()))
+      .select($"event_type", $"n",
+        (floor($"n" * 10000.0 / $"total" + 0.5) / 100).as("pct"))
+      .orderBy($"event_type")
+  }
+
+  val q76Sql: String =
+    """SELECT event_type, n,
+      | floor(n * 10000.0 / sum(n) OVER () + 0.5) / 100 AS pct
+      |FROM (SELECT event_type, count(*) AS n FROM events GROUP BY 1) x
+      |ORDER BY event_type""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q77 — median absolute deviation per group (robust outlier stats):
+  // exact median, broadcast it back, exact median of absolute
+  // deviations. Integer inputs keep both interpolations IEEE-exact
+  // (half- and quarter-integers). The two-pass + broadcast layout is
+  // the scalable exact formulation; sketches replace both passes at
+  // the 100 TB tier.
+  def q77(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val iv = t(s, dir, "events")
+      .select($"event_type", floor($"value").cast("int").as("iv"))
+    val med = iv.groupBy($"event_type")
+      .agg(expr("percentile(iv, 0.5)").as("median"))
+    iv.join(broadcast(med), Seq("event_type"))
+      .select($"event_type", $"median", abs($"iv" - $"median").as("ad"))
+      .groupBy($"event_type")
+      .agg(first($"median").as("median"),
+        expr("percentile(ad, 0.5)").as("mad"))
+      .orderBy($"event_type")
+  }
+
+  val q77Sql: String =
+    """WITH iv AS (SELECT event_type, CAST(floor(value) AS INTEGER) AS iv
+      |            FROM events),
+      | med AS (SELECT event_type, quantile_cont(iv, 0.5) AS median
+      |         FROM iv GROUP BY 1)
+      |SELECT iv.event_type, any_value(median) AS median,
+      |       quantile_cont(abs(iv - median), 0.5) AS mad
+      |FROM iv JOIN med USING (event_type)
+      |GROUP BY iv.event_type ORDER BY event_type""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q78 — LIMIT/OFFSET pagination over a deterministic global sort: the
+  // API-serving shape. Spark plans limit+offset as a single
+  // CollectLimit with skip — no full materialization of earlier pages.
+  def q78(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .select($"event_id", $"user_id", floor($"value").cast("long").as("v"))
+      .orderBy($"v".desc, $"event_id".asc)
+      .offset(40)
+      .limit(20)
+  }
+
+  val q78Sql: String =
+    """SELECT event_id, user_id, CAST(floor(value) AS BIGINT) AS v
+      |FROM events ORDER BY v DESC, event_id ASC
+      |LIMIT 20 OFFSET 40""".stripMargin
+
   /** Name → query function, for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_sessionize" -> (q38 _),
@@ -1055,7 +1127,10 @@ object Extended {
     "q72_regexp_extract" -> (q72 _),
     "q73_date_math" -> (q73 _),
     "q74_range_frame" -> (q74 _),
-    "q75_unpivot" -> (q75 _)
+    "q75_unpivot" -> (q75 _),
+    "q76_pct_of_total" -> (q76 _),
+    "q77_mad_outliers" -> (q77 _),
+    "q78_pagination" -> (q78 _)
   )
 
   /** Name → DuckDB oracle SQL (q49 intentionally absent: iterative
@@ -1095,6 +1170,9 @@ object Extended {
     "q72_regexp_extract" -> q72Sql,
     "q73_date_math" -> q73Sql,
     "q74_range_frame" -> q74Sql,
-    "q75_unpivot" -> q75Sql
+    "q75_unpivot" -> q75Sql,
+    "q76_pct_of_total" -> q76Sql,
+    "q77_mad_outliers" -> q77Sql,
+    "q78_pagination" -> q78Sql
   )
 }

@@ -18,7 +18,7 @@ class VerifySpec extends SparkSpec {
     val rowsOnly = Set("q49_ivf_ann")
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
     assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet === rowsOnly)
-    assert(SparkEntry.queries.size >= 74)
+    assert(SparkEntry.queries.size >= 77)
   }
 
   test("Verify.run dumps parquet per query and valid oracle_sql.json") {
