@@ -190,7 +190,87 @@ object TextDedup {
       labels = merged.select(col("node"), col("component"))
       round += 1
     }
+    // Partially-propagated labels would silently keep extra "unique" docs
+    // downstream — refuse to return them. Diameter > maxRounds means the
+    // pair graph is a long chain, not the near-clique dup clusters this
+    // propagation is sized for; raise maxRounds or use
+    // [[connectedComponentsStar]] (O(log n) rounds on any topology).
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxRounds rounds " +
+        "(graph diameter exceeds maxRounds); raise maxRounds or use " +
+        "connectedComponentsStar")
     labels
+  }
+
+  /** Connected components via alternating large-star / small-star
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — converges in O(log n) rounds on ANY topology, vs
+    * min-label propagation's O(diameter). Same contract as
+    * [[connectedComponents]]: labels every node (singletons included)
+    * with the minimum id of its component.
+    *
+    * Each round is two passes over the edge set:
+    *  - large-star: every neighbor u of v with u > v re-attaches to
+    *    v's current minimum neighbor (strictly decreasing attachments);
+    *  - small-star: v itself re-attaches to its minimum neighbor.
+    * State is the parent-pointer edge list; a round is 2 shuffles
+    * (groupBy node), lineage truncated per round like the propagation
+    * variant. Converged when the edge set is a star forest (every
+    * parent is a root).
+    */
+  def connectedComponentsStar(pairs: DataFrame, nodes: DataFrame,
+      srcCol: String = "id_a", dstCol: String = "id_b",
+      nodeCol: String = "id", maxRounds: Int = 50): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    // canonical edges u > v (parent pointers point downward)
+    var edges = pairs
+      .select(greatest(col(srcCol), col(dstCol)).as("u"),
+        least(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint()
+    var round = 0
+    var converged = edges.isEmpty
+    while (!converged && round < maxRounds) {
+      // large-star: neighbors larger than the center link to the center's
+      // global min neighbor (including itself)
+      val large = edges
+        .union(edges.select(col("v").as("u"), col("u").as("v")))
+        .groupBy(col("u"))
+        .agg(min(col("v")).as("m"), collect_set(col("v")).as("nbrs"))
+        .select(col("u"), col("m"),
+          explode(filter(col("nbrs"), n => n > col("u"))).as("w"))
+        .select(col("w").as("u"), least(col("m"), col("u")).as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      // small-star: every center links all its ≤ neighbors to their min
+      val small = large
+        .groupBy(col("u"))
+        .agg(min(col("v")).as("m"), collect_set(col("v")).as("nbrs"))
+        .select(col("u"), col("m"), explode(col("nbrs")).as("w"))
+        .select(
+          explode(array(
+            struct(col("u").as("u"), col("m").as("v")),
+            struct(col("w").as("u"), col("m").as("v")))).as("e"))
+        .select(col("e.u"), col("e.v"))
+        .filter(col("u") =!= col("v")).distinct()
+        .localCheckpoint()
+      // star forest test: no parent is itself a child elsewhere, and
+      // every child has exactly one parent (its component's min id)
+      converged =
+        small.groupBy(col("u")).agg(count(lit(1)).as("n"))
+          .filter(col("n") > 1).isEmpty &&
+        small.alias("a")
+          .join(small.alias("b"), expr("a.v = b.u"), "left_semi").isEmpty
+      edges = small
+      round += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponentsStar did not converge in $maxRounds rounds")
+    val labeled = edges.select(col("u").as("node"), col("v").as("component"))
+    nodes.select(col(nodeCol).as("node"))
+      .join(labeled, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("component"), col("node")).as("component"))
   }
 
   /** Fuzzy dedup keep-set: one surviving id per near-dup cluster (the

@@ -16,10 +16,13 @@ import org.apache.spark.sql.functions._
   */
 object HashSplit {
 
-  /** Bucket in [0, modulus) from the first two hex chars of md5(id). */
+  /** Bucket in [0, modulus) from the first eight hex chars of md5(id) —
+    * 2^32 source values, so the residual pmod bias is at most
+    * modulus/2^32 (~2e-9 for a 10-way split; two hex chars = 256 values
+    * would skew an 8/1/1 split by ~0.4%). */
   def bucket(idCol: Column, modulus: Int): Column =
-    pmod(conv(substring(md5(idCol.cast("string")), 1, 2), 16, 10).cast("int"),
-      lit(modulus))
+    pmod(conv(substring(md5(idCol.cast("string")), 1, 8), 16, 10).cast("long"),
+      lit(modulus.toLong)).cast("int")
 
   /** Split assignment by integer weights, e.g.
     * `assign($"doc_id", Seq("train" -> 8, "val" -> 1, "test" -> 1))`:

@@ -121,6 +121,7 @@ case class AsOfJoinExec(
   override protected def doExecute(): RDD[InternalRow] = {
     val lOut = left.output
     val rOut = right.output
+    val allOut = output
     val lKeyExprs = leftKeys
     val rKeyExprs = rightKeys
     val lTimeExpr = leftTime
@@ -137,6 +138,10 @@ case class AsOfJoinExec(
         private val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
         private val nullRight = new GenericInternalRow(rOut.size)
         private val joined = new JoinedRow
+        // Parent operators (Sort, Exchange, …) require UnsafeRow input,
+        // so the JoinedRow is flattened through a result projection —
+        // the same contract SortMergeJoinExec honours.
+        private val resultProj = UnsafeProjection.create(allOut, allOut)
         private val rBuf = rIter.buffered
         // O(1) sweep state: the latest right row at-or-before the cursor
         private var heldKey: UnsafeRow = _
@@ -145,25 +150,37 @@ case class AsOfJoinExec(
 
         override def hasNext: Boolean = lIter.hasNext
 
+        /** SQL-equi-join null semantics: a NULL key or NULL time on
+          * either side never matches (left rows still emit, null-
+          * extended). Rows sort nulls-first, so null right rows are
+          * consumed before any non-null key can hold them. */
         override def next(): InternalRow = {
           val l = lIter.next()
           val lKey = lKeyProj(l)
-          val lTime = lTimeProj(l).getLong(0)
+          val lTimeRow = lTimeProj(l)
+          if (lKey.anyNull || lTimeRow.isNullAt(0)) {
+            return resultProj(joined(l, nullRight))
+          }
+          val lTime = lTimeRow.getLong(0)
           var advancing = true
           while (advancing && rBuf.hasNext) {
             val rKey = rKeyProj(rBuf.head)
-            val cmp = keyOrd.compare(rKey, lKey)
-            if (cmp < 0 ||
-                (cmp == 0 && rTimeProj(rBuf.head).getLong(0) <= lTime)) {
-              heldKey = rKey.copy()
-              heldTime = rTimeProj(rBuf.head).getLong(0)
-              heldRow = rBuf.next().copy()
-            } else advancing = false
+            val rTimeRow = rTimeProj(rBuf.head)
+            if (rKey.anyNull || rTimeRow.isNullAt(0)) {
+              rBuf.next() // never a valid match under SQL semantics
+            } else {
+              val cmp = keyOrd.compare(rKey, lKey)
+              if (cmp < 0 || (cmp == 0 && rTimeRow.getLong(0) <= lTime)) {
+                heldKey = rKey.copy()
+                heldTime = rTimeRow.getLong(0)
+                heldRow = rBuf.next().copy()
+              } else advancing = false
+            }
           }
           val matched = heldRow != null &&
             keyOrd.compare(heldKey, lKey) == 0 &&
             tol.forall(t => lTime - heldTime <= t)
-          if (matched) joined(l, heldRow) else joined(l, nullRight)
+          resultProj(if (matched) joined(l, heldRow) else joined(l, nullRight))
         }
       }
     }

@@ -76,7 +76,10 @@ object SimHashUtil {
 case class TokenSimHash(child: Expression, bits: Int)
     extends UnaryExpression {
 
-  require(bits >= 1 && bits <= 64, "bits must be in [1, 64]")
+  // An MD5 digest has exactly 32 hex nibbles, so bit b reads nibble b of
+  // the digest — bits > 32 would index past the 16-byte digest. Matches
+  // the TextFns.simhashFromDigests bound.
+  require(bits >= 1 && bits <= 32, "bits must be in [1, 32] (md5 has 32 hex nibbles)")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess

@@ -231,8 +231,11 @@ object Extended {
       s"""(CASE WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), $i, 1)) >= 97
          | THEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 87
          | ELSE ascii(substr(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 48 END)""".stripMargin
+    // first 8 hex chars as a BIGINT (Horner), matching HashSplit.bucket
+    val hex8 = (1 to 8).foldLeft("CAST(0 AS BIGINT)")(
+      (acc, i) => s"($acc * 16 + ${hexVal(i)})")
     s"""WITH b AS (SELECT doc_id,
-       |  (${hexVal(1)} * 16 + ${hexVal(2)}) % 10 AS bucket FROM documents)
+       |  $hex8 % 10 AS bucket FROM documents)
        |SELECT CASE WHEN bucket < 8 THEN 'train'
        |            WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split,
        |       count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id,
@@ -478,8 +481,11 @@ object Extended {
       s"""(CASE WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), $i, 1)) >= 97
          | THEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 87
          | ELSE ascii(substr(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 48 END)""".stripMargin
+    // first 8 hex chars as a BIGINT (Horner), matching HashSplit.bucket
+    val hex8 = (1 to 8).foldLeft("CAST(0 AS BIGINT)")(
+      (acc, i) => s"($acc * 16 + ${hexVal(i)})")
     s"""WITH b AS (SELECT doc_id, lang,
-       |  (${hexVal(1)} * 16 + ${hexVal(2)}) % 100 AS bucket,
+       |  $hex8 % 100 AS bucket,
        |  CASE WHEN lang = 'en' THEN 20 ELSE 50 END AS rate
        |  FROM documents)
        |SELECT lang, count(*) AS n_total,

@@ -114,6 +114,47 @@ class AsOfJoinNativeSpec extends SparkSpec {
       === Array(12L, 13L))
   }
 
+  test("null keys and null times never match (SQL equi-join semantics)") {
+    val l = Seq(
+      (Option("A"), Option(ts("2024-01-01 10:06:00")), 1L),
+      (Option.empty[String], Option(ts("2024-01-01 10:06:00")), 2L),
+      (Option("A"), Option.empty[Timestamp], 3L)
+    ).toDF("sym", "tts", "tid")
+    val r = Seq(
+      (Option("A"), Option(ts("2024-01-01 10:00:00")), 10L),
+      (Option.empty[String], Option(ts("2024-01-01 09:00:00")), 20L),
+      (Option("A"), Option.empty[Timestamp], 30L)
+    ).toDF("sym", "qts", "qid")
+    val out = AsOfJoinNative.backward(l, r, Seq("sym"), "tts", "qts")
+      .select($"tid", $"asof_qid")
+      .collect().map(x => (x.getLong(0), Option(x.get(1)))).toMap
+    // null-sym left row and null-tts left row stay unmatched; the
+    // null-qts right row is never a valid match even for sym=A
+    assert(out === Map(1L -> Some(10L), 2L -> None, 3L -> None))
+  }
+
+  test("exec output is UnsafeRow-safe under a direct Sort (no Project)") {
+    import org.apache.spark.sql.graft.Bridge
+    import graft.plans.{AsOfJoinNode, AsOfJoinStrategy}
+    Bridge.addStrategy(spark, AsOfJoinStrategy)
+    val renamed = quotes.select(
+      quotes.columns.map(c => col(c).as("r_" + c)).toIndexedSeq: _*)
+    val lPlan = Bridge.analyzed(trades)
+    val rPlan = Bridge.analyzed(renamed)
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        n: String) = p.output.find(_.name == n).get
+    val node = AsOfJoinNode(lPlan, rPlan,
+      Seq(attr(lPlan, "sym")), Seq(attr(rPlan, "r_sym")),
+      attr(lPlan, "tts"), attr(rPlan, "r_qts"), None)
+    // Sort directly above the exec requires UnsafeRow input — a reused
+    // JoinedRow would throw ClassCastException here
+    val sorted = Bridge.ofRows(spark, node)
+      .orderBy($"r_price".desc_nulls_last, $"tid")
+      .select($"tid").collect().map(_.getLong(0))
+    assert(sorted.length === 5)
+    assert(sorted.take(3).toSeq === Seq(13L, 12L, 11L))
+  }
+
   test("multi-column keys and empty right side") {
     val l = Seq(("a", 1, ts("2024-01-01 10:00:00"), 1L))
       .toDF("k1", "k2", "t", "id")

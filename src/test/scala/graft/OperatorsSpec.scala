@@ -134,4 +134,18 @@ class OperatorsSpec extends SparkSpec {
       .agg(min($"b"), max($"b")).collect()(0)
     assert(buckets.getInt(0) >= 0 && buckets.getInt(1) <= 9)
   }
+
+  test("HashSplit.bucket is near-uniform for a non-power-of-16 modulus") {
+    // 8 hex chars = 2^32 source values: residual pmod bias over 10 is
+    // ~2e-9; the 2-hex-char derivation this replaced skewed an 8/1/1
+    // split by ~0.4% by construction
+    val counts = spark.range(0, 20000).toDF("id")
+      .select(HashSplit.bucket($"id", 10).as("b"))
+      .groupBy($"b").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts.keySet === (0 to 9).toSet)
+    // md5 over fixed ids is deterministic; 2000 ± sampling noise
+    counts.values.foreach(n => assert(n > 1800 && n < 2200,
+      s"bucket counts far from uniform: $counts"))
+  }
 }

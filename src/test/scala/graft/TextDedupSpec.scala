@@ -81,4 +81,46 @@ class TextDedupSpec extends SparkSpec {
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(keep === Seq(5L, 42L))
   }
+
+  test("connectedComponents refuses to return unconverged labels") {
+    import spark.implicits._
+    // a path of diameter 6 cannot converge in 2 rounds of propagation
+    val pairs = (1L to 6L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val nodes = (1L to 7L).toDF("id")
+    val ex = intercept[IllegalStateException] {
+      TextDedup.connectedComponents(pairs, nodes, maxRounds = 2).collect()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
+  test("connectedComponentsStar matches propagation on mixed graphs") {
+    import spark.implicits._
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L).toDF("id")
+    val star = TextDedup.connectedComponentsStar(pairs, nodes)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L))
+  }
+
+  test("connectedComponentsStar handles long chains in O(log n) rounds") {
+    import spark.implicits._
+    // diameter-63 path: propagation would need 63 rounds; star converges
+    // well inside its default budget (O(log n))
+    val pairs = (1L until 64L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val nodes = (1L to 64L).toDF("id")
+    val star = TextDedup.connectedComponentsStar(pairs, nodes, maxRounds = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star === (1L to 64L).map(_ -> 1L).toMap)
+  }
+
+  test("connectedComponentsStar: empty edge set labels every node singleton") {
+    import spark.implicits._
+    val pairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val nodes = Seq(3L, 8L).toDF("id")
+    val star = TextDedup.connectedComponentsStar(pairs, nodes)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star === Map(3L -> 3L, 8L -> 8L))
+  }
 }

@@ -27,6 +27,18 @@ class TextExprSpec extends SparkSpec {
     }
   }
 
+  test("TokenSimHash rejects bits > 32 (md5 has 32 hex nibbles)") {
+    // bits in 33-64 would index past the 16-byte digest at runtime
+    intercept[IllegalArgumentException] {
+      graft.plans.TokenSimHash(
+        org.apache.spark.sql.graft.Bridge.expression($"toks"), 33)
+    }
+    intercept[IllegalArgumentException] {
+      graft.plans.TokenSimHash(
+        org.apache.spark.sql.graft.Bridge.expression($"toks"), 0)
+    }
+  }
+
   test("MinHashSig == HOF ngrams->digests->minhash pipeline") {
     Seq((3, 4), (2, 2), (5, 1)).foreach { case (ngram, nh) =>
       val hof = docs
