@@ -1,0 +1,422 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFns, VectorFns}
+
+/** Round-3 extension queries — the remaining training-data-pipeline
+  * surface: corpus repetition quality (Gopher-style), benchmark
+  * decontamination, many-to-many KNN join, inverted index construction,
+  * GROUPING SETS, text normalization, int8 embedding quantization,
+  * sequence packing, explicit cartesian products, and sparse
+  * bag-of-words cosine via term-partitioned dot products.
+  *
+  * Every query is one declarative plan. Floating-point outputs use the
+  * IEEE-stable `floor(x*10^n + 0.5)/10^n` rounding (both engines
+  * evaluate it on the identical double — see q27's note); cross-doc
+  * accumulations that feed a rounded output are kept INTEGER-exact so
+  * partial-aggregation order can never flip a digit.
+  */
+object Extended3 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Shared DuckDB SQL fragments (mirrors DocOps' token derivation). */
+  private val tokensSql = """regexp_split_to_array(trim(text), '\s+')"""
+  private def ngramsSql(n: Int): String =
+    s"""list_transform(
+       | generate_series(1, greatest(len($tokensSql) - ${n - 1}, 1)),
+       | i -> array_to_string(list_slice($tokensSql, i, i + ${n - 1}), ' '))""".stripMargin
+  private val dotSql =
+    """list_sum(list_transform(list_zip(e.embedding, q.qvec),
+      | x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))""".stripMargin
+  private def normSql(v: String) =
+    s"sqrt(list_sum(list_transform($v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+
+  // --------------------------------------------------------------------
+  // q79 — repetition quality (the Gopher/C4-style filters): per document,
+  // the duplicate-token fraction, most-frequent-token fraction, and
+  // most-frequent-bigram fraction. Catches degenerate boilerplate /
+  // looping text before it poisons a training mix. Shape: explode +
+  // two-level hash agg, shuffle key = doc_id — fully partition-parallel
+  // at any corpus size (no per-doc driver logic, no UDFs).
+  def q79(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    val tokStats = docs
+      .select($"doc_id", explode(TextFns.tokens($"text")).as("tok"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg(sum($"c").as("n_tokens"), count(lit(1)).as("n_distinct"),
+        max($"c").as("top_cnt"))
+    val biStats = docs
+      .withColumn("toks", TextFns.tokens($"text"))
+      .select($"doc_id",
+        explode(TextFns.ngramsFromTokens($"toks", 2)).as("bg"))
+      .groupBy($"doc_id", $"bg").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg(max($"c").as("top_bg_cnt"), sum($"c").as("n_bigrams"))
+    def frac(num: org.apache.spark.sql.Column,
+        den: org.apache.spark.sql.Column) =
+      floor(num.cast("double") / den * 10000 + lit(0.5)) / 10000
+    tokStats.join(biStats, Seq("doc_id"))
+      .select($"doc_id", $"n_tokens",
+        frac($"n_tokens" - $"n_distinct", $"n_tokens").as("dup_token_frac"),
+        frac($"top_cnt", $"n_tokens").as("top_token_frac"),
+        frac($"top_bg_cnt", $"n_bigrams").as("top_bigram_frac"))
+      .orderBy($"doc_id")
+  }
+
+  val q79Sql: String = {
+    val bg = ngramsSql(2)
+    s"""WITH tok AS (SELECT doc_id, unnest($tokensSql) AS tok FROM documents),
+       | tc AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+       | td AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+       |        count(*) AS n_distinct, max(c) AS top_cnt FROM tc GROUP BY 1),
+       | bgu AS (SELECT doc_id, unnest($bg) AS bg FROM documents),
+       | bc AS (SELECT doc_id, bg, count(*) AS c FROM bgu GROUP BY 1, 2),
+       | bd AS (SELECT doc_id, max(c) AS top_bg_cnt,
+       |        CAST(sum(c) AS BIGINT) AS n_bigrams FROM bc GROUP BY 1)
+       |SELECT td.doc_id AS doc_id, n_tokens,
+       | floor(CAST(n_tokens - n_distinct AS DOUBLE) / n_tokens * 10000 + 0.5)
+       |   / 10000 AS dup_token_frac,
+       | floor(CAST(top_cnt AS DOUBLE) / n_tokens * 10000 + 0.5)
+       |   / 10000 AS top_token_frac,
+       | floor(CAST(top_bg_cnt AS DOUBLE) / n_bigrams * 10000 + 0.5)
+       |   / 10000 AS top_bigram_frac
+       |FROM td JOIN bd ON td.doc_id = bd.doc_id ORDER BY td.doc_id""".stripMargin
+  }
+
+  // --------------------------------------------------------------------
+  // q80 — benchmark decontamination: flag training docs sharing 4-gram
+  // shingles with a held-out benchmark set (here: doc_id % 25 == 0).
+  // The benchmark side is tiny by construction → broadcast, so the scan
+  // of the 100 TB training side never shuffles; output is proportional
+  // to contamination, not corpus size. This is the standard eval-leak
+  // sweep every LLM data pipeline runs before training.
+  def q80(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = t(s, dir, "documents")
+      .withColumn("toks", TextFns.tokens($"text"))
+      .select($"doc_id",
+        explode(array_distinct(TextFns.ngramsFromTokens($"toks", 4))).as("sh"))
+    val bench = sh.filter($"doc_id" % 25 === 0)
+      .select($"doc_id".as("bench_id"), $"sh")
+    val train = sh.filter($"doc_id" % 25 =!= 0)
+      .select($"doc_id".as("train_id"), $"sh")
+    train.join(broadcast(bench), Seq("sh"))
+      .groupBy($"train_id", $"bench_id")
+      .agg(count(lit(1)).as("n_shared_shingles"))
+      .orderBy($"train_id", $"bench_id")
+  }
+
+  val q80Sql: String = {
+    val sh = s"list_distinct(${ngramsSql(4)})"
+    s"""WITH s AS (SELECT doc_id, unnest($sh) AS sh FROM documents)
+       |SELECT a.doc_id AS train_id, b.doc_id AS bench_id,
+       |       count(*) AS n_shared_shingles
+       |FROM s a JOIN s b ON a.sh = b.sh
+       |WHERE a.doc_id % 25 <> 0 AND b.doc_id % 25 = 0
+       |GROUP BY 1, 2 ORDER BY train_id, bench_id""".stripMargin
+  }
+
+  // --------------------------------------------------------------------
+  // q81 — KNN join (many-to-many top-k): for each query vector, its k=3
+  // nearest candidates by cosine. The query side broadcasts (it is the
+  // small side by definition in retrieval workloads); ranking runs as a
+  // per-query-partition window — at 10^9 candidates the scan is
+  // embarrassingly parallel and only (query, candidate, sim) survivors
+  // shuffle into the rank. Ties break on neighbor_id for determinism.
+  def q81(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = t(s, dir, "embeddings")
+    val q = e.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    val scored = e.filter($"vec_id" >= 5)
+      .crossJoin(broadcast(q))
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        (floor(VectorFns.cosine($"embedding", $"qvec") * 10000 + lit(0.5))
+          / 10000).as("cos_sim"))
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"cos_sim".desc, $"neighbor_id".asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .orderBy($"query_id", $"rank")
+  }
+
+  val q81Sql: String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
+       |           FROM embeddings WHERE vec_id < 5),
+       | scored AS (
+       |   SELECT q.query_id, e.vec_id AS neighbor_id,
+       |          floor($dotSql / (${normSql("e.embedding")} *
+       |            ${normSql("q.qvec")}) * 10000 + 0.5) / 10000 AS cos_sim
+       |   FROM embeddings e CROSS JOIN q WHERE e.vec_id >= 5),
+       | ranked AS (
+       |   SELECT query_id, neighbor_id, cos_sim,
+       |          row_number() OVER (PARTITION BY query_id
+       |            ORDER BY cos_sim DESC, neighbor_id) AS rank
+       |   FROM scored)
+       |SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank
+       |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q82 — inverted index build: term → document frequency + the sorted
+  // posting list. One explode + one hash agg, shuffle key = term; the
+  // posting list is sorted INSIDE the aggregate (array_sort after
+  // collect_list) so no per-term window is needed. At corpus scale the
+  // posting payload would go to a bucketed store keyed by term — the
+  // plan shape here is exactly that writer.
+  def q82(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .withColumn("toks", TextFns.tokens($"text"))
+      .select($"doc_id", explode(array_distinct($"toks")).as("term"))
+      .groupBy($"term")
+      .agg(count(lit(1)).as("df"),
+        array_join(
+          transform(array_sort(collect_list($"doc_id")), _.cast("string")),
+          ",").as("postings"))
+      .orderBy($"term")
+  }
+
+  val q82Sql: String =
+    s"""WITH d AS (SELECT DISTINCT doc_id, unnest($tokensSql) AS term
+       |           FROM documents)
+       |SELECT term, count(*) AS df,
+       |       string_agg(doc_id, ',' ORDER BY doc_id) AS postings
+       |FROM d GROUP BY term ORDER BY term""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q83 — GROUPING SETS (the general form of q40's rollup / q52's cube):
+  // three explicit granularities in ONE Expand + hash-agg pass over the
+  // scan — at 100 TB this reads the facts once instead of three times.
+  // Exercises the spark.sql SQL surface over the registered views.
+  def q83(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |       coalesce(o_orderpriority, 'ALL') AS priority,
+        |       count(*) AS n, round(sum(o_totalprice), 2) AS revenue
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |                        (o_orderstatus), ())
+        |ORDER BY status, priority""".stripMargin)
+  }
+
+  val q83Sql: String =
+    """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+      |       coalesce(o_orderpriority, 'ALL') AS priority,
+      |       count(*) AS n, round(sum(o_totalprice), 2) AS revenue
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+      |                        (o_orderstatus), ())
+      |ORDER BY status, priority""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q84 — canonical text normalization: lowercase, strip non-alnum,
+  // collapse whitespace — then fingerprint the normal form. The
+  // normalized md5 is the join key for cross-snapshot / cross-crawl
+  // exact dedup (q18 on steroids); pure per-row codegen'd scalar work.
+  def q84(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val norm = trim(regexp_replace(
+      regexp_replace(lower($"text"), "[^a-z0-9\\s]", ""), "\\s+", " "))
+    t(s, dir, "documents")
+      .select($"doc_id", md5(norm).as("norm_fp"),
+        length(norm).cast("long").as("norm_len"),
+        substring(norm, 1, 40).as("norm_head"))
+      .orderBy($"doc_id")
+  }
+
+  val q84Sql: String =
+    """WITH n AS (SELECT doc_id,
+      |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+      |       '\s+', ' ', 'g')) AS norm
+      |  FROM documents)
+      |SELECT doc_id, md5(norm) AS norm_fp,
+      |       CAST(length(norm) AS BIGINT) AS norm_len,
+      |       substr(norm, 1, 40) AS norm_head
+      |FROM n ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q85 — int8 symmetric quantization of embeddings (the storage format
+  // every billion-vector index uses): per-vector scale = max|x|/127,
+  // q_i = clamp(round(x_i/scale)), plus reconstruction error. All
+  // higher-order array functions over the vector column — per-row
+  // scalar work, no shuffle. round() is floor(x+0.5) (half-up toward
+  // +inf) so both engines agree on negative components too.
+  def q85(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val v = transform($"embedding", x => x.cast("double"))
+    val e = t(s, dir, "embeddings")
+      .withColumn("v", v)
+      .withColumn("scale",
+        when(array_max(transform($"v", abs(_))) === 0, lit(1.0))
+          .otherwise(array_max(transform($"v", abs(_))) / 127.0))
+    def quant(x: org.apache.spark.sql.Column, sc: org.apache.spark.sql.Column) =
+      greatest(least(floor(x / sc + lit(0.5)), lit(127.0)), lit(-127.0))
+    e.select($"vec_id",
+        (floor($"scale" * 1e6 + lit(0.5)) / 1e6).as("scale_r"),
+        (floor(array_max(transform($"v",
+            x => abs(quant(x, $"scale") * $"scale" - x))) * 1e6 + lit(0.5))
+          / 1e6).as("max_abs_err"),
+        aggregate($"v", lit(0L),
+          (acc, x) => acc + quant(x, $"scale").cast("long")).as("qsum"))
+      .orderBy($"vec_id")
+  }
+
+  val q85Sql: String = {
+    val q = "greatest(least(floor(x / scale + 0.5), 127), -127)"
+    s"""WITH v AS (SELECT vec_id,
+       |   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |   FROM embeddings),
+       | s AS (SELECT vec_id, v,
+       |   CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0 THEN 1.0
+       |        ELSE list_max(list_transform(v, x -> abs(x))) / 127.0
+       |   END AS scale FROM v)
+       |SELECT vec_id,
+       | floor(scale * 1000000 + 0.5) / 1000000 AS scale_r,
+       | floor(list_max(list_transform(v, x -> abs($q * scale - x)))
+       |   * 1000000 + 0.5) / 1000000 AS max_abs_err,
+       | CAST(list_sum(list_transform(v, x -> $q)) AS BIGINT) AS qsum
+       |FROM s ORDER BY vec_id""".stripMargin
+  }
+
+  // --------------------------------------------------------------------
+  // q86 — sequence packing: assign documents (in doc_id order, per
+  // source shard) to fixed token-budget batches by cumulative-sum
+  // integer division — the one-window-pass, streaming-friendly packing
+  // a tokenizer pipeline feeds to trainers. Partitioned by `source`, so
+  // the window never concentrates the corpus on one task; a real
+  // deployment keys the window by its shard column exactly like this.
+  def q86(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cap = 512
+    val w = Window.partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t(s, dir, "documents")
+      .select($"doc_id", $"source",
+        TextFns.approxBpeTokenCount($"text").as("toks"))
+      .withColumn("cum_before", coalesce(sum($"toks").over(w), lit(0L)))
+      .withColumn("batch_id", expr(s"cum_before div $cap"))
+      .groupBy($"source", $"batch_id")
+      .agg(count(lit(1)).as("n_docs"), sum($"toks").as("batch_tokens"),
+        min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+      .orderBy($"source", $"batch_id")
+  }
+
+  val q86Sql: String =
+    """WITH d AS (SELECT doc_id, source,
+      |   CAST(ceil(length(regexp_replace(text, '\s+', '', 'g')) / 4.0)
+      |     AS BIGINT) AS toks
+      |   FROM documents),
+      | c AS (SELECT doc_id, source, toks,
+      |   coalesce(sum(toks) OVER (PARTITION BY source ORDER BY doc_id
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      |   FROM d)
+      |SELECT source, cum_before // 512 AS batch_id, count(*) AS n_docs,
+      |       CAST(sum(toks) AS BIGINT) AS batch_tokens,
+      |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM c GROUP BY 1, 2 ORDER BY source, batch_id""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q87 — explicit cartesian product (completes the join-type
+  // inventory): region × nation with a derived column. Both sides are
+  // dimension-sized; Spark plans BroadcastNestedLoopJoin — the only
+  // sane physical strategy for an unconditioned cross join. Never
+  // cross-join two fact tables; that is what the LSH bucketing in
+  // q20/q32 exists to avoid.
+  def q87(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "region").select($"r_name")
+      .crossJoin(t(s, dir, "nation").select($"n_name"))
+      .select($"r_name", $"n_name",
+        (length($"r_name") + length($"n_name")).as("key_len"))
+      .orderBy($"r_name", $"n_name")
+  }
+
+  val q87Sql: String =
+    """SELECT r_name, n_name,
+      |       CAST(length(r_name) + length(n_name) AS INTEGER) AS key_len
+      |FROM region CROSS JOIN nation
+      |ORDER BY r_name, n_name""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q88 — sparse bag-of-words cosine between adjacent doc pairs via
+  // term-partitioned dot products: the distributed sparse-vector
+  // similarity kernel (tf vectors never materialize densely; the dot
+  // product is a shuffle join on term + integer-exact partial sums).
+  // Dots and squared norms stay BIGINT until the final division, so
+  // aggregation order cannot perturb the rounded output. Contrast with
+  // q21 (set Jaccard) and q32 (dense embedding cosine).
+  def q88(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tf = t(s, dir, "documents")
+      .select($"doc_id", explode(TextFns.tokens($"text")).as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val norms = tf.groupBy($"doc_id")
+      .agg(sqrt(sum($"tf" * $"tf").cast("double")).as("nrm"))
+    val dots = tf.as("a")
+      .join(tf.as("b"),
+        col("b.term") === col("a.term") &&
+          col("b.doc_id") === col("a.doc_id") + 1)
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(sum(col("a.tf") * col("b.tf")).as("dot"))
+    dots
+      .join(norms.select($"doc_id".as("doc_a"), $"nrm".as("nrm_a")), "doc_a")
+      .join(norms.select($"doc_id".as("doc_b"), $"nrm".as("nrm_b")), "doc_b")
+      .select($"doc_a", $"doc_b",
+        (floor($"dot".cast("double") / ($"nrm_a" * $"nrm_b") * 10000
+          + lit(0.5)) / 10000).as("cos_sim"))
+      .orderBy($"doc_a")
+  }
+
+  val q88Sql: String =
+    s"""WITH tok AS (SELECT doc_id, unnest($tokensSql) AS term FROM documents),
+       | tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+       | nrm AS (SELECT doc_id, sqrt(CAST(sum(tf * tf) AS DOUBLE)) AS nrm
+       |         FROM tf GROUP BY 1),
+       | dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |            CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+       |          FROM tf a JOIN tf b
+       |            ON b.term = a.term AND b.doc_id = a.doc_id + 1
+       |          GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |  floor(CAST(dot AS DOUBLE) / (na.nrm * nb.nrm) * 10000 + 0.5)
+       |    / 10000 AS cos_sim
+       |FROM dots JOIN nrm na ON na.doc_id = doc_a
+       |          JOIN nrm nb ON nb.doc_id = doc_b
+       |ORDER BY doc_a""".stripMargin
+
+  /** Name → query function, for SparkEntry. */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q79_repetition_quality" -> (q79 _),
+    "q80_decontamination" -> (q80 _),
+    "q81_knn_join" -> (q81 _),
+    "q82_inverted_index" -> (q82 _),
+    "q83_grouping_sets" -> (q83 _),
+    "q84_normalize_fp" -> (q84 _),
+    "q85_int8_quantize" -> (q85 _),
+    "q86_seq_packing" -> (q86 _),
+    "q87_cartesian" -> (q87 _),
+    "q88_sparse_cosine" -> (q88 _)
+  )
+
+  /** Name → DuckDB oracle SQL, for SparkEntry. */
+  val oracles: Map[String, String] = Map(
+    "q79_repetition_quality" -> q79Sql,
+    "q80_decontamination" -> q80Sql,
+    "q81_knn_join" -> q81Sql,
+    "q82_inverted_index" -> q82Sql,
+    "q83_grouping_sets" -> q83Sql,
+    "q84_normalize_fp" -> q84Sql,
+    "q85_int8_quantize" -> q85Sql,
+    "q86_seq_packing" -> q86Sql,
+    "q87_cartesian" -> q87Sql,
+    "q88_sparse_cosine" -> q88Sql
+  )
+}

@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.Extended3
+
+/** Unit-level invariants and plan contracts for the round-3 queries
+  * (the DuckDB oracle at sf0.01 is the value-level gate; these pin the
+  * semantics that the oracle can't see — plan shapes, degenerate
+  * inputs, bound guarantees). Runs on sf0.001 where a table is needed.
+  */
+class Round3Spec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q79 repetition fractions on a degenerate doc") {
+    // "spam spam spam spam" → dup 3/4, top token 4/4... build via the same
+    // explode+agg shape the query uses, on a two-doc frame
+    val docs = Seq((1L, "spam spam spam spam"), (2L, "a b c d"))
+      .toDF("doc_id", "text")
+    val tok = docs
+      .select($"doc_id", explode(graft.functions.TextFns.tokens($"text")).as("t"))
+      .groupBy($"doc_id", $"t").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg(sum($"c").as("n"), count(lit(1)).as("d"), max($"c").as("m"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(tok(1L) === ((4L, 1L, 4L))) // dup_frac 3/4, top_frac 1.0
+    assert(tok(2L) === ((4L, 4L, 1L))) // dup_frac 0, top_frac 1/4
+  }
+
+  test("q79/q80/q85/q86 invariants hold on sf0.001") {
+    val rep = Extended3.q79(spark, sf).collect()
+    rep.foreach { r =>
+      val (dup, top) = (r.getDouble(2), r.getDouble(3))
+      assert(dup >= 0.0 && dup < 1.0)
+      assert(top > 0.0 && top <= 1.0 && top + dup / r.getLong(1) <= 1.0 + top)
+    }
+    // decontamination: benchmark ids ≡ 0 (mod 25), train ids not
+    Extended3.q80(spark, sf).collect().foreach { r =>
+      assert(r.getLong(1) % 25 === 0L)
+      assert(r.getLong(0) % 25 !== 0L)
+      assert(r.getLong(2) >= 1L)
+    }
+    // quantization: |qsum| ≤ 127*dim; error ≤ scale/2 + float slop
+    Extended3.q85(spark, sf).collect().foreach { r =>
+      val (scale, err, qsum) = (r.getDouble(1), r.getDouble(2), r.getLong(3))
+      assert(err <= scale / 2 + 1e-6, s"err $err vs scale $scale")
+      assert(math.abs(qsum) <= 127L * 4096)
+    }
+  }
+
+  test("q86 packing emits contiguous, non-overlapping doc ranges per source") {
+    val rows = Extended3.q86(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5)))
+    rows.groupBy(_._1).foreach { case (_, bs) =>
+      val sorted = bs.sortBy(_._2)
+      // batch ids increase and doc ranges never interleave
+      sorted.sliding(2).foreach {
+        case Array((_, b1, _, _, last1), (_, b2, _, first2, _)) =>
+          assert(b1 < b2)
+          assert(last1 < first2, "doc ranges must not overlap")
+        case _ =>
+      }
+    }
+    // every document lands in exactly one batch
+    val total = graft.queries.Tables.load(spark, sf, "documents").count()
+    assert(rows.map(_._3).sum === total)
+  }
+
+  test("q81 broadcasts the query side; q80 broadcasts the benchmark side") {
+    val knn = Extended3.q81(spark, sf).queryExecution.executedPlan.toString
+    assert(knn.contains("BroadcastNestedLoopJoin") ||
+      knn.contains("BroadcastExchange"), s"expected broadcast in:\n$knn")
+    val deco = Extended3.q80(spark, sf).queryExecution.executedPlan.toString
+    assert(deco.contains("BroadcastHashJoin"), s"expected BHJ in:\n$deco")
+  }
+
+  test("q81 ranks are dense 1..3 per query with non-increasing similarity") {
+    val rows = Extended3.q81(spark, sf)
+      .select($"query_id", $"rank", $"cos_sim").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (1 to sorted.length))
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => a._3 >= b._3
+        case _           => true
+      })
+    }
+  }
+
+  test("q87 cartesian is exactly |region| × |nation|") {
+    val n = Extended3.q87(spark, sf).count()
+    assert(n === 5L * 25L)
+  }
+
+  test("q88 sparse cosine is 1.0 for identical docs and bounded in (0,1]") {
+    // identical adjacent docs => cosine exactly 1.0 (integer dot = norm²)
+    val docs = Seq((1L, "x y z x"), (2L, "x y z x"), (3L, "p q"))
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("r3_docs")
+    val tf = docs
+      .select($"doc_id", explode(graft.functions.TextFns.tokens($"text")).as("t"))
+      .groupBy($"doc_id", $"t").agg(count(lit(1)).as("tf"))
+    val dot = tf.as("a")
+      .join(tf.as("b"), col("b.t") === col("a.t") && col("b.doc_id") === col("a.doc_id") + 1)
+      .groupBy(col("a.doc_id")).agg(sum(col("a.tf") * col("b.tf")).as("dot"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dot(1L) === 6L) // 2*2 + 1 + 1
+    val out = Extended3.q88(spark, sf).collect()
+    out.foreach(r => assert(r.getDouble(2) > 0.0 && r.getDouble(2) <= 1.0))
+  }
+}
