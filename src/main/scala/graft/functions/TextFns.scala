@@ -41,15 +41,22 @@ object TextFns {
   }
 
   /** Ratio of tokens that are in `stopwords`. */
-  def stopwordRatio(c: Column, stopwords: Seq[String]): Column = {
-    val t = tokens(c)
+  def stopwordRatio(c: Column, stopwords: Seq[String]): Column =
+    stopwordRatioFromTokens(tokens(c), stopwords)
+
+  /** [[stopwordRatio]] over a materialized token-array attribute — in hot
+    * paths tokenize ONCE via `withColumn("toks", tokens(...))`; separate
+    * expressions referencing `tokens(text)` each re-run the split. */
+  def stopwordRatioFromTokens(t: Column, stopwords: Seq[String]): Column = {
     val hits = size(filter(t, x => x.isin(stopwords.map(lit(_)): _*)))
     when(size(t) > 0, hits.cast("double") / size(t)).otherwise(lit(0.0))
   }
 
   /** Mean token length (0 for empty input). */
-  def meanTokenLength(c: Column): Column = {
-    val t = tokens(c)
+  def meanTokenLength(c: Column): Column = meanTokenLengthFromTokens(tokens(c))
+
+  /** [[meanTokenLength]] over a materialized token-array attribute. */
+  def meanTokenLengthFromTokens(t: Column): Column = {
     val totalLen = aggregate(t, lit(0L), (acc, x) => acc + length(x))
     when(size(t) > 0, totalLen.cast("double") / size(t)).otherwise(lit(0.0))
   }
@@ -57,10 +64,17 @@ object TextFns {
   /** Composite quality score in [0,1]: favors mid-length docs with low
     * punctuation noise and a healthy stopword ratio — the standard cheap
     * pre-filter for LLM training corpora. Deterministic, no UDF. */
-  def qualityScore(c: Column, stopwords: Seq[String]): Column = {
+  def qualityScore(c: Column, stopwords: Seq[String]): Column =
+    qualityScoreFromTokens(c, tokens(c), stopwords)
+
+  /** [[qualityScore]] with the token array passed as an attribute (the
+    * text column is still needed for length/punctuation features). */
+  def qualityScoreFromTokens(c: Column, t: Column,
+      stopwords: Seq[String]): Column = {
     val lenScore = least(length(c).cast("double") / lit(500.0), lit(1.0))
     val punctPenalty = lit(1.0) - least(punctRatio(c) * 5, lit(1.0))
-    val stopScore = least(stopwordRatio(c, stopwords) * 4, lit(1.0))
+    val stopScore =
+      least(stopwordRatioFromTokens(t, stopwords) * 4, lit(1.0))
     (lenScore + punctPenalty + stopScore) / 3
   }
 
@@ -74,16 +88,26 @@ object TextFns {
   )
 
   /** Stopword-hit count for one language over the token array. */
-  def langScore(c: Column, lang: String): Column = {
+  def langScore(c: Column, lang: String): Column =
+    langScoreFromTokens(tokens(c), lang)
+
+  /** [[langScore]] over a materialized token-array attribute. */
+  def langScoreFromTokens(t: Column, lang: String): Column = {
     val words = LangStopwords.toMap.apply(lang)
-    size(filter(tokens(c), x => x.isin(words.map(lit(_)): _*)))
+    size(filter(t, x => x.isin(words.map(lit(_)): _*)))
   }
 
   /** Heuristic n-gram/stopword language ID: argmax of [[langScore]] over
     * the seed languages, ties broken by the declaration order above;
     * "und" (undetermined) when no stopword hits at all. */
-  def langId(c: Column): Column = {
-    val scores = LangStopwords.map { case (l, _) => l -> langScore(c, l) }
+  def langId(c: Column): Column = langIdFromTokens(tokens(c))
+
+  /** [[langId]] over a materialized token-array attribute — tokenizes
+    * once instead of once per candidate language. */
+  def langIdFromTokens(t: Column): Column = {
+    val scores = LangStopwords.map { case (l, _) =>
+      l -> langScoreFromTokens(t, l)
+    }
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
     val pick = scores.reverse.foldLeft(lit("und")) { case (acc, (l, s)) =>
       when(s === best && best > 0, lit(l)).otherwise(acc)

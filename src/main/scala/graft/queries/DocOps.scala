@@ -259,7 +259,9 @@ object DocOps {
   def q26(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     t(s, dir, "documents")
-      .select($"doc_id", $"lang", TextFns.langId($"text").as("detected"))
+      .withColumn("toks", TextFns.tokens($"text"))
+      .select($"doc_id", $"lang",
+        TextFns.langIdFromTokens($"toks").as("detected"))
       .orderBy($"doc_id")
   }
 
@@ -285,17 +287,20 @@ object DocOps {
     import s.implicits._
     val en = TextFns.LangStopwords.toMap.apply("en")
     t(s, dir, "documents")
+      .withColumn("toks", TextFns.tokens($"text")) // tokenize ONCE
       .select(
         $"doc_id",
-        TextFns.tokenCount($"text").as("n_tokens"),
+        size($"toks").as("n_tokens"),
         round(TextFns.punctRatio($"text"), 4).as("punct_ratio"),
-        round(TextFns.stopwordRatio($"text", en), 4).as("stopword_ratio"),
+        round(TextFns.stopwordRatioFromTokens($"toks", en), 4)
+          .as("stopword_ratio"),
         // floor(x*100+0.5)/100 instead of round(): both engines evaluate
         // it on the identical IEEE double, so knife-edge values (4.7249999…)
         // can't diverge between Spark's string-based round and DuckDB's.
-        (floor(TextFns.meanTokenLength($"text") * 100 + lit(0.5)) / 100)
-          .as("mean_tok_len"),
-        round(TextFns.qualityScore($"text", en), 4).as("quality")
+        (floor(TextFns.meanTokenLengthFromTokens($"toks") * 100 + lit(0.5))
+          / 100).as("mean_tok_len"),
+        round(TextFns.qualityScoreFromTokens($"text", $"toks", en), 4)
+          .as("quality")
       )
       .orderBy($"doc_id")
   }
