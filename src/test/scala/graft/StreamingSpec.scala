@@ -261,4 +261,29 @@ class StreamingSpec extends SparkSpec {
     ).toDF("ts", "uid")
     assert(StreamDedup.dedup(df, "ts", "10 minutes", Seq("uid")).count() === 2)
   }
+
+  test("stream-static enrichment join broadcasts the dim, keeps no state") {
+    import graft.streaming.StreamJoins
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq(("u1", "gold"), ("u2", "silver")).toDF("d_uid", "tier")
+    val input = MemoryStream[DedupEv]
+    val enriched = StreamJoins.enrichWithStatic(
+      input.toDF().toDF("ts", "uid", "v"), dim, "uid", "d_uid")
+    val query = enriched.writeStream.format("memory")
+      .queryName("enriched").outputMode("append").start()
+    input.addData(
+      DedupEv(java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), "u1", 1.0),
+      DedupEv(java.sql.Timestamp.valueOf("2024-01-01 10:01:00"), "u3", 2.0))
+    query.processAllAvailable()
+    val rows = spark.table("enriched")
+      .select($"uid", $"tier").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    // left join: unmatched stream rows survive with null dim columns
+    assert(rows === Map("u1" -> Some("gold"), "u3" -> None))
+    // zero state store: no watermark needed, the dim side is bounded
+    assert(query.lastProgress == null ||
+      query.lastProgress.stateOperators.isEmpty)
+    query.stop()
+  }
 }
