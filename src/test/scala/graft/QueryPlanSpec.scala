@@ -67,6 +67,47 @@ class QueryPlanSpec extends SparkSpec {
     assert(count(p, _.isInstanceOf[Exchange]) <= 3, p.toString)
   }
 
+  test("q80: benchmark side broadcasts; the corpus side never shuffles for the join") {
+    assert(count(plan("q80_decontamination"),
+      _.isInstanceOf[BroadcastHashJoinExec]) === 1)
+  }
+
+  test("q89: both tiny aggregates broadcast back onto the corpus pass") {
+    // target (1 row) joins per-source rates; rates join the doc scan
+    assert(count(plan("q89_domain_mix"),
+      p => p.isInstanceOf[BroadcastHashJoinExec] ||
+        p.isInstanceOf[BroadcastNestedLoopJoinExec]) === 2)
+  }
+
+  test("q90: top-k UDAF aggregates partially (map-side) before the shuffle") {
+    val p = executed("q90_topk_udaf")
+    val aggs = p.collect {
+      case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+      case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec => a
+    }
+    // partial + final pair ⇒ shuffle carries ≤ k values per group,
+    // not every row (the whole point of the bounded-buffer aggregate)
+    assert(aggs.size >= 2, p.toString)
+    assert(count(p, _.isInstanceOf[Exchange]) <= 2, p.toString)
+  }
+
+  test("q86: packing runs per-source windows — no single-partition global sort") {
+    val p = executed("q86_seq_packing")
+    val winds = p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(winds.nonEmpty)
+    // every window is keyed by source ⇒ distributes across executors
+    winds.foreach(w => assert(w.partitionSpec.nonEmpty, w.toString))
+  }
+
+  test("q92: TWA runs ONE key shuffle (window + agg share the partitioning)") {
+    val p = executed("q92_time_weighted_avg")
+    // 1 hash exchange on user_id (window reuses it for the groupBy)
+    // + 1 range exchange for the output orderBy
+    assert(count(p, _.isInstanceOf[Exchange]) === 2, p.toString)
+  }
+
   test("q02: filter and projection reach the parquet scan") {
     val scans = plan("q02_filter_project").collect {
       case f: org.apache.spark.sql.execution.FileSourceScanExec => f
