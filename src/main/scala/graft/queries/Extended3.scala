@@ -562,6 +562,109 @@ object Extended3 {
       |FROM events GROUP BY event_type
       |ORDER BY n DESC, event_type LIMIT 10""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q94 — z-order clustering stats (graft.functions.ZOrder): Morton
+  // values over (user_id, event bucket), then per-z-range rectangles.
+  // Each z-range covers a TIGHT (x, y) box — exactly why z-sorted files
+  // prune on either dimension's min-max stats, where a lexicographic
+  // (x, y) sort leaves the y extent of every file full-width. The curve
+  // is shift/mask arithmetic (codegen'd, engine-reproducible).
+  def q94(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bits = 8
+    val ev = t(s, dir, "events")
+      .select($"event_id",
+        ($"user_id" % 256).as("x"),
+        ($"event_id" % 256).as("y"))
+      .withColumn("z", graft.functions.ZOrder.zValue2($"x", $"y", bits))
+    ev.withColumn("z_range", expr("z div 4096"))
+      .groupBy($"z_range")
+      .agg(count(lit(1)).as("n"),
+        min($"x").as("x_min"), max($"x").as("x_max"),
+        min($"y").as("y_min"), max($"y").as("y_max"))
+      .orderBy($"z_range")
+  }
+
+  val q94Sql: String = {
+    // bit b of v => floor(v / 2^b) % 2; interleave x at 2b, y at 2b+1
+    def interleave(x: String, y: String, bits: Int) =
+      (0 until bits).map { b =>
+        s"((($x // ${1L << b}) % 2) * ${1L << (2 * b)}" +
+          s" + (($y // ${1L << b}) % 2) * ${1L << (2 * b + 1)})"
+      }.mkString(" + ")
+    s"""WITH e AS (SELECT event_id, user_id % 256 AS x, event_id % 256 AS y
+       |           FROM events),
+       | z AS (SELECT x, y, ${interleave("x", "y", 8)} AS z FROM e)
+       |SELECT z // 4096 AS z_range, count(*) AS n,
+       |       min(x) AS x_min, max(x) AS x_max,
+       |       min(y) AS y_min, max(y) AS y_max
+       |FROM z GROUP BY 1 ORDER BY z_range""".stripMargin
+  }
+
+  // --------------------------------------------------------------------
+  // q95 — SCD type-2 version assembly from a change log: each
+  // customer's order stream becomes versioned rows with
+  // [valid_from, valid_to) intervals and an is_current flag — the
+  // standard dimension-history build (one lead() window per key, one
+  // shuffle). The "merge new batch into existing history" variant is
+  // this same window over (history ∪ batch).
+  def q95(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate", $"o_orderkey")
+    t(s, dir, "orders")
+      .select($"o_custkey", $"o_orderkey", $"o_orderstatus", $"o_orderdate")
+      .withColumn("valid_to", lead($"o_orderdate", 1).over(w))
+      .withColumn("is_current", $"valid_to".isNull)
+      .select($"o_custkey", $"o_orderkey", $"o_orderstatus",
+        $"o_orderdate".as("valid_from"), $"valid_to", $"is_current")
+      .orderBy($"o_custkey", $"valid_from", $"o_orderkey")
+  }
+
+  val q95Sql: String =
+    """SELECT o_custkey, o_orderkey, o_orderstatus,
+      |  o_orderdate AS valid_from,
+      |  lead(o_orderdate) OVER w AS valid_to,
+      |  (lead(o_orderdate) OVER w IS NULL) AS is_current
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, valid_from, o_orderkey""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q96 — export shard manifest: deterministic shard assignment
+  // (HashSplit-style md5 bucketing) + per-shard counts, token totals,
+  // id ranges and an order-independent checksum (bit_xor) — the
+  // planning pass a corpus export runs before writing N training
+  // shards, and the receipt a consumer verifies against. Everything is
+  // integer-exact; one shuffle on the shard id.
+  def q96(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select($"doc_id",
+        TextFns.approxBpeTokenCount($"text").as("toks"),
+        graft.operators.HashSplit.bucket($"doc_id", 8).as("shard"))
+      .groupBy($"shard")
+      .agg(count(lit(1)).as("n_docs"), sum($"toks").as("total_toks"),
+        min($"doc_id").as("min_id"), max($"doc_id").as("max_id"),
+        expr("bit_xor(doc_id)").as("id_checksum"))
+      .orderBy($"shard")
+  }
+
+  val q96Sql: String = {
+    def hexVal(i: Int) =
+      s"""(CASE WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), $i, 1)) >= 97
+         | THEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 87
+         | ELSE ascii(substr(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 48 END)""".stripMargin
+    val hex8 = (1 to 8).foldLeft("CAST(0 AS BIGINT)")(
+      (acc, i) => s"($acc * 16 + ${hexVal(i)})")
+    s"""SELECT CAST($hex8 % 8 AS INTEGER) AS shard, count(*) AS n_docs,
+       |  CAST(sum(ceil(length(regexp_replace(text, '\\s+', '', 'g')) / 4.0))
+       |    AS BIGINT) AS total_toks,
+       |  min(doc_id) AS min_id, max(doc_id) AS max_id,
+       |  bit_xor(doc_id) AS id_checksum
+       |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin
+  }
+
   /** Name → query function, for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q79_repetition_quality" -> (q79 _),
@@ -578,7 +681,10 @@ object Extended3 {
     "q90_topk_udaf" -> (q90 _),
     "q91_star_cc" -> (q91 _),
     "q92_time_weighted_avg" -> (q92 _),
-    "q93_heavy_hitters" -> (q93 _)
+    "q93_heavy_hitters" -> (q93 _),
+    "q94_zorder_stats" -> (q94 _),
+    "q95_scd2_versions" -> (q95 _),
+    "q96_shard_manifest" -> (q96 _)
   )
 
   /** Name → DuckDB oracle SQL, for SparkEntry. */
@@ -597,6 +703,9 @@ object Extended3 {
     "q90_topk_udaf" -> q90Sql,
     "q91_star_cc" -> q91Sql,
     "q92_time_weighted_avg" -> q92Sql,
-    "q93_heavy_hitters" -> q93Sql
+    "q93_heavy_hitters" -> q93Sql,
+    "q94_zorder_stats" -> q94Sql,
+    "q95_scd2_versions" -> q95Sql,
+    "q96_shard_manifest" -> q96Sql
   )
 }
