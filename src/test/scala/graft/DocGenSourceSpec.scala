@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+
+/** DataSource V2 generated-corpus source: determinism across partition
+  * layouts, real column pruning, and enough duplicate structure for
+  * dedup operators to exercise against it. */
+class DocGenSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def gen(rows: Long, parts: Int) =
+    spark.read.format("graftdocs")
+      .option("rows", rows).option("partitions", parts).load()
+
+  test("row count, schema, and short-name registration") {
+    val df = gen(1000, 8)
+    assert(df.count() === 1000L)
+    assert(df.schema.fieldNames.toSeq ===
+      Seq("doc_id", "text", "lang", "source", "n_chars"))
+    assert(df.select(countDistinct($"doc_id")).head.getLong(0) === 1000L)
+  }
+
+  test("values are identical for ANY partition count (seed-pure generation)") {
+    val a = gen(500, 3).orderBy($"doc_id").collect()
+    val b = gen(500, 16).orderBy($"doc_id").collect()
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("column pruning reaches the scan (select(doc_id) never builds text)") {
+    val pruned = gen(100, 2).select($"doc_id", $"lang")
+    val scan = pruned.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b
+    }.getOrElse(fail("no BatchScanExec in plan"))
+    assert(scan.scan.readSchema().fieldNames.toSeq === Seq("doc_id", "lang"))
+  }
+
+  test("n_chars matches text length; near-dups exist for dedup ops") {
+    val df = gen(1000, 4).cache()
+    try {
+      assert(df.filter(length($"text") =!= $"n_chars").isEmpty)
+      // every 100th doc shares doc 7's word prefix => LSH/exact-prefix
+      // dedup has real clusters to find
+      val nearDupes = df.filter($"doc_id" % 100 === 99)
+        .select(substring($"text", 1, 20).as("head")).distinct().count()
+      assert(nearDupes === 1L)
+    } finally df.unpersist()
+  }
+
+  test("the generated table drives the library operators end-to-end") {
+    val docs = gen(2000, 8)
+    val groups = graft.ext.TextDedup.exactGroups(docs, "text", "doc_id")
+    // generation is injective on the non-clone ids, clones collide
+    assert(groups.filter($"n_copies" > 1).count() >= 1)
+  }
+}
