@@ -206,6 +206,33 @@ object TextFns {
     bitCols.reduce(_ + _)
   }
 
+  /** PII redaction patterns — deliberately restricted to regex syntax
+    * that Java regex and RE2-family engines (DuckDB, Go) interpret
+    * identically (no backrefs, no lookaround, explicit classes), so the
+    * scrub is reproducible across engines. Order matters: emails before
+    * phone-digit runs (an email's digits must not be half-eaten first). */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    // local@domain.tld
+    ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    // IPv4 dotted quad
+    ("([0-9]{1,3}\\.){3}[0-9]{1,3}", "<IP>"),
+    // phone-ish: 7+ digits with optional separators, optional +CC
+    ("\\+?[0-9][0-9()\\- ]{5,}[0-9]", "<PHONE>")
+  )
+
+  /** Scrub PII-shaped spans (emails, IPv4, phone-like digit runs) —
+    * the mandatory pass before a crawl goes into a training mix. Pure
+    * regexp_replace chain: codegen'd, per-row, shuffle-free. */
+  def redactPii(c: Column): Column =
+    PiiPatterns.foldLeft(c) { case (acc, (pat, tag)) =>
+      regexp_replace(acc, pat, tag)
+    }
+
+  /** Non-overlapping match count for one PII pattern on the ORIGINAL
+    * text — the audit metric a scrubbing job reports per tag. */
+  def piiCount(c: Column, pattern: String): Column =
+    regexp_count(c, lit(pattern)).cast("long")
+
   /** substr with Column args (sugar: functions.substr exists in 3.5+). */
   private def substr(c: Column, pos: Column, len: Column): Column =
     c.substr(pos, len)

@@ -665,6 +665,54 @@ object Extended3 {
        |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin
   }
 
+  // --------------------------------------------------------------------
+  // q97 — PII scrubbing (the mandatory pass before a crawl enters a
+  // training mix): redact email / IPv4 / phone-shaped spans and report
+  // per-tag audit counts. The corpus is synthetic, so PII-shaped spans
+  // are INJECTED deterministically from doc_id first — the redaction
+  // and its audit then run exactly as they would on a real crawl. The
+  // patterns restrict themselves to syntax Java regex and RE2-family
+  // engines read identically (TextFns.PiiPatterns), which the oracle
+  // proves. Pure per-row regexp chain — codegen'd, shuffle-free.
+  def q97(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val aug = concat($"text",
+      lit(" contact u"), $"doc_id", lit("@ex"), $"doc_id" % 7,
+      lit(".com via 10.0."), $"doc_id" % 256, lit("."), ($"doc_id" * 7) % 256,
+      lit(" or +1 555 01"), lpad(($"doc_id" % 100).cast("string"), 2, "0"),
+      lit("9"))
+    val Seq(email, ip, phone) = TextFns.PiiPatterns.map(_._1)
+    t(s, dir, "documents")
+      .withColumn("aug", aug)
+      .select($"doc_id",
+        TextFns.piiCount($"aug", email).as("n_emails"),
+        TextFns.piiCount($"aug", ip).as("n_ips"),
+        TextFns.piiCount($"aug", phone).as("n_phones"),
+        md5(TextFns.redactPii($"aug")).as("redacted_fp"))
+      .orderBy($"doc_id")
+  }
+
+  val q97Sql: String = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ip = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+    val phone = "\\+?[0-9][0-9()\\- ]{5,}[0-9]"
+    s"""WITH a AS (SELECT doc_id,
+       |  text || ' contact u' || doc_id || '@ex' || (doc_id % 7) ||
+       |  '.com via 10.0.' || (doc_id % 256) || '.' || ((doc_id * 7) % 256) ||
+       |  ' or +1 555 01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') ||
+       |  '9' AS aug
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(aug, '$email')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(aug, '$ip')) AS BIGINT) AS n_ips,
+       |  CAST(len(regexp_extract_all(aug, '$phone')) AS BIGINT) AS n_phones,
+       |  md5(regexp_replace(regexp_replace(regexp_replace(aug,
+       |    '$email', '<EMAIL>', 'g'),
+       |    '$ip', '<IP>', 'g'),
+       |    '$phone', '<PHONE>', 'g')) AS redacted_fp
+       |FROM a ORDER BY doc_id""".stripMargin
+  }
+
   /** Name → query function, for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q79_repetition_quality" -> (q79 _),
@@ -684,7 +732,8 @@ object Extended3 {
     "q93_heavy_hitters" -> (q93 _),
     "q94_zorder_stats" -> (q94 _),
     "q95_scd2_versions" -> (q95 _),
-    "q96_shard_manifest" -> (q96 _)
+    "q96_shard_manifest" -> (q96 _),
+    "q97_pii_redaction" -> (q97 _)
   )
 
   /** Name → DuckDB oracle SQL, for SparkEntry. */
@@ -706,6 +755,7 @@ object Extended3 {
     "q93_heavy_hitters" -> q93Sql,
     "q94_zorder_stats" -> q94Sql,
     "q95_scd2_versions" -> q95Sql,
-    "q96_shard_manifest" -> q96Sql
+    "q96_shard_manifest" -> q96Sql,
+    "q97_pii_redaction" -> q97Sql
   )
 }

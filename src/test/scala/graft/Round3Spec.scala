@@ -148,6 +148,23 @@ class Round3Spec extends SparkSpec {
     assert(out.length === 1 && out.head.getDouble(1) === 3.5)
   }
 
+  test("PII redaction scrubs emails, IPs and phones; order protects email digits") {
+    import graft.functions.TextFns
+    val out = Seq(
+      "mail a.b+c@foo-bar.example.com now",
+      "server 192.168.001.1 up",
+      "call +48 (22) 123-45-67 today",
+      "mixed j9@x.io and 10.0.0.7 and 555 123 4567",
+      "clean text, no pii 123"
+    ).toDF("t").select(TextFns.redactPii($"t").as("r"))
+      .collect().map(_.getString(0))
+    assert(out(0) === "mail <EMAIL> now")
+    assert(out(1) === "server <IP> up")
+    assert(out(2) === "call <PHONE> today")
+    assert(out(3) === "mixed <EMAIL> and <IP> and <PHONE>")
+    assert(out(4) === "clean text, no pii 123") // short digit run untouched
+  }
+
   test("q87 cartesian is exactly |region| × |nation|") {
     val n = Extended3.q87(spark, sf).count()
     assert(n === 5L * 25L)
