@@ -507,6 +507,9 @@ object Extended3 {
     import s.implicits._
     val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
     t(s, dir, "events")
+      // tolerate TIMESTAMP_NTZ inputs (DuckDB-written parquet): the tz
+      // offset cancels in the dt difference — same posture as Sessionize
+      .withColumn("ts", $"ts".cast("timestamp"))
       .withColumn("next_ts", lead($"ts", 1).over(w))
       .filter($"next_ts".isNotNull)
       .select($"user_id",
