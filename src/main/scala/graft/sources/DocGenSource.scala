@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -61,28 +61,63 @@ private[sources] class DocGenTable(rows: Long, parts: Int, seed: Long)
 }
 
 private[sources] class DocGenScanBuilder(rows: Long, parts: Int, seed: Long)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = DocGen.schema
+  private var lo = 0L          // inclusive doc_id lower bound
+  private var hi = Long.MaxValue // exclusive doc_id upper bound
+  private var pushed: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // preserve our canonical field order; Spark may request any order
     required = StructType(
       DocGen.schema.fields.filter(f => requiredSchema.fieldNames.contains(f.name)))
 
-  override def build(): Scan = new DocGenScan(rows, parts, seed, required)
+  /** doc_id range predicates tighten the generated id interval itself —
+    * the generator never produces (let alone filters) pruned ids, the
+    * exact analog of parquet row-group pruning on a sorted key. Other
+    * filters are left for Spark to evaluate post-scan. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, rest) = filters.partition {
+      case GreaterThan("doc_id", _: Long) => true
+      case GreaterThanOrEqual("doc_id", _: Long) => true
+      case LessThan("doc_id", _: Long) => true
+      case LessThanOrEqual("doc_id", _: Long) => true
+      case _ => false
+    }
+    accepted.foreach {
+      case GreaterThan("doc_id", v: Long) => lo = math.max(lo, v + 1)
+      case GreaterThanOrEqual("doc_id", v: Long) => lo = math.max(lo, v)
+      case LessThan("doc_id", v: Long) => hi = math.min(hi, v)
+      case LessThanOrEqual("doc_id", v: Long) => hi = math.min(hi, v + 1)
+      case _ =>
+    }
+    pushed = accepted
+    rest // residual filters Spark still applies
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new DocGenScan(rows, parts, seed, required, lo, hi)
 }
 
 private[sources] class DocGenScan(rows: Long, parts: Int, seed: Long,
-    required: StructType) extends Scan with Batch {
+    required: StructType, lo: Long = 0L, hi: Long = Long.MaxValue)
+    extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"graftdocs rows=$rows cols=[${required.fieldNames.mkString(",")}]"
+    s"graftdocs rows=$rows cols=[${required.fieldNames.mkString(",")}]" +
+      (if (lo > 0 || hi < rows) s" ids=[$lo,${math.min(hi, rows)})" else "")
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val per = math.max(1L, (rows + parts - 1) / parts)
-    (0L until rows by per)
-      .map(start => DocGenPartition(start, math.min(start + per, rows)))
+    val begin = math.max(0L, lo)
+    val stop = math.min(rows, hi)
+    if (begin >= stop) return Array.empty
+    val span = stop - begin
+    val per = math.max(1L, (span + parts - 1) / parts)
+    (begin until stop by per)
+      .map(start => DocGenPartition(start, math.min(start + per, stop)))
       .toArray
   }
 
@@ -90,8 +125,9 @@ private[sources] class DocGenScan(rows: Long, parts: Int, seed: Long,
     new DocGenReaderFactory(seed, required.fieldNames)
 }
 
-private[sources] case class DocGenPartition(start: Long, end: Long)
-    extends InputPartition
+/** Generated id interval [start, end) — public so tests and tooling can
+  * inspect how pushdown shaped the scan. */
+case class DocGenPartition(start: Long, end: Long) extends InputPartition
 
 private[sources] class DocGenReaderFactory(seed: Long, cols: Array[String])
     extends PartitionReaderFactory {

@@ -35,6 +35,31 @@ class DocGenSourceSpec extends SparkSpec {
     assert(scan.scan.readSchema().fieldNames.toSeq === Seq("doc_id", "lang"))
   }
 
+  test("doc_id range filters push into partition planning (generated-scan pruning)") {
+    val df = gen(10000, 10).filter($"doc_id" >= 2500 && $"doc_id" < 3500)
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b
+    }.getOrElse(fail("no BatchScanExec"))
+    // the scan only covers the requested id interval: input partitions
+    // span 1000 ids, not 10000 (the generator never produces pruned ids)
+    val parts = scan.batch.planInputPartitions()
+    val spanned = parts.map { p =>
+      val d = p.asInstanceOf[graft.sources.DocGenPartition]
+      d.end - d.start
+    }.sum
+    assert(spanned === 1000L, s"scan spans $spanned ids")
+    assert(df.count() === 1000L)
+    // values are unchanged by pushdown (same rows as post-filtering)
+    val viaFull = gen(10000, 10).orderBy($"doc_id").collect()
+      .filter(r => r.getLong(0) >= 2500 && r.getLong(0) < 3500)
+    assert(df.orderBy($"doc_id").collect().toSeq === viaFull.toSeq)
+  }
+
+  test("contradictory pushed range yields an empty scan, not an error") {
+    val df = gen(1000, 4).filter($"doc_id" > 800 && $"doc_id" < 100)
+    assert(df.count() === 0L)
+  }
+
   test("n_chars matches text length; near-dups exist for dedup ops") {
     val df = gen(1000, 4).cache()
     try {
