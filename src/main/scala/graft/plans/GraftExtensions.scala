@@ -43,6 +43,14 @@ object GraftExtensions {
         require(args(1).foldable, "bits must be a literal")
         TokenSimHash(args.head,
           args(1).eval().asInstanceOf[Number].intValue())
+      }),
+    ("ngram_explode",
+      info("ngram_explode"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "ngram_explode takes (tokens, n)")
+        require(args(1).foldable, "n must be a literal")
+        NGramExplode(args.head,
+          args(1).eval().asInstanceOf[Number].intValue())
       })
   )
 

@@ -54,8 +54,10 @@ object Extended3 {
         max($"c").as("top_cnt"))
     val biStats = docs
       .withColumn("toks", TextFns.tokens($"text"))
-      .select($"doc_id",
-        explode(TextFns.ngramsFromTokens($"toks", 2)).as("bg"))
+      // native generator (plans.NGramExplode): streams shingles without
+      // materializing the intermediate bigram array per row
+      .select($"doc_id", graft.plans.NGramExplode.of($"toks", 2))
+      .select($"doc_id", $"ngram".as("bg"))
       .groupBy($"doc_id", $"bg").agg(count(lit(1)).as("c"))
       .groupBy($"doc_id")
       .agg(max($"c").as("top_bg_cnt"), sum($"c").as("n_bigrams"))

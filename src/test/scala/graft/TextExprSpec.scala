@@ -95,6 +95,44 @@ class TextExprSpec extends SparkSpec {
     assert(edges.toSeq === Seq(None, Some(0.0), Some(1.0)))
   }
 
+  test("NGramExplode generator == posexplode(ngramsFromTokens) on all edges") {
+    import graft.plans.NGramExplode
+    val docs = Seq(
+      (1L, Seq("a", "b", "c", "d")),
+      (2L, Seq("x")),            // shorter than n => ONE short shingle
+      (3L, Seq.empty[String]),   // empty array   => one empty shingle
+      (4L, null)                 // null          => no rows
+    ).toDF("id", "toks")
+    Seq(2, 3).foreach { n =>
+      val native = docs.select($"id", NGramExplode.of($"toks", n))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
+      val hof = docs.select($"id",
+          posexplode(graft.functions.TextFns.ngramsFromTokens($"toks", n)))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
+      // identical on every non-null array; on a NULL array the HOF
+      // pipeline leaks one (0, null) row (greatest(null,1) artifact),
+      // the generator emits NOTHING (explode semantics) — documented
+      // divergence, pinned here
+      assert(native === hof.filter(_._1 != 4L), s"n=$n")
+      assert(!native.exists(_._1 == 4L))
+      assert(hof.filter(_._1 == 4L) === Seq((4L, 0, null)))
+    }
+    // plans a Generate node (UDTF execution path)
+    val plan = docs.select($"id", NGramExplode.of($"toks", 2))
+      .queryExecution.executedPlan
+    assert(plan.collectFirst {
+      case g: org.apache.spark.sql.execution.GenerateExec => g
+    }.nonEmpty, plan.toString)
+  }
+
+  test("ngram_explode SQL function is registered") {
+    val s2 = GraftSession.build(master = "local[4]", shufflePartitions = 4)
+    val rows = s2.sql(
+      "SELECT ngram_explode(array('a','b','c'), 2)")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(rows === Seq((0, "a b"), (1, "b c")))
+  }
+
   test("simhash_tokens SQL function is registered") {
     val s2 = GraftSession.build(master = "local[4]", shufflePartitions = 4)
     val r = s2.sql(
