@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Dev tool: drive the library's heavy pipelines at ARBITRARY generated
+  * scale (no disk staging) through the graftdocs DataSource V2 source.
+  * Usage:
+  *   runMain graft.Stress <rows> [pipeline...]
+  * pipelines: dedup | repetition | packing | redact | shard (default all)
+  *
+  * This is the would-it-hold-at-scale probe: the source generates any
+  * corpus size with zero IO, so the measured cost is pure operator cost
+  * (shuffle, agg, window) at whatever row count the hardware can hold.
+  */
+object Stress {
+
+  def main(args: Array[String]): Unit = {
+    val rows = args.headOption.map(_.toLong).getOrElse(100000L)
+    val picks = if (args.length > 1) args.tail.toSet
+      else Set("dedup", "repetition", "packing", "redact", "shard")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.build(s"local[$cpus]", cpus.toInt, "graft-stress")
+    import spark.implicits._
+
+    def docs: DataFrame = spark.read.format("graftdocs")
+      .option("rows", rows).option("partitions", cpus.toInt * 2).load()
+
+    def timed(name: String)(body: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = body
+      println(f"[stress] $name%-12s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n rows, $rows docs)")
+    }
+
+    if (picks("dedup")) timed("dedup") {
+      val d = docs
+      // starCap: the generated corpus has a 10k+-clone cluster; capped
+      // buckets emit star edges (identical components, O(n) not O(n²))
+      val pairs = graft.ext.TextDedup
+        .lshCandidates(d, "text", "doc_id", starCap = 256)
+      graft.ext.TextDedup
+        .dedupFuzzyKeepIds(pairs, d.select($"doc_id"), nodeCol = "doc_id")
+        .count()
+    }
+    if (picks("repetition")) timed("repetition") {
+      // q79's shape over the generated corpus
+      val toks = docs.withColumn("toks", graft.functions.TextFns.tokens($"text"))
+      toks.select($"doc_id", explode($"toks").as("t"))
+        .groupBy($"doc_id", $"t").agg(count(lit(1)).as("c"))
+        .groupBy($"doc_id")
+        .agg(sum($"c").as("n"), max($"c").as("m"))
+        .count()
+    }
+    if (picks("packing")) timed("packing") {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"source").orderBy($"doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      docs.select($"doc_id", $"source",
+          graft.functions.TextFns.approxBpeTokenCount($"text").as("toks"))
+        .withColumn("cum", coalesce(sum($"toks").over(w), lit(0L)))
+        .withColumn("batch", expr("cum div 2048"))
+        .groupBy($"source", $"batch").count().count()
+    }
+    if (picks("redact")) timed("redact") {
+      docs.select(md5(graft.functions.TextFns.redactPii($"text")))
+        .queryExecution.toRdd.count()
+    }
+    if (picks("shard")) timed("shard") {
+      docs.withColumn("shard", graft.operators.HashSplit.bucket($"doc_id", 64))
+        .groupBy($"shard")
+        .agg(count(lit(1)).as("n"), expr("bit_xor(doc_id)"))
+        .count()
+    }
+    spark.stop()
+  }
+}

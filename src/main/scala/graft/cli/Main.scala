@@ -125,8 +125,9 @@ object Main {
     // (LSH candidates → connected components → keep min id per cluster).
     case "dedup" :: in :: idCol :: textCol :: out :: Nil =>
       val docs = spark.read.parquet(in)
+      // starCap bounds mega-cluster pair blowup; components unchanged
       val pairs = graft.ext.TextDedup
-        .lshCandidates(docs, textCol, idCol)
+        .lshCandidates(docs, textCol, idCol, starCap = 1024)
       val keep = graft.ext.TextDedup
         .dedupFuzzyKeepIds(pairs, docs.select(idCol), nodeCol = idCol)
       val kept = docs.join(keep, Seq(idCol), "left_semi")
@@ -146,6 +147,34 @@ object Main {
         .sessionStats(spark.read.parquet(in), Seq(key), ts, gap.toLong)
       stats.write.mode("overwrite").parquet(out)
       println(s"wrote per-key session stats to $out")
+
+    // redact <docsParquet> <textCol> <outParquet>: PII scrub + audit.
+    case "redact" :: in :: textCol :: out :: Nil =>
+      import org.apache.spark.sql.functions.col
+      val docs = spark.read.parquet(in)
+      val scrubbed = docs.withColumn(textCol,
+        graft.functions.TextFns.redactPii(col(textCol)))
+      scrubbed.write.mode("overwrite").parquet(out)
+      val audits = graft.functions.TextFns.PiiPatterns.map { case (p, tag) =>
+        val n = docs.select(org.apache.spark.sql.functions
+          .sum(graft.functions.TextFns.piiCount(col(textCol), p))).head()
+        s"$tag=${if (n.isNullAt(0)) 0L else n.getLong(0)}"
+      }
+      println(s"redacted ${audits.mkString(" ")} into $out")
+
+    // shard <docsParquet> <idCol> <n> <outDir>: deterministic shard
+    // split, one subdir per shard + a manifest parquet.
+    case "shard" :: in :: idCol :: n :: out :: Nil =>
+      import org.apache.spark.sql.functions._
+      val docs = spark.read.parquet(in)
+      val sharded = docs.withColumn("shard",
+        graft.operators.HashSplit.bucket(col(idCol), n.toInt))
+      sharded.write.mode("overwrite").partitionBy("shard").parquet(out)
+      sharded.groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("min_id"),
+          max(col(idCol)).as("max_id"), expr(s"bit_xor($idCol)").as("checksum"))
+        .write.mode("overwrite").parquet(out + "_manifest")
+      println(s"wrote ${n.toInt} shards + manifest under $out")
 
     case other =>
       sys.error(s"unknown command: ${other.mkString(" ")} — see Scaladoc for usage")

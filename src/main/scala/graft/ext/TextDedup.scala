@@ -48,9 +48,21 @@ object TextDedup {
   }
 
   /** LSH near-duplicate candidate pairs (id_a < id_b), deduplicated
-    * across bands. */
+    * across bands.
+    *
+    * `starCap` bounds the quadratic in-bucket pair expansion: a bucket
+    * with more than `starCap` members emits STAR edges (every member
+    * paired with the bucket's minimum id) instead of all pairs —
+    * O(bucket) edges with EXACTLY the same connected components, so
+    * fuzzy-dedup clustering ([[dedupFuzzyKeepIds]]) is unaffected.
+    * Found the hard way: a corpus with a 10k-clone cluster (one
+    * boilerplate page crawled 10k times — routine at web scale) put
+    * 50M pairs in ONE bucket row and OOM'd the executor. Keep the
+    * default (no cap) only when the full pair list itself is the
+    * product, e.g. for pairwise similarity verification. */
   def lshCandidates(docs: DataFrame, textCol: String, idCol: String,
-      ngram: Int = 3, numHashes: Int = 4, bands: Int = 1): DataFrame = {
+      ngram: Int = 3, numHashes: Int = 4, bands: Int = 1,
+      starCap: Int = Int.MaxValue): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     // native one-pass signature (shingle + md5 + chunk-min in one JVM
@@ -74,9 +86,15 @@ object TextDedup {
       .groupBy(col("band"))
       .agg(sort_array(collect_list(col(idCol))).as("ids"))
       .filter(size(col("ids")) > 1)
-    val pairs = flatten(transform(col("ids"), (a, i) =>
+    val allPairs = flatten(transform(col("ids"), (a, i) =>
       transform(slice(col("ids"), i + lit(2), size(col("ids"))),
         b2 => struct(a.as("id_a"), b2.as("id_b")))))
+    // ids is sorted => element 1 is the bucket minimum (the star center)
+    val star = transform(slice(col("ids"), lit(2), size(col("ids"))),
+      b2 => struct(element_at(col("ids"), 1).as("id_a"), b2.as("id_b")))
+    val pairs =
+      if (starCap == Int.MaxValue) allPairs
+      else when(size(col("ids")) <= starCap, allPairs).otherwise(star)
     buckets
       .select(explode(pairs).as("p"))
       .select(col("p.id_a"), col("p.id_b"))

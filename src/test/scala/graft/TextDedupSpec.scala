@@ -82,6 +82,26 @@ class TextDedupSpec extends SparkSpec {
     assert(keep === Seq(5L, 42L))
   }
 
+  test("lshCandidates starCap: same components, linear edge count on mega-clusters") {
+    import spark.implicits._
+    // 40 identical docs (one clique bucket) + 2 distinct docs
+    val docs = ((1L to 40L).map(i => (i, "dup dup dup dup dup text")) ++
+      Seq((100L, "alpha beta gamma delta"), (200L, "one two three four")))
+      .toDF("doc_id", "text")
+    val full = TextDedup.lshCandidates(docs, "text", "doc_id")
+    val capped = TextDedup.lshCandidates(docs, "text", "doc_id", starCap = 10)
+    assert(full.count() === 40L * 39 / 2) // quadratic
+    assert(capped.count() === 39L)        // star: linear
+    val keepFull = TextDedup
+      .dedupFuzzyKeepIds(full, docs.select($"doc_id"), nodeCol = "doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val keepCapped = TextDedup
+      .dedupFuzzyKeepIds(capped, docs.select($"doc_id"), nodeCol = "doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(keepFull === Seq(1L, 100L, 200L))
+    assert(keepCapped === keepFull) // identical clustering outcome
+  }
+
   test("connectedComponents refuses to return unconverged labels") {
     import spark.implicits._
     // a path of diameter 6 cannot converge in 2 rounds of propagation
