@@ -299,6 +299,44 @@ object TextDedup {
       .filter(col("node") === col("component"))
       .select(col("node").as(nodeCol))
 
+  /** Incremental dedup: which docs of a NEW batch are novel against an
+    * EXISTING corpus? A batch doc is novel iff none of its LSH bands
+    * collides with any corpus band — the standard corpus-update gate
+    * (only novel docs are appended; the corpus is never re-clustered).
+    *
+    * Scale shape: the corpus contributes only its DISTINCT band keys
+    * (a few hundred bytes per doc, precomputable and storable as the
+    * corpus's "dedup index"); the batch side is usually small. The join
+    * is a semi-join on the band key — shuffle volume is bands, never
+    * text. Returns the batch's novel id rows.
+    */
+  def novelAgainst(corpus: DataFrame, batch: DataFrame,
+      textCol: String, idCol: String,
+      ngram: Int = 3, numHashes: Int = 4, bands: Int = 1): DataFrame = {
+    def bandsOf(df: DataFrame): DataFrame = {
+      require(numHashes % bands == 0, "bands must divide numHashes")
+      val rowsPerBand = numHashes / bands
+      val sig = df
+        .withColumn("_toks", TextFns.tokens(col(textCol)))
+        .withColumn("_sig",
+          graft.plans.TextExpressions.minhashSig(col("_toks"), ngram, numHashes))
+      val bandDfs = (0 until bands).map { b =>
+        val cols = (b * rowsPerBand until (b + 1) * rowsPerBand)
+          .map(i => element_at(col("_sig"), i + 1))
+        sig.select(col(idCol),
+          concat_ws("|", lit(b.toString) +: cols: _*).as("band"))
+      }
+      bandDfs.reduce(_ unionByName _)
+    }
+    val corpusBands = bandsOf(corpus).select(col("band")).distinct()
+    val batchBands = bandsOf(batch)
+    val collided = batchBands
+      .join(corpusBands, Seq("band"), "left_semi")
+      .select(col(idCol)).distinct()
+    batch.select(col(idCol)).distinct()
+      .join(collided, Seq(idCol), "left_anti")
+  }
+
   /** Exact n-gram Jaccard for candidate pairs: join text back, compute
     * |A∩B| / |A∪B| over distinct shingle sets, keep pairs ≥ threshold. */
   def verifiedPairs(docs: DataFrame, candidates: DataFrame,

@@ -718,6 +718,68 @@ object Extended3 {
        |FROM a ORDER BY doc_id""".stripMargin
   }
 
+  // --------------------------------------------------------------------
+  // q98 — incremental dedup (TextDedup.novelAgainst): which docs of a
+  // new batch (doc_id % 10 == 0) are novel against the existing corpus
+  // (the rest)? The corpus-update gate every continuously-crawled
+  // training set runs: only novel docs append; the corpus re-clusters
+  // never. Corpus side reduces to DISTINCT band keys (storable as a
+  // dedup index); batch novelty is one semi-join + one anti-join.
+  def q98(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    val corpus = docs.filter($"doc_id" % 10 =!= 0)
+    val batch = docs.filter($"doc_id" % 10 === 0)
+    graft.ext.TextDedup
+      .novelAgainst(corpus, batch, "text", "doc_id")
+      .orderBy($"doc_id")
+  }
+
+  val q98Sql: String = {
+    val ng = ngramsSql(3)
+    def chunk(i: Int) =
+      s"list_min(list_transform($ng, s -> substr(md5(s), ${i * 8 + 1}, 8)))"
+    s"""WITH sig AS (
+       | SELECT doc_id,
+       |  '0|' || ${chunk(0)} || '|' || ${chunk(1)} || '|' ||
+       |  ${chunk(2)} || '|' || ${chunk(3)} AS band
+       | FROM documents)
+       |SELECT doc_id FROM sig b
+       |WHERE doc_id % 10 = 0
+       |  AND NOT EXISTS (SELECT 1 FROM sig c
+       |                  WHERE c.doc_id % 10 <> 0 AND c.band = b.band)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // --------------------------------------------------------------------
+  // q99 — equi-depth histogram (decile binning): ntile(10) over a
+  // deterministic total order, then per-bin count/min/max — the
+  // data-profiling companion to q07's equi-width histogram and the
+  // cutpoint source for range partitioning. At scale the total sort is
+  // a range exchange (sampled boundaries), not a single partition.
+  def q99(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.orderBy($"l_extendedprice", $"l_orderkey", $"l_linenumber")
+    t(s, dir, "lineitem")
+      .select($"l_extendedprice", $"l_orderkey", $"l_linenumber")
+      .withColumn("decile", ntile(10).over(w))
+      .groupBy($"decile")
+      .agg(count(lit(1)).as("n"),
+        round(min($"l_extendedprice"), 2).as("lo"),
+        round(max($"l_extendedprice"), 2).as("hi"))
+      .orderBy($"decile")
+  }
+
+  val q99Sql: String =
+    """WITH d AS (SELECT l_extendedprice,
+      |  ntile(10) OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+      |    AS decile
+      |  FROM lineitem)
+      |SELECT decile, count(*) AS n,
+      |       round(min(l_extendedprice), 2) AS lo,
+      |       round(max(l_extendedprice), 2) AS hi
+      |FROM d GROUP BY decile ORDER BY decile""".stripMargin
+
   /** Name → query function, for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q79_repetition_quality" -> (q79 _),
@@ -738,7 +800,9 @@ object Extended3 {
     "q94_zorder_stats" -> (q94 _),
     "q95_scd2_versions" -> (q95 _),
     "q96_shard_manifest" -> (q96 _),
-    "q97_pii_redaction" -> (q97 _)
+    "q97_pii_redaction" -> (q97 _),
+    "q98_incremental_dedup" -> (q98 _),
+    "q99_equidepth_hist" -> (q99 _)
   )
 
   /** Name → DuckDB oracle SQL, for SparkEntry. */
@@ -761,6 +825,8 @@ object Extended3 {
     "q94_zorder_stats" -> q94Sql,
     "q95_scd2_versions" -> q95Sql,
     "q96_shard_manifest" -> q96Sql,
-    "q97_pii_redaction" -> q97Sql
+    "q97_pii_redaction" -> q97Sql,
+    "q98_incremental_dedup" -> q98Sql,
+    "q99_equidepth_hist" -> q99Sql
   )
 }

@@ -102,6 +102,26 @@ class TextDedupSpec extends SparkSpec {
     assert(keepCapped === keepFull) // identical clustering outcome
   }
 
+  test("novelAgainst: batch docs collide with corpus dups, novel ones pass") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"), // exact dup
+      (11L, "a completely different sentence about spark engines"),
+      (12L, "pack my box with five dozen liquor jugs")       // exact dup
+    ).toDF("doc_id", "text")
+    val novel = TextDedup.novelAgainst(corpus, batch, "text", "doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(novel === Seq(11L))
+    // empty corpus => everything is novel
+    val all = TextDedup.novelAgainst(corpus.filter($"doc_id" < 0), batch,
+      "text", "doc_id").count()
+    assert(all === 3L)
+  }
+
   test("connectedComponents refuses to return unconverged labels") {
     import spark.implicits._
     // a path of diameter 6 cannot converge in 2 rounds of propagation
