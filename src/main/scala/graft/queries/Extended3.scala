@@ -780,6 +780,63 @@ object Extended3 {
       |       round(max(l_extendedprice), 2) AS hi
       |FROM d GROUP BY decile ORDER BY decile""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q100 — the full training-data prep chain as ONE declarative plan:
+  // quality-filter (token count + stopword ratio) → exact dedup (keep
+  // min doc_id per content hash) → per-source sequence packing →
+  // per-source batch stats. Composes q27 + q18 + q86; Catalyst fuses
+  // the filter into the scan, the dedup is one hash shuffle, the
+  // packing one keyed window — three shuffles total for the pipeline a
+  // 100 TB corpus runs nightly.
+  def q100(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val en = TextFns.LangStopwords.toMap.apply("en")
+    val quality = t(s, dir, "documents")
+      .withColumn("toks", TextFns.tokens($"text"))
+      .filter(size($"toks") >= 20 &&
+        TextFns.stopwordRatioFromTokens($"toks", en) >= 0.05)
+    val deduped = quality
+      .withColumn("fp", md5($"text"))
+      .withColumn("keep",
+        row_number().over(Window.partitionBy($"fp").orderBy($"doc_id")) === 1)
+      .filter($"keep")
+    val w = Window.partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    deduped
+      .select($"doc_id", $"source",
+        TextFns.approxBpeTokenCount($"text").as("btoks"))
+      .withColumn("cum", coalesce(sum($"btoks").over(w), lit(0L)))
+      .withColumn("batch_id", expr("cum div 512"))
+      .groupBy($"source", $"batch_id")
+      .agg(count(lit(1)).as("n_docs"), sum($"btoks").as("batch_tokens"))
+      .orderBy($"source", $"batch_id")
+  }
+
+  val q100Sql: String = {
+    val en = TextFns.LangStopwords.toMap.apply("en")
+      .map(wd => s"'$wd'").mkString(", ")
+    s"""WITH q AS (
+       |  SELECT doc_id, source, text,
+       |    len($tokensSql) AS ntok,
+       |    CAST(len(list_filter($tokensSql, x -> x IN ($en))) AS DOUBLE)
+       |      / len($tokensSql) AS stopratio
+       |  FROM documents),
+       | f AS (SELECT * FROM q WHERE ntok >= 20 AND stopratio >= 0.05),
+       | d AS (SELECT *, row_number() OVER (PARTITION BY md5(text)
+       |         ORDER BY doc_id) AS rn FROM f),
+       | k AS (SELECT doc_id, source,
+       |         CAST(ceil(length(regexp_replace(text, '\\s+', '', 'g')) / 4.0)
+       |           AS BIGINT) AS btoks
+       |       FROM d WHERE rn = 1),
+       | c AS (SELECT doc_id, source, btoks,
+       |         coalesce(sum(btoks) OVER (PARTITION BY source ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+       |       FROM k)
+       |SELECT source, cum // 512 AS batch_id, count(*) AS n_docs,
+       |       CAST(sum(btoks) AS BIGINT) AS batch_tokens
+       |FROM c GROUP BY 1, 2 ORDER BY source, batch_id""".stripMargin
+  }
+
   /** Name → query function, for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q79_repetition_quality" -> (q79 _),
@@ -802,7 +859,8 @@ object Extended3 {
     "q96_shard_manifest" -> (q96 _),
     "q97_pii_redaction" -> (q97 _),
     "q98_incremental_dedup" -> (q98 _),
-    "q99_equidepth_hist" -> (q99 _)
+    "q99_equidepth_hist" -> (q99 _),
+    "q100_training_prep" -> (q100 _)
   )
 
   /** Name → DuckDB oracle SQL, for SparkEntry. */
@@ -827,6 +885,7 @@ object Extended3 {
     "q96_shard_manifest" -> q96Sql,
     "q97_pii_redaction" -> q97Sql,
     "q98_incremental_dedup" -> q98Sql,
-    "q99_equidepth_hist" -> q99Sql
+    "q99_equidepth_hist" -> q99Sql,
+    "q100_training_prep" -> q100Sql
   )
 }
