@@ -165,6 +165,28 @@ class Round3Spec extends SparkSpec {
     assert(out(4) === "clean text, no pii 123") // short digit run untouched
   }
 
+  test("IncrementalAgg: merge(rollup(A), rollup(B)) == rollup(A ∪ B)") {
+    import graft.ext.IncrementalAgg
+    val a = Seq(("d1", 2L), ("d1", 4L), ("d2", 10L)).toDF("day", "v")
+    val b = Seq(("d1", 1L), ("d3", 7L)).toDF("day", "v")
+    val merged = IncrementalAgg.merge(
+      IncrementalAgg.rollup(a, Seq("day"), "v"),
+      IncrementalAgg.rollup(b, Seq("day"), "v"), Seq("day"))
+    val direct = IncrementalAgg.rollup(a.unionByName(b), Seq("day"), "v")
+    val key = (df: org.apache.spark.sql.DataFrame) =>
+      df.orderBy($"day").collect().map(_.toSeq).toSeq
+    assert(key(merged) === key(direct))
+    // avg derives exactly from merged components
+    val avg = IncrementalAgg.withAvg(merged)
+      .filter($"day" === "d1").head.getAs[Double]("avg_v")
+    assert(avg === (2 + 4 + 1) / 3.0)
+    // empty delta is the identity
+    val idm = IncrementalAgg.merge(
+      IncrementalAgg.rollup(a, Seq("day"), "v"),
+      IncrementalAgg.rollup(b.filter($"v" < 0), Seq("day"), "v"), Seq("day"))
+    assert(key(idm) === key(IncrementalAgg.rollup(a, Seq("day"), "v")))
+  }
+
   test("q87 cartesian is exactly |region| × |nation|") {
     val n = Extended3.q87(spark, sf).count()
     assert(n === 5L * 25L)
