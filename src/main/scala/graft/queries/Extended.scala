@@ -1108,6 +1108,7 @@ object Extended {
     "q45_hash_split" -> (q45 _),
     "q46_dedup_keep_best" -> (q46 _),
     "q47_simhash_pairs" -> (q47 _),
+    "q48_multi_distinct" -> (q48 _),
     "q49_ivf_ann" -> (q49 _),
     "q50_frame_sample" -> (q50 _),
     "q51_window_frames" -> (q51 _),
@@ -1152,6 +1153,7 @@ object Extended {
     "q45_hash_split" -> q45Sql,
     "q46_dedup_keep_best" -> q46Sql,
     "q47_simhash_pairs" -> q47Sql,
+    "q48_multi_distinct" -> q48Sql,
     "q50_frame_sample" -> q50Sql,
     "q51_window_frames" -> q51Sql,
     "q52_cube" -> q52Sql,
