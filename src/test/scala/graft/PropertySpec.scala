@@ -127,4 +127,43 @@ class PropertySpec extends SparkSpec {
         window.except(native).count() === 0, s"round $round diverged")
     }
   }
+
+  test("star CC == propagation CC on random graphs") {
+    import spark.implicits._
+    import graft.ext.TextDedup
+    val edgeGen = for {
+      a <- Gen.chooseNum(1L, 60L); b <- Gen.chooseNum(1L, 60L) if a != b
+    } yield (a, b)
+    (0 until 5).foreach { round =>
+      val edges = (0 until 40).flatMap(i =>
+        edgeGen.apply(Gen.Parameters.default, Seed(round * 1000L + i)))
+      val pairs = edges.toDF("id_a", "id_b")
+      val nodes = (1L to 60L).toDF("id")
+      val prop = TextDedup.connectedComponents(pairs, nodes, maxRounds = 60)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val star = TextDedup.connectedComponentsStar(pairs, nodes)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(prop === star, s"round $round diverged")
+    }
+  }
+
+  test("TopKLong distributed == sort-take, any k, random data") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rowGen = for {
+      g <- Gen.oneOf("a", "b", "c"); v <- Gen.chooseNum(-1000L, 1000L)
+    } yield (g, v)
+    (1 to 4).foreach { k =>
+      val rows = (0 until 200).flatMap(i =>
+        rowGen.apply(Gen.Parameters.default, Seed(k * 10000L + i)))
+      val df = rows.toDF("g", "v").repartition(7) // force partial+merge
+      val topk = udaf(graft.functions.TopKLong(k))
+      val got = df.groupBy($"g").agg(topk($"v").as("t"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toList).toMap
+      val want = rows.groupBy(_._1).map { case (g, vs) =>
+        g -> vs.map(_._2).sorted(Ordering[Long].reverse).take(k).toList
+      }
+      assert(got === want, s"k=$k")
+    }
+  }
 }
