@@ -108,6 +108,19 @@ class QueryPlanSpec extends SparkSpec {
     assert(count(p, _.isInstanceOf[Exchange]) === 2, p.toString)
   }
 
+  test("q100: the training-prep chain runs exactly 3 data shuffles + output sort") {
+    val p = executed("q100_training_prep")
+    // fp-window shuffle, source-window shuffle, final agg reuses the
+    // source partitioning or adds one — plus the orderBy range exchange
+    assert(count(p, _.isInstanceOf[Exchange]) <= 4, p.toString)
+    // the quality filter must run BEFORE the first exchange (scan-side),
+    // so dropped docs never shuffle
+    val firstExchange = p.collect { case e: Exchange => e }.last
+    assert(firstExchange.collectFirst {
+      case f: org.apache.spark.sql.execution.FilterExec => f
+    }.nonEmpty, "quality filter did not push below the first shuffle")
+  }
+
   test("q02: filter and projection reach the parquet scan") {
     val scans = plan("q02_filter_project").collect {
       case f: org.apache.spark.sql.execution.FileSourceScanExec => f
