@@ -38,6 +38,27 @@ object EventWindows {
         col("w.end").as("window_end"),
         col("station_name"), col("arrivals"), col("departures"))
 
+  /** Sliding-window variant: overlapping windows every `slide` (must
+    * divide or be divided sensibly into `windowLength`; each event lands
+    * in windowLength/slide windows). Same watermark/state semantics as
+    * [[stationTraffic]]; streaming state grows by the overlap factor —
+    * the windowLength/slide ratio IS the state multiplier, keep it
+    * small at scale. */
+  def stationTrafficSliding(events: DataFrame, windowLength: String,
+      slide: String, watermark: String): DataFrame =
+    events
+      .withWatermark("event_ts", watermark)
+      .groupBy(
+        window(col("event_ts"), windowLength, slide).as("w"),
+        col("station_name"))
+      .agg(
+        count(when(col("event_type") === "arrived", 1)).as("arrivals"),
+        count(when(col("event_type") === "departed", 1)).as("departures"))
+      .select(
+        col("w.start").as("window_start"),
+        col("w.end").as("window_end"),
+        col("station_name"), col("arrivals"), col("departures"))
+
   /** Parse the reference's ISO-offset timestamp strings into event time.
     * `timestamp` strings like 2025-08-21T15:06:02+02:00 parse natively;
     * the session TZ (UTC) normalizes them. */

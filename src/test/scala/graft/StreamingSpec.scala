@@ -124,6 +124,45 @@ class StreamingSpec extends SparkSpec {
     query.stop()
   }
 
+  test("sliding windows overlap; watermark DROPS too-late events") {
+    import graft.model.StatusEvent
+    import graft.streaming.EventWindows
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StatusEvent]
+    val windowed = EventWindows.stationTrafficSliding(
+      EventWindows.withEventTs(input.toDF()),
+      "10 minutes", "5 minutes", "10 minutes")
+    val query = windowed.writeStream.format("memory")
+      .queryName("sliding_traffic").outputMode("append").start()
+
+    def ev(ts: String, kind: String) =
+      StatusEvent(ts, "b1", kind, Some("S1"), Some("S1"),
+        Some(51.1), Some(17.0), Some("standard"), None)
+
+    // 13:07 UTC lands in BOTH [13:00,13:10) and [13:05,13:15)
+    input.addData(ev("2025-08-21T15:07:00+02:00", "arrived"))
+    query.processAllAvailable()
+    // advance watermark far ahead, then deliver a hopelessly late event
+    input.addData(ev("2025-08-21T17:00:00+02:00", "arrived"))
+    query.processAllAvailable()
+    input.addData(ev("2025-08-21T15:06:00+02:00", "departed")) // < watermark
+    query.processAllAvailable()
+    input.addData(ev("2025-08-21T18:00:00+02:00", "arrived")) // close all
+    query.processAllAvailable()
+
+    val rows = spark.table("sliding_traffic")
+      .collect().map(r => (r.getAs[java.sql.Timestamp]("window_start").toString,
+        r.getAs[Long]("arrivals"), r.getAs[Long]("departures")))
+    // the on-time event appears in two overlapping windows
+    val onTime = rows.filter(_._1.startsWith("2025-08-21 13:"))
+    assert(onTime.map(_._1.substring(0, 16)).sorted.toSeq ===
+      Seq("2025-08-21 13:00", "2025-08-21 13:05"))
+    // the late departure was dropped: no window counts it
+    assert(rows.forall(_._3 === 0L), rows.mkString(", "))
+    query.stop()
+  }
+
   test("windowed aggregation also runs in batch mode (same definition)") {
     import graft.streaming.EventWindows
     val posA = SnapshotJson.positions(SnapshotJson.read(spark, snapA))
