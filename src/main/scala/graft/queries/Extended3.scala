@@ -837,6 +837,90 @@ object Extended3 {
        |FROM c GROUP BY 1, 2 ORDER BY source, batch_id""".stripMargin
   }
 
+  // --------------------------------------------------------------------
+  // q101 — ordered aggregates (max_by/min_by): the argmax family as ONE
+  // hash-agg pass — no per-group window sort, so shuffle carries one
+  // candidate per group instead of every row (q42's window formulation
+  // re-sorts each group; this is the scale-preferred shape when only
+  // the extreme row is needed). Ordering key is struct(value, event_id)
+  // — ties on value resolve by id, so the result is deterministic.
+  def q101(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .groupBy($"event_type")
+      .agg(
+        max_by($"event_id", struct($"value", $"event_id")).as("top_event"),
+        round(max($"value"), 4).as("top_value"),
+        min_by($"event_id", struct($"value", $"event_id")).as("bottom_event"),
+        round(min($"value"), 4).as("bottom_value"))
+      .orderBy($"event_type")
+  }
+
+  val q101Sql: String =
+    """WITH r AS (
+      |  SELECT event_type, event_id, value,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY value DESC, event_id DESC) AS rk_top,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY value ASC, event_id ASC) AS rk_bot
+      |  FROM events)
+      |SELECT event_type,
+      |  max(CASE WHEN rk_top = 1 THEN event_id END) AS top_event,
+      |  round(max(value), 4) AS top_value,
+      |  max(CASE WHEN rk_bot = 1 THEN event_id END) AS bottom_event,
+      |  round(min(value), 4) AS bottom_value
+      |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q102 — regexp_extract_all: every 'ar'-infixed word per doc as a
+  // joined list (the multi-match companion to q72's single-capture
+  // extraction). Pattern restricted to a character class both regex
+  // dialects read identically.
+  def q102(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select($"doc_id",
+        array_join(regexp_extract_all($"text", lit("[a-z]*ar[a-z]*"), lit(0)), ",")
+          .as("ar_words"),
+        size(regexp_extract_all($"text", lit("[a-z]*ar[a-z]*"), lit(0)))
+          .as("n_matches"))
+      .orderBy($"doc_id")
+  }
+
+  val q102Sql: String =
+    """SELECT doc_id,
+      |  coalesce(array_to_string(regexp_extract_all(text, '[a-z]*ar[a-z]*'),
+      |    ','), '') AS ar_words,
+      |  CAST(len(regexp_extract_all(text, '[a-z]*ar[a-z]*')) AS INTEGER)
+      |    AS n_matches
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q103 — EXISTS / FORALL higher-order predicates over token arrays:
+  // per-row quantifiers without explode (no row multiplication, stays
+  // codegen-adjacent) — the idiom for "any token longer than 8" /
+  // "every token shorter than 15" style data contracts.
+  def q103(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .withColumn("toks", TextFns.tokens($"text"))
+      .select($"doc_id",
+        exists($"toks", t => length(t) > 8).as("has_long_token"),
+        forall($"toks", t => length(t) < 15).as("all_tokens_short"),
+        size(filter($"toks", t => length(t) > 8)).as("n_long"))
+      .orderBy($"doc_id")
+  }
+
+  val q103Sql: String =
+    s"""SELECT doc_id,
+       |  len(list_filter($tokensSql, t -> length(t) > 8)) > 0
+       |    AS has_long_token,
+       |  len(list_filter($tokensSql, t -> length(t) >= 15)) = 0
+       |    AS all_tokens_short,
+       |  CAST(len(list_filter($tokensSql, t -> length(t) > 8)) AS INTEGER)
+       |    AS n_long
+       |FROM documents ORDER BY doc_id""".stripMargin
+
   /** Name → query function, for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q79_repetition_quality" -> (q79 _),
@@ -860,7 +944,10 @@ object Extended3 {
     "q97_pii_redaction" -> (q97 _),
     "q98_incremental_dedup" -> (q98 _),
     "q99_equidepth_hist" -> (q99 _),
-    "q100_training_prep" -> (q100 _)
+    "q100_training_prep" -> (q100 _),
+    "q101_argmax" -> (q101 _),
+    "q102_extract_all" -> (q102 _),
+    "q103_hof_predicates" -> (q103 _)
   )
 
   /** Name → DuckDB oracle SQL, for SparkEntry. */
@@ -886,6 +973,9 @@ object Extended3 {
     "q97_pii_redaction" -> q97Sql,
     "q98_incremental_dedup" -> q98Sql,
     "q99_equidepth_hist" -> q99Sql,
-    "q100_training_prep" -> q100Sql
+    "q100_training_prep" -> q100Sql,
+    "q101_argmax" -> q101Sql,
+    "q102_extract_all" -> q102Sql,
+    "q103_hof_predicates" -> q103Sql
   )
 }
