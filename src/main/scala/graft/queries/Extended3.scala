@@ -921,6 +921,61 @@ object Extended3 {
        |    AS n_long
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q104 — MapType end-to-end: JSON → typed map column (from_json with
+  // an explicit MapType schema — never inference at scale) → key list +
+  // value lookup. Completes the complex-type surface next to arrays
+  // (everywhere) and structs (q46/q101).
+  def q104(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.{LongType, MapType, StringType}
+    t(s, dir, "events")
+      .withColumn("m", from_json($"props", MapType(StringType, LongType)))
+      .select($"event_id",
+        array_join(map_keys($"m"), ",").as("keys"),
+        element_at($"m", "k").as("k_val"),
+        size($"m").as("n_entries"))
+      .filter($"k_val" % 5 === 0)
+      .orderBy($"event_id")
+  }
+
+  val q104Sql: String =
+    """SELECT event_id, 'k' AS keys,
+      |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+      |  CAST(1 AS INTEGER) AS n_entries
+      |FROM events
+      |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) % 5 = 0
+      |ORDER BY event_id""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q105 — distribution window functions (percent_rank / cume_dist /
+  // rank with gaps): the remaining rank family next to q67's
+  // lead/first/ntile — per event_type value distributions, one window
+  // pass, keyed partitioning.
+  def q105(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"event_type").orderBy($"value", $"event_id")
+    t(s, dir, "events")
+      .filter($"event_id" % 20 === 0) // thin the output, keep the shape
+      .select($"event_type", $"event_id", $"value",
+        (floor(percent_rank().over(w) * 1e6 + lit(0.5)) / 1e6).as("pr"),
+        (floor(cume_dist().over(w) * 1e6 + lit(0.5)) / 1e6).as("cd"),
+        rank().over(w).as("rk"))
+      .select($"event_type", $"event_id", round($"value", 4).as("v"),
+        $"pr", $"cd", $"rk")
+      .orderBy($"event_type", $"event_id")
+  }
+
+  val q105Sql: String =
+    """WITH f AS (SELECT * FROM events WHERE event_id % 20 = 0)
+      |SELECT event_type, event_id, round(value, 4) AS v,
+      |  floor(percent_rank() OVER w * 1000000 + 0.5) / 1000000 AS pr,
+      |  floor(cume_dist() OVER w * 1000000 + 0.5) / 1000000 AS cd,
+      |  CAST(rank() OVER w AS INTEGER) AS rk
+      |FROM f
+      |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+      |ORDER BY event_type, event_id""".stripMargin
+
   /** Name → query function, for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q79_repetition_quality" -> (q79 _),
@@ -947,7 +1002,9 @@ object Extended3 {
     "q100_training_prep" -> (q100 _),
     "q101_argmax" -> (q101 _),
     "q102_extract_all" -> (q102 _),
-    "q103_hof_predicates" -> (q103 _)
+    "q103_hof_predicates" -> (q103 _),
+    "q104_map_type" -> (q104 _),
+    "q105_rank_distributions" -> (q105 _)
   )
 
   /** Name → DuckDB oracle SQL, for SparkEntry. */
@@ -976,6 +1033,8 @@ object Extended3 {
     "q100_training_prep" -> q100Sql,
     "q101_argmax" -> q101Sql,
     "q102_extract_all" -> q102Sql,
-    "q103_hof_predicates" -> q103Sql
+    "q103_hof_predicates" -> q103Sql,
+    "q104_map_type" -> q104Sql,
+    "q105_rank_distributions" -> q105Sql
   )
 }
