@@ -39,10 +39,21 @@ def main(sf_dir, out_dir):
         if not files:
             print(f"FAIL {name}: no spark output"); n_fail += 1; continue
         try:
-            got = norm(pd.concat([pd.read_parquet(f) for f in files]))
-            want = norm(con.execute(oracle[name]).fetchdf())
+            got_raw = pd.concat([pd.read_parquet(f) for f in files])
+            want_raw = con.execute(oracle[name]).fetchdf()
         except Exception as e:
             print(f"FAIL {name}: {str(e).splitlines()[0]}"); n_fail += 1; continue
+        # The driver hashes raw values: a DuckDB HUGEINT/DOUBLE rendering as
+        # 3.0 against Spark's 3 is a hash mismatch even when numerically
+        # equal, so int-vs-float dtype skew must fail here too.
+        skew = [c for c in got_raw.columns if c in want_raw.columns and
+                (pd.api.types.is_integer_dtype(got_raw[c]) != pd.api.types.is_integer_dtype(want_raw[c])) and
+                (pd.api.types.is_float_dtype(got_raw[c]) or pd.api.types.is_float_dtype(want_raw[c]))]
+        if skew:
+            print(f"FAIL {name}: int-vs-float dtype skew on {skew} "
+                  f"(cast the oracle side, e.g. HUGEINT from sum()/'//', to BIGINT)")
+            n_fail += 1; continue
+        got, want = norm(got_raw), norm(want_raw)
         if list(got.columns) != list(want.columns):
             print(f"FAIL {name}: columns {list(got.columns)} vs {list(want.columns)}"); n_fail += 1; continue
         if len(got) != len(want):

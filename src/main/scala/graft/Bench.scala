@@ -36,7 +36,17 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // Verbose per-query line first (full names, full precision) — for humans
+    // and local diffing.
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Compact line LAST: the harness that collects this output keeps only the
+    // final ~2000 chars, so the parseable summary must fit there entirely.
+    // Short keys (q1..q105) + 3-decimal seconds keep it ~1.5 KB.
+    val shortQs = results.map { case (k, v) =>
+      val short = k.takeWhile(_ != '_')
+      "\"" + short + "\":" + f"$v%.3f"
+    }.mkString("{", ",", "}")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"queries":$shortQs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -320,7 +320,7 @@ object Extended3 {
       |   coalesce(sum(toks) OVER (PARTITION BY source ORDER BY doc_id
       |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
       |   FROM d)
-      |SELECT source, cum_before // 512 AS batch_id, count(*) AS n_docs,
+      |SELECT source, CAST(cum_before // 512 AS BIGINT) AS batch_id, count(*) AS n_docs,
       |       CAST(sum(toks) AS BIGINT) AS batch_tokens,
       |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
       |FROM c GROUP BY 1, 2 ORDER BY source, batch_id""".stripMargin
@@ -832,7 +832,7 @@ object Extended3 {
        |         coalesce(sum(btoks) OVER (PARTITION BY source ORDER BY doc_id
        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
        |       FROM k)
-       |SELECT source, cum // 512 AS batch_id, count(*) AS n_docs,
+       |SELECT source, CAST(cum // 512 AS BIGINT) AS batch_id, count(*) AS n_docs,
        |       CAST(sum(btoks) AS BIGINT) AS batch_tokens
        |FROM c GROUP BY 1, 2 ORDER BY source, batch_id""".stripMargin
   }
