@@ -16,7 +16,11 @@ object Verify {
     * callable from tests without owning the session lifecycle). */
   def run(spark: SparkSession, sfDir: String, outDir: String): Unit = {
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Dev-only iteration filter: GRAFT_ONLY=q106,q111 dumps just the named
+    // query prefixes (and their oracles). Unset (the driver) → everything.
+    val only = sys.env.get("GRAFT_ONLY").map(_.split(",").toSeq)
+    def wanted(name: String) = only.forall(_.exists(name.startsWith))
+    SparkEntry.queries.filter(kv => wanted(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -35,7 +39,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val json = SparkEntry.oracleSql.filter(kv => wanted(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
   }
