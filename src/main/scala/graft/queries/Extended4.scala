@@ -346,6 +346,143 @@ object Extended4 {
       |         AS avg_gap_s""".stripMargin
 
   // --------------------------------------------------------------------
+  // q112 — MapType higher-order functions end-to-end: per-doc word-count
+  // maps built with map_from_entries over a SORTED entry array (map
+  // entry order = insertion order, so every derived serialization is
+  // deterministic), then map_filter / transform_values / map_values /
+  // element_at. The map stays inside one row — no shuffle beyond the
+  // count agg — which is exactly how feature maps ride through a
+  // training pipeline. The oracle computes the same values from the
+  // grouped counts directly (maps are Spark-side representation; the
+  // semantics are engine-neutral).
+  def q112(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cnts = t(s, dir, "documents")
+      .select($"doc_id", explode(TextFns.tokens($"text")).as("tok"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+    cnts.groupBy($"doc_id")
+      .agg(map_from_entries(array_sort(collect_list(
+        struct($"tok".as("k"), $"c".as("v"))))).as("wc"))
+      .select(
+        $"doc_id",
+        array_join(transform(map_entries(map_filter($"wc", (_, v) => v >= 2)),
+          e => concat(e.getField("key"), lit(":"), e.getField("value"))), " ")
+          .as("rep_toks"),
+        size(map_filter($"wc", (_, v) => v >= 2)).cast("long").as("n_rep"),
+        aggregate(map_values(transform_values($"wc", (_, v) => v * v)),
+          lit(0L), (acc, x) => acc + x).as("sq_sum"),
+        coalesce(element_at($"wc", "the"), lit(0L)).as("the_cnt"),
+        size($"wc").cast("long").as("n_distinct"))
+      .orderBy($"doc_id")
+  }
+
+  val q112Sql: String =
+    s"""WITH cn AS (
+       |  SELECT doc_id, tok, count(*) AS c
+       |  FROM (SELECT doc_id, unnest($tokensSql) AS tok FROM documents)
+       |  GROUP BY 1, 2)
+       |SELECT doc_id,
+       | coalesce(array_to_string(list_transform(
+       |     list_sort(list({'k': tok, 'v': c}) FILTER (c >= 2)),
+       |     r -> r.k || ':' || r.v), ' '), '') AS rep_toks,
+       | CAST(count(*) FILTER (c >= 2) AS BIGINT) AS n_rep,
+       | CAST(sum(c * c) AS BIGINT) AS sq_sum,
+       | CAST(coalesce(max(CASE WHEN tok = 'the' THEN c END), 0) AS BIGINT)
+       |   AS the_cnt,
+       | count(*) AS n_distinct
+       |FROM cn GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q114 — Delta-style MERGE (CDC apply) via ext.MergeInto: a
+  // deterministic change batch (deletes for keys ≡0 mod 10, updates for
+  // ≡3, inserts of brand-new keys for ≡7) applied to the orders snapshot
+  // in ONE full-outer join, then fingerprinted per status. Generalizes
+  // the reference's in-place UPDATE sink (SURVEY §2.1 K5) to the
+  // insert/update/delete triple every lakehouse table maintenance job
+  // needs. Money stays integer cents under the aggregate.
+  def q114(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = t(s, dir, "orders")
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+    val del = base.filter($"o_orderkey" % 10 === 0)
+      .select($"o_orderkey", lit("D").as("op"),
+        lit(null).cast("string").as("o_orderstatus"),
+        lit(null).cast("double").as("o_totalprice"))
+    val upd = base.filter($"o_orderkey" % 10 === 3)
+      .select($"o_orderkey", lit("U").as("op"), lit("U").as("o_orderstatus"),
+        ($"o_totalprice" + lit(100.0)).as("o_totalprice"))
+    val ins = base.filter($"o_orderkey" % 10 === 7)
+      .select(($"o_orderkey" + lit(1000000L)).as("o_orderkey"),
+        lit("I").as("op"), lit("N").as("o_orderstatus"), $"o_totalprice")
+    val merged = graft.ext.MergeInto(base, del.unionByName(upd).unionByName(ins),
+      key = "o_orderkey")
+    merged.groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(floor($"o_totalprice" * lit(100.0))).as("cents"))
+      .orderBy($"o_orderstatus")
+  }
+
+  val q114Sql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+      | ch AS (
+      |  SELECT o_orderkey, 'D' AS op, CAST(NULL AS VARCHAR) AS st,
+      |         CAST(NULL AS DOUBLE) AS tp
+      |  FROM base WHERE o_orderkey % 10 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, 'U', 'U', o_totalprice + 100.0
+      |  FROM base WHERE o_orderkey % 10 = 3
+      |  UNION ALL
+      |  SELECT o_orderkey + 1000000, 'I', 'N', o_totalprice
+      |  FROM base WHERE o_orderkey % 10 = 7),
+      | merged AS (
+      |  SELECT CASE WHEN c.op IS NOT NULL THEN c.st
+      |              ELSE b.o_orderstatus END AS o_orderstatus,
+      |         CASE WHEN c.op IS NOT NULL THEN c.tp
+      |              ELSE b.o_totalprice END AS tp
+      |  FROM base b FULL OUTER JOIN ch c ON b.o_orderkey = c.o_orderkey
+      |  WHERE coalesce(c.op, '') <> 'D')
+      |SELECT o_orderstatus, count(*) AS n,
+      |       CAST(sum(CAST(floor(tp * 100.0) AS BIGINT)) AS BIGINT) AS cents
+      |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q115 — behavior-sequence pattern mining (MATCH_RECOGNIZE emulation):
+  // each user's event stream collapses to an ordered initial-letter
+  // string (deterministic: sorted by ts then event_id inside the
+  // aggregate — Spark array_sort over structs ≡ SQL ORDER BY inside
+  // string_agg), then regex does the sequence matching: funnel
+  // containment v.*c.*p and non-overlapping adjacent 'vc' count. The
+  // per-user string is bounded by that user's event count, so this
+  // scales as one shuffle + scan regardless of corpus size.
+  def q115(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .select($"user_id", $"ts".cast("timestamp").as("ts"), $"event_id",
+        substring($"event_type", 1, 1).as("i"))
+      .groupBy($"user_id")
+      .agg(concat_ws("", transform(
+        array_sort(collect_list(struct($"ts", $"event_id", $"i"))),
+        x => x.getField("i"))).as("journey"))
+      .select($"user_id", length($"journey").cast("long").as("n_events"),
+        $"journey".rlike("v.*c.*p").as("has_funnel"),
+        size(regexp_extract_all($"journey", lit("vc"), lit(0))).cast("long")
+          .as("n_vc"))
+      .orderBy($"user_id")
+  }
+
+  val q115Sql: String =
+    """WITH j AS (
+      |  SELECT user_id,
+      |         string_agg(substring(event_type, 1, 1), ''
+      |           ORDER BY ts, event_id) AS journey
+      |  FROM events GROUP BY 1)
+      |SELECT user_id, CAST(length(journey) AS BIGINT) AS n_events,
+      |       regexp_matches(journey, 'v.*c.*p') AS has_funnel,
+      |       CAST(len(regexp_extract_all(journey, 'vc')) AS BIGINT) AS n_vc
+      |FROM j ORDER BY user_id""".stripMargin
+
+  // --------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q106_lateral_topk" -> (q106 _),
@@ -354,7 +491,10 @@ object Extended4 {
     "q109_try_arith" -> (q109 _),
     "q110_bitmap_distinct" -> (q110 _),
     "q111_bm25" -> (q111 _),
-    "q113_funnel" -> (q113 _))
+    "q112_map_hof" -> (q112 _),
+    "q113_funnel" -> (q113 _),
+    "q114_merge_cdc" -> (q114 _),
+    "q115_behavior_pattern" -> (q115 _))
 
   val oracles: Map[String, String] = Map(
     "q106_lateral_topk" -> q106Sql,
@@ -363,5 +503,8 @@ object Extended4 {
     "q109_try_arith" -> q109Sql,
     "q110_bitmap_distinct" -> q110Sql,
     "q111_bm25" -> q111Sql,
-    "q113_funnel" -> q113Sql)
+    "q112_map_hof" -> q112Sql,
+    "q113_funnel" -> q113Sql,
+    "q114_merge_cdc" -> q114Sql,
+    "q115_behavior_pattern" -> q115Sql)
 }

