@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFns
@@ -483,6 +484,80 @@ object Extended4 {
       |FROM j ORDER BY user_id""".stripMargin
 
   // --------------------------------------------------------------------
+  // q116 — gap filling with IGNORE NULLS window functions: sensor-style
+  // forward fill (last known value carries over nulls) plus the previous
+  // distinct known reading. A deterministic total order (ts, event_id)
+  // inside each user partition makes the fill reproducible; the window
+  // is keyed, so no partition ever concentrates the stream. This is the
+  // canonical telemetry-repair pass before feature extraction.
+  def q116(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    t(s, dir, "events")
+      .select($"user_id", $"ts".cast("timestamp").as("ts"), $"event_id",
+        when($"event_id" % 7 === 0, lit(null).cast("double"))
+          .otherwise($"value").as("v"))
+      .select($"user_id", $"event_id", $"v",
+        last($"v", ignoreNulls = true)
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("ffill"),
+        lag($"v", 1, null, ignoreNulls = true).over(w).as("prev_known"))
+      .orderBy($"event_id")
+  }
+
+  val q116Sql: String =
+    """WITH e AS (SELECT user_id, ts, event_id,
+      |    CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+      |  FROM events)
+      |SELECT user_id, event_id, v,
+      |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill,
+      |  lag(v IGNORE NULLS) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id) AS prev_known
+      |FROM e ORDER BY event_id""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q117 — mergeable HLL sketches (Apache DataSketches via
+  // hll_sketch_agg / hll_union_agg / hll_sketch_estimate): per-day
+  // sketches union across days WITHOUT touching raw keys again — the
+  // incremental distinct-count cube that replaces COUNT(DISTINCT) over
+  // history at 100 TB (q110's bitmaps are the exact variant; sketches
+  // are the fixed-size one). Estimates are engine-specific, so the
+  // CHECKED output is the exact count plus a boolean asserting the
+  // sketch landed within its published error envelope (±3σ ≈ 2.5% at
+  // lgK=12) — deterministic for a given input set because HLL state is
+  // order-invariant.
+  def q117(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "events").createOrReplaceTempView("ev_q117")
+    s.sql(
+      """WITH daily AS (
+        |  SELECT event_type, to_date(CAST(ts AS TIMESTAMP)) AS day,
+        |         hll_sketch_agg(user_id, 12) AS sk,
+        |         count(DISTINCT user_id) AS day_exact
+        |  FROM ev_q117 GROUP BY 1, 2),
+        | merged AS (
+        |  SELECT event_type,
+        |         hll_sketch_estimate(hll_union_agg(sk)) AS est,
+        |         count(*) AS n_days
+        |  FROM daily GROUP BY 1),
+        | exact AS (
+        |  SELECT event_type, count(DISTINCT user_id) AS exact_users
+        |  FROM ev_q117 GROUP BY 1)
+        |SELECT e.event_type, e.exact_users, m.n_days,
+        |       abs(m.est - CAST(e.exact_users AS DOUBLE))
+        |         <= 0.025 * CAST(e.exact_users AS DOUBLE) + 1.0 AS within_bound
+        |FROM exact e JOIN merged m ON e.event_type = m.event_type
+        |ORDER BY e.event_type""".stripMargin)
+  }
+
+  val q117Sql: String =
+    """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+      |       count(DISTINCT CAST(ts AS DATE)) AS n_days,
+      |       TRUE AS within_bound
+      |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
+
+  // --------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q106_lateral_topk" -> (q106 _),
@@ -494,7 +569,9 @@ object Extended4 {
     "q112_map_hof" -> (q112 _),
     "q113_funnel" -> (q113 _),
     "q114_merge_cdc" -> (q114 _),
-    "q115_behavior_pattern" -> (q115 _))
+    "q115_behavior_pattern" -> (q115 _),
+    "q116_gap_fill" -> (q116 _),
+    "q117_hll_sketch" -> (q117 _))
 
   val oracles: Map[String, String] = Map(
     "q106_lateral_topk" -> q106Sql,
@@ -506,5 +583,7 @@ object Extended4 {
     "q112_map_hof" -> q112Sql,
     "q113_funnel" -> q113Sql,
     "q114_merge_cdc" -> q114Sql,
-    "q115_behavior_pattern" -> q115Sql)
+    "q115_behavior_pattern" -> q115Sql,
+    "q116_gap_fill" -> q116Sql,
+    "q117_hll_sketch" -> q117Sql)
 }

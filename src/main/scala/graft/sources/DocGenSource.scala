@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.{DataSourceRegister, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -66,6 +66,7 @@ private[sources] class DocGenScanBuilder(rows: Long, parts: Int, seed: Long)
   private var required: StructType = DocGen.schema
   private var lo = 0L          // inclusive doc_id lower bound
   private var hi = Long.MaxValue // exclusive doc_id upper bound
+  private var residues: Option[Set[Int]] = None // doc_id % 20 classes to keep
   private var pushed: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
@@ -75,14 +76,26 @@ private[sources] class DocGenScanBuilder(rows: Long, parts: Int, seed: Long)
 
   /** doc_id range predicates tighten the generated id interval itself —
     * the generator never produces (let alone filters) pruned ids, the
-    * exact analog of parquet row-group pruning on a sorted key. Other
-    * filters are left for Spark to evaluate post-scan. */
+    * exact analog of parquet row-group pruning on a sorted key.
+    * `source = 'srcK'` / `source IN (...)` equality predicates translate
+    * to doc_id residue classes mod 20 (source is purely id-derived), so
+    * the reader strides over matching ids only — the analog of
+    * partition pruning on a derived partition column. Both are EXACT, so
+    * the filters are absorbed (not returned as residual) and Spark never
+    * re-evaluates them. Other filters are left for Spark post-scan. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    def srcResidue(v: Any): Option[Int] = v match {
+      case s: String if s.startsWith("src") =>
+        s.drop(3).toIntOption.filter(k => k >= 0 && k < 20)
+      case _ => None
+    }
     val (accepted, rest) = filters.partition {
       case GreaterThan("doc_id", _: Long) => true
       case GreaterThanOrEqual("doc_id", _: Long) => true
       case LessThan("doc_id", _: Long) => true
       case LessThanOrEqual("doc_id", _: Long) => true
+      case EqualTo("source", _) => true
+      case In("source", _) => true
       case _ => false
     }
     accepted.foreach {
@@ -90,6 +103,12 @@ private[sources] class DocGenScanBuilder(rows: Long, parts: Int, seed: Long)
       case GreaterThanOrEqual("doc_id", v: Long) => lo = math.max(lo, v)
       case LessThan("doc_id", v: Long) => hi = math.min(hi, v)
       case LessThanOrEqual("doc_id", v: Long) => hi = math.min(hi, v + 1)
+      case EqualTo("source", v) =>
+        val r = srcResidue(v).toSet
+        residues = Some(residues.fold(r)(_ intersect r))
+      case In("source", vs) =>
+        val r = vs.flatMap(srcResidue).toSet
+        residues = Some(residues.fold(r)(_ intersect r))
       case _ =>
     }
     pushed = accepted
@@ -98,22 +117,26 @@ private[sources] class DocGenScanBuilder(rows: Long, parts: Int, seed: Long)
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new DocGenScan(rows, parts, seed, required, lo, hi)
+  override def build(): Scan =
+    new DocGenScan(rows, parts, seed, required, lo, hi, residues)
 }
 
 private[sources] class DocGenScan(rows: Long, parts: Int, seed: Long,
-    required: StructType, lo: Long = 0L, hi: Long = Long.MaxValue)
+    required: StructType, lo: Long = 0L, hi: Long = Long.MaxValue,
+    residues: Option[Set[Int]] = None)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graftdocs rows=$rows cols=[${required.fieldNames.mkString(",")}]" +
-      (if (lo > 0 || hi < rows) s" ids=[$lo,${math.min(hi, rows)})" else "")
+      (if (lo > 0 || hi < rows) s" ids=[$lo,${math.min(hi, rows)})" else "") +
+      residues.fold("")(r => s" sources%20=${r.toSeq.sorted.mkString("{", ",", "}")}")
 
   override def planInputPartitions(): Array[InputPartition] = {
     val begin = math.max(0L, lo)
     val stop = math.min(rows, hi)
-    if (begin >= stop) return Array.empty
+    if (begin >= stop || residues.exists(_.isEmpty))
+      return Array.empty
     val span = stop - begin
     val per = math.max(1L, (span + parts - 1) / parts)
     (begin until stop by per)
@@ -122,28 +145,38 @@ private[sources] class DocGenScan(rows: Long, parts: Int, seed: Long,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new DocGenReaderFactory(seed, required.fieldNames)
+    new DocGenReaderFactory(seed, required.fieldNames, residues)
 }
 
 /** Generated id interval [start, end) — public so tests and tooling can
   * inspect how pushdown shaped the scan. */
 case class DocGenPartition(start: Long, end: Long) extends InputPartition
 
-private[sources] class DocGenReaderFactory(seed: Long, cols: Array[String])
+private[sources] class DocGenReaderFactory(seed: Long, cols: Array[String],
+    residues: Option[Set[Int]] = None)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val dp = p.asInstanceOf[DocGenPartition]
-    new DocGenReader(dp.start, dp.end, seed, cols)
+    new DocGenReader(dp.start, dp.end, seed, cols, residues)
   }
 }
 
 private[sources] class DocGenReader(start: Long, end: Long, seed: Long,
-    cols: Array[String]) extends PartitionReader[InternalRow] {
+    cols: Array[String], residues: Option[Set[Int]] = None)
+    extends PartitionReader[InternalRow] {
   private var i = start - 1
   private val row = new GenericInternalRow(cols.length)
   private val needText = cols.exists(c => c == "text" || c == "n_chars")
 
-  override def next(): Boolean = { i += 1; i < end }
+  override def next(): Boolean = {
+    i += 1
+    // residue-class stride (pushed `source =` filters): matching ids are
+    // visited directly; pruned ids never pay text synthesis
+    residues.foreach { rs =>
+      while (i < end && !rs.contains(Math.floorMod(i, 20L).toInt)) i += 1
+    }
+    i < end
+  }
 
   override def get(): InternalRow = {
     // generation depends ONLY on (seed, doc_id) — never on partition

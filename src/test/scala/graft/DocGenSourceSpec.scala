@@ -60,6 +60,34 @@ class DocGenSourceSpec extends SparkSpec {
     assert(df.count() === 0L)
   }
 
+  test("source equality pushes as a residue-class stride (derived-partition pruning)") {
+    val df = gen(2000, 4).filter($"source" === "src5")
+    // the filter is absorbed by the source: no Spark-side Filter node
+    // re-evaluates it
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Filter ("), s"absorbed filter must not reappear:\n$plan")
+    assert(df.count() === 100L) // ids ≡ 5 (mod 20) in [0, 2000)
+    assert(df.select("doc_id").collect().forall(_.getLong(0) % 20 == 5))
+    // values identical to post-filtering the full corpus
+    val viaFull = gen(2000, 4).collect().filter(_.getString(3) == "src5")
+    assert(df.orderBy($"doc_id").collect().toSeq ===
+      viaFull.sortBy(_.getLong(0)).toSeq)
+  }
+
+  test("source IN pushes the residue union; unknown source yields empty scan") {
+    val in = gen(2000, 4).filter($"source".isin("src0", "src19", "nope"))
+    assert(in.count() === 200L)
+    val none = gen(2000, 4).filter($"source" === "other")
+    assert(none.queryExecution.executedPlan.toString.contains("BatchScan") ||
+      none.count() === 0L)
+    assert(none.count() === 0L)
+    // composes with doc_id ranges: intersected pruning
+    val both = gen(2000, 4)
+      .filter($"source" === "src5" && $"doc_id" >= 1000L)
+    assert(both.count() === 50L)
+    assert(both.collect().forall(r => r.getLong(0) % 20 == 5 && r.getLong(0) >= 1000))
+  }
+
   test("n_chars matches text length; near-dups exist for dedup ops") {
     val df = gen(1000, 4).cache()
     try {

@@ -134,6 +134,24 @@ class Extended4Spec extends SparkSpec {
     }
   }
 
+  test("q116 forward fill: ffill equals v on known rows, carries over gaps") {
+    val rows = Extended4.q116(spark, sf).collect()
+    rows.foreach { r =>
+      if (!r.isNullAt(2))
+        assert(r.getDouble(3) === r.getDouble(2), "known rows fill with themselves")
+    }
+    // nulls after a known value are filled; leading nulls stay null
+    assert(rows.exists(r => r.isNullAt(2) && !r.isNullAt(3)),
+      "at least one gap actually fills")
+  }
+
+  test("q117 HLL union stays within the error envelope (oracle asserts TRUE)") {
+    Extended4.q117(spark, sf).collect().foreach { r =>
+      assert(r.getBoolean(3), s"${r.getString(0)} estimate out of bound")
+      assert(r.getLong(2) >= 1L)
+    }
+  }
+
   test("q113 funnel stages are monotone and gaps positive") {
     val r = Extended4.q113(spark, sf).collect().head
     val (v, c, p) = (r.getLong(0), r.getLong(1), r.getLong(2))
