@@ -18,7 +18,8 @@ object Stress {
   def main(args: Array[String]): Unit = {
     val rows = args.headOption.map(_.toLong).getOrElse(100000L)
     val picks = if (args.length > 1) args.tail.toSet
-      else Set("dedup", "repetition", "packing", "redact", "shard")
+      else Set("dedup", "repetition", "packing", "redact", "shard",
+        "bm25", "merge")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.build(s"local[$cpus]", cpus.toInt, "graft-stress")
     import spark.implicits._
@@ -64,6 +65,40 @@ object Stress {
     if (picks("redact")) timed("redact") {
       docs.select(md5(graft.functions.TextFns.redactPii($"text")))
         .queryExecution.toRdd.count()
+    }
+    if (picks("bm25")) timed("bm25") {
+      // q111's shape at generated scale: tf explode + broadcast df/corpus
+      val d = docs.select($"doc_id",
+        graft.functions.TextFns.tokens($"text").as("toks"))
+        .select($"doc_id", $"toks", size($"toks").cast("long").as("dl"))
+      val corpus = d.agg(count(lit(1)).as("n_docs"), sum($"dl").as("sum_dl"))
+      val tf = d.select($"doc_id", $"dl", explode($"toks").as("term"))
+        .filter($"term".isin("data", "spark", "query", "vector"))
+        .groupBy($"doc_id", $"dl", $"term").agg(count(lit(1)).as("tf"))
+      val df2 = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+      tf.join(broadcast(df2), "term").crossJoin(broadcast(corpus))
+        .withColumn("s", floor(
+          log(lit(1.0) + ($"n_docs" - $"df" + lit(0.5)) / ($"df" + lit(0.5))) *
+            ($"tf" * lit(2.2) / ($"tf" + lit(1.2) * (lit(0.25) +
+              lit(0.75) * $"dl" / ($"sum_dl" / $"n_docs")))) * lit(1e9)))
+        .groupBy($"doc_id").agg(sum($"s").as("score"))
+        .count()
+    }
+    if (picks("merge")) timed("merge") {
+      // q114's shape: CDC batch (10% deletes, 10% updates, 10% inserts)
+      // applied to the corpus as one full-outer join
+      val base = docs.select($"doc_id", $"source", $"n_chars")
+      val ch = base.filter($"doc_id" % 10 === 0)
+        .select($"doc_id", lit("D").as("op"),
+          lit(null).cast("string").as("source"),
+          lit(null).cast("long").as("n_chars"))
+        .unionByName(base.filter($"doc_id" % 10 === 3)
+          .select($"doc_id", lit("U").as("op"), $"source",
+            ($"n_chars" + 1L).as("n_chars")))
+        .unionByName(base.filter($"doc_id" % 10 === 7)
+          .select(($"doc_id" + rows).as("doc_id"), lit("I").as("op"),
+            $"source", $"n_chars"))
+      graft.ext.MergeInto(base, ch, "doc_id").count()
     }
     if (picks("shard")) timed("shard") {
       docs.withColumn("shard", graft.operators.HashSplit.bucket($"doc_id", 64))

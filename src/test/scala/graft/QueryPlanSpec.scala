@@ -121,6 +121,39 @@ class QueryPlanSpec extends SparkSpec {
     }.nonEmpty, "quality filter did not push below the first shuffle")
   }
 
+  test("q108: regression panel is ONE hash-agg pass — a single key shuffle") {
+    val p = executed("q108_corr_regression")
+    // partial agg before the exchange, final after; + output sort exchange
+    assert(count(p, _.isInstanceOf[Exchange]) === 2, p.toString)
+    val aggs = p.collect {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+    }
+    assert(aggs.size === 2, "partial+final hash agg expected")
+  }
+
+  test("q114: CDC merge is one full-outer sort-merge join, no extra shuffles") {
+    val p = executed("q114_merge_cdc")
+    val joins = p.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }
+    assert(joins.size === 1, s"exactly one keyed join:\n$p")
+    assert(joins.head.joinType.toString === "FullOuter")
+  }
+
+  test("q111: BM25 df and corpus stats broadcast onto the tf side") {
+    val p = plan("q111_bm25")
+    assert(count(p, _.isInstanceOf[BroadcastHashJoinExec]) >= 1, p.toString)
+    assert(count(p, _.isInstanceOf[BroadcastNestedLoopJoinExec]) === 1,
+      "1-row corpus stats join is a broadcast cross join")
+  }
+
+  test("q116: gap fill runs keyed windows only — one user shuffle") {
+    val p = executed("q116_gap_fill")
+    // user_id hash exchange (both window fns share it) + output sort
+    assert(count(p, _.isInstanceOf[Exchange]) === 2, p.toString)
+  }
+
   test("q02: filter and projection reach the parquet scan") {
     val scans = plan("q02_filter_project").collect {
       case f: org.apache.spark.sql.execution.FileSourceScanExec => f
