@@ -99,20 +99,21 @@ object Geo {
     WGS84b * A * (sigma - deltaSigma) / 1000.0
   }
 
-  /** NULL-tolerant geodesic UDF, rounded half-even to 3 decimals like the
-    * reference's stored distances. */
-  val geodesicKmUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf((lat1: java.lang.Double, lon1: java.lang.Double,
-         lat2: java.lang.Double, lon2: java.lang.Double) =>
-      if (lat1 == null || lon1 == null || lat2 == null || lon2 == null) null
-      else {
-        val d = vincentyKm(lat1, lon1, lat2, lon2)
-        if (d.isNaN) null
-        else java.lang.Double.valueOf(
-          BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_EVEN).toDouble)
-      })
+  /** Static eval core for [[graft.plans.GeodesicKm]] (called from both
+    * its interpreted and generated code): Vincenty distance rounded
+    * half-even to 3 decimals like the reference's stored values
+    * (data_load_sqlite.py:109, Python round = HALF_EVEN). NaN doubles as
+    * the non-convergence sentinel — a distance is never legitimately NaN,
+    * and the expression maps it to NULL. */
+  def geodesicRoundedOrNaN(lat1: Double, lon1: Double,
+      lat2: Double, lon2: Double): Double = {
+    val d = vincentyKm(lat1, lon1, lat2, lon2)
+    if (d.isNaN) Double.NaN
+    else BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_EVEN).toDouble
+  }
 
-  /** Geodesic distance column (ellipsoidal parity mode). */
+  /** Geodesic distance column — codegen'd native expression
+    * ([[graft.plans.GeodesicKm]]), NULL-propagating. */
   def geodesicKm(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column =
-    geodesicKmUdf(lat1, lon1, lat2, lon2)
+    graft.plans.GeoExpressions.geodesicKm(lat1, lon1, lat2, lon2)
 }

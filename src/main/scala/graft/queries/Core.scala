@@ -675,6 +675,78 @@ object Core {
        |FROM top5 GROUP BY 1
        |ORDER BY rides DESC, route ASC LIMIT 5""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q118 — the distance-backfill chain (F8/J5/K5, reference:
+  // src/backfill_distance.py:45–84) under the oracle: a rides-shaped
+  // frame with deterministic coordinates and deliberately-NULL distances
+  // goes through the REAL operators — Backfill.candidates (the dry-run
+  // predicate) and Backfill.apply (the coalesce rewrite). The reference
+  // UPDATEs row-by-row in Python; here it's one codegen'd pass and the
+  // candidate flag is a broadcast-able left join of the dry-run output.
+  def q118(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rides = t(s, dir, "events").select(
+      $"event_id".as("uid"),
+      when($"event_id" % 5 === 0, lit(null))
+        .otherwise($"value" / 10).cast("double").as("distance"),
+      when($"event_id" % 7 === 0, lit(null))
+        .otherwise(($"user_id" % 90).cast("double")).as("lat_start"),
+      ($"user_id" % 180).cast("double").as("lon_start"),
+      ($"event_id" % 90).cast("double").as("lat_end"),
+      (($"event_id" + $"user_id") % 180).cast("double").as("lon_end"))
+    val cand = graft.store.Backfill.candidates(rides)
+      .select($"uid", lit(true).as("was_candidate"))
+    // haversine mode: the geodesic default (Vincenty) is a data-dependent
+    // iteration DuckDB can't express; the chain under test is identical.
+    graft.store.Backfill(rides, useGeodesic = false)
+      .join(cand, Seq("uid"), "left")
+      .select($"uid", $"distance".as("distance_km"),
+        coalesce($"was_candidate", lit(false)).as("was_candidate"))
+      .orderBy($"uid")
+  }
+
+  val q118Sql: String =
+    """WITH r AS (
+      |  SELECT event_id AS uid,
+      |         CASE WHEN event_id % 5 = 0 THEN NULL ELSE value / 10 END AS distance,
+      |         CASE WHEN event_id % 7 = 0 THEN NULL
+      |              ELSE CAST(user_id % 90 AS DOUBLE) END AS lat_start,
+      |         CAST(user_id % 180 AS DOUBLE) AS lon_start,
+      |         CAST(event_id % 90 AS DOUBLE) AS lat_end,
+      |         CAST((event_id + user_id) % 180 AS DOUBLE) AS lon_end
+      |  FROM events)
+      |SELECT uid,
+      |       coalesce(distance, round(2 * 6371.0088 * asin(sqrt(
+      |         pow(sin((radians(lat_end) - radians(lat_start)) / 2), 2)
+      |         + cos(radians(lat_start)) * cos(radians(lat_end))
+      |           * pow(sin((radians(lon_end) - radians(lon_start)) / 2), 2)
+      |       )), 3)) AS distance_km,
+      |       (distance IS NULL
+      |        AND lat_start IS NOT NULL AND lon_start IS NOT NULL
+      |        AND lat_end IS NOT NULL AND lon_end IS NOT NULL) AS was_candidate
+      |FROM r ORDER BY uid""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q119 — per-metric range time series (A17, reference web/js/app.js:
+  // 141–149): the last RangeMetrics surface under the oracle —
+  // DailyMetrics.allDays rolled up per day, RangeMetrics.series
+  // projecting (date, metric) over the requested range, nulls → 0 like
+  // the browser's chart feed.
+  def q119(s: SparkSession, dir: String): DataFrame = {
+    val daily = graft.metrics.DailyMetrics.allDays(ridesFromEvents(s, dir))
+    graft.metrics.RangeMetrics
+      .series(daily, "2024-01-05", "2024-01-20", "total_rides")
+  }
+
+  val q119Sql: String =
+    s"""WITH $ridesFromEventsSql,
+       | d AS (SELECT strftime(CAST(start_time AS DATE), '%Y-%m-%d') AS date,
+       |              count(*) AS total_rides
+       |       FROM b GROUP BY 1)
+       |SELECT date, total_rides FROM d
+       |WHERE date BETWEEN '2024-01-05' AND '2024-01-20'
+       |ORDER BY date""".stripMargin
+
   /** Name → query function, for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -699,7 +771,9 @@ object Core {
     "q34_range_busiest_rerank" -> (q34 _),
     "q35_range_histogram_avg" -> (q35 _),
     "q36_windowed_traffic" -> (q36 _),
-    "q37_range_top_routes" -> (q37 _)
+    "q37_range_top_routes" -> (q37 _),
+    "q118_backfill_distance" -> (q118 _),
+    "q119_range_series" -> (q119 _)
   )
 
   /** Name → DuckDB oracle SQL, for SparkEntry. */
@@ -726,6 +800,8 @@ object Core {
     "q34_range_busiest_rerank" -> q34Sql,
     "q35_range_histogram_avg" -> q35Sql,
     "q36_windowed_traffic" -> q36Sql,
-    "q37_range_top_routes" -> q37Sql
+    "q37_range_top_routes" -> q37Sql,
+    "q118_backfill_distance" -> q118Sql,
+    "q119_range_series" -> q119Sql
   )
 }

@@ -325,9 +325,17 @@ object Extended {
   // --------------------------------------------------------------------
   // q49 — IVF ANN search (graft.ext.VectorIndex): deterministic k-means
   // train (2 Lloyd iterations, 8 cells), assign, probe the 3 closest
-  // cells, exact cosine inside them. k-means is iterative => not
-  // SQL-expressible; the driver records a rows-only check, and
-  // VectorIndexSpec holds the recall/equivalence assertions.
+  // cells, exact cosine inside them. The k-means loop is FIXED-iteration
+  // from deterministic seeds (first k by vec_id), so it IS
+  // SQL-expressible: each Lloyd step unrolls to one assignment CTE
+  // (argmax cosine, ties → max cell, matching greatest(struct)) plus one
+  // update CTE (per-cell component means cast to REAL, mirroring the
+  // Array[Float] centroids); empty cells keep their previous centroid
+  // via LEFT JOIN + coalesce. Centroids only drive DISCRETE decisions
+  // (cell membership, probe choice); the emitted cos_sim is against the
+  // raw query vector — numerically the same comparison q23 already
+  // hash-matches. VectorIndexSpec holds the recall/equivalence
+  // assertions (probe-all == brute force).
   def q49(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = t(s, dir, "embeddings")
@@ -340,6 +348,56 @@ object Extended {
       .search(s, indexed.filter($"vec_id" =!= 0), "embedding", "vec_id",
         centroids, qvec, k = 10, nProbe = 3)
       .withColumn("cos_sim", round($"cos_sim", 4))
+  }
+
+  val q49Sql: String = {
+    // cosine over DOUBLE lists — same fragment family as q23/q25.
+    def cos(a: String, b: String) =
+      s"""list_sum(list_transform(list_zip($a, $b), x -> x[1] * x[2]))
+         |   / (sqrt(list_sum(list_transform($a, x -> x * x)))
+         |      * sqrt(list_sum(list_transform($b, x -> x * x))))""".stripMargin
+    // One Lloyd iteration against centroid table c{i}: assignment a{i}
+    // (row_number ties score DESC, cell DESC = Spark greatest(struct):
+    // equal scores pick the larger cell index) + float-rounded means
+    // m{i} reassembled in component order + carry-forward c{i+1}.
+    def lloyd(i: Int) =
+      s""" s$i AS (SELECT e.vec_id, c$i.cell, ${cos("e.v", s"c$i.c")} AS score
+         |          FROM e CROSS JOIN c$i),
+         | a$i AS (SELECT vec_id, cell FROM (
+         |           SELECT vec_id, cell, row_number() OVER (
+         |             PARTITION BY vec_id ORDER BY score DESC, cell DESC) AS rn
+         |           FROM s$i) WHERE rn = 1),
+         | m$i AS (SELECT cell, list(x ORDER BY i) AS c FROM (
+         |           SELECT a$i.cell, u.i,
+         |                  CAST(CAST(sum(u.x) / count(*) AS REAL) AS DOUBLE) AS x
+         |           FROM a$i JOIN (SELECT vec_id, unnest(v) AS x,
+         |                            unnest(generate_series(1, len(v))) AS i FROM e) u
+         |             USING (vec_id)
+         |           GROUP BY a$i.cell, u.i) GROUP BY cell),
+         | c${i + 1} AS (SELECT c$i.cell, coalesce(m$i.c, c$i.c) AS c
+         |               FROM c$i LEFT JOIN m$i USING (cell))""".stripMargin
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |           FROM embeddings),
+       | c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+       |               v AS c
+       |        FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)),
+       |${lloyd(0)},
+       |${lloyd(1)},
+       | sf AS (SELECT e.vec_id, c2.cell, ${cos("e.v", "c2.c")} AS score
+       |        FROM e CROSS JOIN c2),
+       | af AS (SELECT vec_id, cell FROM (
+       |          SELECT vec_id, cell, row_number() OVER (
+       |            PARTITION BY vec_id ORDER BY score DESC, cell DESC) AS rn
+       |          FROM sf) WHERE rn = 1),
+       | q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       | pr AS (SELECT cell FROM (
+       |          SELECT c2.cell, row_number() OVER (
+       |            ORDER BY ${cos("c2.c", "q.qv")} DESC, c2.cell ASC) AS rn
+       |          FROM c2 CROSS JOIN q) WHERE rn <= 3)
+       |SELECT e.vec_id, round(${cos("e.v", "q.qv")}, 4) AS cos_sim
+       |FROM e JOIN af USING (vec_id) CROSS JOIN q
+       |WHERE e.vec_id <> 0 AND af.cell IN (SELECT cell FROM pr)
+       |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin
   }
 
   // --------------------------------------------------------------------
@@ -1140,9 +1198,9 @@ object Extended {
     "q78_pagination" -> (q78 _)
   )
 
-  /** Name → DuckDB oracle SQL (q49 intentionally absent: iterative
-    * k-means isn't SQL-expressible — rows-only check + ScalaTest). */
+  /** Name → DuckDB oracle SQL. */
   val oracles: Map[String, String] = Map(
+    "q49_ivf_ann" -> q49Sql,
     "q38_sessionize" -> q38Sql,
     "q39_asof_join" -> q39Sql,
     "q40_rollup" -> q40Sql,

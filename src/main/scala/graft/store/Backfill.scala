@@ -21,10 +21,22 @@ object Backfill {
         col("lat_start").isNotNull && col("lon_start").isNotNull &&
         col("lat_end").isNotNull && col("lon_end").isNotNull)
 
-  /** The rewrite: fill NULL distances where coordinates allow. */
-  def apply(rides: DataFrame): DataFrame =
+  /** The rewrite: fill NULL distances where coordinates allow.
+    *
+    * @param useGeodesic true (default) ⇒ geodesic fill, matching both the
+    *                    reference's backfill (backfill_distance.py:21–30,
+    *                    geopy) and [[graft.transform.RideTransform]]'s
+    *                    stored distances; false ⇒ haversine — identical
+    *                    within the reference's own tolerance and
+    *                    expressible in any engine (the oracle mode,
+    *                    q118). */
+  def apply(rides: DataFrame, useGeodesic: Boolean = true): DataFrame =
     rides.withColumn("distance",
       coalesce(col("distance"),
-        Geo.distanceKm(col("lat_start"), col("lon_start"),
-          col("lat_end"), col("lon_end"))))
+        if (useGeodesic)
+          Geo.geodesicKm(col("lat_start"), col("lon_start"),
+            col("lat_end"), col("lon_end"))
+        else
+          Geo.distanceKm(col("lat_start"), col("lon_start"),
+            col("lat_end"), col("lon_end"))))
 }

@@ -18,9 +18,9 @@ import graft.functions.Geo
   *     start/end coordinates (:138–139) — 478 rows ⇒ broadcast-hash, so
   *     100 TB of rides never shuffles;
   *  4. Polish→English rename + coerce-to-null typing (:146–177);
-  *  5. haversine distance, 3 decimals, NULL-propagating (:178, :100–111 —
-  *     the reference's row-wise Python apply becomes a codegen'd column
-  *     expression);
+  *  5. geodesic distance, 3 decimals, NULL-propagating (:178, :100–111 —
+  *     the reference's row-wise geopy apply becomes a codegen'd native
+  *     expression, [[graft.plans.GeodesicKm]]);
   *  6. canonical column order (:181–187).
   */
 object RideTransform {
@@ -32,13 +32,16 @@ object RideTransform {
 
   /** @param raw         output of [[graft.ingest.RideCsv.read]]
     * @param stations    output of [[graft.ingest.StationCsv.read]]
-    * @param useGeodesic true ⇒ WGS-84 Vincenty distances
-    *                    ([[Geo.geodesicKm]], exact parity with the
-    *                    reference's geopy-stored values); false (default)
-    *                    ⇒ codegen'd haversine, within the reference's own
-    *                    test tolerance and UDF-free at scale. */
+    * @param useGeodesic true (default) ⇒ WGS-84 Vincenty distances
+    *                    ([[Geo.geodesicKm]], a codegen'd native
+    *                    expression — 3-dp-exact parity with the
+    *                    reference's geopy-stored values,
+    *                    data_load_sqlite.py:109); false ⇒ haversine
+    *                    ([[Geo.distanceKm]]), within the reference's own
+    *                    test tolerance (test_data_load_sqlite.py:99–112)
+    *                    and expressible in any engine (the oracle mode). */
   def apply(raw: DataFrame, stations: DataFrame,
-      useGeodesic: Boolean = false): DataFrame = {
+      useGeodesic: Boolean = true): DataFrame = {
     val cleaned = raw
       .withColumn("Stacja wynajmu", cleanStation(col("Stacja wynajmu")))
       .withColumn("Stacja zwrotu", cleanStation(col("Stacja zwrotu")))

@@ -44,6 +44,16 @@ class GeoSpec extends SparkSpec {
     assert(plan.contains("*(1) Project"), s"haversine fell out of codegen:\n$plan")
   }
 
+  test("geodesicKm stays inside whole-stage codegen (native expression, not a UDF)") {
+    val df = graft.queries.Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+      .select(Geo.geodesicKm(
+        lit(51.0), lit(17.0),
+        org.apache.spark.sql.functions.col("l_quantity"),
+        org.apache.spark.sql.functions.col("l_discount")).as("d"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), s"geodesic fell out of codegen:\n$plan")
+  }
+
   test("geodesicKm column: null propagation and rounding") {
     import spark.implicits._
     val df = Seq(

@@ -111,7 +111,10 @@ class RideTransformSpec extends SparkSpec {
     assert(row.getString(4) === "Rynek")
   }
 
-  test("geodesic mode produces ellipsoidal distances close to haversine") {
+  // reference test_distance_km_rounding_precision (:115–127): the DEFAULT
+  // path now stores geodesic distances — 3-dp-exact parity with the
+  // reference's geopy-stored 0.546 km golden.
+  test("default (geodesic) path matches the reference's stored 0.546 km exactly") {
     val dir = tmpDir("geodesic")
     val stations = writeFile(dir, "stations.csv",
       "station_name,lat,lon\nA,51.109782,17.030175\nB,51.113871,17.034484\n")
@@ -119,9 +122,9 @@ class RideTransformSpec extends SparkSpec {
       s"$ridesHeader\n1,100,2025-04-07 10:00:00,2025-04-07 10:30:00,A,B,30\n")
     val raw = RideCsv.read(spark, rides)
     val st = StationCsv.read(spark, stations)
-    val hav = RideTransform(raw, st).head().getDouble(11)
-    val geo = RideTransform(raw, st, useGeodesic = true).head().getDouble(11)
-    assert(math.abs(geo - 0.546) < 0.005, s"geodesic $geo")
+    val geo = RideTransform(raw, st).head().getDouble(11)
+    val hav = RideTransform(raw, st, useGeodesic = false).head().getDouble(11)
+    assert(geo === 0.546, s"geodesic default must hit the stored golden, got $geo")
     assert(math.abs(geo - hav) < 0.01 && geo != hav,
       s"distinct but close: hav=$hav geo=$geo")
   }

@@ -13,12 +13,12 @@ class VerifySpec extends SparkSpec {
   }
 
   test("queries and oracleSql keys line up") {
-    // Queries without an oracle get the driver's weaker rows-only check;
-    // each one must be deliberate (iterative/non-SQL-expressible ops).
-    val rowsOnly = Set("q49_ivf_ann")
-    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet === rowsOnly)
-    assert(SparkEntry.queries.size >= 77)
+    // EVERY query is oracle-gated — q49's fixed-iteration k-means turned
+    // out to be SQL-expressible after all (unrolled Lloyd CTEs), so the
+    // rows-only escape hatch is closed. Keep it closed: a new query
+    // without an oracle should be a conscious, documented exception.
+    assert(SparkEntry.oracleSql.keySet === SparkEntry.queries.keySet)
+    assert(SparkEntry.queries.size >= 119)
   }
 
   test("Verify.run dumps parquet per query and valid oracle_sql.json") {
