@@ -107,22 +107,38 @@ object DocOps {
   // --------------------------------------------------------------------
   // q21 — exact n-gram Jaccard similarity for adjacent doc pairs
   // (verification stage after LSH candidates): per-row array
-  // intersection, no explode, no quadratic blow-up. union size uses
-  // |A| + |B| - |A∩B| over distinct shingle sets.
+  // intersection, no explode-per-shingle, no quadratic blow-up. union
+  // size uses |A| + |B| - |A∩B| over distinct shingle sets.
+  //
+  // Shape: a self-join would run the tokenize→shingle→distinct pipeline
+  // on BOTH branches (Catalyst duplicates the subtree) and shuffle twice.
+  // Instead each doc's signature is computed ONCE and expanded to its two
+  // pair roles — pair key d as the left element, pair key d-1 as the
+  // right — then ONE groupBy(pair) reunites adjacent docs. Same
+  // grouped-expansion layout as the LSH bucket path (TextDedup
+  // .lshCandidates); still fully distributed (no global-order window).
   def q21(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val d = t(s, dir, "documents")
       .withColumn("toks", TextFns.tokens($"text"))
       .select($"doc_id",
         array_distinct(TextFns.ngramsFromTokens($"toks", 3)).as("sh"))
-    d.as("a")
-      .join(d.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+    d.select(explode(array(
+        struct($"doc_id".as("pair"), lit(0).as("side"), $"sh"),
+        struct(($"doc_id" - 1).as("pair"), lit(1).as("side"), $"sh")
+      )).as("e"))
+      .select($"e.pair".as("pair"), $"e.side".as("side"), $"e.sh".as("sh"))
+      .groupBy($"pair")
+      .agg(
+        max(when($"side" === 0, $"sh")).as("sh_a"),
+        max(when($"side" === 1, $"sh")).as("sh_b"))
+      .filter($"sh_a".isNotNull && $"sh_b".isNotNull)
       .select(
-        col("a.doc_id").as("doc_a"),
-        col("b.doc_id").as("doc_b"),
+        $"pair".as("doc_a"),
+        ($"pair" + 1).as("doc_b"),
         // native one-pass distinct-set jaccard (array_intersect evaluates
         // interpreted with a full intermediate array per pair)
-        round(graft.plans.TextExpressions.jaccard(col("a.sh"), col("b.sh")), 4)
+        round(graft.plans.TextExpressions.jaccard($"sh_a", $"sh_b"), 4)
           .as("jaccard")
       )
       .orderBy($"doc_a")

@@ -141,4 +141,33 @@ class TextExprSpec extends SparkSpec {
       .select(TextExpressions.simhash($"t", 8)).head().getLong(0)
     assert(r === viaApi)
   }
+
+  test("PiiScan == piiCount×3 + redactPii chain, incl. cross-pattern overlaps") {
+    // last two rows force the order-sensitive cases: an IPv4-shaped span
+    // inside an email localpart (counted by BOTH patterns, redacted as
+    // one email), a phone run adjacent to an email.
+    val texts = Seq(
+      "plain text, no pii at all",
+      "mail a.b@x.org and 10.0.0.1 and +48 123 456 789 done",
+      "u10.0.0.1@ex.com hides a quad",
+      "call 555 0123 4a@b.com now",
+      "").toDF("t")
+    val Seq(email, ip, phone) = TextFns.PiiPatterns.map(_._1)
+    val diff = texts.select(
+        TextExpressions.piiScan($"t").as("pii"),
+        TextFns.piiCount($"t", email).as("e"),
+        TextFns.piiCount($"t", ip).as("i"),
+        TextFns.piiCount($"t", phone).as("p"),
+        TextFns.redactPii($"t").as("red"))
+      .filter($"pii.n_emails" =!= $"e" || $"pii.n_ips" =!= $"i" ||
+        $"pii.n_phones" =!= $"p" || $"pii.redacted" =!= $"red")
+      .count()
+    assert(diff === 0)
+    // and it stays inside whole-stage codegen (a LocalTableScan of a Seq
+    // is pre-evaluated, so assert on a parquet-backed plan)
+    val plan = graft.queries.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(TextExpressions.piiScan($"text"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), s"pii_scan fell out of codegen:\n$plan")
+  }
 }
