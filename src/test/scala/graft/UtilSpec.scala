@@ -65,4 +65,44 @@ class UtilSpec extends SparkSpec {
     val ts = HttpIO.nowIso()
     assert(ts.matches("""\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}[+-]\d{2}:\d{2}"""))
   }
+
+  // S7 — the full download contract against a loopback JDK HttpServer
+  // (no external network): skip-if-nonempty-exists never touches the
+  // wire, retryable 503s back off and then succeed, and the payload
+  // lands under the url's filename (reference data_load_sqlite.py:85–97).
+  test("downloadFile: skip-if-exists, 503 retry/backoff, then success") {
+    import com.sun.net.httpserver.HttpServer
+    import java.net.InetSocketAddress
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/data.csv", exchange => {
+      val n = hits.incrementAndGet()
+      if (n <= 2) { // two retryable failures, then content
+        exchange.sendResponseHeaders(503, -1)
+      } else {
+        val body = "a,b\n1,2\n".getBytes("UTF-8")
+        exchange.sendResponseHeaders(200, body.length)
+        exchange.getResponseBody.write(body)
+      }
+      exchange.close()
+    })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/data.csv"
+      val dir = tmpDir("dl")
+
+      // skip path: pre-existing nonempty target short-circuits (no hit)
+      val pre = new java.io.File(dir, "data.csv")
+      java.nio.file.Files.writeString(pre.toPath, "cached")
+      assert(HttpIO.downloadFile(url, dir).length() === 6)
+      assert(hits.get() === 0, "existing nonempty file must skip the wire")
+
+      // retry path: empty file does NOT count as present; two 503s are
+      // retried with backoff, third attempt lands the payload
+      java.nio.file.Files.writeString(pre.toPath, "")
+      val got = HttpIO.downloadFile(url, dir)
+      assert(hits.get() === 3, s"expected 2 retries + success, got ${hits.get()} hits")
+      assert(java.nio.file.Files.readString(got.toPath) === "a,b\n1,2\n")
+    } finally server.stop(0)
+  }
 }
