@@ -21,12 +21,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Core.queries ++ graft.queries.DocOps.queries ++
       graft.queries.Extended.queries ++ graft.queries.Extended3.queries ++
-      graft.queries.Extended4.queries
+      graft.queries.Extended4.queries ++ graft.queries.Extended5.queries ++
+      graft.queries.Extended6.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =
     graft.queries.Core.oracles ++ graft.queries.DocOps.oracles ++
       graft.queries.Extended.oracles ++ graft.queries.Extended3.oracles ++
-      graft.queries.Extended4.oracles
+      graft.queries.Extended4.oracles ++ graft.queries.Extended5.oracles ++
+      graft.queries.Extended6.oracles
 }

@@ -51,6 +51,36 @@ object GraftExtensions {
         require(args(1).foldable, "n must be a literal")
         NGramExplode(args.head,
           args(1).eval().asInstanceOf[Number].intValue())
+      }),
+    // Runtime-filter surface: Spark's BloomFilterAggregate /
+    // BloomFilterMightContain are internal (the optimizer injects them via
+    // InjectRuntimeFilter when statistics warrant). Registering them as SQL
+    // functions makes the pattern available EXPLICITLY: build a ~1 MB bloom
+    // over the dim-side keys in a scalar subquery, prefilter the fact scan
+    // with might_contain before the shuffle join. At 100 TB this is the
+    // difference between shuffling every fact row and shuffling only rows
+    // whose key plausibly survives the join.
+    ("bloom_agg",
+      info("bloom_agg"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1 || args.length == 2,
+          "bloom_agg takes (xxhash64ed_key[, est_num_items])")
+        if (args.length == 1)
+          new org.apache.spark.sql.catalyst.expressions.aggregate
+            .BloomFilterAggregate(args.head)
+        else {
+          require(args(1).foldable, "est_num_items must be a literal")
+          new org.apache.spark.sql.catalyst.expressions.aggregate
+            .BloomFilterAggregate(args.head,
+              args(1).eval().asInstanceOf[Number].longValue())
+        }
+      }),
+    ("might_contain",
+      info("might_contain"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "might_contain takes (bloom, xxhash64ed_key)")
+        org.apache.spark.sql.catalyst.expressions
+          .BloomFilterMightContain(args.head, args(1))
       })
   )
 

@@ -21,13 +21,13 @@ object DocOps {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
-  /** Shared SQL fragments for the DuckDB oracles. */
-  private val tokensSql = """regexp_split_to_array(trim(text), '\s+')"""
-  private def ngramsSql(n: Int): String =
+  /** Shared SQL fragments for the DuckDB oracles (shared with Extended5). */
+  private[queries] val tokensSql = """regexp_split_to_array(trim(text), '\s+')"""
+  private[queries] def ngramsSql(n: Int): String =
     s"""list_transform(
        | generate_series(1, greatest(len($tokensSql) - ${n - 1}, 1)),
        | i -> array_to_string(list_slice($tokensSql, i, i + ${n - 1}), ' '))""".stripMargin
-  private def minhashChunkSql(ngrams: String, chunk: Int): String =
+  private[queries] def minhashChunkSql(ngrams: String, chunk: Int): String =
     s"list_min(list_transform($ngrams, s -> substr(md5(s), ${chunk * 8 + 1}, 8)))"
 
   // --------------------------------------------------------------------

@@ -17,6 +17,7 @@ object TestSpark {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    graft.plans.GraftExtensions.register(s)
     s
   }
 }
