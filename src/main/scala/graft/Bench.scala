@@ -26,7 +26,13 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.build(s"local[$cpus]", cpus.toInt, "graft-bench")
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Dev-only iteration filter (mirrors Verify): GRAFT_ONLY=q134,q104
+    // benches just the named prefixes. Unset (the driver) → everything.
+    val only = sys.env.get("GRAFT_ONLY").map(_.split(",").toSeq)
+    def wanted(name: String) = only.forall(_.exists(name.startsWith))
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(kv => wanted(kv._1)).map { case (name, fn) =>
       try materialize(fn(spark, sfDir))
       catch { case _: Throwable => -1L } // warmup, untimed
       val t0 = System.nanoTime()
