@@ -22,7 +22,8 @@ object SparkEntry {
     graft.queries.Core.queries ++ graft.queries.DocOps.queries ++
       graft.queries.Extended.queries ++ graft.queries.Extended3.queries ++
       graft.queries.Extended4.queries ++ graft.queries.Extended5.queries ++
-      graft.queries.Extended6.queries ++ graft.queries.Extended7.queries
+      graft.queries.Extended6.queries ++ graft.queries.Extended7.queries ++
+      graft.queries.Extended8.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -30,5 +31,6 @@ object SparkEntry {
     graft.queries.Core.oracles ++ graft.queries.DocOps.oracles ++
       graft.queries.Extended.oracles ++ graft.queries.Extended3.oracles ++
       graft.queries.Extended4.oracles ++ graft.queries.Extended5.oracles ++
-      graft.queries.Extended6.oracles ++ graft.queries.Extended7.oracles
+      graft.queries.Extended6.oracles ++ graft.queries.Extended7.oracles ++
+      graft.queries.Extended8.oracles
 }

@@ -246,7 +246,64 @@ case class StringArrayJaccard(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Distinct-set intersection COUNT of two `array<string>` columns —
+  * the integer core of [[StringArrayJaccard]] for callers that keep
+  * similarity tests in exact integer arithmetic (q138's cross-
+  * multiplied Jaccard threshold): with per-doc set sizes known,
+  * `union = |a| + |b| - inter` needs no float and no second pass.
+  * Same UTF8String hash-set sweep, one JVM call per row, codegen'd.
+  */
+case class StringArrayIntersect(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<string> arguments")
+    }
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = left.nullable || right.nullable
+  override def prettyName: String = "string_array_intersect_count"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    JaccardUtil.intersectCount(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.plans.JaccardUtil.intersectCount($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): StringArrayIntersect =
+    copy(left = newLeft, right = newRight)
+}
+
 object JaccardUtil {
+
+  /** Distinct elements of `b` also present in `a` (set-intersection
+    * cardinality; null elements ignored on both sides). */
+  def intersectCount(a: ArrayData, b: ArrayData): Long = {
+    val sa = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]()
+    var i = 0
+    while (i < a.numElements()) {
+      if (!a.isNullAt(i)) sa.add(a.getUTF8String(i))
+      i += 1
+    }
+    val seenB = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]()
+    var inter = 0L
+    i = 0
+    while (i < b.numElements()) {
+      if (!b.isNullAt(i)) {
+        val e = b.getUTF8String(i)
+        if (seenB.add(e) && sa.contains(e)) inter += 1
+      }
+      i += 1
+    }
+    inter
+  }
+
   /** Boxed Double (null when the union is empty). */
   def compute(a: ArrayData, b: ArrayData): java.lang.Double = {
     val sa = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]()
@@ -368,6 +425,10 @@ object TextExpressions {
   /** Codegen'd distinct-set Jaccard of two `array<string>` columns. */
   def jaccard(a: Column, b: Column): Column =
     Bridge.column(StringArrayJaccard(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Codegen'd distinct-set intersection count (LongType). */
+  def intersectCount(a: Column, b: Column): Column =
+    Bridge.column(StringArrayIntersect(Bridge.expression(a), Bridge.expression(b)))
 
   /** Codegen'd MinHash signature (array of `numHashes` hex chunks) of an
     * `array<string>` token column over word `ngram`-shingles. */

@@ -95,6 +95,30 @@ class TextExprSpec extends SparkSpec {
     assert(edges.toSeq === Seq(None, Some(0.0), Some(1.0)))
   }
 
+  test("StringArrayIntersect == size(array_intersect), incl. dup/null elements") {
+    import spark.implicits._
+    val pairs = docs
+      .withColumn("sh", array_distinct(TextFns.ngramsFromTokens($"toks", 3)))
+      .select($"doc_id", $"sh")
+    val joined = pairs.as("a")
+      .join(pairs.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+    val diff = joined.select(
+        TextExpressions.intersectCount(col("a.sh"), col("b.sh")).as("native"),
+        size(array_intersect(col("a.sh"), col("b.sh"))).cast("long").as("hof"))
+      .filter($"native" =!= $"hof")
+      .count()
+    assert(diff === 0)
+    // set semantics on non-distinct inputs + null-element skipping
+    val edges = Seq(
+      (Seq("a", "a", "b"), Seq("b", "b", "a")),   // dups count once -> 2
+      (Seq("a", null), Seq(null, "a")),           // nulls ignored -> 1
+      (Seq.empty[String], Seq("a"))               // empty -> 0
+    ).toDF("x", "y")
+      .select(TextExpressions.intersectCount($"x", $"y").as("c"))
+      .collect().map(_.getLong(0))
+    assert(edges.toSeq === Seq(2L, 1L, 0L))
+  }
+
   test("NGramExplode generator == posexplode(ngramsFromTokens) on all edges") {
     import graft.plans.NGramExplode
     val docs = Seq(
