@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode,
+  TimerValues, TTLConfig, ValueState}
+
+/** Arbitrary stateful streaming via Spark 4's `transformWithState` —
+  * the successor API to `mapGroupsWithState` (which
+  * [[StatefulStatusStream]] exercises): typed per-key state handles
+  * (ValueState / ListState / MapState), optional per-state TTL, and
+  * batch-mode execution of the SAME processor.
+  *
+  * The operator keeps one running (count, sum, max) aggregate per user
+  * and emits the updated row for every key touched by a micro-batch —
+  * the "live per-entity dashboard" shape.
+  *
+  * Scale: state is one fixed-size row per user, hash-partitioned by
+  * key across executors, stored in RocksDB (transformWithState
+  * requires the RocksDB state store provider — set
+  * `spark.sql.streaming.stateStore.providerClass` to
+  * `...state.RocksDBStateStoreProvider`); a TTL on the state bounds
+  * it to recently-active keys, which is what keeps an unbounded user
+  * universe from accumulating forever at 100 TB event volume.
+  */
+object StreamStatefulAgg {
+
+  case class EventIn(user_id: Long, value_cents: Long)
+  case class AggState(n_events: Long, total_cents: Long, max_cents: Long)
+  case class UserStats(user_id: Long, n_events: Long, total_cents: Long,
+      max_cents: Long)
+
+  /** Running per-user aggregate processor; `ttl` bounds how long an
+    * idle user's state survives (TTLConfig.NONE = keep forever). */
+  class RunningStats(ttl: TTLConfig) extends
+      StatefulProcessor[Long, EventIn, UserStats] {
+
+    @transient private var state: ValueState[AggState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[AggState](
+        "agg", Encoders.product[AggState], ttl)
+
+    override def handleInputRows(key: Long, rows: Iterator[EventIn],
+        timerValues: TimerValues): Iterator[UserStats] = {
+      val prev =
+        if (state.exists()) state.get() else AggState(0L, 0L, Long.MinValue)
+      var n = prev.n_events
+      var tot = prev.total_cents
+      var mx = prev.max_cents
+      rows.foreach { e =>
+        n += 1
+        tot += e.value_cents
+        mx = math.max(mx, e.value_cents)
+      }
+      val next = AggState(n, tot, mx)
+      state.update(next)
+      Iterator.single(UserStats(key, n, tot, mx))
+    }
+  }
+
+  /** Wire the processor over a (possibly streaming) event Dataset.
+    * Works unchanged in batch mode — Spark executes the same processor
+    * once per key over the full input. */
+  def runningStats(events: Dataset[EventIn],
+      ttl: TTLConfig = TTLConfig.NONE): Dataset[UserStats] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new RunningStats(ttl), TimeMode.None(), OutputMode.Update())
+  }
+}
