@@ -39,20 +39,47 @@ object Bench {
       try materialize(fn(spark, sfDir)) catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    // Steady-state pass for the 10 slowest queries: min over 3 more
+    // timed runs, each with a FRESH plan (same policy as the main
+    // numbers — planning is part of a cold query, but the min isolates
+    // execution from one-off Catalyst/codegen variance). With 140
+    // queries the single-shot total is dominated by the ~0.4 s/query
+    // planning floor; the steady numbers are the execution-tracking
+    // signal for cross-round comparison.
+    val steady = results.filter(_._2 >= 0).sortBy(-_._2).take(10)
+      .map { case (name, _) =>
+        val fn = SparkEntry.queries(name)
+        val times = (0 until 3).map { _ =>
+          val t0 = System.nanoTime()
+          try materialize(fn(spark, sfDir)) catch { case _: Throwable => -1L }
+          (System.nanoTime() - t0) / 1e9
+        }
+        name -> times.min
+      }
+    val steadyTotal = steady.map(_._2).sum
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val steadyQs = steady.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // Verbose per-query line first (full names, full precision) — for humans
     // and local diffing.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    // Compact line LAST: the harness that collects this output keeps only the
-    // final ~2000 chars, so the parseable summary must fit there entirely.
-    // Short keys (q1..q105) + 3-decimal seconds keep it ~1.5 KB.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"steady_top10":$steadyQs,"steady_top10_total":$steadyTotal,"sf":"$sfDir"}""")
+    // The harness that collects this output keeps only the final ~2000
+    // chars. At 140+ queries even a short-key per-query map outgrows
+    // that window, so the per-query line goes second-to-last (truncated
+    // from the head if need be) and the LAST line is a short summary —
+    // totals + the steady-state top-10 — that always fits whole.
     val shortQs = results.map { case (k, v) =>
       val short = k.takeWhile(_ != '_')
       "\"" + short + "\":" + f"$v%.3f"
     }.mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"queries":$shortQs,"sf":"$sfDir"}""")
+    val shortSteady = steady.map { case (k, v) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + f"$v%.3f"
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"queries_sec","queries":$shortQs}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"steady_top10":$shortSteady,"steady_top10_total":$steadyTotal%.3f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -23,7 +23,8 @@ object SparkEntry {
       graft.queries.Extended.queries ++ graft.queries.Extended3.queries ++
       graft.queries.Extended4.queries ++ graft.queries.Extended5.queries ++
       graft.queries.Extended6.queries ++ graft.queries.Extended7.queries ++
-      graft.queries.Extended8.queries
+      graft.queries.Extended8.queries ++
+      graft.queries.Extended9.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -32,5 +33,6 @@ object SparkEntry {
       graft.queries.Extended.oracles ++ graft.queries.Extended3.oracles ++
       graft.queries.Extended4.oracles ++ graft.queries.Extended5.oracles ++
       graft.queries.Extended6.oracles ++ graft.queries.Extended7.oracles ++
-      graft.queries.Extended8.oracles
+      graft.queries.Extended8.oracles ++
+      graft.queries.Extended9.oracles
 }

@@ -19,7 +19,7 @@ object Stress {
     val rows = args.headOption.map(_.toLong).getOrElse(100000L)
     val picks = if (args.length > 1) args.tail.toSet
       else Set("dedup", "repetition", "packing", "redact", "shard",
-        "bm25", "merge")
+        "bm25", "merge", "ppjoin", "contamination")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.build(s"local[$cpus]", cpus.toInt, "graft-stress")
     import spark.implicits._
@@ -99,6 +99,37 @@ object Stress {
           .select(($"doc_id" + rows).as("doc_id"), lit("I").as("op"),
             $"source", $"n_chars"))
       graft.ext.MergeInto(base, ch, "doc_id").count()
+    }
+    if (picks("ppjoin")) timed("ppjoin") {
+      // q138's exact prefix-filter similarity join at generated scale:
+      // the df-bounded-bucket claim (shuffle keys are each doc's RAREST
+      // shingles, so bucket sizes track df, not corpus size) is what
+      // this probes — sub-linear pair volume as rows grow.
+      graft.ext.TextDedup
+        .similarityJoin(docs, "text", "doc_id", ngram = 3,
+          simNum = 1, simDen = 2)
+        .count()
+    }
+    if (picks("contamination")) timed("contamination") {
+      // q128's cross-source contamination matrix: distinct (source,
+      // 5-gram) pairs, grouped in-bucket expansion — one shuffle on the
+      // ngram hash, pair volume = sources², never docs².
+      val sh = docs
+        .withColumn("toks", graft.functions.TextFns.tokens($"text"))
+        .select($"source",
+          explode(array_distinct(
+            graft.functions.TextFns.ngramsFromTokens($"toks", 5))).as("ng"))
+        .distinct()
+      val pairExp = flatten(transform($"srcs", (a, i) =>
+        transform(slice($"srcs", i + lit(2), size($"srcs")),
+          b => struct(a.as("source_a"), b.as("source_b")))))
+      sh.groupBy($"ng")
+        .agg(sort_array(collect_set($"source")).as("srcs"))
+        .filter(size($"srcs") > 1)
+        .select(explode(pairExp).as("p"))
+        .groupBy($"p.source_a", $"p.source_b")
+        .agg(count(lit(1)).as("shared_ngrams"))
+        .count()
     }
     if (picks("shard")) timed("shard") {
       docs.withColumn("shard", graft.operators.HashSplit.bucket($"doc_id", 64))

@@ -28,6 +28,9 @@ import graft.transform.RideTransform
   *   dedup <docsParquet> <idCol> <textCol> <outParquet>
   *   profile <parquet> <col1,col2,...>
   *   sessionize <eventsParquet> <keyCol> <tsCol> <gapSec> <outParquet>
+  *   chunk <docsParquet> <idCol> <textCol> <size> <stride> <outParquet>
+  *   mix <docsParquet> <sourceCol> <textCol> <invTemp> <outParquet>
+  *   pack <docsParquet> <idCol> <shardCol> <textCol> <cap> <outParquet>
   */
 object Main {
 
@@ -175,6 +178,32 @@ object Main {
           max(col(idCol)).as("max_id"), expr(s"bit_xor($idCol)").as("checksum"))
         .write.mode("overwrite").parquet(out + "_manifest")
       println(s"wrote ${n.toInt} shards + manifest under $out")
+
+    // chunk <docsParquet> <idCol> <textCol> <size> <stride> <outParquet>:
+    // overlapping context-window chunks (training-row preprocessing).
+    case "chunk" :: in :: idCol :: textCol :: size :: stride :: out :: Nil =>
+      val chunks = graft.ext.TrainPrep.chunk(
+        spark.read.parquet(in), idCol, textCol, size.toInt, stride.toInt)
+      chunks.write.mode("overwrite").parquet(out)
+      println(s"wrote ${chunks.count()} chunks (size=$size stride=$stride) to $out")
+
+    // mix <docsParquet> <sourceCol> <textCol> <invTemp> <outParquet>:
+    // per-source temperature resampling weights (invTemp = 1/T).
+    case "mix" :: in :: sourceCol :: textCol :: invTemp :: out :: Nil =>
+      val weights = graft.ext.TrainPrep.temperatureMix(
+          spark.read.parquet(in), sourceCol, textCol, invTemp.toDouble)
+        .orderBy(sourceCol)
+      weights.write.mode("overwrite").parquet(out)
+      weights.show(truncate = false)
+
+    // pack <docsParquet> <idCol> <shardCol> <textCol> <cap> <outParquet>:
+    // fixed token-budget batch assignment per shard.
+    case "pack" :: in :: idCol :: shardCol :: textCol :: cap :: out :: Nil =>
+      val packed = graft.ext.TrainPrep.pack(
+        spark.read.parquet(in), idCol, shardCol, textCol, cap.toInt)
+      packed.write.mode("overwrite").parquet(out)
+      val nBatches = packed.select(shardCol, "batch_id").distinct().count()
+      println(s"packed ${packed.count()} docs into $nBatches batches (cap=$cap) at $out")
 
     case other =>
       sys.error(s"unknown command: ${other.mkString(" ")} — see Scaladoc for usage")

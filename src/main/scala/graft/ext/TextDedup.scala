@@ -24,6 +24,20 @@ import graft.functions.TextFns
   */
 object TextDedup {
 
+  /** Materialize a loop-state DataFrame, truncating lineage. With a
+    * `checkpointDir` this is reliable `checkpoint()` (survives executor
+    * loss — the durability story a multi-hour 100 TB iterative job
+    * needs); without, `localCheckpoint()` (executor block storage,
+    * faster, fine for short jobs / local mode). */
+  private def materialize(df: DataFrame,
+      checkpointDir: Option[String]): DataFrame =
+    checkpointDir match {
+      case Some(dir) =>
+        df.sparkSession.sparkContext.setCheckpointDir(dir)
+        df.checkpoint()
+      case None => df.localCheckpoint()
+    }
+
   /** Exact duplicate groups: fingerprint → (keep_id, n_copies). */
   def exactGroups(docs: DataFrame, textCol: String, idCol: String): DataFrame =
     docs.groupBy(TextFns.fingerprint(col(textCol)).as("fingerprint"))
@@ -176,22 +190,36 @@ object TextDedup {
     * graph diameter, and dup clusters are near-cliques, so 2-3 rounds
     * in practice — the standard large-scale CC layout (cf. the
     * large-star/small-star refinement for adversarial diameters).
-    * `localCheckpoint` truncates lineage so plans don't grow per round.
+    * Checkpointing truncates lineage so plans don't grow per round; the
+    * symmetrized edge set is materialized ONCE before the loop, so an
+    * expensive upstream (e.g. the full MinHash pipeline behind
+    * [[lshCandidates]]) is never recomputed per round.
+    *
+    * Durability: by default rounds use `localCheckpoint` (executor
+    * block storage — fast, but lost on executor failure, so a long
+    * cluster job restarts from scratch). Pass `checkpointDir` to use
+    * reliable `checkpoint()` to that directory instead — the right
+    * trade for multi-hour 100 TB runs.
     *
     * @param pairs edges (id_a, id_b) — e.g. [[lshCandidates]] /
     *              [[simhashCandidates]] output
     * @param nodes one row per node id (docs without any pair become
     *              singleton components)
+    * @param checkpointDir reliable-checkpoint directory; None =
+    *              localCheckpoint
     * @return (node, component) with component = min id in the cluster
     */
   def connectedComponents(pairs: DataFrame, nodes: DataFrame,
       srcCol: String = "id_a", dstCol: String = "id_b",
-      nodeCol: String = "id", maxRounds: Int = 15): DataFrame = {
-    val sym = pairs.select(col(srcCol).as("a"), col(dstCol).as("b"))
-      .union(pairs.select(col(dstCol).as("a"), col(srcCol).as("b")))
-    var labels = nodes
-      .select(col(nodeCol).as("node"), col(nodeCol).as("component"))
-      .localCheckpoint()
+      nodeCol: String = "id", maxRounds: Int = 15,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val sym = materialize(
+      pairs.select(col(srcCol).as("a"), col(dstCol).as("b"))
+        .union(pairs.select(col(dstCol).as("a"), col(srcCol).as("b"))),
+      checkpointDir)
+    var labels = materialize(
+      nodes.select(col(nodeCol).as("node"), col(nodeCol).as("component")),
+      checkpointDir)
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
@@ -199,11 +227,12 @@ object TextDedup {
         .groupBy(col("a")).agg(min(col("component")).as("nb"))
       // carry the previous label through the checkpoint so convergence is
       // a filter on materialized data, not another join per round
-      val merged = labels.join(nbMin, labels("node") === nbMin("a"), "left")
-        .select(col("node"), col("component").as("old"),
-          least(col("component"), coalesce(col("nb"), col("component")))
-            .as("component"))
-        .localCheckpoint()
+      val merged = materialize(
+        labels.join(nbMin, labels("node") === nbMin("a"), "left")
+          .select(col("node"), col("component").as("old"),
+            least(col("component"), coalesce(col("nb"), col("component")))
+              .as("component")),
+        checkpointDir)
       converged = merged.filter(col("component") =!= col("old")).isEmpty
       labels = merged.select(col("node"), col("component"))
       round += 1
@@ -238,15 +267,17 @@ object TextDedup {
     */
   def connectedComponentsStar(pairs: DataFrame, nodes: DataFrame,
       srcCol: String = "id_a", dstCol: String = "id_b",
-      nodeCol: String = "id", maxRounds: Int = 50): DataFrame = {
+      nodeCol: String = "id", maxRounds: Int = 50,
+      checkpointDir: Option[String] = None): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
     // canonical edges u > v (parent pointers point downward)
-    var edges = pairs
-      .select(greatest(col(srcCol), col(dstCol)).as("u"),
-        least(col(srcCol), col(dstCol)).as("v"))
-      .filter(col("u") =!= col("v")).distinct()
-      .localCheckpoint()
+    var edges = materialize(
+      pairs
+        .select(greatest(col(srcCol), col(dstCol)).as("u"),
+          least(col(srcCol), col(dstCol)).as("v"))
+        .filter(col("u") =!= col("v")).distinct(),
+      checkpointDir)
     var round = 0
     var converged = edges.isEmpty
     while (!converged && round < maxRounds) {
@@ -271,15 +302,15 @@ object TextDedup {
             struct(col("w").as("u"), col("m").as("v")))).as("e"))
         .select(col("e.u"), col("e.v"))
         .filter(col("u") =!= col("v")).distinct()
-        .localCheckpoint()
+      val smallM = materialize(small, checkpointDir)
       // star forest test: no parent is itself a child elsewhere, and
       // every child has exactly one parent (its component's min id)
       converged =
-        small.groupBy(col("u")).agg(count(lit(1)).as("n"))
+        smallM.groupBy(col("u")).agg(count(lit(1)).as("n"))
           .filter(col("n") > 1).isEmpty &&
-        small.alias("a")
-          .join(small.alias("b"), expr("a.v = b.u"), "left_semi").isEmpty
-      edges = small
+        smallM.alias("a")
+          .join(smallM.alias("b"), expr("a.v = b.u"), "left_semi").isEmpty
+      edges = smallM
       round += 1
     }
     if (!converged) throw new IllegalStateException(
@@ -289,6 +320,79 @@ object TextDedup {
       .join(labeled, Seq("node"), "left")
       .select(col("node"),
         coalesce(col("component"), col("node")).as("component"))
+  }
+
+  /** EXACT set-similarity self-join (the PPJoin prefix-filter rule):
+    * all pairs with n-gram Jaccard ≥ simNum/simDen, ZERO false
+    * negatives — the deterministic alternative to [[lshCandidates]]
+    * when the pipeline needs provable completeness. All thresholds are
+    * exact rational arithmetic (never a float).
+    *
+    * Candidate rule: order each doc's shingle set by ascending document
+    * frequency; any qualifying pair must share an element in the first
+    * n − ceil(t·n) + 1 of both lists, so bucketing on prefix shingles
+    * alone is complete. PPJoin's positional filter then prunes: common
+    * elements sit at df-position ≥ the minimal common prefix position
+    * on each side, so inter ≤ min(na−ra, nb−rb) + 1 and pairs whose
+    * bound cannot reach t never enter verification.
+    *
+    * Scale: the shuffle key is the PREFIX shingle — the rarest in each
+    * doc — so bucket sizes are df-bounded and frequent shingles never
+    * become join keys (the inverse skew profile of a naive token
+    * join). The three reused intermediates are materialized once
+    * (localCheckpoint, or reliable checkpoint via `checkpointDir`).
+    *
+    * @return (doc_a, doc_b, inter, n_union) with doc_a < doc_b
+    */
+  def similarityJoin(docs: DataFrame, textCol: String, idCol: String,
+      ngram: Int = 3, simNum: Int = 1, simDen: Int = 2,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(simNum > 0 && simDen > 0 && simNum <= simDen,
+      s"threshold must be a fraction in (0,1], got $simNum/$simDen")
+    import org.apache.spark.sql.expressions.Window
+    val ex = materialize(
+      docs.select(col(idCol).as("doc_id"),
+          graft.plans.NGramExplode.of(TextFns.tokens(col(textCol)), ngram))
+        .select(col("doc_id"), col("ngram").as("tok"))
+        .distinct(),
+      checkpointDir)
+    val sets = materialize(
+      ex.groupBy(col("doc_id"))
+        .agg(collect_set(col("tok")).as("toks"), count(lit(1)).as("n_set")),
+      checkpointDir)
+    val dfreq = ex.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))
+    // prefix length n − ceil(t·n) + 1, with ceil in integer arithmetic
+    val prefix = materialize(
+      ex.join(dfreq, "tok")
+        .withColumn("rk", row_number().over(wDoc))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+        .filter(col("rk") <=
+          col("n") - ((col("n") * simNum + simDen - 1).divide(simDen)
+            .cast("long")) + 1)
+        .select(col("tok"), col("doc_id"), col("rk"), col("n")),
+      checkpointDir)
+    // jaccard ≥ num/den ⇔ inter·(num+den) ≥ num·(na+nb); apply it to
+    // the positional upper bound first, then exactly after counting
+    val cands = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(min(col("a.rk")).as("ra"), min(col("b.rk")).as("rb"),
+        first(col("a.n")).as("pna"), first(col("b.n")).as("pnb"))
+      .filter((least(col("pna") - col("ra"), col("pnb") - col("rb")) + 1) *
+        (simNum + simDen) >= (col("pna") + col("pnb")) * simNum)
+      .select(col("doc_a"), col("doc_b"))
+    cands
+      .join(sets.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"),
+        col("n_set").as("na")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"),
+        col("n_set").as("nb")), "doc_b")
+      .withColumn("inter",
+        graft.plans.TextExpressions.intersectCount(col("toks_a"), col("toks_b")))
+      .withColumn("n_union", col("na") + col("nb") - col("inter"))
+      .filter(col("inter") * simDen >= col("n_union") * simNum)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("n_union"))
   }
 
   /** Fuzzy dedup keep-set: one surviving id per near-dup cluster (the

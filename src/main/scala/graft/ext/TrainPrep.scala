@@ -1,0 +1,83 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+
+/** Training-data preparation operators, parametrized — the reusable
+  * library surface behind the oracle-gated catalog entries (q121
+  * chunking, q122 temperature mixing, q86 sequence packing) and the
+  * `chunk` / `mix` / `pack` CLI subcommands.
+  *
+  * All three are one-pass declarative plans:
+  *  - [[chunk]]: tokenize once + explode window starts — per-row work,
+  *    no shuffle, linear at any corpus size;
+  *  - [[temperatureMix]]: one keyed agg + a broadcast 1-row join;
+  *  - [[pack]]: one window keyed by the shard column (never a global
+  *    window — the per-source key is what keeps a 100 TB corpus from
+  *    concentrating on one task).
+  */
+object TrainPrep {
+
+  /** Overlapping token windows per document (q121 generalized):
+    * (id, chunk_idx, start_token, n_tokens, chunk_hash, chunk_text).
+    * `stride` < `chunkSize` gives overlap; start positions stop at
+    * n - overlap so tails are covered without fully-contained
+    * duplicate windows. */
+  def chunk(docs: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int = 32, stride: Int = 24): DataFrame = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
+      s"need 0 < stride <= chunkSize, got stride=$stride size=$chunkSize")
+    val overlap = chunkSize - stride
+    val chunkToks = slice(col("toks"), col("start"), lit(chunkSize))
+    docs
+      .withColumn("toks", TextFns.tokens(col(textCol)))
+      .withColumn("start",
+        explode(sequence(lit(1),
+          greatest(size(col("toks")) - overlap, lit(1)), lit(stride))))
+      .select(
+        col(idCol),
+        expr(s"(start - 1) div $stride").as("chunk_idx"),
+        col("start").cast("long").as("start_token"),
+        size(chunkToks).cast("long").as("n_tokens"),
+        md5(array_join(chunkToks, " ")).as("chunk_hash"),
+        array_join(chunkToks, " ").as("chunk_text"))
+  }
+
+  /** Per-source temperature resampling weights (q122 generalized):
+    * share_ppm of total char mass and p^(1/T) weight in ppm relative
+    * to the largest source. `invTemp` = 1/T (0.5 = the common T=2). */
+  def temperatureMix(docs: DataFrame, sourceCol: String, textCol: String,
+      invTemp: Double = 0.5): DataFrame = {
+    val per = docs.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col(textCol))).as("chars"))
+    val tot = per.agg(sum(col("chars")).as("total_chars"),
+      max(col("chars")).as("chars_max"))
+    per.crossJoin(broadcast(tot))
+      .select(
+        col(sourceCol), col("n_docs"), col("chars"),
+        expr("chars * 1000000 div total_chars").as("share_ppm"),
+        floor(pow(col("chars").cast("double") / col("chars_max"),
+          lit(invTemp)) * 1e6).as("weight_ppm"))
+  }
+
+  /** Fixed token-budget batch assignment (q86 generalized): documents
+    * in id order within each shard go to batch cum_tokens div cap.
+    * Returns one row per doc with its batch id — join back or group to
+    * taste. */
+  def pack(docs: DataFrame, idCol: String, shardCol: String,
+      textCol: String, tokenCap: Int = 512): DataFrame = {
+    require(tokenCap > 0, s"tokenCap must be positive, got $tokenCap")
+    val w = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(col(idCol), col(shardCol),
+        TextFns.approxBpeTokenCount(col(textCol)).as("toks"))
+      .withColumn("cum_before", coalesce(sum(col("toks")).over(w), lit(0L)))
+      .withColumn("batch_id", expr(s"cum_before div $tokenCap"))
+      .select(col(idCol), col(shardCol), col("toks"), col("batch_id"))
+  }
+}

@@ -297,14 +297,9 @@ object Extended3 {
   // deployment keys the window by its shard column exactly like this.
   def q86(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val cap = 512
-    val w = Window.partitionBy($"source").orderBy($"doc_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    t(s, dir, "documents")
-      .select($"doc_id", $"source",
-        TextFns.approxBpeTokenCount($"text").as("toks"))
-      .withColumn("cum_before", coalesce(sum($"toks").over(w), lit(0L)))
-      .withColumn("batch_id", expr(s"cum_before div $cap"))
+    graft.ext.TrainPrep
+      .pack(t(s, dir, "documents"), "doc_id", "source", "text",
+        tokenCap = 512)
       .groupBy($"source", $"batch_id")
       .agg(count(lit(1)).as("n_docs"), sum($"toks").as("batch_tokens"),
         min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))

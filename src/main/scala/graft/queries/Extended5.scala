@@ -78,21 +78,11 @@ object Extended5 {
   // output sort, linear at any corpus size.
   def q121(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val chunkSize = 32
-    val stride = 24
-    val overlap = chunkSize - stride
-    val chunk = slice($"toks", $"start", lit(chunkSize))
-    t(s, dir, "documents")
-      .withColumn("toks", TextFns.tokens($"text"))
-      .withColumn("start",
-        explode(sequence(lit(1),
-          greatest(size($"toks") - overlap, lit(1)), lit(stride))))
-      .select(
-        $"doc_id",
-        expr(s"(start - 1) div $stride").as("chunk_idx"),
-        $"start".cast("long").as("start_token"),
-        size(chunk).cast("long").as("n_tokens"),
-        md5(array_join(chunk, " ")).as("chunk_hash"))
+    graft.ext.TrainPrep
+      .chunk(t(s, dir, "documents"), "doc_id", "text",
+        chunkSize = 32, stride = 24)
+      .select($"doc_id", $"chunk_idx", $"start_token", $"n_tokens",
+        $"chunk_hash")
       .orderBy($"doc_id", $"chunk_idx")
   }
 

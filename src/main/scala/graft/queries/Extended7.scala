@@ -151,16 +151,29 @@ object Extended7 {
   // rides the recursion as a carried column, so the whole scaffold is
   // one SQL statement — no driver-side collect of the bounds.
   //
-  // Scale note: recursion depth = days-in-range (bounded, tiny); the
-  // scaffold is rows-by-recursion on the driver-sized dimension while
-  // the event scan/aggregation stays fully distributed.
+  // Scale note: the recursion advances one YEAR per level and each
+  // level explodes its days via sequence(), so recursion depth =
+  // years-in-range. A per-day recursion would hit Spark's
+  // spark.sql.cteRecursionLevelLimit (default 100) on any span over
+  // ~3 months; year strides survive a century of events without
+  // touching the limit, and the event scan/aggregation stays fully
+  // distributed either way.
   def q132(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "events").createOrReplaceTempView("ev_q132")
     s.sql(
-      """WITH RECURSIVE cal(d, dmax) AS (
-        |  SELECT CAST(min(ts) AS DATE), CAST(max(ts) AS DATE) FROM ev_q132
+      """WITH RECURSIVE yrs(y, d0, dmax) AS (
+        |  SELECT CAST(date_trunc('YEAR', min(ts)) AS DATE),
+        |         CAST(min(ts) AS DATE), CAST(max(ts) AS DATE)
+        |  FROM ev_q132
         |  UNION ALL
-        |  SELECT date_add(d, 1), dmax FROM cal WHERE d < dmax
+        |  SELECT add_months(y, 12), d0, dmax FROM yrs
+        |  WHERE add_months(y, 12) <= dmax
+        |),
+        |cal AS (
+        |  SELECT explode(sequence(greatest(y, d0),
+        |                          least(date_add(add_months(y, 12), -1), dmax),
+        |                          interval 1 day)) AS d
+        |  FROM yrs
         |),
         |daily AS (
         |  SELECT CAST(ts AS DATE) AS d, count(*) AS n
@@ -206,14 +219,26 @@ object Extended7 {
           lit(",\"arr\":["), ($"event_id" % 5).cast("string"), lit(","),
           ($"user_id" % 7).cast("string"), lit("]}")))
       .withColumn("v", expr("parse_json(vjson)"))
-      .groupBy(expr("variant_get(v, '$.t', 'string')").as("t"))
+      // Project every variant extraction ONCE before the aggregate: the
+      // naive groupBy-over-expr plan decoded the variant binary six
+      // times per row (5 paths + schema) inside the agg — pre-projecting
+      // makes it one decode per path per row in a codegen'd select, and
+      // the aggregate itself runs over plain longs/strings.
+      .select(
+        expr("variant_get(v, '$.t', 'string')").as("t"),
+        expr("variant_get(v, '$.p.k', 'long')").as("k"),
+        expr("variant_get(v, '$.arr[0]', 'long')").as("arr0"),
+        expr("variant_get(v, '$.arr[1]', 'long')").as("arr1"),
+        expr("try_variant_get(v, '$.missing', 'long')").as("missing"),
+        expr("schema_of_variant(v)").as("vs"))
+      .groupBy($"t")
       .agg(
         count(lit(1)).as("n"),
-        sum(expr("variant_get(v, '$.p.k', 'long')")).as("sum_k"),
-        sum(expr("variant_get(v, '$.arr[0]', 'long')")).as("arr0_sum"),
-        sum(expr("variant_get(v, '$.arr[1]', 'long')")).as("arr1_sum"),
-        count(expr("try_variant_get(v, '$.missing', 'long')")).as("n_missing"),
-        min(expr("schema_of_variant(v)")).as("vschema"))
+        sum($"k").as("sum_k"),
+        sum($"arr0").as("arr0_sum"),
+        sum($"arr1").as("arr1_sum"),
+        count($"missing").as("n_missing"),
+        min($"vs").as("vschema"))
       .orderBy($"t")
   }
 

@@ -40,59 +40,16 @@ object Extended8 {
   // naive token join, q130's hazard). Verification joins fetch the two
   // shingle sets by doc id (broadcast-able at dim sizes, shuffle join
   // at corpus scale).
+  // (Implementation lives in TextDedup.similarityJoin — the reusable
+  // operator with a rational threshold; this entry pins t = 1/2 over
+  // 3-gram shingles. The materialize-once layout, the df-ordered
+  // prefix keys and the codegen'd intersect count are documented
+  // there; the 19.6 → 3.4 s optimization ladder in NOTES.md.)
   def q138(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // The distinct (doc, shingle) table and the per-doc set arrays are
-    // each referenced on BOTH sides of a join below — materialize once
-    // (the q21 lesson: a self-join otherwise re-derives the whole
-    // pipeline per branch). Shingles stream out of the native
-    // NGramExplode generator (no intermediate array: the HOF array
-    // pipeline measured 3.9 s vs 0.3 s at sf0.1).
-    val ex = t(s, dir, "documents")
-      .select($"doc_id", graft.plans.NGramExplode.of(TextFns.tokens($"text"), 3))
-      .select($"doc_id", $"ngram".as("tok"))
-      .distinct()
-      .localCheckpoint()
-    val sets = ex.groupBy($"doc_id")
-      .agg(collect_set($"tok").as("toks"), count(lit(1)).as("n_set"))
-      .localCheckpoint()
-    val dfreq = ex.groupBy($"tok").agg(count(lit(1)).as("df"))
-    val wDoc = Window.partitionBy($"doc_id").orderBy($"df", $"tok")
-    val prefix = ex.join(dfreq, "tok")
-      .withColumn("rk", row_number().over(wDoc))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy($"doc_id")))
-      // prefix length for t = 0.5: n - ceil(n/2) + 1
-      .filter($"rk" <= $"n" - ($"n" + 1).divide(2).cast("long") + 1)
-      .select($"tok", $"doc_id", $"rk", $"n")
-      .localCheckpoint()
-    // Candidate pairs + PPJoin's positional filter: every common element
-    // of a pair sits at df-order position ≥ the pair's minimal common
-    // prefix position on each side (an earlier common element would
-    // itself be a smaller-position common prefix entry), so
-    //   inter ≤ min(na − ra_min, nb − rb_min) + 1.
-    // Jaccard ≥ 0.5 needs 3·inter ≥ na + nb — pairs whose bound can't
-    // reach it never enter the verification join.
-    val cands = prefix.as("a")
-      .join(prefix.as("b"), $"a.tok" === $"b.tok" && $"a.doc_id" < $"b.doc_id")
-      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
-      .agg(min($"a.rk").as("ra"), min($"b.rk").as("rb"),
-        first($"a.n").as("pna"), first($"b.n").as("pnb"))
-      .filter(
-        (least($"pna" - $"ra", $"pnb" - $"rb") + 1) * 3 >= $"pna" + $"pnb")
-      .select($"doc_a", $"doc_b")
-    // Exact verification in integer arithmetic: native set-intersection
-    // count (codegen'd UTF8String hash-set sweep), union derived from
-    // the stored set sizes — no float, no interpreted array_intersect.
-    cands
-      .join(sets.select($"doc_id".as("doc_a"), $"toks".as("toks_a"),
-        $"n_set".as("na")), "doc_a")
-      .join(sets.select($"doc_id".as("doc_b"), $"toks".as("toks_b"),
-        $"n_set".as("nb")), "doc_b")
-      .withColumn("inter",
-        graft.plans.TextExpressions.intersectCount($"toks_a", $"toks_b"))
-      .withColumn("n_union", $"na" + $"nb" - $"inter")
-      .filter($"inter" * 2 >= $"n_union")
-      .select($"doc_a", $"doc_b", $"inter", $"n_union")
+    graft.ext.TextDedup
+      .similarityJoin(t(s, dir, "documents"), "text", "doc_id",
+        ngram = 3, simNum = 1, simDen = 2)
       .orderBy($"doc_a", $"doc_b")
   }
 

@@ -60,13 +60,17 @@ object StreamStatefulAgg {
 
   /** Wire the processor over a (possibly streaming) event Dataset.
     * Works unchanged in batch mode — Spark executes the same processor
-    * once per key over the full input. */
+    * once per key over the full input. A non-NONE `ttl` requires
+    * processing-time semantics, so the time mode follows the config
+    * (state TTL is rejected under `TimeMode.None`). */
   def runningStats(events: Dataset[EventIn],
       ttl: TTLConfig = TTLConfig.NONE): Dataset[UserStats] = {
     import events.sparkSession.implicits._
+    val timeMode =
+      if (ttl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime()
     events
       .groupByKey(_.user_id)
       .transformWithState(
-        new RunningStats(ttl), TimeMode.None(), OutputMode.Update())
+        new RunningStats(ttl), timeMode, OutputMode.Update())
   }
 }

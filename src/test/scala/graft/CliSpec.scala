@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions._
+
 import graft.cli.Main
 
 /** The CLI surface end-to-end (reference bike_rides_cli load-folder +
@@ -79,5 +81,44 @@ class CliSpec extends SparkSpec {
       s"$base/sessions"))
     val sess = spark.read.parquet(s"$base/sessions").collect()
     assert(sess.length === 1 && sess.head.getAs[Long]("n_sessions") === 2L)
+  }
+
+  test("chunk / mix / pack subcommands") {
+    import spark.implicits._
+    val base = tmpDir("clitrain")
+    val docs = Seq(
+      (1L, "web", ("tok " * 50).trim),  // 50 tokens -> 3 chunks @ 32/24
+      (2L, "web", "short doc"),
+      (3L, "book", ("word " * 30).trim)
+    ).toDF("doc_id", "source", "text")
+    docs.write.parquet(s"$base/docs")
+
+    Main.run(spark, List("chunk", s"$base/docs", "doc_id", "text",
+      "32", "24", s"$base/chunks"))
+    val chunks = spark.read.parquet(s"$base/chunks")
+    assert(chunks.filter($"doc_id" === 1L).count() === 2,
+      "50 toks, starts 1,25 (start <= n - overlap)")
+    assert(chunks.filter($"doc_id" === 2L).count() === 1)
+    // every token lands in >=1 chunk: max(start+n_tokens-1) covers n
+    val last1 = chunks.filter($"doc_id" === 1L)
+      .agg(max($"start_token" + $"n_tokens" - 1)).head().getLong(0)
+    assert(last1 === 50L)
+
+    Main.run(spark, List("mix", s"$base/docs", "source", "text", "0.5",
+      s"$base/mix"))
+    val mix = spark.read.parquet(s"$base/mix").collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("weight_ppm"))
+      .toMap
+    assert(mix("web") === 1000000L, "largest source pins weight 1.0")
+    assert(mix("book") > 0L && mix("book") < 1000000L)
+
+    Main.run(spark, List("pack", s"$base/docs", "doc_id", "source", "text",
+      "16", s"$base/packed"))
+    val packed = spark.read.parquet(s"$base/packed")
+    assert(packed.count() === 3)
+    // doc 1 (~50 toks) fills batch 0; doc 2 starts at cum 50 div 16 = 3
+    val web = packed.filter($"source" === "web").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("batch_id")).toMap
+    assert(web(1L) === 0L && web(2L) > 0L)
   }
 }

@@ -36,13 +36,41 @@ class Extended7Spec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(got.getAs[Long]("nll_avg_micro") === expected / d0.length)
   }
 
+  test("q130: floor((ln n - ln cnt)*1e6) has a guard band at every " +
+      "integer boundary") {
+    import spark.implicits._
+    // Oracle hash parity needs JVM Math.log and DuckDB's libm ln to
+    // floor to the SAME integer. They agree to ~1 ulp, which only
+    // matters if a scaled value sits adjacent to an integer — so prove
+    // no value in the test vocabulary does. A 1e-3 guard band is ~1e9×
+    // the worst-case cross-libm divergence at this magnitude (ulp of
+    // 2e7 ≈ 4e-9); residual risk on OTHER corpora is documented in
+    // NOTES.md (the floor scale is a knob, not a constant of nature).
+    val toks = Tables.load(spark, dir, "documents")
+      .select(explode(TextFns.tokens($"text")).as("tok"))
+    val n = toks.count().toDouble
+    val counts = toks.groupBy($"tok").agg(count(lit(1)).as("cnt"))
+      .as[(String, Long)].collect()
+    assert(counts.nonEmpty)
+    val dists = counts.map { case (_, cnt) =>
+      val scaled = (math.log(n) - math.log(cnt.toDouble)) * 1000000.0
+      val frac = scaled - math.floor(scaled)
+      math.min(frac, 1.0 - frac)
+    }
+    assert(dists.min > 1e-3,
+      f"scaled micro-nat within ${dists.min}%.2e of an integer boundary " +
+        "— floor() could flip across libms; coarsen the scale")
+  }
+
   test("q131: dims broadcast, fact joins shuffle, output is ASIA-only") {
     import spark.implicits._
     val df = Extended7.q131(spark, dir)
     val plan = df.queryExecution.executedPlan
+    // BroadcastHashJoinExec ONLY: the star dims are equi-joins, so a
+    // BNLJ here would mean a lost join key (a real plan regression),
+    // not an acceptable broadcast
     val bhj = collectWithSubqueries(plan) {
       case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
-      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
     }
     assert(bhj.size >= 3, s"expected supplier/nation/region broadcasts:\n$plan")
     // ASIA = regionkey 2; generator maps nationkey -> regionkey = key % 5

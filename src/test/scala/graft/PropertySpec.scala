@@ -147,6 +147,49 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("banded LSH candidates == brute-force band agreement (bands 1/2/4)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.ext.TextDedup
+    // small vocabulary => real shingle collisions => non-trivial buckets
+    val wordGen = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val docGen = Gen.listOfN(8, wordGen).map(_.mkString(" "))
+    (0 until 3).foreach { round =>
+      val texts = (0 until 40).flatMap(i =>
+        docGen.apply(Gen.Parameters.default, Seed(round * 500L + i)))
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      // signatures once (the banding under test REGROUPS these; the
+      // signature math itself is cross-checked in TextDedupSpec)
+      val sig = docs
+        .withColumn("_toks", graft.functions.TextFns.tokens($"text"))
+        .select($"doc_id",
+          graft.plans.TextExpressions.minhashSig($"_toks", 3, 4).as("sig"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      val ids = sig.keys.toSeq.sorted
+      var prev = Set.empty[(Long, Long)]
+      for (bands <- Seq(1, 2, 4)) {
+        val rpb = 4 / bands
+        val got = TextDedup
+          .lshCandidates(docs, "text", "doc_id",
+            ngram = 3, numHashes = 4, bands = bands)
+          .as[(Long, Long)].collect().toSet
+        // brute force: pair is a candidate iff SOME band agrees in full
+        val want = (for {
+          i <- ids; j <- ids if i < j
+          if (0 until bands).exists(b =>
+            (b * rpb until (b + 1) * rpb).forall(h => sig(i)(h) == sig(j)(h)))
+        } yield (i, j)).toSet
+        assert(got === want, s"round $round bands=$bands")
+        // q125's recall knob: more/narrower bands only ADD candidates
+        assert(prev.subsetOf(got), s"round $round bands=$bands lost recall")
+        prev = got
+      }
+      assert(prev.nonEmpty, s"round $round degenerate: no candidates at all")
+    }
+  }
+
   test("TopKLong distributed == sort-take, any k, random data") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

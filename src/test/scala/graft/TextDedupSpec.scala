@@ -73,6 +73,31 @@ class TextDedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L))
   }
 
+  test("reliable checkpointDir path == localCheckpoint path (both CC variants)") {
+    import spark.implicits._
+    // local[n] reaches the same blocks either way; the point of the
+    // reliable path is surviving executor loss on a cluster — here we
+    // pin that the RESULTS are identical so the durability knob is free
+    // to flip per deployment.
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L).toDF("id")
+    val ckpt = tmpDir("cc-ckpt")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val local = asMap(TextDedup.connectedComponents(pairs, nodes))
+    val reliable = asMap(TextDedup.connectedComponents(pairs, nodes,
+      checkpointDir = Some(ckpt)))
+    assert(local === reliable)
+    val localStar = asMap(TextDedup.connectedComponentsStar(pairs, nodes))
+    val reliableStar = asMap(TextDedup.connectedComponentsStar(pairs, nodes,
+      checkpointDir = Some(ckpt)))
+    assert(localStar === reliableStar)
+    // reliable mode actually wrote checkpoint data to the directory
+    val wrote = new java.io.File(ckpt).listFiles()
+    assert(wrote != null && wrote.nonEmpty, "no checkpoint files written")
+  }
+
   test("dedupFuzzyKeepIds keeps one id per cluster") {
     import spark.implicits._
     val pairs = Seq((5L, 7L), (7L, 9L)).toDF("id_a", "id_b")
