@@ -105,9 +105,30 @@ object Stress {
       // the df-bounded-bucket claim (shuffle keys are each doc's RAREST
       // shingles, so bucket sizes track df, not corpus size) is what
       // this probes — sub-linear pair volume as rows grow.
+      //
+      // The exact join's OUTPUT is inherently quadratic inside a
+      // near-dup mega-cluster (this corpus clones 1% of docs from one
+      // template: 10k docs at 1M rows → 5·10⁷ genuinely-qualifying
+      // pairs — enough shuffle spill to fill a disk). No candidate
+      // rule can dodge pairs that really qualify, so the production
+      // composition is: star-capped fuzzy dedup collapses mega-clusters
+      // FIRST, then the provably-complete exact join runs over the
+      // survivors. That is what this probes.
+      // n-gram order matters at scale: candidate volume is Σ df² over
+      // prefix buckets, so the shingle space must dwarf the corpus.
+      // This generator's 40-word vocabulary gives only 40³ = 64k
+      // distinct 3-grams — at 1M docs even each doc's RAREST 3-gram
+      // has df ≈ 10³ and the probe detonates (measured: >80 GB of
+      // shuffle). Real text is effectively unbounded at n = 3; the toy
+      // vocab needs n = 5 (40⁵ = 10⁸) for the same df profile.
+      val d = docs
+      val pairs = graft.ext.TextDedup
+        .lshCandidates(d, "text", "doc_id", starCap = 256)
+      val keep = graft.ext.TextDedup
+        .dedupFuzzyKeepIds(pairs, d.select($"doc_id"), nodeCol = "doc_id")
       graft.ext.TextDedup
-        .similarityJoin(docs, "text", "doc_id", ngram = 3,
-          simNum = 1, simDen = 2)
+        .similarityJoin(d.join(keep, Seq("doc_id"), "left_semi"),
+          "text", "doc_id", ngram = 5, simNum = 1, simDen = 2)
         .count()
     }
     if (picks("contamination")) timed("contamination") {
