@@ -31,6 +31,7 @@ import graft.transform.RideTransform
   *   chunk <docsParquet> <idCol> <textCol> <size> <stride> <outParquet>
   *   mix <docsParquet> <sourceCol> <textCol> <invTemp> <outParquet>
   *   pack <docsParquet> <idCol> <shardCol> <textCol> <cap> <outParquet>
+  *   similarity-join <docsParquet> <idCol> <textCol> <num>/<den> <outParquet>
   */
 object Main {
 
@@ -178,6 +179,17 @@ object Main {
           max(col(idCol)).as("max_id"), expr(s"bit_xor($idCol)").as("checksum"))
         .write.mode("overwrite").parquet(out + "_manifest")
       println(s"wrote ${n.toInt} shards + manifest under $out")
+
+    // similarity-join <docsParquet> <idCol> <textCol> <num>/<den> <out>:
+    // EXACT all-pairs Jaccard >= num/den (PPJoin prefix filter, zero
+    // false negatives) — run dedup first if the corpus may hold
+    // mega-clusters (pair lists are inherently quadratic inside one).
+    case "similarity-join" :: in :: idCol :: textCol :: frac :: out :: Nil =>
+      val Array(num, den) = frac.split("/").map(_.trim.toInt)
+      val pairs = graft.ext.TextDedup.similarityJoin(
+        spark.read.parquet(in), textCol, idCol, simNum = num, simDen = den)
+      pairs.write.mode("overwrite").parquet(out)
+      println(s"wrote ${pairs.count()} pairs with jaccard >= $num/$den to $out")
 
     // chunk <docsParquet> <idCol> <textCol> <size> <stride> <outParquet>:
     // overlapping context-window chunks (training-row preprocessing).

@@ -259,10 +259,16 @@ object Extended9 {
         Window.partitionBy($"doc_id").orderBy($"df", $"tok")))
       .withColumn("n", count(lit(1)).over(Window.partitionBy($"doc_id")))
       .filter($"rk" <= $"n" - (($"n" * 4 + 4).divide(5)).cast("long") + 1)
-      .select($"tok", $"doc_id".as("doc_in"))
+      .select($"tok", $"doc_id".as("doc_in"), $"n".as("n_in_pref"))
+    // postings carry the outer doc's set size so the LENGTH filter
+    // (|B| ≥ 4/5·|A| is necessary for |A∩B| ≥ 4/5·|A|) prunes
+    // candidates BEFORE the pair-distinct shuffle
+    val post = ex
+      .join(sets.select($"doc_id", $"n_set".as("n_out")), "doc_id")
+      .select($"tok", $"doc_id".as("doc_out"), $"n_out")
     prefix
-      .join(ex.select($"tok", $"doc_id".as("doc_out")), "tok")
-      .filter($"doc_in" =!= $"doc_out")
+      .join(post, "tok")
+      .filter($"doc_in" =!= $"doc_out" && $"n_out" * 5 >= $"n_in_pref" * 4)
       .select($"doc_in", $"doc_out").distinct()
       .join(sets.select($"doc_id".as("doc_in"), $"toks".as("toks_a"),
         $"n_set".as("n_in")), "doc_in")

@@ -1,8 +1,8 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoders}
-import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode,
-  TimerValues, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{ListState, OutputMode,
+  StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** Arbitrary stateful streaming via Spark 4's `transformWithState` —
   * the successor API to `mapGroupsWithState` (which
@@ -72,5 +72,45 @@ object StreamStatefulAgg {
       .groupByKey(_.user_id)
       .transformWithState(
         new RunningStats(ttl), timeMode, OutputMode.Update())
+  }
+
+  case class TopEntry(user_id: Long, rank: Int, value_cents: Long)
+
+  /** Per-key running top-k via [[ListState]] — the other state shape
+    * `transformWithState` adds over `mapGroupsWithState`'s single value:
+    * the state is the SORTED top-k list itself (at most k longs per
+    * key), merged with each batch's arrivals. Emits the key's full
+    * current ranking whenever it changes. */
+  class RunningTopK(k: Int)
+      extends StatefulProcessor[Long, EventIn, TopEntry] {
+
+    @transient private var state: ListState[java.lang.Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getListState[java.lang.Long](
+        "topk", Encoders.LONG, TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[EventIn],
+        timerValues: TimerValues): Iterator[TopEntry] = {
+      val prev = state.get().map(_.longValue()).toArray
+      val merged = (prev ++ rows.map(_.value_cents))
+        .sorted(Ordering[Long].reverse).take(k)
+      if (merged.sameElements(prev)) Iterator.empty
+      else {
+        state.put(merged.map(java.lang.Long.valueOf))
+        merged.iterator.zipWithIndex.map { case (v, i) =>
+          TopEntry(key, i + 1, v)
+        }
+      }
+    }
+  }
+
+  /** Running per-user top-k of event values (streaming or batch). */
+  def runningTopK(events: Dataset[EventIn], k: Int = 3): Dataset[TopEntry] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new RunningTopK(k), TimeMode.None(), OutputMode.Update())
   }
 }

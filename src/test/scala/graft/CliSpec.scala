@@ -121,4 +121,20 @@ class CliSpec extends SparkSpec {
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("batch_id")).toMap
     assert(web(1L) === 0L && web(2L) > 0L)
   }
+
+  test("similarity-join subcommand finds the near-dup pair exactly") {
+    import spark.implicits._
+    val base = tmpDir("clisim")
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"), // near-dup of 1
+      (3L, "one two three four five six seven eight")
+    ).toDF("doc_id", "text")
+    docs.write.parquet(s"$base/docs")
+    Main.run(spark, List("similarity-join", s"$base/docs", "doc_id", "text",
+      "1/2", s"$base/pairs"))
+    val pairs = spark.read.parquet(s"$base/pairs")
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq === Seq((1L, 2L)))
+  }
 }

@@ -190,6 +190,41 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("similarityJoin == brute force at thresholds 1/3, 1/2, 2/3") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val wordGen = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val docGen = Gen.listOfN(10, wordGen).map(_.mkString(" "))
+    val base = (0 until 30).flatMap(i =>
+      docGen.apply(Gen.Parameters.default, Seed(9000L + i)))
+    // random pairs rarely clear 1/3 Jaccard on 3-gram sets — seed the
+    // fixture with REAL near-dups (suffix variants) so every threshold
+    // has qualifying pairs to miss
+    val texts = base ++ base.take(10).map(_ + " omega")
+    val docs = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val sets = docs.select($"doc_id", array_distinct(
+        graft.functions.TextFns.ngramsFromTokens(
+          graft.functions.TextFns.tokens($"text"), 3)).as("ng"))
+      .as[(Long, Seq[String])].collect()
+      .map { case (id, ng) => id -> ng.toSet }
+    for ((num, den) <- Seq((1, 3), (1, 2), (2, 3))) {
+      val got = graft.ext.TextDedup
+        .similarityJoin(docs, "text", "doc_id", ngram = 3,
+          simNum = num, simDen = den)
+        .select($"doc_a", $"doc_b")
+        .as[(Long, Long)].collect().toSet
+      val want = (for {
+        (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+        inter = sa.intersect(sb).size
+        union = sa.size + sb.size - inter
+        if inter * den >= union * num
+      } yield (ia, ib)).toSet
+      assert(got === want, s"threshold $num/$den")
+      assert(want.nonEmpty, s"degenerate fixture at $num/$den")
+    }
+  }
+
   test("TopKLong distributed == sort-take, any k, random data") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

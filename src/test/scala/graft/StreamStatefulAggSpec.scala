@@ -117,6 +117,42 @@ class StreamStatefulAggSpec extends SparkSpec {
     }
   }
 
+  test("ListState top-k: ranking merges across batches, no-change is silent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamStatefulAgg.TopEntry
+    withRocksDb {
+      val input = MemoryStream[EventIn]
+      val query = StreamStatefulAgg.runningTopK(input.toDS(), k = 3)
+        .writeStream.format("memory").queryName("twstate_topk")
+        .outputMode("update").start()
+      try {
+        input.addData(EventIn(1L, 10L), EventIn(1L, 30L), EventIn(1L, 20L),
+          EventIn(1L, 40L))
+        query.processAllAvailable()
+        val b1 = spark.table("twstate_topk").as[TopEntry].collect()
+          .filter(_.user_id == 1L).sortBy(_.rank)
+        assert(b1.map(_.value_cents).toSeq === Seq(40L, 30L, 20L))
+
+        // batch 2: 35 displaces 20; 5 is below the bar (no effect)
+        input.addData(EventIn(1L, 35L), EventIn(1L, 5L))
+        query.processAllAvailable()
+        val all = spark.table("twstate_topk").as[TopEntry].collect()
+          .filter(_.user_id == 1L)
+        assert(all.length === 6, "two emissions of 3 rows")
+        val latest = all.groupBy(_.rank).map { case (r, es) =>
+          r -> es.map(_.value_cents).max }
+        assert(latest === Map(1 -> 40L, 2 -> 35L, 3 -> 30L))
+
+        // batch 3: nothing beats the bar -> state unchanged, NO emission
+        input.addData(EventIn(1L, 1L))
+        query.processAllAvailable()
+        assert(spark.table("twstate_topk").as[TopEntry].collect()
+          .count(_.user_id == 1L) === 6, "silent on no-change")
+      } finally query.stop()
+    }
+  }
+
   test("batch mode runs the same processor and matches groupBy.agg") {
     import spark.implicits._
     val events = Seq(
