@@ -25,7 +25,8 @@ object SparkEntry {
       graft.queries.Extended6.queries ++ graft.queries.Extended7.queries ++
       graft.queries.Extended8.queries ++
       graft.queries.Extended9.queries ++
-      graft.queries.Extended10.queries
+      graft.queries.Extended10.queries ++
+      graft.queries.Extended11.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -36,5 +37,6 @@ object SparkEntry {
       graft.queries.Extended6.oracles ++ graft.queries.Extended7.oracles ++
       graft.queries.Extended8.oracles ++
       graft.queries.Extended9.oracles ++
-      graft.queries.Extended10.oracles
+      graft.queries.Extended10.oracles ++
+      graft.queries.Extended11.oracles
 }

@@ -1,0 +1,146 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-8 third batch (q151–q152) — string-similarity and graph
+  * analytics:
+  *
+  *  - q151 edit-distance join (levenshtein ≤ 2) with the q-gram COUNT
+  *    filter as the complete candidate generator — the
+  *    blocking-without-false-negatives pattern for entity resolution;
+  *  - q152 triangle counting under degree-ordered orientation — the
+  *    classic bounded-fan-out distributed graph pattern
+  *    (Schank/Suri-Vassilvitskii), over the part co-order graph.
+  */
+object Extended11 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // --------------------------------------------------------------------
+  // q151 — edit-distance self-join over distinct part names: all pairs
+  // with levenshtein ≤ 2 (entity-resolution dedup for dimension
+  // strings). The naive form is |names|² levenshtein calls — the
+  // oracle runs exactly that. The scale plan uses the q-gram theorem
+  // as a COMPLETE filter: lev(a,b) ≤ k ⇒ multiset-shared q-grams
+  // ≥ max(|a|,|b|) − q + 1 − k·q (q=2, k=2 ⇒ ≥ max−5). Pairs are
+  // generated from a bigram equi-join (shuffle key = the bigram),
+  // multiset intersection = Σ min(cnt_a, cnt_b) per shared gram; the
+  // bound only bites when max(len) ≥ 6, so shorter strings (a bounded
+  // set) pair all-vs-all in a union branch. Candidates then verify
+  // with one levenshtein call each.
+  //
+  // Scale: candidate volume tracks bigram collisions (df-style), never
+  // |names|²; degenerate grams ('  ' in templated names) behave like
+  // q138's frequent shingles — the length filter and count bound keep
+  // the verify set tight.
+  def q151(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val names = t(s, dir, "part").select($"p_name".as("name")).distinct()
+      .withColumn("len", length($"name"))
+    val grams = names
+      .select($"name", $"len",
+        explode(expr("transform(sequence(1, len - 1)," +
+          " i -> substring(name, i, 2))")).as("g"))
+      .groupBy($"name", $"len", $"g").agg(count(lit(1)).as("c"))
+    // multiset-shared bigrams per candidate pair
+    val shared = grams.as("a")
+      .join(grams.as("b"), $"a.g" === $"b.g" && $"a.name" < $"b.name")
+      .groupBy($"a.name".as("name_a"), $"b.name".as("name_b"),
+        $"a.len".as("la"), $"b.len".as("lb"))
+      .agg(sum(least($"a.c", $"b.c")).as("m"))
+      .filter($"m" >= greatest($"la", $"lb") - 5)
+      .select($"name_a", $"name_b")
+    // the q-gram bound is vacuous when max(len) <= 5 — those few short
+    // strings pair all-vs-all (bounded: the name universe with len<=5)
+    val short = names.filter($"len" <= 5).select($"name")
+    val shortPairs = short.as("a")
+      .join(short.as("b"), $"a.name" < $"b.name")
+      .select($"a.name".as("name_a"), $"b.name".as("name_b"))
+    shared.union(shortPairs).distinct()
+      .filter(levenshtein($"name_a", $"name_b") <= 2)
+      .select($"name_a", $"name_b",
+        levenshtein($"name_a", $"name_b").cast("long").as("lev"))
+      .orderBy($"name_a", $"name_b")
+  }
+
+  val q151Sql: String =
+    """WITH n AS (SELECT DISTINCT p_name AS name FROM part)
+      |SELECT a.name AS name_a, b.name AS name_b,
+      |       CAST(levenshtein(a.name, b.name) AS BIGINT) AS lev
+      |FROM n a JOIN n b ON a.name < b.name
+      |WHERE levenshtein(a.name, b.name) <= 2
+      |ORDER BY name_a, name_b""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q152 — triangle counting over the part co-order graph (parts
+  // appearing in the same order = the market-basket projection).
+  // Direct wedge join fan-out is Σ deg² — one hub part detonates it.
+  // Degree-ordered ORIENTATION (each edge points from the
+  // (degree, id)-smaller endpoint to the larger) bounds every node's
+  // OUT-degree to O(√m), so the wedge join (out-neighbors × out-
+  // neighbors per node) is O(m^1.5) worst-case — the
+  // Schank/Suri-Vassilvitskii MapReduce bound. A triangle is a wedge
+  // (y, z) out of x whose closing edge (y, z) is itself oriented —
+  // counted exactly once, so the plain a<b<c oracle total matches.
+  //
+  // Scale: 3 shuffles (edge distinct, degree agg, wedge join) + one
+  // semi join against the oriented edge set; orientation is the
+  // entire trick — no node ever fans out more than √m wedges.
+  def q152(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val op = t(s, dir, "lineitem")
+      .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
+    val e = op.as("a").join(op.as("b"), $"a.o" === $"b.o" && $"a.p" < $"b.p")
+      .select($"a.p".as("u"), $"b.p".as("v")).distinct()
+      .localCheckpoint() // reused 4×: degrees + wedge both sides + close
+    val deg = e.select(explode(array($"u", $"v")).as("n"))
+      .groupBy($"n").agg(count(lit(1)).as("d"))
+    // total order (degree, id) as one integer key; re-orient edges
+    val withOrd = e
+      .join(deg.select($"n".as("u"), ($"d" * 1000000 + $"n").as("ou")), "u")
+      .join(deg.select($"n".as("v"), ($"d" * 1000000 + $"n").as("ov")), "v")
+    val oriented = withOrd.select(
+        when($"ou" < $"ov", struct($"ou".as("lo"), $"ov".as("hi")))
+          .otherwise(struct($"ov".as("lo"), $"ou".as("hi"))).as("e"))
+      .select($"e.lo", $"e.hi")
+      .localCheckpoint()
+    // wedges are distinct by construction (distinct edges ⇒ distinct
+    // (x, y, z)), so the closing inner join counts each triangle once
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"),
+        $"e1.lo" === $"e2.lo" && $"e1.hi" < $"e2.hi")
+      .select($"e1.hi".as("lo"), $"e2.hi".as("hi"))
+    val nTri = wedges.join(oriented, Seq("lo", "hi"))
+      .agg(count(lit(1)).as("n_triangles"))
+    op.agg(countDistinct($"p").as("n_parts"))
+      .crossJoin(e.agg(count(lit(1)).as("n_edges")))
+      .crossJoin(nTri)
+      .select($"n_parts", $"n_edges", $"n_triangles")
+  }
+
+  val q152Sql: String =
+    """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+      |            FROM lineitem),
+      | e AS (SELECT DISTINCT a.p AS pa, b.p AS pb
+      |       FROM op a JOIN op b ON a.o = b.o AND a.p < b.p)
+      |SELECT (SELECT count(DISTINCT p) FROM op) AS n_parts,
+      |       (SELECT count(*) FROM e) AS n_edges,
+      |       (SELECT count(*) FROM e e1
+      |        JOIN e e2 ON e1.pb = e2.pa
+      |        JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb) AS n_triangles
+      |""".stripMargin
+
+  /** Name → query function, for SparkEntry. */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q151_edit_distance_join" -> (q151 _),
+    "q152_triangle_count" -> (q152 _)
+  )
+
+  /** Name → DuckDB oracle SQL, for SparkEntry. */
+  val oracles: Map[String, String] = Map(
+    "q151_edit_distance_join" -> q151Sql,
+    "q152_triangle_count" -> q152Sql
+  )
+}

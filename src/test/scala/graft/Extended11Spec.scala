@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.{Extended11, Tables}
+
+/** Round-8 third batch (q151–q152): oracle hash-parity is the
+  * correctness gate; these pin the filter-completeness and orientation
+  * invariants the oracle can't see.
+  */
+class Extended11Spec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q151: q-gram filter is complete — equals brute-force levenshtein") {
+    import spark.implicits._
+    val names = Tables.load(spark, dir, "part")
+      .select($"p_name").distinct().as[String].collect()
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val naive = (for {
+      a <- names; b <- names if a < b
+      l = lev(a, b) if l <= 2
+    } yield (a, b, l.toLong)).sortBy(x => (x._1, x._2))
+    val got = Extended11.q151(spark, dir)
+      .as[(String, String, Long)].collect().toSeq
+    assert(got === naive.toSeq, "blocking dropped a qualifying pair")
+    assert(naive.nonEmpty, "degenerate fixture")
+  }
+
+  test("q152: orientation bounds fan-out; count == unoriented closure") {
+    import spark.implicits._
+    val op = Tables.load(spark, dir, "lineitem")
+      .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
+    val e = op.as("a").join(op.as("b"), $"a.o" === $"b.o" && $"a.p" < $"b.p")
+      .select($"a.p".as("u"), $"b.p".as("v")).distinct()
+    val m = e.count()
+    // unoriented reference count: (a<b), (b<c), (a,c) closure
+    val naive = e.as("e1").join(e.as("e2"), $"e1.v" === $"e2.u")
+      .join(e.as("e3"),
+        $"e3.u" === $"e1.u" && $"e3.v" === $"e2.v")
+      .count()
+    val row = Extended11.q152(spark, dir).collect().head
+    assert(row.getAs[Long]("n_triangles") === naive)
+    assert(row.getAs[Long]("n_edges") === m)
+    // the orientation invariant: max OUT-degree is far below the max
+    // raw degree (the hub problem the orientation exists to solve) and
+    // within the O(sqrt m) regime
+    val deg = e.select(explode(array($"u", $"v")).as("n"))
+      .groupBy($"n").agg(count(lit(1)).as("d"))
+    val withOrd = e
+      .join(deg.select($"n".as("u"), ($"d" * 1000000 + $"n").as("ou")), "u")
+      .join(deg.select($"n".as("v"), ($"d" * 1000000 + $"n").as("ov")), "v")
+    val outDeg = withOrd
+      .select(least($"ou", $"ov").as("lo"))
+      .groupBy($"lo").agg(count(lit(1)).as("od"))
+      .agg(max($"od")).head().getLong(0)
+    val maxDeg = deg.agg(max($"d")).head().getLong(0)
+    assert(outDeg <= maxDeg,
+      s"orientation can only reduce fan-out (out $outDeg vs deg $maxDeg)")
+    assert(outDeg <= 8 * math.sqrt(m.toDouble).toLong + 1,
+      s"out-degree $outDeg far outside the O(sqrt m)=~${math.sqrt(m.toDouble)} regime")
+  }
+}
