@@ -132,15 +132,86 @@ object Extended11 {
       |        JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb) AS n_triangles
       |""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q153 — greedy max-coverage data selection (3 unrolled rounds): pick
+  // the document covering the most yet-uncovered 3-gram shingles, then
+  // repeat against the grown covered set — the classic (1−1/e)-greedy
+  // for "smallest subset that spans the corpus's phrase space", a
+  // data-efficiency selection step for curation. Fully declarative: no
+  // driver collect — each round's winner is a 1-row frame, exclusions
+  // are anti joins against it, the covered set is a semi join. Same
+  // fixed-round unroll technique as q49 (k-means) and q134 (PageRank);
+  // deterministic argmax tie-break (gain DESC, doc_id ASC).
+  //
+  // Scale: the (doc, shingle) set materializes once; each round is one
+  // anti join + one keyed agg + a 1-row top; winners/covered flow as
+  // broadcast-size frames.
+  def q153(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tk = t(s, dir, "documents")
+      .select($"doc_id", explode(array_distinct(
+        graft.functions.TextFns.ngramsFromTokens(
+          graft.functions.TextFns.tokens($"text"), 3))).as("tok"))
+      .distinct()
+      .localCheckpoint()
+    def top1(pool: DataFrame): DataFrame = pool
+      .groupBy($"doc_id").agg(count(lit(1)).as("gain"))
+      .orderBy($"gain".desc, $"doc_id").limit(1)
+    val r1 = top1(tk)
+    val c1 = tk.join(r1.select($"doc_id"), "doc_id").select($"tok").distinct()
+    val r2 = top1(tk
+      .join(r1.select($"doc_id"), Seq("doc_id"), "left_anti")
+      .join(c1, Seq("tok"), "left_anti"))
+    val c2 = c1.union(
+      tk.join(r2.select($"doc_id"), "doc_id").select($"tok")).distinct()
+    val r3 = top1(tk
+      .join(r1.select($"doc_id").union(r2.select($"doc_id")),
+        Seq("doc_id"), "left_anti")
+      .join(c2, Seq("tok"), "left_anti"))
+    r1.withColumn("round", lit(1L))
+      .unionByName(r2.withColumn("round", lit(2L)))
+      .unionByName(r3.withColumn("round", lit(3L)))
+      .select($"round", $"doc_id", $"gain")
+      .orderBy($"round")
+  }
+
+  val q153Sql: String = {
+    val ng = DocOps.ngramsSql(3)
+    s"""WITH tk AS (SELECT DISTINCT doc_id, unnest(list_distinct($ng)) AS tok
+       |            FROM documents),
+       | r1 AS (SELECT doc_id, count(*) AS gain FROM tk GROUP BY doc_id
+       |        ORDER BY gain DESC, doc_id LIMIT 1),
+       | c1 AS (SELECT DISTINCT tok FROM tk JOIN r1 USING (doc_id)),
+       | r2 AS (SELECT tk.doc_id, count(*) AS gain FROM tk
+       |        LEFT JOIN c1 ON tk.tok = c1.tok
+       |        WHERE c1.tok IS NULL
+       |          AND tk.doc_id NOT IN (SELECT doc_id FROM r1)
+       |        GROUP BY tk.doc_id ORDER BY gain DESC, doc_id LIMIT 1),
+       | c2 AS (SELECT tok FROM c1
+       |        UNION SELECT tk.tok FROM tk JOIN r2 USING (doc_id)),
+       | r3 AS (SELECT tk.doc_id, count(*) AS gain FROM tk
+       |        LEFT JOIN c2 ON tk.tok = c2.tok
+       |        WHERE c2.tok IS NULL
+       |          AND tk.doc_id NOT IN (SELECT doc_id FROM r1
+       |                                UNION SELECT doc_id FROM r2)
+       |        GROUP BY tk.doc_id ORDER BY gain DESC, doc_id LIMIT 1)
+       |SELECT CAST(1 AS BIGINT) AS round, doc_id, gain FROM r1
+       |UNION ALL SELECT CAST(2 AS BIGINT), doc_id, gain FROM r2
+       |UNION ALL SELECT CAST(3 AS BIGINT), doc_id, gain FROM r3
+       |ORDER BY round""".stripMargin
+  }
+
   /** Name → query function, for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q151_edit_distance_join" -> (q151 _),
-    "q152_triangle_count" -> (q152 _)
+    "q152_triangle_count" -> (q152 _),
+    "q153_greedy_set_cover" -> (q153 _)
   )
 
   /** Name → DuckDB oracle SQL, for SparkEntry. */
   val oracles: Map[String, String] = Map(
     "q151_edit_distance_join" -> q151Sql,
-    "q152_triangle_count" -> q152Sql
+    "q152_triangle_count" -> q152Sql,
+    "q153_greedy_set_cover" -> q153Sql
   )
 }

@@ -259,16 +259,16 @@ object Extended9 {
         Window.partitionBy($"doc_id").orderBy($"df", $"tok")))
       .withColumn("n", count(lit(1)).over(Window.partitionBy($"doc_id")))
       .filter($"rk" <= $"n" - (($"n" * 4 + 4).divide(5)).cast("long") + 1)
-      .select($"tok", $"doc_id".as("doc_in"), $"n".as("n_in_pref"))
-    // postings carry the outer doc's set size so the LENGTH filter
-    // (|B| ≥ 4/5·|A| is necessary for |A∩B| ≥ 4/5·|A|) prunes
-    // candidates BEFORE the pair-distinct shuffle
-    val post = ex
-      .join(sets.select($"doc_id", $"n_set".as("n_out")), "doc_id")
-      .select($"tok", $"doc_id".as("doc_out"), $"n_out")
+      .select($"tok", $"doc_id".as("doc_in"))
+    // (A length filter — |B| ≥ 4/5·|A| is necessary — could prune
+    // candidates here, but attaching set sizes to the postings costs a
+    // second pass over the big (doc, shingle) table: measured 3.3 →
+    // 6.4 s at sf0.1, a net LOSS at these candidate volumes. At true
+    // corpus scale, fold the size into the posting row at build time
+    // instead of re-joining for it.)
     prefix
-      .join(post, "tok")
-      .filter($"doc_in" =!= $"doc_out" && $"n_out" * 5 >= $"n_in_pref" * 4)
+      .join(ex.select($"tok", $"doc_id".as("doc_out")), "tok")
+      .filter($"doc_in" =!= $"doc_out")
       .select($"doc_in", $"doc_out").distinct()
       .join(sets.select($"doc_id".as("doc_in"), $"toks".as("toks_a"),
         $"n_set".as("n_in")), "doc_in")

@@ -35,6 +35,36 @@ class Extended11Spec extends SparkSpec {
     assert(naive.nonEmpty, "degenerate fixture")
   }
 
+  test("q153: greedy rounds replay brute-force; gains non-increasing") {
+    import spark.implicits._
+    val rows = Extended11.q153(spark, dir).collect()
+    assert(rows.length === 3)
+    val gains = rows.sortBy(_.getAs[Long]("round")).map(_.getAs[Long]("gain"))
+    assert(gains.toSeq === gains.sorted(Ordering[Long].reverse).toSeq,
+      "greedy marginal gains must be non-increasing")
+    assert(rows.map(_.getAs[Long]("doc_id")).distinct.length === 3)
+    // brute-force replay of the greedy on driver
+    val sets = Tables.load(spark, dir, "documents")
+      .select($"doc_id", array_distinct(
+        graft.functions.TextFns.ngramsFromTokens(
+          graft.functions.TextFns.tokens($"text"), 3)).as("ng"))
+      .as[(Long, Seq[String])].collect()
+      .map { case (id, ng) => id -> ng.toSet }.toMap
+    var covered = Set.empty[String]
+    var chosen = Set.empty[Long]
+    val expect = (1 to 3).map { r =>
+      val (doc, gain) = sets.filterNot(kv => chosen(kv._1))
+        .map { case (id, ng) => id -> (ng -- covered).size }
+        .minBy { case (id, g) => (-g, id) }
+      covered ++= sets(doc); chosen += doc
+      (r.toLong, doc, gain.toLong)
+    }
+    val got = rows.sortBy(_.getAs[Long]("round"))
+      .map(r => (r.getAs[Long]("round"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("gain"))).toSeq
+    assert(got === expect)
+  }
+
   test("q152: orientation bounds fan-out; count == unoriented closure") {
     import spark.implicits._
     val op = Tables.load(spark, dir, "lineitem")
