@@ -201,17 +201,61 @@ object Extended11 {
        |ORDER BY round""".stripMargin
   }
 
+  // --------------------------------------------------------------------
+  // q154 — exact WEIGHTED median (quantity-weighted median line price
+  // per return flag): the robust-statistics step percentile() (q41)
+  // doesn't cover — every unit of quantity is one vote. Definition
+  // pinned integer-exact: smallest cents value whose cumulative weight
+  // reaches half the total (2·cum ≥ tot — cross-multiplied, no float).
+  //
+  // Scale: weights aggregate per (flag, cents) FIRST (map-side
+  // combinable — the distinct-value domain, not the row count, hits
+  // the window), then one windowed cumsum per flag and a min. No
+  // global sort, no percentile over raw rows.
+  def q154(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val perVal = t(s, dir, "lineitem")
+      .select($"l_returnflag".as("flag"),
+        floor($"l_extendedprice" * 100 + 0.5).cast("long").as("cents"),
+        floor($"l_quantity" + 0.5).cast("long").as("w"))
+      .groupBy($"flag", $"cents").agg(sum($"w").as("w"))
+    val byFlag = Window.partitionBy($"flag")
+    perVal
+      .withColumn("cum", sum($"w").over(byFlag.orderBy($"cents")))
+      .withColumn("tot", sum($"w").over(byFlag))
+      .filter($"cum" * 2 >= $"tot")
+      .groupBy($"flag")
+      .agg(min($"cents").as("median_cents"), max($"tot").as("total_w"))
+      .orderBy($"flag")
+  }
+
+  val q154Sql: String =
+    """WITH v AS (SELECT l_returnflag AS flag,
+      |  CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+      |  CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS w
+      |  FROM lineitem GROUP BY 1, 2),
+      | c AS (SELECT flag, cents, w,
+      |         sum(w) OVER (PARTITION BY flag ORDER BY cents) AS cum,
+      |         sum(w) OVER (PARTITION BY flag) AS tot
+      |       FROM v)
+      |SELECT flag, CAST(min(cents) AS BIGINT) AS median_cents,
+      |       CAST(max(tot) AS BIGINT) AS total_w
+      |FROM c WHERE cum * 2 >= tot GROUP BY flag ORDER BY flag""".stripMargin
+
   /** Name → query function, for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q151_edit_distance_join" -> (q151 _),
     "q152_triangle_count" -> (q152 _),
-    "q153_greedy_set_cover" -> (q153 _)
+    "q153_greedy_set_cover" -> (q153 _),
+    "q154_weighted_median" -> (q154 _)
   )
 
   /** Name → DuckDB oracle SQL, for SparkEntry. */
   val oracles: Map[String, String] = Map(
     "q151_edit_distance_join" -> q151Sql,
     "q152_triangle_count" -> q152Sql,
-    "q153_greedy_set_cover" -> q153Sql
+    "q153_greedy_set_cover" -> q153Sql,
+    "q154_weighted_median" -> q154Sql
   )
 }

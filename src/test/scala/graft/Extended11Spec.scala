@@ -65,6 +65,28 @@ class Extended11Spec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("q154: weighted median replays the vote-expansion definition") {
+    import spark.implicits._
+    val rows = Extended11.q154(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // expand each line to `weight` copies of its cents value; the
+    // weighted median is the value at the ceil-half position
+    val votes = Tables.load(spark, dir, "lineitem")
+      .select($"l_returnflag".as("flag"),
+        floor($"l_extendedprice" * 100 + 0.5).cast("long").as("cents"),
+        floor($"l_quantity" + 0.5).cast("long").as("w"))
+      .as[(String, Long, Long)].collect()
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val flag = r.getAs[String]("flag")
+      val expanded = votes(flag)
+        .flatMap { case (_, c, w) => Seq.fill(w.toInt)(c) }.sorted
+      val med = expanded((expanded.length + 1) / 2 - 1)
+      assert(r.getAs[Long]("median_cents") === med, s"flag $flag")
+      assert(r.getAs[Long]("total_w") === expanded.length.toLong)
+    }
+  }
+
   test("q152: orientation bounds fan-out; count == unoriented closure") {
     import spark.implicits._
     val op = Tables.load(spark, dir, "lineitem")

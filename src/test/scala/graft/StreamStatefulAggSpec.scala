@@ -153,6 +153,34 @@ class StreamStatefulAggSpec extends SparkSpec {
     }
   }
 
+  test("MapState type counts: point updates carry, only touched types emit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamStatefulAgg.{TypeCount, TypedEvent}
+    withRocksDb {
+      val input = MemoryStream[TypedEvent]
+      val query = StreamStatefulAgg.runningTypeCounts(input.toDS())
+        .writeStream.format("memory").queryName("twstate_map")
+        .outputMode("update").start()
+      try {
+        input.addData(TypedEvent(1L, "click"), TypedEvent(1L, "click"),
+          TypedEvent(1L, "view"), TypedEvent(2L, "click"))
+        query.processAllAvailable()
+        val b1 = spark.table("twstate_map").as[TypeCount].collect()
+        assert(b1.toSet === Set(TypeCount(1L, "click", 2L),
+          TypeCount(1L, "view", 1L), TypeCount(2L, "click", 1L)))
+
+        // batch 2: only user 1's "click" map entry is touched — "view"
+        // and user 2 emit nothing
+        input.addData(TypedEvent(1L, "click"))
+        query.processAllAvailable()
+        val b2 = spark.table("twstate_map").as[TypeCount].collect()
+        assert(b2.length === 4, "exactly one new row")
+        assert(b2.toSet.contains(TypeCount(1L, "click", 3L)))
+      } finally query.stop()
+    }
+  }
+
   test("batch mode runs the same processor and matches groupBy.agg") {
     import spark.implicits._
     val events = Seq(
