@@ -87,6 +87,24 @@ class Extended11Spec extends SparkSpec {
     }
   }
 
+  test("q155: GlobalRank == windowed row_number at any partition count") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"n_chars")
+    val want = docs
+      .withColumn("rank",
+        row_number().over(Window.orderBy($"n_chars", $"doc_id"))
+          .cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("rank")).toMap
+    for (parts <- Seq(1, 3, 16)) {
+      val got = graft.operators.GlobalRank
+        .withRank(docs, Seq($"n_chars", $"doc_id"), partitions = parts)
+        .collect().map(r => r.getLong(0) -> r.getAs[Long]("rank")).toMap
+      assert(got === want, s"partitions=$parts")
+    }
+  }
+
   test("q152: orientation bounds fan-out; count == unoriented closure") {
     import spark.implicits._
     val op = Tables.load(spark, dir, "lineitem")
