@@ -26,7 +26,8 @@ object SparkEntry {
       graft.queries.Extended8.queries ++
       graft.queries.Extended9.queries ++
       graft.queries.Extended10.queries ++
-      graft.queries.Extended11.queries
+      graft.queries.Extended11.queries ++
+      graft.queries.Extended12.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -38,5 +39,6 @@ object SparkEntry {
       graft.queries.Extended8.oracles ++
       graft.queries.Extended9.oracles ++
       graft.queries.Extended10.oracles ++
-      graft.queries.Extended11.oracles
+      graft.queries.Extended11.oracles ++
+      graft.queries.Extended12.oracles
 }

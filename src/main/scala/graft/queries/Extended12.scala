@@ -1,0 +1,159 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+
+/** Round-8 fourth batch (q156–q157):
+  *
+  *  - q156 pointwise mutual information between tokens and sources —
+  *    the feature-association signal behind source classifiers and
+  *    leakage audits, in floor-scaled integer micro-nats (q130's ln
+  *    parity technique);
+  *  - q157 bounded k-core peel — the iterative degree-threshold
+  *    decomposition that strips low-connectivity fringe from a graph,
+  *    3 declaratively-unrolled rounds (q134's pattern).
+  */
+object Extended12 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // --------------------------------------------------------------------
+  // q156 — token↔source PMI: which tokens are most associated with
+  // which source — pmi = ln(n_ts·N / (n_t·n_s)) over document counts,
+  // for the corpus top-20 vocabulary. Emitted in floor-scaled integer
+  // MICRO-NATS: all four operands of the ln are exact integers, and
+  // JVM Math.log / DuckDB ln agree bit-for-bit on this corpus (the
+  // q130/q111 finding; the q130 guard-band spec technique pins the
+  // residual floor-boundary risk).
+  //
+  // Scale: one distinct (doc, tok) shuffle; n_t / n_s / N are
+  // driver-small broadcasts; PMI is per-row scalar math.
+  def q156(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    val tot = docs.agg(count(lit(1)).as("n_docs"))
+    val tk = docs.select($"doc_id", $"source",
+        explode(array_distinct(TextFns.tokens($"text"))).as("tok"))
+      .distinct()
+    val vocab = tk.select($"doc_id", $"tok").distinct()
+      .groupBy($"tok").agg(count(lit(1)).as("n_t"))
+      .orderBy($"n_t".desc, $"tok").limit(20)
+    val perSrc = docs.groupBy($"source").agg(count(lit(1)).as("n_s"))
+    tk.join(broadcast(vocab), "tok")
+      .groupBy($"tok", $"n_t", $"source")
+      .agg(count(lit(1)).as("n_ts"))
+      .join(broadcast(perSrc), "source")
+      .crossJoin(broadcast(tot))
+      .select($"source", $"tok", $"n_ts",
+        floor((log($"n_ts" * $"n_docs") - log($"n_t" * $"n_s")) * 1e6)
+          .cast("long").as("pmi_micro"))
+      .orderBy($"source", $"tok")
+  }
+
+  val q156Sql: String = {
+    val toks = DocOps.tokensSql
+    s"""WITH tk AS (SELECT DISTINCT doc_id, source, unnest(list_distinct($toks)) AS tok
+       |            FROM documents),
+       | vocab AS (SELECT tok, count(DISTINCT doc_id) AS n_t FROM tk
+       |           GROUP BY tok ORDER BY n_t DESC, tok LIMIT 20),
+       | src AS (SELECT source, count(*) AS n_s FROM documents GROUP BY source),
+       | n AS (SELECT count(*) AS n_docs FROM documents),
+       | ts AS (SELECT tk.tok, tk.source, count(*) AS n_ts
+       |        FROM tk JOIN vocab ON tk.tok = vocab.tok
+       |        GROUP BY tk.tok, tk.source)
+       |SELECT ts.source, ts.tok, ts.n_ts,
+       |       CAST(floor((ln(ts.n_ts * n.n_docs) - ln(vocab.n_t * src.n_s))
+       |                  * 1000000) AS BIGINT) AS pmi_micro
+       |FROM ts JOIN vocab ON ts.tok = vocab.tok
+       |JOIN src ON ts.source = src.source, n
+       |ORDER BY ts.source, ts.tok""".stripMargin
+  }
+
+  // --------------------------------------------------------------------
+  // q157 — bounded k-core peel (k = 100, 3 rounds) on the part
+  // co-order graph: repeatedly drop nodes whose CURRENT degree is
+  // below k — each round recomputes degrees on the surviving subgraph,
+  // so removals cascade. Three declaratively-unrolled rounds (the
+  // q134/q153 fixed-round pattern; a production decomposition loops
+  // to fixpoint with the q61-style convergence guard). Reports the
+  // shrinking frontier per round — the fringe-stripping curve.
+  //
+  // Scale: each round is one degree agg + one semi join on the edge
+  // set; survivors-only edges carry forward, so work SHRINKS per
+  // round; state pinned per round like every iterative operator here.
+  def q157(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = 100
+    val op = t(s, dir, "lineitem")
+      .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
+    val e0 = op.as("a").join(op.as("b"), $"a.o" === $"b.o" && $"a.p" < $"b.p")
+      .select($"a.p".as("u"), $"b.p".as("v")).distinct()
+      .localCheckpoint()
+    def degrees(e: DataFrame): DataFrame = e
+      .select(explode(array($"u", $"v")).as("n"))
+      .groupBy($"n").agg(count(lit(1)).as("d"))
+    def surviveEdges(e: DataFrame, keep: DataFrame): DataFrame = e
+      .join(keep.select($"n".as("u")), Seq("u"), "left_semi")
+      .join(keep.select($"n".as("v")), Seq("v"), "left_semi")
+      .select($"u", $"v")
+    var e = e0
+    var rows = Seq.empty[DataFrame]
+    for (round <- 1 to 3) {
+      val deg = degrees(e).localCheckpoint()
+      val keep = deg.filter($"d" >= k)
+      val stat = deg.agg(
+          count(lit(1)).as("n_nodes"),
+          count(when($"d" < k, 1)).as("n_removed"))
+        .select(lit(round.toLong).as("round"), $"n_nodes", $"n_removed")
+      rows = rows :+ stat
+      e = surviveEdges(e, keep).localCheckpoint()
+    }
+    rows.reduce(_ unionByName _).orderBy($"round")
+  }
+
+  val q157Sql: String =
+    """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+      |            FROM lineitem),
+      | e0 AS (SELECT DISTINCT a.p AS u, b.p AS v
+      |        FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+      | d1 AS (SELECT n, count(*) AS d FROM
+      |        (SELECT u AS n FROM e0 UNION ALL SELECT v FROM e0)
+      |        GROUP BY n),
+      | k1 AS (SELECT n FROM d1 WHERE d >= 100),
+      | e1 AS (SELECT u, v FROM e0
+      |        WHERE u IN (SELECT n FROM k1) AND v IN (SELECT n FROM k1)),
+      | d2 AS (SELECT n, count(*) AS d FROM
+      |        (SELECT u AS n FROM e1 UNION ALL SELECT v FROM e1)
+      |        GROUP BY n),
+      | k2 AS (SELECT n FROM d2 WHERE d >= 100),
+      | e2 AS (SELECT u, v FROM e1
+      |        WHERE u IN (SELECT n FROM k2) AND v IN (SELECT n FROM k2)),
+      | d3 AS (SELECT n, count(*) AS d FROM
+      |        (SELECT u AS n FROM e2 UNION ALL SELECT v FROM e2)
+      |        GROUP BY n)
+      |SELECT CAST(1 AS BIGINT) AS round,
+      |       (SELECT count(*) FROM d1) AS n_nodes,
+      |       (SELECT count(*) FROM d1 WHERE d < 100) AS n_removed
+      |UNION ALL SELECT CAST(2 AS BIGINT),
+      |       (SELECT count(*) FROM d2),
+      |       (SELECT count(*) FROM d2 WHERE d < 100)
+      |UNION ALL SELECT CAST(3 AS BIGINT),
+      |       (SELECT count(*) FROM d3),
+      |       (SELECT count(*) FROM d3 WHERE d < 100)
+      |ORDER BY round""".stripMargin
+
+  /** Name → query function, for SparkEntry. */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q156_token_source_pmi" -> (q156 _),
+    "q157_kcore_peel" -> (q157 _)
+  )
+
+  /** Name → DuckDB oracle SQL, for SparkEntry. */
+  val oracles: Map[String, String] = Map(
+    "q156_token_source_pmi" -> q156Sql,
+    "q157_kcore_peel" -> q157Sql
+  )
+}
