@@ -31,13 +31,26 @@ object Bench {
     val only = sys.env.get("GRAFT_ONLY").map(_.split(",").toSeq)
     def wanted(name: String) = only.forall(_.exists(name.startsWith))
 
+    // localCheckpoint blocks from iterative queries accumulate in the
+    // BlockManager across the run — by query ~150 the stale blocks
+    // evict/spill against the live ones and late heavy queries pay 3×
+    // (q152 single-shot 7.8 → 27.5 s, steady unchanged). Nothing is
+    // shared between catalog queries, so drop all persisted RDDs after
+    // each one.
+    def dropStaleBlocks(): Unit =
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(kv => wanted(kv._1)).map { case (name, fn) =>
       try materialize(fn(spark, sfDir))
       catch { case _: Throwable => -1L } // warmup, untimed
+      dropStaleBlocks()
       val t0 = System.nanoTime()
       try materialize(fn(spark, sfDir)) catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val t = (System.nanoTime() - t0) / 1e9
+      dropStaleBlocks()
+      name -> t
     }
     // Steady-state pass for the 10 slowest queries: min over 3 more
     // timed runs, each with a FRESH plan (same policy as the main
@@ -52,7 +65,9 @@ object Bench {
         val times = (0 until 3).map { _ =>
           val t0 = System.nanoTime()
           try materialize(fn(spark, sfDir)) catch { case _: Throwable => -1L }
-          (System.nanoTime() - t0) / 1e9
+          val t = (System.nanoTime() - t0) / 1e9
+          dropStaleBlocks()
+          t
         }
         name -> times.min
       }
