@@ -152,6 +152,39 @@ object Stress {
         .agg(count(lit(1)).as("shared_ngrams"))
         .count()
     }
+    if (picks("triangles")) timed("triangles") {
+      // q152's degree-oriented triangle count over a synthetic
+      // multiplicative-hash graph (~4 edges/node, hub-free by
+      // construction plus a deliberate hub: node 0 links to every
+      // 1000th node — the orientation must absorb it). Probes the
+      // O(m^1.5) wedge bound at arbitrary node counts.
+      val ids = docs.select($"doc_id".as("u"))
+      val hash1 = (($"u" * 2654435761L) % rows + rows) % rows
+      val hash2 = (($"u" * 40503L + 2654435761L) % rows + rows) % rows
+      val hub = ids.filter($"u" % 1000 === 0)
+        .select(lit(0L).as("a"), $"u".as("b"))
+      val e = ids.select($"u".as("a"), hash1.as("b"))
+        .union(ids.select($"u".as("a"), hash2.as("b")))
+        .union(hub)
+        .select(least($"a", $"b").as("u"), greatest($"a", $"b").as("v"))
+        .filter($"u" =!= $"v").distinct()
+        .localCheckpoint()
+      val deg = e.select(explode(array($"u", $"v")).as("n"))
+        .groupBy($"n").agg(count(lit(1)).as("d"))
+      val withOrd = e
+        .join(deg.select($"n".as("u"), ($"d" * 100000000L + $"n").as("ou")), "u")
+        .join(deg.select($"n".as("v"), ($"d" * 100000000L + $"n").as("ov")), "v")
+      val oriented = withOrd.select(
+          when($"ou" < $"ov", struct($"ou".as("lo"), $"ov".as("hi")))
+            .otherwise(struct($"ov".as("lo"), $"ou".as("hi"))).as("e"))
+        .select($"e.lo", $"e.hi")
+        .localCheckpoint()
+      oriented.as("e1")
+        .join(oriented.as("e2"), $"e1.lo" === $"e2.lo" && $"e1.hi" < $"e2.hi")
+        .select($"e1.hi".as("lo"), $"e2.hi".as("hi"))
+        .join(oriented, Seq("lo", "hi"))
+        .count()
+    }
     if (picks("shard")) timed("shard") {
       docs.withColumn("shard", graft.operators.HashSplit.bucket($"doc_id", 64))
         .groupBy($"shard")
