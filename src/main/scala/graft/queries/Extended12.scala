@@ -145,15 +145,73 @@ object Extended12 {
       |       (SELECT count(*) FROM d3 WHERE d < 100)
       |ORDER BY round""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q158 — exact distributed AUC (Mann–Whitney U): how well n_chars
+  // separates English from non-English docs — the classifier-eval
+  // metric, computed EXACTLY at any scale. AUC = (Σ_pos avg_rank −
+  // np(np+1)/2) / (np·nn); ties get average ranks. Everything stays
+  // integer by doubling: a score value spanning ranks
+  // [cum_before+1, cum_before+cnt] has 2·avg_rank = 2·cum_before +
+  // cnt + 1, so U2 = Σ_pos 2·avg_rank − np(np+1) and
+  // auc_ppm = U2·10⁶ div (2·np·nn) — no float anywhere.
+  //
+  // Scale: ranks come from ONE windowed cumsum over the DISTINCT-score
+  // domain (the q154 trick — the value domain, not the row count,
+  // hits the window); raw rows only feed a per-score (cnt, n_pos)
+  // agg. No global sort of the dataset, ever.
+  def q158(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val perScore = t(s, dir, "documents")
+      .select($"n_chars".as("score"),
+        when($"lang" === "en", 1L).otherwise(0L).as("pos"))
+      .groupBy($"score")
+      .agg(count(lit(1)).as("cnt"), sum($"pos").as("n_pos"))
+    val w = Window.orderBy($"score")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perScore
+      .withColumn("cum_before", coalesce(sum($"cnt").over(w), lit(0L)))
+      .agg(
+        sum($"n_pos").as("np"),
+        sum($"cnt" - $"n_pos").as("nn"),
+        sum($"n_pos" * ($"cum_before" * 2 + $"cnt" + 1)).as("r2_pos"))
+      .select($"np", $"nn",
+        ($"r2_pos" - $"np" * ($"np" + 1)).as("u2"),
+        expr("(r2_pos - np * (np + 1)) * 1000000 div (2 * np * nn)")
+          .as("auc_ppm"))
+  }
+
+  val q158Sql: String =
+    """WITH ps AS (SELECT n_chars AS score, count(*) AS cnt,
+      |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_pos
+      |  FROM documents GROUP BY n_chars),
+      | c AS (SELECT score, cnt, n_pos,
+      |         coalesce(sum(cnt) OVER (ORDER BY score
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |           AS cum_before
+      |       FROM ps),
+      | agg AS (SELECT CAST(sum(n_pos) AS BIGINT) AS np,
+      |                CAST(sum(cnt - n_pos) AS BIGINT) AS nn,
+      |                CAST(sum(n_pos * (cum_before * 2 + cnt + 1))
+      |                     AS BIGINT) AS r2_pos
+      |         FROM c)
+      |SELECT np, nn, CAST(r2_pos - np * (np + 1) AS BIGINT) AS u2,
+      |       CAST((r2_pos - np * (np + 1)) * 1000000 // (2 * np * nn)
+      |            AS BIGINT) AS auc_ppm
+      |FROM agg""".stripMargin
+
   /** Name → query function, for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q156_token_source_pmi" -> (q156 _),
-    "q157_kcore_peel" -> (q157 _)
+    "q157_kcore_peel" -> (q157 _),
+    "q158_exact_auc" -> (q158 _)
   )
 
   /** Name → DuckDB oracle SQL, for SparkEntry. */
   val oracles: Map[String, String] = Map(
     "q156_token_source_pmi" -> q156Sql,
-    "q157_kcore_peel" -> q157Sql
+    "q157_kcore_peel" -> q157Sql,
+    "q158_exact_auc" -> q158Sql
   )
 }

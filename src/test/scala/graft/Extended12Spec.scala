@@ -39,6 +39,26 @@ class Extended12Spec extends SparkSpec {
     }
   }
 
+  test("q158: rank-sum AUC == brute-force pairwise comparison") {
+    import spark.implicits._
+    val row = Extended12.q158(spark, dir).collect().head
+    // the DEFINITION: over all (pos, neg) pairs, wins + half-ties
+    val data = Tables.load(spark, dir, "documents")
+      .select($"n_chars", ($"lang" === "en").as("pos"))
+      .as[(Long, Boolean)].collect()
+    val posScores = data.filter(_._2).map(_._1)
+    val negScores = data.filterNot(_._2).map(_._1)
+    var wins2 = 0L // doubled to keep half-ties integer
+    for (p <- posScores; n <- negScores) {
+      if (p > n) wins2 += 2L else if (p == n) wins2 += 1L
+    }
+    assert(row.getAs[Long]("np") === posScores.length.toLong)
+    assert(row.getAs[Long]("nn") === negScores.length.toLong)
+    assert(row.getAs[Long]("u2") === wins2, "U statistic (doubled)")
+    assert(row.getAs[Long]("auc_ppm") ===
+      wins2 * 1000000L / (2L * posScores.length * negScores.length))
+  }
+
   test("q157: peel cascades, counts conserve round over round") {
     import spark.implicits._
     val rows = Extended12.q157(spark, dir).collect()
