@@ -41,60 +41,60 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter(kv => wanted(kv._1)).map { case (name, fn) =>
-      try materialize(fn(spark, sfDir))
-      catch { case _: Throwable => -1L } // warmup, untimed
-      dropStaleBlocks()
+    // One timed fresh-plan run; success captured EXPLICITLY (the old
+    // `try materialize catch -1L` discarded the -1 — a failing query's
+    // wall time looked like a valid result). Failures record -1.0.
+    def timedRun(fn: (org.apache.spark.sql.SparkSession, String) => DataFrame): Double = {
       val t0 = System.nanoTime()
-      try materialize(fn(spark, sfDir)) catch { case _: Throwable => -1L }
+      val ok = try { materialize(fn(spark, sfDir)); true }
+        catch { case _: Throwable => false }
       val t = (System.nanoTime() - t0) / 1e9
       dropStaleBlocks()
-      name -> t
+      if (ok) t else -1.0
     }
-    // Steady-state pass for the 10 slowest queries: min over 3 more
-    // timed runs, each with a FRESH plan (same policy as the main
-    // numbers — planning is part of a cold query, but the min isolates
-    // execution from one-off Catalyst/codegen variance). With 140
-    // queries the single-shot total is dominated by the ~0.4 s/query
-    // planning floor; the steady numbers are the execution-tracking
-    // signal for cross-round comparison.
-    val steady = results.filter(_._2 >= 0).sortBy(-_._2).take(10)
-      .map { case (name, _) =>
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(kv => wanted(kv._1)).map { case (name, fn) =>
+      timedRun(fn) // warmup: codegen/JIT/parquet footers, untimed
+      name -> timedRun(fn)
+    }
+    // Steady-state pass for EVERY query: min over 2 more timed runs +
+    // the single-shot one, each with a FRESH plan (planning is part of
+    // a cold query, but the min isolates execution from one-off
+    // Catalyst/codegen variance and first-run checkpoint
+    // materialization). With 150+ queries the single-shot total is
+    // dominated by the ~0.4 s/query planning floor; the full steady
+    // map is the execution-tracking signal for cross-round comparison.
+    val steady = results.map { case (name, single) =>
+      if (single < 0) name -> -1.0
+      else {
         val fn = SparkEntry.queries(name)
-        val times = (0 until 3).map { _ =>
-          val t0 = System.nanoTime()
-          try materialize(fn(spark, sfDir)) catch { case _: Throwable => -1L }
-          val t = (System.nanoTime() - t0) / 1e9
-          dropStaleBlocks()
-          t
-        }
-        name -> times.min
+        val times = single +: (0 until 2).map(_ => timedRun(fn))
+        name -> (if (times.exists(_ < 0)) -1.0 else times.min)
       }
-    val steadyTotal = steady.map(_._2).sum
+    }
+    val steadyTotal = steady.map(_._2).filter(_ >= 0).sum
+    val steadyTop = steady.filter(_._2 >= 0).sortBy(-_._2).take(10)
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val steadyQs = steady.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    // Verbose per-query line first (full names, full precision) — for humans
-    // and local diffing.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"steady_top10":$steadyQs,"steady_top10_total":$steadyTotal,"sf":"$sfDir"}""")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    // Verbose per-query lines first (full names, full precision) — for
+    // humans and local diffing: single-shot map, then the FULL steady map.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"steady":$steadyQs,"steady_total":$steadyTotal,"sf":"$sfDir"}""")
     // The harness that collects this output keeps only the final ~2000
-    // chars. At 140+ queries even a short-key per-query map outgrows
-    // that window, so the per-query line goes second-to-last (truncated
+    // chars. At 150+ queries even a short-key per-query map outgrows
+    // that window, so the short-key maps go second-to-last (truncated
     // from the head if need be) and the LAST line is a short summary —
     // totals + the steady-state top-10 — that always fits whole.
-    val shortQs = results.map { case (k, v) =>
-      val short = k.takeWhile(_ != '_')
-      "\"" + short + "\":" + f"$v%.3f"
-    }.mkString("{", ",", "}")
-    val shortSteady = steady.map { case (k, v) =>
+    def shortMap(m: Seq[(String, Double)]): String = m.map { case (k, v) =>
       "\"" + k.takeWhile(_ != '_') + "\":" + f"$v%.3f"
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"queries_sec","queries":$shortQs}""")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"steady_top10":$shortSteady,"steady_top10_total":$steadyTotal%.3f,"sf":"$sfDir"}""")
+    println(s"""{"metric":"queries_sec","queries":${shortMap(results)}}""")
+    println(s"""{"metric":"steady_sec","queries":${shortMap(steady)}}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"steady_total":$steadyTotal%.3f,"steady_top10":${shortMap(steadyTop)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -153,11 +153,14 @@ object Stress {
         .count()
     }
     if (picks("triangles")) timed("triangles") {
-      // q152's degree-oriented triangle count over a synthetic
+      // ext/Graph.triangleCount (the q152 operator) over a synthetic
       // multiplicative-hash graph (~4 edges/node, hub-free by
       // construction plus a deliberate hub: node 0 links to every
       // 1000th node — the orientation must absorb it). Probes the
-      // O(m^1.5) wedge bound at arbitrary node counts.
+      // O(m^1.5) wedge bound at arbitrary node counts; the operator's
+      // struct(degree, id) orientation key stays injective at ANY id
+      // range (the old arithmetic d*1e8+id probe key collided once ids
+      // reached the multiplier).
       val ids = docs.select($"doc_id".as("u"))
       val hash1 = (($"u" * 2654435761L) % rows + rows) % rows
       val hash2 = (($"u" * 40503L + 2654435761L) % rows + rows) % rows
@@ -166,24 +169,18 @@ object Stress {
       val e = ids.select($"u".as("a"), hash1.as("b"))
         .union(ids.select($"u".as("a"), hash2.as("b")))
         .union(hub)
-        .select(least($"a", $"b").as("u"), greatest($"a", $"b").as("v"))
-        .filter($"u" =!= $"v").distinct()
-        .localCheckpoint()
-      val deg = e.select(explode(array($"u", $"v")).as("n"))
-        .groupBy($"n").agg(count(lit(1)).as("d"))
-      val withOrd = e
-        .join(deg.select($"n".as("u"), ($"d" * 100000000L + $"n").as("ou")), "u")
-        .join(deg.select($"n".as("v"), ($"d" * 100000000L + $"n").as("ov")), "v")
-      val oriented = withOrd.select(
-          when($"ou" < $"ov", struct($"ou".as("lo"), $"ov".as("hi")))
-            .otherwise(struct($"ov".as("lo"), $"ou".as("hi"))).as("e"))
-        .select($"e.lo", $"e.hi")
-        .localCheckpoint()
-      oriented.as("e1")
-        .join(oriented.as("e2"), $"e1.lo" === $"e2.lo" && $"e1.hi" < $"e2.hi")
-        .select($"e1.hi".as("lo"), $"e2.hi".as("hi"))
-        .join(oriented, Seq("lo", "hi"))
-        .count()
+      graft.ext.Graph.triangleCount(e, srcCol = "a", dstCol = "b").count()
+    }
+    if (picks("kcore")) timed("kcore") {
+      // ext/Graph.kCore fixpoint peel on the same synthetic graph
+      // (~4 edges/node ⇒ k=5 peels most of it, cascading several
+      // rounds). Probes per-round cost on a shrinking edge set.
+      val ids = docs.select($"doc_id".as("u"))
+      val hash1 = (($"u" * 2654435761L) % rows + rows) % rows
+      val hash2 = (($"u" * 40503L + 2654435761L) % rows + rows) % rows
+      val e = ids.select($"u".as("a"), hash1.as("b"))
+        .union(ids.select($"u".as("a"), hash2.as("b")))
+      graft.ext.Graph.kCore(e, k = 5, srcCol = "a", dstCol = "b").count()
     }
     if (picks("shard")) timed("shard") {
       docs.withColumn("shard", graft.operators.HashSplit.bucket($"doc_id", 64))

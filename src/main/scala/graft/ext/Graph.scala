@@ -1,0 +1,139 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics operators over an undirected edge DataFrame — the
+  * library form of the q152/q157 query shapes, with the two properties a
+  * production graph job needs that a fixed-depth query cannot provide:
+  *
+  *  - **fixpoint iteration** ([[kCore]] peels until NOTHING changes,
+  *    with the same convergence guard + `checkpointDir` durability
+  *    pattern as [[TextDedup.connectedComponents]]);
+  *  - **injective orientation keys** ([[triangleCount]] orders nodes by
+  *    `struct(degree, id)` — lexicographic struct comparison — never an
+  *    arithmetic `d*C + id` encoding, which silently conflates distinct
+  *    nodes once ids reach the multiplier).
+  *
+  * Edge-set contract: undirected simple graphs. [[canonicalEdges]]
+  * normalizes arbitrary pair lists (drops self-loops, dedups, orders
+  * u < v); operators accept `assumeCanonical = true` to skip that
+  * shuffle when the caller already materialized a canonical set.
+  */
+object Graph {
+
+  /** Normalize an arbitrary pair list to canonical undirected form:
+    * (u, v) with u < v, self-loops dropped, duplicates removed. */
+  def canonicalEdges(edges: DataFrame,
+      srcCol: String = "u", dstCol: String = "v"): DataFrame =
+    edges.select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+
+  /** Degree of every node with at least one edge. */
+  def degrees(edges: DataFrame,
+      srcCol: String = "u", dstCol: String = "v"): DataFrame =
+    edges.select(explode(array(col(srcCol), col(dstCol))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+
+  /** Exact triangle count via degree-ordered orientation
+    * (Schank / Suri–Vassilvitskii): each edge points from its
+    * (degree, id)-smaller endpoint to the larger, so every node's
+    * OUT-degree is O(√m) and the wedge join (out-neighbors ×
+    * out-neighbors per node) is O(m^1.5) worst-case — a hub's fan-out
+    * is absorbed by orientation instead of detonating Σ deg². A
+    * triangle is a wedge (y, z) out of x whose closing edge (y, z) is
+    * itself oriented — counted exactly once.
+    *
+    * The orientation key is `struct(degree, id)` compared
+    * lexicographically — injective for ANY id range (an arithmetic
+    * `d * C + id` key collides as soon as ids reach C, silently
+    * conflating nodes in the wedge join).
+    *
+    * @param assumeCanonical skip [[canonicalEdges]] when the input is
+    *   already (u < v, distinct, no self-loops) — saves one shuffle
+    * @param checkpointDir reliable-checkpoint dir for the two reused
+    *   intermediates; None = localCheckpoint
+    * @return one row: (n_triangles)
+    */
+  def triangleCount(edges: DataFrame,
+      srcCol: String = "u", dstCol: String = "v",
+      assumeCanonical: Boolean = false,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val canon =
+      if (assumeCanonical) edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      else canonicalEdges(edges, srcCol, dstCol)
+    // reused 3×: degrees + both wedge-join sides feed off the same set
+    val e = TextDedup.materialize(canon, checkpointDir)
+    val deg = degrees(e)
+    val withOrd = e
+      .join(deg.select(col("node").as("u"),
+        struct(col("degree"), col("node")).as("ou")), "u")
+      .join(deg.select(col("node").as("v"),
+        struct(col("degree"), col("node")).as("ov")), "v")
+    val oriented = TextDedup.materialize(
+      withOrd.select(
+          when(col("ou") < col("ov"),
+            struct(col("ou").as("lo"), col("ov").as("hi")))
+            .otherwise(struct(col("ov").as("lo"), col("ou").as("hi"))).as("e"))
+        .select(col("e.lo"), col("e.hi")),
+      checkpointDir)
+    // wedges are distinct by construction (distinct edges ⇒ distinct
+    // (x, y, z)), so the closing inner join counts each triangle once
+    oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.lo") === col("e2.lo") && col("e1.hi") < col("e2.hi"))
+      .select(col("e1.hi").as("lo"), col("e2.hi").as("hi"))
+      .join(oriented, Seq("lo", "hi"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** k-core decomposition to FIXPOINT: repeatedly drop nodes whose
+    * current degree is below k until a pass removes nothing — removals
+    * cascade, so the surviving subgraph is the maximal one where every
+    * node has degree ≥ k (the classic peeling algorithm). The q157
+    * catalog query is the fixed-depth (3-round) oracle instance of this
+    * loop; this operator is what a user reaching for "the k-core"
+    * actually gets.
+    *
+    * Scale shape: each round is one degree agg + two semi joins on a
+    * SHRINKING edge set; state is pinned per round (localCheckpoint, or
+    * reliable `checkpoint()` via `checkpointDir` for multi-hour runs) so
+    * plans don't grow with rounds. Convergence is a filter on the
+    * materialized degree frame — no extra join. Rounds needed equal the
+    * peel depth of the graph (typically small); a graph that somehow
+    * exceeds `maxRounds` raises rather than returning a half-peeled
+    * subgraph.
+    *
+    * @return surviving nodes with their core degrees: (node, degree),
+    *         every degree ≥ k; empty when the k-core is empty
+    */
+  def kCore(edges: DataFrame, k: Int,
+      srcCol: String = "u", dstCol: String = "v",
+      assumeCanonical: Boolean = false, maxRounds: Int = 100,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val canon =
+      if (assumeCanonical) edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      else canonicalEdges(edges, srcCol, dstCol)
+    var e = TextDedup.materialize(canon, checkpointDir)
+    var round = 0
+    while (round < maxRounds) {
+      val deg = TextDedup.materialize(degrees(e), checkpointDir)
+      if (deg.filter(col("degree") < k).isEmpty)
+        return deg // fixpoint: every surviving node already has deg >= k
+      val keep = deg.filter(col("degree") >= k)
+      e = TextDedup.materialize(
+        e.join(keep.select(col("node").as("u")), Seq("u"), "left_semi")
+          .join(keep.select(col("node").as("v")), Seq("v"), "left_semi")
+          .select(col("u"), col("v")),
+        checkpointDir)
+      round += 1
+    }
+    // A half-peeled subgraph would silently overstate the core — refuse.
+    throw new IllegalStateException(
+      s"kCore did not reach fixpoint in $maxRounds rounds " +
+        "(peel depth exceeds maxRounds); raise maxRounds")
+  }
+}

@@ -29,7 +29,7 @@ object TextDedup {
     * loss — the durability story a multi-hour 100 TB iterative job
     * needs); without, `localCheckpoint()` (executor block storage,
     * faster, fine for short jobs / local mode). */
-  private def materialize(df: DataFrame,
+  private[ext] def materialize(df: DataFrame,
       checkpointDir: Option[String]): DataFrame =
     checkpointDir match {
       case Some(dir) =>

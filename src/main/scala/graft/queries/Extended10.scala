@@ -137,9 +137,12 @@ object Extended10 {
   // shuffle join in general); final agg is cohort×offset — tiny.
   def q149(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // floor BOTH divisions: double-division-then-cast would TRUNCATE
+    // toward zero, diverging from the oracle's floor `//` for pre-epoch
+    // timestamps (negative day numbers)
     val uw = t(s, dir, "events")
       .select($"user_id",
-        (floor(unix_timestamp($"ts") / 86400) / 7).cast("long").as("wk"))
+        floor(floor(unix_timestamp($"ts") / 86400) / 7).cast("long").as("wk"))
       .distinct()
     val cohort = uw.groupBy($"user_id").agg(min($"wk").as("cohort_wk"))
     uw.join(cohort, "user_id")

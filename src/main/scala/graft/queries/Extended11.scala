@@ -39,7 +39,10 @@ object Extended11 {
     import s.implicits._
     val names = t(s, dir, "part").select($"p_name".as("name")).distinct()
       .withColumn("len", length($"name"))
-    val grams = names
+    // len >= 2 guard: sequence(1, 0) is DESCENDING ([1, 0]) in Spark, so
+    // a 1-char name would emit phantom duplicate bigrams; short names
+    // (len <= 5) are fully covered by the all-pairs branch below anyway
+    val grams = names.filter($"len" >= 2)
       .select($"name", $"len",
         explode(expr("transform(sequence(1, len - 1)," +
           " i -> substring(name, i, 2))")).as("g"))
@@ -88,32 +91,20 @@ object Extended11 {
   // Scale: 3 shuffles (edge distinct, degree agg, wedge join) + one
   // semi join against the oriented edge set; orientation is the
   // entire trick — no node ever fans out more than √m wedges.
+  // The counting core lives in ext/Graph.triangleCount (library
+  // operator with checkpointDir + injective struct(degree, id)
+  // orientation keys); this query builds the co-order edge set and
+  // composes the summary row.
   def q152(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val op = t(s, dir, "lineitem")
       .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
+    // canonical by construction (a.p < b.p, distinct); checkpointed here
+    // because n_edges below reuses it alongside the operator's own pass
     val e = op.as("a").join(op.as("b"), $"a.o" === $"b.o" && $"a.p" < $"b.p")
       .select($"a.p".as("u"), $"b.p".as("v")).distinct()
-      .localCheckpoint() // reused 4×: degrees + wedge both sides + close
-    val deg = e.select(explode(array($"u", $"v")).as("n"))
-      .groupBy($"n").agg(count(lit(1)).as("d"))
-    // total order (degree, id) as one integer key; re-orient edges
-    val withOrd = e
-      .join(deg.select($"n".as("u"), ($"d" * 1000000 + $"n").as("ou")), "u")
-      .join(deg.select($"n".as("v"), ($"d" * 1000000 + $"n").as("ov")), "v")
-    val oriented = withOrd.select(
-        when($"ou" < $"ov", struct($"ou".as("lo"), $"ov".as("hi")))
-          .otherwise(struct($"ov".as("lo"), $"ou".as("hi"))).as("e"))
-      .select($"e.lo", $"e.hi")
       .localCheckpoint()
-    // wedges are distinct by construction (distinct edges ⇒ distinct
-    // (x, y, z)), so the closing inner join counts each triangle once
-    val wedges = oriented.as("e1")
-      .join(oriented.as("e2"),
-        $"e1.lo" === $"e2.lo" && $"e1.hi" < $"e2.hi")
-      .select($"e1.hi".as("lo"), $"e2.hi".as("hi"))
-    val nTri = wedges.join(oriented, Seq("lo", "hi"))
-      .agg(count(lit(1)).as("n_triangles"))
+    val nTri = graft.ext.Graph.triangleCount(e, assumeCanonical = true)
     op.agg(countDistinct($"p").as("n_parts"))
       .crossJoin(e.agg(count(lit(1)).as("n_edges")))
       .crossJoin(nTri)

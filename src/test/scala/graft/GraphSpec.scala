@@ -1,0 +1,124 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.ext.Graph
+
+/** ext/Graph operator contracts, proven against in-memory brute force
+  * on small random graphs (the PropertySpec fixed-seed technique):
+  *
+  *  - triangleCount == naive triple enumeration, including on graphs
+  *    whose node ids exceed 1e6 (the arithmetic `d*1e6+id` orientation
+  *    key this operator replaced silently conflated such nodes);
+  *  - kCore FIXPOINT == brute-force iterative peel (not a fixed-depth
+  *    unroll — cascades must fully propagate);
+  *  - both operators produce identical results via localCheckpoint and
+  *    reliable checkpointDir paths.
+  */
+class GraphSpec extends SparkSpec {
+
+  private def samples[A](gen: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => gen.apply(Gen.Parameters.default, Seed(977L + i)))
+
+  /** Random edge list over `nodes` node ids (ids optionally offset into
+    * the >1e6 range), ~density fraction of all pairs. */
+  private def edgeGen(nodes: Int, offset: Long): Gen[Seq[(Long, Long)]] =
+    Gen.listOfN(nodes * 2, for {
+      a <- Gen.chooseNum(0, nodes - 1)
+      b <- Gen.chooseNum(0, nodes - 1)
+    } yield (offset + a, offset + b))
+
+  private def canonical(es: Seq[(Long, Long)]): Set[(Long, Long)] =
+    es.collect { case (a, b) if a != b => (math.min(a, b), math.max(a, b)) }
+      .toSet
+
+  private def bruteTriangles(es: Set[(Long, Long)]): Long = {
+    val nodes = es.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val set = es
+    val triples = for {
+      i <- nodes.indices; j <- (i + 1) until nodes.length
+      k <- (j + 1) until nodes.length
+      a = nodes(i); b = nodes(j); c = nodes(k)
+      if set((a, b)) && set((b, c)) && set((a, c))
+    } yield 1
+    triples.size.toLong
+  }
+
+  private def brutePeel(es: Set[(Long, Long)], k: Int): Map[Long, Long] = {
+    var edges = es
+    var changed = true
+    while (changed) {
+      val deg = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+      val drop = deg.filter(_._2 < k).keySet
+      changed = drop.nonEmpty
+      edges = edges.filter(e => !drop(e._1) && !drop(e._2))
+    }
+    edges.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+  }
+
+  private def toDf(es: Seq[(Long, Long)]) = {
+    import spark.implicits._
+    es.toDF("u", "v")
+  }
+
+  test("triangleCount == brute force on random graphs (small and >1e6 ids)") {
+    for (offset <- Seq(0L, 1000000L); g <- samples(edgeGen(12, offset), 8)) {
+      val expected = bruteTriangles(canonical(g))
+      val got = Graph.triangleCount(toDf(g)).head().getLong(0)
+      assert(got === expected, s"offset=$offset edges=${canonical(g)}")
+    }
+  }
+
+  test("triangleCount: known fixtures (K4 has 4, C5 has 0, K4 plus chord)") {
+    val k4 = for (a <- 0L to 3L; b <- (a + 1) to 3L) yield (a, b)
+    assert(Graph.triangleCount(toDf(k4)).head().getLong(0) === 4L)
+    val c5 = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 0L))
+    assert(Graph.triangleCount(toDf(c5)).head().getLong(0) === 0L)
+    // duplicate + reversed + self-loop edges must not change the count
+    val messy = k4 ++ k4.map(e => (e._2, e._1)) ++ Seq((2L, 2L))
+    assert(Graph.triangleCount(toDf(messy)).head().getLong(0) === 4L)
+  }
+
+  test("kCore fixpoint == brute-force peel on random graphs") {
+    for (g <- samples(edgeGen(14, 0L), 10); k <- Seq(2, 3)) {
+      val expected = brutePeel(canonical(g), k)
+      val got = Graph.kCore(toDf(g), k).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected, s"k=$k edges=${canonical(g)}")
+    }
+  }
+
+  test("kCore cascades past any fixed depth (long chain into a clique)") {
+    // K4 with a 12-node path hanging off it: every path node has degree
+    // 2, but peeling at k=2 removes them ONE PER ROUND from the free end
+    // — 12 cascade rounds, far beyond a 3-round unroll.
+    val k4 = for (a <- 0L to 3L; b <- (a + 1) to 3L) yield (a, b)
+    val path = (0 until 12).map(i => (if (i == 0) 3L else 100L + i - 1, 100L + i))
+    val got = Graph.kCore(toDf(k4 ++ path), 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+  }
+
+  test("kCore: empty core and k larger than any degree") {
+    val c5 = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 0L))
+    assert(Graph.kCore(toDf(c5), 3).isEmpty)
+    assert(Graph.kCore(toDf(Seq.empty[(Long, Long)]), 2).isEmpty)
+  }
+
+  test("checkpointDir path produces identical results to localCheckpoint") {
+    val dir = tmpDir("graph-ckpt")
+    val g = samples(edgeGen(12, 0L), 1).head
+    val triLocal = Graph.triangleCount(toDf(g)).head().getLong(0)
+    val triCkpt = Graph.triangleCount(toDf(g), checkpointDir = Some(dir))
+      .head().getLong(0)
+    assert(triLocal === triCkpt)
+    val coreLocal = Graph.kCore(toDf(g), 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val coreCkpt = Graph.kCore(toDf(g), 2, checkpointDir = Some(dir))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(coreLocal === coreCkpt)
+  }
+}
