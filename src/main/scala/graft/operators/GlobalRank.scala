@@ -41,4 +41,57 @@ object GlobalRank {
     }
     spark.createDataFrame(ranked, schema)
   }
+
+  /** Deterministic GLOBAL running sum (exclusive prefix sum) of a long
+    * column in `sortCols` order, without a single-partition window —
+    * the scalable form of `sum(x) OVER (ORDER BY … ROWS UNBOUNDED
+    * PRECEDING AND 1 PRECEDING)`. Same two-phase layout as [[withRank]]:
+    * range-partition by the sort key, sort within partitions, then one
+    * pass computing per-partition totals (ONE long per partition — a
+    * bounded driver collect) and a second pass emitting
+    * `offset(partition) + running local sum`. The prefix sum is
+    * total-order-determined even though partition boundaries are
+    * sampled.
+    *
+    * The sorted input is persisted (MEMORY_AND_DISK) because both
+    * passes read it; callers running many queries per session should
+    * unpersist stale blocks between queries (Bench does).
+    *
+    * @param sortCols a TOTAL order (include a tiebreaker — duplicate
+    *                 keys would make the running sum run-dependent)
+    * @param valueCol long column to sum
+    * @param outCol   exclusive prefix sum: sum of `valueCol` over all
+    *                 rows STRICTLY BEFORE this row in the global order
+    */
+  def withPrefixSum(df: DataFrame, sortCols: Seq[Column], valueCol: String,
+      outCol: String = "cum_before", partitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val n = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    val sorted = df.repartitionByRange(n, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val idx = sorted.schema.fieldIndex(valueCol)
+    val schema = StructType(sorted.schema.fields :+
+      StructField(outCol, LongType, nullable = false))
+    val rdd = sorted.rdd
+    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val partSums = rdd.mapPartitionsWithIndex { case (pid, it) =>
+      var s = 0L
+      it.foreach(r => s += r.getLong(idx))
+      Iterator((pid, s))
+    }.collect() // bounded: one (int, long) per partition
+    val offsets = new Array[Long](n + 1)
+    partSums.sortBy(_._1).foreach { case (pid, s) => offsets(pid + 1) = s }
+    for (i <- 1 to n) offsets(i) += offsets(i - 1)
+    val bc = spark.sparkContext.broadcast(offsets)
+    val out = rdd.mapPartitionsWithIndex { case (pid, it) =>
+      var run = bc.value(pid)
+      it.map { r =>
+        val row = Row.fromSeq(r.toSeq :+ run)
+        run += r.getLong(idx)
+        row
+      }
+    }
+    spark.createDataFrame(out, schema)
+  }
 }

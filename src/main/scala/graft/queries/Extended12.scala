@@ -155,22 +155,24 @@ object Extended12 {
   // cnt + 1, so U2 = Σ_pos 2·avg_rank − np(np+1) and
   // auc_ppm = U2·10⁶ div (2·np·nn) — no float anywhere.
   //
-  // Scale: ranks come from ONE windowed cumsum over the DISTINCT-score
-  // domain (the q154 trick — the value domain, not the row count,
-  // hits the window); raw rows only feed a per-score (cnt, n_pos)
-  // agg. No global sort of the dataset, ever.
+  // Scale: raw rows only feed a per-score (cnt, n_pos) agg; the
+  // cumulative count over the DISTINCT-score domain comes from
+  // GlobalRank.withPrefixSum — range-partition + two passes, NEVER an
+  // unpartitioned window. (The first cut used `Window.orderBy(score)`
+  // arguing the distinct domain is small; true for integer n_chars,
+  // false for the real-valued classifier scores AUC exists for, where
+  // distinct ≈ row count — a one-task funnel. QueryPlanSpec pins the
+  // windowless plan.) No global sort of the dataset, no
+  // single-partition stage, ever.
   def q158(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
     val perScore = t(s, dir, "documents")
       .select($"n_chars".as("score"),
         when($"lang" === "en", 1L).otherwise(0L).as("pos"))
       .groupBy($"score")
       .agg(count(lit(1)).as("cnt"), sum($"pos").as("n_pos"))
-    val w = Window.orderBy($"score")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    perScore
-      .withColumn("cum_before", coalesce(sum($"cnt").over(w), lit(0L)))
+    graft.operators.GlobalRank
+      .withPrefixSum(perScore, Seq($"score"), "cnt", "cum_before")
       .agg(
         sum($"n_pos").as("np"),
         sum($"cnt" - $"n_pos").as("nn"),

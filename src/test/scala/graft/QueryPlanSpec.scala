@@ -154,6 +154,22 @@ class QueryPlanSpec extends SparkSpec {
     assert(count(p, _.isInstanceOf[Exchange]) === 2, p.toString)
   }
 
+  test("q158: no window exec and no global sort anywhere (prefix-sum AUC)") {
+    // The AUC ranks come from GlobalRank.withPrefixSum — an unpartitioned
+    // Window.orderBy cumsum (the first cut) moved the whole distinct-score
+    // domain through ONE task; for real-valued classifier scores that
+    // domain ≈ the row count. The physical plan must contain no WindowExec
+    // at all and no global (cross-partition) sort.
+    val p = executed("q158_exact_auc")
+    assert(count(p,
+      _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]) === 0,
+      p.toString)
+    assert(count(p, {
+      case s: org.apache.spark.sql.execution.SortExec => s.global
+      case _ => false
+    }) === 0, p.toString)
+  }
+
   test("q02: filter and projection reach the parquet scan") {
     val scans = plan("q02_filter_project").collect {
       case f: org.apache.spark.sql.execution.FileSourceScanExec => f
