@@ -27,7 +27,8 @@ object SparkEntry {
       graft.queries.Extended9.queries ++
       graft.queries.Extended10.queries ++
       graft.queries.Extended11.queries ++
-      graft.queries.Extended12.queries
+      graft.queries.Extended12.queries ++
+      graft.queries.Extended13.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -40,5 +41,6 @@ object SparkEntry {
       graft.queries.Extended9.oracles ++
       graft.queries.Extended10.oracles ++
       graft.queries.Extended11.oracles ++
-      graft.queries.Extended12.oracles
+      graft.queries.Extended12.oracles ++
+      graft.queries.Extended13.oracles
 }

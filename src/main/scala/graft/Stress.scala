@@ -121,6 +121,19 @@ object Stress {
       // has df ≈ 10³ and the probe detonates (measured: >80 GB of
       // shuffle). Real text is effectively unbounded at n = 3; the toy
       // vocab needs n = 5 (40⁵ = 10⁸) for the same df profile.
+      // dfCap (default 100, override SPARK_GRAFT_DFCAP): even after
+      // dedup, this generator's shingle df grows with the corpus (the
+      // 40-word vocab saturates the 5-gram space) — round-8 measured
+      // 1M: 127 s → 2M: 570 s, the Σ df² curve. The cap drops
+      // saturated shingles as join keys; recall loss is only pairs
+      // whose EVERY shared prefix shingle exceeds the cap (see
+      // similarityJoin Scaladoc). Round-9 measurements at 64g:
+      // capped (100) 1M: 134 s → 2M: 402 s — the HEAD of the df
+      // distribution is gone (4.5× → 3.0×); the residual growth is
+      // mean-df doubling with corpus size (small-df Poisson collisions
+      // across the whole saturated space), which no per-shingle cap
+      // can remove — the knob for that regime is the n-gram order.
+      val dfCap = sys.env.getOrElse("SPARK_GRAFT_DFCAP", "100").toLong
       val d = docs
       val pairs = graft.ext.TextDedup
         .lshCandidates(d, "text", "doc_id", starCap = 256)
@@ -128,7 +141,7 @@ object Stress {
         .dedupFuzzyKeepIds(pairs, d.select($"doc_id"), nodeCol = "doc_id")
       graft.ext.TextDedup
         .similarityJoin(d.join(keep, Seq("doc_id"), "left_semi"),
-          "text", "doc_id", ngram = 5, simNum = 1, simDen = 2)
+          "text", "doc_id", ngram = 5, simNum = 1, simDen = 2, dfCap = dfCap)
         .count()
     }
     if (picks("contamination")) timed("contamination") {

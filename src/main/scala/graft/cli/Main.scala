@@ -32,6 +32,8 @@ import graft.transform.RideTransform
   *   mix <docsParquet> <sourceCol> <textCol> <invTemp> <outParquet>
   *   pack <docsParquet> <idCol> <shardCol> <textCol> <cap> <outParquet>
   *   similarity-join <docsParquet> <idCol> <textCol> <num>/<den> <outParquet>
+  *   triangles <edgesParquet> <srcCol> <dstCol>
+  *   kcore <edgesParquet> <srcCol> <dstCol> <k> <outParquet>
   */
 object Main {
 
@@ -216,6 +218,22 @@ object Main {
       packed.write.mode("overwrite").parquet(out)
       val nBatches = packed.select(shardCol, "batch_id").distinct().count()
       println(s"packed ${packed.count()} docs into $nBatches batches (cap=$cap) at $out")
+
+    // triangles <edgesParquet> <srcCol> <dstCol>: exact triangle count
+    // via degree-ordered orientation (ext/Graph.triangleCount).
+    case "triangles" :: in :: src :: dst :: Nil =>
+      val n = graft.ext.Graph
+        .triangleCount(spark.read.parquet(in), src, dst)
+        .head().getLong(0)
+      println(s"$n triangles")
+
+    // kcore <edgesParquet> <srcCol> <dstCol> <k> <outParquet>: fixpoint
+    // k-core peel; writes surviving (node, degree) rows.
+    case "kcore" :: in :: src :: dst :: k :: out :: Nil =>
+      val core = graft.ext.Graph
+        .kCore(spark.read.parquet(in), k.toInt, src, dst)
+      core.write.mode("overwrite").parquet(out)
+      println(s"k=${k.toInt} core has ${core.count()} nodes, written to $out")
 
     case other =>
       sys.error(s"unknown command: ${other.mkString(" ")} — see Scaladoc for usage")

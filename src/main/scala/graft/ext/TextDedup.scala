@@ -342,13 +342,32 @@ object TextDedup {
     * join). The three reused intermediates are materialized once
     * (localCheckpoint, or reliable checkpoint via `checkpointDir`).
     *
+    * `dfCap` guards the df-SATURATED corpus (shingle space not much
+    * larger than the corpus, so even prefix shingles grow df ∝ rows —
+    * measured on the Stress synthetic: 2× docs → 4.5× time, the Σ df²
+    * cost model): shingles with df > dfCap never become join keys, so
+    * candidate volume is bounded by Σ_{df ≤ cap} df² ≤ cap · Σ df —
+    * LINEAR in corpus size — and a saturated corpus degrades
+    * predictably instead of quadratically. Recall consequence (the
+    * price of the guard, default off): a qualifying pair is missed iff
+    * EVERY shared prefix shingle has df > dfCap. Because the prefix
+    * ordering is ascending df, capped shingles sort after all uncapped
+    * ones in BOTH docs, so the positional filter's min-rank bounds stay
+    * valid for the pairs that are generated — the cap never creates a
+    * false negative among pairs sharing at least one uncapped prefix
+    * shingle. The production composition remains: star-capped fuzzy
+    * dedup first (collapses mega-clusters), exact join over survivors,
+    * dfCap as the backstop for saturated shingle spaces.
+    *
     * @return (doc_a, doc_b, inter, n_union) with doc_a < doc_b
     */
   def similarityJoin(docs: DataFrame, textCol: String, idCol: String,
       ngram: Int = 3, simNum: Int = 1, simDen: Int = 2,
+      dfCap: Long = Long.MaxValue,
       checkpointDir: Option[String] = None): DataFrame = {
     require(simNum > 0 && simDen > 0 && simNum <= simDen,
       s"threshold must be a fraction in (0,1], got $simNum/$simDen")
+    require(dfCap >= 1, s"dfCap must be >= 1, got $dfCap")
     import org.apache.spark.sql.expressions.Window
     val ex = materialize(
       docs.select(col(idCol).as("doc_id"),
@@ -363,6 +382,10 @@ object TextDedup {
     val dfreq = ex.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))
     // prefix length n − ceil(t·n) + 1, with ceil in integer arithmetic
+    // ranks/sizes are computed over the FULL shingle set, THEN capped
+    // shingles are dropped as join keys — positions stay true to the
+    // global (df, tok) order, which is what keeps the positional filter
+    // below exact under the cap (capped = highest-df = tail positions)
     val prefix = materialize(
       ex.join(dfreq, "tok")
         .withColumn("rk", row_number().over(wDoc))
@@ -370,6 +393,7 @@ object TextDedup {
         .filter(col("rk") <=
           col("n") - ((col("n") * simNum + simDen - 1).divide(simDen)
             .cast("long")) + 1)
+        .filter(col("df") <= dfCap)
         .select(col("tok"), col("doc_id"), col("rk"), col("n")),
       checkpointDir)
     // jaccard ≥ num/den ⇔ inter·(num+den) ≥ num·(na+nb); apply it to
@@ -393,6 +417,77 @@ object TextDedup {
       .withColumn("n_union", col("na") + col("nb") - col("inter"))
       .filter(col("inter") * simDen >= col("n_union") * simNum)
       .select(col("doc_a"), col("doc_b"), col("inter"), col("n_union"))
+  }
+
+  /** EXACT asymmetric containment self-join: all ordered pairs with
+    * |A ∩ B| / |A| ≥ simNum/simDen — finds docs near-CONTAINED in
+    * another (quote farms, boilerplate wrappers, doc-inside-doc), the
+    * pairs symmetric Jaccard ([[similarityJoin]]) structurally misses
+    * when |B| ≫ |A|. Prefix-filter adapted to containment: only the
+    * INNER side needs a prefix (its rarest ⌈(1−t)·n⌉+1 shingles in df
+    * order); any qualifying pair must collide between A's prefix and
+    * B's FULL posting list. Verification is the exact integer test
+    * simDen·|∩| ≥ simNum·|A| via the codegen'd intersect count. All
+    * thresholds exact rational arithmetic.
+    *
+    * Scale: candidate volume = Σ_{A-prefix shingles} df(shingle); the
+    * prefix takes each doc's RAREST shingles, so the posting lists
+    * joined against are the short ones — df-bounded, not
+    * corpus-bounded. (A |B| ≥ t·|A| length filter on the candidate
+    * side was tried and REVERTED on measurement — attaching set sizes
+    * to postings cost a second pass over the big (doc, shingle) table,
+    * 3.3 → 6.4 s at sf0.1; at true corpus scale, fold the size into
+    * the posting row at build time instead of re-joining for it.)
+    *
+    * `dfCap` is the same saturated-corpus guard as [[similarityJoin]]'s:
+    * shingles with df > dfCap never become join keys, bounding
+    * candidate volume at cap · |prefix entries| (linear). Recall
+    * consequence: a qualifying pair is missed iff every A-prefix
+    * shingle that B also contains has df > dfCap.
+    *
+    * @return (doc_in, doc_out, inter, n_in): doc_in ≈⊆ doc_out
+    */
+  def containmentJoin(docs: DataFrame, textCol: String, idCol: String,
+      ngram: Int = 3, simNum: Int = 4, simDen: Int = 5,
+      dfCap: Long = Long.MaxValue,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(simNum > 0 && simDen > 0 && simNum <= simDen,
+      s"threshold must be a fraction in (0,1], got $simNum/$simDen")
+    require(dfCap >= 1, s"dfCap must be >= 1, got $dfCap")
+    import org.apache.spark.sql.expressions.Window
+    val ex = materialize(
+      docs.select(col(idCol).as("doc_id"),
+          graft.plans.NGramExplode.of(TextFns.tokens(col(textCol)), ngram))
+        .select(col("doc_id"), col("ngram").as("tok"))
+        .distinct(),
+      checkpointDir)
+    val sets = materialize(
+      ex.groupBy(col("doc_id"))
+        .agg(collect_set(col("tok")).as("toks"), count(lit(1)).as("n_set")),
+      checkpointDir)
+    val dfreq = ex.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // containment prefix length: n − ceil(t·n) + 1, integer ceil
+    val prefix = ex.join(dfreq, "tok")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .filter(col("rk") <=
+        col("n") - ((col("n") * simNum + simDen - 1).divide(simDen)
+          .cast("long")) + 1)
+      .filter(col("df") <= dfCap)
+      .select(col("tok"), col("doc_id").as("doc_in"))
+    prefix
+      .join(ex.select(col("tok"), col("doc_id").as("doc_out")), "tok")
+      .filter(col("doc_in") =!= col("doc_out"))
+      .select(col("doc_in"), col("doc_out")).distinct()
+      .join(sets.select(col("doc_id").as("doc_in"), col("toks").as("toks_a"),
+        col("n_set").as("n_in")), "doc_in")
+      .join(sets.select(col("doc_id").as("doc_out"), col("toks").as("toks_b")),
+        "doc_out")
+      .withColumn("inter",
+        graft.plans.TextExpressions.intersectCount(col("toks_a"), col("toks_b")))
+      .filter(col("inter") * simDen >= col("n_in") * simNum)
+      .select(col("doc_in"), col("doc_out"), col("inter"), col("n_in"))
   }
 
   /** Fuzzy dedup keep-set: one surviving id per near-dup cluster (the

@@ -42,6 +42,33 @@ object GlobalRank {
     spark.createDataFrame(ranked, schema)
   }
 
+  /** `ntile(k)` without the single-partition window: global rank via
+    * [[withRank]], then the ntile assignment computed ARITHMETICALLY
+    * from (rank, n, k) — `ntile` semantics exactly (first n mod k tiles
+    * get ⌈n/k⌉ rows, the rest ⌊n/k⌋), so results match the windowed
+    * form row for row while the data never funnels through one task.
+    * The row count is read with one bounded driver action (a single
+    * long — the same contract as [[withPrefixSum]]'s per-partition
+    * totals collect). */
+  def withNtile(df: DataFrame, sortCols: Seq[Column], tiles: Int,
+      tileCol: String = "tile", partitions: Int = 0): DataFrame = {
+    require(tiles >= 1, s"tiles must be >= 1, got $tiles")
+    val ranked = withRank(df, sortCols, "__rk", partitions)
+    val n = df.count()
+    val q = n / tiles
+    val rem = n % tiles
+    // rank → tile, integer-exact: ranks ≤ (q+1)·rem fall in the first
+    // rem (larger) tiles, the rest advance every q ranks
+    val tileExpr =
+      if (q == 0) "CAST(__rk AS INT)"
+      else s"""CAST(CASE WHEN __rk <= ${(q + 1) * rem}
+              |  THEN (__rk + $q) div ${q + 1}
+              |  ELSE $rem + (__rk - ${(q + 1) * rem} + ${q - 1}) div $q
+              |END AS INT)""".stripMargin
+    ranked.withColumn(tileCol,
+      org.apache.spark.sql.functions.expr(tileExpr)).drop("__rk")
+  }
+
   /** Deterministic GLOBAL running sum (exclusive prefix sum) of a long
     * column in `sortCols` order, without a single-partition window —
     * the scalable form of `sum(x) OVER (ORDER BY … ROWS UNBOUNDED

@@ -752,17 +752,22 @@ object Extended3 {
   }
 
   // --------------------------------------------------------------------
-  // q99 — equi-depth histogram (decile binning): ntile(10) over a
-  // deterministic total order, then per-bin count/min/max — the
+  // q99 — equi-depth histogram (decile binning): deterministic
+  // total-order deciles, then per-bin count/min/max — the
   // data-profiling companion to q07's equi-width histogram and the
-  // cutpoint source for range partitioning. At scale the total sort is
-  // a range exchange (sampled boundaries), not a single partition.
+  // cutpoint source for range partitioning. NOT `ntile(10) OVER
+  // (ORDER BY …)`: an unpartitioned window moves the whole table
+  // through ONE task (the q158 lesson — this was the last full-table
+  // instance). GlobalRank.withNtile range-partitions, ranks with the
+  // two-phase zip, and computes the ntile assignment arithmetically —
+  // row-identical to the windowed form, no single-partition stage.
   def q99(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val w = Window.orderBy($"l_extendedprice", $"l_orderkey", $"l_linenumber")
-    t(s, dir, "lineitem")
+    val base = t(s, dir, "lineitem")
       .select($"l_extendedprice", $"l_orderkey", $"l_linenumber")
-      .withColumn("decile", ntile(10).over(w))
+    graft.operators.GlobalRank
+      .withNtile(base, Seq($"l_extendedprice", $"l_orderkey", $"l_linenumber"),
+        tiles = 10, tileCol = "decile")
       .groupBy($"decile")
       .agg(count(lit(1)).as("n"),
         round(min($"l_extendedprice"), 2).as("lo"),

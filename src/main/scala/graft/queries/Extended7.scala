@@ -423,16 +423,18 @@ object Extended7 {
   // q137 — length-bucketed batching: equi-depth token-length buckets
   // (ntile) then fixed-budget batch ids inside each bucket — grouping
   // similar-length docs minimizes padding waste in training batches.
-  // Integer-only: batch id = running-token-start div budget. Both
-  // windows share the bucket partitioning; the ntile pass is the only
-  // global sort (rank-by-length), same shape as q99's deciles.
+  // Integer-only: batch id = running-token-start div budget. The
+  // bucket assignment is GlobalRank.withNtile (range-partition +
+  // arithmetic ntile — an unpartitioned ntile window would funnel the
+  // corpus through one task, the q158/q99 lesson); the batch window
+  // is bucket-partitioned.
   def q137(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val budget = 2000L
-    val sized = t(s, dir, "documents")
-      .select($"doc_id", size(TextFns.tokens($"text")).cast("long").as("n_toks"))
-      .withColumn("bucket",
-        ntile(10).over(Window.orderBy($"n_toks", $"doc_id")))
+    val sized = graft.operators.GlobalRank.withNtile(
+      t(s, dir, "documents")
+        .select($"doc_id", size(TextFns.tokens($"text")).cast("long").as("n_toks")),
+      Seq($"n_toks", $"doc_id"), tiles = 10, tileCol = "bucket")
     val wb = Window.partitionBy($"bucket").orderBy($"doc_id")
     sized
       .withColumn("cum", sum($"n_toks").over(wb))

@@ -241,43 +241,14 @@ object Extended9 {
   // prefix takes each doc's RAREST shingles, so the posting lists
   // joined against are the short ones — df-bounded like q138, not
   // corpus-bounded.
+  // (Implementation lives in TextDedup.containmentJoin — the reusable
+  // operator with the dfCap saturated-corpus guard and checkpointDir;
+  // the length-filter revert note moved there with it.)
   def q145(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val ex = t(s, dir, "documents")
-      .select($"doc_id", graft.plans.NGramExplode.of(TextFns.tokens($"text"), 3))
-      .select($"doc_id", $"ngram".as("tok"))
-      .distinct()
-      .localCheckpoint()
-    val sets = ex.groupBy($"doc_id")
-      .agg(collect_set($"tok").as("toks"), count(lit(1)).as("n_set"))
-      .localCheckpoint()
-    val dfreq = ex.groupBy($"tok").agg(count(lit(1)).as("df"))
-    // containment t = 4/5: prefix length n − ceil(4n/5) + 1
-    val prefix = ex.join(dfreq, "tok")
-      .withColumn("rk", row_number().over(
-        Window.partitionBy($"doc_id").orderBy($"df", $"tok")))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy($"doc_id")))
-      .filter($"rk" <= $"n" - (($"n" * 4 + 4).divide(5)).cast("long") + 1)
-      .select($"tok", $"doc_id".as("doc_in"))
-    // (A length filter — |B| ≥ 4/5·|A| is necessary — could prune
-    // candidates here, but attaching set sizes to the postings costs a
-    // second pass over the big (doc, shingle) table: measured 3.3 →
-    // 6.4 s at sf0.1, a net LOSS at these candidate volumes. At true
-    // corpus scale, fold the size into the posting row at build time
-    // instead of re-joining for it.)
-    prefix
-      .join(ex.select($"tok", $"doc_id".as("doc_out")), "tok")
-      .filter($"doc_in" =!= $"doc_out")
-      .select($"doc_in", $"doc_out").distinct()
-      .join(sets.select($"doc_id".as("doc_in"), $"toks".as("toks_a"),
-        $"n_set".as("n_in")), "doc_in")
-      .join(sets.select($"doc_id".as("doc_out"), $"toks".as("toks_b")),
-        "doc_out")
-      .withColumn("inter",
-        graft.plans.TextExpressions.intersectCount($"toks_a", $"toks_b"))
-      .filter($"inter" * 5 >= $"n_in" * 4)
-      .select($"doc_in", $"doc_out", $"inter", $"n_in")
+    graft.ext.TextDedup
+      .containmentJoin(t(s, dir, "documents"), "text", "doc_id",
+        ngram = 3, simNum = 4, simDen = 5)
       .orderBy($"doc_in", $"doc_out")
   }
 

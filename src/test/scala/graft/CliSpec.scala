@@ -137,4 +137,30 @@ class CliSpec extends SparkSpec {
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.toSeq === Seq((1L, 2L)))
   }
+
+  test("triangles / kcore subcommands over an edge parquet") {
+    import spark.implicits._
+    val base = tmpDir("cligraph")
+    // K4 (4 triangles, every node degree 3) + a degree-1 tail node
+    val edges = (for (a <- 0L to 3L; b <- (a + 1) to 3L) yield (a, b)) :+
+      (3L, 9L)
+    edges.toDF("a", "b").write.parquet(s"$base/edges")
+
+    val outTri = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(outTri)) {
+      Main.run(spark, List("triangles", s"$base/edges", "a", "b"))
+    }
+    assert(outTri.toString.trim === "4 triangles")
+
+    val outCore = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(outCore)) {
+      Main.run(spark, List("kcore", s"$base/edges", "a", "b", "3",
+        s"$base/core"))
+    }
+    assert(outCore.toString.contains("k=3 core has 4 nodes"))
+    val core = spark.read.parquet(s"$base/core")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core === Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L),
+      "the tail node peels off; K4 survives at k=3")
+  }
 }

@@ -105,6 +105,25 @@ class Extended11Spec extends SparkSpec {
     }
   }
 
+  test("withNtile == windowed ntile: remainders, n < k, any partitioning") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // 25 = 2·10+5 exercises the mixed ⌈n/k⌉/⌊n/k⌋ tile sizes; 7 < 10
+    // exercises the q=0 branch; 40 is the exact-division case
+    for ((n, k) <- Seq((25, 10), (7, 10), (40, 10), (100, 3))) {
+      val df = (1 to n).map(i => (i.toLong * 7 % n, i.toLong)).toDF("v", "id")
+      val want = df
+        .withColumn("tile", ntile(k).over(Window.orderBy($"v", $"id")))
+        .collect().map(r => r.getLong(1) -> r.getInt(2)).toMap
+      for (parts <- Seq(1, 4)) {
+        val got = graft.operators.GlobalRank
+          .withNtile(df, Seq($"v", $"id"), k, partitions = parts)
+          .collect().map(r => r.getLong(1) -> r.getInt(2)).toMap
+        assert(got === want, s"n=$n k=$k partitions=$parts")
+      }
+    }
+  }
+
   test("q152: orientation bounds fan-out; count == unoriented closure") {
     import spark.implicits._
     val op = Tables.load(spark, dir, "lineitem")

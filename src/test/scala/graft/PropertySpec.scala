@@ -225,6 +225,45 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("containmentJoin == brute force at t=4/5 on length-skewed corpora") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val wordGen = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps",
+      "zeta", "eta", "theta")
+    // short docs (6 tokens) + long docs (30 tokens) + WRAPPED docs — a
+    // short doc embedded in noise, so |B| ≫ |A| qualifying pairs exist
+    val shortGen = Gen.listOfN(6, wordGen).map(_.mkString(" "))
+    val longGen = Gen.listOfN(30, wordGen).map(_.mkString(" "))
+    for (round <- 0 until 3) {
+      val shorts = (0 until 12).flatMap(i =>
+        shortGen.apply(Gen.Parameters.default, Seed(round * 100L + i)))
+      val longs = (0 until 8).flatMap(i =>
+        longGen.apply(Gen.Parameters.default, Seed(round * 100L + 50 + i)))
+      val wrapped = shorts.take(4).zip(longs.take(4))
+        .map { case (s, l) => l.split(" ").take(10).mkString(" ") + " " + s }
+      val texts = shorts ++ longs ++ wrapped
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val sets = docs.select($"doc_id", array_distinct(
+          graft.functions.TextFns.ngramsFromTokens(
+            graft.functions.TextFns.tokens($"text"), 3)).as("ng"))
+        .as[(Long, Seq[String])].collect()
+        .map { case (id, ng) => id -> ng.toSet }
+      val got = graft.ext.TextDedup
+        .containmentJoin(docs, "text", "doc_id", ngram = 3,
+          simNum = 4, simDen = 5)
+        .select($"doc_in", $"doc_out").as[(Long, Long)].collect().toSet
+      val want = (for {
+        (ia, sa) <- sets; (ib, sb) <- sets if ia != ib
+        if sa.intersect(sb).size * 5 >= sa.size * 4
+      } yield (ia, ib)).toSet
+      assert(got === want, s"round $round")
+      assert(want.exists { case (a, b) =>
+        sets.toMap.apply(b).size > 2 * sets.toMap.apply(a).size
+      }, s"round $round degenerate: no |B| >> |A| qualifying pair")
+    }
+  }
+
   test("TopKLong distributed == sort-take, any k, random data") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -170,6 +170,21 @@ class QueryPlanSpec extends SparkSpec {
     }) === 0, p.toString)
   }
 
+  test("q99/q137: no unpartitioned window — full-table ntile is GlobalRank") {
+    // ntile(k) OVER (ORDER BY …) funnels the whole table through one
+    // task; both equi-depth queries now rank via GlobalRank.withNtile.
+    // q137 keeps its BUCKET-partitioned batch window — the contract is
+    // "no window without a partitionSpec", not "no windows".
+    for (name <- Seq("q99_equidepth_hist", "q137_length_bucket_batching")) {
+      val p = executed(name)
+      val unpartitioned = p.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+      }
+      assert(unpartitioned.isEmpty, s"$name:\n$p")
+    }
+  }
+
   test("q02: filter and projection reach the parquet scan") {
     val scans = plan("q02_filter_project").collect {
       case f: org.apache.spark.sql.execution.FileSourceScanExec => f

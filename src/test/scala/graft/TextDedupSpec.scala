@@ -188,4 +188,54 @@ class TextDedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(star === Map(3L -> 3L, 8L -> 8L))
   }
+
+  test("similarityJoin dfCap: capped shingles stop being join keys; rare pairs survive") {
+    import spark.implicits._
+    // Two near-dup pairs: one made of RARE shingles (df = 2), one whose
+    // shingles are shared with 20 boilerplate clones (df >= 21). With a
+    // tiny dfCap the boilerplate pair's shared prefix shingles are all
+    // capped → that pair (and the clone cluster's pairs) drop out, the
+    // rare pair stays. Uncapped, both pairs appear.
+    val rareA = "qq ww ee rr tt yy uu ii"
+    val rareB = "qq ww ee rr tt yy uu oo"
+    val boiler = "aa bb cc dd ee2 ff gg hh"
+    val boilerB = "aa bb cc dd ee2 ff gg zz"
+    val docs = (Seq((0L, rareA), (1L, rareB), (2L, boiler), (3L, boilerB)) ++
+      (10L until 30L).map(i => (i, boiler))).toDF("doc_id", "text")
+    def pairs(cap: Long): Set[(Long, Long)] = TextDedup
+      .similarityJoin(docs, "text", "doc_id", ngram = 3,
+        simNum = 1, simDen = 2, dfCap = cap)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    val uncapped = pairs(Long.MaxValue)
+    assert(uncapped.contains((0L, 1L)))
+    assert(uncapped.contains((2L, 3L)))
+    val capped = pairs(3L)
+    assert(capped.contains((0L, 1L)), "rare-shingle pair must survive the cap")
+    assert(!capped.contains((2L, 3L)),
+      "pair whose shared shingles are all high-df is the documented recall cost")
+    // the cap only ever REMOVES pairs, never invents them
+    assert(capped.subsetOf(uncapped))
+  }
+
+  test("containmentJoin: finds doc-inside-doc pairs Jaccard misses; dfCap guards") {
+    import spark.implicits._
+    val small = "k1 k2 k3 k4 k5 k6"
+    val big = small + " m1 m2 m3 m4 m5 m6 m7 m8 m9 m10 m11 m12 m13 m14 m15 m16"
+    val other = "n1 n2 n3 n4 n5 n6 n7 n8"
+    val docs = Seq((1L, small), (2L, big), (3L, other)).toDF("doc_id", "text")
+    val got = TextDedup.containmentJoin(docs, "text", "doc_id", ngram = 3)
+      .select($"doc_in", $"doc_out").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L)), "small ⊆ big, asymmetric, no other pairs")
+    // symmetric Jaccard at 1/2 misses it: inter=4 3-grams, union=24
+    val jac = TextDedup.similarityJoin(docs, "text", "doc_id", ngram = 3,
+      simNum = 1, simDen = 2).count()
+    assert(jac === 0L)
+    // dfCap: clone the small doc's shingles into 20 boilerplate docs so
+    // every shared shingle is high-df → capped join finds nothing
+    val noisy = docs.union(
+      (10L until 30L).map(i => (i, small)).toDF("doc_id", "text"))
+    val capped = TextDedup.containmentJoin(noisy, "text", "doc_id",
+      ngram = 3, dfCap = 3L)
+    assert(capped.filter($"doc_in" === 1L && $"doc_out" === 2L).isEmpty)
+  }
 }
