@@ -80,4 +80,67 @@ object TrainPrep {
       .withColumn("batch_id", expr(s"cum_before div $tokenCap"))
       .select(col(idCol), col(shardCol), col("toks"), col("batch_id"))
   }
+
+  /** Greedy max-coverage selection (q153 generalized): each round picks
+    * the item covering the most yet-UNCOVERED elements (ties: smallest
+    * id), then adds its elements to the covered set — the classic
+    * (1−1/e) greedy for "smallest subset spanning the corpus's
+    * element space", a data-efficiency curation step. Runs a
+    * parametrized number of rounds with EARLY STOP once nothing new
+    * can be covered (the fixed-depth query form can't notice
+    * exhaustion).
+    *
+    * Fully declarative — no driver collect: each round's winner is a
+    * 1-row frame, exclusions are anti joins against the accumulated
+    * winner set, the covered set a semi join + distinct. Round state
+    * is pinned per round (localCheckpoint, or reliable `checkpoint()`
+    * via `checkpointDir` for long selections) so plans don't grow with
+    * rounds — the [[TextDedup.connectedComponents]] pattern.
+    *
+    * @param pairs (id, element) coverage relation; duplicates fine
+    *              (distinct applied)
+    * @return (round, id, gain), one row per completed round — fewer
+    *         than `rounds` rows when the element space is exhausted
+    */
+  def greedyCover(pairs: DataFrame, idCol: String, elemCol: String,
+      rounds: Int, checkpointDir: Option[String] = None): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val tk = TextDedup.materialize(
+      pairs.select(col(idCol).as("id"), col(elemCol).as("elem")).distinct(),
+      checkpointDir)
+    var out = Seq.empty[DataFrame]
+    var chosenIds: Option[DataFrame] = None
+    var covered: Option[DataFrame] = None
+    var exhausted = false
+    var r = 1
+    while (r <= rounds && !exhausted) {
+      val pool = (chosenIds, covered) match {
+        case (Some(ids), Some(cov)) =>
+          tk.join(ids, Seq("id"), "left_anti")
+            .join(cov, Seq("elem"), "left_anti")
+        case _ => tk
+      }
+      val win = TextDedup.materialize(
+        pool.groupBy(col("id")).agg(count(lit(1)).as("gain"))
+          .orderBy(col("gain").desc, col("id")).limit(1)
+          .select(lit(r.toLong).as("round"), col("id"), col("gain")),
+        checkpointDir)
+      if (win.isEmpty) exhausted = true
+      else {
+        out = out :+ win
+        val ids = TextDedup.materialize(
+          chosenIds.fold(win.select(col("id")))(
+            _.unionByName(win.select(col("id")))),
+          checkpointDir)
+        chosenIds = Some(ids)
+        covered = Some(TextDedup.materialize(
+          tk.join(ids, Seq("id"), "left_semi").select(col("elem")).distinct(),
+          checkpointDir))
+      }
+      r += 1
+    }
+    if (out.isEmpty) tk.limit(0)
+      .select(lit(0L).as("round"), col("id"), lit(0L).as("gain"))
+    else out.reduce(_ unionByName _)
+  }
 }

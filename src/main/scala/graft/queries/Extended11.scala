@@ -139,37 +139,18 @@ object Extended11 {
   // broadcast-size frames.
   def q153(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val tk = t(s, dir, "documents")
+    // Round outputs are tiny (1-row winners, ≤|doc| covered shingles)
+    // but feed MULTIPLE later subtrees — the operator pins each round
+    // once (4.4 → 3.7 s steady at sf0.1; the rest is the genuinely
+    // iterative ~2 passes per round over the shingle table). The loop,
+    // early-stop, and checkpointDir live in TrainPrep.greedyCover;
+    // this query is its 3-round instance.
+    val pairs = t(s, dir, "documents")
       .select($"doc_id", explode(array_distinct(
         graft.functions.TextFns.ngramsFromTokens(
           graft.functions.TextFns.tokens($"text"), 3))).as("tok"))
-      .distinct()
-      .localCheckpoint()
-    def top1(pool: DataFrame): DataFrame = pool
-      .groupBy($"doc_id").agg(count(lit(1)).as("gain"))
-      .orderBy($"gain".desc, $"doc_id").limit(1)
-    // Round outputs are tiny (1-row winners, ≤|doc| covered shingles)
-    // but feed MULTIPLE later subtrees — without materialization the
-    // r3 plan recomputes r1 five times. localCheckpoint pins each
-    // round once (4.4 → 3.7 s steady at sf0.1; the rest is the
-    // genuinely iterative ~6 passes over the shingle table).
-    val r1 = top1(tk).localCheckpoint()
-    val c1 = tk.join(r1.select($"doc_id"), "doc_id").select($"tok").distinct()
-      .localCheckpoint()
-    val r2 = top1(tk
-      .join(r1.select($"doc_id"), Seq("doc_id"), "left_anti")
-      .join(c1, Seq("tok"), "left_anti")).localCheckpoint()
-    val c2 = c1.union(
-      tk.join(r2.select($"doc_id"), "doc_id").select($"tok")).distinct()
-      .localCheckpoint()
-    val r3 = top1(tk
-      .join(r1.select($"doc_id").union(r2.select($"doc_id")),
-        Seq("doc_id"), "left_anti")
-      .join(c2, Seq("tok"), "left_anti"))
-    r1.withColumn("round", lit(1L))
-      .unionByName(r2.withColumn("round", lit(2L)))
-      .unionByName(r3.withColumn("round", lit(3L)))
-      .select($"round", $"doc_id", $"gain")
+    graft.ext.TrainPrep.greedyCover(pairs, "doc_id", "tok", rounds = 3)
+      .select($"round", $"id".as("doc_id"), $"gain")
       .orderBy($"round")
   }
 

@@ -35,6 +35,24 @@ class Extended11Spec extends SparkSpec {
     assert(naive.nonEmpty, "degenerate fixture")
   }
 
+  test("greedyCover: early stop on exhaustion; checkpointDir parity") {
+    import spark.implicits._
+    // 3 docs cover the whole 5-element universe by round 2 — asking for
+    // 5 rounds must return only the rounds that gained anything
+    val pairs = Seq(
+      (1L, "a"), (1L, "b"), (1L, "c"),
+      (2L, "d"), (2L, "e"),
+      (3L, "a"), (3L, "d")).toDF("doc", "el")
+    val got = graft.ext.TrainPrep.greedyCover(pairs, "doc", "el", rounds = 5)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got === Seq((1L, 1L, 3L), (2L, 2L, 2L)),
+      "doc 3 adds nothing once 1 and 2 are taken; rounds 3+ must not emit")
+    val ck = graft.ext.TrainPrep.greedyCover(pairs, "doc", "el", rounds = 5,
+        checkpointDir = Some(tmpDir("cover-ckpt")))
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(ck === got)
+  }
+
   test("q153: greedy rounds replay brute-force; gains non-increasing") {
     import spark.implicits._
     val rows = Extended11.q153(spark, dir).collect()
