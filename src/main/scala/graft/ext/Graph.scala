@@ -46,14 +46,21 @@ object Graph {
     * triangle is a wedge (y, z) out of x whose closing edge (y, z) is
     * itself oriented — counted exactly once.
     *
-    * The orientation key is `struct(degree, id)` compared
-    * lexicographically — injective for ANY id range (an arithmetic
-    * `d * C + id` key collides as soon as ids reach C, silently
-    * conflating nodes in the wedge join).
+    * The orientation key must be INJECTIVE over (degree, id) — a fixed
+    * `d * C + id` encoding collides as soon as ids reach C, silently
+    * conflating nodes in the wedge join. Two injective layouts, picked
+    * at runtime from two bounded scalar reads (max id, max degree):
+    * the narrow 8-byte `degree * (maxId+1) + id` when it provably
+    * cannot overflow a long (every realistic graph — the wedge join
+    * shuffles tens of millions of keys, so key width is wall-clock),
+    * else lexicographic `struct(degree, id)` (correct for ANY range).
     *
-    * @param assumeCanonical skip [[canonicalEdges]] when the input is
-    *   already (u < v, distinct, no self-loops) — saves one shuffle
-    * @param checkpointDir reliable-checkpoint dir for the two reused
+    * @param assumeCanonical input is already (u < v, distinct, no
+    *   self-loops) AND materialized/cheap-to-reuse — the operator skips
+    *   its own canonicalize+checkpoint pass (q152 passes its
+    *   localCheckpointed edge set); with false, the pair list is
+    *   normalized and pinned here
+    * @param checkpointDir reliable-checkpoint dir for the reused
     *   intermediates; None = localCheckpoint
     * @return one row: (n_triangles)
     */
@@ -61,17 +68,33 @@ object Graph {
       srcCol: String = "u", dstCol: String = "v",
       assumeCanonical: Boolean = false,
       checkpointDir: Option[String] = None): DataFrame = {
-    val canon =
-      if (assumeCanonical) edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
-      else canonicalEdges(edges, srcCol, dstCol)
     // reused 3×: degrees + both wedge-join sides feed off the same set
-    val e = TextDedup.materialize(canon, checkpointDir)
+    val e =
+      if (assumeCanonical) edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      else TextDedup.materialize(canonicalEdges(edges, srcCol, dstCol),
+        checkpointDir)
     val deg = degrees(e)
+    // ONE bounded scalar read over the pinned edge set picks the key
+    // layout: the narrow key needs ids in [0, maxId] (injectivity +
+    // the same lexicographic order as struct(d, id)) and no long
+    // overflow — edge COUNT is a sufficient upper bound for any degree,
+    // so no extra pass over the degree frame is needed
+    val bounds = e.agg(
+      min(least(col("u"), col("v")).cast("long")),
+      max(greatest(col("u"), col("v")).cast("long")),
+      count(lit(1))).head()
+    val (minId, maxId, maxDegBound) =
+      if (bounds.isNullAt(0)) (0L, 0L, 0L)
+      else (bounds.getLong(0), bounds.getLong(1), bounds.getLong(2))
+    val fitsLong = minId >= 0 &&
+      maxDegBound <= (Long.MaxValue - maxId) / (maxId + 1)
+    def ordOf(d: Column, id: Column): Column =
+      if (fitsLong) d * (maxId + 1) + id else struct(d, id)
     val withOrd = e
       .join(deg.select(col("node").as("u"),
-        struct(col("degree"), col("node")).as("ou")), "u")
+        ordOf(col("degree"), col("node")).as("ou")), "u")
       .join(deg.select(col("node").as("v"),
-        struct(col("degree"), col("node")).as("ov")), "v")
+        ordOf(col("degree"), col("node")).as("ov")), "v")
     val oriented = TextDedup.materialize(
       withOrd.select(
           when(col("ou") < col("ov"),

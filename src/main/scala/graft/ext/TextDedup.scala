@@ -385,15 +385,18 @@ object TextDedup {
     // ranks/sizes are computed over the FULL shingle set, THEN capped
     // shingles are dropped as join keys — positions stay true to the
     // global (df, tok) order, which is what keeps the positional filter
-    // below exact under the cap (capped = highest-df = tail positions)
+    // below exact under the cap (capped = highest-df = tail positions).
+    // The cap filter is only planted when a cap is set (a dead
+    // always-true filter still costs in the hot window stage).
+    val prefixAll = ex.join(dfreq, "tok")
+      .withColumn("rk", row_number().over(wDoc))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .filter(col("rk") <=
+        col("n") - ((col("n") * simNum + simDen - 1).divide(simDen)
+          .cast("long")) + 1)
     val prefix = materialize(
-      ex.join(dfreq, "tok")
-        .withColumn("rk", row_number().over(wDoc))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
-        .filter(col("rk") <=
-          col("n") - ((col("n") * simNum + simDen - 1).divide(simDen)
-            .cast("long")) + 1)
-        .filter(col("df") <= dfCap)
+      (if (dfCap == Long.MaxValue) prefixAll
+       else prefixAll.filter(col("df") <= dfCap))
         .select(col("tok"), col("doc_id"), col("rk"), col("n")),
       checkpointDir)
     // jaccard ≥ num/den ⇔ inter·(num+den) ≥ num·(na+nb); apply it to
@@ -466,16 +469,19 @@ object TextDedup {
         .agg(collect_set(col("tok")).as("toks"), count(lit(1)).as("n_set")),
       checkpointDir)
     val dfreq = ex.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    // containment prefix length: n − ceil(t·n) + 1, integer ceil
-    val prefix = ex.join(dfreq, "tok")
+    // containment prefix length: n − ceil(t·n) + 1, integer ceil; the
+    // cap filter is only planted when a cap is set
+    val prefixAll = ex.join(dfreq, "tok")
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))))
       .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
       .filter(col("rk") <=
         col("n") - ((col("n") * simNum + simDen - 1).divide(simDen)
           .cast("long")) + 1)
-      .filter(col("df") <= dfCap)
-      .select(col("tok"), col("doc_id").as("doc_in"))
+    val prefix =
+      (if (dfCap == Long.MaxValue) prefixAll
+       else prefixAll.filter(col("df") <= dfCap))
+        .select(col("tok"), col("doc_id").as("doc_in"))
     prefix
       .join(ex.select(col("tok"), col("doc_id").as("doc_out")), "tok")
       .filter(col("doc_in") =!= col("doc_out"))

@@ -128,10 +128,10 @@ object TrainPrep {
       if (win.isEmpty) exhausted = true
       else {
         out = out :+ win
-        val ids = TextDedup.materialize(
-          chosenIds.fold(win.select(col("id")))(
-            _.unionByName(win.select(col("id")))),
-          checkpointDir)
+        // union of ≤`rounds` ALREADY-PINNED 1-row winner frames —
+        // lineage stays shallow without its own materialization
+        val ids = chosenIds.fold(win.select(col("id")))(
+          _.unionByName(win.select(col("id"))))
         chosenIds = Some(ids)
         covered = Some(TextDedup.materialize(
           tk.join(ids, Seq("id"), "left_semi").select(col("elem")).distinct(),

@@ -64,8 +64,11 @@ class GraphSpec extends SparkSpec {
     es.toDF("u", "v")
   }
 
-  test("triangleCount == brute force on random graphs (small and >1e6 ids)") {
-    for (offset <- Seq(0L, 1000000L); g <- samples(edgeGen(12, offset), 8)) {
+  test("triangleCount == brute force on random graphs (small, >1e6, negative ids)") {
+    // offset 0 / 1e6 take the narrow arithmetic-key path; negative ids
+    // force the struct(degree, id) fallback — both layouts must agree
+    // with brute force
+    for (offset <- Seq(0L, 1000000L, -1000L); g <- samples(edgeGen(12, offset), 8)) {
       val expected = bruteTriangles(canonical(g))
       val got = Graph.triangleCount(toDf(g)).head().getLong(0)
       assert(got === expected, s"offset=$offset edges=${canonical(g)}")
