@@ -34,6 +34,8 @@ import graft.transform.RideTransform
   *   similarity-join <docsParquet> <idCol> <textCol> <num>/<den> <outParquet>
   *   triangles <edgesParquet> <srcCol> <dstCol>
   *   kcore <edgesParquet> <srcCol> <dstCol> <k> <outParquet>
+  *   pagerank <edgesParquet> <srcCol> <dstCol> <maxIter> <outParquet>
+  *   quantiles <parquet> <valueCol> <alphaPct> <q1,q2,...permille>
   */
 object Main {
 
@@ -234,6 +236,25 @@ object Main {
         .kCore(spark.read.parquet(in), k.toInt, src, dst)
       core.write.mode("overwrite").parquet(out)
       println(s"k=${k.toInt} core has ${core.count()} nodes, written to $out")
+
+    // pagerank <edgesParquet> <srcCol> <dstCol> <maxIter> <outParquet>:
+    // integer PageRank to fixpoint (or maxIter); writes (node, d, r).
+    case "pagerank" :: in :: src :: dst :: maxIter :: out :: Nil =>
+      val ranks = graft.ext.Graph.pageRank(
+        spark.read.parquet(in), src, dst, maxIterations = maxIter.toInt)
+      ranks.write.mode("overwrite").parquet(out)
+      println(s"ranked ${ranks.count()} nodes (ppt, damping 0.85) to $out")
+
+    // quantiles <parquet> <valueCol> <alphaPct> <q1,q2,...permille>:
+    // mergeable DDSketch-style quantile profile (positive values).
+    case "quantiles" :: in :: valueCol :: alphaPct :: qs :: Nil =>
+      val alpha = alphaPct.toDouble / 100.0
+      val sk = graft.ext.QuantileSketch.sketch(
+        spark.read.parquet(in), valueCol, alpha)
+      graft.ext.QuantileSketch.quantiles(sk, alpha,
+          qs.split(",").toIndexedSeq.map(_.trim.toInt))
+        .orderBy("q_permille")
+        .show(truncate = false)
 
     case other =>
       sys.error(s"unknown command: ${other.mkString(" ")} — see Scaladoc for usage")

@@ -112,6 +112,69 @@ object Graph {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Integer PageRank (Pregel's join+agg layout in DataFrames) over a
+    * DIRECTED edge list — pass each undirected edge in both directions
+    * for the symmetric case (q134). Ranks are BIGINT parts-per-trillion
+    * with 0.85 damping; every step is exact positive integer division,
+    * so ranks are bit-identical cross-engine and run-to-run — which
+    * also makes TRUE fixpoint detection possible (floats only ever
+    * approach it): with `checkConvergence` the loop stops as soon as a
+    * superstep changes no rank. Early stop never changes the result —
+    * a superstep is a deterministic function of the rank vector, so
+    * once fixed it stays fixed; integer rank cycles (the analogue of
+    * float oscillation) simply run to `maxIterations`.
+    *
+    * Scale: edges are repartitioned by src BEFORE pinning, so every
+    * superstep's edge-side join exchange is pre-satisfied — only the
+    * (node-sized) rank frame and the dst aggregation shuffle per step;
+    * degrees and N are computed once. State pinned per step
+    * (localCheckpoint or reliable `checkpointDir`).
+    *
+    * @return (node, d, r): out-degree and rank in parts-per-trillion
+    */
+  def pageRank(edges: DataFrame,
+      srcCol: String = "src", dstCol: String = "dst",
+      maxIterations: Int = 20, checkConvergence: Boolean = true,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(maxIterations >= 1, s"maxIterations must be >= 1, got $maxIterations")
+    val e = TextDedup.materialize(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+        .repartition(col("src")),
+      checkpointDir)
+    val deg = TextDedup.materialize(
+      e.groupBy(col("src").as("node")).agg(count(lit(1)).as("d")),
+      checkpointDir)
+    val n = deg.agg(count(lit(1)).as("cnt"))
+    // ranks carries the node's degree so each superstep is exactly one
+    // join (edges ⋈ ranks) + one aggregation
+    var ranks = deg.crossJoin(broadcast(n))
+      .select(col("node"), col("d"), expr("1000000000000 div cnt").as("r"))
+    var iter = 0
+    var converged = false
+    while (iter < maxIterations && !converged) {
+      val acc = e
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst"), expr("r div d").as("contrib"))
+        .groupBy(col("dst")).agg(sum(col("contrib")).as("acc"))
+      val step = deg.crossJoin(broadcast(n))
+        .join(acc, col("node") === col("dst"), "left")
+        .select(col("node"), col("d"),
+          expr("150000000000 div cnt + (85 * coalesce(acc, 0L)) div 100")
+            .as("r"))
+      if (checkConvergence) {
+        // the convergence probe executes the step anyway — pin it so
+        // the probe and the next superstep share one materialization
+        val next = TextDedup.materialize(step, checkpointDir)
+        converged = next.alias("a")
+          .join(ranks.alias("b"), expr("a.node = b.node AND a.r <> b.r"))
+          .isEmpty
+        ranks = next
+      } else ranks = step // bounded fixed-round unroll: lazy like q134's
+      iter += 1
+    }
+    ranks
+  }
+
   /** k-core decomposition to FIXPOINT: repeatedly drop nodes whose
     * current degree is below k until a pass removes nothing — removals
     * cascade, so the surviving subgraph is the maximal one where every

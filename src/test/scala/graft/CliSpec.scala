@@ -162,5 +162,33 @@ class CliSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(core === Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L),
       "the tail node peels off; K4 survives at k=3")
+
+    // pagerank over the symmetrized star inside the same edge set:
+    // node 3 (in K4 + the tail link) must outrank the tail node 9
+    val sym = edges ++ edges.map(_.swap)
+    sym.toDF("a", "b").write.parquet(s"$base/sym")
+    val outPr = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(outPr)) {
+      Main.run(spark, List("pagerank", s"$base/sym", "a", "b", "10",
+        s"$base/ranks"))
+    }
+    assert(outPr.toString.contains("ranked 5 nodes"))
+    val ranks = spark.read.parquet(s"$base/ranks")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(ranks(3L) > ranks(9L))
+  }
+
+  test("quantiles subcommand prints the sketch profile") {
+    import spark.implicits._
+    val base = tmpDir("cliquant")
+    (1L to 1000L).map(Tuple1(_)).toDF("v").write.parquet(s"$base/vals")
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) {
+      Main.run(spark, List("quantiles", s"$base/vals", "v", "1",
+        "500,900"))
+    }
+    val printed = out.toString
+    assert(printed.contains("q_permille") && printed.contains("est"))
+    assert(printed.contains("500") && printed.contains("900"))
   }
 }

@@ -111,6 +111,36 @@ class GraphSpec extends SparkSpec {
     assert(Graph.kCore(toDf(Seq.empty[(Long, Long)]), 2).isEmpty)
   }
 
+  test("pageRank: ring is stationary (early stop == fixed iterations)") {
+    import spark.implicits._
+    // directed ring: every node out-degree 1, uniform ranks are the
+    // exact fixpoint — convergence must trigger on the first superstep
+    // and equal the fixed-3-iteration result
+    val ring = (0L until 8L).map(i => (i, (i + 1) % 8)).toDF("src", "dst")
+    val fast = Graph.pageRank(ring, maxIterations = 20).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val fixed = Graph.pageRank(ring, maxIterations = 3,
+        checkConvergence = false).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(fast === fixed)
+    assert(fast.values.toSet.size === 1, "ring ranks must be uniform")
+  }
+
+  test("pageRank: star center outranks leaves; ranks deterministic") {
+    import spark.implicits._
+    // undirected star (both directions): center 0, 6 leaves
+    val half = (1L to 6L).map(l => (0L, l))
+    val star = (half ++ half.map(_.swap)).toDF("src", "dst")
+    val ranks = Graph.pageRank(star, maxIterations = 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert((1L to 6L).forall(l => ranks(0L) > ranks(l)),
+      s"center must outrank leaves: $ranks")
+    assert((1L to 6L).map(ranks).toSet.size === 1, "leaves symmetric")
+    val again = Graph.pageRank(star, maxIterations = 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(again === ranks)
+  }
+
   test("checkpointDir path produces identical results to localCheckpoint") {
     val dir = tmpDir("graph-ckpt")
     val g = samples(edgeGen(12, 0L), 1).head
@@ -123,5 +153,11 @@ class GraphSpec extends SparkSpec {
     val coreCkpt = Graph.kCore(toDf(g), 2, checkpointDir = Some(dir))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
     assert(coreLocal === coreCkpt)
+    val prLocal = Graph.pageRank(toDf(g), "u", "v", maxIterations = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1).toSeq
+    val prCkpt = Graph.pageRank(toDf(g), "u", "v", maxIterations = 4,
+        checkpointDir = Some(dir)).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1).toSeq
+    assert(prLocal === prCkpt)
   }
 }
