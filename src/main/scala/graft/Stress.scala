@@ -184,6 +184,16 @@ object Stress {
         .union(hub)
       graft.ext.Graph.triangleCount(e, srcCol = "a", dstCol = "b").count()
     }
+    if (picks("pagerank")) timed("pagerank") {
+      // ext/Graph.pageRank with the convergence probe ON (the
+      // production configuration) on the symmetrized synthetic graph —
+      // probes per-superstep join+agg cost and the probe's own price.
+      val ids = docs.select($"doc_id".as("u"))
+      val hash1 = (($"u" * 2654435761L) % rows + rows) % rows
+      val half = ids.select($"u".as("a"), hash1.as("b")).filter($"a" =!= $"b")
+      val e = half.union(half.select($"b".as("a"), $"a".as("b")))
+      graft.ext.Graph.pageRank(e, "a", "b", maxIterations = 5).count()
+    }
     if (picks("kcore")) timed("kcore") {
       // ext/Graph.kCore fixpoint peel on the same synthetic graph
       // (~4 edges/node ⇒ k=5 peels most of it, cascading several

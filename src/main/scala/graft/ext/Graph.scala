@@ -22,6 +22,17 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Connected components — delegates to
+    * [[TextDedup.connectedComponents]] (min-label propagation,
+    * O(diameter) rounds) so the graph shelf exposes the whole family;
+    * for adversarial diameters use
+    * [[TextDedup.connectedComponentsStar]] (O(log n) rounds). */
+  def connectedComponents(edges: DataFrame, nodes: DataFrame,
+      srcCol: String = "u", dstCol: String = "v", nodeCol: String = "id",
+      checkpointDir: Option[String] = None): DataFrame =
+    TextDedup.connectedComponents(edges, nodes, srcCol, dstCol, nodeCol,
+      checkpointDir = checkpointDir)
+
   /** Normalize an arbitrary pair list to canonical undirected form:
     * (u, v) with u < v, self-loops dropped, duplicates removed. */
   def canonicalEdges(edges: DataFrame,
