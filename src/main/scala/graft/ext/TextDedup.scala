@@ -561,4 +561,61 @@ object TextDedup {
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** Span-level exact duplicate detection (the substring-dedup stage of
+    * a training pipeline, after doc-level dedup): find every MAXIMAL
+    * run of tokens covered by k-grams that occur at least `minCount`
+    * times across the whole corpus (self-repetition inside one doc
+    * counts — boilerplate headers, templated passages, repeated
+    * licence blocks).
+    *
+    * Pipeline (all declarative, three shuffles):
+    *  1. token k-grams WITH their start position, per doc;
+    *  2. global gram occurrence counts (hash agg, map-side combinable);
+    *     grams with count >= minCount are "duplicated";
+    *  3. per-doc gaps-and-islands merge: duplicated-gram starts sorted
+    *     within the doc; a gap > k between consecutive starts opens a
+    *     new span (a gram at p covers [p, p+k-1], so starts within k
+    *     overlap or touch). The window is KEYED by doc — no global
+    *     window, scales with the corpus.
+    *
+    * At 100 TB the gram shuffle would key on `xxhash64(gram)` instead of
+    * the string to cut shuffle bytes ~10×; kept as the string here so
+    * results are collision-free and engine-portable (the hash variant
+    * changes results only on 64-bit collisions).
+    *
+    * @return one row per maximal duplicated span:
+    *         (idCol, span_id, start_pos, end_pos, span_tokens) with
+    *         1-based token positions, end inclusive.
+    */
+  def dupSpans(docs: DataFrame, textCol: String, idCol: String,
+      k: Int = 5, minCount: Long = 2L): DataFrame = {
+    require(k >= 1, s"gram order must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select(col(idCol).as("__id"), TextFns.tokens(col(textCol)).as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      .filter(col("__n") >= k)
+    val grams = toks.select(col("__id"),
+        explode(expr(s"transform(sequence(1, __n - ${k - 1}), " +
+          s"i -> struct(i AS pos, array_join(slice(__toks, i, $k), ' ') AS g))"))
+          .as("__e"))
+      .select(col("__id"), col("__e.pos").as("__pos"), col("__e.g").as("__g"))
+    val dup = grams.groupBy(col("__g"))
+      .agg(count(lit(1)).as("__c")).filter(col("__c") >= minCount)
+      .select(col("__g"))
+    val w = Window.partitionBy(col("__id")).orderBy(col("__pos"))
+    grams.join(dup, Seq("__g"), "left_semi")
+      .withColumn("__prev", lag(col("__pos"), 1).over(w))
+      .withColumn("__new",
+        when(col("__prev").isNull || col("__pos") - col("__prev") > k, 1L)
+          .otherwise(0L))
+      .withColumn("span_id", sum(col("__new")).over(w))
+      .groupBy(col("__id"), col("span_id"))
+      .agg(min(col("__pos")).as("start_pos"),
+        (max(col("__pos")) + lit(k - 1)).as("end_pos"))
+      .select(col("__id").as(idCol), col("span_id"), col("start_pos"),
+        col("end_pos"),
+        (col("end_pos") - col("start_pos") + 1).as("span_tokens"))
+  }
 }

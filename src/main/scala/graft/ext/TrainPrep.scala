@@ -143,4 +143,45 @@ object TrainPrep {
       .select(lit(0L).as("round"), col("id"), lit(0L).as("gain"))
     else out.reduce(_ unionByName _)
   }
+
+  /** Deterministic weighted sampling without replacement, k per group —
+    * Efraimidis–Spirakis (A-ES) reservoir sampling made ENGINE-PORTABLE
+    * by the integer-weight identity: the A-ES key u^(1/w) has CDF x^w,
+    * and so does the MAX of w independent uniforms — so for integer
+    * weights the key is `max over j in 1..w of H(id, j)` where H is the
+    * portable md5 64-bit-prefix uniform ([[graft.operators.HashSplit]]'s
+    * digest). No transcendental functions, no float keys: every engine
+    * that computes md5 draws the identical sample, and the selection
+    * probability is exactly the weighted-without-replacement one.
+    *
+    * Cost: Σw expanded rows (bounded by maxWeight × n — callers cap the
+    * weight), one keyed agg, one keyed top-k window. No global window,
+    * no shuffle beyond the group key. Rows with weight < 1 are never
+    * sampled (dropped before expansion).
+    *
+    * @param weightCol integer column, weight >= 1 (cap it upstream —
+    *                  the expansion factor is the mean weight)
+    * @return (groupCol, rk, idCol, weightCol, key) — rk in 1..k by
+    *         descending key, ties broken by ascending id
+    */
+  def weightedSample(df: DataFrame, idCol: String, groupCol: String,
+      weightCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"sample size must be >= 1, got $k")
+    val expanded = df
+      .select(col(idCol).as("__id"), col(groupCol).as("__grp"),
+        col(weightCol).cast("long").as("__w"))
+      .filter(col("__w") >= 1)
+      .withColumn("__j", explode(expr("sequence(1, __w)")))
+      .withColumn("__h",
+        conv(substring(md5(concat(col("__id").cast("string"), lit("#"),
+          col("__j").cast("string"))), 1, 8), 16, 10).cast("long"))
+      .groupBy(col("__grp"), col("__id"), col("__w"))
+      .agg(max(col("__h")).as("key"))
+    val win = Window.partitionBy(col("__grp"))
+      .orderBy(col("key").desc, col("__id").asc)
+    expanded.withColumn("rk", row_number().over(win).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("__grp").as(groupCol), col("rk"), col("__id").as(idCol),
+        col("__w").as(weightCol), col("key"))
+  }
 }

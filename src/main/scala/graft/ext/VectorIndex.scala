@@ -95,4 +95,45 @@ object VectorIndex {
       .orderBy(col("cos_sim").desc, col(idCol).asc)
       .limit(k)
   }
+
+  /** Semantic deduplication (SemDeDup-shaped): drop all but one
+    * representative of every cluster of embedding-near-duplicate items.
+    *
+    * Pipeline:
+    *  1. sign-bucket LSH blocks the pair space (candidates share a
+    *     bucket — never |n|² pairs);
+    *  2. in-bucket pairs kept when round(cosine·10⁴) >= tauBp — the
+    *     basis-point threshold is compared AFTER half-up rounding so
+    *     the decision is identical in any engine computing the same
+    *     double sum (the q32 gate technique);
+    *  3. connected components over the kept pairs (min-label
+    *     propagation, O(diameter) keyed joins);
+    *  4. keep = the minimum-id member of each component.
+    *
+    * Scale: bucket sizes bound the pair expansion (add bits for bigger
+    * corpora); CC is the shared [[TextDedup.connectedComponents]] loop
+    * with `checkpointDir` for reliable multi-hour state.
+    *
+    * @param tauBp cosine threshold in basis points (8500 = 0.85)
+    * @return (idCol, component, keep) — one row per input id
+    */
+  def semanticDedup(embeddings: DataFrame, vecCol: String, idCol: String,
+      tauBp: Int, bits: Int = 4,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val b = embeddings
+      .select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .withColumn("__bkt", VectorFns.signBucket(col("__v"), bits))
+    val a = b.select(col("__bkt"), col("__id").as("ia"), col("__v").as("va"))
+    val c = b.select(col("__bkt"), col("__id").as("ib"), col("__v").as("vb"))
+    val pairs = a.join(c, Seq("__bkt"))
+      .filter(col("ia") < col("ib"))
+      .filter(floor(VectorFns.cosine(col("va"), col("vb")) * 10000
+        + lit(0.5)) >= tauBp)
+      .select(col("ia"), col("ib"))
+    TextDedup.connectedComponents(pairs, embeddings.select(col(idCol)),
+        srcCol = "ia", dstCol = "ib", nodeCol = idCol,
+        checkpointDir = checkpointDir)
+      .select(col("node").as(idCol), col("component"),
+        (col("node") === col("component")).as("keep"))
+  }
 }

@@ -1,0 +1,249 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.ext.{TextDedup, TrainPrep, VectorIndex}
+
+/** Round-9 curation operator contracts, proven against in-memory brute
+  * force on random data (the PropertySpec fixed-seed technique):
+  *
+  *  - [[TextDedup.dupSpans]] == brute-force gram counting + island
+  *    merge, including within-doc self-repetition and the exact
+  *    gap-vs-merge boundary;
+  *  - [[TrainPrep.weightedSample]] == brute-force md5 max-key draw
+  *    (the A-ES integer-weight identity), and the selection is
+  *    deterministic across runs;
+  *  - [[VectorIndex.semanticDedup]] == brute-force bucket + cosine +
+  *    union-find clustering with keep-min-id.
+  */
+class CurationOpsSpec extends SparkSpec {
+
+  private def samples[A](gen: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => gen.apply(Gen.Parameters.default, Seed(1409L + i)))
+
+  // ------------------------------------------------------------------
+  // dupSpans
+
+  /** Brute force: maximal islands of start positions of k-grams with
+    * corpus-wide occurrence >= minCount. */
+  private def bruteSpans(docs: Seq[(Long, String)], k: Int, minCount: Int)
+      : Set[(Long, Long, Int, Int, Int)] = {
+    val toks = docs.map { case (id, t) =>
+      id -> t.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+    }
+    val grams = toks.flatMap { case (id, ts) =>
+      if (ts.length < k) Seq.empty
+      else (0 to ts.length - k).map(i => (id, i + 1, ts.slice(i, i + k).mkString(" ")))
+    }
+    val counts = grams.groupBy(_._3).view.mapValues(_.size).toMap
+    grams.filter(g => counts(g._3) >= minCount)
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toSeq
+      .flatMap { case (id, positions) =>
+        val islands = positions.foldLeft(List.empty[List[Int]]) {
+          case (acc, p) => acc match {
+            case (h :: t) :: rest if p - h <= k => (p :: h :: t) :: rest
+            case _ => List(p) :: acc
+          }
+        }.reverse.map(_.reverse)
+        islands.zipWithIndex.map { case (isl, i) =>
+          val s = isl.head
+          val e = isl.last + k - 1
+          (id, (i + 1).toLong, s, e, e - s + 1)
+        }
+      }.toSet
+  }
+
+  private val corpusGen: Gen[Seq[(Long, String)]] = {
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff")
+    for {
+      n <- Gen.chooseNum(4, 10)
+      docs <- Gen.listOfN(n, for {
+        len <- Gen.chooseNum(0, 14)
+        ws <- Gen.listOfN(len, Gen.oneOf(vocab))
+      } yield ws.mkString(" "))
+    } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+  }
+
+  test("dupSpans == brute force on random small-vocab corpora") {
+    val s = spark
+    import s.implicits._
+    samples(corpusGen, 12).foreach { corpus =>
+      val df = corpus.toDF("doc_id", "text")
+      val got = TextDedup.dupSpans(df, "text", "doc_id", k = 3, minCount = 2L)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3),
+          r.getInt(4)))
+        .toSet
+      assert(got === bruteSpans(corpus, k = 3, minCount = 2))
+    }
+  }
+
+  test("dupSpans: within-doc self-repetition counts toward minCount") {
+    val s = spark
+    import s.implicits._
+    // the 3-gram "a b c" occurs twice INSIDE one doc, nowhere else
+    val df = Seq((1L, "a b c x x a b c"), (2L, "q r s t u")).toDF("doc_id", "text")
+    val got = TextDedup.dupSpans(df, "text", "doc_id", k = 3, minCount = 2L)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getInt(3))).toSet
+    assert(got === Set((1L, 1, 3), (1L, 6, 8)))
+  }
+
+  test("dupSpans merges starts exactly k apart and splits at k+1") {
+    val s = spark
+    import s.implicits._
+    // doc 1: dup grams start at 1 and 4 (gap == k=3 -> ONE span 1..6);
+    // doc 3: same grams with one extra token between (gap 4 -> TWO spans)
+    val df = Seq(
+      (1L, "a b c d e f"), (2L, "a b c z z d e f"),
+      (3L, "a b c x d e f"), (4L, "x x x x x x x x")).toDF("doc_id", "text")
+    val spans = TextDedup.dupSpans(df, "text", "doc_id", k = 3, minCount = 2L)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getInt(3), r.getInt(4)))
+    val d1 = spans.filter(_._1 == 1L).map(t => (t._2, t._3, t._4)).toSet
+    val d3 = spans.filter(_._1 == 3L).map(t => (t._2, t._3, t._4)).toSet
+    assert(d1 === Set((1, 6, 6)))
+    assert(d3 === Set((1, 3, 3), (5, 7, 3)))
+  }
+
+  test("dupSpans: docs shorter than k never emit") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "a b"), (2L, "a b"), (3L, "")).toDF("doc_id", "text")
+    assert(TextDedup.dupSpans(df, "text", "doc_id", k = 3, minCount = 2L)
+      .count() === 0L)
+  }
+
+  // ------------------------------------------------------------------
+  // weightedSample
+
+  private def md5Hex8(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    d.take(4).foldLeft(0L)((acc, b) => acc * 256 + (b & 0xff))
+  }
+
+  private def bruteWeighted(rows: Seq[(Long, String, Long)], k: Int)
+      : Set[(String, Long, Long, Long, Long)] =
+    rows.filter(_._3 >= 1)
+      .map { case (id, grp, w) =>
+        val key = (1L to w).map(j => md5Hex8(s"$id#$j")).max
+        (grp, id, w, key)
+      }
+      .groupBy(_._1).toSeq.flatMap { case (grp, members) =>
+        members.sortBy(m => (-m._4, m._2)).take(k).zipWithIndex
+          .map { case ((g, id, w, key), i) => (g, (i + 1).toLong, id, w, key) }
+      }.toSet
+
+  private val weightedGen: Gen[Seq[(Long, String, Long)]] = for {
+    n <- Gen.chooseNum(5, 40)
+    rows <- Gen.listOfN(n, for {
+      grp <- Gen.oneOf("g0", "g1", "g2")
+      w <- Gen.chooseNum(0L, 4L)
+    } yield (grp, w))
+  } yield rows.zipWithIndex.map { case ((g, w), i) => (i.toLong, g, w) }
+
+  test("weightedSample == brute-force md5 max-key draw") {
+    val s = spark
+    import s.implicits._
+    samples(weightedGen, 12).foreach { rows =>
+      val df = rows.toDF("doc_id", "source", "w")
+      val got = TrainPrep.weightedSample(df, "doc_id", "source", "w", k = 3)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4)))
+        .toSet
+      assert(got === bruteWeighted(rows, k = 3))
+    }
+  }
+
+  test("weightedSample: weight-0 rows are never sampled; k bounds groups") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 20L).map(i => (i, "g", if (i % 2 == 0) 0L else 2L))
+      .toDF("doc_id", "source", "w")
+    val got = TrainPrep.weightedSample(df, "doc_id", "source", "w", k = 4)
+      .collect()
+    assert(got.length === 4)
+    assert(got.forall(_.getLong(2) % 2 == 1))
+  }
+
+  // ------------------------------------------------------------------
+  // semanticDedup
+
+  private def bruteSemantic(vecs: Seq[(Long, Array[Float])], tauBp: Int,
+      bits: Int): Set[(Long, Long, Boolean)] = {
+    def bucket(v: Array[Float]): Long =
+      (0 until bits).map(i => if (v(i) >= 0) 1L << i else 0L).sum
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      // mirror VectorFns: sequential double accumulation, cos = d/(na*nb)
+      def dot(x: Array[Float], y: Array[Float]): Double =
+        x.zip(y).foldLeft(0.0)((acc, p) => acc + p._1.toDouble * p._2.toDouble)
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    }
+    val parent = scala.collection.mutable.Map(vecs.map(v => v._1 -> v._1): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    def union(a: Long, b: Long): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    for {
+      (ia, va) <- vecs; (ib, vb) <- vecs
+      if ia < ib && bucket(va) == bucket(vb)
+      if math.floor(cos(va, vb) * 10000 + 0.5) >= tauBp
+    } union(ia, ib)
+    vecs.map { case (id, _) =>
+      val c = find(id)
+      (id, c, id == c)
+    }.toSet
+  }
+
+  private val vecGen: Gen[Seq[(Long, Array[Float])]] = for {
+    n <- Gen.chooseNum(6, 24)
+    base <- Gen.listOfN(n, Gen.listOfN(8,
+      Gen.chooseNum(-100, 100).map(_ / 100.0f)))
+    // clone a few vectors with a tiny perturbation so near-dup pairs exist
+    clones <- Gen.chooseNum(1, 4)
+  } yield {
+    val vs = base.map(_.toArray)
+    val cloned = (0 until math.min(clones, vs.length)).map { i =>
+      vs(i).zipWithIndex.map { case (x, j) =>
+        if (j == 7) x + 0.01f else x }
+    }
+    (vs ++ cloned).zipWithIndex.map { case (v, i) => (i.toLong, v) }
+  }
+
+  test("semanticDedup == brute-force bucket+cosine+union-find") {
+    val s = spark
+    import s.implicits._
+    samples(vecGen, 10).foreach { vecs =>
+      val df = vecs.map { case (id, v) => (id, v.toSeq) }
+        .toDF("vec_id", "embedding")
+        .withColumn("embedding", col("embedding").cast("array<float>"))
+      val got = VectorIndex
+        .semanticDedup(df, "embedding", "vec_id", tauBp = 9000, bits = 4)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+        .toSet
+      assert(got === bruteSemantic(vecs, tauBp = 9000, bits = 4))
+    }
+  }
+
+  test("semanticDedup keeps exactly one representative per component") {
+    val s = spark
+    import s.implicits._
+    // three exact clones + one distinct vector
+    val v = Seq(0.5f, -0.25f, 0.75f, 0.1f, 0.2f, 0.3f, 0.4f, 0.5f)
+    val other = Seq(-0.5f, 0.25f, -0.75f, -0.1f, 0.2f, 0.3f, 0.4f, 0.5f)
+    val df = Seq((10L, v), (11L, v), (12L, v), (13L, other))
+      .toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val rows = VectorIndex
+      .semanticDedup(df, "embedding", "vec_id", tauBp = 9999, bits = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .sortBy(_._1)
+    assert(rows.toSeq === Seq((10L, 10L, true), (11L, 10L, false),
+      (12L, 10L, false), (13L, 13L, true)))
+  }
+}
