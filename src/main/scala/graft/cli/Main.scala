@@ -36,6 +36,9 @@ import graft.transform.RideTransform
   *   kcore <edgesParquet> <srcCol> <dstCol> <k> <outParquet>
   *   pagerank <edgesParquet> <srcCol> <dstCol> <maxIter> <outParquet>
   *   quantiles <parquet> <valueCol> <alphaPct> <q1,q2,...permille>
+  *   dup-spans <docsParquet> <idCol> <textCol> <k> <minCount> <outParquet>
+  *   weighted-sample <parquet> <idCol> <groupCol> <weightCol> <k> <outParquet>
+  *   semantic-dedup <embParquet> <idCol> <vecCol> <tauBp> <bits> <outParquet>
   */
 object Main {
 
@@ -255,6 +258,32 @@ object Main {
           qs.split(",").toIndexedSeq.map(_.trim.toInt))
         .orderBy("q_permille")
         .show(truncate = false)
+
+    // dup-spans <docsParquet> <idCol> <textCol> <k> <minCount> <outParquet>:
+    // maximal corpus-repeated k-gram spans per document (substring-level
+    // exact dedup report).
+    case "dup-spans" :: in :: idCol :: textCol :: k :: minCount :: out :: Nil =>
+      val spans = graft.ext.TextDedup.dupSpans(
+        spark.read.parquet(in), textCol, idCol, k.toInt, minCount.toLong)
+      spans.write.mode("overwrite").parquet(out)
+      println(s"wrote ${spans.count()} duplicated spans (k=$k, min=$minCount) to $out")
+
+    // weighted-sample <parquet> <idCol> <groupCol> <weightCol> <k> <outParquet>:
+    // deterministic A-ES weighted sample, k rows per group.
+    case "weighted-sample" :: in :: idCol :: grpCol :: wCol :: k :: out :: Nil =>
+      val sample = graft.ext.TrainPrep.weightedSample(
+        spark.read.parquet(in), idCol, grpCol, wCol, k.toInt)
+      sample.write.mode("overwrite").parquet(out)
+      println(s"sampled ${sample.count()} rows (k=$k per $grpCol) to $out")
+
+    // semantic-dedup <embParquet> <idCol> <vecCol> <tauBp> <bits> <outParquet>:
+    // embedding near-dup clusters, keep min-id representative.
+    case "semantic-dedup" :: in :: idCol :: vecCol :: tauBp :: bits :: out :: Nil =>
+      val res = graft.ext.VectorIndex.semanticDedup(
+        spark.read.parquet(in), vecCol, idCol, tauBp.toInt, bits.toInt)
+      res.write.mode("overwrite").parquet(out)
+      val kept = res.filter(res("keep")).count()
+      println(s"kept $kept of ${res.count()} (tau=${tauBp.toInt}bp) to $out")
 
     case other =>
       sys.error(s"unknown command: ${other.mkString(" ")} — see Scaladoc for usage")

@@ -191,4 +191,48 @@ class CliSpec extends SparkSpec {
     assert(printed.contains("q_permille") && printed.contains("est"))
     assert(printed.contains("500") && printed.contains("900"))
   }
+
+  test("dup-spans / weighted-sample / semantic-dedup subcommands") {
+    import spark.implicits._
+    val base = tmpDir("clicur")
+
+    // two docs sharing the 3-gram run "a b c d" -> one span of 4 tokens each
+    Seq((1L, "a b c d x", "s0"), (2L, "z a b c d", "s0"),
+        (3L, "p q r s t", "s1"))
+      .toDF("doc_id", "text", "source").write.parquet(s"$base/docs")
+    val outSpan = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(outSpan)) {
+      Main.run(spark, List("dup-spans", s"$base/docs", "doc_id", "text",
+        "3", "2", s"$base/spans"))
+    }
+    assert(outSpan.toString.contains("wrote 2 duplicated spans"))
+    val spans = spark.read.parquet(s"$base/spans")
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getInt(3))).toSet
+    assert(spans === Set((1L, 1, 4), (2L, 2, 5)))
+
+    // weighted sample: weight column drives a deterministic 2-per-source draw
+    Seq((1L, "s0", 3L), (2L, "s0", 1L), (3L, "s0", 2L), (4L, "s1", 4L))
+      .toDF("doc_id", "source", "w").write.parquet(s"$base/weighted")
+    val outWs = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(outWs)) {
+      Main.run(spark, List("weighted-sample", s"$base/weighted", "doc_id",
+        "source", "w", "2", s"$base/sample"))
+    }
+    assert(outWs.toString.contains("sampled 3 rows"),
+      "2 of 3 docs from s0 + the single s1 doc")
+
+    // semantic dedup: two exact clones + one opposite-sign vector
+    val v = Seq(0.5f, 0.5f, 0.5f, 0.5f)
+    Seq((1L, v), (2L, v), (3L, v.map(-_)))
+      .toDF("vec_id", "embedding")
+      .withColumn("embedding",
+        org.apache.spark.sql.functions.col("embedding").cast("array<float>"))
+      .write.parquet(s"$base/emb")
+    val outSd = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(outSd)) {
+      Main.run(spark, List("semantic-dedup", s"$base/emb", "vec_id",
+        "embedding", "9999", "4", s"$base/sem"))
+    }
+    assert(outSd.toString.contains("kept 2 of 3"))
+  }
 }
