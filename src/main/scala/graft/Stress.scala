@@ -211,6 +211,30 @@ object Stress {
         .agg(count(lit(1)).as("n"), expr("bit_xor(doc_id)"))
         .count()
     }
+    if (picks("dupspans")) timed("dupspans") {
+      // TextDedup.dupSpans (the q161 operator) at generated scale. The
+      // 40-word vocab saturates the 5-gram space exactly like the
+      // ppjoin probe (40⁵ = 1e8 grams vs ~1e8 gram instances at 1M
+      // docs ⇒ Poisson mean df ≈ 1, so ~26% of occupied grams are
+      // "duplicated" by collision alone — a worst case real text never
+      // hits at n=5). What this probes: the gram hash agg, the semi
+      // join back, and the doc-keyed island windows all stay linear in
+      // corpus size even when most grams qualify.
+      graft.ext.TextDedup
+        .dupSpans(docs, "text", "doc_id", k = 5, minCount = 2L)
+        .count()
+    }
+    if (picks("wsample")) timed("wsample") {
+      // TrainPrep.weightedSample (the q162 operator): Σw row expansion
+      // (≤4×) + per-source md5 max-key agg + WindowGroupLimit top-k.
+      // 20 generated sources ⇒ 20 groups; probes that the partial
+      // top-k keeps the window shuffle at ~k rows per group.
+      val d = docs.select($"doc_id", $"source",
+        least(lit(1L) + expr("n_chars div 150"), lit(4L)).as("w"))
+      graft.ext.TrainPrep
+        .weightedSample(d, "doc_id", "source", "w", k = 100)
+        .count()
+    }
     spark.stop()
   }
 }

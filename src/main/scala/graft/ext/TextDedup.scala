@@ -596,11 +596,12 @@ object TextDedup {
       .select(col(idCol).as("__id"), TextFns.tokens(col(textCol)).as("__toks"))
       .withColumn("__n", size(col("__toks")))
       .filter(col("__n") >= k)
-    val grams = toks.select(col("__id"),
-        explode(expr(s"transform(sequence(1, __n - ${k - 1}), " +
-          s"i -> struct(i AS pos, array_join(slice(__toks, i, $k), ' ') AS g))"))
-          .as("__e"))
-      .select(col("__id"), col("__e.pos").as("__pos"), col("__e.g").as("__g"))
+    // native generator (no per-row intermediate gram array); every doc
+    // here has __n >= k, so it emits exactly __n-k+1 FULL k-grams with
+    // 0-based positions
+    val grams = toks
+      .select(col("__id"), graft.plans.NGramExplode.of(col("__toks"), k))
+      .select(col("__id"), (col("pos") + 1).as("__pos"), col("ngram").as("__g"))
     val dup = grams.groupBy(col("__g"))
       .agg(count(lit(1)).as("__c")).filter(col("__c") >= minCount)
       .select(col("__g"))

@@ -185,6 +185,25 @@ class QueryPlanSpec extends SparkSpec {
     }
   }
 
+  test("q161/q162: every window is keyed (doc/group partitionSpec)") {
+    // dupSpans' islands windows are doc_id-keyed; weightedSample's
+    // top-k window is group-keyed AND gets WindowGroupLimit partial
+    // top-k pushed below the group shuffle. Neither may ever plan an
+    // unpartitioned (one-task) window.
+    for (name <- Seq("q161_dup_spans", "q162_weighted_sample")) {
+      val p = executed(name)
+      val unpartitioned = p.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+      }
+      assert(unpartitioned.isEmpty, s"$name:\n$p")
+    }
+    val limits = executed("q162_weighted_sample").collect {
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec => w
+    }
+    assert(limits.nonEmpty, "q162 lost the WindowGroupLimit top-k pushdown")
+  }
+
   test("q02: filter and projection reach the parquet scan") {
     val scans = plan("q02_filter_project").collect {
       case f: org.apache.spark.sql.execution.FileSourceScanExec => f
