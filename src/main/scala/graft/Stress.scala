@@ -224,6 +224,29 @@ object Stress {
         .dupSpans(docs, "text", "doc_id", k = 5, minCount = 2L)
         .count()
     }
+    if (picks("semdedup")) timed("semdedup") {
+      // VectorIndex.semanticDedup (the q163 operator) on synthetic
+      // dim-32 vectors (components from xxhash64 so the sign pattern is
+      // genuinely random per vector — a first cut used (g·M) mod 997
+      // components whose sign pattern collapsed to <1k distinct
+      // buckets, and 1M vectors in 1k buckets is 5·10⁸ candidate pairs
+      // / 150+ GB of spill: exactly the saturation bucketCap now
+      // guards), with 10 exact clones per distinct vector
+      // (doc_id % (rows/10)): ~rows/10 components of 10, ~45 pair
+      // edges each. Probes the sign-bucket pair expansion at bits=16
+      // (65k buckets — the "add bits as the corpus grows" dial), the
+      // bucketCap anti-join, and the CC loop over ~4.5 edges/doc.
+      val dim = 32
+      val g = $"doc_id" % (rows / 10)
+      val vec = array((0 until dim).map { i =>
+        ((xxhash64(g, lit(i)) % 1000L).cast("double") / 500.0).cast("float")
+      }: _*)
+      val emb = docs.select($"doc_id", vec.as("v"))
+      graft.ext.VectorIndex
+        .semanticDedup(emb, "v", "doc_id", tauBp = 9500, bits = 16,
+          bucketCap = Some(10000L))
+        .filter($"keep").count()
+    }
     if (picks("wsample")) timed("wsample") {
       // TrainPrep.weightedSample (the q162 operator): Σw row expansion
       // (≤4×) + per-source md5 max-key agg + WindowGroupLimit top-k.

@@ -115,20 +115,50 @@ object VectorIndex {
     * with `checkpointDir` for reliable multi-hour state.
     *
     * @param tauBp cosine threshold in basis points (8500 = 0.85)
+    * @param bucketCap when set, buckets with more than `cap` members
+    *                  contribute NO candidate pairs (their members stay
+    *                  singletons) — the [[TextDedup.lshCandidates]]
+    *                  starCap / similarityJoin dfCap family guard. A
+    *                  bucket at 10× the mean means the sign-LSH is not
+    *                  discriminating there (near-constant leading
+    *                  components, or bits ≪ log₂ n); its pair cost is
+    *                  |bucket|², and with one bucket per vector (no
+    *                  bands) the EXACT choice is pay it or skip it.
+    *                  Capping makes a saturated corpus degrade
+    *                  predictably (documented recall loss: oversized-
+    *                  bucket members never dedup) instead of
+    *                  quadratically — measured 150+ GB of shuffle spill
+    *                  on a deliberately-degenerate 1M corpus whose
+    *                  vectors collapsed to <1k sign patterns.
     * @return (idCol, component, keep) — one row per input id
     */
   def semanticDedup(embeddings: DataFrame, vecCol: String, idCol: String,
       tauBp: Int, bits: Int = 4,
+      bucketCap: Option[Long] = None,
       checkpointDir: Option[String] = None): DataFrame = {
-    val b = embeddings
+    // norms precomputed ONCE per vector (n rows), not per candidate
+    // pair — at dim 768 that's 2 dot products saved per pair. The
+    // double result is bit-identical to cosine()'s inline norms: the
+    // operation tree (dot / (sqrt · sqrt)) is unchanged, only where
+    // the sqrt evaluates.
+    val b0 = embeddings
       .select(col(idCol).as("__id"), col(vecCol).as("__v"))
       .withColumn("__bkt", VectorFns.signBucket(col("__v"), bits))
-    val a = b.select(col("__bkt"), col("__id").as("ia"), col("__v").as("va"))
-    val c = b.select(col("__bkt"), col("__id").as("ib"), col("__v").as("vb"))
+      .withColumn("__nrm", VectorFns.l2Norm(col("__v")))
+    val b = bucketCap.fold(b0) { cap =>
+      val oversized = b0.groupBy(col("__bkt"))
+        .agg(count(lit(1)).as("__bc")).filter(col("__bc") > cap)
+        .select(col("__bkt"))
+      b0.join(oversized, Seq("__bkt"), "left_anti")
+    }
+    val a = b.select(col("__bkt"), col("__id").as("ia"), col("__v").as("va"),
+      col("__nrm").as("na"))
+    val c = b.select(col("__bkt"), col("__id").as("ib"), col("__v").as("vb"),
+      col("__nrm").as("nb"))
     val pairs = a.join(c, Seq("__bkt"))
       .filter(col("ia") < col("ib"))
-      .filter(floor(VectorFns.cosine(col("va"), col("vb")) * 10000
-        + lit(0.5)) >= tauBp)
+      .filter(floor(VectorFns.dot(col("va"), col("vb"))
+        / (col("na") * col("nb")) * 10000 + lit(0.5)) >= tauBp)
       .select(col("ia"), col("ib"))
     TextDedup.connectedComponents(pairs, embeddings.select(col(idCol)),
         srcCol = "ia", dstCol = "ib", nodeCol = idCol,

@@ -230,6 +230,30 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("semanticDedup bucketCap: oversized buckets contribute no pairs") {
+    val s = spark
+    import s.implicits._
+    // 5 clones in one bucket (all-positive signs), 2 clones in another
+    val big = Seq(0.5f, 0.5f, 0.5f, 0.5f)
+    val small = Seq(-0.5f, 0.5f, 0.5f, 0.5f)
+    val df = ((0L to 4L).map(i => (i, big)) ++ Seq((10L, small), (11L, small)))
+      .toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val capped = VectorIndex.semanticDedup(df, "embedding", "vec_id",
+        tauBp = 9999, bits = 4, bucketCap = Some(4L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    // the 5-member bucket exceeds cap=4: its members stay singletons
+    // (still present, each its own kept component); the 2-member bucket
+    // still dedups
+    assert(capped === (0L to 4L).map(i => (i, i, true)).toSet ++
+      Set((10L, 10L, true), (11L, 10L, false)))
+    // default (no cap) is unchanged exact behavior
+    val uncapped = VectorIndex.semanticDedup(df, "embedding", "vec_id",
+        tauBp = 9999, bits = 4)
+      .collect().filter(_.getBoolean(2)).map(_.getLong(0)).toSet
+    assert(uncapped === Set(0L, 10L))
+  }
+
   test("semanticDedup keeps exactly one representative per component") {
     val s = spark
     import s.implicits._
