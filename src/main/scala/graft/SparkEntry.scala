@@ -29,7 +29,8 @@ object SparkEntry {
       graft.queries.Extended11.queries ++
       graft.queries.Extended12.queries ++
       graft.queries.Extended13.queries ++
-      graft.queries.Extended14.queries
+      graft.queries.Extended14.queries ++
+      graft.queries.Extended15.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -44,5 +45,6 @@ object SparkEntry {
       graft.queries.Extended11.oracles ++
       graft.queries.Extended12.oracles ++
       graft.queries.Extended13.oracles ++
-      graft.queries.Extended14.oracles
+      graft.queries.Extended14.oracles ++
+      graft.queries.Extended15.oracles
 }

@@ -205,6 +205,31 @@ object Stress {
         .union(ids.select($"u".as("a"), hash2.as("b")))
       graft.ext.Graph.kCore(e, k = 5, srcCol = "a", dstCol = "b").count()
     }
+    if (picks("lpa")) timed("lpa") {
+      // ext/Graph.labelPropagation (4 sync rounds, early stop on) on the
+      // same ~4-edges/node synthetic graph — probes the per-round
+      // join + (node,label) agg + keyed-window argmax cost.
+      val ids = docs.select($"doc_id".as("u"))
+      val hash1 = (($"u" * 2654435761L) % rows + rows) % rows
+      val hash2 = (($"u" * 40503L + 2654435761L) % rows + rows) % rows
+      val e = ids.select($"u".as("a"), hash1.as("b"))
+        .union(ids.select($"u".as("a"), hash2.as("b")))
+      graft.ext.Graph.labelPropagation(e, maxRounds = 4,
+        srcCol = "a", dstCol = "b").count()
+    }
+    if (picks("jlproject")) timed("jlproject") {
+      // VectorIndex.randomProject 64 -> 16 dims over generated integer
+      // pseudo-embeddings: per-row O(k·d) arithmetic, shuffle-free —
+      // the probe confirms throughput is scan-bound (linear).
+      val signs = graft.ext.VectorIndex.signMatrix(16, 64, "stress")
+      val vec = transform(sequence(lit(1), lit(64)),
+        i => (($"doc_id" * 31 + i.cast("long")) % 2000 - 1000)
+          .cast("double") / 1000.0)
+      val emb = docs.select($"doc_id", vec.cast("array<float>").as("v"))
+      graft.ext.VectorIndex.randomProject(emb, "v", signs)
+        .select(md5(to_json($"proj")))
+        .queryExecution.toRdd.count()
+    }
     if (picks("shard")) timed("shard") {
       docs.withColumn("shard", graft.operators.HashSplit.bucket($"doc_id", 64))
         .groupBy($"shard")

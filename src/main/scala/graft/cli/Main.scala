@@ -285,6 +285,26 @@ object Main {
       val kept = res.filter(res("keep")).count()
       println(s"kept $kept of ${res.count()} (tau=${tauBp.toInt}bp) to $out")
 
+    // lpa <edgesParquet> <srcCol> <dstCol> <maxRounds> <outParquet>:
+    // deterministic synchronous label-propagation communities.
+    case "lpa" :: in :: src :: dst :: maxRounds :: out :: Nil =>
+      val labels = graft.ext.Graph.labelPropagation(
+        spark.read.parquet(in), maxRounds.toInt, src, dst)
+      labels.write.mode("overwrite").parquet(out)
+      val nComm = labels.select("label").distinct().count()
+      println(s"$nComm communities over ${labels.count()} nodes to $out")
+
+    // jl-project <embParquet> <vecCol> <outDim> <seed> <outParquet>:
+    // integer-exact ±1 JL projection (md5 sign matrix).
+    case "jl-project" :: in :: vecCol :: outDim :: seed :: out :: Nil =>
+      val df = spark.read.parquet(in)
+      val d = df.select(org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.col(vecCol))).head().getInt(0)
+      val signs = graft.ext.VectorIndex.signMatrix(outDim.toInt, d, seed)
+      val proj = graft.ext.VectorIndex.randomProject(df, vecCol, signs)
+      proj.write.mode("overwrite").parquet(out)
+      println(s"projected ${proj.count()} vectors $d -> ${outDim.toInt} dims to $out")
+
     case other =>
       sys.error(s"unknown command: ${other.mkString(" ")} — see Scaladoc for usage")
   }

@@ -233,4 +233,77 @@ object Graph {
       s"kCore did not reach fixpoint in $maxRounds rounds " +
         "(peel depth exceeds maxRounds); raise maxRounds")
   }
+
+  /** Synchronous label-propagation community detection (Raghavan et al.
+    * LPA, made DETERMINISTIC): every node starts labeled with its own id;
+    * each round every node simultaneously adopts the most frequent label
+    * among its neighbors' PREVIOUS-round labels, ties broken by the
+    * smallest label. Densely connected regions converge to one label;
+    * bridges stay thin because a minority label can't outvote a
+    * community.
+    *
+    * Determinism: the classic formulation breaks ties randomly and
+    * updates asynchronously in random node order — neither survives a
+    * distributed engine or a bit-exact gate. Synchronous rounds + the
+    * (count DESC, label ASC) argmax make every round a pure function of
+    * the previous labeling, so results are identical across engines,
+    * partitionings, and reruns.
+    *
+    * Iteration contract: synchronous LPA may OSCILLATE on bipartite-ish
+    * structures (a 2-cycle of labelings), so unlike [[kCore]] hitting
+    * `maxRounds` is not an error — the operator returns the round-R
+    * labeling, and `earlyStop` (on by default) exits when a round
+    * changes nothing (further rounds are identity since each round is a
+    * deterministic function of the labeling). Fixed-round semantics are
+    * what the q165 oracle unrolls.
+    *
+    * Scale shape: one keyed join (neighbor list ⋈ labels) + one
+    * (node, label) count agg + one node-KEYED window argmax per round —
+    * no global window, no driver data. The neighbor list is built and
+    * pinned once; per-round state is pinned (localCheckpoint, or
+    * reliable `checkpoint()` via `checkpointDir`). The early-stop probe
+    * pins the step it executes, so probe + next round share one
+    * materialization (the [[pageRank]] pattern).
+    *
+    * @return (node, label) — every node that has at least one edge
+    */
+  def labelPropagation(edges: DataFrame, maxRounds: Int = 10,
+      srcCol: String = "u", dstCol: String = "v",
+      assumeCanonical: Boolean = false, earlyStop: Boolean = true,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    val canon =
+      if (assumeCanonical) edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      else canonicalEdges(edges, srcCol, dstCol)
+    val nbr = TextDedup.materialize(
+      canon.select(col("u").as("node"), col("v").as("nb"))
+        .union(canon.select(col("v").as("node"), col("u").as("nb")))
+        .repartition(col("nb")), // label-join exchange pre-satisfied
+      checkpointDir)
+    var labels = TextDedup.materialize(
+      nbr.select(col("node")).distinct().withColumn("label", col("node")),
+      checkpointDir)
+    val byVotes = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("node")).orderBy(col("c").desc, col("label").asc)
+    var round = 0
+    var converged = false
+    while (round < maxRounds && !converged) {
+      val step = nbr
+        .join(labels.withColumnRenamed("node", "nb"), "nb")
+        .groupBy(col("node"), col("label")).agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(byVotes))
+        .filter(col("rn") === 1)
+        .select(col("node"), col("label"))
+      if (earlyStop) {
+        val next = TextDedup.materialize(step, checkpointDir)
+        converged = next.alias("a")
+          .join(labels.alias("b"),
+            expr("a.node = b.node AND a.label <> b.label"))
+          .isEmpty
+        labels = next
+      } else labels = TextDedup.materialize(step, checkpointDir)
+      round += 1
+    }
+    labels
+  }
 }

@@ -166,4 +166,48 @@ object VectorIndex {
       .select(col("node").as(idCol), col("component"),
         (col("node") === col("component")).as("keep"))
   }
+
+  /** Deterministic ±1 sign matrix for [[randomProject]]: entry (j, i) is
+    * +1 iff the low bit of md5("seed:j:i")'s first byte is 0. MD5 makes
+    * the matrix reproducible in ANY engine (the q162 portable-draw
+    * technique), so the projection itself is gate-checkable — no RNG
+    * state to ship. k·d entries: driver-side broadcast metadata, like
+    * the IVF centroids. */
+  def signMatrix(k: Int, d: Int, seed: String): Array[Array[Int]] =
+    Array.tabulate(k, d) { (j, i) =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$seed:$j:$i".getBytes("UTF-8"))
+      if ((h(0) & 1) == 0) 1 else -1
+    }
+
+  /** Johnson–Lindenstrauss random projection with a ±1 (Achlioptas)
+    * matrix: maps each `vecCol` (array&lt;float&gt;, dim d) to a k-dim
+    * INTEGER vector y, y_j = Σ_i sign(j,i)·q_i over components quantized
+    * to q_i = floor(x_i·scale + 0.5). Sparse-friendly sketch of the
+    * embedding space: pairwise distances are preserved within
+    * O(√(log n / k)) relative error, at k/d the storage and downstream
+    * compute (the standard pre-step before brute-force dedup scans or
+    * coarse clustering at 100 TB).
+    *
+    * Integer-exact by construction: quantize-then-project keeps every
+    * y_j an exact BIGINT — no float partial-sum order to diverge across
+    * engines or partitionings (the q88 doctrine). With |x| ≤ 1,
+    * scale = 1000, d = 64: |y_j| ≤ 6.4e4 — sums of y² over millions of
+    * rows stay far below 2^53.
+    *
+    * Scale shape: narrow scan → per-row O(k·d) arithmetic, NO shuffle;
+    * the sign matrix is a literal in the plan (k·d ints), never a join.
+    */
+  def randomProject(embeddings: DataFrame, vecCol: String,
+      signs: Array[Array[Int]], outCol: String = "proj",
+      scale: Long = 1000L): DataFrame = {
+    val qv = transform(col(vecCol),
+      x => floor(x.cast("double") * scale + lit(0.5)).cast("long"))
+    val projCols = signs.map { row =>
+      val rowLit = array(row.map(v => lit(v.toLong)): _*)
+      aggregate(zip_with(qv, rowLit, (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x)
+    }
+    embeddings.withColumn(outCol, array(projCols: _*))
+  }
 }

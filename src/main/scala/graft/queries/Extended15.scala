@@ -1,0 +1,215 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Graph, VectorIndex}
+
+/** Round-9 batch (q164–q166) — three pipeline stages a 100 TB curation
+  * stack runs that the catalog still lacked:
+  *
+  *  - q164 Johnson–Lindenstrauss ±1 random projection (integer-exact
+  *    dimensionality reduction — the pre-step that makes brute-force
+  *    embedding scans affordable at k/d cost);
+  *  - q165 label-propagation community detection (the graph-clustering
+  *    stage between near-dup edges and corpus-level dedup decisions);
+  *  - q166 inverted-index construction (token → capped posting list,
+  *    the search-side artifact of a curation run).
+  *
+  * All three are engine-portable by construction: the JL matrix is
+  * md5-derived (no RNG state), LPA is synchronous with a total-order
+  * tie-break, and the posting list is an ORDER-BY string aggregation.
+  */
+object Extended15 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // --------------------------------------------------------------------
+  // q164 — JL random projection (VectorIndex.randomProject): 64-dim
+  // float embeddings → 16-dim integer sketches via a deterministic ±1
+  // md5 sign matrix. The gate aggregates each projected dimension
+  // (sum, |sum|, sum of squares — all exact BIGINTs) and asserts the
+  // JL norm-preservation property as a boolean: per-dim Σ y² must land
+  // within 4× of Σ‖q‖² (E[y_j²] = ‖q‖² exactly for ±1 projections).
+  //
+  // Scale: per-row O(k·d) arithmetic with the sign matrix as a plan
+  // literal — NO shuffle until the 16-group final agg; the quantized
+  // integer domain (q88 doctrine) means no float partial-sum order to
+  // diverge at any partitioning.
+  private val jlK = 16
+  private val jlD = 64
+  private val jlSigns = VectorIndex.signMatrix(jlK, jlD, seed = "jl9")
+
+  def q164(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val proj = VectorIndex.randomProject(
+      t(s, dir, "embeddings"), "embedding", jlSigns, scale = 1000L)
+    val qv = transform($"embedding",
+      x => floor(x.cast("double") * 1000 + lit(0.5)).cast("long"))
+    val sumq2 = proj
+      .select(explode(qv).as("qi"))
+      .agg(sum($"qi" * $"qi").as("sumq2"))
+    proj
+      .select(posexplode($"proj").as(Seq("pos", "y")))
+      .select(($"pos" + 1).cast("long").as("j"), $"y")
+      .groupBy($"j")
+      .agg(sum($"y").as("sum_y"),
+        sum(abs($"y")).as("sum_abs"),
+        sum($"y" * $"y").as("sum_sq"))
+      .crossJoin(broadcast(sumq2))
+      .select($"j", $"sum_y", $"sum_abs", $"sum_sq",
+        expr("sum_sq between sumq2 div 4 and sumq2 * 4").as("jl_ok"))
+      .orderBy($"j")
+  }
+
+  private def signsSqlLit: String =
+    jlSigns.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+
+  val q164Sql: String =
+    s"""WITH s AS (SELECT $signsSqlLit AS m),
+       | q AS (SELECT vec_id, list_transform(embedding,
+       |         x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qv
+       |       FROM embeddings),
+       | proj AS (SELECT q.vec_id, j, SUM(qv[i] * m[j][i]) AS y
+       |          FROM q, s, generate_series(1, $jlK) g1(j),
+       |               generate_series(1, $jlD) g2(i)
+       |          GROUP BY q.vec_id, j),
+       | nq AS (SELECT CAST(SUM(qi * qi) AS BIGINT) AS sumq2
+       |        FROM (SELECT unnest(qv) AS qi FROM q)),
+       | per AS (SELECT j, CAST(SUM(y) AS BIGINT) AS sum_y,
+       |                CAST(SUM(ABS(y)) AS BIGINT) AS sum_abs,
+       |                CAST(SUM(y * y) AS BIGINT) AS sum_sq
+       |         FROM proj GROUP BY j)
+       |SELECT j, sum_y, sum_abs, sum_sq,
+       |       (sum_sq BETWEEN sumq2 // 4 AND sumq2 * 4) AS jl_ok
+       |FROM per, nq ORDER BY j""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q165 — label-propagation communities (Graph.labelPropagation, 4
+  // synchronous rounds) on the part co-order graph (parts sharing an
+  // order, the q152/q160 graph). The gate summarizes the labeling so
+  // any single node flipping community changes the hash: node count,
+  // community count, largest community, Σ label, Σ node·label.
+  //
+  // The oracle unrolls the same 4 sync rounds (MATERIALIZED CTEs — the
+  // q160 technique); the operator's early stop only skips rounds that
+  // are provably identity, so fixed-round SQL and fixpoint operator
+  // agree whenever either converges.
+  def q165(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val op = t(s, dir, "lineitem")
+      .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
+    val e = op.as("a").join(op.as("b"), $"a.o" === $"b.o" && $"a.p" < $"b.p")
+      .select($"a.p".as("u"), $"b.p".as("v")).distinct()
+    // earlyStop ON measured FASTER than fixed rounds here (4.9 vs 6.8 s
+    // steady at sf0.1): the co-order graph converges before round 4, so
+    // the probe's extra join+action per round buys back whole rounds.
+    val labels = Graph.labelPropagation(e, maxRounds = 4,
+      assumeCanonical = true)
+    val sizes = labels.groupBy($"label").agg(count(lit(1)).as("sz"))
+    val top = sizes.agg(max($"sz").as("max_sz"),
+      count(lit(1)).as("n_comm"))
+    labels
+      .agg(count(lit(1)).as("n_nodes"),
+        sum($"label").as("label_sum"),
+        sum($"node" * $"label").as("checksum"))
+      .crossJoin(broadcast(top))
+      .select($"n_nodes", $"n_comm", $"max_sz", $"label_sum", $"checksum")
+  }
+
+  /** 4 unrolled synchronous LPA rounds; argmax = (count DESC, label
+    * ASC), exactly the operator's window. */
+  private def lpaUnrolledSql(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+             |            FROM lineitem),
+             | e0 AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v
+             |        FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+             | nbr AS MATERIALIZED (SELECT u AS node, v AS nb FROM e0
+             |        UNION ALL SELECT v, u FROM e0),
+             | l0 AS (SELECT DISTINCT node, node AS label FROM nbr)""".stripMargin
+    for (r <- 1 to rounds) {
+      sb ++= s""",
+               | c$r AS (SELECT n.node, l.label, count(*) AS c
+               |        FROM nbr n JOIN l${r - 1} l ON l.node = n.nb
+               |        GROUP BY n.node, l.label),
+               | l$r AS MATERIALIZED (SELECT node, label FROM
+               |        (SELECT node, label, row_number() OVER
+               |           (PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+               |         FROM c$r) WHERE rn = 1)""".stripMargin
+    }
+    sb ++= s"""
+              |, sizes AS (SELECT label, count(*) AS sz FROM l$rounds GROUP BY label)
+              |SELECT (SELECT count(*) FROM l$rounds) AS n_nodes,
+              |       (SELECT count(*) FROM sizes) AS n_comm,
+              |       (SELECT CAST(max(sz) AS BIGINT) FROM sizes) AS max_sz,
+              |       (SELECT CAST(sum(label) AS BIGINT) FROM l$rounds) AS label_sum,
+              |       (SELECT CAST(sum(node * label) AS BIGINT) FROM l$rounds) AS checksum""".stripMargin
+    sb.toString
+  }
+
+  val q165Sql: String = lpaUnrolledSql(rounds = 4)
+
+  // --------------------------------------------------------------------
+  // q166 — inverted-index construction: token → (df, cf, capped posting
+  // list) for the 20 highest-df tokens. The posting cap (12 doc ids)
+  // is applied BEFORE any collection via a token-KEYED row_number
+  // window — Spark rewrites the rank filter to WindowGroupLimit, so
+  // each map task forwards at most 12 rows per token and the
+  // collect_list is bounded by construction (never "collect the whole
+  // posting then slice": a stopword's full posting list at 100 TB is
+  // the corpus). Final top-20 is TakeOrderedAndProject (bounded), not
+  // a global sort.
+  def q166(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tok = t(s, dir, "documents")
+      .select($"doc_id", explode(split(trim($"text"), "\\s+")).as("token"))
+    val dt = tok.distinct()
+    val dfs = dt.groupBy($"token").agg(count(lit(1)).as("df"))
+    val cfs = tok.groupBy($"token").agg(count(lit(1)).as("cf"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy($"token").orderBy($"doc_id")
+    val posting = dt
+      .withColumn("rn", row_number().over(byDoc))
+      .filter($"rn" <= 12)
+      .groupBy($"token")
+      .agg(concat_ws(",", sort_array(collect_list($"doc_id"))).as("posting"))
+    dfs.join(cfs, "token").join(posting, "token")
+      .orderBy($"df".desc, $"token".asc)
+      .limit(20)
+      .select($"token", $"df", $"cf", $"posting")
+  }
+
+  val q166Sql: String =
+    """WITH d AS (SELECT doc_id,
+      |        regexp_split_to_array(trim(text), '\s+') AS tks FROM documents),
+      | tok AS (SELECT doc_id, unnest(tks) AS token FROM d),
+      | dt AS (SELECT DISTINCT doc_id, token FROM tok),
+      | dfs AS (SELECT token, COUNT(*) AS df FROM dt GROUP BY token),
+      | cfs AS (SELECT token, COUNT(*) AS cf FROM tok GROUP BY token),
+      | capped AS (SELECT token, doc_id FROM
+      |        (SELECT token, doc_id,
+      |                row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rn
+      |         FROM dt) WHERE rn <= 12),
+      | post AS (SELECT token,
+      |        string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS posting
+      |        FROM capped GROUP BY token)
+      |SELECT dfs.token AS token, df, cf, posting
+      |FROM dfs JOIN cfs USING (token) JOIN post USING (token)
+      |ORDER BY df DESC, token ASC LIMIT 20""".stripMargin
+
+  /** Name → query function, for SparkEntry. */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q164_jl_projection" -> (q164 _),
+    "q165_label_propagation" -> (q165 _),
+    "q166_inverted_index" -> (q166 _)
+  )
+
+  /** Name → DuckDB oracle SQL, for SparkEntry. */
+  val oracles: Map[String, String] = Map(
+    "q164_jl_projection" -> q164Sql,
+    "q165_label_propagation" -> q165Sql,
+    "q166_inverted_index" -> q166Sql
+  )
+}

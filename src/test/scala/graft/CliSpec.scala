@@ -235,4 +235,35 @@ class CliSpec extends SparkSpec {
     }
     assert(outSd.toString.contains("kept 2 of 3"))
   }
+
+  test("lpa / jl-project subcommands") {
+    import spark.implicits._
+    val base = tmpDir("clilpa")
+
+    // two triangles joined by a bridge -> two communities
+    Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L),
+        (3L, 4L))
+      .toDF("a", "b").write.parquet(s"$base/edges")
+    val outLpa = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(outLpa)) {
+      Main.run(spark, List("lpa", s"$base/edges", "a", "b", "5",
+        s"$base/comm"))
+    }
+    assert(outLpa.toString.contains("2 communities over 6 nodes"))
+
+    Seq((1L, Seq(0.5f, -0.5f, 0.25f, 1.0f)),
+        (2L, Seq(-1.0f, 0.0f, 0.3f, -0.7f)))
+      .toDF("vec_id", "embedding")
+      .withColumn("embedding",
+        org.apache.spark.sql.functions.col("embedding").cast("array<float>"))
+      .write.parquet(s"$base/emb")
+    val outJl = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(outJl)) {
+      Main.run(spark, List("jl-project", s"$base/emb", "embedding", "2",
+        "cli", s"$base/proj"))
+    }
+    assert(outJl.toString.contains("projected 2 vectors 4 -> 2 dims"))
+    val proj = spark.read.parquet(s"$base/proj")
+    assert(proj.select("proj").head().getSeq[Long](0).length === 2)
+  }
 }

@@ -159,5 +159,64 @@ class GraphSpec extends SparkSpec {
         checkpointDir = Some(dir)).collect()
       .map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1).toSeq
     assert(prLocal === prCkpt)
+    val lpaLocal = Graph.labelPropagation(toDf(g), maxRounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val lpaCkpt = Graph.labelPropagation(toDf(g), maxRounds = 3,
+        checkpointDir = Some(dir)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(lpaLocal === lpaCkpt)
+  }
+
+  /** Reference synchronous LPA: every node simultaneously takes the
+    * most frequent label among its neighbors' previous labels, ties to
+    * the smallest label — exactly the operator's window argmax. */
+  private def bruteLpa(es: Set[(Long, Long)], rounds: Int): Map[Long, Long] = {
+    val nbrs = (es.toSeq ++ es.toSeq.map(e => (e._2, e._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var labels = nbrs.keys.map(n => n -> n).toMap
+    (0 until rounds).foreach { _ =>
+      labels = nbrs.map { case (n, nb) =>
+        val votes = nb.groupBy(labels).view.mapValues(_.size).toSeq
+        n -> votes.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    labels
+  }
+
+  test("labelPropagation == brute-force synchronous LPA on random graphs") {
+    samples(edgeGen(14, 0L), 4).foreach { es =>
+      val canon = canonical(es)
+      if (canon.nonEmpty) {
+        (1 to 3).foreach { rounds =>
+          val expected = bruteLpa(canon, rounds)
+          val got = Graph
+            .labelPropagation(toDf(es.toSeq), maxRounds = rounds,
+              earlyStop = false)
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+          assert(got === expected, s"rounds=$rounds edges=$canon")
+        }
+      }
+    }
+  }
+
+  test("labelPropagation: two triangles with a bridge form two communities") {
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L),
+      (3L, 4L))
+    val got = Graph.labelPropagation(toDf(g), maxRounds = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // the 1-2-3 triangle keeps label 1; the bridge pulls 3's label into
+    // the second triangle (standard sync-LPA behavior on this fixture)
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 3L, 6L -> 3L))
+  }
+
+  test("labelPropagation: early stop == fixed rounds once converged") {
+    val g = samples(edgeGen(10, 0L), 1).head
+    val fixedDeep = Graph.labelPropagation(toDf(g), maxRounds = 12,
+        earlyStop = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val early = Graph.labelPropagation(toDf(g), maxRounds = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(early === fixedDeep)
   }
 }
