@@ -294,6 +294,21 @@ object Main {
       val nComm = labels.select("label").distinct().count()
       println(s"$nComm communities over ${labels.count()} nodes to $out")
 
+    // rake <parquet> <dim1,dim2,...> <rounds> <outParquet>: integer IPF
+    // cell weights fitting UNIFORM marginals on every listed dimension.
+    case "rake" :: in :: dimsArg :: rounds :: out :: Nil =>
+      val df = spark.read.parquet(in)
+      val dims = dimsArg.split(",").toList
+      val targets = dims.map { dcol =>
+        val vals = df.select(dcol).distinct()
+        val k = vals.count() // bounded: distinct values of one dimension
+        vals.withColumn("t",
+          org.apache.spark.sql.functions.lit(1000000L / math.max(k, 1L)))
+      }
+      val cells = graft.ext.TrainPrep.rake(df, dims, targets, rounds.toInt)
+      cells.write.mode("overwrite").parquet(out)
+      println(s"raked ${cells.count()} cells over ${dims.mkString("x")} to $out")
+
     // jl-project <embParquet> <vecCol> <outDim> <seed> <outParquet>:
     // integer-exact ±1 JL projection (md5 sign matrix).
     case "jl-project" :: in :: vecCol :: outDim :: seed :: out :: Nil =>

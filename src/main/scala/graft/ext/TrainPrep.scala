@@ -184,4 +184,68 @@ object TrainPrep {
       .select(col("__grp").as(groupCol), col("rk"), col("__id").as(idCol),
         col("__w").as(weightCol), col("key"))
   }
+
+  /** Iterative proportional fitting (raking): find per-cell sampling
+    * weights whose marginals along EVERY dimension match the given
+    * target distributions — the data-mixing solver behind "rebalance
+    * the corpus to 30% code / uniform languages" asks, where cells are
+    * the cross-classification (e.g. lang × source) and the classic IPF
+    * loop alternately rescales each dimension until the marginals
+    * settle (Deming–Stephan).
+    *
+    * INTEGER-EXACT variant: weights live in ppm (parts-per-million of
+    * the corpus), every rescale is `w · target ÷ marginal` in BIGINT
+    * floor arithmetic, and marginal sums are integer sums — so the
+    * fixpoint trajectory is bit-identical on any engine and any
+    * partitioning (the q88/q162 doctrine; float IPF would diverge in
+    * the last ulp under Spark's nondeterministic partial-sum order).
+    * Truncation error per rescale is < 1 ppm per cell — the spec pins
+    * achieved-vs-target marginal gaps to ≤ #cells ppm.
+    *
+    * Scale shape: the loop runs over the CELL frame (distinct dim-value
+    * combinations — bounded by the product of dim cardinalities, tiny
+    * next to the corpus), built with ONE keyed count over the rows.
+    * Per half-round: one keyed agg (marginal) + one keyed join
+    * (rescale) — dimension-value keyed, never row-keyed, no window.
+    * Zero-target or zero-marginal values annihilate their cells (w=0)
+    * instead of dividing by zero.
+    *
+    * @param rows      corpus rows (one per item)
+    * @param dims      dimension columns (e.g. Seq("lang", "source"))
+    * @param targets   one DataFrame per dim: (value, target_ppm) —
+    *                  values absent from a target get weight 0
+    * @param rounds    full IPF rounds (each rescales every dim once)
+    * @return cell frame: dims*, n (row count), w_ppm (fitted weight)
+    */
+  def rake(rows: DataFrame, dims: Seq[String], targets: Seq[DataFrame],
+      rounds: Int, checkpointDir: Option[String] = None): DataFrame = {
+    require(dims.nonEmpty && dims.length == targets.length,
+      s"need one target frame per dim, got ${dims.length} dims / " +
+        s"${targets.length} targets")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val n = rows.groupBy(dims.map(col): _*).agg(count(lit(1)).as("n"))
+    val total = n.agg(sum(col("n")).as("__N"))
+    var cells = TextDedup.materialize(
+      n.crossJoin(broadcast(total))
+        .withColumn("w_ppm", expr("n * 1000000 div __N"))
+        .drop("__N"),
+      checkpointDir)
+    val tgt = dims.zip(targets).map { case (d, t) =>
+      d -> t.select(col(t.columns.head).as(d),
+        col(t.columns(1)).cast("long").as("__tgt"))
+    }.toMap
+    for (_ <- 1 to rounds; d <- dims) {
+      val marg = cells.groupBy(col(d)).agg(sum(col("w_ppm")).as("__marg"))
+      cells = TextDedup.materialize(
+        cells
+          .join(marg, d)
+          .join(tgt(d), Seq(d), "left")
+          .withColumn("w_ppm",
+            when(col("__marg") > 0 && col("__tgt").isNotNull,
+              expr("w_ppm * __tgt div __marg")).otherwise(lit(0L)))
+          .drop("__marg", "__tgt"),
+        checkpointDir)
+    }
+    cells
+  }
 }

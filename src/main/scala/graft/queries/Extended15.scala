@@ -199,17 +199,86 @@ object Extended15 {
       |FROM dfs JOIN cfs USING (token) JOIN post USING (token)
       |ORDER BY df DESC, token ASC LIMIT 20""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q167 — IPF raking (TrainPrep.rake, 3 rounds): fit per-cell
+  // (lang × source) sampling weights so the lang marginal is UNIFORM
+  // and the source marginal follows a rank-proportional ramp — the
+  // "rebalance the corpus mix" solver. All-integer ppm arithmetic
+  // (floor div rescales, integer marginal sums) keeps the fixpoint
+  // trajectory bit-identical across engines and partitionings; the
+  // oracle unrolls the same 3 rounds of half-steps. The rank window
+  // over DISTINCT sources is a bounded-domain orderBy (the q140
+  // class — 20 values), documented here.
+  def q167(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = t(s, dir, "documents")
+    val langs = d.select($"lang").distinct()
+    val langTgt = langs
+      .crossJoin(broadcast(langs.agg(count(lit(1)).as("k"))))
+      .select($"lang", expr("1000000 div k").as("t"))
+    val srcs = d.select($"source").distinct()
+    val srcTgt = srcs
+      .withColumn("r", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy($"source"))
+        .cast("long"))
+      .crossJoin(broadcast(srcs.agg(count(lit(1)).as("k"))))
+      .select($"source", expr("2 * r * 1000000 div (k * (k + 1))").as("t"))
+    graft.ext.TrainPrep
+      .rake(d, Seq("lang", "source"), Seq(langTgt, srcTgt), rounds = 3)
+      .select($"lang", $"source", $"n", $"w_ppm")
+      .orderBy($"lang", $"source")
+  }
+
+  /** 3 unrolled IPF rounds (lang half-step then source half-step),
+    * integer ppm floor arithmetic — exactly [[graft.ext.TrainPrep.rake]]. */
+  private def rakeUnrolledSql(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH cells0 AS (SELECT lang, source, count(*) AS n
+             |        FROM documents GROUP BY lang, source),
+             | tot AS (SELECT SUM(n) AS nn FROM cells0),
+             | w0 AS MATERIALIZED (SELECT lang, source, n,
+             |        n * 1000000 // nn AS w FROM cells0, tot),
+             | tl AS (SELECT lang,
+             |        1000000 // (SELECT count(DISTINCT lang) FROM documents) AS t
+             |        FROM (SELECT DISTINCT lang FROM documents)),
+             | ts AS (SELECT source, 2 * r * 1000000 // (k * (k + 1)) AS t
+             |        FROM (SELECT source, row_number() OVER (ORDER BY source) AS r,
+             |                     count(*) OVER () AS k
+             |              FROM (SELECT DISTINCT source FROM documents)))""".stripMargin
+    var prev = "w0"
+    for (r <- 1 to rounds) {
+      sb ++= s""",
+               | ma$r AS (SELECT lang, SUM(w) AS m FROM $prev GROUP BY lang),
+               | wa$r AS MATERIALIZED (SELECT p.lang, p.source, p.n,
+               |        CASE WHEN m > 0 THEN w * t // m ELSE 0 END AS w
+               |        FROM $prev p JOIN ma$r USING (lang) JOIN tl USING (lang)),
+               | mb$r AS (SELECT source, SUM(w) AS m FROM wa$r GROUP BY source),
+               | wb$r AS MATERIALIZED (SELECT p.lang, p.source, p.n,
+               |        CASE WHEN m > 0 THEN w * t // m ELSE 0 END AS w
+               |        FROM wa$r p JOIN mb$r USING (source) JOIN ts USING (source))""".stripMargin
+      prev = s"wb$r"
+    }
+    sb ++= s"""
+              |SELECT lang, source, n, CAST(w AS BIGINT) AS w_ppm FROM $prev
+              |ORDER BY lang, source""".stripMargin
+    sb.toString
+  }
+
+  val q167Sql: String = rakeUnrolledSql(rounds = 3)
+
   /** Name → query function, for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q164_jl_projection" -> (q164 _),
     "q165_label_propagation" -> (q165 _),
-    "q166_inverted_index" -> (q166 _)
+    "q166_inverted_index" -> (q166 _),
+    "q167_rake_mixing" -> (q167 _)
   )
 
   /** Name → DuckDB oracle SQL, for SparkEntry. */
   val oracles: Map[String, String] = Map(
     "q164_jl_projection" -> q164Sql,
     "q165_label_propagation" -> q165Sql,
-    "q166_inverted_index" -> q166Sql
+    "q166_inverted_index" -> q166Sql,
+    "q167_rake_mixing" -> q167Sql
   )
 }

@@ -265,5 +265,23 @@ class CliSpec extends SparkSpec {
     assert(outJl.toString.contains("projected 2 vectors 4 -> 2 dims"))
     val proj = spark.read.parquet(s"$base/proj")
     assert(proj.select("proj").head().getSeq[Long](0).length === 2)
+
+    // rake to uniform marginals over a skewed full-support 2x2 corpus
+    Seq(("en", "web"), ("en", "web"), ("en", "code"), ("de", "web"),
+        ("de", "code"), ("de", "code"), ("de", "code"))
+      .toDF("lang", "source").write.parquet(s"$base/mix")
+    val outRk = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(outRk)) {
+      Main.run(spark, List("rake", s"$base/mix", "lang,source", "4",
+        s"$base/cells"))
+    }
+    assert(outRk.toString.contains("raked 4 cells over langxsource"))
+    val cells = spark.read.parquet(s"$base/cells")
+    val langMarg = cells.groupBy("lang")
+      .agg(org.apache.spark.sql.functions.sum("w_ppm").as("m"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(langMarg("en") - 500000L) <= 20000 &&
+      math.abs(langMarg("de") - 500000L) <= 20000,
+      s"uniform lang marginals, got $langMarg")
   }
 }

@@ -270,4 +270,93 @@ class CurationOpsSpec extends SparkSpec {
     assert(rows.toSeq === Seq((10L, 10L, true), (11L, 10L, false),
       (12L, 10L, false), (13L, 13L, true)))
   }
+
+  /** Reference integer IPF: same ppm floor arithmetic as
+    * TrainPrep.rake, dims rescaled in order each round. */
+  private def bruteRake(rows: Seq[(String, String)],
+      langTgt: Map[String, Long], srcTgt: Map[String, Long],
+      rounds: Int): Map[(String, String), Long] = {
+    val n = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val total = rows.size.toLong
+    var w = n.map { case (c, cnt) => c -> cnt * 1000000L / total }
+    (1 to rounds).foreach { _ =>
+      Seq(true, false).foreach { isLang =>
+        val marg = w.groupBy { case ((l, s), _) => if (isLang) l else s }
+          .view.mapValues(_.values.sum).toMap
+        w = w.map { case (cell @ (l, s), wv) =>
+          val key = if (isLang) l else s
+          val t = (if (isLang) langTgt else srcTgt).getOrElse(key, 0L)
+          val m = marg(key)
+          cell -> (if (m > 0 && t > 0) wv * t / m else 0L)
+        }
+      }
+    }
+    w
+  }
+
+  test("rake == brute-force integer IPF; marginals land on target") {
+    import spark.implicits._
+    // full 3x3 support (every cell populated) — IPF converges
+    // geometrically fast; sparse-support fixtures (a lang seen in one
+    // source only) couple the marginals and converge slowly, which
+    // tests feasibility, not the operator
+    val rows = Seq(
+      ("en", "web"), ("en", "web"), ("en", "web"), ("en", "code"),
+      ("en", "books"), ("de", "web"), ("de", "code"), ("de", "code"),
+      ("de", "books"), ("fr", "web"), ("fr", "code"), ("fr", "books"),
+      ("fr", "books"))
+    val langTgt = Map("en" -> 500000L, "de" -> 300000L, "fr" -> 200000L)
+    val srcTgt = Map("web" -> 400000L, "code" -> 400000L,
+      "books" -> 200000L)
+    val df = rows.toDF("lang", "source")
+    val got = graft.ext.TrainPrep.rake(df, Seq("lang", "source"),
+        Seq(langTgt.toSeq.toDF("lang", "t"), srcTgt.toSeq.toDF("source", "t")),
+        rounds = 4)
+      .collect().map(r => ((r.getAs[String]("lang"),
+        r.getAs[String]("source")), r.getAs[Long]("w_ppm"))).toMap
+    assert(got === bruteRake(rows, langTgt, srcTgt, 4))
+    // after 4 rounds the last-rescaled dim is EXACT (up to floor) and
+    // the first dim is within a small integer gap
+    val srcMarg = got.groupBy(_._1._2).view.mapValues(_.values.sum)
+    srcTgt.foreach { case (sv, t) =>
+      assert(math.abs(srcMarg(sv) - t) <= rows.size,
+        s"source $sv marginal ${srcMarg(sv)} vs target $t")
+    }
+    val langMarg = got.groupBy(_._1._1).view.mapValues(_.values.sum)
+    langTgt.foreach { case (lv, t) =>
+      assert(math.abs(langMarg(lv) - t) <= 5000,
+        s"lang $lv marginal ${langMarg(lv)} vs target $t after 4 rounds")
+    }
+  }
+
+  test("rake: values absent from a target frame annihilate their cells") {
+    import spark.implicits._
+    val df = Seq(("en", "web"), ("xx", "web"), ("en", "code"))
+      .toDF("lang", "source")
+    val got = graft.ext.TrainPrep.rake(df, Seq("lang", "source"),
+        Seq(Seq(("en", 1000000L)).toDF("lang", "t"),
+          Seq(("web", 500000L), ("code", 500000L)).toDF("source", "t")),
+        rounds = 2)
+      .collect().map(r => ((r.getAs[String]("lang"),
+        r.getAs[String]("source")), r.getAs[Long]("w_ppm"))).toMap
+    assert(got(("xx", "web")) === 0L, "untargeted lang zeroed")
+    assert(got(("en", "web")) > 0L && got(("en", "code")) > 0L)
+  }
+
+  test("rake: checkpointDir path == localCheckpoint path") {
+    import spark.implicits._
+    val df = Seq(("en", "a"), ("en", "b"), ("de", "a"), ("de", "b"),
+      ("de", "a")).toDF("lang", "source")
+    val tgts = Seq(
+      Seq(("en", 600000L), ("de", 400000L)).toDF("lang", "t"),
+      Seq(("a", 500000L), ("b", 500000L)).toDF("source", "t"))
+    val local = graft.ext.TrainPrep.rake(df, Seq("lang", "source"), tgts, 3)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getAs[Long]("w_ppm"))).sortBy(c => (c._1, c._2)).toSeq
+    val ckpt = graft.ext.TrainPrep.rake(df, Seq("lang", "source"), tgts, 3,
+        checkpointDir = Some(tmpDir("rake-ckpt")))
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getAs[Long]("w_ppm"))).sortBy(c => (c._1, c._2)).toSeq
+    assert(local === ckpt)
+  }
 }
