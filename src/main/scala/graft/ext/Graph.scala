@@ -283,17 +283,19 @@ object Graph {
     var labels = TextDedup.materialize(
       nbr.select(col("node")).distinct().withColumn("label", col("node")),
       checkpointDir)
-    val byVotes = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("node")).orderBy(col("c").desc, col("label").asc)
     var round = 0
     var converged = false
     while (round < maxRounds && !converged) {
+      // argmax by (count DESC, label ASC) as min(struct(-c, label)) —
+      // a two-level hash agg with map-side partial combine instead of
+      // a per-node window sort (-c is safe: 1 <= c <= n). Both aggs
+      // hash-partition on the same `node` key.
       val step = nbr
         .join(labels.withColumnRenamed("node", "nb"), "nb")
         .groupBy(col("node"), col("label")).agg(count(lit(1)).as("c"))
-        .withColumn("rn", row_number().over(byVotes))
-        .filter(col("rn") === 1)
-        .select(col("node"), col("label"))
+        .groupBy(col("node"))
+        .agg(min(struct((-col("c")).as("nc"), col("label"))).as("best"))
+        .select(col("node"), col("best.label").as("label"))
       if (earlyStop) {
         val next = TextDedup.materialize(step, checkpointDir)
         converged = next.alias("a")

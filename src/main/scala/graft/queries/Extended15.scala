@@ -266,12 +266,98 @@ object Extended15 {
 
   val q167Sql: String = rakeUnrolledSql(rounds = 3)
 
+  // --------------------------------------------------------------------
+  // q168 — k-anonymity risk profile: equivalence classes over the
+  // quasi-identifier tuple (lang, source, n_chars div 200); for each
+  // k ∈ {2, 5, 10} report how many classes and rows fall below k —
+  // the release-gate a privacy review runs before publishing a corpus.
+  // One keyed class-size agg (map-side combinable), then the bounded
+  // class-size frame × 3 thresholds — the k-explode happens on the
+  // CLASS frame, never the corpus.
+  def q168(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sizes = t(s, dir, "documents")
+      .groupBy($"lang", $"source", expr("n_chars div 200").as("len_bucket"))
+      .agg(count(lit(1)).as("sz"))
+    sizes
+      .select(explode(array(lit(2L), lit(5L), lit(10L))).as("k"), $"sz")
+      .groupBy($"k")
+      .agg(
+        sum(when($"sz" < $"k", 1L).otherwise(0L)).as("n_classes_at_risk"),
+        sum(when($"sz" < $"k", $"sz").otherwise(0L)).as("n_rows_at_risk"),
+        count(lit(1)).as("n_classes"))
+      .orderBy($"k")
+  }
+
+  val q168Sql: String =
+    """WITH sizes AS (SELECT lang, source, n_chars // 200 AS len_bucket,
+      |        count(*) AS sz
+      |        FROM documents GROUP BY 1, 2, 3),
+      | ks AS (SELECT unnest([2, 5, 10]) AS k)
+      |SELECT CAST(k AS BIGINT) AS k,
+      |       CAST(SUM(CASE WHEN sz < k THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_classes_at_risk,
+      |       CAST(SUM(CASE WHEN sz < k THEN sz ELSE 0 END) AS BIGINT)
+      |         AS n_rows_at_risk,
+      |       COUNT(*) AS n_classes
+      |FROM sizes, ks GROUP BY k ORDER BY k""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q169 — per-source distribution drift: total-variation distance (in
+  // ppm, integer floor arithmetic) between each source's language mix
+  // and the corpus-wide mix — the per-shard drift monitor a 100 TB
+  // ingest runs to catch a crawl slice whose language profile shifted.
+  // TVD = Σ|p - q| / 2 over the lang domain; both p and q are floored
+  // ppm ratios of exact integer counts, so the metric is engine-exact
+  // (no float division order). Two keyed aggs + a broadcast of the
+  // BOUNDED per-lang corpus frame; missing (source, lang) cells
+  // contribute q via the corpus side (p = 0).
+  def q169(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = t(s, dir, "documents")
+    val langs = d.groupBy($"lang").agg(count(lit(1)).as("cg"))
+      .crossJoin(broadcast(d.agg(count(lit(1)).as("ng"))))
+      .select($"lang", expr("cg * 1000000 div ng").as("q_ppm"))
+    val perSource = d.groupBy($"source", $"lang").agg(count(lit(1)).as("cs"))
+    val srcTotals = d.groupBy($"source").agg(count(lit(1)).as("ns"))
+    // full source × lang grid (both frames bounded): a lang ABSENT
+    // from a source still contributes its corpus mass to that source's
+    // drift — a per-source join on lang alone would silently drop it
+    srcTotals.crossJoin(broadcast(langs))
+      .join(perSource, Seq("source", "lang"), "left")
+      .select($"source",
+        abs(expr("coalesce(cs, 0) * 1000000 div ns") - $"q_ppm").as("gap"))
+      .groupBy($"source")
+      .agg(expr("sum(gap) div 2").as("tvd_ppm"),
+        count(lit(1)).as("n_langs"))
+      .orderBy($"source")
+  }
+
+  val q169Sql: String =
+    """WITH langs AS (SELECT lang,
+      |        count(*) * 1000000 // (SELECT count(*) FROM documents) AS q_ppm
+      |        FROM documents GROUP BY lang),
+      | per_src AS (SELECT source, lang, count(*) AS cs
+      |        FROM documents GROUP BY source, lang),
+      | tot AS (SELECT source, count(*) AS ns FROM documents GROUP BY source),
+      | grid AS (SELECT t.source, l.lang, l.q_ppm, t.ns,
+      |        COALESCE(p.cs, 0) AS cs
+      |        FROM tot t CROSS JOIN langs l
+      |        LEFT JOIN per_src p ON p.source = t.source AND p.lang = l.lang)
+      |SELECT source,
+      |       CAST(SUM(ABS(cs * 1000000 // ns - q_ppm)) // 2 AS BIGINT)
+      |         AS tvd_ppm,
+      |       COUNT(*) AS n_langs
+      |FROM grid GROUP BY source ORDER BY source""".stripMargin
+
   /** Name → query function, for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q164_jl_projection" -> (q164 _),
     "q165_label_propagation" -> (q165 _),
     "q166_inverted_index" -> (q166 _),
-    "q167_rake_mixing" -> (q167 _)
+    "q167_rake_mixing" -> (q167 _),
+    "q168_k_anonymity" -> (q168 _),
+    "q169_source_drift" -> (q169 _)
   )
 
   /** Name → DuckDB oracle SQL, for SparkEntry. */
@@ -279,6 +365,8 @@ object Extended15 {
     "q164_jl_projection" -> q164Sql,
     "q165_label_propagation" -> q165Sql,
     "q166_inverted_index" -> q166Sql,
-    "q167_rake_mixing" -> q167Sql
+    "q167_rake_mixing" -> q167Sql,
+    "q168_k_anonymity" -> q168Sql,
+    "q169_source_drift" -> q169Sql
   )
 }

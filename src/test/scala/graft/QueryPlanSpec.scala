@@ -204,6 +204,36 @@ class QueryPlanSpec extends SparkSpec {
     assert(limits.nonEmpty, "q162 lost the WindowGroupLimit top-k pushdown")
   }
 
+  test("q166: posting cap is a WindowGroupLimit below the token shuffle") {
+    // the inverted index caps posting lists BEFORE collect_list via a
+    // token-keyed row_number filter — the physical plan must carry the
+    // WindowGroupLimit rewrite (map tasks forward <= cap rows/token)
+    // and no unpartitioned window anywhere.
+    val p = executed("q166_inverted_index")
+    val limits = p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec => w
+    }
+    assert(limits.nonEmpty, s"q166 lost the WindowGroupLimit rewrite:\n$p")
+    val unpartitioned = p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.isEmpty => w
+    }
+    assert(unpartitioned.isEmpty, s"q166:\n$p")
+  }
+
+  test("q164: JL projection plans shuffle-free until the 16-group agg") {
+    // quantize + sign-project are per-row expressions over the scan;
+    // the ONLY exchanges allowed are the final tiny aggregations
+    // (16-group agg + 1-row norm agg + broadcast), never a row-keyed
+    // repartition of the embeddings themselves.
+    val p = executed("q164_jl_projection")
+    val exchanges = p.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.length <= 3,
+      s"q164 grew unexpected shuffles (${exchanges.length}):\n$p")
+  }
+
   test("q02: filter and projection reach the parquet scan") {
     val scans = plan("q02_filter_project").collect {
       case f: org.apache.spark.sql.execution.FileSourceScanExec => f
