@@ -30,7 +30,8 @@ object SparkEntry {
       graft.queries.Extended12.queries ++
       graft.queries.Extended13.queries ++
       graft.queries.Extended14.queries ++
-      graft.queries.Extended15.queries
+      graft.queries.Extended15.queries ++
+      graft.queries.Extended16.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -46,5 +47,6 @@ object SparkEntry {
       graft.queries.Extended12.oracles ++
       graft.queries.Extended13.oracles ++
       graft.queries.Extended14.oracles ++
-      graft.queries.Extended15.oracles
+      graft.queries.Extended15.oracles ++
+      graft.queries.Extended16.oracles
 }

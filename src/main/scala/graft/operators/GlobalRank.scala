@@ -69,6 +69,63 @@ object GlobalRank {
       org.apache.spark.sql.functions.expr(tileExpr)).drop("__rk")
   }
 
+  /** [[withRank]] and [[withPrefixSum]] fused into ONE sorted pass:
+    * emits the 1-based global rank AND the exclusive prefix sum of
+    * `valueCol` over the same total order, with a single range
+    * shuffle and a single bounded driver collect (one (count, sum)
+    * pair per partition). The ranked-metric queries (exact AP, AUC
+    * variants) need both columns; calling the two single-output
+    * forms would sort-shuffle the data twice for no reason.
+    *
+    * @param sortCols a TOTAL order (include a tiebreaker — duplicate
+    *                 keys would make rank and sum run-dependent)
+    * @param valueCol long, non-null column to prefix-sum
+    */
+  def withRankAndPrefixSum(df: DataFrame, sortCols: Seq[Column],
+      valueCol: String, rankCol: String = "rank",
+      sumCol: String = "cum_before", partitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val n = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    val sorted = df.repartitionByRange(n, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val idx = sorted.schema.fieldIndex(valueCol)
+    val schema = StructType(sorted.schema.fields ++ Seq(
+      StructField(rankCol, LongType, nullable = false),
+      StructField(sumCol, LongType, nullable = false)))
+    val rdd = sorted.rdd
+    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val partStats = rdd.mapPartitionsWithIndex { case (pid, it) =>
+      var c = 0L
+      var s = 0L
+      it.foreach { r => c += 1; s += r.getLong(idx) }
+      Iterator((pid, c, s))
+    }.collect() // bounded: one (int, long, long) per partition
+    val cntOff = new Array[Long](n + 1)
+    val sumOff = new Array[Long](n + 1)
+    partStats.sortBy(_._1).foreach { case (pid, c, s) =>
+      cntOff(pid + 1) = c
+      sumOff(pid + 1) = s
+    }
+    for (i <- 1 to n) {
+      cntOff(i) += cntOff(i - 1)
+      sumOff(i) += sumOff(i - 1)
+    }
+    val bcC = spark.sparkContext.broadcast(cntOff)
+    val bcS = spark.sparkContext.broadcast(sumOff)
+    val out = rdd.mapPartitionsWithIndex { case (pid, it) =>
+      var k = bcC.value(pid)
+      var run = bcS.value(pid)
+      it.map { r =>
+        k += 1
+        val row = Row.fromSeq(r.toSeq ++ Seq(k, run))
+        run += r.getLong(idx)
+        row
+      }
+    }
+    spark.createDataFrame(out, schema)
+  }
+
   /** Deterministic GLOBAL running sum (exclusive prefix sum) of a long
     * column in `sortCols` order, without a single-partition window —
     * the scalable form of `sum(x) OVER (ORDER BY … ROWS UNBOUNDED

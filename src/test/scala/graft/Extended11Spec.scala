@@ -123,6 +123,34 @@ class Extended11Spec extends SparkSpec {
     }
   }
 
+  test("withRankAndPrefixSum == windowed rank+cumsum, desc order, any partitioning") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // q171's exact shape: rank and exclusive prefix sum over a DESC
+    // score order with an id tiebreaker, fused into one sorted pass
+    val docs = Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"n_chars".as("score"),
+        when($"lang" === "en", 1L).otherwise(0L).as("rel"))
+    val ord = Window.orderBy($"score".desc, $"doc_id".asc)
+    val want = docs
+      .withColumn("k", row_number().over(ord).cast("long"))
+      .withColumn("tp_before", coalesce(
+        sum($"rel").over(ord.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Long]("k"), r.getAs[Long]("tp_before"))).toMap
+    for (parts <- Seq(1, 3, 16)) {
+      val got = graft.operators.GlobalRank
+        .withRankAndPrefixSum(docs, Seq($"score".desc, $"doc_id".asc),
+          "rel", "k", "tp_before", partitions = parts)
+        .collect()
+        .map(r => r.getLong(0) ->
+          (r.getAs[Long]("k"), r.getAs[Long]("tp_before"))).toMap
+      assert(got === want, s"partitions=$parts")
+    }
+  }
+
   test("withNtile == windowed ntile: remainders, n < k, any partitioning") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
