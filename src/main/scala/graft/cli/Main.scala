@@ -39,6 +39,7 @@ import graft.transform.RideTransform
   *   dup-spans <docsParquet> <idCol> <textCol> <k> <minCount> <outParquet>
   *   weighted-sample <parquet> <idCol> <groupCol> <weightCol> <k> <outParquet>
   *   semantic-dedup <embParquet> <idCol> <vecCol> <tauBp> <bits> <outParquet>
+  *   bpe <docsParquet> <textCol> <rounds> <outParquet>
   */
 object Main {
 
@@ -319,6 +320,26 @@ object Main {
       val proj = graft.ext.VectorIndex.randomProject(df, vecCol, signs)
       proj.write.mode("overwrite").parquet(out)
       println(s"projected ${proj.count()} vectors $d -> ${outDim.toInt} dims to $out")
+
+    // bpe <docsParquet> <textCol> <rounds> <outParquet>: BPE merge
+    // training over the corpus's word-frequency table; writes the
+    // merge table, prints the trajectory.
+    case "bpe" :: in :: textCol :: rounds :: out :: Nil =>
+      import org.apache.spark.sql.functions.{col, count, explode, lit,
+        lower, split, trim}
+      val words = spark.read.parquet(in)
+        .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("word"))
+        .filter(col("word").rlike("^[a-z]+$"))
+        .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      val (merges, _) = graft.ext.TrainPrep.bpeMerges(
+        words, "word", "cnt", rounds.toInt)
+      merges.write.mode("overwrite").parquet(out)
+      merges.orderBy("round").collect().foreach { r =>
+        println(s"round ${r.getAs[Long]("round")}: '${r.getAs[String]("pair")}' " +
+          s"-> '${r.getAs[String]("merged")}' (${r.getAs[Long]("pair_cnt")} " +
+          s"pairs, vocab ${r.getAs[Long]("vocab_after")}, " +
+          s"tokens ${r.getAs[Long]("tokens_after")})")
+      }
 
     case other =>
       sys.error(s"unknown command: ${other.mkString(" ")} — see Scaladoc for usage")

@@ -248,4 +248,86 @@ object TrainPrep {
     }
     cells
   }
+
+  /** Byte-pair-encoding merge training (q175): learn `rounds` merges
+    * from a (word, count) frequency frame — the tokenizer-training
+    * stage of a data pipeline, run on the corpus the other operators
+    * curated. Classic BPE (Sennrich et al., ACL 2016) trains on the
+    * word-frequency TABLE, not the corpus: the iteration state is the
+    * BOUNDED vocab frame (one row per distinct word), so each round is
+    * a vocab-sized pair agg + a broadcast 1-row merge apply — corpus
+    * size only ever enters through the one up-front word-count agg the
+    * CALLER does. That is the entire 100 TB story: rounds cost
+    * O(vocab), not O(corpus).
+    *
+    * Determinism: the winning pair is argmax by (count DESC, pair ASC)
+    * via `min(struct(-cnt, pair))` — a map-side-combinable two-level
+    * agg (the labelPropagation argmax shape), no window, no
+    * order-dependence. The merge apply is `replace(' '||sym||' ',
+    * ' a b ', ' ab ')` — leftmost NON-OVERLAPPING scan, the contract
+    * both Spark's and DuckDB's `replace` share, so a run "a a a"
+    * merges ⌊n/2⌋ pairs in one round (reference BPE implementations
+    * differ on runs too; what matters here is that the rule is
+    * deterministic and engine-portable). Symbols are space-joined, so
+    * a merged symbol is the plain concatenation of its parts.
+    *
+    * Round state is pinned per round ([[TextDedup.materialize]]) so
+    * plans don't grow with rounds — the [[greedyCover]] pattern.
+    *
+    * @param words (wordCol, cntCol) distinct-word frequencies; words
+    *              must not contain spaces (they are the symbol
+    *              separator)
+    * @return (merges, encoded): merges = one row per round
+    *         (round, pair, merged, pair_cnt, vocab_after,
+    *         tokens_after) — pair/merged NULL on a degenerate round
+    *         (no adjacent pair left, vocab fully merged); encoded =
+    *         (sym, cnt) the word frame after all merges
+    */
+  def bpeMerges(words: DataFrame, wordCol: String, cntCol: String,
+      rounds: Int, checkpointDir: Option[String] = None)
+      : (DataFrame, DataFrame) = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    var w = TextDedup.materialize(
+      words.select(
+        concat_ws(" ", split(col(wordCol), "")).as("sym"),
+        col(cntCol).cast("long").as("cnt")),
+      checkpointDir)
+    var out = Seq.empty[DataFrame]
+    for (r <- 1 to rounds) {
+      val best = TextDedup.materialize(w
+        .filter(instr(col("sym"), " ") > 0)
+        .select(col("cnt"), split(col("sym"), " ").as("s"))
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(1, size(s) - 1), " +
+            "i -> concat(element_at(s, i), ' ', element_at(s, i + 1)))"))
+          .as("pair"))
+        .groupBy(col("pair")).agg(sum(col("cnt")).as("pcnt"))
+        .agg(min(struct((-col("pcnt")).as("neg"), col("pair").as("pair")))
+          .as("m"))
+        .select(
+          col("m.pair").as("pair"),
+          expr("replace(m.pair, ' ', '')").as("merged"),
+          (-col("m.neg")).as("pair_cnt")),
+        checkpointDir)
+      w = TextDedup.materialize(
+        w.crossJoin(broadcast(best))
+          .withColumn("sym",
+            when(col("pair").isNull, col("sym")).otherwise(trim(expr(
+              "replace(concat(' ', sym, ' '), concat(' ', pair, ' '), " +
+                "concat(' ', merged, ' '))"))))
+          .drop("pair", "merged", "pair_cnt"),
+        checkpointDir)
+      val vocab = w
+        .select(explode(split(col("sym"), " ")).as("symb"))
+        .agg(countDistinct(col("symb")).as("vocab_after"))
+      val toks = w.agg(
+        sum(expr("cnt * size(split(sym, ' '))")).as("tokens_after"))
+      out = out :+ best
+        .select(lit(r.toLong).as("round"), col("pair"), col("merged"),
+          col("pair_cnt"))
+        .crossJoin(broadcast(vocab))
+        .crossJoin(broadcast(toks))
+    }
+    (out.reduce(_ unionByName _), w)
+  }
 }

@@ -200,17 +200,237 @@ object Extended16 {
       |            AS BIGINT) AS chao1_micro
       |FROM g, ch ORDER BY bucket""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q173 — pairwise source Jensen–Shannon divergence over unigram
+  // distributions, in floor-scaled integer micro-nats (the q130 ln
+  // doctrine): the "which sources are interchangeable / which are a
+  // different register" matrix behind corpus-mixing decisions. For
+  // sources with token counts a_t (total A) and b_t (total B):
+  //   JS = 1/(2A)·Σ a_t ln(2·a_t·B / (a_t·B + b_t·A))
+  //      + 1/(2B)·Σ b_t ln(2·b_t·A / (a_t·B + b_t·A))
+  // — the a_t/A vs b_t/B mixture form with every ratio expressed over
+  // integer cross-products, so the ONLY non-integer step is the ln,
+  // floored at micro scale; zeros need no smoothing (a one-sided token
+  // contributes exactly ln 2).
+  //
+  // Scale: one (source, token) agg, then one token-keyed agg packing
+  // per-token counts into a source→cnt map (sources are a BOUNDED
+  // domain), then a broadcast of the bounded pair grid — the corpus is
+  // touched twice, the |S|²-fan-out happens on the token-distinct
+  // frame only (the q169 bounded-grid doctrine pairwise). Cross
+  // products stay in double space before the ln, so no bigint overflow
+  // at any corpus size.
+  def q173(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tok = t(s, dir, "documents")
+      .select($"source", explode(split(trim($"text"), "\\s+")).as("token"))
+    val cnts = tok.groupBy($"source", $"token")
+      .agg(count(lit(1)).as("cnt"))
+    val totals = cnts.groupBy($"source").agg(sum($"cnt").as("tot"))
+    val pairs = totals.as("l").join(totals.as("r"),
+        $"l.source" < $"r.source")
+      .select($"l.source".as("s1"), $"r.source".as("s2"),
+        $"l.tot".as("at"), $"r.tot".as("bt"))
+    val perTok = cnts.groupBy($"token")
+      .agg(map_from_entries(collect_list(struct($"source", $"cnt")))
+        .as("m"))
+    perTok.crossJoin(broadcast(pairs))
+      .select($"s1", $"s2", $"at", $"bt",
+        coalesce(element_at($"m", $"s1"), lit(0L)).as("a"),
+        coalesce(element_at($"m", $"s2"), lit(0L)).as("b"))
+      .filter($"a" + $"b" > 0)
+      .groupBy($"s1", $"s2", $"at", $"bt")
+      .agg(
+        sum(when($"a" > 0, $"a" * floor(lit(1000000.0) *
+          log((lit(2.0) * $"a" * $"bt") /
+            ($"a" * $"bt" + $"b" * $"at").cast("double")))
+          .cast("long")).otherwise(0L)).as("sa"),
+        sum(when($"b" > 0, $"b" * floor(lit(1000000.0) *
+          log((lit(2.0) * $"b" * $"at") /
+            ($"a" * $"bt" + $"b" * $"at").cast("double")))
+          .cast("long")).otherwise(0L)).as("sb"),
+        sum(when($"a" > 0 && $"b" > 0, 1L).otherwise(0L)).as("n_shared"),
+        sum(when($"b" === 0, 1L).otherwise(0L)).as("n_only_1"),
+        sum(when($"a" === 0, 1L).otherwise(0L)).as("n_only_2"))
+      .select($"s1", $"s2",
+        (expr("sa div (2 * at)") + expr("sb div (2 * bt)"))
+          .as("js_micro_nat"),
+        $"n_shared", $"n_only_1", $"n_only_2")
+      .orderBy($"s1", $"s2")
+  }
+
+  val q173Sql: String =
+    """WITH tok AS (SELECT source,
+      |        unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+      |        FROM documents),
+      | c AS (SELECT source, token, count(*) AS cnt FROM tok GROUP BY 1, 2),
+      | t AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS tot
+      |        FROM c GROUP BY 1),
+      | p AS (SELECT a.source AS s1, b.source AS s2,
+      |        a.tot AS at, b.tot AS bt
+      |        FROM t a JOIN t b ON a.source < b.source),
+      | u AS (SELECT DISTINCT c2.token, p.s1, p.s2, p.at, p.bt
+      |        FROM p JOIN c c2 ON c2.source = p.s1 OR c2.source = p.s2),
+      | g AS (SELECT u.s1, u.s2, u.at, u.bt,
+      |        COALESCE(l.cnt, 0) AS a, COALESCE(r.cnt, 0) AS b
+      |        FROM u
+      |        LEFT JOIN c l ON l.source = u.s1 AND l.token = u.token
+      |        LEFT JOIN c r ON r.source = u.s2 AND r.token = u.token)
+      |SELECT s1, s2,
+      |       CAST(SUM(CASE WHEN a > 0 THEN a * CAST(floor(1000000.0 *
+      |              ln((2.0 * a * bt) / CAST(a * bt + b * at AS DOUBLE)))
+      |              AS BIGINT) ELSE 0 END) // (2 * at)
+      |          + SUM(CASE WHEN b > 0 THEN b * CAST(floor(1000000.0 *
+      |              ln((2.0 * b * at) / CAST(a * bt + b * at AS DOUBLE)))
+      |              AS BIGINT) ELSE 0 END) // (2 * bt) AS BIGINT)
+      |         AS js_micro_nat,
+      |       CAST(SUM(CASE WHEN a > 0 AND b > 0 THEN 1 ELSE 0 END)
+      |         AS BIGINT) AS n_shared,
+      |       CAST(SUM(CASE WHEN b = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_only_1,
+      |       CAST(SUM(CASE WHEN a = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_only_2
+      |FROM g GROUP BY s1, s2, at, bt ORDER BY s1, s2""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q174 — Zipf profile: token frequencies at power-of-two ranks plus
+  // the local Zipf exponent (the ln-ln slope between successive
+  // samples, micro-nat floors) — rank-frequency structure diagnosed
+  // without fitting floats. The global rank over (cnt DESC, token ASC)
+  // comes from GlobalRank.withRank (range partition + zipWithIndex),
+  // NEVER an unpartitioned window (the q158 rule); the lag window then
+  // orders only the ~log₂(V) sampled rows (the q139/q140 bounded-domain
+  // class).
+  def q174(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cnts = t(s, dir, "documents")
+      .select(explode(split(trim($"text"), "\\s+")).as("token"))
+      .groupBy($"token").agg(count(lit(1)).as("cnt"))
+    val sampled = graft.operators.GlobalRank
+      .withRank(cnts, Seq($"cnt".desc, $"token".asc), "rank")
+      .filter(expr("(rank & (rank - 1)) = 0")) // powers of two
+      .select($"rank", $"cnt",
+        floor(lit(1000000.0) * log($"rank".cast("double")))
+          .cast("long").as("ln_rank_micro"),
+        floor(lit(1000000.0) * log($"cnt".cast("double")))
+          .cast("long").as("ln_cnt_micro"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"rank")
+    sampled
+      .select($"rank", $"cnt", $"ln_rank_micro", $"ln_cnt_micro",
+        (lag($"ln_cnt_micro", 1).over(w) - $"ln_cnt_micro")
+          .as("dy"),
+        ($"ln_rank_micro" - lag($"ln_rank_micro", 1).over(w))
+          .as("dx"))
+      .select($"rank", $"cnt", $"ln_rank_micro", $"ln_cnt_micro",
+        when($"dx".isNotNull && $"dx" > 0,
+          expr("-((dy * 1000000) div dx)")).as("zipf_slope_micro"))
+      .orderBy($"rank")
+  }
+
+  val q174Sql: String =
+    """WITH c AS (SELECT token, count(*) AS cnt FROM (
+      |        SELECT unnest(regexp_split_to_array(trim(text), '\s+'))
+      |          AS token FROM documents) GROUP BY token),
+      | r AS (SELECT cnt,
+      |        row_number() OVER (ORDER BY cnt DESC, token ASC) AS rank
+      |        FROM c),
+      | s AS (SELECT rank, cnt,
+      |        CAST(floor(1000000.0 * ln(CAST(rank AS DOUBLE)))
+      |          AS BIGINT) AS ln_rank_micro,
+      |        CAST(floor(1000000.0 * ln(CAST(cnt AS DOUBLE)))
+      |          AS BIGINT) AS ln_cnt_micro
+      |        FROM r WHERE (rank & (rank - 1)) = 0),
+      | d AS (SELECT rank, cnt, ln_rank_micro, ln_cnt_micro,
+      |        lag(ln_cnt_micro) OVER (ORDER BY rank) - ln_cnt_micro
+      |          AS dy,
+      |        ln_rank_micro - lag(ln_rank_micro) OVER (ORDER BY rank)
+      |          AS dx
+      |        FROM s)
+      |SELECT rank, cnt, ln_rank_micro, ln_cnt_micro,
+      |       CAST(CASE WHEN dx IS NOT NULL AND dx > 0
+      |            THEN -((dy * 1000000) // dx) END AS BIGINT)
+      |         AS zipf_slope_micro
+      |FROM d ORDER BY rank""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q175 — BPE merge training (TrainPrep.bpeMerges): the first 3
+  // byte-pair merges learned from the corpus's word-frequency table,
+  // with the vocab/token trajectory after each merge. The iteration
+  // state is the BOUNDED distinct-word frame; see the operator doc for
+  // the determinism story (struct-min argmax, engine-portable
+  // non-overlapping replace). Oracle unrolls the same 3 rounds as
+  // MATERIALIZED CTEs (the q167 rake pattern).
+  def q175(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = t(s, dir, "documents")
+      .select(explode(split(lower(trim($"text")), "\\s+")).as("word"))
+      .filter($"word".rlike("^[a-z]+$"))
+      .groupBy($"word").agg(count(lit(1)).as("cnt"))
+    graft.ext.TrainPrep.bpeMerges(words, "word", "cnt", rounds = 3)._1
+      .orderBy($"round")
+  }
+
+  private def bpeRoundSql(r: Int): String = {
+    val (prev, cur) = (s"w${r - 1}", s"w$r")
+    s"""p$r AS MATERIALIZED (
+       |  SELECT pair, CAST(sum(cnt) AS BIGINT) AS pcnt FROM (
+       |    SELECT cnt, unnest(list_transform(range(2, len(s) + 1),
+       |             i -> s[i - 1] || ' ' || s[i])) AS pair
+       |    FROM (SELECT cnt, string_split(sym, ' ') AS s FROM $prev
+       |          WHERE contains(sym, ' ')))
+       |  GROUP BY pair),
+       | b$r AS MATERIALIZED (
+       |  SELECT pair, replace(pair, ' ', '') AS merged, pcnt
+       |  FROM p$r ORDER BY pcnt DESC, pair ASC LIMIT 1),
+       | $cur AS MATERIALIZED (
+       |  SELECT trim(replace(' ' || sym || ' ',
+       |           (SELECT ' ' || pair || ' ' FROM b$r),
+       |           (SELECT ' ' || merged || ' ' FROM b$r))) AS sym, cnt
+       |  FROM $prev),
+       | s$r AS (
+       |  SELECT CAST($r AS BIGINT) AS round,
+       |    (SELECT pair FROM b$r) AS pair,
+       |    (SELECT merged FROM b$r) AS merged,
+       |    (SELECT pcnt FROM b$r) AS pair_cnt,
+       |    (SELECT CAST(count(DISTINCT symb) AS BIGINT) FROM
+       |       (SELECT unnest(string_split(sym, ' ')) AS symb FROM $cur))
+       |      AS vocab_after,
+       |    (SELECT CAST(sum(cnt * len(string_split(sym, ' '))) AS BIGINT)
+       |       FROM $cur) AS tokens_after)""".stripMargin
+  }
+
+  val q175Sql: String =
+    s"""WITH w0 AS MATERIALIZED (
+       |  SELECT array_to_string(regexp_split_to_array(word, ''), ' ')
+       |           AS sym,
+       |         CAST(cnt AS BIGINT) AS cnt FROM (
+       |    SELECT word, count(*) AS cnt FROM (
+       |      SELECT unnest(regexp_split_to_array(lower(trim(text)),
+       |               '\\s+')) AS word FROM documents)
+       |    WHERE regexp_matches(word, '^[a-z]+$$') GROUP BY word)),
+       | ${bpeRoundSql(1)},
+       | ${bpeRoundSql(2)},
+       | ${bpeRoundSql(3)}
+       |SELECT * FROM s1 UNION ALL SELECT * FROM s2
+       |UNION ALL SELECT * FROM s3 ORDER BY round""".stripMargin
+
   /** Name → query function, for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q170_calibration_ece" -> (q170 _),
     "q171_average_precision" -> (q171 _),
-    "q172_vocab_growth" -> (q172 _)
+    "q172_vocab_growth" -> (q172 _),
+    "q173_source_js_divergence" -> (q173 _),
+    "q174_zipf_profile" -> (q174 _),
+    "q175_bpe_merges" -> (q175 _)
   )
 
   /** Name → DuckDB oracle SQL, for SparkEntry. */
   val oracles: Map[String, String] = Map(
     "q170_calibration_ece" -> q170Sql,
     "q171_average_precision" -> q171Sql,
-    "q172_vocab_growth" -> q172Sql
+    "q172_vocab_growth" -> q172Sql,
+    "q173_source_js_divergence" -> q173Sql,
+    "q174_zipf_profile" -> q174Sql,
+    "q175_bpe_merges" -> q175Sql
   )
 }

@@ -284,4 +284,25 @@ class CliSpec extends SparkSpec {
       math.abs(langMarg("de") - 500000L) <= 20000,
       s"uniform lang marginals, got $langMarg")
   }
+
+  test("bpe subcommand learns the dominant pair first") {
+    import spark.implicits._
+    val base = tmpDir("clibpe")
+    Seq((1L, "the theme the thesis"), (2L, "the other theme"),
+        (3L, "breathe the theme"))
+      .toDF("doc_id", "text").write.parquet(s"$base/docs")
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) {
+      Main.run(spark, List("bpe", s"$base/docs", "text", "2",
+        s"$base/merges"))
+    }
+    // 'h e' and 't h' tie at 10 occurrences — pair-asc break picks
+    // 'h e'; round 2 then merges 't he' into the full 'the'
+    assert(out.toString.contains("round 1: 'h e' -> 'he' (10 pairs"),
+      s"unexpected output: $out")
+    assert(out.toString.contains("round 2: 't he' -> 'the' (10 pairs"),
+      s"unexpected output: $out")
+    val merges = spark.read.parquet(s"$base/merges")
+    assert(merges.count() === 2L)
+  }
 }

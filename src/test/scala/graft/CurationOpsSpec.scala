@@ -359,4 +359,83 @@ class CurationOpsSpec extends SparkSpec {
         r.getAs[Long]("w_ppm"))).sortBy(c => (c._1, c._2)).toSeq
     assert(local === ckpt)
   }
+
+  /** Brute-force BPE with the operator's exact semantics: pair counts
+    * weighted by word frequency, argmax by (count DESC, pair ASC),
+    * merge applied with Java's leftmost non-overlapping
+    * `String.replace` (the same contract Spark's and DuckDB's
+    * `replace` follow). */
+  private def bruteBpe(words: Seq[(String, Long)], rounds: Int)
+      : (Seq[(Long, String, String, Long, Long, Long)],
+         Seq[(String, Long)]) = {
+    var syms = words.map { case (w, c) => (w.toCharArray.mkString(" "), c) }
+    val merges = (1 to rounds).map { r =>
+      val pc = scala.collection.mutable.Map.empty[String, Long]
+      syms.foreach { case (sym, c) =>
+        val a = sym.split(" ")
+        if (a.length >= 2) a.sliding(2).foreach { p =>
+          val k = p.mkString(" "); pc(k) = pc.getOrElse(k, 0L) + c
+        }
+      }
+      val (pair, cnt) = pc.toSeq.minBy { case (p, c) => (-c, p) }
+      val merged = pair.replace(" ", "")
+      syms = syms.map { case (sym, c) =>
+        ((" " + sym + " ").replace(" " + pair + " ", " " + merged + " ")
+          .trim, c)
+      }
+      val vocab = syms.flatMap(_._1.split(" ")).distinct.size.toLong
+      val toks = syms.map { case (sym, c) => c * sym.split(" ").length }.sum
+      (r.toLong, pair, merged, cnt, vocab, toks)
+    }
+    (merges, syms)
+  }
+
+  test("bpeMerges == brute-force BPE; merges, stats, encoding all match") {
+    import spark.implicits._
+    // "aaaa" pins the non-overlapping run semantics; ties pin the
+    // pair-asc break
+    val words = Seq(("hello", 5L), ("hell", 3L), ("help", 2L),
+      ("lo", 7L), ("a", 4L), ("aaaa", 2L), ("loop", 1L))
+    val (mergesDf, encodedDf) = graft.ext.TrainPrep.bpeMerges(
+      words.toDF("word", "cnt"), "word", "cnt", rounds = 3)
+    val got = mergesDf.orderBy("round").collect().map(r =>
+      (r.getAs[Long]("round"), r.getAs[String]("pair"),
+        r.getAs[String]("merged"), r.getAs[Long]("pair_cnt"),
+        r.getAs[Long]("vocab_after"), r.getAs[Long]("tokens_after"))).toSeq
+    val (expMerges, expSyms) = bruteBpe(words, 3)
+    assert(got === expMerges)
+    val gotEnc = encodedDf.collect()
+      .map(r => (r.getAs[String]("sym"), r.getAs[Long]("cnt")))
+      .sortBy(identity).toSeq
+    assert(gotEnc === expSyms.sortBy(identity))
+  }
+
+  test("bpeMerges: degenerate rounds (no pair left) keep words intact") {
+    import spark.implicits._
+    val words = Seq(("ab", 3L), ("a", 1L), ("b", 2L))
+    val (mergesDf, encodedDf) = graft.ext.TrainPrep.bpeMerges(
+      words.toDF("word", "cnt"), "word", "cnt", rounds = 3)
+    val rows = mergesDf.orderBy("round").collect()
+    assert(rows(0).getAs[String]("pair") === "a b")
+    // rounds 2-3 have nothing to merge: NULL pair, corpus untouched
+    assert(rows(1).getAs[String]("pair") === null)
+    assert(rows(2).getAs[String]("pair") === null)
+    assert(rows(1).getAs[Long]("vocab_after") === 3L) // a, b, ab
+    val enc = encodedDf.collect()
+      .map(r => (r.getAs[String]("sym"), r.getAs[Long]("cnt")))
+      .sortBy(identity).toSeq
+    assert(enc === Seq(("a", 1L), ("ab", 3L), ("b", 2L)))
+  }
+
+  test("bpeMerges: checkpointDir path == localCheckpoint path") {
+    import spark.implicits._
+    val words = Seq(("banana", 4L), ("bandana", 2L), ("nab", 5L))
+      .toDF("word", "cnt")
+    def run(ckpt: Option[String]) =
+      graft.ext.TrainPrep.bpeMerges(words, "word", "cnt", 3, ckpt)._1
+        .orderBy("round").collect().map(r =>
+          (r.getAs[Long]("round"), r.getAs[String]("pair"),
+            r.getAs[Long]("pair_cnt"))).toSeq
+    assert(run(None) === run(Some(tmpDir("bpe-ckpt"))))
+  }
 }
