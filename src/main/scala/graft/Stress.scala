@@ -272,6 +272,20 @@ object Stress {
           bucketCap = Some(10000L))
         .filter($"keep").count()
     }
+    if (picks("bpe")) timed("bpe") {
+      // TrainPrep.bpeMerges (the q175 operator): the only corpus-sized
+      // cost is the up-front word-count agg; the 8 merge rounds then
+      // run on the BOUNDED distinct-word frame, so doubling `rows`
+      // should move only the first agg — the flat-rounds claim q175
+      // makes for 100 TB. (The generated vocab is small, which is the
+      // point: round cost tracks vocab, not corpus.)
+      val words = docs
+        .select(explode(split(lower(trim($"text")), "\\s+")).as("word"))
+        .filter($"word".rlike("^[a-z]+$"))
+        .groupBy($"word").agg(count(lit(1)).as("cnt"))
+      graft.ext.TrainPrep.bpeMerges(words, "word", "cnt", rounds = 8)
+        ._1.count()
+    }
     if (picks("wsample")) timed("wsample") {
       // TrainPrep.weightedSample (the q162 operator): Σw row expansion
       // (≤4×) + per-source md5 max-key agg + WindowGroupLimit top-k.

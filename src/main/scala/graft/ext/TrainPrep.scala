@@ -330,4 +330,31 @@ object TrainPrep {
     }
     (out.reduce(_ unionByName _), w)
   }
+
+  /** Encode words with an ALREADY-LEARNED merge list (q176): the apply
+    * half of the BPE pair — tokenize new text with the merges
+    * [[bpeMerges]] trained, without touching the training corpus.
+    * `merges` is bounded driver-side metadata (the IVF-centroid
+    * contract): the column expression folds one engine-portable
+    * `replace` per merge, in learned order — BPE's apply rule. Depth
+    * grows with the merge count; fine for the 10²–10³ merges a profile
+    * job carries, a production 50k-merge tokenizer would batch through
+    * a generated UDF instead (documented trade).
+    *
+    * @param merges pairs as "a b" strings, in learned (round) order
+    * @return input + `outCol`: the space-joined symbol sequence
+    */
+  def bpeEncode(words: DataFrame, wordCol: String, merges: Seq[String],
+      outCol: String = "sym"): DataFrame = {
+    val start = concat_ws(" ", split(col(wordCol), ""))
+    val folded = merges.foldLeft(start) { (c, pair) =>
+      require(pair.count(_ == ' ') == 1,
+        s"merge must be a single 'left right' pair, got '$pair'")
+      trim(call_function("replace",
+        concat(lit(" "), c, lit(" ")),
+        lit(s" $pair "),
+        lit(" " + pair.replace(" ", "") + " ")))
+    }
+    words.withColumn(outCol, folded)
+  }
 }

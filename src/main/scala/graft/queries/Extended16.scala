@@ -414,6 +414,50 @@ object Extended16 {
        |SELECT * FROM s1 UNION ALL SELECT * FROM s2
        |UNION ALL SELECT * FROM s3 ORDER BY round""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q176 — encoded-corpus token histogram: the top-10 BPE tokens (by
+  // corpus count, ties token-asc) after applying q175's 3 learned
+  // merges — the "what did the tokenizer learn" readout. Spark side
+  // re-encodes the word frame with TrainPrep.bpeEncode from the
+  // COLLECTED merge list (bounded driver metadata, the IVF-centroid
+  // contract — 3 strings here), proving the train→apply round trip;
+  // the histogram is one vocab-frame agg (symbols weighted by word
+  // count, the corpus is never re-scanned). Deterministic lossy top-k
+  // (T1/T2 precedent).
+  def q176(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = t(s, dir, "documents")
+      .select(explode(split(lower(trim($"text")), "\\s+")).as("word"))
+      .filter($"word".rlike("^[a-z]+$"))
+      .groupBy($"word").agg(count(lit(1)).as("cnt"))
+    val merges = graft.ext.TrainPrep
+      .bpeMerges(words, "word", "cnt", rounds = 3)._1
+      .orderBy($"round").collect() // bounded: one row per round
+      .flatMap(r => Option(r.getAs[String]("pair")))
+      .toSeq
+    graft.ext.TrainPrep.bpeEncode(words, "word", merges)
+      .select($"cnt", explode(split($"sym", " ")).as("token"))
+      .groupBy($"token").agg(sum($"cnt").as("n"))
+      .orderBy($"n".desc, $"token".asc)
+      .limit(10)
+  }
+
+  val q176Sql: String =
+    s"""WITH w0 AS MATERIALIZED (
+       |  SELECT array_to_string(regexp_split_to_array(word, ''), ' ')
+       |           AS sym,
+       |         CAST(cnt AS BIGINT) AS cnt FROM (
+       |    SELECT word, count(*) AS cnt FROM (
+       |      SELECT unnest(regexp_split_to_array(lower(trim(text)),
+       |               '\\s+')) AS word FROM documents)
+       |    WHERE regexp_matches(word, '^[a-z]+$$') GROUP BY word)),
+       | ${bpeRoundSql(1)},
+       | ${bpeRoundSql(2)},
+       | ${bpeRoundSql(3)}
+       |SELECT symb AS token, CAST(sum(cnt) AS BIGINT) AS n FROM (
+       |  SELECT cnt, unnest(string_split(sym, ' ')) AS symb FROM w3)
+       |GROUP BY symb ORDER BY n DESC, token ASC LIMIT 10""".stripMargin
+
   /** Name → query function, for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q170_calibration_ece" -> (q170 _),
@@ -421,7 +465,8 @@ object Extended16 {
     "q172_vocab_growth" -> (q172 _),
     "q173_source_js_divergence" -> (q173 _),
     "q174_zipf_profile" -> (q174 _),
-    "q175_bpe_merges" -> (q175 _)
+    "q175_bpe_merges" -> (q175 _),
+    "q176_bpe_token_histogram" -> (q176 _)
   )
 
   /** Name → DuckDB oracle SQL, for SparkEntry. */
@@ -431,6 +476,7 @@ object Extended16 {
     "q172_vocab_growth" -> q172Sql,
     "q173_source_js_divergence" -> q173Sql,
     "q174_zipf_profile" -> q174Sql,
-    "q175_bpe_merges" -> q175Sql
+    "q175_bpe_merges" -> q175Sql,
+    "q176_bpe_token_histogram" -> q176Sql
   )
 }

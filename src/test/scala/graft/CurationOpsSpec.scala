@@ -427,6 +427,34 @@ class CurationOpsSpec extends SparkSpec {
     assert(enc === Seq(("a", 1L), ("ab", 3L), ("b", 2L)))
   }
 
+  test("bpeEncode with learned merges == bpeMerges encoded frame; " +
+      "applies to unseen words") {
+    import spark.implicits._
+    val words = Seq(("banana", 4L), ("bandana", 2L), ("nab", 5L),
+      ("ban", 3L)).toDF("word", "cnt")
+    val (mergesDf, encoded) = graft.ext.TrainPrep.bpeMerges(
+      words, "word", "cnt", rounds = 3)
+    val merges = mergesDf.orderBy("round").collect()
+      .flatMap(r => Option(r.getAs[String]("pair"))).toSeq
+    // round trip: re-encoding the training words reproduces the
+    // trained frame exactly
+    val re = graft.ext.TrainPrep.bpeEncode(words, "word", merges)
+      .select("sym", "cnt").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(identity).toSeq
+    val trained = encoded.select("sym", "cnt").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(identity).toSeq
+    assert(re === trained)
+    // unseen word: same fold applied by the brute-force Java replace
+    val unseen = Seq(("bandanna", 1L)).toDF("word", "cnt")
+    val gotU = graft.ext.TrainPrep.bpeEncode(unseen, "word", merges)
+      .select("sym").head().getString(0)
+    val expU = merges.foldLeft("bandanna".toCharArray.mkString(" ")) {
+      (s, p) => (" " + s + " ")
+        .replace(" " + p + " ", " " + p.replace(" ", "") + " ").trim
+    }
+    assert(gotU === expU)
+  }
+
   test("bpeMerges: checkpointDir path == localCheckpoint path") {
     import spark.implicits._
     val words = Seq(("banana", 4L), ("bandana", 2L), ("nab", 5L))
