@@ -234,6 +234,45 @@ class QueryPlanSpec extends SparkSpec {
       s"q164 grew unexpected shuffles (${exchanges.length}):\n$p")
   }
 
+  test("q171: ONE exchange, no windows, no global sort (fused rank+prefix sum)") {
+    // Rank and the relevance prefix sum both come from ONE
+    // GlobalRank.withRankAndPrefixSum pass (range shuffle + zip in the
+    // RDD layer); the only SQL-visible exchange is the final 1-row
+    // aggregate's. A window-based AP would show a WindowExec and a
+    // SinglePartition funnel here.
+    val p = executed("q171_average_precision")
+    assert(count(p,
+      _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]) === 0,
+      p.toString)
+    assert(count(p, {
+      case s: org.apache.spark.sql.execution.SortExec => s.global
+      case _ => false
+    }) === 0, p.toString)
+    assert(count(p, _.isInstanceOf[Exchange]) === 1, p.toString)
+  }
+
+  test("q174: only the bounded power-of-two frame funnels (1 exchange)") {
+    // The corpus-sized token frame is ranked by GlobalRank (RDD layer);
+    // the lone exchange is the SinglePartition feed of the ~log2(V)-row
+    // sampled frame into the lag window. Ranking with a plain
+    // row_number() window would add a second exchange and move the
+    // WHOLE token frame through it.
+    val p = executed("q174_zipf_profile")
+    assert(count(p, _.isInstanceOf[Exchange]) === 1, p.toString)
+    assert(count(p,
+      _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]) === 1,
+      p.toString)
+  }
+
+  test("q173: pair grid broadcasts; no window anywhere in the JS matrix") {
+    val p = executed("q173_source_js_divergence")
+    assert(count(p, _.isInstanceOf[BroadcastNestedLoopJoinExec]) >= 1,
+      p.toString)
+    assert(count(p,
+      _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]) === 0,
+      p.toString)
+  }
+
   test("q02: filter and projection reach the parquet scan") {
     val scans = plan("q02_filter_project").collect {
       case f: org.apache.spark.sql.execution.FileSourceScanExec => f
