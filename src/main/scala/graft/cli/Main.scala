@@ -40,6 +40,7 @@ import graft.transform.RideTransform
   *   weighted-sample <parquet> <idCol> <groupCol> <weightCol> <k> <outParquet>
   *   semantic-dedup <embParquet> <idCol> <vecCol> <tauBp> <bits> <outParquet>
   *   bpe <docsParquet> <textCol> <rounds> <outParquet>
+  *   bpe-encode <docsParquet> <textCol> <mergesParquet> <outParquet>
   */
 object Main {
 
@@ -340,6 +341,27 @@ object Main {
           s"pairs, vocab ${r.getAs[Long]("vocab_after")}, " +
           s"tokens ${r.getAs[Long]("tokens_after")})")
       }
+
+    // bpe-encode <docsParquet> <textCol> <mergesParquet> <outParquet>:
+    // tokenize the corpus's word table with merges learned by `bpe`.
+    case "bpe-encode" :: in :: textCol :: mergesIn :: out :: Nil =>
+      import org.apache.spark.sql.functions.{col, count, explode, lit,
+        lower, split, trim}
+      val merges = spark.read.parquet(mergesIn)
+        .orderBy("round").collect() // bounded: one row per learned merge
+        .flatMap(r => Option(r.getAs[String]("pair")))
+        .toSeq
+      val words = spark.read.parquet(in)
+        .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("word"))
+        .filter(col("word").rlike("^[a-z]+$"))
+        .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      val enc = graft.ext.TrainPrep.bpeEncode(words, "word", merges)
+      enc.write.mode("overwrite").parquet(out)
+      val vocab = enc
+        .select(explode(split(col("sym"), " ")).as("s"))
+        .distinct().count()
+      println(s"encoded ${enc.count()} words with ${merges.size} merges " +
+        s"($vocab symbols) to $out")
 
     case other =>
       sys.error(s"unknown command: ${other.mkString(" ")} — see Scaladoc for usage")

@@ -458,6 +458,53 @@ object Extended16 {
        |  SELECT cnt, unnest(string_split(sym, ' ')) AS symb FROM w3)
        |GROUP BY symb ORDER BY n DESC, token ASC LIMIT 10""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q177 — n-gram diversity per source: type-token ratio at n ∈
+  // {1, 2, 3} in integer ppm — the "is this source templated /
+  // machine-generated" signal (generated text repeats n-grams far more
+  // than human text; the distinct-n family of diversity metrics). Only
+  // FULL n-grams count (docs shorter than n tokens are skipped at that
+  // n, both engines).
+  //
+  // Scale: one linear scan per n (native NGramExplode generator — no
+  // per-row intermediate gram array) into a (source, n)-keyed
+  // count+distinct agg; distinct is the standard two-level expand — no
+  // window, nothing driver-side. Gram-frequency skew ("the the") is a
+  // count agg, not a join — no salting needed.
+  def q177(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = t(s, dir, "documents")
+      .select($"source", split(trim($"text"), "\\s+").as("toks"))
+    def grams(n: Int): DataFrame = toks
+      .filter(size($"toks") >= n)
+      .select($"source", graft.plans.NGramExplode.of($"toks", n))
+      .select($"source", lit(n.toLong).as("n"), $"ngram".as("g"))
+    grams(1).unionByName(grams(2)).unionByName(grams(3))
+      .groupBy($"source", $"n")
+      .agg(count(lit(1)).as("total_grams"),
+        countDistinct($"g").as("distinct_grams"))
+      .select($"source", $"n", $"total_grams", $"distinct_grams",
+        expr("distinct_grams * 1000000 div total_grams").as("ttr_ppm"))
+      .orderBy($"source", $"n")
+  }
+
+  val q177Sql: String = {
+    def g(n: Int) =
+      s"""SELECT source, CAST($n AS BIGINT) AS n,
+         |  unnest(list_transform(range(1, len(t) - $n + 2),
+         |    i -> array_to_string(t[i:i+${n - 1}], ' '))) AS g
+         |FROM tk WHERE len(t) >= $n""".stripMargin
+    s"""WITH tk AS (SELECT source,
+       |        regexp_split_to_array(trim(text), '\\s+') AS t
+       |        FROM documents),
+       | ag AS (${g(1)} UNION ALL ${g(2)} UNION ALL ${g(3)})
+       |SELECT source, n, count(*) AS total_grams,
+       |       CAST(count(DISTINCT g) AS BIGINT) AS distinct_grams,
+       |       CAST(count(DISTINCT g) * 1000000 // count(*) AS BIGINT)
+       |         AS ttr_ppm
+       |FROM ag GROUP BY source, n ORDER BY source, n""".stripMargin
+  }
+
   /** Name → query function, for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q170_calibration_ece" -> (q170 _),
@@ -466,7 +513,8 @@ object Extended16 {
     "q173_source_js_divergence" -> (q173 _),
     "q174_zipf_profile" -> (q174 _),
     "q175_bpe_merges" -> (q175 _),
-    "q176_bpe_token_histogram" -> (q176 _)
+    "q176_bpe_token_histogram" -> (q176 _),
+    "q177_ngram_diversity" -> (q177 _)
   )
 
   /** Name → DuckDB oracle SQL, for SparkEntry. */
@@ -477,6 +525,7 @@ object Extended16 {
     "q173_source_js_divergence" -> q173Sql,
     "q174_zipf_profile" -> q174Sql,
     "q175_bpe_merges" -> q175Sql,
-    "q176_bpe_token_histogram" -> q176Sql
+    "q176_bpe_token_histogram" -> q176Sql,
+    "q177_ngram_diversity" -> q177Sql
   )
 }

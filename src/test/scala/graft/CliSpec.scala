@@ -304,5 +304,20 @@ class CliSpec extends SparkSpec {
       s"unexpected output: $out")
     val merges = spark.read.parquet(s"$base/merges")
     assert(merges.count() === 2L)
+
+    // encode the same corpus with the learned merges: every 'the'
+    // collapses to the single symbol learned by rounds 1+2
+    val outEnc = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(outEnc)) {
+      Main.run(spark, List("bpe-encode", s"$base/docs", "text",
+        s"$base/merges", s"$base/enc"))
+    }
+    assert(outEnc.toString.contains("with 2 merges"),
+      s"unexpected output: $outEnc")
+    val enc = spark.read.parquet(s"$base/enc")
+    assert(enc.filter($"word" === "the").head().getAs[String]("sym")
+      === "the")
+    assert(enc.filter($"word" === "theme").head().getAs[String]("sym")
+      === "the m e")
   }
 }

@@ -283,4 +283,66 @@ class PropertySpec extends SparkSpec {
       assert(got === want, s"k=$k")
     }
   }
+
+  test("bpeMerges == brute-force BPE on random small-alphabet corpora") {
+    import spark.implicits._
+    // 3-letter alphabet forces dense pair collisions, ties, and runs
+    // ("aa", "aab", ...) — the cases where argmax tie-breaks and the
+    // non-overlapping replace semantics could diverge from brute force
+    val wordGen = for {
+      len <- Gen.chooseNum(1, 6)
+      cs <- Gen.listOfN(len, Gen.oneOf('a', 'b', 'c'))
+      cnt <- Gen.chooseNum(1L, 9L)
+    } yield (cs.mkString, cnt)
+    (0 until 4).foreach { round =>
+      val raw = (0 until 30).flatMap(i =>
+        wordGen.apply(Gen.Parameters.default, Seed(round * 1000L + i)))
+      // distinct words (the operator contract): keep max cnt per word
+      val words = raw.groupBy(_._1).map { case (w, g) =>
+        (w, g.map(_._2).max)
+      }.toSeq
+      val (mergesDf, encodedDf) = graft.ext.TrainPrep.bpeMerges(
+        words.toDF("word", "cnt").repartition(5), "word", "cnt",
+        rounds = 4)
+      val gotMerges = mergesDf.orderBy("round").collect().map(r =>
+        (r.getAs[Long]("round"), r.getAs[String]("pair"),
+          r.getAs[String]("merged"), r.getAs[Long]("pair_cnt"),
+          r.getAs[Long]("vocab_after"), r.getAs[Long]("tokens_after")))
+        .toSeq
+      // brute force with Java-replace semantics (the shared contract)
+      var syms = words.map { case (w, c) => (w.toCharArray.mkString(" "), c) }
+      val expMerges = (1 to 4).flatMap { r =>
+        val pc = scala.collection.mutable.Map.empty[String, Long]
+        syms.foreach { case (sym, c) =>
+          val a = sym.split(" ")
+          if (a.length >= 2) a.sliding(2).foreach { p =>
+            val k = p.mkString(" "); pc(k) = pc.getOrElse(k, 0L) + c
+          }
+        }
+        val picked = if (pc.isEmpty) None
+          else Some(pc.toSeq.minBy { case (p, c) => (-c, p) })
+        picked.foreach { case (pair, _) =>
+          val merged = pair.replace(" ", "")
+          syms = syms.map { case (sym, c) =>
+            ((" " + sym + " ")
+              .replace(" " + pair + " ", " " + merged + " ").trim, c)
+          }
+        }
+        val vocab = syms.flatMap(_._1.split(" ")).distinct.size.toLong
+        val toks = syms.map { case (s0, c) => c * s0.split(" ").length }.sum
+        Seq((r.toLong, picked.map(_._1).orNull,
+          picked.map(_._1.replace(" ", "")).orNull,
+          picked.map(_._2).getOrElse(0L), vocab, toks))
+      }
+      // degenerate rounds emit NULL pair with pair_cnt NULL in the
+      // frame; normalize brute's 0L sentinel for comparison
+      val normGot = gotMerges.map(t =>
+        if (t._2 == null) t.copy(_4 = 0L) else t)
+      assert(normGot === expMerges, s"corpus seed round $round")
+      val gotEnc = encodedDf.collect()
+        .map(r => (r.getAs[String]("sym"), r.getAs[Long]("cnt")))
+        .sortBy(identity).toSeq
+      assert(gotEnc === syms.sortBy(identity), s"encoded, seed $round")
+    }
+  }
 }
