@@ -52,6 +52,17 @@ object GraftExtensions {
         NGramExplode(args.head,
           args(1).eval().asInstanceOf[Number].intValue())
       }),
+    ("ngram_range_explode",
+      info("ngram_range_explode"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "ngram_range_explode takes (tokens, nMin, nMax)")
+        require(args(1).foldable && args(2).foldable,
+          "nMin/nMax must be literals")
+        NGramRangeExplode(args.head,
+          args(1).eval().asInstanceOf[Number].intValue(),
+          args(2).eval().asInstanceOf[Number].intValue())
+      }),
     // Runtime-filter surface: Spark's BloomFilterAggregate /
     // BloomFilterMightContain are internal (the optimizer injects them via
     // InjectRuntimeFilter when statistics warrant). Registering them as SQL

@@ -79,3 +79,69 @@ object NGramExplode {
   def of(tokens: Column, n: Int): Column =
     Bridge.column(NGramExplode(Bridge.expression(tokens), n))
 }
+
+/** Range variant of [[NGramExplode]]: ONE generator pass emits every
+  * n-gram for n ∈ [nMin, nMax] as (n, pos, ngram) rows — the
+  * multi-width profile scan (q177 diversity, n-gram LM feature
+  * extraction) that would otherwise re-read the corpus once per width.
+  *
+  * Edge semantics differ from [[NGramExplode]] DELIBERATELY: only FULL
+  * n-grams are emitted (a row with fewer than n tokens contributes
+  * nothing at that n) — diversity/LM statistics must not count
+  * truncated grams, where minhash (NGramExplode's consumer) must not
+  * drop short docs. Null tokens render as empty strings; a NULL array
+  * emits no rows. */
+case class NGramRangeExplode(child: Expression, nMin: Int, nMax: Int)
+    extends UnaryExpression with Generator with CodegenFallback {
+
+  require(nMin >= 1 && nMax >= nMin,
+    s"need 1 <= nMin <= nMax, got [$nMin, $nMax]")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"ngram_range_explode needs array<string>, got ${other.catalogString}")
+  }
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("n", IntegerType, nullable = false),
+    StructField("pos", IntegerType, nullable = false),
+    StructField("ngram", StringType, nullable = false)))
+
+  private val space = UTF8String.fromString(" ")
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val arr = child.eval(input).asInstanceOf[ArrayData]
+    if (arr == null) return Nil
+    val m = arr.numElements()
+    val toks = new Array[UTF8String](m)
+    var t = 0
+    while (t < m) {
+      val s = arr.getUTF8String(t)
+      toks(t) = if (s == null) UTF8String.EMPTY_UTF8 else s
+      t += 1
+    }
+    val out = Seq.newBuilder[InternalRow]
+    var n = nMin
+    while (n <= nMax) {
+      var i = 0
+      val count = m - n + 1
+      while (i < count) {
+        out += InternalRow(n, i,
+          UTF8String.concatWs(space, toks.slice(i, i + n).toSeq: _*))
+        i += 1
+      }
+      n += 1
+    }
+    out.result()
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : NGramRangeExplode = copy(child = newChild)
+}
+
+object NGramRangeExplode {
+  /** Column-API entry: plans a Generate yielding (n, pos, ngram). */
+  def of(tokens: Column, nMin: Int, nMax: Int): Column =
+    Bridge.column(NGramRangeExplode(Bridge.expression(tokens), nMin, nMax))
+}

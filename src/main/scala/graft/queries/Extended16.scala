@@ -466,20 +466,20 @@ object Extended16 {
   // FULL n-grams count (docs shorter than n tokens are skipped at that
   // n, both engines).
   //
-  // Scale: one linear scan per n (native NGramExplode generator — no
-  // per-row intermediate gram array) into a (source, n)-keyed
-  // count+distinct agg; distinct is the standard two-level expand — no
-  // window, nothing driver-side. Gram-frequency skew ("the the") is a
-  // count agg, not a join — no salting needed.
+  // Scale: ONE linear scan — the native NGramRangeExplode generator
+  // emits all three gram widths in a single pass (full grams only, so
+  // short docs drop out per-n in both engines), feeding a
+  // (source, n)-keyed count+distinct agg; distinct is the standard
+  // two-level expand — no window, nothing driver-side. A union of
+  // three single-width scans was the first cut: 3× the corpus IO a
+  // 100 TB profile job would pay for nothing. Gram-frequency skew
+  // ("the the") is a count agg, not a join — no salting needed.
   def q177(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val toks = t(s, dir, "documents")
+    t(s, dir, "documents")
       .select($"source", split(trim($"text"), "\\s+").as("toks"))
-    def grams(n: Int): DataFrame = toks
-      .filter(size($"toks") >= n)
-      .select($"source", graft.plans.NGramExplode.of($"toks", n))
-      .select($"source", lit(n.toLong).as("n"), $"ngram".as("g"))
-    grams(1).unionByName(grams(2)).unionByName(grams(3))
+      .select($"source", graft.plans.NGramRangeExplode.of($"toks", 1, 3))
+      .select($"source", $"n".cast("long").as("n"), $"ngram".as("g"))
       .groupBy($"source", $"n")
       .agg(count(lit(1)).as("total_grams"),
         countDistinct($"g").as("distinct_grams"))

@@ -149,12 +149,48 @@ class TextExprSpec extends SparkSpec {
     }.nonEmpty, plan.toString)
   }
 
+  test("NGramRangeExplode == per-width full grams in one pass") {
+    import graft.plans.{NGramExplode, NGramRangeExplode}
+    val docs = Seq(
+      (1L, Seq("a", "b", "c", "d")),
+      (2L, Seq("x", "y")),       // full grams at n=1,2 only
+      (3L, Seq("x")),            // n=1 only — NO truncated 2/3-grams
+      (4L, Seq.empty[String]),   // nothing at any n
+      (5L, null)                 // null => no rows
+    ).toDF("id", "toks")
+    val got = docs.select($"id", NGramRangeExplode.of($"toks", 1, 3))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+      .toSeq.sorted
+    // reference: per-width NGramExplode restricted to full grams
+    // (size >= n filter recovers the full-gram subset)
+    val want = (1 to 3).flatMap { n =>
+      docs.filter(size($"toks") >= n)
+        .select($"id", NGramExplode.of($"toks", n))
+        .collect()
+        .map(r => (r.getLong(0), n, r.getInt(1), r.getString(2)))
+    }.sorted
+    assert(got === want)
+    assert(!got.exists(x => x._1 >= 3L && x._2 >= 2),
+      "short docs must not emit truncated wide grams")
+    val plan = docs.select($"id", NGramRangeExplode.of($"toks", 1, 3))
+      .queryExecution.executedPlan
+    assert(plan.collectFirst {
+      case g: org.apache.spark.sql.execution.GenerateExec => g
+    }.nonEmpty, plan.toString)
+  }
+
   test("ngram_explode SQL function is registered") {
     val s2 = GraftSession.build(master = "local[4]", shufflePartitions = 4)
     val rows = s2.sql(
       "SELECT ngram_explode(array('a','b','c'), 2)")
       .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
     assert(rows === Seq((0, "a b"), (1, "b c")))
+    val range = s2.sql(
+      "SELECT ngram_range_explode(array('a','b','c'), 1, 3)")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2))).toSeq
+    assert(range === Seq((1, 0, "a"), (1, 1, "b"), (1, 2, "c"),
+      (2, 0, "a b"), (2, 1, "b c"), (3, 0, "a b c")))
   }
 
   test("simhash_tokens SQL function is registered") {
