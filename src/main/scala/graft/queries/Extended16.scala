@@ -253,8 +253,14 @@ object Extended16 {
         sum(when($"b" === 0, 1L).otherwise(0L)).as("n_only_1"),
         sum(when($"a" === 0, 1L).otherwise(0L)).as("n_only_2"))
       .select($"s1", $"s2",
-        (expr("sa div (2 * at)") + expr("sb div (2 * bt)"))
-          .as("js_micro_nat"),
+        // each half approximates a KL term (≥ 0 exactly); the per-token
+        // ln floors can push the SUM a hair negative for near-identical
+        // sources, where Spark's truncating `div` and DuckDB's flooring
+        // `//` disagree (the q149 divergence class) — clamping at the
+        // mathematical floor of 0 removes the negative-numerator case
+        // from both engines
+        (expr("greatest(sa, 0L) div (2 * at)") +
+          expr("greatest(sb, 0L) div (2 * bt)")).as("js_micro_nat"),
         $"n_shared", $"n_only_1", $"n_only_2")
       .orderBy($"s1", $"s2")
   }
@@ -277,12 +283,12 @@ object Extended16 {
       |        LEFT JOIN c l ON l.source = u.s1 AND l.token = u.token
       |        LEFT JOIN c r ON r.source = u.s2 AND r.token = u.token)
       |SELECT s1, s2,
-      |       CAST(SUM(CASE WHEN a > 0 THEN a * CAST(floor(1000000.0 *
+      |       CAST(GREATEST(SUM(CASE WHEN a > 0 THEN a * CAST(floor(1000000.0 *
       |              ln((2.0 * a * bt) / CAST(a * bt + b * at AS DOUBLE)))
-      |              AS BIGINT) ELSE 0 END) // (2 * at)
-      |          + SUM(CASE WHEN b > 0 THEN b * CAST(floor(1000000.0 *
+      |              AS BIGINT) ELSE 0 END), 0) // (2 * at)
+      |          + GREATEST(SUM(CASE WHEN b > 0 THEN b * CAST(floor(1000000.0 *
       |              ln((2.0 * b * at) / CAST(a * bt + b * at AS DOUBLE)))
-      |              AS BIGINT) ELSE 0 END) // (2 * bt) AS BIGINT)
+      |              AS BIGINT) ELSE 0 END), 0) // (2 * bt) AS BIGINT)
       |         AS js_micro_nat,
       |       CAST(SUM(CASE WHEN a > 0 AND b > 0 THEN 1 ELSE 0 END)
       |         AS BIGINT) AS n_shared,
