@@ -511,6 +511,70 @@ object Extended16 {
        |FROM ag GROUP BY source, n ORDER BY source, n""".stripMargin
   }
 
+  // --------------------------------------------------------------------
+  // q178 — token (Shannon) entropy per source AND corpus-wide in one
+  // ROLLUP pass, integer micro-nats — the second diversity axis beside
+  // q177's TTR (TTR sees type counts, entropy sees the shape of the
+  // frequency mass; templated text craters both). The identity
+  //   H = ln N − (Σ c·ln c)/N
+  // keeps everything integer: per-token floor(10⁶·ln c) weighted by c,
+  // folded per group, subtracted from floor(10⁶·ln N) with a final
+  // integer div — partial-sum order can't move a digit.
+  //
+  // Scale: one (source, token) agg over the corpus; the per-source
+  // rows aggregate that frame by source, the corpus row re-aggregates
+  // it by token first (a ROLLUP total would keep PER-SOURCE counts and
+  // quietly compute the joint H(source, token), not corpus H(token) —
+  // a token shared by 20 sources must fold as one count). Both run on
+  // the token-distinct frame, never the corpus. No window, no collect.
+  def q178(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = t(s, dir, "documents")
+      .select($"source", explode(split(trim($"text"), "\\s+")).as("token"))
+      .groupBy($"source", $"token").agg(count(lit(1)).as("c"))
+    def entropy(grouped: org.apache.spark.sql.RelationalGroupedDataset,
+        label: org.apache.spark.sql.Column): DataFrame = grouped
+      .agg(
+        sum($"c").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum($"c" * floor(lit(1000000.0) * log($"c".cast("double")))
+          .cast("long")).as("s_clnc"))
+      .select(label.as("source"), $"n_tokens", $"n_types",
+        (floor(lit(1000000.0) * log($"n_tokens".cast("double")))
+          .cast("long") - expr("s_clnc div n_tokens"))
+          .as("entropy_micro_nat"))
+    entropy(c.groupBy($"source"), $"source")
+      .unionByName(entropy(
+        c.groupBy($"token").agg(sum($"c").as("c")).groupBy(),
+        lit("__all__")))
+      .orderBy($"source")
+  }
+
+  val q178Sql: String =
+    """WITH c AS (SELECT source, token, count(*) AS c FROM (
+      |        SELECT source,
+      |          unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+      |        FROM documents) GROUP BY source, token),
+      | ps AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+      |        count(*) AS n_types,
+      |        CAST(sum(c * CAST(floor(1000000.0 * ln(CAST(c AS DOUBLE)))
+      |          AS BIGINT)) AS BIGINT) AS s_clnc
+      |        FROM c GROUP BY source),
+      | ct AS (SELECT token, CAST(sum(c) AS BIGINT) AS c
+      |        FROM c GROUP BY token),
+      | al AS (SELECT '__all__' AS source,
+      |        CAST(sum(c) AS BIGINT) AS n_tokens,
+      |        count(*) AS n_types,
+      |        CAST(sum(c * CAST(floor(1000000.0 * ln(CAST(c AS DOUBLE)))
+      |          AS BIGINT)) AS BIGINT) AS s_clnc
+      |        FROM ct),
+      | g AS (SELECT * FROM ps UNION ALL SELECT * FROM al)
+      |SELECT source, n_tokens, n_types,
+      |       CAST(CAST(floor(1000000.0 * ln(CAST(n_tokens AS DOUBLE)))
+      |              AS BIGINT) - s_clnc // n_tokens AS BIGINT)
+      |         AS entropy_micro_nat
+      |FROM g ORDER BY source""".stripMargin
+
   /** Name → query function, for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q170_calibration_ece" -> (q170 _),
@@ -520,7 +584,8 @@ object Extended16 {
     "q174_zipf_profile" -> (q174 _),
     "q175_bpe_merges" -> (q175 _),
     "q176_bpe_token_histogram" -> (q176 _),
-    "q177_ngram_diversity" -> (q177 _)
+    "q177_ngram_diversity" -> (q177 _),
+    "q178_token_entropy" -> (q178 _)
   )
 
   /** Name → DuckDB oracle SQL, for SparkEntry. */
@@ -532,6 +597,7 @@ object Extended16 {
     "q174_zipf_profile" -> q174Sql,
     "q175_bpe_merges" -> q175Sql,
     "q176_bpe_token_histogram" -> q176Sql,
-    "q177_ngram_diversity" -> q177Sql
+    "q177_ngram_diversity" -> q177Sql,
+    "q178_token_entropy" -> q178Sql
   )
 }

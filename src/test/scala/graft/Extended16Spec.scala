@@ -161,6 +161,37 @@ class Extended16Spec extends SparkSpec {
     }
   }
 
+  test("q178: entropy micro-nats == brute-force fold, corpus row re-folds " +
+      "shared tokens as one count") {
+    val d = docs()
+    val toks = d.flatMap { case (_, text, _, source, _) =>
+      text.trim.split("\\s+").map(t => (source, t))
+    }
+    def h(group: Seq[String]): (Long, Long, Long) = {
+      val counts = group.groupBy(identity).map(_._2.size.toLong)
+      val n = counts.sum
+      val types = counts.size.toLong
+      val sClnc = counts.map(c =>
+        c * math.floor(1000000.0 * math.log(c.toDouble)).toLong).sum
+      (n, types,
+        math.floor(1000000.0 * math.log(n.toDouble)).toLong - sClnc / n)
+    }
+    val want = toks.groupBy(_._1).map { case (s, g) =>
+      s -> h(g.map(_._2))
+    } + ("__all__" -> h(toks.map(_._2)))
+    val got = Extended16.q178(spark, dir).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_types"),
+          r.getAs[Long]("entropy_micro_nat"))).toMap
+    assert(got === want)
+    // uniform bound: H <= ln(types); templated repetition pulls it down
+    got.foreach { case (s, (_, types, hMicro)) =>
+      assert(hMicro <= math.ceil(1000000.0 * math.log(types.toDouble)).toLong + 1,
+        s"source $s entropy above ln(V)")
+      assert(hMicro >= 0L, s"source $s negative entropy")
+    }
+  }
+
   test("q177: per-source TTR == brute-force gram sets") {
     val d = docs()
     val got = Extended16.q177(spark, dir).collect()
