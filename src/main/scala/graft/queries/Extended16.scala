@@ -165,7 +165,14 @@ object Extended16 {
         $"bucket_tokens",
         sum($"bucket_tokens").over(w).as("cum_tokens"),
         $"v_total",
-        expr("v_total * 1000000 + (f1 * (f1 - 1) * 1000000) div (2 * (f2 + 1))")
+        // identity (q*10⁶) div d == (q div d)*10⁶ + ((q mod d)*10⁶) div d
+        // applied so the largest intermediate is f1² (not f1²·10⁶):
+        // integer headroom runs to f1 ≈ 3·10⁹ singleton types instead
+        // of 3·10⁶ — the difference between "overflows on a 100 TB
+        // vocab" and "never does"
+        expr("v_total * 1000000" +
+          " + (f1 * (f1 - 1) div (2 * (f2 + 1))) * 1000000" +
+          " + ((f1 * (f1 - 1)) % (2 * (f2 + 1))) * 1000000 div (2 * (f2 + 1))")
           .as("chao1_micro"))
       .orderBy($"bucket")
   }
@@ -196,7 +203,9 @@ object Extended16 {
       |         AS cum_tokens,
       |       CAST(v_total AS BIGINT) AS v_total,
       |       CAST(v_total * 1000000
-      |            + (f1 * (f1 - 1) * 1000000) // (2 * (f2 + 1))
+      |            + (f1 * (f1 - 1) // (2 * (f2 + 1))) * 1000000
+      |            + ((f1 * (f1 - 1)) % (2 * (f2 + 1))) * 1000000
+      |              // (2 * (f2 + 1))
       |            AS BIGINT) AS chao1_micro
       |FROM g, ch ORDER BY bucket""".stripMargin
 
