@@ -83,6 +83,8 @@ object Extended16 {
   // bounded passes — NEVER an unpartitioned window; the q158 rule).
   // Contribution per relevant doc = (tp_before+1)·10⁶ div k — the
   // micro-precision at its own rank; AP_ppm = their sum div n_pos.
+  // Integer headroom: (tp+1)·10⁶ caps at ~9·10¹² relevant docs —
+  // two orders past a 10¹¹-doc / 100 TB corpus.
   def q171(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val base = t(s, dir, "documents")

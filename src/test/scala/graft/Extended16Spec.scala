@@ -192,6 +192,35 @@ class Extended16Spec extends SparkSpec {
     }
   }
 
+  test("q174: Zipf profile == brute-force sorted-count walk") {
+    val d = docs()
+    val counts = d
+      .flatMap(_._2.trim.split("\\s+"))
+      .groupBy(identity).map { case (t, g) => (t, g.size.toLong) }
+    val ranked = counts.toSeq
+      .sortBy { case (t, c) => (-c, t) }
+      .zipWithIndex.map { case ((_, c), i) => (i + 1L, c) }
+      .filter { case (r, _) => (r & (r - 1)) == 0L }
+    def lnMicro(x: Long): Long =
+      math.floor(1000000.0 * math.log(x.toDouble)).toLong
+    val want = ranked.zipWithIndex.map { case ((r, c), i) =>
+      val slope = if (i == 0) None
+        else {
+          val (pr, pc) = ranked(i - 1)
+          val dy = lnMicro(pc) - lnMicro(c)
+          val dx = lnMicro(r) - lnMicro(pr)
+          Some(-((dy * 1000000L) / dx))
+        }
+      (r, c, lnMicro(r), lnMicro(c), slope)
+    }
+    val got = Extended16.q174(spark, dir).collect().map { r =>
+      (r.getAs[Long]("rank"), r.getAs[Long]("cnt"),
+        r.getAs[Long]("ln_rank_micro"), r.getAs[Long]("ln_cnt_micro"),
+        Option(r.get(4)).map(_.asInstanceOf[Long]))
+    }.toSeq
+    assert(got === want)
+  }
+
   test("q177: per-source TTR == brute-force gram sets") {
     val d = docs()
     val got = Extended16.q177(spark, dir).collect()
