@@ -272,6 +272,35 @@ object Stress {
           bucketCap = Some(10000L))
         .filter($"keep").count()
     }
+    if (picks("jsmatrix")) timed("jsmatrix") {
+      // q173's shape at generated scale: (source, token) agg → per-token
+      // source→cnt map → × the broadcast 20-source pair grid (190
+      // pairs). The |S|² fan-out rides the token-DISTINCT frame (the
+      // generated vocab), so doubling docs should move only the
+      // corpus-sized agg, not the grid stage.
+      import org.apache.spark.sql.functions.{coalesce, collect_list,
+        count, element_at, lit, map_from_entries, struct, sum, broadcast}
+      val tok = docs.select($"source",
+        explode(split(trim($"text"), "\\s+")).as("token"))
+      val cnts = tok.groupBy($"source", $"token")
+        .agg(count(lit(1)).as("cnt"))
+      val totals = cnts.groupBy($"source").agg(sum($"cnt").as("tot"))
+      val pairs = totals.as("l").join(totals.as("r"),
+          $"l.source" < $"r.source")
+        .select($"l.source".as("s1"), $"r.source".as("s2"),
+          $"l.tot".as("at"), $"r.tot".as("bt"))
+      cnts.groupBy($"token")
+        .agg(map_from_entries(collect_list(struct($"source", $"cnt")))
+          .as("m"))
+        .crossJoin(broadcast(pairs))
+        .select($"s1", $"s2",
+          coalesce(element_at($"m", $"s1"), lit(0L)).as("a"),
+          coalesce(element_at($"m", $"s2"), lit(0L)).as("b"))
+        .filter($"a" + $"b" > 0)
+        .groupBy($"s1", $"s2")
+        .agg(sum($"a" * $"b").as("x"))
+        .count()
+    }
     if (picks("bpe")) timed("bpe") {
       // TrainPrep.bpeMerges (the q175 operator): the only corpus-sized
       // cost is the up-front word-count agg; the 8 merge rounds then
