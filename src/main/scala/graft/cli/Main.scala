@@ -41,6 +41,7 @@ import graft.transform.RideTransform
   *   semantic-dedup <embParquet> <idCol> <vecCol> <tauBp> <bits> <outParquet>
   *   bpe <docsParquet> <textCol> <rounds> <outParquet>
   *   bpe-encode <docsParquet> <textCol> <mergesParquet> <outParquet>
+  *   text-profile <docsParquet> <textCol> <groupCol> <outParquet>
   */
 object Main {
 
@@ -362,6 +363,20 @@ object Main {
         .distinct().count()
       println(s"encoded ${enc.count()} words with ${merges.size} merges " +
         s"($vocab symbols) to $out")
+
+    // text-profile <docsParquet> <textCol> <groupCol> <outParquet>:
+    // per-group + corpus token diversity (TTR ppm, entropy micro-nats).
+    case "text-profile" :: in :: textCol :: groupCol :: out :: Nil =>
+      val prof = graft.ext.Profile
+        .textProfile(spark.read.parquet(in), textCol, groupCol)
+      prof.write.mode("overwrite").parquet(out)
+      val all = prof.filter(org.apache.spark.sql.functions
+        .col("grp") === "__all__").head()
+      println(s"profiled ${prof.count() - 1} groups; corpus: " +
+        s"${all.getAs[Long]("n_tokens")} tokens, " +
+        s"${all.getAs[Long]("n_types")} types, " +
+        s"ttr ${all.getAs[Long]("ttr_ppm")} ppm, " +
+        s"entropy ${all.getAs[Long]("entropy_micro_nat")} µnat to $out")
 
     case other =>
       sys.error(s"unknown command: ${other.mkString(" ")} — see Scaladoc for usage")

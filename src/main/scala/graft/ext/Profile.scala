@@ -35,4 +35,40 @@ object Profile {
         min(col("v")).as("min_str"),
         max(col("v")).as("max_str"))
   }
+
+  /** Text diversity profile per group plus a corpus `__all__` row:
+    * token count, vocabulary size, unigram type-token ratio (ppm) and
+    * Shannon token entropy H = ln N − (Σ c·ln c)/N (micro-nats) — the
+    * q177/q178 integer arithmetic as a reusable operator (every term
+    * floored, so partial-sum order can't move a digit; templated or
+    * machine-generated text craters both metrics).
+    *
+    * Scale: one (group, token) agg over the corpus; the per-group fold
+    * and the corpus fold both run on the token-distinct frame. The
+    * corpus row RE-AGGREGATES by token first — a rollup total would
+    * keep per-group counts and quietly compute the joint
+    * H(group, token) (the q178 spec caught exactly that). */
+  def textProfile(docs: DataFrame, textCol: String,
+      groupCol: String): DataFrame = {
+    val c = docs
+      .select(col(groupCol).cast("string").as("grp"),
+        explode(split(trim(col(textCol)), "\\s+")).as("token"))
+      .groupBy(col("grp"), col("token")).agg(count(lit(1)).as("c"))
+    def fold(g: org.apache.spark.sql.RelationalGroupedDataset,
+        label: org.apache.spark.sql.Column): DataFrame = g
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(col("c") * floor(lit(1000000.0) * log(col("c").cast("double")))
+          .cast("long")).as("s_clnc"))
+      .select(label.as("grp"), col("n_tokens"), col("n_types"),
+        expr("n_types * 1000000 div n_tokens").as("ttr_ppm"),
+        (floor(lit(1000000.0) * log(col("n_tokens").cast("double")))
+          .cast("long") - expr("s_clnc div n_tokens"))
+          .as("entropy_micro_nat"))
+    fold(c.groupBy(col("grp")), col("grp"))
+      .unionByName(fold(
+        c.groupBy(col("token")).agg(sum(col("c")).as("c")).groupBy(),
+        lit("__all__")))
+  }
 }

@@ -536,28 +536,16 @@ object Extended16 {
   // rows aggregate that frame by source, the corpus row re-aggregates
   // it by token first (a ROLLUP total would keep PER-SOURCE counts and
   // quietly compute the joint H(source, token), not corpus H(token) —
-  // a token shared by 20 sources must fold as one count). Both run on
-  // the token-distinct frame, never the corpus. No window, no collect.
+  // a token shared by 20 sources must fold as one count; the spec
+  // caught the rollup first cut doing exactly that). Both run on the
+  // token-distinct frame, never the corpus. No window, no collect.
+  // The arithmetic lives in Profile.textProfile (CLI `text-profile`).
   def q178(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val c = t(s, dir, "documents")
-      .select($"source", explode(split(trim($"text"), "\\s+")).as("token"))
-      .groupBy($"source", $"token").agg(count(lit(1)).as("c"))
-    def entropy(grouped: org.apache.spark.sql.RelationalGroupedDataset,
-        label: org.apache.spark.sql.Column): DataFrame = grouped
-      .agg(
-        sum($"c").as("n_tokens"),
-        count(lit(1)).as("n_types"),
-        sum($"c" * floor(lit(1000000.0) * log($"c".cast("double")))
-          .cast("long")).as("s_clnc"))
-      .select(label.as("source"), $"n_tokens", $"n_types",
-        (floor(lit(1000000.0) * log($"n_tokens".cast("double")))
-          .cast("long") - expr("s_clnc div n_tokens"))
-          .as("entropy_micro_nat"))
-    entropy(c.groupBy($"source"), $"source")
-      .unionByName(entropy(
-        c.groupBy($"token").agg(sum($"c").as("c")).groupBy(),
-        lit("__all__")))
+    graft.ext.Profile
+      .textProfile(t(s, dir, "documents"), "text", "source")
+      .select($"grp".as("source"), $"n_tokens", $"n_types",
+        $"entropy_micro_nat")
       .orderBy($"source")
   }
 

@@ -320,4 +320,25 @@ class CliSpec extends SparkSpec {
     assert(enc.filter($"word" === "theme").head().getAs[String]("sym")
       === "the m e")
   }
+
+  test("text-profile subcommand: uniform corpus hits entropy ln(V)") {
+    import spark.implicits._
+    val base = tmpDir("clitp")
+    // 4 tokens, each exactly 4 times — H = ln 4, TTR = 4/16
+    Seq((1L, "a", "w x y z w x y z"), (2L, "a", "w x y z w x y z"))
+      .toDF("doc_id", "src", "text").write.parquet(s"$base/docs")
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) {
+      Main.run(spark, List("text-profile", s"$base/docs", "text", "src",
+        s"$base/prof"))
+    }
+    assert(out.toString.contains(
+      "profiled 1 groups; corpus: 16 tokens, 4 types, ttr 250000 ppm"),
+      s"unexpected output: $out")
+    val all = spark.read.parquet(s"$base/prof")
+      .filter($"grp" === "__all__").head()
+    // ln 4 = 1.386294...; integer floors land within 1 µnat below
+    val h = all.getAs[Long]("entropy_micro_nat")
+    assert(h >= 1386293L && h <= 1386295L, s"entropy $h")
+  }
 }
