@@ -21,7 +21,26 @@ object Bench {
 
   private def materialize(df: DataFrame): Long = df.queryExecution.toRdd.count()
 
+  /** 1-min loadavg (OS-reported) — sampled BEFORE the run starts so it
+    * reflects OTHER work on the machine, not this bench. */
+  private def loadAvg1: Double = java.lang.management.ManagementFactory
+    .getOperatingSystemMXBean.getSystemLoadAverage
+
+  /** Machine-wide count of running `java` processes (includes this one
+    * and the sbt launcher) — concurrent benches/tests show up here. */
+  private def jvmCount: Int =
+    Option(new java.io.File("/proc").listFiles).map(_.count { f =>
+      f.getName.forall(_.isDigit) && {
+        try {
+          val p = java.nio.file.Paths.get(f.getPath, "comm")
+          new String(java.nio.file.Files.readAllBytes(p)).trim == "java"
+        } catch { case _: Throwable => false }
+      }
+    }).getOrElse(-1)
+
   def main(args: Array[String]): Unit = {
+    val loadStart = loadAvg1
+    val jvmsStart = jvmCount
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.build(s"local[$cpus]", cpus.toInt, "graft-bench")
@@ -86,15 +105,28 @@ object Bench {
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"steady":$steadyQs,"steady_total":$steadyTotal,"sf":"$sfDir"}""")
     // The harness that collects this output keeps only the final ~2000
     // chars. At 150+ queries even a short-key per-query map outgrows
-    // that window, so the short-key maps go second-to-last (truncated
-    // from the head if need be) and the LAST line is a short summary —
-    // totals + the steady-state top-10 — that always fits whole.
+    // that window, so the tail is laid out so truncation-from-the-head
+    // drops only the CHEAP queries:
+    //  - `steady_sec` carries the full map sorted ASCENDING by time —
+    //    the expensive (round-over-round informative) entries sit at
+    //    the END of the line, inside the surviving window;
+    //  - `steady_top50` (new) carries the top-50 descending in ~650
+    //    chars — guaranteed whole, so per-query comparison below the
+    //    top-10 works from the artifact alone;
+    //  - the LAST line is the short summary (totals + top-10 + load
+    //    context) that always fits whole.
     def shortMap(m: Seq[(String, Double)]): String = m.map { case (k, v) =>
       "\"" + k.takeWhile(_ != '_') + "\":" + f"$v%.3f"
     }.mkString("{", ",", "}")
     println(s"""{"metric":"queries_sec","queries":${shortMap(results)}}""")
-    println(s"""{"metric":"steady_sec","queries":${shortMap(steady)}}""")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"steady_total":$steadyTotal%.3f,"steady_top10":${shortMap(steadyTop)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"steady_sec","order":"asc","queries":${shortMap(steady.sortBy(_._2))}}""")
+    println(s"""{"metric":"steady_top50","queries":${shortMap(steady.filter(_._2 >= 0).sortBy(-_._2).take(50))}}""")
+    // Load context: a loaded machine inflates every steady time 5–70%
+    // (BENCH_r08 vs r09 drifted exactly so on unchanged code) — emit
+    // the 1-min loadavg and machine-wide JVM count sampled at START
+    // (before this bench loaded the machine) and at END, so a future
+    // round can tell machine load from a real regression.
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"steady_total":$steadyTotal%.3f,"load1_start":$loadStart%.2f,"jvms_start":$jvmsStart,"load1_end":$loadAvg1%.2f,"jvms_end":$jvmCount,"steady_top10":${shortMap(steadyTop)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

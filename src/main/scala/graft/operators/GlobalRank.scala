@@ -77,6 +77,12 @@ object GlobalRank {
     * variants) need both columns; calling the two single-output
     * forms would sort-shuffle the data twice for no reason.
     *
+    * The sorted input is persisted (MEMORY_AND_DISK) because both
+    * passes read it — same contract as [[withPrefixSum]]: long-lived
+    * callers running many queries per session must unpersist stale
+    * blocks between queries (Bench does; it measured stale-block
+    * accumulation degrading later heavy queries 3×).
+    *
     * @param sortCols a TOTAL order (include a tiebreaker — duplicate
     *                 keys would make rank and sum run-dependent)
     * @param valueCol long, non-null column to prefix-sum

@@ -100,7 +100,11 @@ object Extended16 {
           expr("(tp_before + 1) * 1000000 div k"))).as("ap_sum_micro"),
         sum(when($"k" <= 100L, $"rel").otherwise(0L)).as("tp100"))
       .select($"n", $"n_pos",
-        expr("ap_sum_micro div n_pos").as("ap_ppm"),
+        // n_pos = 0 (no relevant docs) must yield NULL identically in
+        // both engines — DuckDB's `// 0` behavior varies by version
+        // (the q149 divergence class), so guard rather than divide
+        expr("case when n_pos > 0 then ap_sum_micro div n_pos end")
+          .as("ap_ppm"),
         ($"tp100" * 10000L).as("p100_ppm"))
   }
 
@@ -116,9 +120,10 @@ object Extended16 {
       |        FROM r)
       |SELECT count(*) AS n,
       |       CAST(SUM(rel) AS BIGINT) AS n_pos,
-      |       CAST(SUM(CASE WHEN rel = 1
-      |                 THEN (tp_before + 1) * 1000000 // k END)
-      |            // SUM(rel) AS BIGINT) AS ap_ppm,
+      |       CAST(CASE WHEN SUM(rel) > 0 THEN
+      |              SUM(CASE WHEN rel = 1
+      |                  THEN (tp_before + 1) * 1000000 // k END)
+      |              // SUM(rel) END AS BIGINT) AS ap_ppm,
       |       CAST(SUM(CASE WHEN k <= 100 THEN rel ELSE 0 END) * 10000
       |            AS BIGINT) AS p100_ppm
       |FROM o""".stripMargin
@@ -228,9 +233,16 @@ object Extended16 {
   // per-token counts into a source→cnt map (sources are a BOUNDED
   // domain), then a broadcast of the bounded pair grid — the corpus is
   // touched twice, the |S|²-fan-out happens on the token-distinct
-  // frame only (the q169 bounded-grid doctrine pairwise). Cross
-  // products stay in double space before the ln, so no bigint overflow
-  // at any corpus size.
+  // frame only (the q169 bounded-grid doctrine pairwise). Every
+  // product inside the ln (numerator AND denominator) is computed in
+  // double space — a·B alone exceeds 2⁶³ near 10¹² tokens/source, so
+  // the operands are cast BEFORE multiplying (relative precision is
+  // all the ln needs; both engines compute the identical IEEE double,
+  // so the floor digit can't diverge). The remaining bigint terms are
+  // the sa/sb accumulators Σ a·floor(10⁶·ln …): |term| ≤ ~3·10⁷
+  // micro-nats, so headroom runs to ~3·10¹¹ tokens per source before
+  // 2⁶³ — fine at sf-scale, and at a true 100 TB run the fix is
+  // milli-nat scaling, not wider integers.
   def q173(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val tok = t(s, dir, "documents")
@@ -254,11 +266,11 @@ object Extended16 {
       .agg(
         sum(when($"a" > 0, $"a" * floor(lit(1000000.0) *
           log((lit(2.0) * $"a" * $"bt") /
-            ($"a" * $"bt" + $"b" * $"at").cast("double")))
+            ($"a".cast("double") * $"bt" + $"b".cast("double") * $"at")))
           .cast("long")).otherwise(0L)).as("sa"),
         sum(when($"b" > 0, $"b" * floor(lit(1000000.0) *
           log((lit(2.0) * $"b" * $"at") /
-            ($"a" * $"bt" + $"b" * $"at").cast("double")))
+            ($"a".cast("double") * $"bt" + $"b".cast("double") * $"at")))
           .cast("long")).otherwise(0L)).as("sb"),
         sum(when($"a" > 0 && $"b" > 0, 1L).otherwise(0L)).as("n_shared"),
         sum(when($"b" === 0, 1L).otherwise(0L)).as("n_only_1"),
@@ -295,10 +307,12 @@ object Extended16 {
       |        LEFT JOIN c r ON r.source = u.s2 AND r.token = u.token)
       |SELECT s1, s2,
       |       CAST(GREATEST(SUM(CASE WHEN a > 0 THEN a * CAST(floor(1000000.0 *
-      |              ln((2.0 * a * bt) / CAST(a * bt + b * at AS DOUBLE)))
+      |              ln((2.0 * a * bt) / (CAST(a AS DOUBLE) * bt
+      |                                   + CAST(b AS DOUBLE) * at)))
       |              AS BIGINT) ELSE 0 END), 0) // (2 * at)
       |          + GREATEST(SUM(CASE WHEN b > 0 THEN b * CAST(floor(1000000.0 *
-      |              ln((2.0 * b * at) / CAST(a * bt + b * at AS DOUBLE)))
+      |              ln((2.0 * b * at) / (CAST(a AS DOUBLE) * bt
+      |                                   + CAST(b AS DOUBLE) * at)))
       |              AS BIGINT) ELSE 0 END), 0) // (2 * bt) AS BIGINT)
       |         AS js_micro_nat,
       |       CAST(SUM(CASE WHEN a > 0 AND b > 0 THEN 1 ELSE 0 END)
@@ -400,9 +414,15 @@ object Extended16 {
        |  SELECT pair, replace(pair, ' ', '') AS merged, pcnt
        |  FROM p$r ORDER BY pcnt DESC, pair ASC LIMIT 1),
        | $cur AS MATERIALIZED (
+       |  -- degenerate round (vocab fully merged → b$r empty): the scalar
+       |  -- subqueries go NULL and a bare replace(sym, NULL, NULL) would
+       |  -- null EVERY sym; COALESCE onto a sentinel that can never occur
+       |  -- in sym (syms are space-joined [a-z] runs) makes the replace a
+       |  -- no-op, mirroring the Spark operator's when(pair.isNull, sym)
        |  SELECT trim(replace(' ' || sym || ' ',
-       |           (SELECT ' ' || pair || ' ' FROM b$r),
-       |           (SELECT ' ' || merged || ' ' FROM b$r))) AS sym, cnt
+       |           COALESCE((SELECT ' ' || pair || ' ' FROM b$r), '§'),
+       |           COALESCE((SELECT ' ' || merged || ' ' FROM b$r), '§')))
+       |         AS sym, cnt
        |  FROM $prev),
        | s$r AS (
        |  SELECT CAST($r AS BIGINT) AS round,
