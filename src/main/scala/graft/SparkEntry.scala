@@ -31,7 +31,8 @@ object SparkEntry {
       graft.queries.Extended13.queries ++
       graft.queries.Extended14.queries ++
       graft.queries.Extended15.queries ++
-      graft.queries.Extended16.queries
+      graft.queries.Extended16.queries ++
+      graft.queries.Extended17.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -48,5 +49,6 @@ object SparkEntry {
       graft.queries.Extended13.oracles ++
       graft.queries.Extended14.oracles ++
       graft.queries.Extended15.oracles ++
-      graft.queries.Extended16.oracles
+      graft.queries.Extended16.oracles ++
+      graft.queries.Extended17.oracles
 }

@@ -234,6 +234,82 @@ object Graph {
         "(peel depth exceeds maxRounds); raise maxRounds")
   }
 
+  /** Full core decomposition: label EVERY node with its core number
+    * (the largest k such that the node survives in the k-core) — the
+    * cohesion profile a curation team asks for, where [[kCore]] answers
+    * only a single membership question.
+    *
+    * Algorithm: h-index iteration (Lü, Zhou, Zhang & Stanley 2016,
+    * "The H-index of a network node and its relation to degree and
+    * coreness"): h⁰(v) = deg(v); each round every node simultaneously
+    * replaces its value with the H-index of its neighbors' previous
+    * values (the largest h such that ≥ h neighbors have value ≥ h).
+    * The sequence is non-increasing, bounded below by the core number,
+    * and converges to EXACTLY the core number — so the fixpoint is the
+    * full decomposition in one synchronous loop, instead of running
+    * the [[kCore]] peel once per k (degeneracy × peel-depth rounds).
+    *
+    * Scale shape: per round, one keyed join (neighbor list ⋈ values,
+    * exchange pre-satisfied by pinning the neighbor list partitioned on
+    * the join key) + one node-KEYED window rank + one keyed agg — no
+    * global window, no driver data. The H-index per node reads the
+    * neighbor values sorted descending: h = max rank r with value_r ≥ r
+    * (the prefix property — values are sorted, so the qualifying ranks
+    * are a prefix). Rounds needed can reach the graph's propagation
+    * depth (a long path relaxes one hop per round — same lower bound as
+    * any synchronous peel), so state is pinned per round and
+    * convergence is a join-emptiness probe sharing the step's
+    * materialization (the [[pageRank]] pattern). Hitting `maxRounds`
+    * UNconverged raises — a half-converged value OVERSTATES coreness
+    * (the [[kCore]] refuse contract).
+    *
+    * @return (node, coreness) for every node with at least one edge;
+    *         isolated nodes (coreness 0) don't appear, as in [[degrees]]
+    */
+  def coreness(edges: DataFrame,
+      srcCol: String = "u", dstCol: String = "v",
+      assumeCanonical: Boolean = false, maxRounds: Int = 200,
+      checkpointDir: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val canon =
+      if (assumeCanonical) edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      else canonicalEdges(edges, srcCol, dstCol)
+    val nbr = TextDedup.materialize(
+      canon.select(col("u").as("node"), col("v").as("nb"))
+        .union(canon.select(col("v").as("node"), col("u").as("nb")))
+        .repartition(col("nb")), // value-join exchange pre-satisfied
+      checkpointDir)
+    var h = TextDedup.materialize(
+      nbr.groupBy(col("node")).agg(count(lit(1)).as("h")),
+      checkpointDir)
+    var round = 0
+    while (round < maxRounds) {
+      val w = Window.partitionBy(col("node")).orderBy(col("val").desc)
+      val step = nbr
+        .join(h.select(col("node").as("nb"), col("h").as("val")), "nb")
+        .select(col("node"), col("val"))
+        .withColumn("r", row_number().over(w))
+        .groupBy(col("node"))
+        // ties in `val` need no tiebreaker: H depends only on the
+        // multiset (sorted desc, h = max prefix rank with val_r >= r);
+        // cast keeps the value LONG across rounds (row_number is int,
+        // the round-0 degree is long — the schema must not flip)
+        .agg(max(when(col("val") >= col("r"), col("r"))).cast("long").as("h"))
+      val next = TextDedup.materialize(step, checkpointDir)
+      val converged = next.alias("a")
+        .join(h.alias("b"), expr("a.node = b.node AND a.h <> b.h"))
+        .isEmpty
+      h = next
+      round += 1
+      if (converged)
+        return h.select(col("node"), col("h").as("coreness"))
+    }
+    // values are only an UPPER bound until the fixpoint — refuse.
+    throw new IllegalStateException(
+      s"coreness did not reach fixpoint in $maxRounds rounds " +
+        "(propagation depth exceeds maxRounds); raise maxRounds")
+  }
+
   /** Synchronous label-propagation community detection (Raghavan et al.
     * LPA, made DETERMINISTIC): every node starts labeled with its own id;
     * each round every node simultaneously adopts the most frequent label

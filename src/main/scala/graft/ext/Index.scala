@@ -1,0 +1,98 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+
+/** Ranked retrieval as a LIBRARY operator — the q166 inverted-index +
+  * q111 BM25 query shapes promoted to a build/search pair a curation
+  * pipeline calls directly ("find the docs most like this
+  * contamination probe", "pull the top-k docs for this topic").
+  *
+  * Layout mirrors a production search index:
+  *  - [[build]] materializes the POSTINGS frame (token, doc, tf, dl) —
+  *    the exploded-and-aggregated corpus, shuffled once on token, plus
+  *    the token DICTIONARY (df, cf) derived from it; corpus stats
+  *    (N docs, Σ dl) are two driver longs — broadcast metadata, the
+  *    IVF-centroid contract, never a per-row join input.
+  *  - [[Built.search]] filters postings to the query terms (a bounded
+  *    IN over the token-keyed frame — at 100 TB the postings table is
+  *    written bucketed by token so this prunes to the terms' buckets),
+  *    joins the broadcast dictionary, scores BM25 per (doc, term) in
+  *    one deterministic double expression floored to nano-units, and
+  *    sums per doc as BIGINT (aggregation-order-proof, the q111
+  *    doctrine). Top-k is TakeOrderedAndProject — bounded, never a
+  *    global sort.
+  *
+  * `postingCap` bounds each token's posting list at build time via the
+  * token-KEYED row_number ≤ cap filter (Spark rewrites it to
+  * WindowGroupLimit, so map tasks forward at most `cap` rows per token
+  * — a stopword's full posting list at 100 TB is the corpus). Capping
+  * trades recall for bound: a doc evicted from a term's postings scores
+  * 0 on that term. df/cf stay TRUE corpus statistics either way —
+  * computed before the cap — so capped scores equal uncapped scores for
+  * every doc that survived the cap.
+  */
+object Index {
+
+  /** A built index: postings + dictionary frames (persist/write them
+    * for reuse) and the two corpus scalars. */
+  final case class Built(postings: DataFrame, dictionary: DataFrame,
+      nDocs: Long, sumDl: Long) {
+
+    /** BM25 top-k (k1 = 1.2, b = 0.75), scores in floor-nano units —
+      * exactly q111's scoring. Ties break doc-id ascending.
+      * @return (doc_id, score_nano, n_terms) — n_terms = query terms
+      *         matched in the doc's (capped) postings */
+    def search(terms: Seq[String], k: Int): DataFrame = {
+      require(terms.nonEmpty, "search needs at least one term")
+      require(k >= 1, s"k must be >= 1, got $k")
+      val avgdl = sumDl.toDouble / nDocs.toDouble
+      postings
+        .filter(col("token").isin(terms: _*))
+        .join(broadcast(dictionary), "token")
+        .withColumn("idf",
+          log(lit(1.0) + (lit(nDocs.toDouble) - col("df").cast("double")
+            + lit(0.5)) / (col("df").cast("double") + lit(0.5))))
+        .withColumn("tfn",
+          col("tf").cast("double") * lit(2.2) /
+            (col("tf").cast("double") + lit(1.2) *
+              (lit(0.25) + lit(0.75) * col("dl").cast("double") / lit(avgdl))))
+        .withColumn("s_nano", floor(col("idf") * col("tfn")
+          * lit(1000000000.0)).cast("long"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("s_nano")).as("score_nano"),
+          count(lit(1)).as("n_terms"))
+        .orderBy(col("score_nano").desc, col("doc_id").asc)
+        .limit(k)
+    }
+  }
+
+  /** Build the index frames from a document table. One explode + one
+    * (doc, token) agg + one token agg; the only driver action is the
+    * 2-long corpus-stats read. */
+  def build(docs: DataFrame, textCol: String, idCol: String,
+      postingCap: Option[Int] = None): Built = {
+    postingCap.foreach(c => require(c >= 1, s"postingCap must be >= 1, got $c"))
+    val d = docs
+      .select(col(idCol).as("doc_id"), TextFns.tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("dl"))
+    val stats = d.agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
+    val tf = d
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("token"))
+      .groupBy(col("token"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+    // TRUE df/cf from the uncapped frame (tf is one row per (doc,
+    // token), so count(*) = df); the cap bounds only the posting list
+    val dict = tf.groupBy(col("token"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
+    val postings = postingCap.fold(tf) { cap =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("token")).orderBy(col("doc_id"))
+      tf.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= cap).drop("__rn")
+    }
+    Built(postings, dict, stats.getLong(0), stats.getLong(1))
+  }
+}

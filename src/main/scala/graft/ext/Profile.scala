@@ -49,11 +49,37 @@ object Profile {
     * keep per-group counts and quietly compute the joint
     * H(group, token) (the q178 spec caught exactly that). */
   def textProfile(docs: DataFrame, textCol: String,
-      groupCol: String): DataFrame = {
-    val c = docs
-      .select(col(groupCol).cast("string").as("grp"),
-        explode(split(trim(col(textCol)), "\\s+")).as("token"))
-      .groupBy(col("grp"), col("token")).agg(count(lit(1)).as("c"))
+      groupCol: String): DataFrame =
+    textProfileFromCounts(tokenCounts(docs, textCol, groupCol))
+
+  /** The profile's MERGEABLE state: the (grp, token, c) unigram count
+    * frame. A shard's count frame merges into the corpus frame by
+    * summing counts ([[mergeTokenCounts]]) — counts are decomposable
+    * (the [[IncrementalAgg]] algebra), so profile shards combine
+    * WITHOUT re-scanning text: merge(counts(A), counts(B)) ==
+    * counts(A ∪ B) exactly, and every downstream statistic
+    * ([[textProfileFromCounts]], [[unigramDrift]]) is a function of the
+    * count frame alone. This is what lets a 100 TB corpus keep a live
+    * profile: each ingest batch contributes its shard frame, the
+    * profile job folds merged counts. */
+  def tokenCounts(docs: DataFrame, textCol: String,
+      groupCol: String): DataFrame = docs
+    .select(col(groupCol).cast("string").as("grp"),
+      explode(split(trim(col(textCol)), "\\s+")).as("token"))
+    .groupBy(col("grp"), col("token")).agg(count(lit(1)).as("c"))
+
+  /** Sum-merge shard count frames (see [[tokenCounts]]): one keyed agg
+    * over the union of the token-distinct shard frames — cost scales
+    * with vocabulary, never the corpus. */
+  def mergeTokenCounts(shards: Seq[DataFrame]): DataFrame = {
+    require(shards.nonEmpty, "mergeTokenCounts needs at least one shard")
+    shards.reduce(_ unionByName _)
+      .groupBy(col("grp"), col("token")).agg(sum(col("c")).as("c"))
+  }
+
+  /** [[textProfile]]'s fold, over an already-built (grp, token, c)
+    * count frame — the read side of the merge contract. */
+  def textProfileFromCounts(c: DataFrame): DataFrame = {
     def fold(g: org.apache.spark.sql.RelationalGroupedDataset,
         label: org.apache.spark.sql.Column): DataFrame = g
       .agg(
@@ -70,5 +96,37 @@ object Profile {
       .unionByName(fold(
         c.groupBy(col("token")).agg(sum(col("c")).as("c")).groupBy(),
         lit("__all__")))
+  }
+
+  /** Per-group unigram drift vs the corpus: total-variation distance in
+    * ppm (the q169 integer doctrine — floored ppm ratios of exact
+    * counts, |p − q| summed, div 2), computed over a (grp, token, c)
+    * count frame — typically the MERGED shard frame, so the drift
+    * monitor never re-scans the corpus.
+    *
+    * A token ABSENT from a group still contributes its corpus mass to
+    * that group's drift (p = 0 cell) — the grid is corpus-token-frame ×
+    * broadcast group totals, the q173 fan-out shape: |V|·|groups| rows
+    * on the token-distinct frame, never the corpus. Integer headroom:
+    * corpus token count · 10⁶ caps at ~9·10¹² occurrences of one token;
+    * past that, scale to per-mille before ppm-ing the tail.
+    *
+    * @return (grp, n_tokens, tvd_ppm) per group, tvd in [0, 10⁶]
+    */
+  def unigramDrift(counts: DataFrame): DataFrame = {
+    val n = counts.agg(sum(col("c")).as("n"))
+    val corpusTok = counts.groupBy(col("token")).agg(sum(col("c")).as("cc"))
+      .crossJoin(broadcast(n))
+      .select(col("token"), expr("cc * 1000000 div n").as("q_ppm"))
+    val grpTotals = counts.groupBy(col("grp")).agg(sum(col("c")).as("ng"))
+    corpusTok.crossJoin(broadcast(grpTotals))
+      .join(counts, Seq("grp", "token"), "left")
+      .select(col("grp"), col("ng"),
+        abs(expr("coalesce(c, 0L) * 1000000 div ng") - col("q_ppm"))
+          .as("gap"))
+      .groupBy(col("grp"))
+      .agg(max(col("ng")).as("n_tokens"),
+        expr("sum(gap) div 2").as("tvd_ppm"))
+      .select(col("grp"), col("n_tokens"), col("tvd_ppm"))
   }
 }

@@ -579,17 +579,23 @@ object TextDedup {
     *     overlap or touch). The window is KEYED by doc — no global
     *     window, scales with the corpus.
     *
-    * At 100 TB the gram shuffle would key on `xxhash64(gram)` instead of
-    * the string to cut shuffle bytes ~10×; kept as the string here so
-    * results are collision-free and engine-portable (the hash variant
-    * changes results only on 64-bit collisions).
+    * `hashGrams` keys the corpus-wide gram shuffle on `xxhash64(gram)`
+    * (8 bytes) instead of the gram text (~40–60 bytes for a 5-gram) —
+    * the 100 TB mode, where the (gram, doc, pos) exchange otherwise
+    * carries the corpus text itself several times over. Results differ
+    * from the string mode only when two DISTINCT grams collide in 64
+    * bits: P ≈ G²/2⁶⁵ by the birthday bound, ~3·10⁻⁸ even at G = 10⁹
+    * distinct grams — and a collision can only OVER-mark a span
+    * (spurious duplicated gram), never drop one. String grams stay the
+    * default/oracle mode (collision-free, engine-portable).
     *
     * @return one row per maximal duplicated span:
     *         (idCol, span_id, start_pos, end_pos, span_tokens) with
     *         1-based token positions, end inclusive.
     */
   def dupSpans(docs: DataFrame, textCol: String, idCol: String,
-      k: Int = 5, minCount: Long = 2L): DataFrame = {
+      k: Int = 5, minCount: Long = 2L,
+      hashGrams: Boolean = false): DataFrame = {
     require(k >= 1, s"gram order must be >= 1, got $k")
     import org.apache.spark.sql.expressions.Window
     val toks = docs
@@ -601,7 +607,8 @@ object TextDedup {
     // 0-based positions
     val grams = toks
       .select(col("__id"), graft.plans.NGramExplode.of(col("__toks"), k))
-      .select(col("__id"), (col("pos") + 1).as("__pos"), col("ngram").as("__g"))
+      .select(col("__id"), (col("pos") + 1).as("__pos"),
+        (if (hashGrams) xxhash64(col("ngram")) else col("ngram")).as("__g"))
     val dup = grams.groupBy(col("__g"))
       .agg(count(lit(1)).as("__c")).filter(col("__c") >= minCount)
       .select(col("__g"))

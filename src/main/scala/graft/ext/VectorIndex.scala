@@ -115,52 +115,96 @@ object VectorIndex {
     * with `checkpointDir` for reliable multi-hour state.
     *
     * @param tauBp cosine threshold in basis points (8500 = 0.85)
-    * @param bucketCap when set, buckets with more than `cap` members
-    *                  contribute NO candidate pairs (their members stay
-    *                  singletons) — the [[TextDedup.lshCandidates]]
+    * @param bands number of sign-LSH bands; band j buckets on vector
+    *              components [j·bits, (j+1)·bits) (disjoint hyperplane
+    *              sets, so `bands·bits` must not exceed the dimension).
+    *              Two vectors are candidates when they agree in ALL
+    *              `bits` signs of ANY band — the q125 MinHash recall
+    *              knob applied to embeddings: recall per true pair is
+    *              1 − (1 − p^bits)^bands instead of the single-band
+    *              p^bits, and `bucketCap` loss degrades PER BAND (a
+    *              vector skipped in one saturated band still pairs via
+    *              its other bands) instead of all-or-nothing. bands = 1
+    *              is exactly the original single-bucket pipeline.
+    * @param bucketCap when set, (band, bucket) groups with more than
+    *                  `cap` members contribute NO candidate pairs from
+    *                  that band — the [[TextDedup.lshCandidates]]
     *                  starCap / similarityJoin dfCap family guard. A
-    *                  bucket at 10× the mean means the sign-LSH is not
-    *                  discriminating there (near-constant leading
+    *                  bucket at 10× the mean means that band's signs are
+    *                  not discriminating there (near-constant
     *                  components, or bits ≪ log₂ n); its pair cost is
-    *                  |bucket|², and with one bucket per vector (no
-    *                  bands) the EXACT choice is pay it or skip it.
-    *                  Capping makes a saturated corpus degrade
-    *                  predictably (documented recall loss: oversized-
-    *                  bucket members never dedup) instead of
-    *                  quadratically — measured 150+ GB of shuffle spill
-    *                  on a deliberately-degenerate 1M corpus whose
-    *                  vectors collapsed to <1k sign patterns.
+    *                  |bucket|². With bands = 1 capping is
+    *                  all-or-nothing per vector (documented recall
+    *                  loss: oversized-bucket members never dedup —
+    *                  measured 150+ GB of shuffle spill on a
+    *                  deliberately-degenerate 1M corpus whose vectors
+    *                  collapsed to <1k sign patterns); with bands > 1
+    *                  the loss is per-band and the other bands keep the
+    *                  vector dedupable.
     * @return (idCol, component, keep) — one row per input id
     */
   def semanticDedup(embeddings: DataFrame, vecCol: String, idCol: String,
-      tauBp: Int, bits: Int = 4,
+      tauBp: Int, bits: Int = 4, bands: Int = 1,
       bucketCap: Option[Long] = None,
       checkpointDir: Option[String] = None): DataFrame = {
+    require(bands >= 1, s"bands must be >= 1, got $bands")
     // norms precomputed ONCE per vector (n rows), not per candidate
     // pair — at dim 768 that's 2 dot products saved per pair. The
     // double result is bit-identical to cosine()'s inline norms: the
     // operation tree (dot / (sqrt · sqrt)) is unchanged, only where
     // the sqrt evaluates.
-    val b0 = embeddings
+    val base = embeddings
       .select(col(idCol).as("__id"), col(vecCol).as("__v"))
-      .withColumn("__bkt", VectorFns.signBucket(col("__v"), bits))
       .withColumn("__nrm", VectorFns.l2Norm(col("__v")))
-    val b = bucketCap.fold(b0) { cap =>
-      val oversized = b0.groupBy(col("__bkt"))
-        .agg(count(lit(1)).as("__bc")).filter(col("__bc") > cap)
-        .select(col("__bkt"))
-      b0.join(oversized, Seq("__bkt"), "left_anti")
-    }
-    val a = b.select(col("__bkt"), col("__id").as("ia"), col("__v").as("va"),
-      col("__nrm").as("na"))
-    val c = b.select(col("__bkt"), col("__id").as("ib"), col("__v").as("vb"),
-      col("__nrm").as("nb"))
-    val pairs = a.join(c, Seq("__bkt"))
-      .filter(col("ia") < col("ib"))
-      .filter(floor(VectorFns.dot(col("va"), col("vb"))
-        / (col("na") * col("nb")) * 10000 + lit(0.5)) >= tauBp)
-      .select(col("ia"), col("ib"))
-    TextDedup.connectedComponents(pairs, embeddings.select(col(idCol)),
+    val idPairs: DataFrame =
+      if (bands == 1) {
+        val b0 = base.withColumn("__bkt", VectorFns.signBucket(col("__v"), bits))
+        val b = bucketCap.fold(b0) { cap =>
+          val oversized = b0.groupBy(col("__bkt"))
+            .agg(count(lit(1)).as("__bc")).filter(col("__bc") > cap)
+            .select(col("__bkt"))
+          b0.join(oversized, Seq("__bkt"), "left_anti")
+        }
+        val a = b.select(col("__bkt"), col("__id").as("ia"), col("__v").as("va"),
+          col("__nrm").as("na"))
+        val c = b.select(col("__bkt"), col("__id").as("ib"), col("__v").as("vb"),
+          col("__nrm").as("nb"))
+        a.join(c, Seq("__bkt"))
+          .filter(col("ia") < col("ib"))
+          .filter(floor(VectorFns.dot(col("va"), col("vb"))
+            / (col("na") * col("nb")) * 10000 + lit(0.5)) >= tauBp)
+          .select(col("ia"), col("ib"))
+      } else {
+        // banded path: the (band, bucket) exchange carries ONLY
+        // (band, bkt, id) — vectors rejoin after the candidate set is
+        // DISTINCT on (ia, ib), so a pair colliding in several bands
+        // pays the dim-sized cosine once, and the bands-× fan-out
+        // never ships the embedding arrays
+        val b0 = base.select(col("__id"),
+          posexplode(array((0 until bands).map(j =>
+            VectorFns.signBucketAt(col("__v"), j * bits, bits)): _*))
+            .as(Seq("__band", "__bkt")))
+        val b = bucketCap.fold(b0) { cap =>
+          val oversized = b0.groupBy(col("__band"), col("__bkt"))
+            .agg(count(lit(1)).as("__bc")).filter(col("__bc") > cap)
+            .select(col("__band"), col("__bkt"))
+          b0.join(oversized, Seq("__band", "__bkt"), "left_anti")
+        }
+        val cand = b.select(col("__band"), col("__bkt"), col("__id").as("ia"))
+          .join(b.select(col("__band"), col("__bkt"), col("__id").as("ib")),
+            Seq("__band", "__bkt"))
+          .filter(col("ia") < col("ib"))
+          .select(col("ia"), col("ib")).distinct()
+        cand
+          .join(base.select(col("__id").as("ia"), col("__v").as("va"),
+            col("__nrm").as("na")), "ia")
+          .join(base.select(col("__id").as("ib"), col("__v").as("vb"),
+            col("__nrm").as("nb")), "ib")
+          .filter(floor(VectorFns.dot(col("va"), col("vb"))
+            / (col("na") * col("nb")) * 10000 + lit(0.5)) >= tauBp)
+          .select(col("ia"), col("ib"))
+      }
+    TextDedup.connectedComponents(idPairs, embeddings.select(col(idCol)),
         srcCol = "ia", dstCol = "ib", nodeCol = idCol,
         checkpointDir = checkpointDir)
       .select(col("node").as(idCol), col("component"),

@@ -45,4 +45,14 @@ object VectorFns {
     (0 until bits)
       .map(i => when(element_at(a, i + 1) >= 0, lit(1L << i)).otherwise(lit(0L)))
       .reduce(_ + _)
+
+  /** [[signBucket]] over components [offset, offset+bits) — the band
+    * slice for banded sign-LSH (band j reads offset = j·bits, so bands
+    * are disjoint hyperplane sets). `signBucketAt(a, 0, bits)` is
+    * exactly `signBucket(a, bits)`. */
+  def signBucketAt(a: Column, offset: Int, bits: Int): Column =
+    (0 until bits)
+      .map(i => when(element_at(a, offset + i + 1) >= 0, lit(1L << i))
+        .otherwise(lit(0L)))
+      .reduce(_ + _)
 }

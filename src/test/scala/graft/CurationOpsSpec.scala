@@ -466,4 +466,173 @@ class CurationOpsSpec extends SparkSpec {
             r.getAs[Long]("pair_cnt"))).toSeq
     assert(run(None) === run(Some(tmpDir("bpe-ckpt"))))
   }
+
+  // ------------------------------------------------------------------
+  // dupSpans hashGrams
+
+  test("dupSpans hashGrams == string-gram mode on random corpora") {
+    val s = spark
+    import s.implicits._
+    samples(corpusGen, 12).foreach { corpus =>
+      val df = corpus.toDF("doc_id", "text")
+      def run(h: Boolean) = TextDedup
+        .dupSpans(df, "text", "doc_id", k = 3, minCount = 2L, hashGrams = h)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3),
+          r.getInt(4)))
+        .toSet
+      assert(run(true) === run(false))
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // semanticDedup banded
+
+  /** [[bruteSemantic]] generalized to banded buckets: candidates when
+    * ANY band's sign slice matches. */
+  private def bruteSemanticBanded(vecs: Seq[(Long, Array[Float])],
+      tauBp: Int, bits: Int, bands: Int): Set[(Long, Long, Boolean)] = {
+    def bucketAt(v: Array[Float], off: Int): Long =
+      (0 until bits).map(i => if (v(off + i) >= 0) 1L << i else 0L).sum
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      def dot(x: Array[Float], y: Array[Float]): Double =
+        x.zip(y).foldLeft(0.0)((acc, p) => acc + p._1.toDouble * p._2.toDouble)
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    }
+    val parent = scala.collection.mutable.Map(vecs.map(v => v._1 -> v._1): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    def union(a: Long, b: Long): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    for {
+      (ia, va) <- vecs; (ib, vb) <- vecs
+      if ia < ib
+      if (0 until bands).exists(j =>
+        bucketAt(va, j * bits) == bucketAt(vb, j * bits))
+      if math.floor(cos(va, vb) * 10000 + 0.5) >= tauBp
+    } union(ia, ib)
+    vecs.map { case (id, _) =>
+      val c = find(id)
+      (id, c, id == c)
+    }.toSet
+  }
+
+  test("semanticDedup banded == brute-force OR-of-bands union-find") {
+    val s = spark
+    import s.implicits._
+    samples(vecGen, 8).foreach { vecs =>
+      val df = vecs.map { case (id, v) => (id, v.toSeq) }
+        .toDF("vec_id", "embedding")
+        .withColumn("embedding", col("embedding").cast("array<float>"))
+      val got = VectorIndex
+        .semanticDedup(df, "embedding", "vec_id", tauBp = 9000,
+          bits = 4, bands = 2)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+        .toSet
+      assert(got === bruteSemanticBanded(vecs, tauBp = 9000, bits = 4,
+        bands = 2))
+    }
+  }
+
+  test("semanticDedup banded candidates ⊇ single-band (co-membership survives)") {
+    val s = spark
+    import s.implicits._
+    samples(vecGen, 6).foreach { vecs =>
+      val df = vecs.map { case (id, v) => (id, v.toSeq) }
+        .toDF("vec_id", "embedding")
+        .withColumn("embedding", col("embedding").cast("array<float>"))
+      def comps(bands: Int) = VectorIndex
+        .semanticDedup(df, "embedding", "vec_id", tauBp = 9000,
+          bits = 4, bands = bands)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val single = comps(1)
+      val banded = comps(2)
+      // band 0 IS the single band, so every single-band merge is a
+      // banded candidate too: same-component pairs must stay together
+      for {
+        (a, ca) <- single; (b, cb) <- single
+        if a < b && ca == cb
+      } assert(banded(a) === banded(b),
+        s"pair ($a,$b) merged single-band but split banded")
+    }
+  }
+
+  test("semanticDedup banded recall: pair missed by band 0 is found via band 1") {
+    val s = spark
+    import s.implicits._
+    // near-identical vectors whose FIRST sign differs: band 0 buckets
+    // diverge, band 1 (components 5-8) agrees — cosine ~0.99998
+    val a = Seq(0.001f, 0.5f, 0.5f, 0.5f, 0.5f, 0.5f, 0.5f, 0.5f)
+    val b = Seq(-0.001f, 0.5f, 0.5f, 0.5f, 0.5f, 0.5f, 0.5f, 0.5f)
+    val df = Seq((1L, a), (2L, b)).toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val single = VectorIndex
+      .semanticDedup(df, "embedding", "vec_id", tauBp = 9000, bits = 4)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).toSet
+    assert(single === Set((1L, true), (2L, true)), "band 0 alone misses")
+    val banded = VectorIndex
+      .semanticDedup(df, "embedding", "vec_id", tauBp = 9000,
+        bits = 4, bands = 2)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).toSet
+    assert(banded === Set((1L, true), (2L, false)), "band 1 must catch it")
+  }
+
+  // ------------------------------------------------------------------
+  // Profile shard merge + drift
+
+  private def profRows(df: org.apache.spark.sql.DataFrame) = df.collect()
+    .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4))).toSet
+
+  test("textProfile via merged shard counts == direct profile") {
+    val s = spark
+    import s.implicits._
+    samples(corpusGen, 6).foreach { corpus =>
+      val df = corpus.toDF("doc_id", "text")
+        .withColumn("source", pmod(col("doc_id"), lit(3)))
+      val direct = profRows(
+        graft.ext.Profile.textProfile(df, "text", "source"))
+      val shards = Seq(0, 1, 2).map(p =>
+        graft.ext.Profile.tokenCounts(
+          df.filter(pmod(col("doc_id"), lit(3)) === p), "text", "source"))
+      val viaMerge = profRows(graft.ext.Profile.textProfileFromCounts(
+        graft.ext.Profile.mergeTokenCounts(shards)))
+      assert(viaMerge === direct)
+    }
+  }
+
+  test("unigramDrift == brute-force floored-ppm TVD over the token domain") {
+    val s = spark
+    import s.implicits._
+    samples(corpusGen, 6).foreach { corpus =>
+      val df = corpus.toDF("doc_id", "text")
+        .withColumn("source", pmod(col("doc_id"), lit(3)))
+      val got = graft.ext.Profile
+        .unigramDrift(graft.ext.Profile.tokenCounts(df, "text", "source"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      // brute force mirrors the operator arithmetic exactly: floored
+      // ppm ratios of exact counts, |p - q| summed over the FULL token
+      // domain (absent tokens contribute p = 0), div 2
+      val toks = corpus.flatMap { case (id, t) =>
+        t.trim.split("\\s+").toSeq.map(tok => ((id % 3).toString, tok))
+      }
+      val c = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val n = toks.size.toLong
+      val cc = toks.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val ng = toks.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val expected = ng.map { case (g, tot) =>
+        val tvd = cc.map { case (tok, corpusCnt) =>
+          val q = corpusCnt * 1000000L / n
+          val p = c.getOrElse((g, tok), 0L) * 1000000L / tot
+          math.abs(p - q)
+        }.sum / 2
+        (g, tot, tvd)
+      }.toSet
+      assert(got === expected)
+    }
+  }
 }

@@ -111,6 +111,48 @@ class GraphSpec extends SparkSpec {
     assert(Graph.kCore(toDf(Seq.empty[(Long, Long)]), 2).isEmpty)
   }
 
+  /** Definitional coreness: max k such that the node survives the
+    * brute-force k-peel. */
+  private def bruteCoreness(es: Set[(Long, Long)]): Map[Long, Long] =
+    es.flatMap(e => Seq(e._1, e._2)).map { n =>
+      var k = 1
+      while (brutePeel(es, k + 1).contains(n)) k += 1
+      n -> k.toLong
+    }.toMap
+
+  test("coreness == brute-force peel decomposition on random graphs") {
+    for (g <- samples(edgeGen(14, 0L), 8)) {
+      val canon = canonical(g)
+      if (canon.nonEmpty) {
+        val expected = bruteCoreness(canon)
+        val got = Graph.coreness(toDf(g)).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got === expected, s"edges=$canon")
+      }
+    }
+  }
+
+  test("coreness cascades past any fixed depth (pendant path into K4)") {
+    // the h-index wave relaxes ONE HOP per round down the path (the
+    // same lower bound as the peel) — 12 path nodes must all settle at
+    // coreness 1, the K4 at 3, far beyond a shallow unroll
+    val k4 = for (a <- 0L to 3L; b <- (a + 1) to 3L) yield (a, b)
+    val path = (0 until 12).map(i => (if (i == 0) 3L else 100L + i - 1, 100L + i))
+    val got = Graph.coreness(toDf(k4 ++ path)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = (0L to 3L).map(_ -> 3L).toMap ++
+      (0 until 12).map(i => (100L + i) -> 1L).toMap
+    assert(got === expected)
+  }
+
+  test("coreness: empty graph and maxRounds refusal") {
+    assert(Graph.coreness(toDf(Seq.empty[(Long, Long)])).isEmpty)
+    val path = (0 until 10).map(i => (i.toLong, i + 1L))
+    intercept[IllegalStateException] {
+      Graph.coreness(toDf(path), maxRounds = 2).collect()
+    }
+  }
+
   test("pageRank: ring is stationary (early stop == fixed iterations)") {
     import spark.implicits._
     // directed ring: every node out-degree 1, uniform ranks are the
@@ -153,6 +195,11 @@ class GraphSpec extends SparkSpec {
     val coreCkpt = Graph.kCore(toDf(g), 2, checkpointDir = Some(dir))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
     assert(coreLocal === coreCkpt)
+    val cnLocal = Graph.coreness(toDf(g)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val cnCkpt = Graph.coreness(toDf(g), checkpointDir = Some(dir))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(cnLocal === cnCkpt)
     val prLocal = Graph.pageRank(toDf(g), "u", "v", maxIterations = 4)
       .collect().map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1).toSeq
     val prCkpt = Graph.pageRank(toDf(g), "u", "v", maxIterations = 4,
