@@ -32,7 +32,8 @@ object SparkEntry {
       graft.queries.Extended14.queries ++
       graft.queries.Extended15.queries ++
       graft.queries.Extended16.queries ++
-      graft.queries.Extended17.queries
+      graft.queries.Extended17.queries ++
+      graft.queries.Extended18.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -50,5 +51,6 @@ object SparkEntry {
       graft.queries.Extended14.oracles ++
       graft.queries.Extended15.oracles ++
       graft.queries.Extended16.oracles ++
-      graft.queries.Extended17.oracles
+      graft.queries.Extended17.oracles ++
+      graft.queries.Extended18.oracles
 }

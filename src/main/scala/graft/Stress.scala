@@ -326,6 +326,87 @@ object Stress {
         .weightedSample(d, "doc_id", "source", "w", k = 100)
         .count()
     }
+    if (picks("sketchmerge")) timed("sketchmerge") {
+      // QuantileSketch (q159 operator) in its shard-then-merge shape at
+      // 64 shards: per-shard DDSketches over n_chars, sum-merged, 5
+      // quantiles read back. The only corpus-sized cost is the ONE
+      // keyed agg building shard sketches; merge + quantiles touch
+      // bucket rows only (64 shards × ~occupied buckets — thousands of
+      // rows regardless of corpus size), so doubling `rows` should move
+      // only the first agg.
+      val shards = graft.ext.QuantileSketch.sketch(
+        docs.select(($"doc_id" % 64).cast("int").as("shard"),
+          ($"n_chars" + lit(1)).cast("double").as("v")),
+        "v", alpha = 0.01, keyCols = Seq("shard"))
+      val merged = graft.ext.QuantileSketch.merge(shards)
+      graft.ext.QuantileSketch
+        .quantiles(merged, alpha = 0.01, qsPermille = Seq(10, 250, 500, 750, 990))
+        .count()
+    }
+    if (picks("bloomparts")) {
+      val nBits = math.min(((rows / 10) * 10).max(1 << 16), (1L << 28)).toInt
+      val dim = docs.filter($"doc_id" % 10 === 0).select($"doc_id".as("k"))
+      timed("bloom-build") {
+        graft.ext.BloomSketch.addAll(dim, "k", nBits).count()
+      }
+      timed("bloom-pack") {
+        graft.ext.BloomSketch
+          .packed(graft.ext.BloomSketch.addAll(dim, "k", nBits), nBits)
+          .selectExpr("size(bloom)").head(); 1L
+      }
+      val bloom = broadcast(graft.ext.BloomSketch
+        .packed(graft.ext.BloomSketch.addAll(dim, "k", nBits), nBits))
+      timed("bloom-probe") {
+        docs.select($"doc_id").crossJoin(bloom)
+          .filter(graft.ext.BloomSketch
+            .mightContain($"doc_id", $"bloom", nBits, 5))
+          .count()
+      }
+    }
+    if (picks("bloom")) timed("bloom") {
+      // BloomSketch build + pruned anti join at generated scale: dim =
+      // every 10th doc id (rows/10 keys), sized at 10 bits/key. The
+      // corpus-sized costs are the dim's explode+bit_or agg (output ≤
+      // m/64 rows) and the fact-side PROBE, which is a broadcast
+      // expression in the scan stage — only the ~FP fraction plus true
+      // members reach the anti-join shuffle. Expect ~linear in rows.
+      val nBits = math.min(((rows / 10) * 10).max(1 << 16), (1L << 28)).toInt
+      val dim = docs.filter($"doc_id" % 10 === 0).select($"doc_id".as("k"))
+      graft.ext.BloomSketch
+        .prunedAntiJoin(docs.select($"doc_id"), "doc_id", dim, "k", nBits)
+        .count()
+    }
+    if (picks("bigramlm")) timed("bigramlm") {
+      // LanguageModel train+score at generated scale: train on the
+      // doc_id%10==0 slice, score the whole corpus. Both sides are
+      // scan + keyed agg on the bigram-TYPE frame; the generated
+      // 40-word vocab caps types at 1600, so scoring cost should track
+      // the corpus scan, the model stages flat.
+      val train = graft.ext.LanguageModel.bigramCounts(
+        docs.filter($"doc_id" % 10 === 0), "text", "doc_id")
+      val model = graft.ext.LanguageModel.bigramModel(train)
+      graft.ext.LanguageModel
+        .scoreBigrams(docs, "text", "doc_id", model)
+        .count()
+    }
+    if (picks("ppr")) timed("ppr") {
+      // personalizedPageRank, 3 supersteps over the doc→(doc div 3)
+      // functional graph (rows edges, max in-degree 3), seeds = every
+      // 1000th node: per round one src-partitioned join + one dst agg,
+      // the pageRank probe's shape with restart mass concentrated.
+      val e = docs.select($"doc_id".as("src"), ($"doc_id" / 3).cast("long").as("dst"))
+        .filter($"src" =!= $"dst")
+      val seeds = docs.filter($"doc_id" % 1000 === 0).select($"doc_id".as("node"))
+      graft.ext.Graph.personalizedPageRank(e, seeds,
+        maxIterations = 3, checkConvergence = false).count()
+    }
+    if (picks("textprofile")) timed("textprofile") {
+      // Profile.textProfile (q177/q178 shelf) at generated scale: one
+      // tokenize+explode scan into the (source, token) count frame,
+      // then folds on the token-DISTINCT frame only — cost should
+      // track the corpus scan, with the fold flat in `rows`.
+      graft.ext.Profile.textProfile(docs, "text", "source").count()
+    }
     spark.stop()
   }
 }

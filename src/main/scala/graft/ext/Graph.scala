@@ -186,6 +186,77 @@ object Graph {
     ranks
   }
 
+  /** Personalized PageRank — [[pageRank]] with the restart mass
+    * concentrated on a SEED set instead of spread uniformly: ranks
+    * measure proximity to the seeds (random walk with 15% restart
+    * probability INTO the seeds), the standard "expand this curated
+    * whitelist / find docs related to these" graph primitive.
+    *
+    * Same integer doctrine as [[pageRank]]: ranks are BIGINT
+    * parts-per-trillion, restart mass 0.15·10¹²/|S| exactly on each
+    * seed, contributions `r div d` — bit-identical cross-engine and
+    * run-to-run, true fixpoint detection. Walk mass reaching a node
+    * with no out-edges leaves the tracked universe (no dangling
+    * redistribution — ranks are a PROXIMITY score, not a normalized
+    * distribution; same contract as [[pageRank]]'s src-node universe).
+    * Seeds without out-edges still receive restart mass (they join the
+    * node universe with d = 0 and simply forward nothing).
+    *
+    * Scale: identical shape to [[pageRank]] — edges repartitioned on
+    * src once, per step one join + one dst agg; the seed frame touches
+    * the loop only through the pinned base/restart frame.
+    *
+    * @param seeds one column (`seedCol`) of seed node ids
+    * @return (node, d, r): out-degree and proximity rank (ppt)
+    */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+      srcCol: String = "src", dstCol: String = "dst",
+      seedCol: String = "node",
+      maxIterations: Int = 20, checkConvergence: Boolean = true,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(maxIterations >= 1, s"maxIterations must be >= 1, got $maxIterations")
+    val e = TextDedup.materialize(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+        .repartition(col("src")),
+      checkpointDir)
+    val seedSet = seeds.select(col(seedCol).as("node")).distinct()
+    val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+    val nS = seedSet.agg(count(lit(1)).as("ns"))
+    // base carries degree AND per-node restart mass so each superstep
+    // is exactly one join (edges ⋈ ranks) + one aggregation
+    val base = TextDedup.materialize(
+      deg.join(seedSet.withColumn("__seed", lit(1)), Seq("node"), "full_outer")
+        .crossJoin(broadcast(nS))
+        .select(col("node"), coalesce(col("d"), lit(0L)).as("d"),
+          when(col("__seed").isNotNull, expr("150000000000 div ns"))
+            .otherwise(lit(0L)).as("rst"),
+          when(col("__seed").isNotNull, expr("1000000000000 div ns"))
+            .otherwise(lit(0L)).as("r0")),
+      checkpointDir)
+    var ranks = base.select(col("node"), col("d"), col("r0").as("r"))
+    var iter = 0
+    var converged = false
+    while (iter < maxIterations && !converged) {
+      val acc = e
+        .join(ranks.filter(col("d") > 0).withColumnRenamed("node", "src"), "src")
+        .select(col("dst"), expr("r div d").as("contrib"))
+        .groupBy(col("dst")).agg(sum(col("contrib")).as("acc"))
+      val step = base
+        .join(acc, col("node") === col("dst"), "left")
+        .select(col("node"), col("d"),
+          (col("rst") + expr("(85 * coalesce(acc, 0L)) div 100")).as("r"))
+      if (checkConvergence) {
+        val next = TextDedup.materialize(step, checkpointDir)
+        converged = next.alias("a")
+          .join(ranks.alias("b"), expr("a.node = b.node AND a.r <> b.r"))
+          .isEmpty
+        ranks = next
+      } else ranks = step
+      iter += 1
+    }
+    ranks
+  }
+
   /** k-core decomposition to FIXPOINT: repeatedly drop nodes whose
     * current degree is below k until a pass removes nothing — removals
     * cascade, so the surviving subgraph is the maximal one where every

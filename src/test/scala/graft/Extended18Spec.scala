@@ -1,0 +1,215 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{BloomSketch, LanguageModel, Retrieval, Graph}
+
+/** Round-10 operator contracts, proven against in-memory brute force:
+  *
+  *  - LanguageModel: interpolated bigram NLL scores == a Scala
+  *    reimplementation bit-for-bit (same double ops, same floors);
+  *    shard-merge of count frames == whole-corpus counts;
+  *  - BloomSketch: zero false negatives ever; prunedAntiJoin returns
+  *    EXACTLY the plain anti join; OR-merge of shard sketches ==
+  *    sketch of the union, word-for-word;
+  *  - Retrieval.rrfFuse == brute-force RRF including tie handling and
+  *    absent-rank nulls;
+  *  - personalizedPageRank == brute-force integer simulation (3 rounds
+  *    and fixpoint), including seeds with no edges.
+  */
+class Extended18Spec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------------------------
+  // LanguageModel
+
+  private val corpus = Seq(
+    (0L, "the cat sat on the mat", "en"),
+    (1L, "the dog sat on the log", "en"),
+    (2L, "the cat and the dog", "en"),
+    (3L, "cat cat cat cat", "en"),
+    (4L, "le chat est sur le tapis", "fr"),
+    (5L, "der hund sitzt auf dem baum", "de"),
+    (6L, "one", "en"), // single token: no transitions
+    (7L, "dog mat unseen pair", "en"))
+
+  private def bruteBigrams(text: String): Seq[(String, String)] = {
+    val toks = text.trim.split("\\s+").toSeq
+    if (toks.length < 2) Nil else toks.zip(toks.tail)
+  }
+
+  test("bigram LM scoring == brute-force reimplementation, bit for bit") {
+    val docs = corpus.toDF("doc_id", "text", "lang")
+    val train = corpus.filter(_._3 == "en")
+
+    // brute model from the en slice
+    val pairs = train.flatMap(d => bruteBigrams(d._2))
+    val c = pairs.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val cu = c.groupBy(_._1._1).map { case (k, v) => k -> v.values.sum }
+    val cv = c.groupBy(_._1._2).map { case (k, v) => k -> v.values.sum }
+    val n = c.values.sum
+    def nll(u: String, v: String): Long =
+      c.get((u, v)) match {
+        case Some(cc) =>
+          math.floor(-math.log(
+            0.9 * cc / cu(u) + 0.1 * cv(v) / n) * 1000000.0).toLong
+        case None => cv.get(v) match {
+          case Some(cvv) =>
+            math.floor(-math.log(0.1 * cvv / n) * 1000000.0).toLong
+          case None => 20000000L
+        }
+      }
+    val expected = corpus.flatMap { d =>
+      val bgs = bruteBigrams(d._2)
+      if (bgs.isEmpty) None
+      else {
+        val sum = bgs.map { case (u, v) => nll(u, v) }.sum
+        Some((d._1, bgs.size.toLong, sum, sum / bgs.size))
+      }
+    }.sortBy(_._1)
+
+    val model = LanguageModel.bigramModel(
+      LanguageModel.bigramCounts(docs.filter($"lang" === "en"), "text", "doc_id"))
+    val got = LanguageModel.scoreBigrams(docs, "text", "doc_id", model)
+      .orderBy($"doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === expected)
+  }
+
+  test("bigram count shards merge to the whole-corpus counts") {
+    val docs = corpus.toDF("doc_id", "text", "lang")
+    val whole = LanguageModel.bigramCounts(docs, "text", "doc_id")
+      .as[(String, String, Long)].collect().toSet
+    val shards = Seq(0L, 1L).map(p =>
+      LanguageModel.bigramCounts(
+        docs.filter(pmod($"doc_id", lit(2L)) === p), "text", "doc_id"))
+    val merged = LanguageModel.mergeCounts(shards)
+      .as[(String, String, Long)].collect().toSet
+    assert(merged === whole)
+  }
+
+  // ------------------------------------------------------------------
+  // BloomSketch
+
+  test("bloom: zero false negatives; pruned anti join == plain anti join") {
+    val numBits = 512
+    val dimKeys = (0L until 400L by 7L).toSeq
+    val dim = dimKeys.toDF("k")
+    val fact = (0L until 400L).map(i => (i, s"row$i")).toDF("fk", "payload")
+
+    val bloom = broadcast(
+      BloomSketch.packed(BloomSketch.addAll(dim, "k", numBits, 5), numBits))
+    val misses = dim.crossJoin(bloom)
+      .filter(!BloomSketch.mightContain($"k", $"bloom", numBits, 5))
+      .count()
+    assert(misses === 0L, "a member probed false — broken no-FN contract")
+
+    val exact = fact
+      .join(dim.select($"k".as("fk")), Seq("fk"), "left_anti")
+      .as[(Long, String)].collect().toSet
+    val pruned = BloomSketch
+      .prunedAntiJoin(fact, "fk", dim, "k", numBits, 5)
+      .as[(Long, String)].collect().toSet
+    assert(pruned === exact)
+  }
+
+  test("bloom: OR-merge of shard sketches == sketch of the union") {
+    val numBits = 256
+    val a = (0L until 50L).toDF("k")
+    val b = (30L until 90L).toDF("k")
+    val union = (0L until 90L).toDF("k")
+    val merged = BloomSketch.merge(Seq(
+        BloomSketch.addAll(a, "k", numBits, 4),
+        BloomSketch.addAll(b, "k", numBits, 4)))
+      .as[(Int, Long)].collect().toMap
+    val direct = BloomSketch.addAll(union, "k", numBits, 4)
+      .as[(Int, Long)].collect().toMap
+    assert(merged === direct)
+  }
+
+  test("bloom: packed array is dense, length ceil(bits/64)") {
+    val numBits = 320
+    val words = BloomSketch.addAll(Seq(1L, 2L).toDF("k"), "k", numBits, 3)
+    val arr = BloomSketch.packed(words, numBits)
+      .as[Seq[Long]].head()
+    assert(arr.length === 5)
+  }
+
+  // ------------------------------------------------------------------
+  // Retrieval.rrfFuse
+
+  test("rrfFuse == brute-force RRF with ties and absent ranks") {
+    // list A: scores with a tie (ids 3,5 at 80 → rank by id asc)
+    val la = Seq((1L, 100L), (3L, 80L), (5L, 80L), (7L, 10L)).toDF("id", "score")
+    val lb = Seq((5L, 9L), (2L, 8L), (1L, 7L)).toDF("id", "score")
+    def ranks(l: Seq[(Long, Long)]): Map[Long, Long] =
+      l.sortBy { case (id, sc) => (-sc, id) }.zipWithIndex
+        .map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    val ra = ranks(Seq((1L, 100L), (3L, 80L), (5L, 80L), (7L, 10L)))
+    val rb = ranks(Seq((5L, 9L), (2L, 8L), (1L, 7L)))
+    val ids = (ra.keySet ++ rb.keySet).toSeq
+    val expected = ids.map { id =>
+      val c = ra.get(id).map(r => 1000000000L / (60 + r)).getOrElse(0L) +
+        rb.get(id).map(r => 1000000000L / (60 + r)).getOrElse(0L)
+      (id, c, ra.get(id).size + rb.get(id).size,
+        ra.get(id), rb.get(id))
+    }.sortBy { case (id, c, _, _, _) => (-c, id) }
+
+    val got = Retrieval.rrfFuse(Seq("a" -> la, "b" -> lb), "id", "score")
+      .as[(Long, Long, Long, Option[Long], Option[Long])].collect().toSeq
+    assert(got === expected.map { case (id, c, nl, x, y) => (id, c, nl.toLong, x, y) })
+  }
+
+  // ------------------------------------------------------------------
+  // personalizedPageRank
+
+  private def brutePpr(edges: Seq[(Long, Long)], seeds: Set[Long],
+      iters: Int): Map[Long, Long] = {
+    val deg = edges.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val nodes = deg.keySet ++ seeds
+    val ns = seeds.size.toLong
+    val rst = nodes.map(v =>
+      v -> (if (seeds(v)) 150000000000L / ns else 0L)).toMap
+    var r = nodes.map(v =>
+      v -> (if (seeds(v)) 1000000000000L / ns else 0L)).toMap
+    for (_ <- 0 until iters) {
+      val acc = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      edges.foreach { case (s, d) =>
+        if (r.contains(s) && deg.getOrElse(s, 0L) > 0)
+          acc(d) += r(s) / deg(s)
+      }
+      r = nodes.map(v => v -> (rst(v) + (85L * acc(v)) / 100L)).toMap
+    }
+    r
+  }
+
+  test("personalizedPageRank == brute-force integer simulation (3 rounds)") {
+    val raw = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (3L, 4L), (4L, 3L),
+      (4L, 5L), (5L, 4L), (1L, 5L), (5L, 1L), (6L, 1L), (1L, 6L))
+    val seeds = Set(1L, 9L) // 9 has NO edges — full-outer universe path
+    val expected = brutePpr(raw, seeds, 3)
+    val got = Graph.personalizedPageRank(
+        raw.toDF("src", "dst"), seeds.toSeq.toDF("node"),
+        maxIterations = 3, checkConvergence = false)
+      .select($"node", $"r").as[(Long, Long)].collect().toMap
+    assert(got === expected)
+  }
+
+  test("personalizedPageRank: self-loop seed is stationary (early stop == fixed)") {
+    // a seed with only a self-loop keeps its full mass: 0.15·10¹² +
+    // 0.85·10¹² = 10¹² exactly, so round 1 IS the fixpoint — the
+    // convergence probe must stop there and match the fixed-round path
+    // (true integer fixpoints generally need ~170 rounds — 0.85^n·10¹²
+    // must underflow — so this is the cheap stationary instance, the
+    // pageRank ring-test technique)
+    val loop = Seq((1L, 1L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val fast = Graph.personalizedPageRank(loop, seeds, maxIterations = 20)
+      .select($"node", $"r").as[(Long, Long)].collect().toMap
+    val fixed = Graph.personalizedPageRank(loop, seeds, maxIterations = 3,
+        checkConvergence = false)
+      .select($"node", $"r").as[(Long, Long)].collect().toMap
+    assert(fast === Map(1L -> 1000000000000L))
+    assert(fixed === fast)
+  }
+}
