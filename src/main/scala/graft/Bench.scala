@@ -56,9 +56,18 @@ object Bench {
     // (q152 single-shot 7.8 → 27.5 s, steady unchanged). Nothing is
     // shared between catalog queries, so drop all persisted RDDs after
     // each one.
-    def dropStaleBlocks(): Unit =
+    def dropStaleBlocks(): Unit = {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
+      // ContextCleaner only reclaims shuffle files / broadcasts /
+      // checkpoint blocks when the JVM garbage-collects their driver
+      // references — with a large heap that can be NEVER across a
+      // 500+-run bench, so the accumulated state degrades late heavy
+      // queries (q152 steady 5.8 s isolated → 15.9 s at run ~430 of
+      // the full catalog, reproduced at 8.6 s after just 8 heavy
+      // siblings). An explicit GC per query keeps the cleaner current.
+      System.gc()
+    }
 
     // One timed fresh-plan run; success captured EXPLICITLY (the old
     // `try materialize catch -1L` discarded the -1 — a failing query's

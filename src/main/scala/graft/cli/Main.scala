@@ -42,6 +42,11 @@ import graft.transform.RideTransform
   *   bpe <docsParquet> <textCol> <rounds> <outParquet>
   *   bpe-encode <docsParquet> <textCol> <mergesParquet> <outParquet>
   *   text-profile <docsParquet> <textCol> <groupCol> <outParquet>
+  *   search <docsParquet> <idCol> <textCol> <term1,term2,...> <k>
+  *   score-lm <trainParquet> <scoreParquet> <idCol> <textCol> <outParquet>
+  *   bloom-prune <factParquet> <factKey> <dimParquet> <dimKey> <numBits> <outParquet>
+  *   ppr <edgesParquet> <srcCol> <dstCol> <seedsParquet> <seedCol> <maxIter> <outParquet>
+  *   rrf <listAParquet> <listBParquet> <idCol> <scoreCol> <k> <outParquet>
   */
 object Main {
 
@@ -377,6 +382,58 @@ object Main {
         s"${all.getAs[Long]("n_types")} types, " +
         s"ttr ${all.getAs[Long]("ttr_ppm")} ppm, " +
         s"entropy ${all.getAs[Long]("entropy_micro_nat")} µnat to $out")
+
+    // search <docsParquet> <idCol> <textCol> <terms,csv> <k>: build the
+    // BM25 inverted index and print the top-k (doc, score_nano) hits.
+    case "search" :: in :: idCol :: textCol :: terms :: k :: Nil =>
+      val idx = graft.ext.Index
+        .build(spark.read.parquet(in), textCol, idCol)
+      idx.search(terms.split(",").toIndexedSeq.map(_.trim), k.toInt)
+        .collect()
+        .foreach(r => println(s"${r.get(0)}\t${r.getLong(1)} nano " +
+          s"(${r.getLong(2)} terms)"))
+
+    // score-lm <trainParquet> <scoreParquet> <idCol> <textCol> <out>:
+    // train the interpolated bigram LM on one corpus, score another by
+    // avg per-transition NLL (micro-nats; low = fluent under training).
+    case "score-lm" :: train :: in :: idCol :: textCol :: out :: Nil =>
+      val model = graft.ext.LanguageModel.bigramModel(
+        graft.ext.LanguageModel
+          .bigramCounts(spark.read.parquet(train), textCol, idCol))
+      val scored = graft.ext.LanguageModel
+        .scoreBigrams(spark.read.parquet(in), textCol, idCol, model)
+      scored.write.mode("overwrite").parquet(out)
+      println(s"scored ${scored.count()} docs (nll micro-nats) to $out")
+
+    // bloom-prune <factParquet> <factKey> <dimParquet> <dimKey>
+    // <numBits> <out>: anti join fact against dim with a Bloom
+    // pre-filter so definite non-members skip the shuffle.
+    case "bloom-prune" :: fact :: fk :: dim :: dk :: bits :: out :: Nil =>
+      val res = graft.ext.BloomSketch.prunedAntiJoin(
+        spark.read.parquet(fact), fk, spark.read.parquet(dim), dk,
+        numBits = bits.toInt)
+      res.write.mode("overwrite").parquet(out)
+      println(s"kept ${res.count()} fact rows not in $dim.$dk to $out")
+
+    // ppr <edgesParquet> <srcCol> <dstCol> <seedsParquet> <seedCol>
+    // <maxIter> <out>: personalized PageRank — proximity to the seed
+    // set in integer ppt; writes (node, d, r).
+    case "ppr" :: in :: src :: dst :: seeds :: seedCol :: maxIter :: out :: Nil =>
+      val ranks = graft.ext.Graph.personalizedPageRank(
+        spark.read.parquet(in), spark.read.parquet(seeds),
+        src, dst, seedCol, maxIterations = maxIter.toInt)
+      ranks.write.mode("overwrite").parquet(out)
+      println(s"ranked ${ranks.count()} nodes around seeds to $out")
+
+    // rrf <listAParquet> <listBParquet> <idCol> <scoreCol> <k> <out>:
+    // reciprocal-rank-fuse two bounded ranked lists (RRF k0=60).
+    case "rrf" :: la :: lb :: idCol :: scoreCol :: k :: out :: Nil =>
+      val fused = graft.ext.Retrieval.rrfFuse(
+          Seq("a" -> spark.read.parquet(la), "b" -> spark.read.parquet(lb)),
+          idCol, scoreCol)
+        .limit(k.toInt)
+      fused.write.mode("overwrite").parquet(out)
+      println(s"fused top-${k.toInt} of 2 lists to $out")
 
     case other =>
       sys.error(s"unknown command: ${other.mkString(" ")} — see Scaladoc for usage")

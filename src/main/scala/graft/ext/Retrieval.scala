@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Hybrid-retrieval fusion — the glue between the lexical ([[Index]]
@@ -56,5 +56,132 @@ object Retrieval {
       .groupBy(col("id"))
       .agg(sum(col("c")).as("rrf_nano"), aggCols: _*)
       .orderBy(col("rrf_nano").desc, col("id").asc)
+  }
+
+  /** nDCG@k — the graded-relevance quality of a ranking against a
+    * judgment frame (id, rel), rel a small integer grade. Exponential
+    * gain (2^rel − 1), ln-ratio log2 discount, every per-rank term
+    * floored to micro units so the sums are BIGINT-exact (the q111
+    * doctrine; ties in both the ranking and the ideal ordering break
+    * id-ascending, so the metric is bit-stable cross-engine).
+    *
+    * Scale: the ranking is an ALREADY-bounded top-k frame; the ideal
+    * ordering takes top-k of the judgments by (rel desc, id asc) —
+    * TakeOrderedAndProject over the judgment frame, never a global
+    * sort. Everything after runs on ≤ 2k rows.
+    *
+    * @param ranking  bounded ranked list carrying `idCol` + `scoreCol`
+    * @param judgments (idCol, relCol) graded relevance; missing ids
+    *                  score rel = 0
+    * @return one row (dcg_micro, idcg_micro, ndcg_ppm) —
+    *         ndcg_ppm = dcg·10⁶ div idcg, 0 when idcg = 0
+    */
+  def ndcg(ranking: DataFrame, judgments: DataFrame, idCol: String,
+      scoreCol: String, relCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    // term = floor((2^rel − 1) · ln2 / ln(rank+1) · 10⁶)
+    def term(rel: Column, rank: Column): Column =
+      floor((pow(lit(2.0), rel.cast("double")) - lit(1.0))
+        * lit(math.log(2.0)) / log(rank.cast("double") + lit(1.0))
+        * lit(1000000.0)).cast("long")
+    val ranked = ranking
+      .withColumn("__rank", row_number().over(w).cast("long"))
+      .filter(col("__rank") <= k)
+      .join(judgments.select(col(idCol), col(relCol).as("__rel")),
+        Seq(idCol), "left")
+      .select(term(coalesce(col("__rel"), lit(0L)), col("__rank")).as("t"))
+      .agg(coalesce(sum(col("t")), lit(0L)).as("dcg_micro"))
+    val wIdeal = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__rel").desc, col(idCol).asc)
+    val ideal = judgments
+      .select(col(idCol), col(relCol).as("__rel"))
+      .orderBy(col("__rel").desc, col(idCol).asc).limit(k)
+      .withColumn("__rank", row_number().over(wIdeal).cast("long"))
+      .select(term(col("__rel"), col("__rank")).as("t"))
+      .agg(coalesce(sum(col("t")), lit(0L)).as("idcg_micro"))
+    ranked.crossJoin(ideal)
+      .select(col("dcg_micro"), col("idcg_micro"),
+        when(col("idcg_micro") > 0,
+          expr("dcg_micro * 1000000 div idcg_micro"))
+          .otherwise(lit(0L)).as("ndcg_ppm"))
+  }
+
+  /** Rank-biased overlap at depth k (Webber/Moffat/Zobel 2010,
+    * truncated sum): RBO@k = (1−p)·Σ_{d=1..k} p^(d−1)·|A_d ∩ B_d|/d,
+    * the top-weighted agreement between two rankings — the drift
+    * monitor for "did the index rebuild / ranker change reorder what
+    * users actually see".
+    *
+    * Computed EXACTLY: with p = pNum/pDen, the d-th term is
+    * overlap·(pDen−pNum)·pNum^(d−1)·10⁹ div (pDen^d · d) — pure BIGINT
+    * (the powers are a k-row driver-built literal frame; k ≤ 10 keeps
+    * the worst term k·pNum^(k−1)·10⁹ ≈ 3.9·10¹⁸ inside long range for
+    * p = 9/10). No doubles anywhere, so no cross-engine pow() ulp risk.
+    *
+    * Scale: both inputs are bounded top-k lists; per-id max-rank and
+    * the k-row depth grid are lists-of-k work.
+    *
+    * @return one row (overlap_at_k, rbo_nano)
+    */
+  /** Recall@k of an approximate ranking against the exact one: the
+    * fraction of the exact top-k the approximate top-k recovered, in
+    * ppm (floored) — the standard ANN-ladder quality gate ("how much
+    * did the LSH/IVF shortcut cost?"). Both inputs are bounded lists;
+    * ranks assigned (score desc, id asc) as everywhere in this shelf.
+    *
+    * @return one row (n_exact, n_common, recall_ppm) — n_exact ≤ k
+    *         when the exact list is short; recall_ppm = 0 on empty
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame, idCol: String,
+      scoreCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    def top(df: DataFrame): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col(scoreCol).desc, col(idCol).asc)
+      df.select(col(idCol).as("id"), col(scoreCol))
+        .withColumn("__r", row_number().over(w))
+        .filter(col("__r") <= k).select(col("id"))
+    }
+    top(exact)
+      .join(top(approx).withColumn("__hit", lit(1)), Seq("id"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        coalesce(sum(col("__hit")), lit(0L)).cast("long").as("n_common"))
+      .select(col("n_exact"), col("n_common"),
+        when(col("n_exact") > 0,
+          expr("n_common * 1000000 div n_exact")).otherwise(lit(0L))
+          .as("recall_ppm"))
+  }
+
+  def rbo(a: DataFrame, b: DataFrame, idCol: String, scoreCol: String,
+      k: Int = 10, pNum: Int = 9, pDen: Int = 10): DataFrame = {
+    require(k >= 1 && k <= 10, s"k must be in [1,10], got $k")
+    require(pNum >= 1 && pNum < pDen, s"need 0 < pNum/pDen < 1")
+    val spark = a.sparkSession
+    import spark.implicits._
+    def ranks(df: DataFrame, name: String): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col(scoreCol).desc, col(idCol).asc)
+      df.select(col(idCol).as("id"), col(scoreCol))
+        .withColumn(name, row_number().over(w).cast("long"))
+        .filter(col(name) <= k).select(col("id"), col(name))
+    }
+    // both-lists ids with the depth at which they are in BOTH prefixes
+    val joint = ranks(a, "ra").join(ranks(b, "rb"), "id")
+      .select(greatest(col("ra"), col("rb")).as("m"))
+    val depths = (1 to k).map { d =>
+      (d.toLong, BigInt(pNum).pow(d - 1).toLong, BigInt(pDen).pow(d).toLong)
+    }.toDF("d", "pnum_pow", "pden_pow")
+    depths
+      .join(joint, col("m") <= col("d"), "left")
+      .groupBy(col("d"), col("pnum_pow"), col("pden_pow"))
+      .agg(count(col("m")).as("overlap"))
+      .select(col("d"), col("overlap"),
+        expr(s"overlap * ${pDen - pNum} * pnum_pow * 1000000000" +
+          s" div (pden_pow * d)").as("t"),
+        when(col("d") === k, col("overlap")).as("ok"))
+      .agg(sum(col("t")).as("rbo_nano"), max(col("ok")).as("overlap_at_k"))
+      .select(col("overlap_at_k"), col("rbo_nano"))
   }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFns
 
-/** Round-10 batch (q183–q186) — this round's library shelves, each
+/** Round-10 batch (q183–q189) — this round's library shelves, each
   * gated through its operator:
   *
   *  - q183 bigram-LM perplexity filtering (ext/LanguageModel): train on
@@ -17,7 +17,12 @@ import graft.functions.VectorFns
   *  - q185 reciprocal-rank fusion (ext/Retrieval.rrfFuse) of BM25 and
   *    brute-cosine rankings — the hybrid-retrieval combiner;
   *  - q186 personalized PageRank (ext/Graph.personalizedPageRank) —
-  *    seed-set proximity, the "expand this whitelist" primitive.
+  *    seed-set proximity, the "expand this whitelist" primitive;
+  *  - q187/q188/q189 the retrieval-evaluation shelf
+  *    (Retrieval.ndcg / rbo / recallAtK): graded ranking quality,
+  *    top-weighted ranking drift, and the ANN-shortcut price — each
+  *    parameterized to land MID-scale at the gate SF (a gate stuck at
+  *    1.0 or 0 proves nothing).
   */
 object Extended18 {
 
@@ -295,12 +300,220 @@ object Extended18 {
        |FROM r3 ORDER BY rank_ppt DESC, node LIMIT 20""".stripMargin
   }
 
+  // --------------------------------------------------------------------
+  // Shared BM25-top-k SQL for the retrieval-evaluation oracles (q187/
+  // q188): the uncapped q111 scoring, top-`k` by (score desc, doc_id)
+  // — the exact list Index.build + search produces. The base CTE chain
+  // (d/dd/corpus/tf/dict) appears once; [[bm25TopSqlTerms]] emits only
+  // the per-query scored+top-k tail for additional term sets.
+  private val bm25BaseSql: String =
+    """d AS (SELECT doc_id,
+      |        regexp_split_to_array(trim(text), '\s+') AS toks
+      |        FROM documents),
+      | dd AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM d),
+      | corpus AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dd),
+      | tf AS (SELECT token, doc_id, dl, count(*) AS tf
+      |        FROM (SELECT doc_id, dl, unnest(toks) AS token FROM dd)
+      |        GROUP BY 1, 2, 3),
+      | dict AS (SELECT token, count(*) AS df FROM tf GROUP BY token)""".stripMargin
+
+  private def bm25TopSqlTerms(k: Int, name: String,
+      terms: Seq[String]): String = {
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    s"""${name}_sc AS (
+       |   SELECT t.doc_id,
+       |     floor(ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+       |              / (CAST(df AS DOUBLE) + 0.5))
+       |       * (CAST(t.tf AS DOUBLE) * 2.2
+       |          / (CAST(t.tf AS DOUBLE) + 1.2 * (0.25 + 0.75
+       |             * CAST(t.dl AS DOUBLE)
+       |             / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+       |       * 1000000000.0) AS s_nano
+       |   FROM tf t JOIN dict USING (token) CROSS JOIN corpus
+       |   WHERE t.token IN ($inList)),
+       | $name AS (SELECT doc_id AS id, CAST(sum(s_nano) AS BIGINT) AS score
+       |   FROM ${name}_sc GROUP BY doc_id
+       |   ORDER BY score DESC, id LIMIT $k)""".stripMargin
+  }
+
+  // --------------------------------------------------------------------
+  // q187 — nDCG@10 of the BM25 ranking for ('dup', 'data') against
+  // graded judgments rel = 2·contains('dup') + contains('data') (0–3;
+  // 'dup' is the rare term, so relevance is dominated by it exactly as
+  // the idf is): Retrieval.ndcg with exponential gain, ln-ratio log2
+  // discount, per-rank terms floored to micro units — the
+  // ranking-quality gate a retrieval stack runs after every
+  // index/ranker change. BM25's length normalization interleaves
+  // rel-2 docs above some rel-3 docs, so the gate value is a REAL
+  // 0.92, not a degenerate 1.0 (a term-presence grading was tried
+  // first and collapsed to dcg == idcg). Ideal ordering = judgments
+  // top-10 by (rel desc, id asc) via TakeOrderedAndProject, never a
+  // global sort.
+  def q187(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    val ranking = graft.ext.Index.build(docs, "text", "doc_id")
+      .search(Seq("dup", "data"), k = 10)
+      .select($"doc_id", $"score_nano")
+    val judgments = docs
+      .select($"doc_id", graft.functions.TextFns.tokens($"text").as("toks"))
+      .select($"doc_id",
+        (lit(2L) * array_contains($"toks", "dup").cast("long") +
+          array_contains($"toks", "data").cast("long")).as("rel"))
+    graft.ext.Retrieval
+      .ndcg(ranking, judgments, "doc_id", "score_nano", "rel", k = 10)
+  }
+
+  val q187Sql: String = {
+    val term = (rel: String, rank: String) =>
+      s"""CAST(floor((pow(2.0, CAST($rel AS DOUBLE)) - 1.0)
+         |  * ln(2.0) / ln(CAST($rank AS DOUBLE) + 1.0)
+         |  * 1000000.0) AS BIGINT)""".stripMargin
+    s"""WITH $bm25BaseSql,
+       | ${bm25TopSqlTerms(10, "lex", Seq("dup", "data"))},
+       | jd AS (SELECT doc_id,
+       |          (2 * CASE WHEN list_contains(toks, 'dup') THEN 1 ELSE 0 END
+       |           + CASE WHEN list_contains(toks, 'data') THEN 1 ELSE 0 END)
+       |            AS rel
+       |        FROM d),
+       | ranked AS (SELECT l.id, row_number() OVER (
+       |              ORDER BY l.score DESC, l.id) AS rank,
+       |            COALESCE(j.rel, 0) AS rel
+       |            FROM lex l LEFT JOIN jd j ON j.doc_id = l.id),
+       | dcg AS (SELECT COALESCE(sum(${term("rel", "rank")}), 0) AS dcg_micro
+       |         FROM ranked),
+       | idealtop AS (SELECT rel, doc_id FROM jd
+       |              ORDER BY rel DESC, doc_id LIMIT 10),
+       | ideal AS (SELECT rel, row_number() OVER (
+       |             ORDER BY rel DESC, doc_id) AS rank FROM idealtop),
+       | idcg AS (SELECT COALESCE(sum(${term("rel", "rank")}), 0) AS idcg_micro
+       |          FROM ideal)
+       |SELECT CAST(dcg_micro AS BIGINT) AS dcg_micro,
+       |       CAST(idcg_micro AS BIGINT) AS idcg_micro,
+       |       CAST(CASE WHEN idcg_micro > 0
+       |            THEN dcg_micro * 1000000 // idcg_micro
+       |            ELSE 0 END AS BIGINT) AS ndcg_ppm
+       |FROM dcg CROSS JOIN idcg""".stripMargin
+  }
+
+  // --------------------------------------------------------------------
+  // q188 — rank-biased overlap (RBO@10, p = 9/10, truncated sum)
+  // between the BM25 rankings BEFORE and AFTER query expansion
+  // (('data') vs ('data','the')) — the top-weighted drift monitor for
+  // "how much did this ranker/query change reorder what users see",
+  // in EXACT nano units: the d-th term overlap·1·9^(d−1)·10⁹ div
+  // (10^d·d) is pure BIGINT (powers from a 10-row literal frame), so
+  // there is no cross-engine pow() ulp risk at all. (The lexical-vs-
+  // vector pairing was tried first and gave overlap 0 at the gate SF —
+  // a degenerate all-zero sum; expansion drift lands mid-scale.)
+  def q188(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val idx = graft.ext.Index.build(t(s, dir, "documents"), "text", "doc_id")
+    val before = idx.search(Seq("data"), k = 10)
+      .select($"doc_id".as("id"), $"score_nano".as("score"))
+    val after = idx.search(Seq("data", "the"), k = 10)
+      .select($"doc_id".as("id"), $"score_nano".as("score"))
+    graft.ext.Retrieval.rbo(after, before, "id", "score", k = 10)
+  }
+
+  val q188Sql: String = {
+    val depthRows = (1 to 10).map(d =>
+      s"(${d}, ${BigInt(9).pow(d - 1)}, ${BigInt(10).pow(d)})").mkString(", ")
+    s"""WITH $bm25BaseSql,
+       | ${bm25TopSqlTerms(10, "lex_a", Seq("data", "the"))},
+       | ${bm25TopSqlTerms(10, "lex_b", Seq("data"))},
+       | ra AS (SELECT id, row_number() OVER (ORDER BY score DESC, id) AS r
+       |        FROM lex_a),
+       | rb AS (SELECT id, row_number() OVER (ORDER BY score DESC, id) AS r
+       |        FROM lex_b),
+       | joint AS (SELECT greatest(ra.r, rb.r) AS m
+       |           FROM ra JOIN rb ON ra.id = rb.id),
+       | depths(d, p9, p10) AS (VALUES $depthRows),
+       | terms AS (SELECT depths.d, depths.p9, depths.p10,
+       |             count(joint.m) AS overlap
+       |           FROM depths LEFT JOIN joint ON joint.m <= depths.d
+       |           GROUP BY 1, 2, 3)
+       |SELECT CAST(max(CASE WHEN d = 10 THEN overlap END) AS BIGINT)
+       |         AS overlap_at_k,
+       |       CAST(sum(overlap * 1 * p9 * 1000000000 // (p10 * d)) AS BIGINT)
+       |         AS rbo_nano
+       |FROM terms""".stripMargin
+  }
+
+  // --------------------------------------------------------------------
+  // q189 — ANN recall@10: how much of the exact brute-force cosine
+  // top-10 the single-bucket sign-LSH shortcut recovers —
+  // Retrieval.recallAtK, the quality gate that prices every rung of
+  // the ANN ladder. 4 sign bits (16 buckets, ~31 candidates/bucket at
+  // the gate SF) land recall mid-scale (2/10) — 8 bits leaves 1/10 and
+  // the multi-probe/IVF rungs (q135/q49) exist precisely to buy the
+  // rest back. Both rankings are bounded lists; the only corpus-sized
+  // work is the two rankers (one broadcast bucket join, one broadcast
+  // brute scan).
+  def q189(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = t(s, dir, "embeddings")
+      .withColumn("bucket", VectorFns.signBucket($"embedding", 4))
+    val q = e.filter($"vec_id" === 0)
+      .select($"bucket".as("qbucket"), $"embedding".as("qvec"))
+    def bp(c: org.apache.spark.sql.Column) =
+      floor(c * 10000.0 + 0.5).cast("long")
+    val exact = e.filter($"vec_id" =!= 0)
+      .crossJoin(broadcast(q.select($"qvec")))
+      .select($"vec_id".as("id"),
+        bp(VectorFns.cosine($"embedding", $"qvec")).as("score"))
+      .orderBy($"score".desc, $"id".asc).limit(10)
+    val approx = e.join(broadcast(q), $"bucket" === $"qbucket")
+      .filter($"vec_id" =!= 0)
+      .select($"vec_id".as("id"),
+        bp(VectorFns.cosine($"embedding", $"qvec")).as("score"))
+      .orderBy($"score".desc, $"id".asc).limit(10)
+    graft.ext.Retrieval.recallAtK(approx, exact, "id", "score", k = 10)
+  }
+
+  val q189Sql: String = {
+    val dot =
+      """list_sum(list_transform(list_zip(e.embedding, q.qvec),
+        | x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))""".stripMargin
+    val norm = (v: String) =>
+      s"sqrt(list_sum(list_transform($v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    val bucket = (v: String) =>
+      (0 until 4).map(i =>
+        s"(CASE WHEN $v[${i + 1}] >= 0 THEN ${1L << i} ELSE 0 END)")
+        .mkString("(", " + ", ")")
+    s"""WITH b AS (SELECT vec_id, embedding, ${bucket("embedding")} AS bucket
+       |           FROM embeddings),
+       | q AS (SELECT bucket AS qbucket, embedding AS qvec FROM b
+       |       WHERE vec_id = 0),
+       | exact AS (SELECT e.vec_id AS id,
+       |     CAST(floor($dot / (${norm("e.embedding")} * ${norm("q.qvec")})
+       |       * 10000.0 + 0.5) AS BIGINT) AS score
+       |   FROM b e CROSS JOIN q WHERE e.vec_id <> 0
+       |   ORDER BY score DESC, id LIMIT 10),
+       | approx AS (SELECT e.vec_id AS id,
+       |     CAST(floor($dot / (${norm("e.embedding")} * ${norm("q.qvec")})
+       |       * 10000.0 + 0.5) AS BIGINT) AS score
+       |   FROM b e JOIN q ON e.bucket = q.qbucket WHERE e.vec_id <> 0
+       |   ORDER BY score DESC, id LIMIT 10)
+       |SELECT count(*) AS n_exact,
+       |       CAST(sum(CASE WHEN a.id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_common,
+       |       CAST(CASE WHEN count(*) > 0
+       |            THEN sum(CASE WHEN a.id IS NOT NULL THEN 1 ELSE 0 END)
+       |                 * 1000000 // count(*)
+       |            ELSE 0 END AS BIGINT) AS recall_ppm
+       |FROM exact x LEFT JOIN approx a ON a.id = x.id""".stripMargin
+  }
+
   /** Name → query function, for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q183_bigram_lm" -> (q183 _),
     "q184_bloom_prune" -> (q184 _),
     "q185_rrf_hybrid" -> (q185 _),
-    "q186_personalized_pagerank" -> (q186 _)
+    "q186_personalized_pagerank" -> (q186 _),
+    "q187_ndcg" -> (q187 _),
+    "q188_rbo" -> (q188 _),
+    "q189_ann_recall" -> (q189 _)
   )
 
   /** Name → DuckDB oracle SQL, for SparkEntry. */
@@ -308,6 +521,9 @@ object Extended18 {
     "q183_bigram_lm" -> q183Sql,
     "q184_bloom_prune" -> q184Sql,
     "q185_rrf_hybrid" -> q185Sql,
-    "q186_personalized_pagerank" -> q186Sql
+    "q186_personalized_pagerank" -> q186Sql,
+    "q187_ndcg" -> q187Sql,
+    "q188_rbo" -> q188Sql,
+    "q189_ann_recall" -> q189Sql
   )
 }

@@ -341,4 +341,60 @@ class CliSpec extends SparkSpec {
     val h = all.getAs[Long]("entropy_micro_nat")
     assert(h >= 1386293L && h <= 1386295L, s"entropy $h")
   }
+
+  test("search / score-lm / bloom-prune / ppr / rrf subcommands") {
+    import spark.implicits._
+    val base = tmpDir("clir10")
+
+    // search: "data" appears only in doc 1 — it must top the list
+    Seq((1L, "big data rules"), (2L, "cats and dogs"), (3L, "more cats"))
+      .toDF("doc_id", "text").write.parquet(s"$base/docs")
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) {
+      Main.run(spark, List("search", s"$base/docs", "doc_id", "text",
+        "data,cats", "2"))
+    }
+    val lines = out.toString.trim.split("\n")
+    assert(lines.length === 2 && lines.forall(_.contains("nano")),
+      s"unexpected search output: $out")
+
+    // score-lm: train on fluent docs, a scrambled doc must score worse
+    Seq((1L, "the cat sat on the mat"), (2L, "the dog sat on the mat"))
+      .toDF("doc_id", "text").write.parquet(s"$base/train")
+    Seq((10L, "the cat sat on the mat"), (11L, "mat the on sat cat the"))
+      .toDF("doc_id", "text").write.parquet(s"$base/score")
+    Main.run(spark, List("score-lm", s"$base/train", s"$base/score",
+      "doc_id", "text", s"$base/scored"))
+    val scored = spark.read.parquet(s"$base/scored")
+      .select($"doc_id", $"nll_avg_micro").as[(Long, Long)].collect().toMap
+    assert(scored(10L) < scored(11L),
+      s"fluent doc must out-score scrambled: $scored")
+
+    // bloom-prune: fact keys 0..99, dim = multiples of 5
+    (0L until 100L).toDF("fk").write.parquet(s"$base/fact")
+    (0L until 100L by 5L).toDF("dk").write.parquet(s"$base/dim")
+    Main.run(spark, List("bloom-prune", s"$base/fact", "fk",
+      s"$base/dim", "dk", "1024", s"$base/kept"))
+    val kept = spark.read.parquet(s"$base/kept").as[Long].collect().toSet
+    assert(kept === (0L until 100L).filter(_ % 5 != 0).toSet)
+
+    // ppr: star around node 0 — seeds {0}; center must outrank leaves
+    val half = (1L to 4L).map(l => (0L, l))
+    (half ++ half.map(_.swap)).toDF("s", "d").write.parquet(s"$base/edges")
+    Seq(0L).toDF("n").write.parquet(s"$base/seeds")
+    Main.run(spark, List("ppr", s"$base/edges", "s", "d",
+      s"$base/seeds", "n", "5", s"$base/ranks"))
+    val ranks = spark.read.parquet(s"$base/ranks")
+      .select($"node", $"r").as[(Long, Long)].collect().toMap
+    assert((1L to 4L).forall(l => ranks(0L) > ranks(l)), s"ranks $ranks")
+
+    // rrf: id 7 present in both lists must out-fuse single-list ids
+    Seq((7L, 5L), (1L, 9L)).toDF("id", "score").write.parquet(s"$base/la")
+    Seq((7L, 3L), (2L, 8L)).toDF("id", "score").write.parquet(s"$base/lb")
+    Main.run(spark, List("rrf", s"$base/la", s"$base/lb", "id", "score",
+      "3", s"$base/fused"))
+    val fused = spark.read.parquet(s"$base/fused")
+      .orderBy($"rrf_nano".desc).select($"id").as[Long].collect()
+    assert(fused.head === 7L, s"doubly-ranked id must fuse first: ${fused.toSeq}")
+  }
 }

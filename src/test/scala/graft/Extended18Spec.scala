@@ -160,6 +160,54 @@ class Extended18Spec extends SparkSpec {
     assert(got === expected.map { case (id, c, nl, x, y) => (id, c, nl.toLong, x, y) })
   }
 
+  test("ndcg == brute-force graded DCG with exponential gain") {
+    // ranking with a non-relevant doc at rank 1 (score ties broken by
+    // id), judgments missing one ranked id (rel -> 0 via left join)
+    val ranking = Seq((5L, 90L), (1L, 80L), (2L, 80L), (9L, 10L))
+      .toDF("id", "score")
+    val judgments = Seq((1L, 2L), (2L, 1L), (5L, 0L), (7L, 2L), (8L, 1L))
+      .toDF("id", "rel")
+    def term(rel: Long, rank: Long): Long =
+      math.floor((math.pow(2.0, rel.toDouble) - 1.0) * math.log(2.0) /
+        math.log(rank.toDouble + 1.0) * 1000000.0).toLong
+    // ranks: (90,5)->1, (80,1)->2, (80,2)->3, (10,9)->4; rel 0,2,1,0
+    val dcg = term(0, 1) + term(2, 2) + term(1, 3) + term(0, 4)
+    // ideal top-3 by (rel desc, id): (1,2),(7,2),(2,1),(8,1),(5,0)
+    val idcg = term(2, 1) + term(2, 2) + term(1, 3)
+    val got = graft.ext.Retrieval
+      .ndcg(ranking, judgments, "id", "score", "rel", k = 3)
+      .as[(Long, Long, Long)].head()
+    val dcg3 = term(0, 1) + term(2, 2) + term(1, 3) // k=3 cuts rank 4
+    assert(got === ((dcg3, idcg, dcg3 * 1000000L / idcg)))
+    assert(dcg >= dcg3) // sanity on the brute model itself
+  }
+
+  test("rbo == brute-force exact-integer rank-biased overlap") {
+    val la = Seq((1L, 100L), (2L, 90L), (3L, 80L), (4L, 70L)).toDF("id", "score")
+    val lb = Seq((2L, 50L), (1L, 40L), (9L, 30L), (4L, 20L)).toDF("id", "score")
+    // ranks: A: 1->1 2->2 3->3 4->4; B: 2->1 1->2 9->3 4->4
+    // joint m: id1 max(1,2)=2; id2 max(2,1)=2; id4 max(4,4)=4
+    val m = Seq(2L, 2L, 4L)
+    val k = 4
+    val expected = (1 to k).map { d =>
+      val overlap = m.count(_ <= d).toLong
+      overlap * 1L * BigInt(9).pow(d - 1).toLong * 1000000000L /
+        (BigInt(10).pow(d).toLong * d)
+    }.sum
+    val got = graft.ext.Retrieval.rbo(la, lb, "id", "score", k = 4)
+      .as[(Long, Long)].head()
+    assert(got === ((3L, expected)))
+  }
+
+  test("recallAtK: exact overlap fraction in ppm") {
+    val exact = Seq((1L, 9L), (2L, 8L), (3L, 7L), (4L, 6L)).toDF("id", "score")
+    val approx = Seq((2L, 9L), (4L, 8L), (7L, 7L)).toDF("id", "score")
+    val got = graft.ext.Retrieval
+      .recallAtK(approx, exact, "id", "score", k = 4)
+      .as[(Long, Long, Long)].head()
+    assert(got === ((4L, 2L, 500000L)))
+  }
+
   // ------------------------------------------------------------------
   // personalizedPageRank
 

@@ -273,6 +273,51 @@ class QueryPlanSpec extends SparkSpec {
       p.toString)
   }
 
+  test("q183: bigram LM is joins+aggs only — no window anywhere") {
+    // training counts, model expansion, and scoring are all keyed
+    // aggs/joins on the bigram-type frame; a window appearing here
+    // would mean someone reintroduced per-doc sequential scoring
+    val p = executed("q183_bigram_lm")
+    assert(count(p,
+      _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]) === 0,
+      p.toString)
+  }
+
+  test("q184: bloom probes ride broadcast nested-loop joins (no fact shuffle to probe)") {
+    // every mightContain probe crossJoins the ONE packed sketch row —
+    // must plan as BroadcastNestedLoopJoin so the probe is evaluated
+    // in the fact scan stage; only the maybe-subset anti join may
+    // shuffle fact rows
+    val p = executed("q184_bloom_prune")
+    assert(count(p, _.isInstanceOf[BroadcastNestedLoopJoinExec]) >= 3,
+      p.toString)
+    assert(count(p,
+      _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]) === 0,
+      p.toString)
+  }
+
+  test("q185: rank windows sit strictly above bounded (limited) inputs") {
+    // rrfFuse assigns ranks with an unpartitioned window — legal ONLY
+    // because its inputs are already top-k lists; assert every
+    // WindowExec has a limit operator somewhere beneath it, so a
+    // corpus-sized frame can never reach the single-task rank
+    val p = executed("q185_rrf_hybrid")
+    val windows = p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, "q185 lost its rank windows entirely")
+    windows.foreach { w =>
+      val bounded = w.find {
+        case _: org.apache.spark.sql.execution.GlobalLimitExec => true
+        case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => true
+        case _: org.apache.spark.sql.execution.LocalLimitExec => true
+        case _ => false
+      }
+      assert(bounded.nonEmpty,
+        s"q185 window over an unbounded input:\n$w")
+    }
+  }
+
   test("q02: filter and projection reach the parquet scan") {
     val scans = plan("q02_filter_project").collect {
       case f: org.apache.spark.sql.execution.FileSourceScanExec => f
