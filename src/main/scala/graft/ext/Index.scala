@@ -69,6 +69,37 @@ object Index {
     }
   }
 
+  /** Sum-merge shard indexes built over DISJOINT document sets — the
+    * retrieval member of the mergeable-state family ([[Profile]] token
+    * counts, [[LanguageModel]] bigram counts, [[BloomSketch]] words):
+    * each ingest batch builds its shard index independently; the
+    * corpus index folds WITHOUT re-tokenizing anything. Exact because
+    * every statistic is decomposable over disjoint docs: postings
+    * union (a doc's rows live in exactly one shard), df/cf sum, the
+    * two corpus scalars sum — merge(build(A), build(B)) ≡ build(A∪B),
+    * frame for frame.
+    *
+    * `postingCap` re-caps the MERGED posting lists (uncapped shards in
+    * → the same lists build(A∪B, cap) would produce; shards built with
+    * their own caps stay capped-per-shard — a different, documented
+    * semantic, since a shard cap already dropped rows by local doc
+    * order). */
+  def merge(shards: Seq[Built], postingCap: Option[Int] = None): Built = {
+    require(shards.nonEmpty, "merge needs at least one shard")
+    postingCap.foreach(c => require(c >= 1, s"postingCap must be >= 1, got $c"))
+    val unioned = shards.map(_.postings).reduce(_ unionByName _)
+    val postings = postingCap.fold(unioned) { cap =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("token")).orderBy(col("doc_id"))
+      unioned.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= cap).drop("__rn")
+    }
+    val dict = shards.map(_.dictionary).reduce(_ unionByName _)
+      .groupBy(col("token"))
+      .agg(sum(col("df")).as("df"), sum(col("cf")).as("cf"))
+    Built(postings, dict, shards.map(_.nDocs).sum, shards.map(_.sumDl).sum)
+  }
+
   /** Build the index frames from a document table. One explode + one
     * (doc, token) agg + one token agg; the only driver action is the
     * 2-long corpus-stats read. */

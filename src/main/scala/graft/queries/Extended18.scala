@@ -505,6 +505,40 @@ object Extended18 {
        |FROM exact x LEFT JOIN approx a ON a.id = x.id""".stripMargin
   }
 
+  // --------------------------------------------------------------------
+  // q190 — index-shard MERGE ≡ whole-corpus build: two shard indexes
+  // (doc-id parity halves, uncapped) fold via Index.merge — postings
+  // union, df/cf sums, corpus scalars sum, no re-tokenization — and
+  // the merged index answers the ('dup','data') search. The oracle
+  // computes the search from the WHOLE corpus directly, so the gate IS
+  // the merge ≡ recompute proof for the retrieval state, cross-engine
+  // (the q182 contract applied to the index).
+  def q190(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = t(s, dir, "documents")
+    val shards = Seq(0, 1).map(par => graft.ext.Index.build(
+      d.filter(pmod($"doc_id", lit(2)) === par), "text", "doc_id"))
+    graft.ext.Index.merge(shards).search(Seq("dup", "data"), k = 10)
+  }
+
+  val q190Sql: String =
+    s"""WITH $bm25BaseSql,
+       | scored AS (
+       |   SELECT t.doc_id,
+       |     floor(ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+       |              / (CAST(df AS DOUBLE) + 0.5))
+       |       * (CAST(t.tf AS DOUBLE) * 2.2
+       |          / (CAST(t.tf AS DOUBLE) + 1.2 * (0.25 + 0.75
+       |             * CAST(t.dl AS DOUBLE)
+       |             / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+       |       * 1000000000.0) AS s_nano
+       |   FROM tf t JOIN dict USING (token) CROSS JOIN corpus
+       |   WHERE t.token IN ('dup', 'data'))
+       |SELECT doc_id, CAST(sum(s_nano) AS BIGINT) AS score_nano,
+       |       count(*) AS n_terms
+       |FROM scored GROUP BY doc_id
+       |ORDER BY score_nano DESC, doc_id LIMIT 10""".stripMargin
+
   /** Name → query function, for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q183_bigram_lm" -> (q183 _),
@@ -513,7 +547,8 @@ object Extended18 {
     "q186_personalized_pagerank" -> (q186 _),
     "q187_ndcg" -> (q187 _),
     "q188_rbo" -> (q188 _),
-    "q189_ann_recall" -> (q189 _)
+    "q189_ann_recall" -> (q189 _),
+    "q190_index_merge" -> (q190 _)
   )
 
   /** Name → DuckDB oracle SQL, for SparkEntry. */
@@ -524,6 +559,7 @@ object Extended18 {
     "q186_personalized_pagerank" -> q186Sql,
     "q187_ndcg" -> q187Sql,
     "q188_rbo" -> q188Sql,
-    "q189_ann_recall" -> q189Sql
+    "q189_ann_recall" -> q189Sql,
+    "q190_index_merge" -> q190Sql
   )
 }

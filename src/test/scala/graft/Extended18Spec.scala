@@ -199,6 +199,33 @@ class Extended18Spec extends SparkSpec {
     assert(got === ((3L, expected)))
   }
 
+  test("Index.merge of disjoint shards == whole-corpus build, frame for frame") {
+    val docs = Seq((0L, "big data rules"), (1L, "cats and dogs"),
+      (2L, "more data cats"), (3L, "data data dogs"), (4L, "just cats"))
+      .toDF("doc_id", "text")
+    val whole = graft.ext.Index.build(docs, "text", "doc_id")
+    val shards = Seq(0L, 1L).map(p => graft.ext.Index.build(
+      docs.filter(pmod($"doc_id", lit(2L)) === p), "text", "doc_id"))
+    val merged = graft.ext.Index.merge(shards)
+    assert(merged.nDocs === whole.nDocs)
+    assert(merged.sumDl === whole.sumDl)
+    def dictSet(b: graft.ext.Index.Built) =
+      b.dictionary.as[(String, Long, Long)].collect().toSet
+    assert(dictSet(merged) === dictSet(whole))
+    def postSet(b: graft.ext.Index.Built) =
+      b.postings.select($"token", $"doc_id", $"dl", $"tf")
+        .as[(String, Long, Long, Long)].collect().toSet
+    assert(postSet(merged) === postSet(whole))
+    def hits(b: graft.ext.Index.Built) =
+      b.search(Seq("data", "cats"), 5).as[(Long, Long, Long)].collect().toSeq
+    assert(hits(merged) === hits(whole))
+    // re-cap on merge == cap on whole build (uncapped shards in)
+    val cappedWhole = graft.ext.Index.build(docs, "text", "doc_id",
+      postingCap = Some(2))
+    val cappedMerged = graft.ext.Index.merge(shards, postingCap = Some(2))
+    assert(postSet(cappedMerged) === postSet(cappedWhole))
+  }
+
   test("recallAtK: exact overlap fraction in ppm") {
     val exact = Seq((1L, 9L), (2L, 8L), (3L, 7L), (4L, 6L)).toDF("id", "score")
     val approx = Seq((2L, 9L), (4L, 8L), (7L, 7L)).toDF("id", "score")
