@@ -400,6 +400,25 @@ object Stress {
       graft.ext.Graph.personalizedPageRank(e, seeds,
         maxIterations = 3, checkConvergence = false).count()
     }
+    if (picks("pq")) timed("pq") {
+      // PQ at generated scale: train on a bounded sample (10k vectors —
+      // the 100 TB practice), ENCODE the full corpus (the corpus-sized
+      // stage: one scan, m·k literal distance expressions, no shuffle),
+      // then LUT-search the codes. Expect ~linear in rows, dominated
+      // by encode.
+      val dim = 32
+      val g = $"doc_id" % 1000L
+      val vec = array((0 until dim).map { i =>
+        ((xxhash64(g, lit(i)) % 1000L).cast("double") / 500.0).cast("float")
+      }: _*)
+      val emb = docs.select($"doc_id", vec.as("v"))
+      val cb = graft.ext.VectorIndex.pqTrain(
+        emb.filter($"doc_id" < 10000L), "v", "doc_id",
+        m = 4, k = 16, iterations = 2)
+      val codes = graft.ext.VectorIndex.pqEncode(emb, "v", "doc_id", cb)
+      val q = (0 until dim).map(_ => 0.5).toArray
+      graft.ext.VectorIndex.pqSearch(codes, "doc_id", cb, q, k = 10).count()
+    }
     if (picks("textprofile")) timed("textprofile") {
       // Profile.textProfile (q177/q178 shelf) at generated scale: one
       // tokenize+explode scan into the (source, token) count frame,

@@ -47,6 +47,7 @@ import graft.transform.RideTransform
   *   bloom-prune <factParquet> <factKey> <dimParquet> <dimKey> <numBits> <outParquet>
   *   ppr <edgesParquet> <srcCol> <dstCol> <seedsParquet> <seedCol> <maxIter> <outParquet>
   *   rrf <listAParquet> <listBParquet> <idCol> <scoreCol> <k> <outParquet>
+  *   pq-encode <embParquet> <idCol> <vecCol> <m> <k> <iters> <outParquet>
   */
 object Main {
 
@@ -434,6 +435,19 @@ object Main {
         .limit(k.toInt)
       fused.write.mode("overwrite").parquet(out)
       println(s"fused top-${k.toInt} of 2 lists to $out")
+
+    // pq-encode <embParquet> <idCol> <vecCol> <m> <k> <iters> <out>:
+    // train a product-quantization codebook (L2 k-means per subspace)
+    // and write each vector's m-centroid code — the compressed
+    // representation the PQ search scans instead of raw vectors.
+    case "pq-encode" :: in :: idCol :: vecCol :: m :: k :: iters :: out :: Nil =>
+      val emb = spark.read.parquet(in)
+      val cb = graft.ext.VectorIndex.pqTrain(emb, vecCol, idCol,
+        m.toInt, k.toInt, iters.toInt)
+      val codes = graft.ext.VectorIndex.pqEncode(emb, vecCol, idCol, cb)
+      codes.write.mode("overwrite").parquet(out)
+      println(s"encoded ${codes.count()} vectors as ${m.toInt}x" +
+        s"${k.toInt}-centroid codes to $out")
 
     case other =>
       sys.error(s"unknown command: ${other.mkString(" ")} — see Scaladoc for usage")

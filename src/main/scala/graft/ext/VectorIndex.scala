@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFns
@@ -253,5 +253,134 @@ object VectorIndex {
         lit(0L), (acc, x) => acc + x)
     }
     embeddings.withColumn(outCol, array(projCols: _*))
+  }
+
+  // ------------------------------------------------------------------
+  // Product quantization (Jégou/Douze/Schmid, PAMI 2011) — the
+  // compressed-codes rung of the ANN ladder (brute q23 → sign-LSH q25 →
+  // multi-probe q135 → IVF q49 → PQ): each vector becomes m small
+  // centroid ids (m·log₂k bits instead of d floats — 64 floats → 4
+  // bytes at m=4, k=256), and search scans CODES with an integer
+  // lookup-table sum instead of touching raw vectors at all. At 100 TB
+  // this is what makes the candidate scan memory-resident: the code
+  // table is ~100× smaller than the embedding column.
+  //
+  // Determinism doctrine: init = the k lowest-id vectors' subvectors,
+  // Lloyd runs a FIXED iteration count, argmin ties break to the
+  // lowest centroid id (min-struct), per-row distances are sequential
+  // left-fold sums (no partial-agg order), and search distances are
+  // floor-micro LONGs summed exactly. Centroid MEANS round through
+  // float before re-entering the loop (the q49 trick): the grouped
+  // component sums behind them are partial-agg-order-dependent in
+  // their last double ulps (~1e-16 relative), and the float round
+  // (granularity ~1e-7) absorbs that noise — so codes and results are
+  // bit-identical cross-engine and run-to-run, and the whole
+  // train→encode→search chain unrolls into a SQL oracle (the q49
+  // technique, L2 flavor).
+
+  /** Squared-L2 distance of a (double) array column against a literal
+    * centroid, as a left-associated per-component expression chain —
+    * codegen-friendly, and the association order (((e₁+e₂)+e₃)+…)
+    * matches SQL list_sum / chained `+` exactly. */
+  private def l2sq(v: Column, c: Array[Double]): Column =
+    c.zipWithIndex.map { case (cv, t) =>
+      val d = element_at(v, t + 1).cast("double") - lit(cv)
+      d * d
+    }.reduce(_ + _)
+
+  /** argmin over sub-codebook `cents` by (d², cid) — ties to the
+    * LOWEST centroid id. */
+  private def pqArgmin(v: Column, cents: Array[Array[Double]]): Column =
+    least(cents.zipWithIndex.map { case (c, i) =>
+      struct(l2sq(v, c).as("d2"), lit(i).as("cid"))
+    }: _*).getField("cid")
+
+  /** The double-cast j-th subvector (1-based slice) of `vecCol`. */
+  private def subVec(vecCol: String, j: Int, dsub: Int): Column =
+    expr(s"transform(slice($vecCol, ${j * dsub + 1}, $dsub)," +
+      " x -> CAST(x AS DOUBLE))")
+
+  /** Train the PQ codebook: per subspace an independent L2 k-means
+    * (fixed `iterations` Lloyd steps from the k lowest-id init — the
+    * [[trainCentroids]] seeding, double precision throughout; empty
+    * cells keep their previous centroid). Returns m sub-codebooks of
+    * k centroids each — m·k·(dim/m) doubles of DRIVER metadata, the
+    * IVF-centroid contract: at corpus scale train on a sample, the
+    * codebook never grows with the data. */
+  def pqTrain(embeddings: DataFrame, vecCol: String, idCol: String,
+      m: Int, k: Int, iterations: Int): Array[Array[Array[Double]]] = {
+    require(m >= 1 && k >= 2 && iterations >= 1,
+      s"bad PQ params m=$m k=$k iters=$iterations")
+    val dim = embeddings.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val dsub = dim / m
+    (0 until m).map { j =>
+      val sub = embeddings.select(col(idCol).as("__id"),
+        subVec(vecCol, j, dsub).as("__v"))
+      var cents: Array[Array[Double]] = sub.orderBy(col("__id")).limit(k)
+        .select(col("__v")).collect().map(_.getSeq[Double](0).toArray)
+      (0 until iterations).foreach { _ =>
+        val sums = sub
+          .withColumn("__cell", pqArgmin(col("__v"), cents))
+          .groupBy(col("__cell"))
+          .agg(count(lit(1)).as("n"),
+            array((0 until dsub).map(i =>
+              sum(element_at(col("__v"), i + 1)).as(s"s$i")): _*).as("sums"))
+          .collect()
+        val upd = cents.clone()
+        sums.foreach { r =>
+          val cell = r.getInt(0)
+          val n = r.getLong(1).toDouble
+          val sv = r.getSeq[Double](2)
+          if (n > 0) upd(cell) = sv.map(x => (x / n).toFloat.toDouble).toArray
+        }
+        cents = upd
+      }
+      cents
+    }.toArray
+  }
+
+  /** Encode every vector as its m centroid ids: ONE scan, m·k literal
+    * distance expressions, no shuffle, no join — the compression pass.
+    * @return (idCol, code array<int> of length m) */
+  def pqEncode(embeddings: DataFrame, vecCol: String, idCol: String,
+      codebook: Array[Array[Array[Double]]]): DataFrame = {
+    val m = codebook.length
+    val dsub = codebook.head.head.length
+    embeddings.select(col(idCol),
+      array(codebook.zipWithIndex.map { case (cents, j) =>
+        pqArgmin(subVec(vecCol, j, dsub), cents)
+      }: _*).as("code"))
+  }
+
+  /** Asymmetric-distance top-k over PQ codes: the query's per-(subspace,
+    * centroid) squared distances become an m×k lookup table of
+    * floor-micro LONGs (driver metadata, broadcast as literals), and a
+    * row's approximate distance is the EXACT integer sum of its m
+    * looked-up entries — the scan touches only the code column, no
+    * vector math per row, and ties (coarse codes collide) break
+    * deterministically on id.
+    * @return (idCol, adist_micro) — k rows, ascending distance */
+  def pqSearch(codes: DataFrame, idCol: String,
+      codebook: Array[Array[Array[Double]]], query: Array[Double],
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val dsub = codebook.head.head.length
+    val lut: Array[Array[Long]] = codebook.zipWithIndex.map { case (cents, j) =>
+      cents.map { c =>
+        // SAME association order as l2sq: e1 + e2 + ... left-fold
+        val d2 = c.zipWithIndex.map { case (cv, t) =>
+          val d = query(j * dsub + t) - cv; d * d
+        }.reduceLeft(_ + _)
+        math.floor(d2 * 1000000.0).toLong
+      }
+    }
+    val adist = lut.zipWithIndex.map { case (row, j) =>
+      element_at(array(row.map(lit(_)): _*),
+        element_at(col("code"), j + 1) + 1)
+    }.reduce(_ + _)
+    codes.select(col(idCol), adist.as("adist_micro"))
+      .orderBy(col("adist_micro").asc, col(idCol).asc)
+      .limit(k)
   }
 }

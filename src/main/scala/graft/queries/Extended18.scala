@@ -539,6 +539,81 @@ object Extended18 {
        |FROM scored GROUP BY doc_id
        |ORDER BY score_nano DESC, doc_id LIMIT 10""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q191 — product-quantization ANN (VectorIndex.pqTrain/pqEncode/
+  // pqSearch): m = 2 subspaces × k = 4 centroids, 2 Lloyd iterations,
+  // codes searched by the integer lookup-table sum — the
+  // compressed-codes rung of the ANN ladder (64 floats → 2 small ids
+  // per vector; at 100 TB the code scan is what stays memory-resident).
+  // The oracle unrolls the ENTIRE chain in SQL — per-subspace L2
+  // k-means (q49's Lloyd-unroll technique with the same float-rounded
+  // means), encode argmin (d² asc, cell asc ≡ min-struct), the query's
+  // floor-micro LUT, and the exact integer distance sum — so training,
+  // encoding, and search are all cross-engine gated at once.
+  def q191(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = t(s, dir, "embeddings")
+    val cb = graft.ext.VectorIndex
+      .pqTrain(e, "embedding", "vec_id", m = 2, k = 4, iterations = 2)
+    val codes = graft.ext.VectorIndex
+      .pqEncode(e.filter($"vec_id" =!= 0), "embedding", "vec_id", cb)
+    val qv = e.filter($"vec_id" === 0).select($"embedding")
+      .head().getSeq[Float](0).map(_.toDouble).toArray
+    graft.ext.VectorIndex.pqSearch(codes, "vec_id", cb, qv, k = 10)
+  }
+
+  val q191Sql: String = {
+    val m = 2; val k = 4; val iters = 2; val dsub = 32
+    def l2(a: String, b: String) =
+      s"list_sum(list_transform(list_zip($a, $b), x -> (x[1] - x[2]) * (x[1] - x[2])))"
+    def lloyd(j: Int, i: Int) =
+      s""" s$j$i AS (SELECT sub.vec_id, c.cell, ${l2("sub.v", "c.c")} AS d2
+         |          FROM sub$j sub CROSS JOIN c$j$i c),
+         | a$j$i AS (SELECT vec_id, cell FROM (
+         |           SELECT vec_id, cell, row_number() OVER (
+         |             PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn
+         |           FROM s$j$i) WHERE rn = 1),
+         | m$j$i AS (SELECT cell, list(x ORDER BY i) AS c FROM (
+         |           SELECT a.cell, u.i,
+         |                  CAST(CAST(sum(u.x) / count(*) AS REAL) AS DOUBLE) AS x
+         |           FROM a$j$i a JOIN (SELECT vec_id, unnest(v) AS x,
+         |                     unnest(generate_series(1, len(v))) AS i FROM sub$j) u
+         |             USING (vec_id)
+         |           GROUP BY a.cell, u.i) GROUP BY cell),
+         | c$j${i + 1} AS (SELECT c.cell, coalesce(m.c, c.c) AS c
+         |               FROM c$j$i c LEFT JOIN m$j$i m USING (cell))""".stripMargin
+    val perSub = (0 until m).map { j =>
+      val lo = j * dsub + 1; val hi = (j + 1) * dsub
+      val blocks = (0 until iters).map(i => lloyd(j, i)).mkString(",\n")
+      s""" sub$j AS (SELECT vec_id, list_slice(v, $lo, $hi) AS v FROM e),
+         | c${j}0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
+         |                 AS INTEGER) AS cell, v AS c
+         |        FROM (SELECT vec_id, v FROM sub$j ORDER BY vec_id LIMIT $k)),
+         |$blocks,
+         | sf$j AS (SELECT sub.vec_id, c.cell, ${l2("sub.v", "c.c")} AS d2
+         |          FROM sub$j sub CROSS JOIN c$j$iters c),
+         | af$j AS (SELECT vec_id, cell FROM (
+         |           SELECT vec_id, cell, row_number() OVER (
+         |             PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn
+         |           FROM sf$j) WHERE rn = 1),
+         | lut$j AS (SELECT c.cell,
+         |             CAST(floor(${l2(s"list_slice(q.v, $lo, $hi)", "c.c")}
+         |               * 1000000.0) AS BIGINT) AS d
+         |           FROM c$j$iters c CROSS JOIN q)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id,
+       |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |        FROM embeddings),
+       | q AS (SELECT v FROM e WHERE vec_id = 0),
+       |$perSub
+       |SELECT af0.vec_id, CAST(l0.d + l1.d AS BIGINT) AS adist_micro
+       |FROM af0 JOIN af1 USING (vec_id)
+       |     JOIN lut0 l0 ON l0.cell = af0.cell
+       |     JOIN lut1 l1 ON l1.cell = af1.cell
+       |WHERE af0.vec_id <> 0
+       |ORDER BY adist_micro, af0.vec_id LIMIT 10""".stripMargin
+  }
+
   /** Name → query function, for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q183_bigram_lm" -> (q183 _),
@@ -548,7 +623,8 @@ object Extended18 {
     "q187_ndcg" -> (q187 _),
     "q188_rbo" -> (q188 _),
     "q189_ann_recall" -> (q189 _),
-    "q190_index_merge" -> (q190 _)
+    "q190_index_merge" -> (q190 _),
+    "q191_pq_ann" -> (q191 _)
   )
 
   /** Name → DuckDB oracle SQL, for SparkEntry. */
@@ -560,6 +636,7 @@ object Extended18 {
     "q187_ndcg" -> q187Sql,
     "q188_rbo" -> q188Sql,
     "q189_ann_recall" -> q189Sql,
-    "q190_index_merge" -> q190Sql
+    "q190_index_merge" -> q190Sql,
+    "q191_pq_ann" -> q191Sql
   )
 }

@@ -396,5 +396,19 @@ class CliSpec extends SparkSpec {
     val fused = spark.read.parquet(s"$base/fused")
       .orderBy($"rrf_nano".desc).select($"id").as[Long].collect()
     assert(fused.head === 7L, s"doubly-ranked id must fuse first: ${fused.toSeq}")
+
+    // pq-encode: two tight clusters ⇒ same-cluster vectors share codes
+    val emb = (0L until 8L).map { i =>
+      i -> Array.tabulate(4)(t => (i % 2) * 10f + t * 0.1f)
+    }.toDF("vec_id", "embedding")
+    emb.write.parquet(s"$base/emb")
+    Main.run(spark, List("pq-encode", s"$base/emb", "vec_id", "embedding",
+      "2", "2", "2", s"$base/codes"))
+    val byCluster = spark.read.parquet(s"$base/codes")
+      .as[(Long, Seq[Int])].collect().groupBy(_._1 % 2)
+      .map { case (cl, xs) => cl -> xs.map(_._2).distinct }
+    assert(byCluster.values.forall(_.size === 1),
+      s"same-cluster vectors must share a code: $byCluster")
+    assert(byCluster(0L) !== byCluster(1L), "clusters must differ")
   }
 }

@@ -236,6 +236,95 @@ class Extended18Spec extends SparkSpec {
   }
 
   // ------------------------------------------------------------------
+  // Product quantization
+
+  private def brutePq(vecs: Seq[(Long, Array[Float])], m: Int, k: Int,
+      iters: Int): Array[Array[Array[Double]]] = {
+    val dim = vecs.head._2.length
+    val dsub = dim / m
+    (0 until m).map { j =>
+      def sub(v: Array[Float]): Array[Double] =
+        v.slice(j * dsub, (j + 1) * dsub).map(_.toDouble)
+      var cents = vecs.sortBy(_._1).take(k).map(x => sub(x._2)).toArray
+      def assign(v: Array[Double]): Int =
+        cents.zipWithIndex.map { case (c, i) =>
+          (c.zip(v).map { case (cv, x) => val d = x - cv; d * d }
+            .reduceLeft(_ + _), i)
+        }.min._2
+      (0 until iters).foreach { _ =>
+        val groups = vecs.map(x => (assign(sub(x._2)), sub(x._2)))
+          .groupBy(_._1)
+        val upd = cents.clone()
+        groups.foreach { case (cell, vs) =>
+          val n = vs.size.toDouble
+          upd(cell) = (0 until dsub).map(t =>
+            (vs.map(_._2(t)).sum / n).toFloat.toDouble).toArray
+        }
+        cents = upd
+      }
+      cents
+    }.toArray
+  }
+
+  test("PQ encode/search == brute-force reimplementation; partition-proof") {
+    val rnd = new scala.util.Random(1234)
+    val vecs = (0L until 40L).map { i =>
+      // 4 natural clusters so the codebook is meaningful
+      val base = (i % 4).toInt
+      i -> Array.tabulate(8)(t => base * 10f + t + rnd.nextFloat() * 0.5f)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val cb = graft.ext.VectorIndex
+      .pqTrain(df, "embedding", "vec_id", m = 2, k = 4, iterations = 3)
+    val cbBrute = brutePq(vecs, m = 2, k = 4, iters = 3)
+    assert(cb.map(_.map(_.toSeq).toSeq).toSeq ===
+      cbBrute.map(_.map(_.toSeq).toSeq).toSeq, "codebooks differ")
+
+    // same codebook from a different partitioning (float-rounded means
+    // absorb partial-agg summation-order noise)
+    val cb2 = graft.ext.VectorIndex
+      .pqTrain(df.repartition(7), "embedding", "vec_id", m = 2, k = 4,
+        iterations = 3)
+    assert(cb2.map(_.map(_.toSeq).toSeq).toSeq ===
+      cb.map(_.map(_.toSeq).toSeq).toSeq, "codebook depends on partitioning")
+
+    // encode == brute argmin
+    def bruteAssign(v: Array[Double], cents: Array[Array[Double]]): Int =
+      cents.zipWithIndex.map { case (c, i) =>
+        (c.zip(v).map { case (cv, x) => val d = x - cv; d * d }
+          .reduceLeft(_ + _), i)
+      }.min._2
+    val codes = graft.ext.VectorIndex
+      .pqEncode(df, "embedding", "vec_id", cb)
+      .as[(Long, Seq[Int])].collect().toMap
+    vecs.foreach { case (id, v) =>
+      val expect = (0 until 2).map(j => bruteAssign(
+        v.slice(j * 4, (j + 1) * 4).map(_.toDouble), cb(j)))
+      assert(codes(id) === expect, s"code mismatch for $id")
+    }
+
+    // search == brute LUT sum, and it finds the query's own cluster
+    val q = vecs(6)._2.map(_.toDouble) // cluster 2
+    val lut = cb.zipWithIndex.map { case (cents, j) =>
+      cents.map { c =>
+        val d2 = c.zipWithIndex.map { case (cv, t) =>
+          val d = q(j * 4 + t) - cv; d * d
+        }.reduceLeft(_ + _)
+        math.floor(d2 * 1000000.0).toLong
+      }
+    }
+    val expectTop = vecs.map { case (id, _) =>
+      id -> (0 until 2).map(j => lut(j)(codes(id)(j))).sum
+    }.sortBy { case (id, d) => (d, id) }.take(5)
+    val got = graft.ext.VectorIndex
+      .pqSearch(graft.ext.VectorIndex.pqEncode(df, "embedding", "vec_id", cb),
+        "vec_id", cb, q, k = 5)
+      .as[(Long, Long)].collect().toSeq
+    assert(got === expectTop)
+    assert(got.forall(_._1 % 4 == 2), s"top-5 must be the query's cluster: $got")
+  }
+
+  // ------------------------------------------------------------------
   // personalizedPageRank
 
   private def brutePpr(edges: Seq[(Long, Long)], seeds: Set[Long],
