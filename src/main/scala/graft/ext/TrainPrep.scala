@@ -357,4 +357,63 @@ object TrainPrep {
     }
     words.withColumn(outCol, folded)
   }
+
+  /** DSIR-style importance weighting (Xie et al., NeurIPS 2023 —
+    * "Data Selection for Language Models via Importance Resampling"):
+    * score every raw document by its log-likelihood ratio under two
+    * bag-of-ngrams unigram models — one trained on the TARGET corpus
+    * (the distribution you want more of), one on the RAW pool — then
+    * keep the top-weighted documents. The selection primitive behind
+    * "make my 100 TB crawl look like Wikipedia".
+    *
+    * λ(tok) = ln((c_t+1)/(N_t+V)) − ln((c_r+1)/(N_r+V)) (add-one
+    * smoothing over the SHARED vocabulary V = raw-pool types, so both
+    * models are proper distributions over the same support), floored
+    * to micro-nats per TYPE; a doc's importance is the exact BIGINT
+    * Σ occ·λ_micro (the q130 doctrine — aggregation order can never
+    * move a digit). DSIR proper resamples with Gumbel noise; the
+    * deterministic library form ranks by importance (callers wanting
+    * sampled selection feed `imp_micro` into [[weightedSample]]).
+    *
+    * Scale: two token-type count frames (keyed aggs, map-side
+    * combinable), one λ frame on the type domain, one corpus-sized
+    * join on the token key (stopword-head skew = AQE territory). At
+    * 100 TB DSIR hashes n-grams into a bounded bucket space — swap
+    * the token key for xxhash64(tok) % B exactly as
+    * [[TextDedup.dupSpans]]'s `hashGrams` does; string features stay
+    * the oracle mode.
+    *
+    * @return (idCol, n_toks, imp_micro) per raw doc — positive =
+    *         more target-like than pool-average
+    */
+  def dsirImportance(raw: DataFrame, target: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    import graft.functions.TextFns
+    def occs(df: DataFrame) = df
+      .select(col(idCol).as("__id"),
+        explode(TextFns.tokens(col(textCol))).as("tok"))
+      .groupBy(col("__id"), col("tok")).agg(count(lit(1)).as("occ"))
+    val rawOcc = occs(raw)
+    val rawCnt = rawOcc.groupBy(col("tok")).agg(sum(col("occ")).as("cr"))
+    val tgtCnt = occs(target).groupBy(col("tok")).agg(sum(col("occ")).as("ct"))
+    // shared support: the raw-pool vocabulary; target counts outside it
+    // are dropped (raw docs can't contain those tokens anyway)
+    val lam = rawCnt
+      .join(tgtCnt, Seq("tok"), "left")
+      .crossJoin(broadcast(rawCnt.agg(
+        sum(col("cr")).as("nr"), count(lit(1)).as("v"))))
+      .crossJoin(broadcast(tgtCnt.join(rawCnt, Seq("tok"), "left_semi")
+        .agg(coalesce(sum(col("ct")), lit(0L)).as("nt"))))
+      .select(col("tok"),
+        floor((log((coalesce(col("ct"), lit(0L)) + lit(1L)).cast("double")
+            / (col("nt") + col("v")).cast("double"))
+          - log((col("cr") + lit(1L)).cast("double")
+            / (col("nr") + col("v")).cast("double"))) * lit(1000000.0))
+          .cast("long").as("lam_micro"))
+    rawOcc.join(lam, "tok")
+      .groupBy(col("__id"))
+      .agg(sum(col("occ")).as("n_toks"),
+        sum(col("occ") * col("lam_micro")).as("imp_micro"))
+      .select(col("__id").as(idCol), col("n_toks"), col("imp_micro"))
+  }
 }

@@ -614,6 +614,57 @@ object Extended18 {
        |ORDER BY adist_micro, af0.vec_id LIMIT 10""".stripMargin
   }
 
+  // --------------------------------------------------------------------
+  // q192 — DSIR-style data selection (TrainPrep.dsirImportance): score
+  // every document by its log-likelihood ratio under add-one unigram
+  // models of the TARGET slice (lang='en') vs the RAW pool, exact
+  // BIGINT Σ occ·λ_micro per doc, and report the top-20 most
+  // target-like with their languages — 'en' docs must dominate the
+  // head, and that ordering is part of the hashed result. The 100 TB
+  // form hashes n-gram features into a bounded bucket space (the
+  // dupSpans hashGrams pattern); string features are the oracle mode.
+  def q192(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = t(s, dir, "documents")
+    graft.ext.TrainPrep
+      .dsirImportance(d, d.filter($"lang" === "en"), "text", "doc_id")
+      .join(d.select($"doc_id", $"lang"), "doc_id")
+      .select($"doc_id", $"lang", $"n_toks", $"imp_micro")
+      .orderBy($"imp_micro".desc, $"doc_id")
+      .limit(20)
+  }
+
+  val q192Sql: String =
+    """WITH tk AS (SELECT doc_id,
+      |        unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+      |        FROM documents),
+      | rawocc AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS occ
+      |        FROM tk GROUP BY 1, 2),
+      | rawcnt AS (SELECT tok, CAST(sum(occ) AS BIGINT) AS cr
+      |        FROM rawocc GROUP BY tok),
+      | tgtcnt AS (SELECT t.tok, CAST(count(*) AS BIGINT) AS ct
+      |        FROM tk t JOIN documents d ON d.doc_id = t.doc_id
+      |        WHERE d.lang = 'en' GROUP BY t.tok),
+      | tot AS (SELECT CAST(sum(cr) AS BIGINT) AS nr,
+      |               CAST(count(*) AS BIGINT) AS v FROM rawcnt),
+      | ttot AS (SELECT CAST(COALESCE(sum(ct), 0) AS BIGINT) AS nt
+      |        FROM tgtcnt JOIN rawcnt USING (tok)),
+      | lam AS (SELECT r.tok,
+      |        CAST(floor((ln(CAST(COALESCE(t.ct, 0) + 1 AS DOUBLE)
+      |              / CAST(nt + v AS DOUBLE))
+      |           - ln(CAST(r.cr + 1 AS DOUBLE)
+      |              / CAST(nr + v AS DOUBLE))) * 1000000.0) AS BIGINT)
+      |          AS lam_micro
+      |        FROM rawcnt r LEFT JOIN tgtcnt t ON t.tok = r.tok
+      |        CROSS JOIN tot CROSS JOIN ttot),
+      | imp AS (SELECT o.doc_id, CAST(sum(o.occ) AS BIGINT) AS n_toks,
+      |        CAST(sum(o.occ * l.lam_micro) AS BIGINT) AS imp_micro
+      |        FROM rawocc o JOIN lam l ON l.tok = o.tok
+      |        GROUP BY o.doc_id)
+      |SELECT i.doc_id, d.lang, i.n_toks, i.imp_micro
+      |FROM imp i JOIN documents d ON d.doc_id = i.doc_id
+      |ORDER BY imp_micro DESC, i.doc_id LIMIT 20""".stripMargin
+
   /** Name → query function, for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q183_bigram_lm" -> (q183 _),
@@ -624,7 +675,8 @@ object Extended18 {
     "q188_rbo" -> (q188 _),
     "q189_ann_recall" -> (q189 _),
     "q190_index_merge" -> (q190 _),
-    "q191_pq_ann" -> (q191 _)
+    "q191_pq_ann" -> (q191 _),
+    "q192_dsir_selection" -> (q192 _)
   )
 
   /** Name → DuckDB oracle SQL, for SparkEntry. */
@@ -637,6 +689,7 @@ object Extended18 {
     "q188_rbo" -> q188Sql,
     "q189_ann_recall" -> q189Sql,
     "q190_index_merge" -> q190Sql,
-    "q191_pq_ann" -> q191Sql
+    "q191_pq_ann" -> q191Sql,
+    "q192_dsir_selection" -> q192Sql
   )
 }

@@ -235,6 +235,35 @@ class Extended18Spec extends SparkSpec {
     assert(got === ((4L, 2L, 500000L)))
   }
 
+  test("dsirImportance == brute-force log-likelihood ratio; target docs score higher") {
+    val raw = Seq(
+      (0L, "aa bb aa cc"), (1L, "bb cc dd"), (2L, "aa aa aa"),
+      (3L, "dd dd ee"), (4L, "cc ee"))
+    val target = Seq((0L, "aa bb aa cc"), (2L, "aa aa aa")) // aa-heavy
+    val rawToks = raw.flatMap(_._2.split(" "))
+    val cr = rawToks.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val ct = target.flatMap(_._2.split(" "))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val v = cr.size.toLong
+    val nr = cr.values.sum
+    val nt = ct.filter(kv => cr.contains(kv._1)).values.sum
+    def lam(tok: String): Long =
+      math.floor((math.log((ct.getOrElse(tok, 0L) + 1).toDouble / (nt + v))
+        - math.log((cr(tok) + 1).toDouble / (nr + v))) * 1000000.0).toLong
+    val expected = raw.map { case (id, text) =>
+      val toks = text.split(" ").toSeq
+      (id, toks.size.toLong, toks.map(lam).sum)
+    }.toSet
+    val got = graft.ext.TrainPrep
+      .dsirImportance(raw.toDF("doc_id", "text"),
+        target.toDF("doc_id", "text"), "text", "doc_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === expected)
+    // the aa-heavy docs (the target's signature) must outrank dd/ee docs
+    val byId = got.map(x => x._1 -> x._3).toMap
+    assert(byId(2L) > byId(3L) && byId(0L) > byId(3L), s"$byId")
+  }
+
   // ------------------------------------------------------------------
   // Product quantization
 

@@ -318,6 +318,20 @@ class QueryPlanSpec extends SparkSpec {
     }
   }
 
+  test("q192: DSIR selection is joins+aggs with a TakeOrdered top-k — no window, no global sort") {
+    val p = executed("q192_dsir_selection")
+    assert(count(p,
+      _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]) === 0,
+      p.toString)
+    assert(count(p,
+      _.isInstanceOf[org.apache.spark.sql.execution.TakeOrderedAndProjectExec]) === 1,
+      p.toString)
+    assert(count(p, {
+      case s: org.apache.spark.sql.execution.SortExec => s.global
+      case _ => false
+    }) === 0, p.toString)
+  }
+
   test("q02: filter and projection reach the parquet scan") {
     val scans = plan("q02_filter_project").collect {
       case f: org.apache.spark.sql.execution.FileSourceScanExec => f
