@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFns
 
-/** Round-10 batch (q183–q189) — this round's library shelves, each
+/** Round-10 batch (q183–q193) — this round's library shelves, each
   * gated through its operator:
   *
   *  - q183 bigram-LM perplexity filtering (ext/LanguageModel): train on
@@ -22,7 +22,13 @@ import graft.functions.VectorFns
   *    (Retrieval.ndcg / rbo / recallAtK): graded ranking quality,
   *    top-weighted ranking drift, and the ANN-shortcut price — each
   *    parameterized to land MID-scale at the gate SF (a gate stuck at
-  *    1.0 or 0 proves nothing).
+  *    1.0 or 0 proves nothing);
+  *  - q190 Index.merge (shard-fold ≡ whole build, cross-engine);
+  *  - q191 product quantization (train→encode→LUT-search, the
+  *    compressed-codes ANN rung, fully SQL-unrolled oracle);
+  *  - q192 DSIR-style data selection (TrainPrep.dsirImportance);
+  *  - q193 the ANN-ladder recall table (LSH 2/10 → multi-probe 6/10 →
+  *    IVF 10/10 at the gate SF — the index-selection read-out).
   */
 object Extended18 {
 
@@ -665,6 +671,141 @@ object Extended18 {
       |FROM imp i JOIN documents d ON d.doc_id = i.doc_id
       |ORDER BY imp_micro DESC, i.doc_id LIMIT 20""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q193 — pricing the ANN ladder: recall@10 of THREE approximate
+  // rungs against the brute-force cosine top-10, in one frame —
+  // single-bucket sign-LSH (4 bits), multi-probe LSH (the q135 recall
+  // knob: query bucket + all Hamming-1 flips), and IVF (4 cells, 1
+  // Lloyd iteration, 2 probed cells — q49's unrolled-oracle recipe,
+  // deliberately small so the SQL unroll stays bounded). Each rung
+  // feeds Retrieval.recallAtK; the output is the recall table a
+  // curation team reads before picking its index ("is multi-probe
+  // enough, or do we pay for IVF?"). All rankings are bounded top-10
+  // lists; corpus-sized work stays inside the rankers.
+  def q193(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = t(s, dir, "embeddings")
+      .withColumn("bucket", VectorFns.signBucket($"embedding", 4))
+    val qrow = e.filter($"vec_id" === 0)
+      .select($"bucket".as("qbucket"), $"embedding".as("qvec"))
+    def bp(c: org.apache.spark.sql.Column) =
+      floor(c * 10000.0 + 0.5).cast("long")
+    def rank(df: DataFrame): DataFrame = df
+      .select($"vec_id".as("id"),
+        bp(VectorFns.cosine($"embedding", $"qvec")).as("score"))
+      .orderBy($"score".desc, $"id".asc).limit(10)
+    val exact = rank(e.filter($"vec_id" =!= 0)
+      .crossJoin(broadcast(qrow.select($"qvec"))))
+    val lsh = rank(e.join(broadcast(qrow), $"bucket" === $"qbucket")
+      .filter($"vec_id" =!= 0))
+    val probes = qrow
+      .withColumn("flip",
+        explode(array(lit(0L) +: (0 until 4).map(i => lit(1L << i)): _*)))
+      .select($"qbucket".bitwiseXOR($"flip").as("pbucket"), $"qvec")
+    val multi = rank(e.join(broadcast(probes), $"bucket" === $"pbucket")
+      .filter($"vec_id" =!= 0))
+    val cents = graft.ext.VectorIndex
+      .trainCentroids(e, "embedding", k = 4, iterations = 1)
+    val qvec = e.filter($"vec_id" === 0)
+      .select($"embedding").head().getSeq[Float](0).toArray
+    val ivf = graft.ext.VectorIndex
+      .search(s, graft.ext.VectorIndex.assignCells(e, "embedding", cents)
+          .filter($"vec_id" =!= 0),
+        "embedding", "vec_id", cents, qvec, k = 10, nProbe = 2)
+      .select($"vec_id".as("id"), bp($"cos_sim").as("score"))
+    def price(name: String, approx: DataFrame): DataFrame =
+      graft.ext.Retrieval.recallAtK(approx, exact, "id", "score", k = 10)
+        .select(lit(name).as("method"), $"n_common", $"recall_ppm")
+    price("lsh_1bucket", lsh)
+      .unionByName(price("lsh_multiprobe", multi))
+      .unionByName(price("ivf_2probe", ivf))
+      .orderBy($"method")
+  }
+
+  val q193Sql: String = {
+    val dot =
+      """list_sum(list_transform(list_zip(e.embedding, q.qvec),
+        | x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))""".stripMargin
+    val norm = (v: String) =>
+      s"sqrt(list_sum(list_transform($v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    val bucket = (v: String) =>
+      (0 until 4).map(i =>
+        s"(CASE WHEN $v[${i + 1}] >= 0 THEN ${1L << i} ELSE 0 END)")
+        .mkString("(", " + ", ")")
+    val cos =
+      s"""CAST(floor($dot / (${norm("e.embedding")} * ${norm("q.qvec")})
+         | * 10000.0 + 0.5) AS BIGINT)""".stripMargin
+    // q49's Lloyd unroll at k=4, 1 iteration, cosine assignment with
+    // greatest(struct) tie semantics = row_number(score DESC, cell DESC)
+    val cosl = (a: String, b: String) =>
+      s"""(list_sum(list_transform(list_zip($a, $b), x -> x[1] * x[2]))
+         |   / (sqrt(list_sum(list_transform($a, x -> x * x)))
+         |      * sqrt(list_sum(list_transform($b, x -> x * x)))))""".stripMargin
+    s"""WITH b AS (SELECT vec_id, embedding, ${bucket("embedding")} AS bucket
+       |           FROM embeddings),
+       | q AS (SELECT bucket AS qbucket, embedding AS qvec FROM b
+       |       WHERE vec_id = 0),
+       | exact AS (SELECT e.vec_id AS id, $cos AS score
+       |   FROM b e CROSS JOIN q WHERE e.vec_id <> 0
+       |   ORDER BY score DESC, id LIMIT 10),
+       | lsh AS (SELECT e.vec_id AS id, $cos AS score
+       |   FROM b e JOIN q ON e.bucket = q.qbucket WHERE e.vec_id <> 0
+       |   ORDER BY score DESC, id LIMIT 10),
+       | flips(f) AS (VALUES (0), (1), (2), (4), (8)),
+       | multi AS (SELECT id, score FROM (
+       |   SELECT DISTINCT e.vec_id AS id, $cos AS score
+       |   FROM b e JOIN flips ON TRUE
+       |        JOIN q ON e.bucket = xor(q.qbucket, flips.f)
+       |   WHERE e.vec_id <> 0)
+       |   ORDER BY score DESC, id LIMIT 10),
+       | ev AS (SELECT vec_id,
+       |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |        FROM embeddings),
+       | c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
+       |               AS INTEGER) AS cell, v AS c
+       |        FROM (SELECT vec_id, v FROM ev ORDER BY vec_id LIMIT 4)),
+       | s0 AS (SELECT ev.vec_id, c0.cell, ${cosl("ev.v", "c0.c")} AS score
+       |        FROM ev CROSS JOIN c0),
+       | a0 AS (SELECT vec_id, cell FROM (
+       |          SELECT vec_id, cell, row_number() OVER (
+       |            PARTITION BY vec_id ORDER BY score DESC, cell DESC) AS rn
+       |          FROM s0) WHERE rn = 1),
+       | m0 AS (SELECT cell, list(x ORDER BY i) AS c FROM (
+       |          SELECT a0.cell, u.i,
+       |                 CAST(CAST(sum(u.x) / count(*) AS REAL) AS DOUBLE) AS x
+       |          FROM a0 JOIN (SELECT vec_id, unnest(v) AS x,
+       |                   unnest(generate_series(1, len(v))) AS i FROM ev) u
+       |            USING (vec_id)
+       |          GROUP BY a0.cell, u.i) GROUP BY cell),
+       | c1 AS (SELECT c0.cell, coalesce(m0.c, c0.c) AS c
+       |        FROM c0 LEFT JOIN m0 USING (cell)),
+       | sf AS (SELECT ev.vec_id, c1.cell, ${cosl("ev.v", "c1.c")} AS score
+       |        FROM ev CROSS JOIN c1),
+       | af AS (SELECT vec_id, cell FROM (
+       |          SELECT vec_id, cell, row_number() OVER (
+       |            PARTITION BY vec_id ORDER BY score DESC, cell DESC) AS rn
+       |          FROM sf) WHERE rn = 1),
+       | qv AS (SELECT v FROM ev WHERE vec_id = 0),
+       | pr AS (SELECT cell FROM (
+       |          SELECT c1.cell, row_number() OVER (
+       |            ORDER BY ${cosl("c1.c", "qv.v")} DESC, c1.cell ASC) AS rn
+       |          FROM c1 CROSS JOIN qv) WHERE rn <= 2),
+       | ivf AS (SELECT e.vec_id AS id, $cos AS score
+       |   FROM b e JOIN af ON af.vec_id = e.vec_id CROSS JOIN q
+       |   WHERE e.vec_id <> 0 AND af.cell IN (SELECT cell FROM pr)
+       |   ORDER BY score DESC, id LIMIT 10),
+       | priced AS (
+       |   SELECT 'lsh_1bucket' AS method,
+       |     (SELECT count(*) FROM exact x JOIN lsh a ON a.id = x.id) AS n_common
+       |   UNION ALL SELECT 'lsh_multiprobe',
+       |     (SELECT count(*) FROM exact x JOIN multi a ON a.id = x.id)
+       |   UNION ALL SELECT 'ivf_2probe',
+       |     (SELECT count(*) FROM exact x JOIN ivf a ON a.id = x.id))
+       |SELECT method, CAST(n_common AS BIGINT) AS n_common,
+       |       CAST(n_common * 1000000 // 10 AS BIGINT) AS recall_ppm
+       |FROM priced ORDER BY method""".stripMargin
+  }
+
   /** Name → query function, for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q183_bigram_lm" -> (q183 _),
@@ -676,7 +817,8 @@ object Extended18 {
     "q189_ann_recall" -> (q189 _),
     "q190_index_merge" -> (q190 _),
     "q191_pq_ann" -> (q191 _),
-    "q192_dsir_selection" -> (q192 _)
+    "q192_dsir_selection" -> (q192 _),
+    "q193_ann_ladder_recall" -> (q193 _)
   )
 
   /** Name → DuckDB oracle SQL, for SparkEntry. */
@@ -690,6 +832,7 @@ object Extended18 {
     "q189_ann_recall" -> q189Sql,
     "q190_index_merge" -> q190Sql,
     "q191_pq_ann" -> q191Sql,
-    "q192_dsir_selection" -> q192Sql
+    "q192_dsir_selection" -> q192Sql,
+    "q193_ann_ladder_recall" -> q193Sql
   )
 }
