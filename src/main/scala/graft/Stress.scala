@@ -419,6 +419,19 @@ object Stress {
       val q = (0 until dim).map(_ => 0.5).toArray
       graft.ext.VectorIndex.pqSearch(codes, "doc_id", cb, q, k = 10).count()
     }
+    if (picks("lcspan")) timed("lcspan") {
+      // TextDedup.longestCommonSpan (q194 operator) with a FIXED
+      // 1000-pair candidate list while the corpus scales: the verify
+      // joins route gram occurrences through the pair list, so the
+      // cost should track the corpus gram SCAN (keyed join probe),
+      // not pairs × corpus.
+      val half = rows / 2
+      val pairs = docs.filter($"doc_id" < 1000L)
+        .select($"doc_id".as("a"), ($"doc_id" + half).as("b"))
+      graft.ext.TextDedup
+        .longestCommonSpan(pairs, docs, "text", "doc_id", k = 5)
+        .count()
+    }
     if (picks("textprofile")) timed("textprofile") {
       // Profile.textProfile (q177/q178 shelf) at generated scale: one
       // tokenize+explode scan into the (source, token) count frame,

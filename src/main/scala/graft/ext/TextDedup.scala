@@ -626,4 +626,61 @@ object TextDedup {
         col("end_pos"),
         (col("end_pos") - col("start_pos") + 1).as("span_tokens"))
   }
+
+  /** Longest common token SPAN per candidate pair — the exact verify
+    * stage after any fuzzy dedup blocker (LSH/containment flagged the
+    * pair; this answers "how much actually overlaps", the number a
+    * keep/drop/quarantine policy thresholds on).
+    *
+    * Method: a common token run of length L ≥ k is exactly L−k+1
+    * consecutive shared k-grams on one DIAGONAL (ib − ia constant) of
+    * the position-pair grid — so the longest span is k−1 + the longest
+    * island of consecutive `ia` within each (pair, diagonal) group, a
+    * gaps-and-islands window KEYED by (pair, diagonal) (never global).
+    *
+    * Scale: two keyed joins route gram occurrences to their pairs
+    * (pairs ⋈ grams_a on id, then ⋈ grams_b on (id, gram)); volume =
+    * shared-gram occurrences per pair, which is what the pair list
+    * already selected for. Pathology: a token repeated r times in BOTH
+    * docs puts r² points on the grid — highly repetitive docs belong
+    * to [[dupSpans]]/repetition-quality filters BEFORE pairwise
+    * verification (same hazard class as the PPJoin df head, same
+    * answer: filter upstream).
+    *
+    * @param pairs (aCol, bCol) candidate id pairs
+    * @return one row per input pair: (aCol, bCol, lcs_tokens) —
+    *         lcs_tokens = longest common span length, 0 when the pair
+    *         shares no k-gram (true overlap < k)
+    */
+  def longestCommonSpan(pairs: DataFrame, docs: DataFrame,
+      textCol: String, idCol: String,
+      aCol: String = "a", bCol: String = "b", k: Int = 5): DataFrame = {
+    require(k >= 1, s"gram order must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs
+      .select(col(idCol).as("__id"), TextFns.tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) >= k)
+      .select(col("__id"), graft.plans.NGramExplode.of(col("__toks"), k))
+      .select(col("__id"), (col("pos") + 1).as("__p"), col("ngram").as("__g"))
+    val grid = pairs.select(col(aCol).as("__a"), col(bCol).as("__b"))
+      .join(grams.select(col("__id").as("__a"), col("__p").as("__ia"),
+        col("__g")), Seq("__a"))
+      .join(grams.select(col("__id").as("__b"), col("__p").as("__ib"),
+        col("__g")), Seq("__b", "__g"))
+      .select(col("__a"), col("__b"), col("__ia"),
+        (col("__ib") - col("__ia")).as("__d"))
+    val w = Window.partitionBy(col("__a"), col("__b"), col("__d"))
+      .orderBy(col("__ia"))
+    val runs = grid
+      .withColumn("__rn", row_number().over(w))
+      .groupBy(col("__a"), col("__b"), col("__d"),
+        (col("__ia") - col("__rn")).as("__grp"))
+      .agg(count(lit(1)).as("__run"))
+      .groupBy(col("__a"), col("__b"))
+      .agg((max(col("__run")) + lit(k - 1)).as("__lcs"))
+    pairs.select(col(aCol).as("__a"), col(bCol).as("__b"))
+      .join(runs, Seq("__a", "__b"), "left")
+      .select(col("__a").as(aCol), col("__b").as(bCol),
+        coalesce(col("__lcs"), lit(0L)).as("lcs_tokens"))
+  }
 }

@@ -806,6 +806,64 @@ object Extended18 {
        |FROM priced ORDER BY method""".stripMargin
   }
 
+  // --------------------------------------------------------------------
+  // q194 — pairwise overlap verification (TextDedup.longestCommonSpan):
+  // candidate pairs = documents sharing at least one 8-gram (the
+  // blocker), then the EXACT longest common token span per pair via
+  // 5-gram diagonal gaps-and-islands — the keep/drop/quarantine number
+  // a dedup policy thresholds on. Windows are keyed by
+  // (pair, diagonal); the blocker's distinct-pair agg and the verify
+  // joins are all keyed — nothing global anywhere.
+  def q194(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = t(s, dir, "documents")
+    val g8 = d
+      .select($"doc_id", graft.functions.TextFns.tokens($"text").as("toks"))
+      .filter(size($"toks") >= 8)
+      .select($"doc_id", graft.plans.NGramExplode.of($"toks", 8))
+      .select($"doc_id", $"ngram")
+    val pairs = g8.as("x").join(g8.as("y"),
+        $"x.ngram" === $"y.ngram" && $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("a"), $"y.doc_id".as("b")).distinct()
+    graft.ext.TextDedup
+      .longestCommonSpan(pairs, d, "text", "doc_id", k = 5)
+      .orderBy($"a", $"b")
+  }
+
+  val q194Sql: String =
+    """WITH tk AS (SELECT doc_id,
+      |        regexp_split_to_array(trim(text), '\s+') AS toks
+      |        FROM documents),
+      | g8 AS (SELECT doc_id,
+      |          list_aggr(list_slice(toks, i, i + 7), 'string_agg', ' ')
+      |            AS gram
+      |        FROM (SELECT doc_id, toks,
+      |                unnest(generate_series(1, len(toks) - 7)) AS i
+      |              FROM tk WHERE len(toks) >= 8)),
+      | pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      |           FROM g8 x JOIN g8 y
+      |             ON x.gram = y.gram AND x.doc_id < y.doc_id),
+      | g5 AS (SELECT doc_id, i AS p,
+      |          list_aggr(list_slice(toks, i, i + 4), 'string_agg', ' ')
+      |            AS gram
+      |        FROM (SELECT doc_id, toks,
+      |                unnest(generate_series(1, len(toks) - 4)) AS i
+      |              FROM tk WHERE len(toks) >= 5)),
+      | grid AS (SELECT p.a, p.b, ga.p AS ia, gb.p - ga.p AS d
+      |          FROM pairs p
+      |          JOIN g5 ga ON ga.doc_id = p.a
+      |          JOIN g5 gb ON gb.doc_id = p.b AND gb.gram = ga.gram),
+      | runs AS (SELECT a, b, d, ia - row_number() OVER (
+      |            PARTITION BY a, b, d ORDER BY ia) AS grp
+      |          FROM grid),
+      | islands AS (SELECT a, b, count(*) AS run
+      |             FROM runs GROUP BY a, b, d, grp),
+      | lcs AS (SELECT a, b, CAST(max(run) + 4 AS BIGINT) AS lcs_tokens
+      |         FROM islands GROUP BY a, b)
+      |SELECT p.a, p.b, COALESCE(l.lcs_tokens, 0) AS lcs_tokens
+      |FROM pairs p LEFT JOIN lcs l ON l.a = p.a AND l.b = p.b
+      |ORDER BY p.a, p.b""".stripMargin
+
   /** Name → query function, for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q183_bigram_lm" -> (q183 _),
@@ -818,7 +876,8 @@ object Extended18 {
     "q190_index_merge" -> (q190 _),
     "q191_pq_ann" -> (q191 _),
     "q192_dsir_selection" -> (q192 _),
-    "q193_ann_ladder_recall" -> (q193 _)
+    "q193_ann_ladder_recall" -> (q193 _),
+    "q194_overlap_verify" -> (q194 _)
   )
 
   /** Name → DuckDB oracle SQL, for SparkEntry. */
@@ -833,6 +892,7 @@ object Extended18 {
     "q190_index_merge" -> q190Sql,
     "q191_pq_ann" -> q191Sql,
     "q192_dsir_selection" -> q192Sql,
-    "q193_ann_ladder_recall" -> q193Sql
+    "q193_ann_ladder_recall" -> q193Sql,
+    "q194_overlap_verify" -> q194Sql
   )
 }

@@ -264,6 +264,38 @@ class Extended18Spec extends SparkSpec {
     assert(byId(2L) > byId(3L) && byId(0L) > byId(3L), s"$byId")
   }
 
+  test("longestCommonSpan == brute-force token-LCS (DP), sub-k pairs read 0") {
+    def lcsTokens(x: String, y: String): Int = {
+      val a = x.trim.split("\\s+"); val b = y.trim.split("\\s+")
+      val dp = Array.ofDim[Int](a.length + 1, b.length + 1)
+      var best = 0
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        if (a(i - 1) == b(j - 1)) {
+          dp(i)(j) = dp(i - 1)(j - 1) + 1
+          best = math.max(best, dp(i)(j))
+        }
+      best
+    }
+    val docs = Seq(
+      (1L, "p q r s t u v w x y z"),
+      (2L, "a b c r s t u v w k l"), // shares "r s t u v w" (6) with 1
+      (3L, "m n o p q r a b"),       // shares "p q r" (3 < k) with 1
+      (4L, "completely different words here entirely"),
+      (5L, "p q r s t u v w x y z")) // exact dup of 1 (11)
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L), (2L, 3L))
+    val got = graft.ext.TextDedup
+      .longestCommonSpan(pairs.toDF("a", "b"), docs.toDF("doc_id", "text"),
+        "text", "doc_id", k = 5)
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val docMap = docs.toMap
+    pairs.foreach { case (a, b) =>
+      val brute = lcsTokens(docMap(a), docMap(b))
+      val expect = if (brute >= 5) brute.toLong else 0L
+      assert(got((a, b)) === expect, s"pair ($a,$b): brute=$brute")
+    }
+  }
+
   // ------------------------------------------------------------------
   // Product quantization
 
