@@ -65,7 +65,7 @@ object Profile {
   def tokenCounts(docs: DataFrame, textCol: String,
       groupCol: String): DataFrame = docs
     .select(col(groupCol).cast("string").as("grp"),
-      explode(split(trim(col(textCol)), "\\s+")).as("token"))
+      explode(graft.functions.TextFns.tokens(col(textCol))).as("token"))
     .groupBy(col("grp"), col("token")).agg(count(lit(1)).as("c"))
 
   /** Sum-merge shard count frames (see [[tokenCounts]]): one keyed agg

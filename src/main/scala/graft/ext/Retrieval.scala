@@ -108,23 +108,6 @@ object Retrieval {
           .otherwise(lit(0L)).as("ndcg_ppm"))
   }
 
-  /** Rank-biased overlap at depth k (Webber/Moffat/Zobel 2010,
-    * truncated sum): RBO@k = (1−p)·Σ_{d=1..k} p^(d−1)·|A_d ∩ B_d|/d,
-    * the top-weighted agreement between two rankings — the drift
-    * monitor for "did the index rebuild / ranker change reorder what
-    * users actually see".
-    *
-    * Computed EXACTLY: with p = pNum/pDen, the d-th term is
-    * overlap·(pDen−pNum)·pNum^(d−1)·10⁹ div (pDen^d · d) — pure BIGINT
-    * (the powers are a k-row driver-built literal frame; k ≤ 10 keeps
-    * the worst term k·pNum^(k−1)·10⁹ ≈ 3.9·10¹⁸ inside long range for
-    * p = 9/10). No doubles anywhere, so no cross-engine pow() ulp risk.
-    *
-    * Scale: both inputs are bounded top-k lists; per-id max-rank and
-    * the k-row depth grid are lists-of-k work.
-    *
-    * @return one row (overlap_at_k, rbo_nano)
-    */
   /** Recall@k of an approximate ranking against the exact one: the
     * fraction of the exact top-k the approximate top-k recovered, in
     * ppm (floored) — the standard ANN-ladder quality gate ("how much
@@ -154,10 +137,38 @@ object Retrieval {
           .as("recall_ppm"))
   }
 
+  /** Rank-biased overlap at depth k (Webber/Moffat/Zobel 2010,
+    * truncated sum): RBO@k = (1−p)·Σ_{d=1..k} p^(d−1)·|A_d ∩ B_d|/d,
+    * the top-weighted agreement between two rankings — the drift
+    * monitor for "did the index rebuild / ranker change reorder what
+    * users actually see".
+    *
+    * Computed EXACTLY: with p = pNum/pDen, the d-th term is
+    * overlap·(pDen−pNum)·pNum^(d−1)·10⁹ div (pDen^d · d) — pure BIGINT
+    * (the powers are a k-row driver-built literal frame; a BigInt
+    * require rejects any (k, p) whose worst term would exceed long
+    * range — k ≤ 10 at the default p = 9/10). No doubles anywhere, so
+    * no cross-engine pow() ulp risk.
+    *
+    * Scale: both inputs are bounded top-k lists; per-id max-rank and
+    * the k-row depth grid are lists-of-k work.
+    *
+    * @return one row (overlap_at_k, rbo_nano)
+    */
   def rbo(a: DataFrame, b: DataFrame, idCol: String, scoreCol: String,
       k: Int = 10, pNum: Int = 9, pDen: Int = 10): DataFrame = {
-    require(k >= 1 && k <= 10, s"k must be in [1,10], got $k")
+    require(k >= 1, s"k must be >= 1, got $k")
     require(pNum >= 1 && pNum < pDen, s"need 0 < pNum/pDen < 1")
+    // exact-integer guarantee: the largest numerator k·(pDen−pNum)·
+    // pNum^(k−1)·10⁹ and denominator pDen^k·k must fit a long — checked
+    // in BigInt so an oversized p or k fails HERE, not by silent
+    // BigInt.toLong wrap on the driver or a mid-job ANSI overflow
+    val maxNum = BigInt(k) * (pDen - pNum) * BigInt(pNum).pow(k - 1) *
+      BigInt(1000000000)
+    val maxDen = BigInt(pDen).pow(k) * k
+    require(maxNum <= Long.MaxValue && maxDen <= Long.MaxValue,
+      s"k=$k with p=$pNum/$pDen overflows the exact-integer scheme " +
+        s"(needs $maxNum/$maxDen); lower k or use a smaller-denominator p")
     val spark = a.sparkSession
     import spark.implicits._
     def ranks(df: DataFrame, name: String): DataFrame = {
