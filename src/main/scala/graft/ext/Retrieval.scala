@@ -195,4 +195,84 @@ object Retrieval {
       .agg(sum(col("t")).as("rbo_nano"), max(col("ok")).as("overlap_at_k"))
       .select(col("overlap_at_k"), col("rbo_nano"))
   }
+
+  /** Maximal marginal relevance (Carbonell/Goldstein, SIGIR 1998) —
+    * greedy diversified selection from a bounded candidate list: pick
+    * argmax rel first, then repeatedly the candidate maximizing
+    * λ·rel − (1−λ)·max-sim-to-selected — the RAG-stack de-duplicator
+    * for "top-k results that aren't five copies of the same passage".
+    *
+    * Exact integers throughout: with λ = lamNum/lamDen the reported
+    * score is the λDen-scaled `lamNum·rel − (lamDen−lamNum)·maxsim`
+    * (same argmax as true MMR; rel and sim must share a unit — e.g.
+    * both cosine basis points), ties break id-ascending. The greedy
+    * loop is the [[TrainPrep.greedyCover]] shape: per round one
+    * anti-join pool, one keyed max over sims TO THE SELECTED SET, one
+    * 1-row argmax — every frame bounded by the candidate list, winner
+    * frames pinned so lineage stays shallow.
+    *
+    * @param candidates (idCol, relCol) — an ALREADY-bounded list
+    * @param sims (aCol, bCol, simCol) pairwise similarities among
+    *             candidates (either direction; symmetrized here;
+    *             absent pairs read sim = 0)
+    * @return (rank, id, rel, maxsim, mmr_scaled) — k rows in
+    *         selection order
+    */
+  def mmrSelect(candidates: DataFrame, sims: DataFrame,
+      idCol: String, relCol: String,
+      aCol: String = "a", bCol: String = "b", simCol: String = "sim",
+      k: Int = 10, lamNum: Int = 7, lamDen: Int = 10,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(lamNum >= 1 && lamNum <= lamDen, s"need 0 < lamNum/lamDen <= 1")
+    val cand = TextDedup.materialize(
+      candidates.select(col(idCol).as("id"), col(relCol).as("rel")),
+      checkpointDir)
+    val sym = TextDedup.materialize(
+      sims.select(col(aCol).as("x"), col(bCol).as("y"),
+          col(simCol).as("sim"))
+        .unionByName(sims.select(col(bCol).as("x"), col(aCol).as("y"),
+          col(simCol).as("sim"))),
+      checkpointDir)
+    var out = Seq.empty[DataFrame]
+    var chosen: Option[DataFrame] = None
+    var r = 1
+    var exhausted = false
+    while (r <= k && !exhausted) {
+      val pool = chosen.fold(cand)(ids =>
+        cand.join(ids, col("id") === col("cid"), "left_anti"))
+      val scored = chosen match {
+        case None =>
+          pool.select(col("id"), col("rel"), lit(0L).as("maxsim"),
+            (lit(lamNum.toLong) * col("rel")).as("score"))
+        case Some(ids) =>
+          pool
+            .join(sym.join(ids, col("y") === col("cid"), "left_semi")
+              .groupBy(col("x")).agg(max(col("sim")).as("ms")),
+              col("id") === col("x"), "left")
+            .select(col("id"), col("rel"),
+              coalesce(col("ms"), lit(0L)).as("maxsim"),
+              (lit(lamNum.toLong) * col("rel") -
+                lit((lamDen - lamNum).toLong) * coalesce(col("ms"), lit(0L)))
+                .as("score"))
+      }
+      val win = TextDedup.materialize(
+        scored.orderBy(col("score").desc, col("id").asc).limit(1)
+          .select(lit(r.toLong).as("rank"), col("id"), col("rel"),
+            col("maxsim"), col("score").as("mmr_scaled")),
+        checkpointDir)
+      if (win.isEmpty) exhausted = true
+      else {
+        out = out :+ win
+        val ids = chosen.fold(win.select(col("id").as("cid")))(
+          _.unionByName(win.select(col("id").as("cid"))))
+        chosen = Some(ids)
+      }
+      r += 1
+    }
+    if (out.isEmpty) cand.limit(0)
+      .select(lit(0L).as("rank"), col("id"), col("rel"),
+        lit(0L).as("maxsim"), lit(0L).as("mmr_scaled"))
+    else out.reduce(_ unionByName _)
+  }
 }

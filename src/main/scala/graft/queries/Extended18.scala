@@ -864,6 +864,83 @@ object Extended18 {
       |FROM pairs p LEFT JOIN lcs l ON l.a = p.a AND l.b = p.b
       |ORDER BY p.a, p.b""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q195 — MMR diversified retrieval (Retrieval.mmrSelect): the brute
+  // cosine top-12 around probe vector 0 re-selected down to 6 by
+  // maximal marginal relevance (λ = 7/10, rel and pairwise sims both
+  // in cosine basis points — shared units, exact λDen-scaled integer
+  // scores). The embedding table contains near-duplicate clusters, so
+  // plain top-6 returns siblings; MMR's maxsim column shows exactly
+  // what each pick paid for redundancy. Oracle = the greedy loop
+  // unrolled (6 rounds of pool anti-join, max-sim-to-selected, 1-row
+  // argmax — the q153 greedy-unroll technique).
+  def q195(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = t(s, dir, "embeddings")
+    val q = e.filter($"vec_id" === 0).select($"embedding".as("qvec"))
+    def bp(c: org.apache.spark.sql.Column) =
+      floor(c * 10000.0 + 0.5).cast("long")
+    val cand = e.filter($"vec_id" =!= 0)
+      .crossJoin(broadcast(q))
+      .select($"vec_id".as("id"),
+        bp(VectorFns.cosine($"embedding", $"qvec")).as("rel"))
+      .orderBy($"rel".desc, $"id".asc).limit(12)
+    val withVec = cand.join(e.select($"vec_id".as("id"), $"embedding"), "id")
+    val sims = withVec.as("l").join(withVec.as("r"), $"l.id" < $"r.id")
+      .select($"l.id".as("a"), $"r.id".as("b"),
+        bp(VectorFns.cosine($"l.embedding", $"r.embedding")).as("sim"))
+    graft.ext.Retrieval
+      .mmrSelect(cand, sims, "id", "rel", k = 6, lamNum = 7, lamDen = 10)
+      .orderBy($"rank")
+  }
+
+  val q195Sql: String = {
+    val dot = (a: String, b: String) =>
+      s"""list_sum(list_transform(list_zip($a, $b),
+         | x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))""".stripMargin
+    val norm = (v: String) =>
+      s"sqrt(list_sum(list_transform($v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    val cosbp = (a: String, b: String) =>
+      s"CAST(floor(${dot(a, b)} / (${norm(a)} * ${norm(b)}) * 10000.0 + 0.5) AS BIGINT)"
+    def round(r: Int) =
+      s""" pool$r AS (SELECT c.id, c.rel FROM cands c
+         |          WHERE c.id NOT IN (SELECT id FROM ch${r - 1})),
+         | ms$r AS (SELECT x AS id, max(sim) AS ms FROM sym
+         |          WHERE y IN (SELECT id FROM ch${r - 1}) GROUP BY x),
+         | sc$r AS (SELECT p.id, p.rel, COALESCE(m.ms, 0) AS maxsim,
+         |            7 * p.rel - 3 * COALESCE(m.ms, 0) AS score
+         |          FROM pool$r p LEFT JOIN ms$r m ON m.id = p.id),
+         | w$r AS (SELECT $r AS rank, id, rel, maxsim, score
+         |         FROM sc$r ORDER BY score DESC, id LIMIT 1),
+         | ch$r AS (SELECT id FROM ch${r - 1}
+         |          UNION ALL SELECT id FROM w$r)""".stripMargin
+    val rounds = (2 to 6).map(round).mkString(",\n")
+    s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+       | cands AS (SELECT e.vec_id AS id,
+       |     ${cosbp("e.embedding", "q.qvec")} AS rel
+       |   FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0
+       |   ORDER BY rel DESC, id LIMIT 12),
+       | cv AS (SELECT c.id, c.rel, e.embedding
+       |        FROM cands c JOIN embeddings e ON e.vec_id = c.id),
+       | pairs AS (SELECT l.id AS a, r.id AS b,
+       |     ${cosbp("l.embedding", "r.embedding")} AS sim
+       |   FROM cv l JOIN cv r ON l.id < r.id),
+       | sym AS (SELECT a AS x, b AS y, sim FROM pairs
+       |         UNION ALL SELECT b, a, sim FROM pairs),
+       | w1 AS (SELECT 1 AS rank, id, rel, CAST(0 AS BIGINT) AS maxsim,
+       |          7 * rel AS score
+       |        FROM cands ORDER BY 7 * rel DESC, id LIMIT 1),
+       | ch1 AS (SELECT id FROM w1),
+       |$rounds
+       |SELECT CAST(rank AS BIGINT) AS rank, id, rel,
+       |       CAST(maxsim AS BIGINT) AS maxsim,
+       |       CAST(score AS BIGINT) AS mmr_scaled
+       |FROM (SELECT * FROM w1 UNION ALL SELECT * FROM w2
+       |      UNION ALL SELECT * FROM w3 UNION ALL SELECT * FROM w4
+       |      UNION ALL SELECT * FROM w5 UNION ALL SELECT * FROM w6)
+       |ORDER BY rank""".stripMargin
+  }
+
   /** Name → query function, for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q183_bigram_lm" -> (q183 _),
@@ -877,7 +954,8 @@ object Extended18 {
     "q191_pq_ann" -> (q191 _),
     "q192_dsir_selection" -> (q192 _),
     "q193_ann_ladder_recall" -> (q193 _),
-    "q194_overlap_verify" -> (q194 _)
+    "q194_overlap_verify" -> (q194 _),
+    "q195_mmr_diversify" -> (q195 _)
   )
 
   /** Name → DuckDB oracle SQL, for SparkEntry. */
@@ -893,6 +971,7 @@ object Extended18 {
     "q191_pq_ann" -> q191Sql,
     "q192_dsir_selection" -> q192Sql,
     "q193_ann_ladder_recall" -> q193Sql,
-    "q194_overlap_verify" -> q194Sql
+    "q194_overlap_verify" -> q194Sql,
+    "q195_mmr_diversify" -> q195Sql
   )
 }

@@ -296,6 +296,45 @@ class Extended18Spec extends SparkSpec {
     }
   }
 
+  test("mmrSelect == brute-force greedy MMR; diversity actually kicks in") {
+    // two tight "topics": ids 1-3 mutually similar and relevant,
+    // ids 10-11 less relevant but dissimilar — plain top-3 would take
+    // {1,2,3}; MMR at λ=7/10 must mix topics
+    val cand = Seq((1L, 100L), (2L, 98L), (3L, 96L), (10L, 60L), (11L, 55L))
+    val sims = Seq((1L, 2L, 95L), (1L, 3L, 93L), (2L, 3L, 94L),
+      (10L, 11L, 20L), (1L, 10L, 5L), (2L, 10L, 6L), (3L, 10L, 4L),
+      (1L, 11L, 7L), (2L, 11L, 8L), (3L, 11L, 6L))
+    def brute(k: Int): Seq[(Long, Long, Long, Long, Long)] = {
+      val simMap = sims.flatMap { case (a, b, s) =>
+        Seq((a, b) -> s, (b, a) -> s)
+      }.toMap
+      var chosen = Seq.empty[Long]
+      var out = Seq.empty[(Long, Long, Long, Long, Long)]
+      for (r <- 1 to k) {
+        val pool = cand.filterNot(c => chosen.contains(c._1))
+        val scored = pool.map { case (id, rel) =>
+          val ms = if (chosen.isEmpty) 0L
+            else chosen.map(c => simMap.getOrElse((id, c), 0L)).max
+          (id, rel, ms, 7L * rel - 3L * ms)
+        }
+        val w = scored.minBy { case (id, _, _, sc) => (-sc, id) }
+        out = out :+ ((r.toLong, w._1, w._2, w._3, w._4))
+        chosen = chosen :+ w._1
+      }
+      out
+    }
+    val got = graft.ext.Retrieval
+      .mmrSelect(cand.toDF("id", "rel"), sims.toDF("a", "b", "sim"),
+        "id", "rel", k = 4, lamNum = 7, lamDen = 10)
+      .orderBy($"rank")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === brute(4))
+    // topic mixing: the redundant {1,2,3} cluster must NOT fill the top 3
+    val top3 = got.take(3).map(_._2).toSet
+    assert(!(top3 subsetOf Set(1L, 2L, 3L)),
+      s"MMR failed to diversify: $top3")
+  }
+
   // ------------------------------------------------------------------
   // Product quantization
 
