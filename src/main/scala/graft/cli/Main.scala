@@ -38,7 +38,7 @@ import graft.transform.RideTransform
   *   quantiles <parquet> <valueCol> <alphaPct> <q1,q2,...permille>
   *   dup-spans <docsParquet> <idCol> <textCol> <k> <minCount> <outParquet>
   *   weighted-sample <parquet> <idCol> <groupCol> <weightCol> <k> <outParquet>
-  *   semantic-dedup <embParquet> <idCol> <vecCol> <tauBp> <bits> <outParquet>
+  *   semantic-dedup <embParquet> <idCol> <vecCol> <tauBp> <bits> [<bands>] <outParquet>
   *   bpe <docsParquet> <textCol> <rounds> <outParquet>
   *   bpe-encode <docsParquet> <textCol> <mergesParquet> <outParquet>
   *   text-profile <docsParquet> <textCol> <groupCol> <outParquet>
@@ -48,6 +48,7 @@ import graft.transform.RideTransform
   *   ppr <edgesParquet> <srcCol> <dstCol> <seedsParquet> <seedCol> <maxIter> <outParquet>
   *   rrf <listAParquet> <listBParquet> <idCol> <scoreCol> <k> <outParquet>
   *   pq-encode <embParquet> <idCol> <vecCol> <m> <k> <iters> <outParquet>
+  *   mmr <candParquet> <simsParquet> <idCol> <relCol> <k> <outParquet>
   */
 object Main {
 
@@ -285,14 +286,24 @@ object Main {
       sample.write.mode("overwrite").parquet(out)
       println(s"sampled ${sample.count()} rows (k=$k per $grpCol) to $out")
 
-    // semantic-dedup <embParquet> <idCol> <vecCol> <tauBp> <bits> <outParquet>:
-    // embedding near-dup clusters, keep min-id representative.
+    // semantic-dedup <embParquet> <idCol> <vecCol> <tauBp> <bits>
+    // [<bands>] <outParquet>: embedding near-dup clusters, keep min-id
+    // representative; bands > 1 = the banded-recall knob (q180).
     case "semantic-dedup" :: in :: idCol :: vecCol :: tauBp :: bits :: out :: Nil =>
       val res = graft.ext.VectorIndex.semanticDedup(
         spark.read.parquet(in), vecCol, idCol, tauBp.toInt, bits.toInt)
       res.write.mode("overwrite").parquet(out)
       val kept = res.filter(res("keep")).count()
       println(s"kept $kept of ${res.count()} (tau=${tauBp.toInt}bp) to $out")
+    case "semantic-dedup" :: in :: idCol :: vecCol :: tauBp :: bits ::
+        bands :: out :: Nil =>
+      val res = graft.ext.VectorIndex.semanticDedup(
+        spark.read.parquet(in), vecCol, idCol, tauBp.toInt, bits.toInt,
+        bands = bands.toInt)
+      res.write.mode("overwrite").parquet(out)
+      val kept = res.filter(res("keep")).count()
+      println(s"kept $kept of ${res.count()} (tau=${tauBp.toInt}bp, " +
+        s"${bands.toInt} bands) to $out")
 
     // lpa <edgesParquet> <srcCol> <dstCol> <maxRounds> <outParquet>:
     // deterministic synchronous label-propagation communities.
@@ -448,6 +459,16 @@ object Main {
       codes.write.mode("overwrite").parquet(out)
       println(s"encoded ${codes.count()} vectors as ${m.toInt}x" +
         s"${k.toInt}-centroid codes to $out")
+
+    // mmr <candParquet> <simsParquet> <idCol> <relCol> <k> <out>:
+    // maximal-marginal-relevance diversified top-k over a bounded
+    // candidate list; sims = (a, b, sim) pairwise, shared units.
+    case "mmr" :: cand :: sims :: idCol :: relCol :: k :: out :: Nil =>
+      val sel = graft.ext.Retrieval.mmrSelect(
+        spark.read.parquet(cand), spark.read.parquet(sims),
+        idCol, relCol, k = k.toInt)
+      sel.write.mode("overwrite").parquet(out)
+      println(s"selected ${sel.count()} of top-${k.toInt} by MMR to $out")
 
     case other =>
       sys.error(s"unknown command: ${other.mkString(" ")} — see Scaladoc for usage")

@@ -410,5 +410,37 @@ class CliSpec extends SparkSpec {
     assert(byCluster.values.forall(_.size === 1),
       s"same-cluster vectors must share a code: $byCluster")
     assert(byCluster(0L) !== byCluster(1L), "clusters must differ")
+
+    // mmr: two redundant high-rel ids + one dissimilar — top-2 must mix
+    // λ = 7/10: id2 scores 7·99 − 3·98 = 399, id9 scores 7·95 − 3·2 =
+    // 659 in round 2 — the near-duplicate loses to the dissimilar
+    Seq((1L, 100L), (2L, 99L), (9L, 95L)).toDF("id", "rel")
+      .write.parquet(s"$base/mcand")
+    Seq((1L, 2L, 98L), (1L, 9L, 2L), (2L, 9L, 3L)).toDF("a", "b", "sim")
+      .write.parquet(s"$base/msims")
+    Main.run(spark, List("mmr", s"$base/mcand", s"$base/msims",
+      "id", "rel", "2", s"$base/msel"))
+    val sel = spark.read.parquet(s"$base/msel")
+      .orderBy($"rank").select($"id").as[Long].collect().toSeq
+    assert(sel === Seq(1L, 9L), s"MMR must skip the redundant 2: $sel")
+
+    // semantic-dedup with explicit bands arity: 3 DIRECTIONALLY
+    // distinct clone clusters (cosine ignores magnitude, so scaled
+    // copies of one direction would merge)
+    val clones = (0L until 6L).map { i =>
+      i -> Array.tabulate(8) { t =>
+        (i % 3) match {
+          case 0 => if (t % 2 == 0) 1f else 0.01f
+          case 1 => if (t % 2 == 1) 1f else 0.01f
+          case _ => if (t < 4) 1f else -1f
+        }
+      }
+    }.toDF("vec_id", "embedding")
+    clones.write.parquet(s"$base/sememb")
+    Main.run(spark, List("semantic-dedup", s"$base/sememb", "vec_id",
+      "embedding", "9900", "2", "2", s"$base/semout"))
+    val keptN = spark.read.parquet(s"$base/semout")
+      .filter($"keep").count()
+    assert(keptN === 3L, s"3 clusters of clones must keep 3 reps, got $keptN")
   }
 }
