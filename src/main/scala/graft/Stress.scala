@@ -249,6 +249,16 @@ object Stress {
         .dupSpans(docs, "text", "doc_id", k = 5, minCount = 2L)
         .count()
     }
+    if (picks("dupspanshash")) timed("dupspanshash") {
+      // dupSpans with hashGrams=true: the corpus-wide gram exchange
+      // carries xxhash64(gram) — 8 bytes vs the gram text. Results are
+      // spec-pinned ≡ the string mode; this probe prices the shuffle
+      // difference against the `dupspans` probe at the same row count.
+      graft.ext.TextDedup
+        .dupSpans(docs, "text", "doc_id", k = 5, minCount = 2L,
+          hashGrams = true)
+        .count()
+    }
     if (picks("semdedup")) timed("semdedup") {
       // VectorIndex.semanticDedup (the q163 operator) on synthetic
       // dim-32 vectors (components from xxhash64 so the sign pattern is
