@@ -290,20 +290,12 @@ object Main {
     // [<bands>] <outParquet>: embedding near-dup clusters, keep min-id
     // representative; bands > 1 = the banded-recall knob (q180).
     case "semantic-dedup" :: in :: idCol :: vecCol :: tauBp :: bits :: out :: Nil =>
-      val res = graft.ext.VectorIndex.semanticDedup(
-        spark.read.parquet(in), vecCol, idCol, tauBp.toInt, bits.toInt)
-      res.write.mode("overwrite").parquet(out)
-      val kept = res.filter(res("keep")).count()
-      println(s"kept $kept of ${res.count()} (tau=${tauBp.toInt}bp) to $out")
+      semanticDedupCmd(spark, in, idCol, vecCol, tauBp.toInt, bits.toInt,
+        bands = 1, out)
     case "semantic-dedup" :: in :: idCol :: vecCol :: tauBp :: bits ::
         bands :: out :: Nil =>
-      val res = graft.ext.VectorIndex.semanticDedup(
-        spark.read.parquet(in), vecCol, idCol, tauBp.toInt, bits.toInt,
-        bands = bands.toInt)
-      res.write.mode("overwrite").parquet(out)
-      val kept = res.filter(res("keep")).count()
-      println(s"kept $kept of ${res.count()} (tau=${tauBp.toInt}bp, " +
-        s"${bands.toInt} bands) to $out")
+      semanticDedupCmd(spark, in, idCol, vecCol, tauBp.toInt, bits.toInt,
+        bands.toInt, out)
 
     // lpa <edgesParquet> <srcCol> <dstCol> <maxRounds> <outParquet>:
     // deterministic synchronous label-propagation communities.
@@ -400,10 +392,11 @@ object Main {
     case "search" :: in :: idCol :: textCol :: terms :: k :: Nil =>
       val idx = graft.ext.Index
         .build(spark.read.parquet(in), textCol, idCol)
-      idx.search(terms.split(",").toIndexedSeq.map(_.trim), k.toInt)
+      try idx.search(terms.split(",").toIndexedSeq.map(_.trim), k.toInt)
         .collect()
         .foreach(r => println(s"${r.get(0)}\t${r.getLong(1)} nano " +
           s"(${r.getLong(2)} terms)"))
+      finally idx.unpersist()
 
     // score-lm <trainParquet> <scoreParquet> <idCol> <textCol> <out>:
     // train the interpolated bigram LM on one corpus, score another by
@@ -472,5 +465,17 @@ object Main {
 
     case other =>
       sys.error(s"unknown command: ${other.mkString(" ")} — see Scaladoc for usage")
+  }
+
+  /** Shared body of both semantic-dedup arities. */
+  private def semanticDedupCmd(spark: SparkSession, in: String,
+      idCol: String, vecCol: String, tauBp: Int, bits: Int, bands: Int,
+      out: String): Unit = {
+    val res = graft.ext.VectorIndex.semanticDedup(
+      spark.read.parquet(in), vecCol, idCol, tauBp, bits, bands = bands)
+    res.write.mode("overwrite").parquet(out)
+    val kept = res.filter(res("keep")).count()
+    println(s"kept $kept of ${res.count()} (tau=${tauBp}bp, $bands band" +
+      s"${if (bands == 1) "" else "s"}) to $out")
   }
 }

@@ -37,13 +37,15 @@ import graft.functions.TextFns
 object Index {
 
   /** A built index: postings + dictionary frames (persist/write them
-    * for reuse) and the two corpus scalars. `cached` is the pinned
-    * tokenized frame behind a fresh [[build]] — call [[unpersist]]
-    * when the index frames have been materialized/written. */
+    * for reuse) and the two corpus scalars. `cached` holds the pinned
+    * tokenized frame(s) behind this index — one per [[build]], the
+    * union of the shards' for [[merge]] — call [[unpersist]] when the
+    * index frames have been materialized/written (the bench drops all
+    * persisted blocks between queries regardless). */
   final case class Built(postings: DataFrame, dictionary: DataFrame,
-      nDocs: Long, sumDl: Long, cached: Option[DataFrame] = None) {
+      nDocs: Long, sumDl: Long, cached: Seq[DataFrame] = Nil) {
 
-    /** Drop the pinned tokenized frame (no-op for merged indexes). */
+    /** Drop the pinned tokenized frame(s). */
     def unpersist(): Unit = cached.foreach(_.unpersist(false))
 
     /** BM25 top-k (k1 = 1.2, b = 0.75), scores in floor-nano units —
@@ -102,7 +104,8 @@ object Index {
     val dict = shards.map(_.dictionary).reduce(_ unionByName _)
       .groupBy(col("token"))
       .agg(sum(col("df")).as("df"), sum(col("cf")).as("cf"))
-    Built(postings, dict, shards.map(_.nDocs).sum, shards.map(_.sumDl).sum)
+    Built(postings, dict, shards.map(_.nDocs).sum, shards.map(_.sumDl).sum,
+      shards.flatMap(_.cached))
   }
 
   /** Build the index frames from a document table. The corpus is
@@ -134,6 +137,6 @@ object Index {
       tf.withColumn("__rn", row_number().over(w))
         .filter(col("__rn") <= cap).drop("__rn")
     }
-    Built(postings, dict, stats.getLong(0), stats.getLong(1), Some(d))
+    Built(postings, dict, stats.getLong(0), stats.getLong(1), Seq(d))
   }
 }

@@ -236,6 +236,7 @@ object Retrieval {
       checkpointDir)
     var out = Seq.empty[DataFrame]
     var chosen: Option[DataFrame] = None
+    var nChosen = 0
     var r = 1
     var exhausted = false
     while (r <= k && !exhausted) {
@@ -246,14 +247,22 @@ object Retrieval {
           pool.select(col("id"), col("rel"), lit(0L).as("maxsim"),
             (lit(lamNum.toLong) * col("rel")).as("score"))
         case Some(ids) =>
+          // "absent pairs read sim = 0": the max runs over |chosen|
+          // values, absent ones zero — so when FEWER than nChosen pairs
+          // are recorded for a candidate, a 0 participates and a
+          // negative recorded max cannot leak through (sparse sims
+          // with negative values would otherwise inflate the score)
+          val msAdj = when(col("npres") < lit(nChosen.toLong),
+            greatest(col("ms"), lit(0L))).otherwise(col("ms"))
           pool
             .join(sym.join(ids, col("y") === col("cid"), "left_semi")
-              .groupBy(col("x")).agg(max(col("sim")).as("ms")),
+              .groupBy(col("x")).agg(max(col("sim")).as("ms"),
+                count(lit(1)).as("npres")),
               col("id") === col("x"), "left")
             .select(col("id"), col("rel"),
-              coalesce(col("ms"), lit(0L)).as("maxsim"),
+              coalesce(msAdj, lit(0L)).as("maxsim"),
               (lit(lamNum.toLong) * col("rel") -
-                lit((lamDen - lamNum).toLong) * coalesce(col("ms"), lit(0L)))
+                lit((lamDen - lamNum).toLong) * coalesce(msAdj, lit(0L)))
                 .as("score"))
       }
       val win = TextDedup.materialize(
@@ -267,6 +276,7 @@ object Retrieval {
         val ids = chosen.fold(win.select(col("id").as("cid")))(
           _.unionByName(win.select(col("id").as("cid"))))
         chosen = Some(ids)
+        nChosen += 1
       }
       r += 1
     }

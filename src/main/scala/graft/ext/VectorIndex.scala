@@ -148,16 +148,19 @@ object VectorIndex {
       bucketCap: Option[Long] = None,
       checkpointDir: Option[String] = None): DataFrame = {
     require(bands >= 1, s"bands must be >= 1, got $bands")
-    if (bands > 1) {
-      // fail FAST on the documented bands·bits ≤ dim contract — a
-      // violation otherwise dies mid-job as a bare ANSI
-      // INVALID_ARRAY_INDEX in the banded exchange (or, non-ANSI,
-      // silently collapses the out-of-range band into one bucket)
-      val dim = embeddings.select(size(col(vecCol))).head().getInt(0)
-      require(bands * bits <= dim,
-        s"bands*bits = ${bands * bits} exceeds vector dim $dim — " +
-          "bands slice DISJOINT leading components")
-    }
+    // fail FAST on the bands·bits ≤ dim contract (it binds at bands = 1
+    // too: bits alone must fit the vector) — a violation otherwise dies
+    // mid-job as a bare ANSI INVALID_ARRAY_INDEX in the bucket exchange
+    // (or, non-ANSI, silently collapses out-of-range signs into one
+    // bucket). The probe is empty-/null-safe: no first row or a null
+    // vector skips the check and leaves the lazy empty-result path.
+    embeddings.limit(1).select(size(col(vecCol)).cast("int")).collect()
+      .headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Int]))
+      .foreach { dim =>
+        require(bands * bits <= dim,
+          s"bands*bits = ${bands * bits} exceeds vector dim $dim — " +
+            "bands slice DISJOINT leading components")
+      }
     // norms precomputed ONCE per vector (n rows), not per candidate
     // pair — at dim 768 that's 2 dot products saved per pair. The
     // double result is bit-identical to cosine()'s inline norms: the

@@ -880,11 +880,15 @@ object Extended18 {
     val q = e.filter($"vec_id" === 0).select($"embedding".as("qvec"))
     def bp(c: org.apache.spark.sql.Column) =
       floor(c * 10000.0 + 0.5).cast("long")
+    // pin the corpus-wide top-12 ONCE: it otherwise re-executes inside
+    // mmrSelect's own materialization AND on both sides of the sims
+    // self-join (three full embedding scans for one 12-row list)
     val cand = e.filter($"vec_id" =!= 0)
       .crossJoin(broadcast(q))
       .select($"vec_id".as("id"),
         bp(VectorFns.cosine($"embedding", $"qvec")).as("rel"))
       .orderBy($"rel".desc, $"id".asc).limit(12)
+      .localCheckpoint()
     val withVec = cand.join(e.select($"vec_id".as("id"), $"embedding"), "id")
     val sims = withVec.as("l").join(withVec.as("r"), $"l.id" < $"r.id")
       .select($"l.id".as("a"), $"r.id".as("b"),

@@ -335,6 +335,30 @@ class Extended18Spec extends SparkSpec {
       s"MMR failed to diversify: $top3")
   }
 
+  test("mmrSelect: sparse sims with negative values honor the absent=0 contract") {
+    // Round 3 has chosen = {1, 4}. Candidate 2 records only a NEGATIVE
+    // sim to 1 and nothing to 4 — the absent (2,4) pair contributes a
+    // 0, so maxsim = max(−80, 0) = 0 and 2 scores 7·55 = 385.
+    // Candidate 3 records BOTH pairs (sim 5 each) → 7·59 − 3·5 = 398 →
+    // 3 must win round 3. An implementation that maxes only over
+    // RECORDED pairs gives 2 a spurious +3·80 bonus (625) and picks it.
+    val cand = Seq((1L, 100L), (4L, 95L), (2L, 55L), (3L, 59L))
+      .toDF("id", "rel")
+    val sims = Seq((2L, 1L, -80L), (3L, 1L, 5L), (3L, 4L, 5L))
+      .toDF("a", "b", "sim")
+    val got = graft.ext.Retrieval
+      .mmrSelect(cand, sims, "id", "rel", k = 3, lamNum = 7, lamDen = 10)
+      .orderBy($"rank")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // r1: 1 (700). r2 chosen={1}: 4 scores 695 (no pair → 0); 2's single
+    // chosen-pair IS recorded so its −80 stands (385+240=625 < 695);
+    // 3 scores 413−15=398. r3 chosen={1,4}: 3 (398) beats 2 (385).
+    assert(got === Seq(
+      (1L, 1L, 100L, 0L, 700L),
+      (2L, 4L, 95L, 0L, 665L),
+      (3L, 3L, 59L, 5L, 398L)))
+  }
+
   // ------------------------------------------------------------------
   // Product quantization
 
