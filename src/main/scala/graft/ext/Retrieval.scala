@@ -70,6 +70,10 @@ object Retrieval {
     * TakeOrderedAndProject over the judgment frame, never a global
     * sort. Everything after runs on ≤ 2k rows.
     *
+    * Integer headroom: gains are 2^rel — rel is a small GRADE (the
+    * usual 0–4 scale; beyond rel ≈ 40 the 2^rel·10⁶ micro terms leave
+    * long range). Grade, don't dump raw click counts in.
+    *
     * @param ranking  bounded ranked list carrying `idCol` + `scoreCol`
     * @param judgments (idCol, relCol) graded relevance; missing ids
     *                  score rel = 0

@@ -372,7 +372,9 @@ object VectorIndex {
     * row's approximate distance is the EXACT integer sum of its m
     * looked-up entries — the scan touches only the code column, no
     * vector math per row, and ties (coarse codes collide) break
-    * deterministically on id.
+    * deterministically on id. Headroom: entries are d²·10⁶ — for
+    * normalized embeddings d² ≤ 4, worlds below long range; vectors
+    * with |x| ≈ 10⁶ components would not be (normalize first).
     * @return (idCol, adist_micro) — k rows, ascending distance */
   def pqSearch(codes: DataFrame, idCol: String,
       codebook: Array[Array[Array[Double]]], query: Array[Double],
