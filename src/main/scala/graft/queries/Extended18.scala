@@ -945,6 +945,83 @@ object Extended18 {
        |ORDER BY rank""".stripMargin
   }
 
+  // --------------------------------------------------------------------
+  // q196 — single-link dendrogram levels: the similarity graph (sign-
+  // bucket-blocked candidate pairs, cosine in round-half-up basis
+  // points — q163's blocking) cut at three thresholds, with connected
+  // components at each cut — the embedding-side cohesion PROFILE the
+  // way q179's coreness histogram profiles the graph side ("how does
+  // the corpus agglomerate as the dedup threshold loosens?"). Pair
+  // scores are computed ONCE (pinned); each level filters + reruns the
+  // keyed CC loop; cluster stats are keyed aggs.
+  def q196(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = t(s, dir, "embeddings")
+      .withColumn("bucket", VectorFns.signBucket($"embedding", 4))
+    val pairs = e.as("a").join(e.as("b"),
+        $"a.bucket" === $"b.bucket" && $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("ia"), $"b.vec_id".as("ib"),
+        floor(VectorFns.cosine($"a.embedding", $"b.embedding")
+          * 10000.0 + 0.5).cast("long").as("cos_bp"))
+      .localCheckpoint()
+    val nodes = e.select($"vec_id".as("id"))
+    // thresholds sit astride the blocked-pair score distribution
+    // (p99 ≈ 3200 bp, max ≈ 5100 at the gate SF) so the three levels
+    // show REAL agglomeration — 9000/7000/5000 was all-singletons
+    Seq(3000L, 2000L, 1000L).map { tau =>
+      val comp = graft.ext.TextDedup.connectedComponents(
+        pairs.filter($"cos_bp" >= tau), nodes, "ia", "ib", "id")
+      val sizes = comp.groupBy($"component").agg(count(lit(1)).as("sz"))
+      sizes.agg(
+        lit(tau).as("tau_bp"),
+        count(lit(1)).as("n_clusters"),
+        sum(when($"sz" === 1L, 1L).otherwise(0L)).as("n_singletons"),
+        max($"sz").as("largest"))
+    }.reduce(_ unionByName _).orderBy($"tau_bp".desc)
+  }
+
+  val q196Sql: String = {
+    val dot =
+      """list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        | x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))""".stripMargin
+    val norm = (v: String) =>
+      s"sqrt(list_sum(list_transform($v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    val bucket = (v: String) =>
+      (0 until 4).map(i =>
+        s"(CASE WHEN $v[${i + 1}] >= 0 THEN ${1L << i} ELSE 0 END)")
+        .mkString("(", " + ", ")")
+    def level(tau: Long) =
+      s""" e$tau AS (SELECT ia AS a, ib AS b FROM pairs WHERE cos_bp >= $tau
+         |        UNION SELECT ib, ia FROM pairs WHERE cos_bp >= $tau),
+         | r$tau(src, dst) AS (SELECT a, b FROM e$tau
+         |   UNION SELECT r.src, e.b FROM r$tau r JOIN e$tau e ON r.dst = e.a),
+         | c$tau AS (SELECT v.vec_id,
+         |     least(v.vec_id, coalesce(min(r.dst), v.vec_id)) AS component
+         |   FROM embeddings v LEFT JOIN r$tau r ON r.src = v.vec_id
+         |   GROUP BY v.vec_id),
+         | z$tau AS (SELECT component, count(*) AS sz FROM c$tau
+         |           GROUP BY component),
+         | l$tau AS (SELECT CAST($tau AS BIGINT) AS tau_bp,
+         |     count(*) AS n_clusters,
+         |     CAST(sum(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |       AS n_singletons,
+         |     CAST(max(sz) AS BIGINT) AS largest
+         |   FROM z$tau)""".stripMargin
+    s"""WITH RECURSIVE bk AS (SELECT vec_id, embedding,
+       |        ${bucket("embedding")} AS bucket FROM embeddings),
+       | pairs AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+       |     CAST(floor($dot / (${norm("a.embedding")} * ${norm("b.embedding")})
+       |       * 10000.0 + 0.5) AS BIGINT) AS cos_bp
+       |   FROM bk a JOIN bk b
+       |     ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |${level(3000L)},
+       |${level(2000L)},
+       |${level(1000L)}
+       |SELECT * FROM l3000 UNION ALL SELECT * FROM l2000
+       |UNION ALL SELECT * FROM l1000
+       |ORDER BY tau_bp DESC""".stripMargin
+  }
+
   /** Name → query function, for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q183_bigram_lm" -> (q183 _),
@@ -959,7 +1036,8 @@ object Extended18 {
     "q192_dsir_selection" -> (q192 _),
     "q193_ann_ladder_recall" -> (q193 _),
     "q194_overlap_verify" -> (q194 _),
-    "q195_mmr_diversify" -> (q195 _)
+    "q195_mmr_diversify" -> (q195 _),
+    "q196_dendrogram_levels" -> (q196 _)
   )
 
   /** Name → DuckDB oracle SQL, for SparkEntry. */
@@ -976,6 +1054,7 @@ object Extended18 {
     "q192_dsir_selection" -> q192Sql,
     "q193_ann_ladder_recall" -> q193Sql,
     "q194_overlap_verify" -> q194Sql,
-    "q195_mmr_diversify" -> q195Sql
+    "q195_mmr_diversify" -> q195Sql,
+    "q196_dendrogram_levels" -> q196Sql
   )
 }

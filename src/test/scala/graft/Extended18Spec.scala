@@ -359,6 +359,51 @@ class Extended18Spec extends SparkSpec {
       (3L, 3L, 59L, 5L, 398L)))
   }
 
+  test("dendrogram levels == brute union-find at every cut; monotone") {
+    // random dim-4 vectors; levels cut the FULL pair graph (no
+    // blocking here — the query's bucket blocking is its own recall
+    // knob, the level math is what this pins)
+    val rnd = new scala.util.Random(555)
+    val vecs = (0L until 30L).map(i =>
+      i -> Array.fill(4)(rnd.nextFloat() * 2f - 1f))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      d / (na * nb)
+    }
+    val pairs = for {
+      i <- vecs.indices; j <- (i + 1) until vecs.length
+    } yield (i.toLong, j.toLong,
+      math.floor(cos(vecs(i)._2, vecs(j)._2) * 10000.0 + 0.5).toLong)
+    def bruteLevel(tau: Long): (Long, Long, Long) = {
+      val parent = scala.collection.mutable.Map((0L until 30L).map(i => i -> i): _*)
+      def find(x: Long): Long =
+        if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      pairs.filter(_._3 >= tau).foreach { case (a, b, _) =>
+        val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb
+      }
+      val comps = (0L until 30L).groupBy(find)
+      (comps.size.toLong, comps.values.count(_.size == 1).toLong,
+        comps.values.map(_.size).max.toLong)
+    }
+    import graft.ext.TextDedup
+    val pairsDf = pairs.toDF("ia", "ib", "cos_bp").localCheckpoint()
+    val nodes = (0L until 30L).toDF("id")
+    val taus = Seq(5000L, 2000L, 0L)
+    val got = taus.map { tau =>
+      val comp = TextDedup.connectedComponents(
+        pairsDf.filter($"cos_bp" >= tau), nodes, "ia", "ib", "id")
+      val sizes = comp.groupBy($"component").agg(count(lit(1)).as("sz"))
+        .as[(Long, Long)].collect()
+      (sizes.length.toLong, sizes.count(_._2 == 1L).toLong, sizes.map(_._2).max)
+    }
+    assert(got === taus.map(bruteLevel))
+    // dendrogram monotonicity: loosening the cut only merges
+    assert(got.map(_._1).sliding(2).forall(w => w(0) >= w(1)), s"$got")
+    assert(got.map(_._3).sliding(2).forall(w => w(0) <= w(1)), s"$got")
+  }
+
   // ------------------------------------------------------------------
   // Product quantization
 
