@@ -148,19 +148,7 @@ object VectorIndex {
       bucketCap: Option[Long] = None,
       checkpointDir: Option[String] = None): DataFrame = {
     require(bands >= 1, s"bands must be >= 1, got $bands")
-    // fail FAST on the bands·bits ≤ dim contract (it binds at bands = 1
-    // too: bits alone must fit the vector) — a violation otherwise dies
-    // mid-job as a bare ANSI INVALID_ARRAY_INDEX in the bucket exchange
-    // (or, non-ANSI, silently collapses out-of-range signs into one
-    // bucket). The probe is empty-/null-safe: no first row or a null
-    // vector skips the check and leaves the lazy empty-result path.
-    embeddings.limit(1).select(size(col(vecCol)).cast("int")).collect()
-      .headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Int]))
-      .foreach { dim =>
-        require(bands * bits <= dim,
-          s"bands*bits = ${bands * bits} exceeds vector dim $dim — " +
-            "bands slice DISJOINT leading components")
-      }
+    requireBandsFit(embeddings, vecCol, bits, bands)
     // norms precomputed ONCE per vector (n rows), not per candidate
     // pair — at dim 768 that's 2 dot products saved per pair. The
     // double result is bit-identical to cosine()'s inline norms: the
@@ -188,33 +176,12 @@ object VectorIndex {
             / (col("na") * col("nb")) * 10000 + lit(0.5)) >= tauBp)
           .select(col("ia"), col("ib"))
       } else {
-        // banded path: the (band, bucket) exchange carries ONLY
-        // (band, bkt, id) — vectors rejoin after the candidate set is
-        // DISTINCT on (ia, ib), so a pair colliding in several bands
-        // pays the dim-sized cosine once, and the bands-× fan-out
-        // never ships the embedding arrays
-        val b0 = base.select(col("__id"),
-          posexplode(array((0 until bands).map(j =>
-            VectorFns.signBucketAt(col("__v"), j * bits, bits)): _*))
-            .as(Seq("__band", "__bkt")))
-        val b = bucketCap.fold(b0) { cap =>
-          val oversized = b0.groupBy(col("__band"), col("__bkt"))
-            .agg(count(lit(1)).as("__bc")).filter(col("__bc") > cap)
-            .select(col("__band"), col("__bkt"))
-          b0.join(oversized, Seq("__band", "__bkt"), "left_anti")
-        }
-        val cand = b.select(col("__band"), col("__bkt"), col("__id").as("ia"))
-          .join(b.select(col("__band"), col("__bkt"), col("__id").as("ib")),
-            Seq("__band", "__bkt"))
-          .filter(col("ia") < col("ib"))
-          .select(col("ia"), col("ib")).distinct()
-        cand
-          .join(base.select(col("__id").as("ia"), col("__v").as("va"),
-            col("__nrm").as("na")), "ia")
-          .join(base.select(col("__id").as("ib"), col("__v").as("vb"),
-            col("__nrm").as("nb")), "ib")
-          .filter(floor(VectorFns.dot(col("va"), col("vb"))
-            / (col("na") * col("nb")) * 10000 + lit(0.5)) >= tauBp)
+        // banded path: the shared blocked-pair generator (same bucket
+        // exchange + rejoin shape — see [[bandedScoredPairs]]); the
+        // tauBp gate here is identical to the generator's cos_bp
+        // (floor returns the same long the score column carries)
+        bandedScoredPairs(embeddings, vecCol, idCol, bits, bands, bucketCap)
+          .filter(col("cos_bp") >= tauBp)
           .select(col("ia"), col("ib"))
       }
     TextDedup.connectedComponents(idPairs, embeddings.select(col(idCol)),
@@ -222,6 +189,84 @@ object VectorIndex {
         checkpointDir = checkpointDir)
       .select(col("node").as(idCol), col("component"),
         (col("node") === col("component")).as("keep"))
+  }
+
+  /** Fail FAST on the bands·bits ≤ dim contract (it binds at bands = 1
+    * too: bits alone must fit the vector) — a violation otherwise dies
+    * mid-job as a bare ANSI INVALID_ARRAY_INDEX in the bucket exchange
+    * (or, non-ANSI, silently collapses out-of-range signs into one
+    * bucket). The probe is empty-/null-safe: no first row or a null
+    * vector skips the check and leaves the lazy empty-result path. */
+  private def requireBandsFit(embeddings: DataFrame, vecCol: String,
+      bits: Int, bands: Int): Unit =
+    embeddings.limit(1).select(size(col(vecCol)).cast("int")).collect()
+      .headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Int]))
+      .foreach { dim =>
+        require(bands * bits <= dim,
+          s"bands*bits = ${bands * bits} exceeds vector dim $dim — " +
+            "bands slice DISJOINT leading components")
+      }
+
+  /** Banded sign-LSH candidate pairs WITH their cosine scores — THE
+    * blocked pair generator behind [[semanticDedup]]'s banded path,
+    * exported so every pairwise READ-OUT query (dendrogram levels, MMR
+    * similarity frames, cohesion profiles) inherits the operator
+    * layer's scale guards instead of hand-rolling a single-band join:
+    * bands ≥ 2 keeps per-pair recall at 1 − (1 − p^bits)^bands, and
+    * `bucketCap` degrades PER BAND when a (band, bucket) group
+    * saturates (near-constant sign components) rather than detonating
+    * an n²/2^bits in-bucket expansion.
+    *
+    * Shape (the 100 TB contract): the (band, bucket) exchange carries
+    * ONLY (band, bkt, id) — vectors rejoin after the candidate set is
+    * DISTINCT on (ia, ib), so a pair colliding in several bands pays
+    * the dim-sized cosine once and the bands-× fan-out never ships
+    * embedding arrays. Norms are computed once per vector; the score
+    * expression tree (dot / (sqrt·sqrt)) is identical to
+    * [[VectorFns.cosine]]'s inline form, so scores are bit-stable
+    * against the brute-force path.
+    *
+    * @param bucketCap (band, bucket) groups with more than `cap`
+    *                  members contribute NO pairs from that band —
+    *                  the starCap/dfCap family guard; with bands ≥ 2
+    *                  a vector skipped in one saturated band still
+    *                  pairs via its other bands
+    * @return (ia, ib, cos_bp) — ia < ib, one row per candidate pair,
+    *         cos_bp = floor(cosine·10⁴ + 0.5) as BIGINT (round-half-up
+    *         basis points, the q32 gate basis)
+    */
+  def bandedScoredPairs(embeddings: DataFrame, vecCol: String,
+      idCol: String, bits: Int = 4, bands: Int = 2,
+      bucketCap: Option[Long] = None): DataFrame = {
+    require(bands >= 1, s"bands must be >= 1, got $bands")
+    requireBandsFit(embeddings, vecCol, bits, bands)
+    val base = embeddings
+      .select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .withColumn("__nrm", VectorFns.l2Norm(col("__v")))
+    val b0 = base.select(col("__id"),
+      posexplode(array((0 until bands).map(j =>
+        VectorFns.signBucketAt(col("__v"), j * bits, bits)): _*))
+        .as(Seq("__band", "__bkt")))
+    val b = bucketCap.fold(b0) { cap =>
+      val oversized = b0.groupBy(col("__band"), col("__bkt"))
+        .agg(count(lit(1)).as("__bc")).filter(col("__bc") > cap)
+        .select(col("__band"), col("__bkt"))
+      b0.join(oversized, Seq("__band", "__bkt"), "left_anti")
+    }
+    val cand = b.select(col("__band"), col("__bkt"), col("__id").as("ia"))
+      .join(b.select(col("__band"), col("__bkt"), col("__id").as("ib")),
+        Seq("__band", "__bkt"))
+      .filter(col("ia") < col("ib"))
+      .select(col("ia"), col("ib")).distinct()
+    cand
+      .join(base.select(col("__id").as("ia"), col("__v").as("va"),
+        col("__nrm").as("na")), "ia")
+      .join(base.select(col("__id").as("ib"), col("__v").as("vb"),
+        col("__nrm").as("nb")), "ib")
+      .select(col("ia"), col("ib"),
+        floor(VectorFns.dot(col("va"), col("vb"))
+          / (col("na") * col("nb")) * 10000 + lit(0.5))
+          .cast("long").as("cos_bp"))
   }
 
   /** Deterministic ±1 sign matrix for [[randomProject]]: entry (j, i) is

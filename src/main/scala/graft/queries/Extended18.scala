@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFns
 
-/** Round-10 batch (q183–q193) — this round's library shelves, each
+/** Round-10 batch (q183–q196) — that round's library shelves, each
   * gated through its operator:
   *
   *  - q183 bigram-LM perplexity filtering (ext/LanguageModel): train on
@@ -455,7 +455,10 @@ object Extended18 {
   // the multi-probe/IVF rungs (q135/q49) exist precisely to buy the
   // rest back. Both rankings are bounded lists; the only corpus-sized
   // work is the two rankers (one broadcast bucket join, one broadcast
-  // brute scan).
+  // brute scan). Single-band here is a QUERY-SIDE probe — one bucket
+  // scan (~n/16 rows) against one broadcast query row, its recall loss
+  // the very number this query prices — not the PAIR-blocking shape
+  // whose n²/16 expansion bandedScoredPairs guards (q196).
   def q189(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = t(s, dir, "embeddings")
@@ -946,31 +949,36 @@ object Extended18 {
   }
 
   // --------------------------------------------------------------------
-  // q196 — single-link dendrogram levels: the similarity graph (sign-
-  // bucket-blocked candidate pairs, cosine in round-half-up basis
-  // points — q163's blocking) cut at three thresholds, with connected
-  // components at each cut — the embedding-side cohesion PROFILE the
-  // way q179's coreness histogram profiles the graph side ("how does
-  // the corpus agglomerate as the dedup threshold loosens?"). Pair
-  // scores are computed ONCE (pinned); each level filters + reruns the
-  // keyed CC loop; cluster stats are keyed aggs.
+  // q196 — single-link dendrogram levels: the similarity graph cut at
+  // three thresholds, with connected components at each cut — the
+  // embedding-side cohesion PROFILE the way q179's coreness histogram
+  // profiles the graph side ("how does the corpus agglomerate as the
+  // dedup threshold loosens?"). Pair scores are computed ONCE (pinned)
+  // through the OPERATOR-LAYER blocker — VectorIndex.bandedScoredPairs
+  // with bands = 2 × bits = 4 and bucketCap = 1000 — so the read-out
+  // query inherits semanticDedup's scale guards (per-band recall
+  // 1 − (1 − p⁴)², saturated buckets capped per band) instead of the
+  // round-10 single 4-bit band whose 16 buckets meant an n²/16
+  // in-bucket expansion at 100× scale (the r10 `weak`). Each level
+  // filters + reruns the keyed CC loop; cluster stats are keyed aggs.
   def q196(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = t(s, dir, "embeddings")
-      .withColumn("bucket", VectorFns.signBucket($"embedding", 4))
-    val pairs = e.as("a").join(e.as("b"),
-        $"a.bucket" === $"b.bucket" && $"a.vec_id" < $"b.vec_id")
-      .select($"a.vec_id".as("ia"), $"b.vec_id".as("ib"),
-        floor(VectorFns.cosine($"a.embedding", $"b.embedding")
-          * 10000.0 + 0.5).cast("long").as("cos_bp"))
+    val pairs = graft.ext.VectorIndex
+      .bandedScoredPairs(e, "embedding", "vec_id",
+        bits = 4, bands = 2, bucketCap = Some(1000L))
       .localCheckpoint()
     val nodes = e.select($"vec_id".as("id"))
     // thresholds sit astride the blocked-pair score distribution
     // (p99 ≈ 3200 bp, max ≈ 5100 at the gate SF) so the three levels
     // show REAL agglomeration — 9000/7000/5000 was all-singletons
     Seq(3000L, 2000L, 1000L).map { tau =>
+      // banded graphs are denser than the old single-band cut — long
+      // chains near tau are likelier, so give propagation headroom
+      // (the loop exits on convergence; extra rounds cost nothing)
       val comp = graft.ext.TextDedup.connectedComponents(
-        pairs.filter($"cos_bp" >= tau), nodes, "ia", "ib", "id")
+        pairs.filter($"cos_bp" >= tau), nodes, "ia", "ib", "id",
+        maxRounds = 40)
       val sizes = comp.groupBy($"component").agg(count(lit(1)).as("sz"))
       sizes.agg(
         lit(tau).as("tau_bp"),
@@ -986,9 +994,14 @@ object Extended18 {
         | x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))""".stripMargin
     val norm = (v: String) =>
       s"sqrt(list_sum(list_transform($v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
-    val bucket = (v: String) =>
+    // banded blocking (bands = 2 × bits = 4) + bucketCap = 1000, the
+    // exact candidate set bandedScoredPairs produces: a pair qualifies
+    // when EITHER band's bucket matches AND that band's bucket is not
+    // oversized (a.ok = b.ok whenever the buckets match, so one side's
+    // flag suffices)
+    val bucketAt = (v: String, off: Int) =>
       (0 until 4).map(i =>
-        s"(CASE WHEN $v[${i + 1}] >= 0 THEN ${1L << i} ELSE 0 END)")
+        s"(CASE WHEN $v[${off + i + 1}] >= 0 THEN ${1L << i} ELSE 0 END)")
         .mkString("(", " + ", ")")
     def level(tau: Long) =
       s""" e$tau AS (SELECT ia AS a, ib AS b FROM pairs WHERE cos_bp >= $tau
@@ -1007,13 +1020,22 @@ object Extended18 {
          |       AS n_singletons,
          |     CAST(max(sz) AS BIGINT) AS largest
          |   FROM z$tau)""".stripMargin
-    s"""WITH RECURSIVE bk AS (SELECT vec_id, embedding,
-       |        ${bucket("embedding")} AS bucket FROM embeddings),
+    s"""WITH RECURSIVE bk0 AS (SELECT vec_id, embedding,
+       |        ${bucketAt("embedding", 0)} AS bkt0,
+       |        ${bucketAt("embedding", 4)} AS bkt1 FROM embeddings),
+       | c0 AS (SELECT bkt0, count(*) AS c FROM bk0 GROUP BY bkt0),
+       | c1 AS (SELECT bkt1, count(*) AS c FROM bk0 GROUP BY bkt1),
+       | bk AS (SELECT k.vec_id, k.embedding, k.bkt0, k.bkt1,
+       |        (x0.c <= 1000) AS ok0, (x1.c <= 1000) AS ok1
+       |        FROM bk0 k JOIN c0 x0 ON x0.bkt0 = k.bkt0
+       |                   JOIN c1 x1 ON x1.bkt1 = k.bkt1),
        | pairs AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
        |     CAST(floor($dot / (${norm("a.embedding")} * ${norm("b.embedding")})
        |       * 10000.0 + 0.5) AS BIGINT) AS cos_bp
        |   FROM bk a JOIN bk b
-       |     ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |     ON a.vec_id < b.vec_id
+       |        AND ((a.ok0 AND a.bkt0 = b.bkt0)
+       |          OR (a.ok1 AND a.bkt1 = b.bkt1))),
        |${level(3000L)},
        |${level(2000L)},
        |${level(1000L)}

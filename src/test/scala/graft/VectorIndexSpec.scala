@@ -98,4 +98,102 @@ class VectorIndexSpec extends SparkSpec {
     assert(ok >= (pairs.size * 0.85).toInt,
       s"only $ok/${pairs.size} pairs within the JL band")
   }
+
+  test("bandedScoredPairs: superset of single-band, scores == brute cosine") {
+    import spark.implicits._
+    val single = VectorIndex
+      .bandedScoredPairs(emb, "embedding", "vec_id", bits = 4, bands = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val banded = VectorIndex
+      .bandedScoredPairs(emb, "embedding", "vec_id", bits = 4, bands = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(single.keySet.subsetOf(banded.keySet),
+      "band 0 of the banded blocker IS the single-band bucket — banded " +
+        "candidates must be a superset")
+    assert(banded.size > single.size,
+      "band 1 should contribute additional candidates on this fixture")
+    // every banded score equals the brute-force cosine in round-half-up
+    // basis points (the generator's precomputed-norm tree is bit-stable
+    // against the inline-cosine form)
+    val brute = emb.as("a").join(emb.as("b"), $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("ia"), $"b.vec_id".as("ib"),
+        floor(VectorFns.cosine($"a.embedding", $"b.embedding")
+          * 10000.0 + 0.5).cast("long").as("cos_bp"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    banded.foreach { case (k, v) =>
+      assert(brute(k) === v, s"pair $k score drift vs brute force")
+    }
+    single.foreach { case (k, v) => assert(banded(k) === v) }
+  }
+
+  test("banded dendrogram strictly dominates single-band toward all-pairs truth") {
+    // the q196 shape: blocked pairs -> threshold cuts -> CC cluster
+    // stats. Blocking is lossy by design, so exact equality with the
+    // all-pairs graph is NOT the contract; the contract is MONOTONE
+    // RECALL: banded edges are a superset of single-band edges, so
+    // every single-band cluster sits INSIDE one banded cluster (exact
+    // coarsening), and the banded cut recovers strictly more of the
+    // true above-tau pair mass on this fixture (measured here:
+    // single-band finds 7,972 candidate pairs, banded 15,409, of
+    // 124,750 all-pairs — at tau=2000 that's 3 clusters vs 63,
+    // against the all-pairs truth of 1).
+    import spark.implicits._
+    val nodes = emb.select($"vec_id".as("id"))
+    val singleP = VectorIndex.bandedScoredPairs(emb, "embedding", "vec_id",
+      bits = 4, bands = 1).localCheckpoint()
+    val bandedP = VectorIndex.bandedScoredPairs(emb, "embedding", "vec_id",
+      bits = 4, bands = 2, bucketCap = Some(1000L)).localCheckpoint()
+    val allP = emb.as("a").join(emb.as("b"), $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("ia"), $"b.vec_id".as("ib"),
+        floor(VectorFns.cosine($"a.embedding", $"b.embedding")
+          * 10000.0 + 0.5).cast("long").as("cos_bp"))
+      .localCheckpoint()
+    Seq(3000L, 2000L, 1000L).foreach { tau =>
+      def comp(p: org.apache.spark.sql.DataFrame) =
+        graft.ext.TextDedup.connectedComponents(
+          p.filter($"cos_bp" >= tau), nodes, "ia", "ib", "id", maxRounds = 40)
+      val cs = comp(singleP).select($"node", $"component".as("cs"))
+      val cb = comp(bandedP).select($"node", $"component".as("cb"))
+      // refinement: a single-band cluster never splits across two
+      // banded clusters (superset edges can only merge, never cut)
+      val split = cs.join(cb, "node").groupBy($"cs")
+        .agg(countDistinct($"cb").as("n")).filter($"n" > 1L).count()
+      assert(split === 0L, s"tau=$tau: single-band cluster split by banded")
+      // recall: banded captures >= of the true above-tau pairs, and
+      // strictly more at the taus where single-band misses some
+      val truePairs = allP.filter($"cos_bp" >= tau)
+        .select($"ia", $"ib").as[(Long, Long)].collect().toSet
+      def captured(p: org.apache.spark.sql.DataFrame) =
+        p.filter($"cos_bp" >= tau).select($"ia", $"ib")
+          .as[(Long, Long)].collect().toSet.intersect(truePairs).size
+      val (nS, nB) = (captured(singleP), captured(bandedP))
+      assert(nB >= nS, s"tau=$tau banded recall regressed")
+      if (nS < truePairs.size)
+        assert(nB > nS, s"tau=$tau band 1 added no recall")
+    }
+  }
+
+  test("bandedScoredPairs bucketCap: saturated band degrades per band") {
+    import spark.implicits._
+    // all four vectors share band 0's bucket (first 4 components
+    // positive); band 1 separates {1,2} from {3,4}. cap=2 saturates
+    // band 0 (4 members) but not band 1 (2 each).
+    val vs = Seq(
+      (1L, Array(1f, 1f, 1f, 1f, 1f, 1f, 1f, 1f)),
+      (2L, Array(1f, 1f, 1f, 1f, 1f, 1f, 1f, 0.9f)),
+      (3L, Array(1f, 1f, 1f, 1f, -1f, -1f, -1f, -1f)),
+      (4L, Array(1f, 1f, 1f, 1f, -1f, -1f, -1f, -0.9f))
+    ).toDF("vec_id", "embedding")
+    val capped = VectorIndex.bandedScoredPairs(vs, "embedding", "vec_id",
+      bits = 4, bands = 2, bucketCap = Some(2L))
+      .select($"ia", $"ib").as[(Long, Long)].collect().toSet
+    // band 0 would have produced all 6 pairs; band 1 keeps the two
+    // within-bucket pairs — the per-band loss mode
+    assert(capped === Set((1L, 2L), (3L, 4L)))
+    // single-band capping is all-or-nothing: same cap, bands = 1 -> no
+    // pairs at all (the failure shape bands >= 2 exists to avoid)
+    val singleCapped = VectorIndex.bandedScoredPairs(vs, "embedding", "vec_id",
+      bits = 4, bands = 1, bucketCap = Some(2L)).count()
+    assert(singleCapped === 0L)
+  }
 }
