@@ -217,8 +217,13 @@ object Retrieval {
     *
     * @param candidates (idCol, relCol) — an ALREADY-bounded list
     * @param sims (aCol, bCol, simCol) pairwise similarities among
-    *             candidates (either direction; symmetrized here;
-    *             absent pairs read sim = 0)
+    *             candidates (either direction; symmetrized here, and
+    *             duplicate/bidirectional entries collapse to their MAX
+    *             before aggregation so the sparse-sims guard counts
+    *             distinct chosen neighbors, not input rows; absent
+    *             pairs read sim = 0). Generate this frame with
+    *             [[candidateSims]] rather than hand-rolling an
+    *             all-pairs join.
     * @return (rank, id, rel, maxsim, mmr_scaled) — k rows in
     *         selection order
     */
@@ -232,11 +237,15 @@ object Retrieval {
     val cand = TextDedup.materialize(
       candidates.select(col(idCol).as("id"), col(relCol).as("rel")),
       checkpointDir)
+    // dedupe AFTER symmetrizing: a pair supplied in both directions (or
+    // twice) would otherwise double npres past nChosen and let a
+    // negative recorded max-sim slip past the absent=0 floor below
     val sym = TextDedup.materialize(
       sims.select(col(aCol).as("x"), col(bCol).as("y"),
           col(simCol).as("sim"))
         .unionByName(sims.select(col(bCol).as("x"), col(aCol).as("y"),
-          col(simCol).as("sim"))),
+          col(simCol).as("sim")))
+        .groupBy(col("x"), col("y")).agg(max(col("sim")).as("sim")),
       checkpointDir)
     var out = Seq.empty[DataFrame]
     var chosen: Option[DataFrame] = None
@@ -289,4 +298,31 @@ object Retrieval {
         lit(0L).as("maxsim"), lit(0L).as("mmr_scaled"))
     else out.reduce(_ unionByName _)
   }
+
+  /** The pairwise-sims frame [[mmrSelect]] consumes, generated through
+    * the operator-layer banded blocker
+    * ([[VectorIndex.bandedScoredPairs]]) so no caller hand-rolls an
+    * all-pairs self-join: candidates semi-join their embeddings, the
+    * blocker emits banded candidate pairs with round-half-up
+    * basis-point cosine scores, and pairs the blocker misses read
+    * sim = 0 downstream (mmrSelect's absent-pair contract) — the same
+    * recall trade every pairwise read-out in this library makes,
+    * priced by bands/bits.
+    *
+    * For a small k-sized candidate list the blocking is belt-and-
+    * braces (k² pairs are affordable); its value is that the SAME call
+    * stays safe when the candidate list is a 100k-row rerank pool.
+    *
+    * @param candidates bounded list carrying `candIdCol`
+    * @return (a, b, sim) — a < b, sim in basis points
+    */
+  def candidateSims(embeddings: DataFrame, candidates: DataFrame,
+      vecCol: String, idCol: String, candIdCol: String = "id",
+      bits: Int = 4, bands: Int = 2,
+      bucketCap: Option[Long] = None): DataFrame =
+    VectorIndex.bandedScoredPairs(
+      embeddings.join(candidates.select(col(candIdCol).as(idCol)),
+        Seq(idCol), "left_semi"),
+      vecCol, idCol, bits, bands, bucketCap)
+      .select(col("ia").as("a"), col("ib").as("b"), col("cos_bp").as("sim"))
 }

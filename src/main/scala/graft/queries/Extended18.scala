@@ -892,14 +892,23 @@ object Extended18 {
         bp(VectorFns.cosine($"embedding", $"qvec")).as("rel"))
       .orderBy($"rel".desc, $"id".asc).limit(12)
       .localCheckpoint()
-    val withVec = cand.join(e.select($"vec_id".as("id"), $"embedding"), "id")
-    val sims = withVec.as("l").join(withVec.as("r"), $"l.id" < $"r.id")
-      .select($"l.id".as("a"), $"r.id".as("b"),
-        bp(VectorFns.cosine($"l.embedding", $"r.embedding")).as("sim"))
+    // sims through the operator-layer banded blocker (bands = 2 ×
+    // bits = 4) — pairs the blocker misses read sim = 0 in mmrSelect
+    // (the absent-pair contract); for 12 candidates this is belt-and-
+    // braces, but the same call survives a 100k-row rerank pool
+    val sims = graft.ext.Retrieval
+      .candidateSims(e, cand, "embedding", "vec_id")
     graft.ext.Retrieval
       .mmrSelect(cand, sims, "id", "rel", k = 6, lamNum = 7, lamDen = 10)
       .orderBy($"rank")
   }
+
+  /** The banded blocker's band-j bucket in SQL (mirrors
+    * VectorFns.signBucketAt over 4 bits). */
+  private def q195BucketAt(v: String, off: Int): String =
+    (0 until 4).map(i =>
+      s"(CASE WHEN $v[${off + i + 1}] >= 0 THEN ${1L << i} ELSE 0 END)")
+      .mkString("(", " + ", ")")
 
   val q195Sql: String = {
     val dot = (a: String, b: String) =>
@@ -909,10 +918,18 @@ object Extended18 {
       s"sqrt(list_sum(list_transform($v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
     val cosbp = (a: String, b: String) =>
       s"CAST(floor(${dot(a, b)} / (${norm(a)} * ${norm(b)}) * 10000.0 + 0.5) AS BIGINT)"
+    // nChosen at round r is r−1: a candidate with FEWER recorded pairs
+    // than that has an absent pair contributing 0 to the max, so a
+    // negative recorded max is floored — mmrSelect's absent=0 contract
+    // (it never triggered under all-pairs sims; blocked sims miss
+    // pairs, so the oracle must model it)
     def round(r: Int) =
       s""" pool$r AS (SELECT c.id, c.rel FROM cands c
          |          WHERE c.id NOT IN (SELECT id FROM ch${r - 1})),
-         | ms$r AS (SELECT x AS id, max(sim) AS ms FROM sym
+         | ms$r AS (SELECT x AS id,
+         |          CASE WHEN count(*) < ${r - 1} THEN greatest(max(sim), 0)
+         |               ELSE max(sim) END AS ms
+         |          FROM sym
          |          WHERE y IN (SELECT id FROM ch${r - 1}) GROUP BY x),
          | sc$r AS (SELECT p.id, p.rel, COALESCE(m.ms, 0) AS maxsim,
          |            7 * p.rel - 3 * COALESCE(m.ms, 0) AS score
@@ -927,11 +944,14 @@ object Extended18 {
        |     ${cosbp("e.embedding", "q.qvec")} AS rel
        |   FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0
        |   ORDER BY rel DESC, id LIMIT 12),
-       | cv AS (SELECT c.id, c.rel, e.embedding
+       | cv AS (SELECT c.id, c.rel, e.embedding,
+       |        ${q195BucketAt("e.embedding", 0)} AS bkt0,
+       |        ${q195BucketAt("e.embedding", 4)} AS bkt1
        |        FROM cands c JOIN embeddings e ON e.vec_id = c.id),
        | pairs AS (SELECT l.id AS a, r.id AS b,
        |     ${cosbp("l.embedding", "r.embedding")} AS sim
-       |   FROM cv l JOIN cv r ON l.id < r.id),
+       |   FROM cv l JOIN cv r ON l.id < r.id
+       |     AND (l.bkt0 = r.bkt0 OR l.bkt1 = r.bkt1)),
        | sym AS (SELECT a AS x, b AS y, sim FROM pairs
        |         UNION ALL SELECT b, a, sim FROM pairs),
        | w1 AS (SELECT 1 AS rank, id, rel, CAST(0 AS BIGINT) AS maxsim,

@@ -359,6 +359,46 @@ class Extended18Spec extends SparkSpec {
       (3L, 3L, 59L, 5L, 398L)))
   }
 
+  test("mmrSelect: bidirectional duplicate sims don't defeat the absent=0 floor") {
+    // Round 3 has chosen = {1, 4}. Candidate 2's ONLY recorded pair
+    // (to 1, negative) arrives in BOTH directions: before the sym
+    // dedupe that doubled npres to 2 == nChosen, fooling the
+    // completeness guard into letting −80 stand (score 385 + 240 =
+    // 625 → 2 would beat 3). With dedupe, npres = 1 < 2 → the absent
+    // (2,4) pair contributes its 0 → maxsim = 0 → 2 scores 385 and 3
+    // (both pairs recorded, sim 5) wins with 398.
+    val cand = Seq((1L, 100L), (4L, 95L), (2L, 55L), (3L, 59L))
+      .toDF("id", "rel")
+    val sims = Seq((2L, 1L, -80L), (1L, 2L, -80L),
+      (3L, 1L, 5L), (3L, 4L, 5L)).toDF("a", "b", "sim")
+    val got = graft.ext.Retrieval
+      .mmrSelect(cand, sims, "id", "rel", k = 3, lamNum = 7, lamDen = 10)
+      .orderBy($"rank")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, 1L, 100L, 0L, 700L),
+      (2L, 4L, 95L, 0L, 665L),
+      (3L, 3L, 59L, 5L, 398L)))
+  }
+
+  test("candidateSims == banded blocker over the semi-joined candidates") {
+    // the helper must produce exactly bandedScoredPairs' (ia, ib,
+    // cos_bp) restricted to the candidate list, renamed (a, b, sim)
+    val emb = graft.queries.Tables
+      .load(spark, "/root/testdata/sf0.001", "embeddings")
+    val cand = emb.filter($"vec_id" < 40).select($"vec_id".as("id"))
+    val got = graft.ext.Retrieval
+      .candidateSims(emb, cand, "embedding", "vec_id")
+      .as[(Long, Long, Long)].collect().toSet
+    val want = graft.ext.VectorIndex
+      .bandedScoredPairs(emb.filter($"vec_id" < 40), "embedding", "vec_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+    // all pair endpoints are candidates
+    assert(got.forall { case (a, b, _) => a < 40 && b < 40 && a < b })
+  }
+
   test("dendrogram levels == brute union-find at every cut; monotone") {
     // random dim-4 vectors; levels cut the FULL pair graph (no
     // blocking here — the query's bucket blocking is its own recall
