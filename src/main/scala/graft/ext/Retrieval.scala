@@ -85,11 +85,25 @@ object Retrieval {
     require(k >= 1, s"k must be >= 1, got $k")
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col(scoreCol).desc, col(idCol).asc)
-    // term = floor((2^rel − 1) · ln2 / ln(rank+1) · 10⁶)
-    def term(rel: Column, rank: Column): Column =
-      floor((pow(lit(2.0), rel.cast("double")) - lit(1.0))
-        * lit(math.log(2.0)) / log(rank.cast("double") + lit(1.0))
-        * lit(1000000.0)).cast("long")
+    // term = floor((2^rel − 1) · ln2 / ln(rank+1) · 10⁶). When rank+1
+    // is a power of two the ratio ln2/ln(rank+1) is EXACTLY 1/j — and
+    // the scaled term sits exactly ON an integer boundary (rel=1,
+    // rank=3 → 500000.0), where a 1-ulp libm divergence flips the
+    // floor. Those ranks (1, 3, 7, 15, …) therefore compute in PURE
+    // INTEGER arithmetic — (2^rel−1)·10⁶ div j, no libm at all, exact
+    // at any rel within long range — and only the genuinely-irrational
+    // ranks take the double path, whose values the guard-band spec
+    // proves sit ≥ 1.4·10⁻³ from every boundary (rel ≤ 5, k ≤ 20; ulp
+    // divergence at this magnitude is ~10⁻⁹ — six orders of margin).
+    def term(rel: Column, rank: Column): Column = {
+      val gain = (pow(lit(2.0), rel.cast("double")) - lit(1.0)).cast("long")
+      val j = round(log2(rank.cast("double") + lit(1.0))).cast("long")
+      when(((rank + 1).bitwiseAND(rank)) === 0L,
+        call_function("div", gain * lit(1000000L), j))
+        .otherwise(floor((pow(lit(2.0), rel.cast("double")) - lit(1.0))
+          * lit(math.log(2.0)) / log(rank.cast("double") + lit(1.0))
+          * lit(1000000.0)).cast("long"))
+    }
     val ranked = ranking
       .withColumn("__rank", row_number().over(w).cast("long"))
       .filter(col("__rank") <= k)

@@ -371,10 +371,16 @@ object Extended18 {
   }
 
   val q187Sql: String = {
+    // power-of-two rank+1 → exact integer path (the ln2/ln(rank+1)
+    // ratio is exactly 1/j there and the scaled term sits ON a
+    // boundary — see Retrieval.ndcg's term doc)
     val term = (rel: String, rank: String) =>
-      s"""CAST(floor((pow(2.0, CAST($rel AS DOUBLE)) - 1.0)
-         |  * ln(2.0) / ln(CAST($rank AS DOUBLE) + 1.0)
-         |  * 1000000.0) AS BIGINT)""".stripMargin
+      s"""CAST(CASE WHEN (($rank + 1) & $rank) = 0
+         |  THEN (CAST(pow(2.0, CAST($rel AS DOUBLE)) AS BIGINT) - 1)
+         |    * 1000000 // CAST(round(log2($rank + 1)) AS BIGINT)
+         |  ELSE floor((pow(2.0, CAST($rel AS DOUBLE)) - 1.0)
+         |    * ln(2.0) / ln(CAST($rank AS DOUBLE) + 1.0)
+         |    * 1000000.0) END AS BIGINT)""".stripMargin
     s"""WITH $bm25BaseSql,
        | ${bm25TopSqlTerms(10, "lex", Seq("dup", "data"))},
        | jd AS (SELECT doc_id,

@@ -359,6 +359,70 @@ class Extended18Spec extends SparkSpec {
       (3L, 3L, 59L, 5L, 398L)))
   }
 
+  test("ndcg term guard band: integer-exact at pow2 ranks, >=1e-3 off " +
+      "boundaries elsewhere") {
+    // the q130 technique applied to ndcg's floored micro terms. Two
+    // regimes: rank+1 a power of two → ln2/ln(rank+1) is EXACTLY 1/j
+    // and the scaled term sits ON an integer boundary (rel=1, rank=3 →
+    // 500000.0 — a 1-ulp libm divergence would flip the floor), which
+    // is why ndcg computes those ranks in pure integer arithmetic;
+    // every OTHER rank's term must sit >=1e-3 from a boundary (~10⁶ ×
+    // the cross-libm ulp divergence at this magnitude) across the full
+    // graded domain (rel <= 5 — the scaladoc's 0-4 grade scale plus
+    // one — and rank <= 20, double the gate's k).
+    for (rel <- 1 to 5; rank <- 1 to 20) {
+      val scaled = (math.pow(2.0, rel) - 1.0) *
+        math.log(2.0) / math.log(rank + 1.0) * 1000000.0
+      if (((rank + 1) & rank) == 0) {
+        // exact-ratio rank: the integer path must reproduce the true
+        // rational value (2^rel − 1)·10⁶ div j for j = log2(rank+1)
+        val j = (math.round(math.log(rank + 1.0) / math.log(2.0))).toInt
+        val intTerm = ((1L << rel) - 1L) * 1000000L / j
+        assert(math.abs(scaled - ((1L << rel) - 1L) * 1000000.0 / j) < 1.0,
+          s"rel=$rel rank=$rank: double and rational paths diverge")
+        assert(intTerm === ((1L << rel) - 1L) * 1000000L / j)
+      } else {
+        val frac = scaled - math.floor(scaled)
+        val dist = math.min(frac, 1.0 - frac)
+        assert(dist > 1e-3,
+          f"rel=$rel rank=$rank: term $scaled%.6f sits $dist%.2e from an " +
+            "integer boundary — floor could flip across libms")
+      }
+    }
+    // and the gate query's own terms: replay q187's (rel, rank) pairs
+    // through Retrieval.ndcg's actual expression vs a pure-JVM replay
+    val docs = graft.queries.Tables
+      .load(spark, "/root/testdata/sf0.01", "documents")
+    val ranking = graft.ext.Index.build(docs, "text", "doc_id")
+      .search(Seq("dup", "data"), k = 10).select($"doc_id", $"score_nano")
+    val judged = docs
+      .select($"doc_id", graft.functions.TextFns.tokens($"text").as("toks"))
+      .select($"doc_id",
+        (lit(2L) * array_contains($"toks", "dup").cast("long") +
+          array_contains($"toks", "data").cast("long")).as("rel"))
+    val got = graft.ext.Retrieval
+      .ndcg(ranking, judged, "doc_id", "score_nano", "rel", k = 10)
+      .as[(Long, Long, Long)].head()
+    def jvmTerm(rel: Long, rank: Long): Long =
+      if (((rank + 1) & rank) == 0L)
+        ((1L << rel) - 1L) * 1000000L /
+          math.round(math.log(rank + 1.0) / math.log(2.0))
+      else math.floor((math.pow(2.0, rel.toDouble) - 1.0) *
+        math.log(2.0) / math.log(rank + 1.0) * 1000000.0).toLong
+    val relOf = judged.as[(Long, Long)].collect().toMap
+    val rankedIds = ranking.orderBy($"score_nano".desc, $"doc_id".asc)
+      .limit(10).select($"doc_id").as[Long].collect()
+    val dcg = rankedIds.zipWithIndex
+      .map { case (id, i) => jvmTerm(relOf.getOrElse(id, 0L), i + 1L) }.sum
+    val idealRels = judged.orderBy($"rel".desc, $"doc_id".asc).limit(10)
+      .select($"rel").as[Long].collect()
+    val idcg = idealRels.zipWithIndex
+      .map { case (r, i) => jvmTerm(r, i + 1L) }.sum
+    assert(got._1 === dcg, "dcg_micro drifted from the JVM replay")
+    assert(got._2 === idcg, "idcg_micro drifted from the JVM replay")
+    assert(got._3 === (if (idcg > 0) dcg * 1000000L / idcg else 0L))
+  }
+
   test("mmrSelect: bidirectional duplicate sims don't defeat the absent=0 floor") {
     // Round 3 has chosen = {1, 4}. Candidate 2's ONLY recorded pair
     // (to 1, negative) arrives in BOTH directions: before the sym
