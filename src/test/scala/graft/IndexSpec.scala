@@ -92,4 +92,29 @@ class IndexSpec extends SparkSpec {
     val rare = capped.search(Seq("rare"), k = 10).collect().map(_.getLong(0))
     assert(rare.toSeq === Seq(5L))
   }
+
+  test("bucketed postings: probe prunes to the terms' buckets, no token exchange") {
+    val docs = graft.queries.Tables.load(spark, sfDir, "documents")
+    val built = Index.build(docs, "text", "doc_id")
+    val bucketed = Index.writeBucketed(built, spark, "idx_spec_bucketed",
+      numBuckets = 8)
+    built.unpersist()
+    val terms = Seq("data", "dup")
+    val q = bucketed.search(terms, k = 5)
+    // results bit-identical to the in-memory index
+    val mem = Index.build(docs, "text", "doc_id").search(terms, k = 5)
+    assert(q.collect().map(_.toSeq).toSeq === mem.collect().map(_.toSeq).toSeq)
+    val plan = q.queryExecution.executedPlan.toString
+    // bucket pruning is load-bearing: the postings scan must report a
+    // selected-bucket count bounded by the probe's term count
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findFirstMatchIn(plan)
+    assert(sel.isDefined, s"no bucket pruning in postings scan:\n$plan")
+    assert(sel.get.group(1).toInt <= terms.size &&
+      sel.get.group(2).toInt === 8,
+      s"expected <=${terms.size} of 8 buckets, got ${sel.get.matched}")
+    // the only exchange is the doc_id aggregation — never one on token
+    assert(!plan.contains("hashpartitioning(token"),
+      s"postings must not re-shuffle on token:\n$plan")
+  }
 }
