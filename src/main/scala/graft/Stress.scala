@@ -429,6 +429,27 @@ object Stress {
       val q = (0 until dim).map(_ => 0.5).toArray
       graft.ext.VectorIndex.pqSearch(codes, "doc_id", cb, q, k = 10).count()
     }
+    if (picks("ivfpq")) timed("ivfpq") {
+      // IVF-PQ at generated scale: BOTH quantizers train on a bounded
+      // 10k sample (driver metadata — the trainSample contract); the
+      // corpus-sized stages are one assign+residual+encode scan (no
+      // shuffle) and the probed-cell LUT scan at search. Expect
+      // ~linear in rows, dominated by encode, like flat pq — the
+      // composition adds the coarse CASE but prunes the search scan.
+      val dim = 32
+      val g = $"doc_id" % 1000L
+      val vec = array((0 until dim).map { i =>
+        ((xxhash64(g, lit(i)) % 1000L).cast("double") / 500.0).cast("float")
+      }: _*)
+      val emb = docs.select($"doc_id", vec.as("v"))
+      val idx = graft.ext.VectorIndex.ivfPqBuild(emb, "v", "doc_id",
+        kCoarse = 8, coarseIters = 1, m = 4, kSub = 16, pqIters = 1,
+        trainSample = Some(emb.filter($"doc_id" < 10000L)))
+      val q = (0 until dim).map(_ => 0.5f).toArray
+      graft.ext.VectorIndex
+        .ivfPqSearch(idx.codes, "doc_id", idx, q, k = 10, nProbe = 2)
+        .count()
+    }
     if (picks("lcspan")) timed("lcspan") {
       // TextDedup.longestCommonSpan (q194 operator) with a FIXED
       // 1000-pair candidate list while the corpus scales: the verify

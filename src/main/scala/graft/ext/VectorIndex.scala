@@ -400,15 +400,17 @@ object VectorIndex {
 
   /** Encode every vector as its m centroid ids: ONE scan, m·k literal
     * distance expressions, no shuffle, no join — the compression pass.
-    * @return (idCol, code array<int> of length m) */
+    * `keepCols` pass through unchanged (the IVF-PQ build keeps `cell`).
+    * @return (idCol, keepCols..., code array<int> of length m) */
   def pqEncode(embeddings: DataFrame, vecCol: String, idCol: String,
-      codebook: Array[Array[Array[Double]]]): DataFrame = {
+      codebook: Array[Array[Array[Double]]],
+      keepCols: Seq[String] = Nil): DataFrame = {
     val m = codebook.length
     val dsub = codebook.head.head.length
-    embeddings.select(col(idCol),
+    embeddings.select(col(idCol) +: keepCols.map(col) :+
       array(codebook.zipWithIndex.map { case (cents, j) =>
         pqArgmin(subVec(vecCol, j, dsub), cents)
-      }: _*).as("code"))
+      }: _*).as("code"): _*)
   }
 
   /** Asymmetric-distance top-k over PQ codes: the query's per-(subspace,
@@ -425,6 +427,17 @@ object VectorIndex {
       codebook: Array[Array[Array[Double]]], query: Array[Double],
       k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    codes.select(col(idCol), adistMicro(codebook, query).as("adist_micro"))
+      .orderBy(col("adist_micro").asc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** The asymmetric-distance expression behind [[pqSearch]]: the
+    * query's per-(subspace, centroid) floor-micro squared distances
+    * become an m×k literal lookup table, and a row's distance is the
+    * exact integer sum of its m looked-up entries. */
+  private def adistMicro(codebook: Array[Array[Array[Double]]],
+      query: Array[Double]): Column = {
     val dsub = codebook.head.head.length
     val lut: Array[Array[Long]] = codebook.zipWithIndex.map { case (cents, j) =>
       cents.map { c =>
@@ -435,11 +448,100 @@ object VectorIndex {
         math.floor(d2 * 1000000.0).toLong
       }
     }
-    val adist = lut.zipWithIndex.map { case (row, j) =>
+    lut.zipWithIndex.map { case (row, j) =>
       element_at(array(row.map(lit(_)): _*),
         element_at(col("code"), j + 1) + 1)
     }.reduce(_ + _)
-    codes.select(col(idCol), adist.as("adist_micro"))
+  }
+
+  /** Driver-side cosine over float arrays (probe selection only — k
+    * centroids, never data). */
+  private def cosF(a: Array[Float], b: Array[Float]): Double = {
+    var d = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < math.min(a.length, b.length)) {
+      d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+      nb += b(i).toDouble * b(i)
+      i += 1
+    }
+    if (na == 0 || nb == 0) 0.0 else d / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** x − coarse(cell) in double, as a CASE over the kCoarse centroid
+    * literals — exact (float→double is exact, so is their difference). */
+  private def residualExpr(vec: Column, cell: Column,
+      coarse: Array[Array[Float]]): Column =
+    coarse.zipWithIndex.map { case (c, i) =>
+      (i, zip_with(vec,
+        array(c.map(v => lit(v.toDouble)): _*),
+        (x, cv) => x.cast("double") - cv))
+    }.foldLeft(lit(null).cast("array<double>")) { case (acc, (i, e)) =>
+      when(cell === i, e).otherwise(acc)
+    }
+
+  /** An IVF-PQ index: coarse centroids + shared residual PQ codebook
+    * (both driver metadata — the centroid contract) and the code frame
+    * (idCol, cell, code). At 100 TB the code frame is written
+    * partitioned/bucketed by `cell`, so a probe scans only the probed
+    * cells' files, and each row costs m LUT lookups — no vector math,
+    * no shuffle. */
+  final case class IvfPqIndex(coarse: Array[Array[Float]],
+      codebook: Array[Array[Array[Double]]], codes: DataFrame)
+
+  /** Build the production ANN-ladder rung above flat PQ ([[pqTrain]]):
+    * coarse IVF quantizer (deterministic cosine k-means —
+    * [[trainCentroids]]) + product quantization of the RESIDUALS
+    * x − c(cell) with ONE codebook shared across cells (the standard
+    * IVF-ADC layout: residuals concentrate near 0, so a shared
+    * codebook quantizes them far better than raw vectors).
+    * Training is fixed-iteration from deterministic seeds end to end,
+    * so the whole build unrolls into an SQL oracle (q199).
+    *
+    * @param trainSample when set, BOTH quantizers train on this frame
+    *                    instead of the full corpus (the 100 TB
+    *                    practice: centroids/codebooks are driver
+    *                    metadata sized by k, not by data — a bounded
+    *                    sample trains them; only ENCODE scans the
+    *                    corpus, one pass, no shuffle) */
+  def ivfPqBuild(embeddings: DataFrame, vecCol: String, idCol: String,
+      kCoarse: Int, coarseIters: Int, m: Int, kSub: Int,
+      pqIters: Int, trainSample: Option[DataFrame] = None): IvfPqIndex = {
+    val train = trainSample.getOrElse(embeddings)
+    val coarse = trainCentroids(train, vecCol, kCoarse, coarseIters, idCol)
+    def residOf(df: DataFrame): DataFrame =
+      assignCells(df, vecCol, coarse)
+        .select(col(idCol), col("cell"),
+          residualExpr(col(vecCol), col("cell"), coarse).as("__res"))
+    val cb = pqTrain(residOf(train), "__res", idCol, m, kSub, pqIters)
+    IvfPqIndex(coarse, cb,
+      pqEncode(residOf(embeddings), "__res", idCol, cb,
+        keepCols = Seq("cell")))
+  }
+
+  /** Asymmetric-distance top-k over an IVF-PQ index, probing the
+    * nProbe coarse cells closest to the query (cosine desc, cell asc —
+    * [[search]]'s probe order). Each probed cell gets its OWN lookup
+    * table from the query's residual against that cell (the ADC
+    * refinement flat PQ can't do); a row's distance is the exact
+    * integer LUT sum for its cell, ties (cell collisions) break on id.
+    * @param codes subset of the index's code frame to search (callers
+    *              exclude the query row itself)
+    * @return (idCol, cell, adist_micro) — k rows, ascending distance */
+  def ivfPqSearch(codes: DataFrame, idCol: String, index: IvfPqIndex,
+      query: Array[Float], k: Int, nProbe: Int): DataFrame = {
+    require(k >= 1 && nProbe >= 1, s"bad search params k=$k nProbe=$nProbe")
+    val probed = index.coarse.zipWithIndex
+      .sortBy { case (c, _) => -cosF(c, query) }
+      .take(nProbe).map(_._2)
+    val adist = probed.map { cid =>
+      val qr = query.map(_.toDouble).zip(index.coarse(cid))
+        .map { case (x, c) => x - c.toDouble }
+      (cid, adistMicro(index.codebook, qr))
+    }.foldLeft(lit(null).cast("long")) { case (acc, (cid, e)) =>
+      when(col("cell") === cid, e).otherwise(acc)
+    }
+    codes.filter(col("cell").isin(probed.toSeq: _*))
+      .select(col(idCol), col("cell"), adist.as("adist_micro"))
       .orderBy(col("adist_micro").asc, col(idCol).asc)
       .limit(k)
   }

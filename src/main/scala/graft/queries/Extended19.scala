@@ -74,13 +74,137 @@ object Extended19 {
       |FROM sc GROUP BY doc_id
       |ORDER BY score_nano DESC, doc_id LIMIT 12""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q199 — IVF-PQ composition (VectorIndex.ivfPqBuild/ivfPqSearch):
+  // coarse cosine k-means (4 cells, 1 Lloyd pass — q49's unroll) +
+  // product quantization of the RESIDUALS x − c(cell) with one shared
+  // codebook (m = 2 × k = 4, 1 Lloyd pass — q191's unroll), searched
+  // with nProbe = 2 and a PER-CELL query-residual lookup table — the
+  // production form of the ANN ladder (IVF prunes the scan to probed
+  // cells; PQ makes every scanned row m integer lookups). The oracle
+  // unrolls the ENTIRE chain — coarse train/assign, residual algebra,
+  // per-subspace residual k-means, probe choice, per-cell LUTs, exact
+  // integer distance sums — so all five stages gate cross-engine at
+  // once. Ties: coarse assignment (score desc, cell desc), PQ argmin
+  // (d² asc, cell asc), probe order (cos desc, cell asc), final rank
+  // (adist asc, id asc) — each pinned by the corresponding operator.
+  def q199(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = t(s, dir, "embeddings")
+    val idx = graft.ext.VectorIndex.ivfPqBuild(e, "embedding", "vec_id",
+      kCoarse = 4, coarseIters = 1, m = 2, kSub = 4, pqIters = 1)
+    val qv = e.filter($"vec_id" === 0)
+      .select($"embedding").head().getSeq[Float](0).toArray
+    graft.ext.VectorIndex.ivfPqSearch(
+      idx.codes.filter($"vec_id" =!= 0), "vec_id", idx, qv,
+      k = 10, nProbe = 2)
+  }
+
+  val q199Sql: String = {
+    val dsub = 32
+    def cos(a: String, b: String) =
+      s"""list_sum(list_transform(list_zip($a, $b), x -> x[1] * x[2]))
+         |   / (sqrt(list_sum(list_transform($a, x -> x * x)))
+         |      * sqrt(list_sum(list_transform($b, x -> x * x))))""".stripMargin
+    def l2(a: String, b: String) =
+      s"list_sum(list_transform(list_zip($a, $b), x -> (x[1] - x[2]) * (x[1] - x[2])))"
+    // coarse: one cosine Lloyd pass from the first-4-by-id seeds (q49
+    // shape: assignment ties score DESC, cell DESC; float-rounded means)
+    val coarse =
+      s""" c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
+         |                 AS INTEGER) AS cell, v AS c
+         |        FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 4)),
+         | s0 AS (SELECT e.vec_id, c0.cell, ${cos("e.v", "c0.c")} AS score
+         |        FROM e CROSS JOIN c0),
+         | a0 AS (SELECT vec_id, cell FROM (
+         |          SELECT vec_id, cell, row_number() OVER (
+         |            PARTITION BY vec_id ORDER BY score DESC, cell DESC) AS rn
+         |          FROM s0) WHERE rn = 1),
+         | m0 AS (SELECT cell, list(x ORDER BY i) AS c FROM (
+         |          SELECT a0.cell, u.i,
+         |                 CAST(CAST(sum(u.x) / count(*) AS REAL) AS DOUBLE) AS x
+         |          FROM a0 JOIN (SELECT vec_id, unnest(v) AS x,
+         |                   unnest(generate_series(1, len(v))) AS i FROM e) u
+         |            USING (vec_id)
+         |          GROUP BY a0.cell, u.i) GROUP BY cell),
+         | c1 AS (SELECT c0.cell, coalesce(m0.c, c0.c) AS c
+         |        FROM c0 LEFT JOIN m0 USING (cell)),
+         | sf AS (SELECT e.vec_id, c1.cell, ${cos("e.v", "c1.c")} AS score
+         |        FROM e CROSS JOIN c1),
+         | af AS (SELECT vec_id, cell FROM (
+         |          SELECT vec_id, cell, row_number() OVER (
+         |            PARTITION BY vec_id ORDER BY score DESC, cell DESC) AS rn
+         |          FROM sf) WHERE rn = 1),
+         | res AS (SELECT e.vec_id, af.cell,
+         |           list_transform(list_zip(e.v, c.c), x -> x[1] - x[2]) AS r
+         |         FROM e JOIN af USING (vec_id)
+         |              JOIN c1 c ON c.cell = af.cell)""".stripMargin
+    // residual PQ: per-subspace L2 Lloyd pass (q191 shape: argmin ties
+    // d2 ASC, cell ASC; float-rounded means; seeds first 4 by id)
+    val perSub = (0 until 2).map { j =>
+      val lo = j * dsub + 1; val hi = (j + 1) * dsub
+      s""" sub$j AS (SELECT vec_id, list_slice(r, $lo, $hi) AS v FROM res),
+         | p${j}c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
+         |                 AS INTEGER) AS cell, v AS c
+         |        FROM (SELECT vec_id, v FROM sub$j ORDER BY vec_id LIMIT 4)),
+         | p${j}s0 AS (SELECT sub.vec_id, c.cell, ${l2("sub.v", "c.c")} AS d2
+         |          FROM sub$j sub CROSS JOIN p${j}c0 c),
+         | p${j}a0 AS (SELECT vec_id, cell FROM (
+         |           SELECT vec_id, cell, row_number() OVER (
+         |             PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn
+         |           FROM p${j}s0) WHERE rn = 1),
+         | p${j}m0 AS (SELECT cell, list(x ORDER BY i) AS c FROM (
+         |           SELECT a.cell, u.i,
+         |                  CAST(CAST(sum(u.x) / count(*) AS REAL) AS DOUBLE) AS x
+         |           FROM p${j}a0 a JOIN (SELECT vec_id, unnest(v) AS x,
+         |                     unnest(generate_series(1, len(v))) AS i FROM sub$j) u
+         |             USING (vec_id)
+         |           GROUP BY a.cell, u.i) GROUP BY cell),
+         | p${j}c1 AS (SELECT c.cell, coalesce(m.c, c.c) AS c
+         |               FROM p${j}c0 c LEFT JOIN p${j}m0 m USING (cell)),
+         | p${j}sf AS (SELECT sub.vec_id, c.cell, ${l2("sub.v", "c.c")} AS d2
+         |          FROM sub$j sub CROSS JOIN p${j}c1 c),
+         | p${j}af AS (SELECT vec_id, cell FROM (
+         |           SELECT vec_id, cell, row_number() OVER (
+         |             PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn
+         |           FROM p${j}sf) WHERE rn = 1),
+         | lut$j AS (SELECT qr.cell, c.cell AS pqcell,
+         |             CAST(floor(${l2(s"list_slice(qr.qr, $lo, $hi)", "c.c")}
+         |               * 1000000.0) AS BIGINT) AS d
+         |           FROM p${j}c1 c CROSS JOIN qr)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id,
+       |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |        FROM embeddings),
+       | q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |$coarse,
+       | pr AS (SELECT cell FROM (
+       |          SELECT c1.cell, row_number() OVER (
+       |            ORDER BY ${cos("c1.c", "q.qv")} DESC, c1.cell ASC) AS rn
+       |          FROM c1 CROSS JOIN q) WHERE rn <= 2),
+       | qr AS (SELECT pr.cell,
+       |          list_transform(list_zip(q.qv, c.c), x -> x[1] - x[2]) AS qr
+       |        FROM pr JOIN c1 c USING (cell) CROSS JOIN q),
+       |$perSub
+       |SELECT r.vec_id, r.cell,
+       |       CAST(l0.d + l1.d AS BIGINT) AS adist_micro
+       |FROM res r JOIN p0af USING (vec_id) JOIN p1af f1
+       |       ON f1.vec_id = r.vec_id
+       |     JOIN lut0 l0 ON l0.cell = r.cell AND l0.pqcell = p0af.cell
+       |     JOIN lut1 l1 ON l1.cell = r.cell AND l1.pqcell = f1.cell
+       |WHERE r.vec_id <> 0 AND r.cell IN (SELECT cell FROM pr)
+       |ORDER BY adist_micro, r.vec_id LIMIT 10""".stripMargin
+  }
+
   /** Name → query function, for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q198_bm25_bucketed" -> (q198 _)
+    "q198_bm25_bucketed" -> (q198 _),
+    "q199_ivf_pq" -> (q199 _)
   )
 
   /** Name → DuckDB oracle SQL, for SparkEntry. */
   val oracles: Map[String, String] = Map(
-    "q198_bm25_bucketed" -> q198Sql
+    "q198_bm25_bucketed" -> q198Sql,
+    "q199_ivf_pq" -> q199Sql
   )
 }

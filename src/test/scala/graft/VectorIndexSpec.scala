@@ -173,6 +173,52 @@ class VectorIndexSpec extends SparkSpec {
     }
   }
 
+  test("IVF-PQ search == JVM replay of the per-cell ADC math") {
+    import spark.implicits._
+    val idx = VectorIndex.ivfPqBuild(emb, "embedding", "vec_id",
+      kCoarse = 4, coarseIters = 1, m = 2, kSub = 4, pqIters = 1)
+    val qv = emb.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val rows = idx.codes.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("cell"), col("code"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2)))
+    def cosd(a: Array[Float], b: Array[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      d / (na * nb)
+    }
+    val dsub = idx.codebook.head.head.length
+    // per-cell LUT from the query residual, replayed in plain Scala
+    def lut(cell: Int): Array[Array[Long]] = {
+      val qr = qv.map(_.toDouble).zip(idx.coarse(cell))
+        .map { case (x, c) => x - c.toDouble }
+      idx.codebook.zipWithIndex.map { case (cents, j) =>
+        cents.map { c =>
+          val d2 = c.zipWithIndex.map { case (cv, t) =>
+            val d = qr(j * dsub + t) - cv; d * d
+          }.reduceLeft(_ + _)
+          math.floor(d2 * 1000000.0).toLong
+        }
+      }
+    }
+    for (nProbe <- Seq(2, 4)) {
+      val probed = idx.coarse.zipWithIndex
+        .sortBy { case (c, _) => -cosd(c, qv) }.take(nProbe).map(_._2).toSet
+      val luts = probed.map(c => c -> lut(c)).toMap
+      val want = rows.filter { case (_, cell, _) => probed(cell) }
+        .map { case (id, cell, code) =>
+          (id, cell, code.zipWithIndex.map { case (ci, j) =>
+            luts(cell)(j)(ci) }.sum)
+        }.sortBy { case (id, _, d) => (d, id) }.take(10).toSeq
+      val got = VectorIndex.ivfPqSearch(
+        idx.codes.filter(col("vec_id") =!= 0), "vec_id", idx, qv,
+        k = 10, nProbe = nProbe)
+        .as[(Long, Int, Long)].collect().toSeq
+      assert(got === want, s"nProbe=$nProbe ADC drift")
+    }
+  }
+
   test("bandedScoredPairs bucketCap: saturated band degrades per band") {
     import spark.implicits._
     // all four vectors share band 0's bucket (first 4 components
