@@ -372,6 +372,15 @@ object Stress {
             .mightContain($"doc_id", $"bloom", nBits, 5))
           .count()
       }
+      timed("bloom-anti") {
+        // the full pruned anti join (what the `bloom` probe times in
+        // one number): definite-miss passthrough + exact anti join on
+        // the maybe slice — isolates the join stage the three stages
+        // above feed
+        graft.ext.BloomSketch
+          .prunedAntiJoin(docs.select($"doc_id"), "doc_id", dim, "k", nBits)
+          .count()
+      }
     }
     if (picks("bloom")) timed("bloom") {
       // BloomSketch build + pruned anti join at generated scale: dim =
