@@ -75,6 +75,246 @@ object Extended19 {
       |ORDER BY score_nano DESC, doc_id LIMIT 12""".stripMargin
 
   // --------------------------------------------------------------------
+  // q197 — the curation MEGAPIPELINE: six library shelves chained
+  // end-to-end over the documents table, with a per-stage attrition
+  // funnel (docs + char mass — the q126 readout grown a mass column)
+  // as the result. This is the "whole pipeline in one plan" a 100 TB
+  // curation team actually runs; every stage is the ALREADY-GATED
+  // operator, composed:
+  //
+  //   1 lm_quality — interpolated bigram LM trained on the 'en' slice
+  //     (LanguageModel, q183's model), keep nll_avg_micro <= 3,450,000
+  //     (docs with < 2 tokens have no perplexity and drop);
+  //   2 sem_dedup — banded+capped semantic dedup (VectorIndex
+  //     .semanticDedup, q180/q196's blocker) over the survivors'
+  //     embeddings; docs WITHOUT an embedding row pass through (can't
+  //     dedup what isn't embedded — counted, not hidden);
+  //   3 decontam — BloomSketch.prunedAntiJoin of survivor TEXT against
+  //     the synthetic benchmark set (doc_id % 37 = 0) — exactly the
+  //     plain anti join (no false negatives), only the ~FP fraction
+  //     pays the shuffle (q184's economics);
+  //   4 dsir — DSIR importance (TrainPrep.dsirImportance, q192) of the
+  //     survivor pool against its own 'en' slice, keep imp_micro > 0
+  //     (more target-like than the pool);
+  //   5 temp_mix — temperature resampling without duplication: per-
+  //     source char mass from TrainPrep.temperatureMix, keep fraction
+  //     √(chars_min/chars_s) so the smallest source keeps 100% and
+  //     heavy sources flatten toward it (p^(1/2) mixing, q122's
+  //     doctrine), applied as first-⌈n·frac⌉ docs per source;
+  //   6 pack — TrainPrep.pack (512-token budget per source, q137's
+  //     shape); the funnel row reports batches and total tokens.
+  //
+  // Stage frames are pinned (localCheckpoint) so the funnel's six
+  // aggregates don't re-execute the upstream chain — the same reason
+  // the oracle's stage CTEs are MATERIALIZED.
+  def q197(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = t(s, dir, "documents")
+    // stage 1: LM quality
+    val counts = graft.ext.LanguageModel
+      .bigramCounts(d.filter($"lang" === "en"), "text", "doc_id")
+    val model = graft.ext.LanguageModel.bigramModel(counts)
+    val lmKeep = graft.ext.LanguageModel
+      .scoreBigrams(d, "text", "doc_id", model)
+      .filter($"nll_avg_micro" <= 3450000L).select($"doc_id")
+    val s1 = d.join(lmKeep, Seq("doc_id"), "left_semi").localCheckpoint()
+    // stage 2: banded semantic dedup; non-embedded docs pass through
+    val e = t(s, dir, "embeddings")
+    val eSub = e.join(s1.select($"doc_id".as("vec_id")),
+      Seq("vec_id"), "left_semi")
+    val dedup = graft.ext.VectorIndex
+      .semanticDedup(eSub, "embedding", "vec_id", tauBp = 4200,
+        bits = 4, bands = 2, bucketCap = Some(1000L))
+      .select($"vec_id".as("doc_id"), $"keep")
+    val s2 = s1.join(dedup, Seq("doc_id"), "left")
+      .filter($"keep".isNull || $"keep").drop("keep").localCheckpoint()
+    // stage 3: bloom-pruned decontamination against the benchmark set
+    val eval0 = d.filter($"doc_id" % 37 === 0).select($"text".as("k"))
+    val s3 = graft.ext.BloomSketch
+      .prunedAntiJoin(s2, "text", eval0, "k").localCheckpoint()
+    // stage 4: DSIR selection toward the pool's own 'en' slice
+    val impKeep = graft.ext.TrainPrep
+      .dsirImportance(s3, s3.filter($"lang" === "en"), "text", "doc_id")
+      .filter($"imp_micro" > 0L).select($"doc_id")
+    val s4 = s3.join(impKeep, Seq("doc_id"), "left_semi").localCheckpoint()
+    // stage 5: temperature downsample (smallest source keeps 100%)
+    val mix = graft.ext.TrainPrep.temperatureMix(s4, "source", "text")
+    val cmin = mix.agg(min($"chars").as("chars_min"))
+    val keepN = mix.crossJoin(broadcast(cmin))
+      .select($"source",
+        expr("""(n_docs * CAST(floor(sqrt(CAST(chars_min AS DOUBLE)
+               |  / chars) * 1000000.0) AS BIGINT) + 999999)
+               |  div 1000000""".stripMargin).as("keep_n"))
+    val w5 = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"doc_id")
+    val s5 = s4.withColumn("rn", row_number().over(w5).cast("long"))
+      .join(broadcast(keepN), "source")
+      .filter($"rn" <= $"keep_n").drop("rn", "keep_n").localCheckpoint()
+    // stage 6: pack
+    val pstats = graft.ext.TrainPrep
+      .pack(s5, "doc_id", "source", "text", tokenCap = 512)
+      .agg(countDistinct($"source", $"batch_id").as("n_batches"),
+        coalesce(sum($"toks"), lit(0L)).as("toks"))
+    def stat(df: DataFrame, stage: Int, name: String): DataFrame =
+      df.agg(lit(stage.toLong).as("stage"), lit(name).as("name"),
+        count(lit(1)).as("n_out"),
+        coalesce(sum(length($"text")).cast("long"), lit(0L)).as("mass"))
+    Seq(stat(d, 0, "corpus"), stat(s1, 1, "lm_quality"),
+      stat(s2, 2, "sem_dedup"), stat(s3, 3, "decontam"),
+      stat(s4, 4, "dsir"), stat(s5, 5, "temp_mix"),
+      pstats.select(lit(6L).as("stage"), lit("pack").as("name"),
+        $"n_batches".cast("long").as("n_out"), $"toks".as("mass")))
+      .reduce(_ unionByName _).orderBy($"stage")
+  }
+
+  val q197Sql: String = {
+    val bucketAt = (v: String, off: Int) =>
+      (0 until 4).map(i =>
+        s"(CASE WHEN $v[${off + i + 1}] >= 0 THEN ${1L << i} ELSE 0 END)")
+        .mkString("(", " + ", ")")
+    val dot =
+      """list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        | x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))""".stripMargin
+    val norm = (v: String) =>
+      s"sqrt(list_sum(list_transform($v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    // stage CTEs are MATERIALIZED: the funnel references every stage
+    // twice (its own count + the next stage's input) — inlined, the
+    // evaluation tree would grow exponentially with depth
+    s"""WITH RECURSIVE tk AS (SELECT doc_id, lang,
+       |        regexp_split_to_array(trim(text), '\\s+') AS toks
+       |        FROM documents),
+       | ix AS (SELECT doc_id, lang, toks,
+       |        unnest(generate_series(1, len(toks) - 1)) AS i
+       |        FROM tk WHERE len(toks) >= 2),
+       | pairs AS (SELECT doc_id, lang, toks[i] AS u, toks[i + 1] AS v FROM ix),
+       | occ AS (SELECT doc_id, u, v, CAST(count(*) AS BIGINT) AS occ
+       |        FROM pairs GROUP BY 1, 2, 3),
+       | train AS (SELECT u, v, CAST(count(*) AS BIGINT) AS c
+       |        FROM pairs WHERE lang = 'en' GROUP BY 1, 2),
+       | cu AS (SELECT u, CAST(sum(c) AS BIGINT) AS cu FROM train GROUP BY u),
+       | cv AS (SELECT v, CAST(sum(c) AS BIGINT) AS cv FROM train GROUP BY v),
+       | n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM train),
+       | model AS (SELECT t.u, t.v,
+       |        CAST(floor(-ln(0.9 * CAST(t.c AS DOUBLE) / CAST(cu.cu AS DOUBLE)
+       |              + 0.1 * CAST(cv.cv AS DOUBLE)
+       |                / CAST((SELECT n FROM n) AS DOUBLE)) * 1000000.0)
+       |          AS BIGINT) AS nll_micro
+       |        FROM train t JOIN cu ON cu.u = t.u JOIN cv ON cv.v = t.v),
+       | backoff AS (SELECT v,
+       |        CAST(floor(-ln(0.1 * CAST(cv AS DOUBLE)
+       |              / CAST((SELECT n FROM n) AS DOUBLE)) * 1000000.0)
+       |          AS BIGINT) AS bo_micro FROM cv),
+       | lmsc AS (SELECT o.doc_id, o.occ,
+       |        COALESCE(m.nll_micro, b.bo_micro, 20000000) AS nll
+       |        FROM occ o LEFT JOIN model m ON m.u = o.u AND m.v = o.v
+       |        LEFT JOIN backoff b ON b.v = o.v),
+       | perdoc AS (SELECT doc_id, CAST(sum(occ) AS BIGINT) AS n_trans,
+       |        CAST(sum(occ * nll) AS BIGINT) AS nll_sum
+       |        FROM lmsc GROUP BY doc_id),
+       | s1 AS MATERIALIZED (SELECT d.* FROM documents d
+       |        JOIN perdoc p ON p.doc_id = d.doc_id
+       |        WHERE p.nll_sum // p.n_trans <= 3450000),
+       | bk0 AS (SELECT e.vec_id, e.embedding,
+       |        ${bucketAt("e.embedding", 0)} AS bkt0,
+       |        ${bucketAt("e.embedding", 4)} AS bkt1
+       |        FROM embeddings e JOIN s1 ON s1.doc_id = e.vec_id),
+       | c0 AS (SELECT bkt0, count(*) AS c FROM bk0 GROUP BY bkt0),
+       | c1b AS (SELECT bkt1, count(*) AS c FROM bk0 GROUP BY bkt1),
+       | bk AS (SELECT k.vec_id, k.embedding, k.bkt0, k.bkt1,
+       |        (x0.c <= 1000) AS ok0, (x1.c <= 1000) AS ok1
+       |        FROM bk0 k JOIN c0 x0 ON x0.bkt0 = k.bkt0
+       |                   JOIN c1b x1 ON x1.bkt1 = k.bkt1),
+       | sp AS (SELECT a.vec_id AS ia, b.vec_id AS ib FROM bk a JOIN bk b
+       |        ON a.vec_id < b.vec_id
+       |           AND ((a.ok0 AND a.bkt0 = b.bkt0)
+       |             OR (a.ok1 AND a.bkt1 = b.bkt1))
+       |        WHERE floor($dot / (${norm("a.embedding")}
+       |            * ${norm("b.embedding")}) * 10000.0 + 0.5) >= 4200),
+       | edges AS (SELECT ia AS a, ib AS b FROM sp
+       |           UNION SELECT ib, ia FROM sp),
+       | reach(src, dst) AS (SELECT a, b FROM edges
+       |   UNION SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+       | comp AS (SELECT v.vec_id,
+       |        least(v.vec_id, coalesce(min(r.dst), v.vec_id)) AS component
+       |        FROM bk0 v LEFT JOIN reach r ON r.src = v.vec_id
+       |        GROUP BY v.vec_id),
+       | s2 AS MATERIALIZED (SELECT s1.* FROM s1
+       |        LEFT JOIN comp ON comp.vec_id = s1.doc_id
+       |        WHERE comp.vec_id IS NULL OR comp.vec_id = comp.component),
+       | evalset AS (SELECT text FROM documents WHERE doc_id % 37 = 0),
+       | s3 AS MATERIALIZED (SELECT * FROM s2
+       |        WHERE text NOT IN (SELECT text FROM evalset)),
+       | tk3 AS (SELECT doc_id,
+       |        unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+       |        FROM s3),
+       | rawocc AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS occ
+       |        FROM tk3 GROUP BY 1, 2),
+       | rawcnt AS (SELECT tok, CAST(sum(occ) AS BIGINT) AS cr
+       |        FROM rawocc GROUP BY tok),
+       | tgtcnt AS (SELECT t.tok, CAST(count(*) AS BIGINT) AS ct
+       |        FROM tk3 t JOIN s3 d ON d.doc_id = t.doc_id
+       |        WHERE d.lang = 'en' GROUP BY t.tok),
+       | tot AS (SELECT CAST(sum(cr) AS BIGINT) AS nr,
+       |               CAST(count(*) AS BIGINT) AS v FROM rawcnt),
+       | ttot AS (SELECT CAST(COALESCE(sum(ct), 0) AS BIGINT) AS nt
+       |        FROM tgtcnt JOIN rawcnt USING (tok)),
+       | lam AS (SELECT r.tok,
+       |        CAST(floor((ln(CAST(COALESCE(t.ct, 0) + 1 AS DOUBLE)
+       |              / CAST(nt + v AS DOUBLE))
+       |           - ln(CAST(r.cr + 1 AS DOUBLE)
+       |              / CAST(nr + v AS DOUBLE))) * 1000000.0) AS BIGINT)
+       |          AS lam_micro
+       |        FROM rawcnt r LEFT JOIN tgtcnt t ON t.tok = r.tok
+       |        CROSS JOIN tot CROSS JOIN ttot),
+       | imp AS (SELECT o.doc_id,
+       |        CAST(sum(o.occ * l.lam_micro) AS BIGINT) AS imp_micro
+       |        FROM rawocc o JOIN lam l ON l.tok = o.tok
+       |        GROUP BY o.doc_id),
+       | s4 AS MATERIALIZED (SELECT s3.* FROM s3
+       |        JOIN imp ON imp.doc_id = s3.doc_id WHERE imp.imp_micro > 0),
+       | per AS (SELECT source, count(*) AS n_docs,
+       |        CAST(sum(length(text)) AS BIGINT) AS chars
+       |        FROM s4 GROUP BY source),
+       | cmin AS (SELECT min(chars) AS chars_min FROM per),
+       | keepn AS (SELECT source,
+       |        CAST((n_docs * CAST(floor(sqrt(CAST(chars_min AS DOUBLE)
+       |            / chars) * 1000000.0) AS BIGINT) + 999999) // 1000000
+       |          AS BIGINT) AS keep_n
+       |        FROM per CROSS JOIN cmin),
+       | rn5 AS (SELECT s4.*, row_number() OVER (
+       |          PARTITION BY source ORDER BY doc_id) AS rn FROM s4),
+       | s5 AS MATERIALIZED (SELECT r.* FROM rn5 r
+       |        JOIN keepn k ON k.source = r.source WHERE r.rn <= k.keep_n),
+       | ptoks AS (SELECT doc_id, source,
+       |        CAST(ceil(length(regexp_replace(text, '\\s+', '', 'g')) / 4.0)
+       |          AS BIGINT) AS toks FROM s5),
+       | cum AS (SELECT doc_id, source, toks,
+       |        COALESCE(sum(toks) OVER (PARTITION BY source ORDER BY doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |          AS cum_before FROM ptoks),
+       | packed AS (SELECT source, cum_before // 512 AS batch_id, toks
+       |        FROM cum),
+       | pstats AS (SELECT CAST(count(DISTINCT (source, batch_id)) AS BIGINT)
+       |          AS n_batches,
+       |        CAST(sum(toks) AS BIGINT) AS toks FROM packed)
+       |SELECT CAST(0 AS BIGINT) AS stage, 'corpus' AS name,
+       |       CAST(count(*) AS BIGINT) AS n_out,
+       |       CAST(sum(length(text)) AS BIGINT) AS mass FROM documents
+       |UNION ALL SELECT 1, 'lm_quality', count(*),
+       |       CAST(sum(length(text)) AS BIGINT) FROM s1
+       |UNION ALL SELECT 2, 'sem_dedup', count(*),
+       |       CAST(sum(length(text)) AS BIGINT) FROM s2
+       |UNION ALL SELECT 3, 'decontam', count(*),
+       |       CAST(sum(length(text)) AS BIGINT) FROM s3
+       |UNION ALL SELECT 4, 'dsir', count(*),
+       |       CAST(sum(length(text)) AS BIGINT) FROM s4
+       |UNION ALL SELECT 5, 'temp_mix', count(*),
+       |       CAST(sum(length(text)) AS BIGINT) FROM s5
+       |UNION ALL SELECT 6, 'pack', n_batches, toks FROM pstats
+       |ORDER BY stage""".stripMargin
+  }
+
+  // --------------------------------------------------------------------
   // q199 — IVF-PQ composition (VectorIndex.ivfPqBuild/ivfPqSearch):
   // coarse cosine k-means (4 cells, 1 Lloyd pass — q49's unroll) +
   // product quantization of the RESIDUALS x − c(cell) with one shared
@@ -198,12 +438,14 @@ object Extended19 {
 
   /** Name → query function, for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q197_megapipeline" -> (q197 _),
     "q198_bm25_bucketed" -> (q198 _),
     "q199_ivf_pq" -> (q199 _)
   )
 
   /** Name → DuckDB oracle SQL, for SparkEntry. */
   val oracles: Map[String, String] = Map(
+    "q197_megapipeline" -> q197Sql,
     "q198_bm25_bucketed" -> q198Sql,
     "q199_ivf_pq" -> q199Sql
   )
