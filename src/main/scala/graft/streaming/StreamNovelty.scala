@@ -108,4 +108,116 @@ object StreamNovelty {
         new NoveltyFilter(numBits, numHashes, capacity, ttl),
         timeMode, OutputMode.Update())
   }
+
+  // ------------------------------------------------------------------
+  // Batch bridge: a streaming epoch's Bloom state and BloomSketch's
+  // word frames are the same state family (bit-OR-mergeable words).
+  // exportState reads a checkpointed novelty query's per-bucket
+  // filters back as a (bucket, word_idx, word) frame; batchWords
+  // builds the SAME frame from raw keys in batch (bit-OR is
+  // commutative/idempotent, so absent rotation the insertion order the
+  // stream saw is irrelevant — stream-built ≡ batch-built, spec-
+  // pinned); mergeWords folds epoch frames into the corpus sketch;
+  // packedGlobal + keyPositions/mightContainPositions turn the merged
+  // state into a broadcastable batch probe, exactly the
+  // BloomSketch.packed/mightContain economics.
+  //
+  // Rotation caveat (documented, inherent): a bucket that rotated
+  // holds only its post-rotation keys — exportState is then a SUBSET
+  // of batchWords over the full key history. Size capacity for the
+  // epoch when the bridge matters.
+
+  /** Read the novelty query's Bloom state from its checkpoint as a
+    * mergeable word frame — Spark's statestore data source, so the
+    * export is an offline read of the committed state, not a query-
+    * lifecycle hook. Zero words are dropped (sparse frame). */
+  def exportState(spark: org.apache.spark.sql.SparkSession,
+      checkpointDir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.read.format("statestore")
+      .option("path", checkpointDir)
+      .option("stateVarName", "bloom")
+      .load()
+      .select(col("key.value").as("bucket"),
+        posexplode(col("value.words")).as(Seq("idx0", "word")))
+      .select(col("bucket"), col("idx0").cast("int").as("word_idx"),
+        col("word"))
+      .filter(col("word") =!= 0L)
+  }
+
+  /** The word frame a rotation-free epoch over `keys` holds, built in
+    * batch: same murmur double-hash positions, same bucketing, one
+    * explode + keyed bit_or (output ≤ buckets·numBits/64 rows). The
+    * position function is the JVM hash family shared with the
+    * streaming processor, so this is a UDF by necessity — it runs once
+    * per sketch BUILD (bounded output), never on a probe scan, which
+    * uses [[mightContainPositions]]'s expression arithmetic. */
+  def batchWords(keys: org.apache.spark.sql.DataFrame, keyCol: String,
+      numBits: Int = 1 << 16, numHashes: Int = 5,
+      buckets: Int = 64): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val posUdf = udf { key: String =>
+      val b = bucketOf(key, buckets)
+      hashes(key, numHashes, numBits).map(p => (b, p / 64, 1L << (p % 64)))
+    }
+    keys.filter(col(keyCol).isNotNull)
+      .select(explode(posUdf(col(keyCol))).as("e"))
+      .select(col("e._1").as("bucket"), col("e._2").as("word_idx"),
+        col("e._3").as("bit"))
+      .groupBy(col("bucket"), col("word_idx"))
+      .agg(expr("bit_or(bit)").as("word"))
+  }
+
+  /** OR-merge epoch/corpus word frames (idempotent, order-free). */
+  def mergeWords(frames: Seq[org.apache.spark.sql.DataFrame])
+      : org.apache.spark.sql.DataFrame = {
+    require(frames.nonEmpty, "mergeWords needs at least one frame")
+    import org.apache.spark.sql.functions._
+    frames.reduce(_ unionByName _)
+      .groupBy(col("bucket"), col("word_idx"))
+      .agg(expr("bit_or(word)").as("word"))
+  }
+
+  /** Collapse a (bucket, word_idx, word) frame into ONE dense global
+    * array<long> row — bucket b's words at offset b·numBits/64, the
+    * concatenated-bit-space layout — via [[graft.ext.BloomSketch
+    * .packed]]. Broadcast the single row onto probe frames. */
+  def packedGlobal(words: org.apache.spark.sql.DataFrame, numBits: Int,
+      buckets: Int): org.apache.spark.sql.DataFrame = {
+    require(numBits % 64 == 0, s"numBits must be a multiple of 64, got $numBits")
+    import org.apache.spark.sql.functions._
+    val wordsPerBucket = numBits / 64
+    graft.ext.BloomSketch.packed(
+      words.select(
+        (col("bucket").cast("long") * wordsPerBucket + col("word_idx"))
+          .as("word_idx"),
+        col("word")),
+      numBits * buckets)
+  }
+
+  /** A key's global bit positions (bucket offset + murmur probes) — the
+    * once-per-row UDF half of the probe; pair with
+    * [[mightContainPositions]] so the bit arithmetic stays expression
+    * code. */
+  def keyPositions(keyCol: org.apache.spark.sql.Column, numBits: Int,
+      numHashes: Int, buckets: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val posUdf = udf { key: String =>
+      val b = bucketOf(key, buckets)
+      hashes(key, numHashes, numBits).map(p => b.toLong * numBits + p)
+    }
+    posUdf(keyCol)
+  }
+
+  /** Membership test of [[keyPositions]] output against a
+    * [[packedGlobal]] bloom array: true iff ALL bits are set. False ⇒
+    * definitely never admitted; true ⇒ maybe (standard Bloom read). */
+  def mightContainPositions(posArr: org.apache.spark.sql.Column,
+      bloomArr: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    forall(posArr, p =>
+      call_function("bit_get",
+        element_at(bloomArr, floor(p / lit(64L)).cast("int") + 1),
+        (p % 64).cast("int")) === 1)
+  }
 }
