@@ -518,6 +518,22 @@ object VectorIndex {
         keepCols = Seq("cell")))
   }
 
+  /** Persist an IVF-PQ index's code frame PARTITIONED by cell — the
+    * wired form of [[IvfPqIndex]]'s 100 TB contract (the same move
+    * [[Index.writeBucketed]] makes for postings): a probe's
+    * `cell IN (probed)` then prunes the SCAN to the probed cells'
+    * files (FileSourceScan shows the cell partition filter), so
+    * search reads nProbe/kCoarse of the codes instead of all of them.
+    * Centroids/codebook stay driver metadata — only the code frame
+    * persists. Returns the index re-pointed at the partitioned
+    * layout. */
+  def writeCodes(index: IvfPqIndex, path: String): IvfPqIndex = {
+    val spark = index.codes.sparkSession
+    index.codes.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("cell").parquet(path)
+    index.copy(codes = spark.read.parquet(path))
+  }
+
   /** Asymmetric-distance top-k over an IVF-PQ index, probing the
     * nProbe coarse cells closest to the query (cosine desc, cell asc —
     * [[search]]'s probe order). Each probed cell gets its OWN lookup

@@ -219,6 +219,30 @@ class VectorIndexSpec extends SparkSpec {
     }
   }
 
+  test("IVF-PQ writeCodes: probe prunes to the probed cells' partitions") {
+    import spark.implicits._
+    val built = VectorIndex.ivfPqBuild(emb, "embedding", "vec_id",
+      kCoarse = 4, coarseIters = 1, m = 2, kSub = 4, pqIters = 1)
+    val qv = emb.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val dir = tmpDir("ivfpq-codes")
+    val onDisk = VectorIndex.writeCodes(built, dir)
+    val mem = VectorIndex.ivfPqSearch(
+      built.codes.filter(col("vec_id") =!= 0), "vec_id", built, qv,
+      k = 10, nProbe = 2).as[(Long, Int, Long)].collect().toSeq
+    val q = VectorIndex.ivfPqSearch(
+      onDisk.codes.filter(col("vec_id") =!= 0), "vec_id", onDisk, qv,
+      k = 10, nProbe = 2)
+    assert(q.as[(Long, Int, Long)].collect().toSeq === mem,
+      "partitioned layout must not change results")
+    // partition pruning is load-bearing: the codes scan must carry the
+    // cell partition filter (only the probed cells' files are read)
+    val plan = q.queryExecution.executedPlan.toString
+    val pf = "PartitionFilters: \\[([^\\]]*)\\]".r.findFirstMatchIn(plan)
+    assert(pf.isDefined && pf.get.group(1).contains("cell"),
+      s"no cell partition filter in codes scan:\n$plan")
+  }
+
   test("bandedScoredPairs bucketCap: saturated band degrades per band") {
     import spark.implicits._
     // all four vectors share band 0's bucket (first 4 components
