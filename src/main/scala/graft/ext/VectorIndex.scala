@@ -148,7 +148,6 @@ object VectorIndex {
       bucketCap: Option[Long] = None,
       checkpointDir: Option[String] = None): DataFrame = {
     require(bands >= 1, s"bands must be >= 1, got $bands")
-    requireBandsFit(embeddings, vecCol, bits, bands)
     // norms precomputed ONCE per vector (n rows), not per candidate
     // pair — at dim 768 that's 2 dot products saved per pair. The
     // double result is bit-identical to cosine()'s inline norms: the
@@ -159,6 +158,9 @@ object VectorIndex {
       .withColumn("__nrm", VectorFns.l2Norm(col("__v")))
     val idPairs: DataFrame =
       if (bands == 1) {
+        // (the banded branch inherits this check from bandedScoredPairs
+        // — running it here too would pay the probe job twice)
+        requireBandsFit(embeddings, vecCol, bits, bands)
         val b0 = base.withColumn("__bkt", VectorFns.signBucket(col("__v"), bits))
         val b = bucketCap.fold(b0) { cap =>
           val oversized = b0.groupBy(col("__bkt"))

@@ -96,11 +96,12 @@ object Extended19 {
   //   4 dsir — DSIR importance (TrainPrep.dsirImportance, q192) of the
   //     survivor pool against its own 'en' slice, keep imp_micro > 0
   //     (more target-like than the pool);
-  //   5 temp_mix — temperature resampling without duplication: per-
-  //     source char mass from TrainPrep.temperatureMix, keep fraction
-  //     √(chars_min/chars_s) so the smallest source keeps 100% and
-  //     heavy sources flatten toward it (p^(1/2) mixing, q122's
-  //     doctrine), applied as first-⌈n·frac⌉ docs per source;
+  //   5 temp_mix — temperature resampling without duplication: one
+  //     per-source mass agg, keep fraction √(chars_min/chars_s) so the
+  //     smallest source keeps 100% and heavy sources flatten toward it
+  //     (p^(1/2) mixing — q122's doctrine in its min-relative,
+  //     no-duplication form), applied as first-⌈n·frac⌉ docs per
+  //     source;
   //   6 pack — TrainPrep.pack (512-token budget per source, q137's
   //     shape); the funnel row reports batches and total tokens.
   //
@@ -137,8 +138,15 @@ object Extended19 {
       .dsirImportance(s3, s3.filter($"lang" === "en"), "text", "doc_id")
       .filter($"imp_micro" > 0L).select($"doc_id")
     val s4 = s3.join(impKeep, Seq("doc_id"), "left_semi").localCheckpoint()
-    // stage 5: temperature downsample (smallest source keeps 100%)
-    val mix = graft.ext.TrainPrep.temperatureMix(s4, "source", "text")
+    // stage 5: temperature downsample (smallest source keeps 100%).
+    // The keep fraction is MIN-relative √(chars_min/chars_s) — the
+    // no-duplication normalization of p^(1/2) mixing — so it derives
+    // from the per-source mass agg directly, not temperatureMix's
+    // max-relative weight_ppm (q122 gates that operator; computing it
+    // here just to discard its columns would be wasted lineage)
+    val mix = s4.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length($"text")).as("chars"))
     val cmin = mix.agg(min($"chars").as("chars_min"))
     val keepN = mix.crossJoin(broadcast(cmin))
       .select($"source",
@@ -242,8 +250,12 @@ object Extended19 {
        |        LEFT JOIN comp ON comp.vec_id = s1.doc_id
        |        WHERE comp.vec_id IS NULL OR comp.vec_id = comp.component),
        | evalset AS (SELECT text FROM documents WHERE doc_id % 37 = 0),
+       | -- NOT EXISTS, not NOT IN: anti-join semantics mirror
+       | -- prunedAntiJoin (a NULL text anywhere must not null out the
+       | -- whole predicate)
        | s3 AS MATERIALIZED (SELECT * FROM s2
-       |        WHERE text NOT IN (SELECT text FROM evalset)),
+       |        WHERE NOT EXISTS (SELECT 1 FROM evalset e
+       |                          WHERE e.text = s2.text)),
        | tk3 AS (SELECT doc_id,
        |        unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
        |        FROM s3),
@@ -296,20 +308,20 @@ object Extended19 {
        |        FROM cum),
        | pstats AS (SELECT CAST(count(DISTINCT (source, batch_id)) AS BIGINT)
        |          AS n_batches,
-       |        CAST(sum(toks) AS BIGINT) AS toks FROM packed)
+       |        CAST(COALESCE(sum(toks), 0) AS BIGINT) AS toks FROM packed)
        |SELECT CAST(0 AS BIGINT) AS stage, 'corpus' AS name,
        |       CAST(count(*) AS BIGINT) AS n_out,
-       |       CAST(sum(length(text)) AS BIGINT) AS mass FROM documents
+       |       CAST(COALESCE(sum(length(text)), 0) AS BIGINT) AS mass FROM documents
        |UNION ALL SELECT 1, 'lm_quality', count(*),
-       |       CAST(sum(length(text)) AS BIGINT) FROM s1
+       |       CAST(COALESCE(sum(length(text)), 0) AS BIGINT) FROM s1
        |UNION ALL SELECT 2, 'sem_dedup', count(*),
-       |       CAST(sum(length(text)) AS BIGINT) FROM s2
+       |       CAST(COALESCE(sum(length(text)), 0) AS BIGINT) FROM s2
        |UNION ALL SELECT 3, 'decontam', count(*),
-       |       CAST(sum(length(text)) AS BIGINT) FROM s3
+       |       CAST(COALESCE(sum(length(text)), 0) AS BIGINT) FROM s3
        |UNION ALL SELECT 4, 'dsir', count(*),
-       |       CAST(sum(length(text)) AS BIGINT) FROM s4
+       |       CAST(COALESCE(sum(length(text)), 0) AS BIGINT) FROM s4
        |UNION ALL SELECT 5, 'temp_mix', count(*),
-       |       CAST(sum(length(text)) AS BIGINT) FROM s5
+       |       CAST(COALESCE(sum(length(text)), 0) AS BIGINT) FROM s5
        |UNION ALL SELECT 6, 'pack', n_batches, toks FROM pstats
        |ORDER BY stage""".stripMargin
   }

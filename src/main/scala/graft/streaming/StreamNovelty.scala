@@ -185,6 +185,12 @@ object StreamNovelty {
   def packedGlobal(words: org.apache.spark.sql.DataFrame, numBits: Int,
       buckets: Int): org.apache.spark.sql.DataFrame = {
     require(numBits % 64 == 0, s"numBits must be a multiple of 64, got $numBits")
+    // the concatenated bit space must fit packed's Int domain — fail
+    // fast instead of letting numBits·buckets wrap to a zero-length
+    // (or garbage) bloom array
+    require(numBits.toLong * buckets <= Int.MaxValue,
+      s"numBits*buckets = ${numBits.toLong * buckets} exceeds Int range — " +
+        "shrink the per-bucket filter or pack buckets separately")
     import org.apache.spark.sql.functions._
     val wordsPerBucket = numBits / 64
     graft.ext.BloomSketch.packed(
@@ -202,9 +208,13 @@ object StreamNovelty {
   def keyPositions(keyCol: org.apache.spark.sql.Column, numBits: Int,
       numHashes: Int, buckets: Int): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
+    // null-safe like batchWords' isNotNull filter: a null key has no
+    // positions (probe reads null, never true — no membership claim)
     val posUdf = udf { key: String =>
-      val b = bucketOf(key, buckets)
-      hashes(key, numHashes, numBits).map(p => b.toLong * numBits + p)
+      Option(key).map { k =>
+        val b = bucketOf(k, buckets)
+        hashes(k, numHashes, numBits).map(p => b.toLong * numBits + p)
+      }
     }
     posUdf(keyCol)
   }
