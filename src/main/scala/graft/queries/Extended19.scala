@@ -448,17 +448,215 @@ object Extended19 {
        |ORDER BY adist_micro, r.vec_id LIMIT 10""".stripMargin
   }
 
+  // --------------------------------------------------------------------
+  // q200 — the PQ rungs priced: recall@10 of flat PQ (q191's
+  // train/encode/search, L2 adist over raw vectors) and IVF-PQ (q199's
+  // residual composition) against the brute-force COSINE top-10 —
+  // completing the q193 index-selection table with the two compressed
+  // rungs. PQ ranks by L2 on unnormalized vectors while ground truth
+  // is cosine, so the read-out prices BOTH the quantization loss and
+  // the metric mismatch — exactly what a curation team weighs before
+  // swapping a scan for codes. The oracle replays both chains
+  // (per-subspace Lloyd ×2, coarse Lloyd + residual Lloyd, per-cell
+  // LUTs) and the recall arithmetic in SQL.
+  def q200(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = t(s, dir, "embeddings")
+    def bp(c: org.apache.spark.sql.Column) =
+      floor(c * 10000.0 + 0.5).cast("long")
+    val q = e.filter($"vec_id" === 0).select($"embedding".as("qvec"))
+    val exact = e.filter($"vec_id" =!= 0).crossJoin(broadcast(q))
+      .select($"vec_id".as("id"),
+        bp(graft.functions.VectorFns.cosine($"embedding", $"qvec"))
+          .as("score"))
+      .orderBy($"score".desc, $"id".asc).limit(10)
+    val qRow = e.filter($"vec_id" === 0)
+      .select($"embedding").head().getSeq[Float](0)
+    val cb = graft.ext.VectorIndex
+      .pqTrain(e, "embedding", "vec_id", m = 2, k = 32, iterations = 2)
+    val pqApprox = graft.ext.VectorIndex
+      .pqSearch(graft.ext.VectorIndex
+          .pqEncode(e.filter($"vec_id" =!= 0), "embedding", "vec_id", cb),
+        "vec_id", cb, qRow.map(_.toDouble).toArray, k = 10)
+      .select($"vec_id".as("id"), (-$"adist_micro").as("score"))
+    val idx = graft.ext.VectorIndex.ivfPqBuild(e, "embedding", "vec_id",
+      kCoarse = 8, coarseIters = 1, m = 2, kSub = 32, pqIters = 1)
+    val ipApprox = graft.ext.VectorIndex
+      .ivfPqSearch(idx.codes.filter($"vec_id" =!= 0), "vec_id", idx,
+        qRow.toArray, k = 10, nProbe = 3)
+      .select($"vec_id".as("id"), (-$"adist_micro").as("score"))
+    def price(name: String, approx: DataFrame): DataFrame =
+      graft.ext.Retrieval.recallAtK(approx, exact, "id", "score", k = 10)
+        .select(lit(name).as("method"), $"n_common", $"recall_ppm")
+    price("pq_flat", pqApprox)
+      .unionByName(price("ivf_pq", ipApprox))
+      .orderBy($"method")
+  }
+
+  val q200Sql: String = {
+    val dsub = 32
+    def cos(a: String, b: String) =
+      s"""list_sum(list_transform(list_zip($a, $b), x -> x[1] * x[2]))
+         |   / (sqrt(list_sum(list_transform($a, x -> x * x)))
+         |      * sqrt(list_sum(list_transform($b, x -> x * x))))""".stripMargin
+    def l2(a: String, b: String) =
+      s"list_sum(list_transform(list_zip($a, $b), x -> (x[1] - x[2]) * (x[1] - x[2])))"
+    // flat PQ (q191's chain: m = 2 × k = 4, TWO Lloyd passes), prefix f
+    def flloyd(j: Int, i: Int) =
+      s""" fs$j$i AS (SELECT sub.vec_id, c.cell, ${l2("sub.v", "c.c")} AS d2
+         |          FROM fsub$j sub CROSS JOIN fc$j$i c),
+         | fa$j$i AS (SELECT vec_id, cell FROM (
+         |           SELECT vec_id, cell, row_number() OVER (
+         |             PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn
+         |           FROM fs$j$i) WHERE rn = 1),
+         | fm$j$i AS (SELECT cell, list(x ORDER BY i) AS c FROM (
+         |           SELECT a.cell, u.i,
+         |                  CAST(CAST(sum(u.x) / count(*) AS REAL) AS DOUBLE) AS x
+         |           FROM fa$j$i a JOIN (SELECT vec_id, unnest(v) AS x,
+         |                     unnest(generate_series(1, len(v))) AS i FROM fsub$j) u
+         |             USING (vec_id)
+         |           GROUP BY a.cell, u.i) GROUP BY cell),
+         | fc$j${i + 1} AS (SELECT c.cell, coalesce(m.c, c.c) AS c
+         |               FROM fc$j$i c LEFT JOIN fm$j$i m USING (cell))""".stripMargin
+    val flatPq = (0 until 2).map { j =>
+      val lo = j * dsub + 1; val hi = (j + 1) * dsub
+      s""" fsub$j AS (SELECT vec_id, list_slice(v, $lo, $hi) AS v FROM e),
+         | fc${j}0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
+         |                 AS INTEGER) AS cell, v AS c
+         |        FROM (SELECT vec_id, v FROM fsub$j ORDER BY vec_id LIMIT 32)),
+         |${flloyd(j, 0)},
+         |${flloyd(j, 1)},
+         | fsf$j AS (SELECT sub.vec_id, c.cell, ${l2("sub.v", "c.c")} AS d2
+         |          FROM fsub$j sub CROSS JOIN fc${j}2 c),
+         | faf$j AS (SELECT vec_id, cell FROM (
+         |           SELECT vec_id, cell, row_number() OVER (
+         |             PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn
+         |           FROM fsf$j) WHERE rn = 1),
+         | flut$j AS (SELECT c.cell,
+         |             CAST(floor(${l2(s"list_slice(q.v, $lo, $hi)", "c.c")}
+         |               * 1000000.0) AS BIGINT) AS d
+         |           FROM fc${j}2 c CROSS JOIN q)""".stripMargin
+    }.mkString(",\n")
+    // IVF-PQ (q199's chain: coarse 4×1 + residual PQ 2×4×1), rsub/plut
+    val coarse =
+      s""" c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
+         |                 AS INTEGER) AS cell, v AS c
+         |        FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)),
+         | s0 AS (SELECT e.vec_id, c0.cell, ${cos("e.v", "c0.c")} AS score
+         |        FROM e CROSS JOIN c0),
+         | a0 AS (SELECT vec_id, cell FROM (
+         |          SELECT vec_id, cell, row_number() OVER (
+         |            PARTITION BY vec_id ORDER BY score DESC, cell DESC) AS rn
+         |          FROM s0) WHERE rn = 1),
+         | m0 AS (SELECT cell, list(x ORDER BY i) AS c FROM (
+         |          SELECT a0.cell, u.i,
+         |                 CAST(CAST(sum(u.x) / count(*) AS REAL) AS DOUBLE) AS x
+         |          FROM a0 JOIN (SELECT vec_id, unnest(v) AS x,
+         |                   unnest(generate_series(1, len(v))) AS i FROM e) u
+         |            USING (vec_id)
+         |          GROUP BY a0.cell, u.i) GROUP BY cell),
+         | c1 AS (SELECT c0.cell, coalesce(m0.c, c0.c) AS c
+         |        FROM c0 LEFT JOIN m0 USING (cell)),
+         | sf AS (SELECT e.vec_id, c1.cell, ${cos("e.v", "c1.c")} AS score
+         |        FROM e CROSS JOIN c1),
+         | af AS (SELECT vec_id, cell FROM (
+         |          SELECT vec_id, cell, row_number() OVER (
+         |            PARTITION BY vec_id ORDER BY score DESC, cell DESC) AS rn
+         |          FROM sf) WHERE rn = 1),
+         | res AS (SELECT e.vec_id, af.cell,
+         |           list_transform(list_zip(e.v, c.c), x -> x[1] - x[2]) AS r
+         |         FROM e JOIN af USING (vec_id)
+         |              JOIN c1 c ON c.cell = af.cell)""".stripMargin
+    val residPq = (0 until 2).map { j =>
+      val lo = j * dsub + 1; val hi = (j + 1) * dsub
+      s""" rsub$j AS (SELECT vec_id, list_slice(r, $lo, $hi) AS v FROM res),
+         | p${j}c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
+         |                 AS INTEGER) AS cell, v AS c
+         |        FROM (SELECT vec_id, v FROM rsub$j ORDER BY vec_id LIMIT 32)),
+         | p${j}s0 AS (SELECT sub.vec_id, c.cell, ${l2("sub.v", "c.c")} AS d2
+         |          FROM rsub$j sub CROSS JOIN p${j}c0 c),
+         | p${j}a0 AS (SELECT vec_id, cell FROM (
+         |           SELECT vec_id, cell, row_number() OVER (
+         |             PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn
+         |           FROM p${j}s0) WHERE rn = 1),
+         | p${j}m0 AS (SELECT cell, list(x ORDER BY i) AS c FROM (
+         |           SELECT a.cell, u.i,
+         |                  CAST(CAST(sum(u.x) / count(*) AS REAL) AS DOUBLE) AS x
+         |           FROM p${j}a0 a JOIN (SELECT vec_id, unnest(v) AS x,
+         |                     unnest(generate_series(1, len(v))) AS i FROM rsub$j) u
+         |             USING (vec_id)
+         |           GROUP BY a.cell, u.i) GROUP BY cell),
+         | p${j}c1 AS (SELECT c.cell, coalesce(m.c, c.c) AS c
+         |               FROM p${j}c0 c LEFT JOIN p${j}m0 m USING (cell)),
+         | p${j}sf AS (SELECT sub.vec_id, c.cell, ${l2("sub.v", "c.c")} AS d2
+         |          FROM rsub$j sub CROSS JOIN p${j}c1 c),
+         | p${j}af AS (SELECT vec_id, cell FROM (
+         |           SELECT vec_id, cell, row_number() OVER (
+         |             PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn
+         |           FROM p${j}sf) WHERE rn = 1),
+         | plut$j AS (SELECT qr.cell, c.cell AS pqcell,
+         |             CAST(floor(${l2(s"list_slice(qr.qr, $lo, $hi)", "c.c")}
+         |               * 1000000.0) AS BIGINT) AS d
+         |           FROM p${j}c1 c CROSS JOIN qr)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id,
+       |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |        FROM embeddings),
+       | q AS (SELECT v FROM e WHERE vec_id = 0),
+       | exact AS (SELECT e.vec_id AS id,
+       |     CAST(floor(${cos("e.v", "q.v")} * 10000.0 + 0.5) AS BIGINT)
+       |       AS score
+       |   FROM e CROSS JOIN q WHERE e.vec_id <> 0
+       |   ORDER BY score DESC, id LIMIT 10),
+       |$flatPq,
+       | pq10 AS (SELECT faf0.vec_id AS id
+       |   FROM faf0 JOIN faf1 USING (vec_id)
+       |        JOIN flut0 l0 ON l0.cell = faf0.cell
+       |        JOIN flut1 l1 ON l1.cell = faf1.cell
+       |   WHERE faf0.vec_id <> 0
+       |   ORDER BY l0.d + l1.d, faf0.vec_id LIMIT 10),
+       |$coarse,
+       | pr AS (SELECT cell FROM (
+       |          SELECT c1.cell, row_number() OVER (
+       |            ORDER BY ${cos("c1.c", "q.v")} DESC, c1.cell ASC) AS rn
+       |          FROM c1 CROSS JOIN q) WHERE rn <= 3),
+       | qr AS (SELECT pr.cell,
+       |          list_transform(list_zip(q.v, c.c), x -> x[1] - x[2]) AS qr
+       |        FROM pr JOIN c1 c USING (cell) CROSS JOIN q),
+       |$residPq,
+       | ivfpq10 AS (SELECT r.vec_id AS id
+       |   FROM res r JOIN p0af USING (vec_id) JOIN p1af f1
+       |          ON f1.vec_id = r.vec_id
+       |        JOIN plut0 l0 ON l0.cell = r.cell AND l0.pqcell = p0af.cell
+       |        JOIN plut1 l1 ON l1.cell = r.cell AND l1.pqcell = f1.cell
+       |   WHERE r.vec_id <> 0 AND r.cell IN (SELECT cell FROM pr)
+       |   ORDER BY l0.d + l1.d, r.vec_id LIMIT 10),
+       | nex AS (SELECT CAST(count(*) AS BIGINT) AS n FROM exact)
+       |SELECT method, n_common,
+       |       CAST(n_common * 1000000 // (SELECT n FROM nex) AS BIGINT)
+       |         AS recall_ppm
+       |FROM (
+       |  SELECT 'ivf_pq' AS method,
+       |    CAST((SELECT count(*) FROM exact JOIN ivfpq10 USING (id))
+       |      AS BIGINT) AS n_common
+       |  UNION ALL SELECT 'pq_flat',
+       |    CAST((SELECT count(*) FROM exact JOIN pq10 USING (id)) AS BIGINT))
+       |ORDER BY method""".stripMargin
+  }
+
   /** Name → query function, for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q197_megapipeline" -> (q197 _),
     "q198_bm25_bucketed" -> (q198 _),
-    "q199_ivf_pq" -> (q199 _)
+    "q199_ivf_pq" -> (q199 _),
+    "q200_pq_recall" -> (q200 _)
   )
 
   /** Name → DuckDB oracle SQL, for SparkEntry. */
   val oracles: Map[String, String] = Map(
     "q197_megapipeline" -> q197Sql,
     "q198_bm25_bucketed" -> q198Sql,
-    "q199_ivf_pq" -> q199Sql
+    "q199_ivf_pq" -> q199Sql,
+    "q200_pq_recall" -> q200Sql
   )
 }
