@@ -146,7 +146,8 @@ object VectorIndex {
   def semanticDedup(embeddings: DataFrame, vecCol: String, idCol: String,
       tauBp: Int, bits: Int = 4, bands: Int = 1,
       bucketCap: Option[Long] = None,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      ccMaxRounds: Int = 40): DataFrame = {
     require(bands >= 1, s"bands must be >= 1, got $bands")
     // norms precomputed ONCE per vector (n rows), not per candidate
     // pair — at dim 768 that's 2 dot products saved per pair. The
@@ -186,9 +187,12 @@ object VectorIndex {
           .filter(col("cos_bp") >= tauBp)
           .select(col("ia"), col("ib"))
       }
+    // banded graphs are denser than single-band cuts — near-threshold
+    // chains run long, so propagation gets headroom by default (the
+    // loop exits on convergence; unused rounds cost nothing)
     TextDedup.connectedComponents(idPairs, embeddings.select(col(idCol)),
         srcCol = "ia", dstCol = "ib", nodeCol = idCol,
-        checkpointDir = checkpointDir)
+        maxRounds = ccMaxRounds, checkpointDir = checkpointDir)
       .select(col("node").as(idCol), col("component"),
         (col("node") === col("component")).as("keep"))
   }
