@@ -459,6 +459,138 @@ object Stress {
         .ivfPqSearch(idx.codes, "doc_id", idx, q, k = 10, nProbe = 2)
         .count()
     }
+    if (picks("megaparts")) {
+      // stage-isolated variant of megapipe (the bloomparts pattern):
+      // each stage materializes (localCheckpoint) and times separately
+      val d = docs
+      var s1: DataFrame = null
+      timed("mp-lm") {
+        val counts = graft.ext.LanguageModel
+          .bigramCounts(d.filter($"doc_id" % 10 === 0), "text", "doc_id")
+        val model = graft.ext.LanguageModel.bigramModel(counts)
+        val lmKeep = graft.ext.LanguageModel
+          .scoreBigrams(d, "text", "doc_id", model)
+          .filter($"nll_avg_micro" <= 6000000L).select($"doc_id")
+        s1 = d.join(lmKeep, Seq("doc_id"), "left_semi").localCheckpoint()
+        s1.count()
+      }
+      val dim = 32
+      val g = $"doc_id" - $"doc_id" % 5
+      val vec = array((0 until dim).map { i =>
+        ((xxhash64(g, lit(i)) % 1000L).cast("double") / 500.0).cast("float")
+      }: _*)
+      var s2: DataFrame = null
+      timed("mp-dedup") {
+        val emb = s1.select($"doc_id".as("vec_id"), vec.as("embedding"))
+        val mpBits2 = math.min(16, math.max(10,
+          (math.log(rows.toDouble / 64.0) / math.log(2.0)).ceil.toInt))
+        val kept = graft.ext.VectorIndex
+          .semanticDedup(emb, "embedding", "vec_id", tauBp = 9900,
+            bits = mpBits2, bands = 2, bucketCap = Some(2000L))
+          .filter($"keep").select($"vec_id".as("doc_id"))
+        s2 = s1.join(kept, Seq("doc_id"), "left_semi").localCheckpoint()
+        s2.count()
+      }
+      var s3: DataFrame = null
+      timed("mp-decontam") {
+        val eval0 = d.filter($"doc_id" % 37 === 0).select($"text".as("k"))
+        s3 = graft.ext.BloomSketch.prunedAntiJoin(s2, "text", eval0, "k")
+          .localCheckpoint()
+        s3.count()
+      }
+      var s4: DataFrame = null
+      timed("mp-dsir") {
+        val impKeep = graft.ext.TrainPrep
+          .dsirImportance(s3, s3.filter($"doc_id" % 10 === 3), "text", "doc_id")
+          .filter($"imp_micro" > 0L).select($"doc_id")
+        s4 = s3.join(impKeep, Seq("doc_id"), "left_semi").localCheckpoint()
+        s4.count()
+      }
+      timed("mp-mix-pack") {
+        val mix = s4.groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"), sum(length($"text")).as("chars"))
+        val cmin = mix.agg(min($"chars").as("chars_min"))
+        val keepN = mix.crossJoin(broadcast(cmin))
+          .select($"source",
+            expr("""(n_docs * CAST(floor(sqrt(CAST(chars_min AS DOUBLE)
+                   |  / chars) * 1000000.0) AS BIGINT) + 999999)
+                   |  div 1000000""".stripMargin).as("keep_n"))
+        val w5 = org.apache.spark.sql.expressions.Window
+          .partitionBy($"source").orderBy($"doc_id")
+        val s5 = s4.withColumn("rn", row_number().over(w5).cast("long"))
+          .join(broadcast(keepN), "source")
+          .filter($"rn" <= $"keep_n").drop("rn", "keep_n")
+        graft.ext.TrainPrep
+          .pack(s5, "doc_id", "source", "text", tokenCap = 2048)
+          .count()
+      }
+    }
+    if (picks("megapipe")) timed("megapipe") {
+      // q197's six-stage curation pipeline at generated scale — the
+      // would-it-hold-at-100x probe for the megapipeline itself. The
+      // blocking knobs SCALE WITH n where the gate query's couldn't:
+      // bits = 14 (16k buckets/band — sign blocking needs bits ≈
+      // log2 n, the semanticDedup scaladoc contract) with bands = 2 +
+      // bucketCap. Synthetic embeddings: clusters of 5 identical
+      // hash-derived vectors (200k clusters at 1M docs) so the dedup
+      // stage has REAL work; tau 9900 keeps only near-identicals.
+      val d = docs
+      // sign-blocking bits scale with log2(n): in-bucket pair volume is
+      // n²/2^bits per band, so FIXED bits detonate at 4x corpus
+      // (measured: bits=14 at 4M docs spilled >60 GB in the pair
+      // exchange). dim 32 with bands=2 caps bits at 16 (~4M docs at
+      // 64/bucket); beyond that the dial is dim (more hyperplanes) or
+      // bucketCap.
+      val mpBits = math.min(16, math.max(10,
+        (math.log(rows.toDouble / 64.0) / math.log(2.0)).ceil.toInt))
+      val counts = graft.ext.LanguageModel
+        .bigramCounts(d.filter($"doc_id" % 10 === 0), "text", "doc_id")
+      val model = graft.ext.LanguageModel.bigramModel(counts)
+      val lmKeep = graft.ext.LanguageModel
+        .scoreBigrams(d, "text", "doc_id", model)
+        .filter($"nll_avg_micro" <= 6000000L).select($"doc_id")
+      // EVERY stage pins (localCheckpoint) — q197's discipline: DSIR
+      // reads its input twice (raw + target), prunedAntiJoin twice
+      // (definite-miss + maybe), the dedup blocker many times; left
+      // unpinned, the chain re-evaluates multiplicatively (measured:
+      // 1,222 s at 1M with only one pin vs ~170 s fully pinned)
+      val s1 = d.join(lmKeep, Seq("doc_id"), "left_semi").localCheckpoint()
+      val dim = 32
+      val g = $"doc_id" - $"doc_id" % 5
+      val vec = array((0 until dim).map { i =>
+        ((xxhash64(g, lit(i)) % 1000L).cast("double") / 500.0).cast("float")
+      }: _*)
+      val emb = s1.select($"doc_id".as("vec_id"), vec.as("embedding"))
+      val kept = graft.ext.VectorIndex
+        .semanticDedup(emb, "embedding", "vec_id", tauBp = 9900,
+          bits = mpBits, bands = 2, bucketCap = Some(2000L))
+        .filter($"keep").select($"vec_id".as("doc_id"))
+      val s2 = s1.join(kept, Seq("doc_id"), "left_semi").localCheckpoint()
+      val eval0 = d.filter($"doc_id" % 37 === 0).select($"text".as("k"))
+      val s3 = graft.ext.BloomSketch.prunedAntiJoin(s2, "text", eval0, "k")
+        .localCheckpoint()
+      val impKeep = graft.ext.TrainPrep
+        .dsirImportance(s3, s3.filter($"doc_id" % 10 === 3), "text", "doc_id")
+        .filter($"imp_micro" > 0L).select($"doc_id")
+      val s4 = s3.join(impKeep, Seq("doc_id"), "left_semi")
+        .localCheckpoint()
+      val mix = s4.groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum(length($"text")).as("chars"))
+      val cmin = mix.agg(min($"chars").as("chars_min"))
+      val keepN = mix.crossJoin(broadcast(cmin))
+        .select($"source",
+          expr("""(n_docs * CAST(floor(sqrt(CAST(chars_min AS DOUBLE)
+                 |  / chars) * 1000000.0) AS BIGINT) + 999999)
+                 |  div 1000000""".stripMargin).as("keep_n"))
+      val w5 = org.apache.spark.sql.expressions.Window
+        .partitionBy($"source").orderBy($"doc_id")
+      val s5 = s4.withColumn("rn", row_number().over(w5).cast("long"))
+        .join(broadcast(keepN), "source")
+        .filter($"rn" <= $"keep_n").drop("rn", "keep_n")
+      graft.ext.TrainPrep
+        .pack(s5, "doc_id", "source", "text", tokenCap = 2048)
+        .count()
+    }
     if (picks("lcspan")) timed("lcspan") {
       // TextDedup.longestCommonSpan (q194 operator) with a FIXED
       // 1000-pair candidate list while the corpus scales: the verify
