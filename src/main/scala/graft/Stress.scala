@@ -33,6 +33,22 @@ object Stress {
       println(f"[stress] $name%-12s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n rows, $rows docs)")
     }
 
+    // Cleaner work window between composed-pipeline stages, on by
+    // default (GRAFT_STRESS_GC=0 disables — the A/B dial): one
+    // uninterrupted multi-minute chain at a large fixed heap never
+    // triggers a full GC, so the ContextCleaner (whose shuffle /
+    // broadcast / checkpoint cleanups ride on weak-reference
+    // finalization) does no work until the driver blocks — dropped
+    // upstream state then accumulates against the later stages. The
+    // staged probes get this window for free at each materialization
+    // barrier; composed runs must ask for it. Same mechanism as
+    // Bench's between-query System.gc().
+    val gcBetweenStages = sys.env.getOrElse("GRAFT_STRESS_GC", "1") != "0"
+    def gcWindow(): Unit = if (gcBetweenStages) {
+      System.gc()
+      Thread.sleep(200L)
+    }
+
     if (picks("dedup")) timed("dedup") {
       val d = docs
       // starCap: the generated corpus has a 10k+-clone cluster; capped
@@ -53,14 +69,13 @@ object Stress {
         .count()
     }
     if (picks("packing")) timed("packing") {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy($"source").orderBy($"doc_id")
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-      docs.select($"doc_id", $"source",
-          graft.functions.TextFns.approxBpeTokenCount($"text").as("toks"))
-        .withColumn("cum", coalesce(sum($"toks").over(w), lit(0L)))
-        .withColumn("batch", expr("cum div 2048"))
-        .groupBy($"source", $"batch").count().count()
+      // TrainPrep.pack's keyed two-pass prefix sum (no per-source
+      // single-task window) — the generated corpus has source
+      // cardinality 4, exactly the few-source shape the keyed
+      // GlobalRank layout exists for
+      graft.ext.TrainPrep.pack(docs, "doc_id", "source", "text",
+          tokenCap = 2048)
+        .groupBy($"source", $"batch_id").count().count()
     }
     if (picks("redact")) timed("redact") {
       docs.select(md5(graft.functions.TextFns.redactPii($"text")))
@@ -515,9 +530,8 @@ object Stress {
             expr("""(n_docs * CAST(floor(sqrt(CAST(chars_min AS DOUBLE)
                    |  / chars) * 1000000.0) AS BIGINT) + 999999)
                    |  div 1000000""".stripMargin).as("keep_n"))
-        val w5 = org.apache.spark.sql.expressions.Window
-          .partitionBy($"source").orderBy($"doc_id")
-        val s5 = s4.withColumn("rn", row_number().over(w5).cast("long"))
+        val s5 = graft.operators.GlobalRank
+          .withKeyedRank(s4, Seq("source"), Seq($"doc_id"), "rn")
           .join(broadcast(keepN), "source")
           .filter($"rn" <= $"keep_n").drop("rn", "keep_n")
         graft.ext.TrainPrep
@@ -555,6 +569,7 @@ object Stress {
       // unpinned, the chain re-evaluates multiplicatively (measured:
       // 1,222 s at 1M with only one pin vs ~170 s fully pinned)
       val s1 = d.join(lmKeep, Seq("doc_id"), "left_semi").localCheckpoint()
+      gcWindow()
       val dim = 32
       val g = $"doc_id" - $"doc_id" % 5
       val vec = array((0 until dim).map { i =>
@@ -566,14 +581,17 @@ object Stress {
           bits = mpBits, bands = 2, bucketCap = Some(2000L))
         .filter($"keep").select($"vec_id".as("doc_id"))
       val s2 = s1.join(kept, Seq("doc_id"), "left_semi").localCheckpoint()
+      gcWindow()
       val eval0 = d.filter($"doc_id" % 37 === 0).select($"text".as("k"))
       val s3 = graft.ext.BloomSketch.prunedAntiJoin(s2, "text", eval0, "k")
         .localCheckpoint()
+      gcWindow()
       val impKeep = graft.ext.TrainPrep
         .dsirImportance(s3, s3.filter($"doc_id" % 10 === 3), "text", "doc_id")
         .filter($"imp_micro" > 0L).select($"doc_id")
       val s4 = s3.join(impKeep, Seq("doc_id"), "left_semi")
         .localCheckpoint()
+      gcWindow()
       val mix = s4.groupBy($"source")
         .agg(count(lit(1)).as("n_docs"), sum(length($"text")).as("chars"))
       val cmin = mix.agg(min($"chars").as("chars_min"))
@@ -582,9 +600,9 @@ object Stress {
           expr("""(n_docs * CAST(floor(sqrt(CAST(chars_min AS DOUBLE)
                  |  / chars) * 1000000.0) AS BIGINT) + 999999)
                  |  div 1000000""".stripMargin).as("keep_n"))
-      val w5 = org.apache.spark.sql.expressions.Window
-        .partitionBy($"source").orderBy($"doc_id")
-      val s5 = s4.withColumn("rn", row_number().over(w5).cast("long"))
+      gcWindow()
+      val s5 = graft.operators.GlobalRank
+        .withKeyedRank(s4, Seq("source"), Seq($"doc_id"), "rn")
         .join(broadcast(keepN), "source")
         .filter($"rn" <= $"keep_n").drop("rn", "keep_n")
       graft.ext.TrainPrep
@@ -603,6 +621,131 @@ object Stress {
       graft.ext.TextDedup
         .longestCommonSpan(pairs, docs, "text", "doc_id", k = 5)
         .count()
+    }
+    if (picks("annrecall")) {
+      // recall@10 read-out for the compressed ANN rungs at generated
+      // scale: brute cosine top-10 on a FIXED 100-query panel is ground
+      // truth; flat PQ and IVF-PQ (the q191/q199 builds, sample-trained
+      // like the pq/ivfpq cost probes) are scored against it. Unlike
+      // those cost probes this one generates DISTINCT vectors per doc
+      // (g = doc_id) — the 1000-distinct-clone corpus they share would
+      // make every true neighbor an exact duplicate and recall
+      // meaningless. The brute pass is ONE windowed job (rank<=10 gets
+      // the WindowGroupLimit pushdown, so the qid shuffle carries ~10
+      // rows per (map partition, qid)); the PQ/IVF-PQ passes run the
+      // panel through the production search calls — per-query LUT
+      // scans over cached codes.
+      //
+      // Corpus structure: clusters of 10 docs around hash-derived
+      // centers with ±5% per-doc noise — each query's true top-10 is
+      // its 9 cluster-mates plus one outsider, so recall@10 directly
+      // reads "does the quantizer resolve the cluster". Two corpus
+      // shapes that DON'T price anything, measured: pure-random
+      // vectors (no neighbor structure at dim 32 — every point
+      // equidistant, recall ~0.03 for any quantizer) and clusters of
+      // 100 (all mates tie on one code, the (adist, id) tie-break
+      // floods top-10 with the 10 lowest-id mates — recall ~10/99
+      // regardless of quantizer quality).
+      val dim = 32
+      val cl = $"doc_id" - $"doc_id" % 10
+      val vec = array((0 until dim).map { i =>
+        (((xxhash64(cl, lit(i)) % 1000L).cast("double") / 500.0) +
+          ((xxhash64($"doc_id", lit(i + 1000)) % 1000L).cast("double")
+            / 10000.0)).cast("float")
+      }: _*)
+      val emb = docs.select($"doc_id", vec.as("v"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      emb.count()
+      val step = math.max(1L, rows / 100L)
+      val panel = emb.filter($"doc_id" % step === 0L &&
+          $"doc_id" < step * 100L)
+        .select($"doc_id".as("qid"), $"v".as("qv"))
+      val panelRows = panel.collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      var brute = Map.empty[Long, Set[Long]]
+      timed("annrecall-brute") {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"qid").orderBy($"cos".desc, $"doc_id")
+        brute = emb.crossJoin(broadcast(panel))
+          .filter($"doc_id" =!= $"qid")
+          .select($"qid", $"doc_id",
+            graft.functions.VectorFns.cosine($"v", $"qv").as("cos"))
+          .withColumn("rk", row_number().over(w)).filter($"rk" <= 10)
+          .select($"qid", $"doc_id").collect()
+          .groupBy(_.getLong(0)).view
+          .mapValues(_.map(_.getLong(1)).toSet).toMap
+        brute.size.toLong
+      }
+      val trainS = Some(emb.filter($"doc_id" < 10000L))
+      val cb = graft.ext.VectorIndex.pqTrain(
+        trainS.get, "v", "doc_id", m = 4, k = 16, iterations = 2)
+      val codes = graft.ext.VectorIndex.pqEncode(emb, "v", "doc_id", cb)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      codes.count()
+      val ivf = graft.ext.VectorIndex.ivfPqBuild(emb, "v", "doc_id",
+        kCoarse = 8, coarseIters = 1, m = 4, kSub = 16, pqIters = 1,
+        trainSample = trainS)
+      val icodes = ivf.codes
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      icodes.count()
+      var pqHit = 0L
+      var ivfHit = 0L
+      timed("annrecall-pq") {
+        panelRows.foreach { case (qid, qv) =>
+          val top = graft.ext.VectorIndex
+            .pqSearch(codes.filter($"doc_id" =!= qid), "doc_id", cb,
+              qv.map(_.toDouble), k = 10)
+            .collect().map(_.getLong(0))
+          pqHit += top.count(brute.getOrElse(qid, Set.empty).contains)
+        }
+        pqHit
+      }
+      timed("annrecall-ivfpq") {
+        panelRows.foreach { case (qid, qv) =>
+          val top = graft.ext.VectorIndex
+            .ivfPqSearch(icodes.filter($"doc_id" =!= qid), "doc_id", ivf,
+              qv, k = 10, nProbe = 2)
+            .collect().map(_.getLong(0))
+          ivfHit += top.count(brute.getOrElse(qid, Set.empty).contains)
+        }
+        ivfHit
+      }
+      val nq = panelRows.length.max(1)
+      println(f"[stress] annrecall recall@10: pq_flat ${pqHit / 10.0 / nq}%.3f" +
+        f"  ivf_pq(nProbe=2/8) ${ivfHit / 10.0 / nq}%.3f  ($nq queries)")
+      emb.unpersist(); codes.unpersist(); icodes.unpersist()
+    }
+    if (picks("bm25probe")) {
+      // amortized probe economics for the BUCKETED postings (q198's
+      // contract): ONE build, then N=100 term-set searches against the
+      // catalog-backed bucketed index vs the in-memory index. The
+      // bucketed path's per-probe scan prunes to the terms' buckets
+      // (SelectedBucketsCount <= |terms|) — per-probe cost should stay
+      // flat as the corpus grows, while the in-memory path rescans the
+      // whole (cached) postings frame per probe.
+      val vocab = Array("the", "a", "data", "table", "row", "scan",
+        "join", "agg", "key", "value", "fast", "slow", "batch", "stream",
+        "spark", "query", "filter", "group", "window", "hash", "merge",
+        "sort", "part", "small", "big", "line", "order", "customer",
+        "vector", "column")
+      def termsOf(i: Int): Seq[String] =
+        Seq(vocab(i % 30), vocab((i * 7 + 3) % 30), vocab((i * 13 + 11) % 30))
+          .distinct
+      val built = graft.ext.Index.build(docs, "text", "doc_id")
+      val bucketed = graft.ext.Index.writeBucketed(built, spark,
+        "graft_stress_bm25", numBuckets = 32)
+      timed("bm25probe-bucketed") {
+        (0 until 100).map(i =>
+          bucketed.search(termsOf(i), k = 10).count()).sum
+      }
+      timed("bm25probe-mem") {
+        (0 until 100).map(i =>
+          built.search(termsOf(i), k = 10).count()).sum
+      }
+      built.unpersist()
+      Seq("graft_stress_bm25_postings", "graft_stress_bm25_dict",
+        "graft_stress_bm25_stats")
+        .foreach(tbl => spark.sql(s"DROP TABLE IF EXISTS $tbl"))
     }
     if (picks("textprofile")) timed("textprofile") {
       // Profile.textProfile (q177/q178 shelf) at generated scale: one

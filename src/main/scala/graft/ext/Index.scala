@@ -157,19 +157,36 @@ object Index {
     *
     * Bucketing metadata lives in the session catalog ([[
     * graft.store.BucketedStore]]'s contract), so `name` is a table
-    * prefix: `<name>_postings`, `<name>_dict`, `<name>_stats`. */
+    * prefix: `<name>_postings`, `<name>_dict`, `<name>_stats` —
+    * validated as a bare SQL identifier (it is interpolated into DROP
+    * TABLE and resolved to a filesystem path).
+    *
+    * SINGLE WRITER assumed (the K2 idempotent-append precedent): the
+    * stale-table cleanup drops catalog entries AND orphaned data
+    * paths, so a concurrent reader of the same index name could see
+    * its frames vanish mid-scan. Writers coordinate externally;
+    * readers re-open via [[loadBucketed]] AFTER a write completes —
+    * the reopened frames are consistent (spec-pinned). */
   def writeBucketed(built: Built, spark: SparkSession, name: String,
       numBuckets: Int = 32): Built = {
     require(numBuckets >= 1, s"numBuckets must be >= 1, got $numBuckets")
+    require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"index name must be a bare SQL identifier, got '$name'")
     // with the in-memory session catalog a managed table's LOCATION can
     // outlive the catalog entry (fresh JVM, old warehouse dir) and
     // Overwrite then refuses to create over it — drop both forms of
-    // staleness first (a Hive metastore wouldn't need the second step)
+    // staleness first (a Hive metastore wouldn't need the second step).
+    // The orphan path resolves under the CURRENT database's location
+    // (not a hard-coded warehouse root — a non-default database or a
+    // custom DB location would otherwise skip, or worse hit, the
+    // wrong path).
+    val dbLoc = spark.sessionState.catalog
+      .getDatabaseMetadata(spark.catalog.currentDatabase).locationUri
     Seq(s"${name}_postings", s"${name}_dict", s"${name}_stats")
       .foreach { table =>
         spark.sql(s"DROP TABLE IF EXISTS $table")
-        val wh = spark.conf.get("spark.sql.warehouse.dir")
-        val p = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
+        val p = new org.apache.hadoop.fs.Path(
+          new org.apache.hadoop.fs.Path(dbLoc), table.toLowerCase)
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (fs.exists(p)) fs.delete(p, true)
       }

@@ -67,16 +67,24 @@ object TrainPrep {
   /** Fixed token-budget batch assignment (q86 generalized): documents
     * in id order within each shard go to batch cum_tokens div cap.
     * Returns one row per doc with its batch id — join back or group to
-    * taste. */
+    * taste.
+    *
+    * The per-shard cumulative sum runs through
+    * [[graft.operators.GlobalRank.withKeyedPrefixSum]] (range-partition
+    * on (shard, id) + broadcast per-segment offsets), NOT
+    * `sum OVER (PARTITION BY shard ORDER BY id)`: the shard column is
+    * low-cardinality by design (a handful of corpus sources), so the
+    * windowed plan would sort each source's ENTIRE extent in one task —
+    * at 100 TB with 4 sources, 4 tasks would carry the whole corpus.
+    * Results are row-identical to the windowed form (spec-pinned). */
   def pack(docs: DataFrame, idCol: String, shardCol: String,
       textCol: String, tokenCap: Int = 512): DataFrame = {
     require(tokenCap > 0, s"tokenCap must be positive, got $tokenCap")
-    val w = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    docs
+    val base = docs
       .select(col(idCol), col(shardCol),
         TextFns.approxBpeTokenCount(col(textCol)).as("toks"))
-      .withColumn("cum_before", coalesce(sum(col("toks")).over(w), lit(0L)))
+    graft.operators.GlobalRank
+      .withKeyedPrefixSum(base, Seq(shardCol), Seq(col(idCol)), "toks")
       .withColumn("batch_id", expr(s"cum_before div $tokenCap"))
       .select(col(idCol), col(shardCol), col("toks"), col("batch_id"))
   }

@@ -76,17 +76,8 @@ object VectorIndex {
   def search(spark: SparkSession, indexed: DataFrame, vecCol: String,
       idCol: String, centroids: Array[Array[Float]],
       query: Array[Float], k: Int, nProbe: Int): DataFrame = {
-    def cos(a: Array[Float], b: Array[Float]): Double = {
-      var d = 0.0; var na = 0.0; var nb = 0.0
-      var i = 0
-      while (i < math.min(a.length, b.length)) {
-        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
-        i += 1
-      }
-      if (na == 0 || nb == 0) 0.0 else d / (math.sqrt(na) * math.sqrt(nb))
-    }
     val probed = centroids.zipWithIndex
-      .sortBy { case (c, _) => -cos(c, query) }
+      .sortBy { case (c, _) => -cosF(c, query) }
       .take(nProbe).map(_._2)
     indexed
       .filter(col("cell").isin(probed.toSeq: _*)) // partition-prunable at scale

@@ -132,6 +132,127 @@ object GlobalRank {
     spark.createDataFrame(out, schema)
   }
 
+  /** [[withRankAndPrefixSum]] generalized to RESET at key boundaries —
+    * the scalable form of `row_number()` / `sum(x) OVER (PARTITION BY
+    * key ORDER BY …)` when the key is LOW-CARDINALITY (a handful of
+    * corpus sources): the windowed plan sorts each key's ENTIRE extent
+    * in one task, so at 100 TB with 4 sources, 4 tasks carry the whole
+    * table — the same single-partition pathology [[withRank]]'s doc
+    * warns about, per key. Here the data range-partitions on
+    * (keyCols ++ sortCols), so a big key SPANS partitions; pass 1
+    * collects per-(partition, key-segment) counts and sums (key
+    * segments are contiguous within a sorted partition, so this is
+    * ≤ #partitions + #keys rows of driver metadata — bounded like the
+    * flat form's per-partition longs), and pass 2 emits
+    * `offset(partition, key) + running local count/sum`, resetting at
+    * each in-partition key change.
+    *
+    * Results match the windowed form row for row (spec-pinned against
+    * `row_number`/windowed cumsum at several partition counts) because
+    * (keyCols, sortCols) is a total order.
+    *
+    * @param keyCols  window PARTITION BY columns (by name; null keys
+    *                 group together, like SQL window partitioning)
+    * @param sortCols a total order WITHIN each key (include a
+    *                 tiebreaker id column)
+    * @param valueCol long column to prefix-sum; NULLs contribute 0
+    *                 (window-sum skip semantics) but still take a rank
+    * @param rankCol  1-based rank within the row's key
+    * @param sumCol   exclusive per-key prefix sum of `valueCol`
+    */
+  def withKeyedRankAndPrefixSum(df: DataFrame, keyCols: Seq[String],
+      sortCols: Seq[Column], valueCol: String, rankCol: String = "rank",
+      sumCol: String = "cum_before", partitions: Int = 0): DataFrame = {
+    require(keyCols.nonEmpty, "withKeyedRankAndPrefixSum needs key columns" +
+      " — use withRankAndPrefixSum for the unkeyed form")
+    val spark = df.sparkSession
+    val n = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    val rangeCols = keyCols.map(org.apache.spark.sql.functions.col) ++ sortCols
+    val sorted = df.repartitionByRange(n, rangeCols: _*)
+      .sortWithinPartitions(rangeCols: _*)
+    val vIdx = sorted.schema.fieldIndex(valueCol)
+    val keyIdxs = keyCols.map(sorted.schema.fieldIndex).toArray
+    val schema = StructType(sorted.schema.fields ++ Seq(
+      StructField(rankCol, LongType, nullable = false),
+      StructField(sumCol, LongType, nullable = false)))
+    val rdd = sorted.rdd
+    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def keyOf(r: Row): List[Any] = keyIdxs.map(r.get).toList
+    def valOf(r: Row): Long = if (r.isNullAt(vIdx)) 0L else r.getLong(vIdx)
+    // pass 1: one (count, sum) per (partition, key segment) — segments
+    // are contiguous within a sorted partition, so the collect is
+    // bounded by #partitions + #keys entries
+    val segStats = rdd.mapPartitionsWithIndex { case (pid, it) =>
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Int, List[Any], Long, Long)]
+      var cur: List[Any] = null
+      var c = 0L
+      var s = 0L
+      it.foreach { r =>
+        val k = keyOf(r)
+        if (cur == null) cur = k
+        else if (k != cur) {
+          out += ((pid, cur, c, s)); cur = k; c = 0L; s = 0L
+        }
+        c += 1; s += valOf(r)
+      }
+      if (cur != null) out += ((pid, cur, c, s))
+      out.iterator
+    }.collect()
+    // per key: exclusive running (count, sum) offsets in partition order
+    val offsets = scala.collection.mutable
+      .HashMap.empty[(Int, List[Any]), (Long, Long)]
+    segStats.groupBy(_._2).foreach { case (k, segs) =>
+      var c = 0L
+      var s = 0L
+      segs.sortBy(_._1).foreach { case (pid, _, sc, ss) =>
+        offsets((pid, k)) = (c, s)
+        c += sc; s += ss
+      }
+    }
+    val bc = spark.sparkContext.broadcast(offsets.toMap)
+    val out = rdd.mapPartitionsWithIndex { case (pid, it) =>
+      val m = bc.value
+      var cur: List[Any] = null
+      var rk = 0L
+      var run = 0L
+      it.map { r =>
+        val k = keyOf(r)
+        if (cur == null || k != cur) {
+          cur = k
+          val (oc, os) = m((pid, k))
+          rk = oc; run = os
+        }
+        rk += 1
+        val row = Row.fromSeq(r.toSeq ++ Seq(rk, run))
+        run += valOf(r)
+        row
+      }
+    }
+    spark.createDataFrame(out, schema)
+  }
+
+  /** Per-key `row_number()` without the per-key single-task sort — see
+    * [[withKeyedRankAndPrefixSum]]. */
+  def withKeyedRank(df: DataFrame, keyCols: Seq[String],
+      sortCols: Seq[Column], rankCol: String = "rank",
+      partitions: Int = 0): DataFrame = {
+    val one = "__gr_one"
+    withKeyedRankAndPrefixSum(
+      df.withColumn(one, org.apache.spark.sql.functions.lit(1L)),
+      keyCols, sortCols, one, rankCol, "__gr_cum", partitions)
+      .drop(one, "__gr_cum")
+  }
+
+  /** Per-key exclusive prefix sum without the per-key single-task sort —
+    * see [[withKeyedRankAndPrefixSum]]. */
+  def withKeyedPrefixSum(df: DataFrame, keyCols: Seq[String],
+      sortCols: Seq[Column], valueCol: String,
+      outCol: String = "cum_before", partitions: Int = 0): DataFrame =
+    withKeyedRankAndPrefixSum(df, keyCols, sortCols, valueCol,
+      "__gr_rank", outCol, partitions).drop("__gr_rank")
+
   /** Deterministic GLOBAL running sum (exclusive prefix sum) of a long
     * column in `sortCols` order, without a single-partition window —
     * the scalable form of `sum(x) OVER (ORDER BY … ROWS UNBOUNDED

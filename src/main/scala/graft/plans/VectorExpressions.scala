@@ -91,9 +91,16 @@ case class FloatVectorDot(left: Expression, right: Expression)
   * order); strict `<` keeps the first (lowest) centroid id on ties.
   * Input must be array<double> with non-null elements (PQ sub-vectors
   * are produced by a cast-transform upstream); a NULL array yields
-  * NULL. */
+  * NULL. A vector SHORTER than the codebook's sub-dimension throws
+  * IllegalArgumentException (both interpreted and codegen paths) —
+  * silently argmin-ing over a truncated prefix would return a wrong
+  * code for malformed input that the ANSI element_at formulation it
+  * replaced failed loudly on. Longer vectors use their first dsub
+  * components (the slice upstream already bounds them). */
 case class ArgminL2(child: Expression, codebook: Array[Array[Double]])
     extends UnaryExpression {
+
+  private val dsub: Int = codebook.map(_.length).max
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
@@ -105,6 +112,9 @@ case class ArgminL2(child: Expression, codebook: Array[Array[Double]])
 
   override protected def nullSafeEval(a: Any): Any = {
     val v = a.asInstanceOf[ArrayData]
+    if (v.numElements() < dsub) throw new IllegalArgumentException(
+      s"argmin_l2: input vector of ${v.numElements()} elements is shorter" +
+        s" than the codebook sub-dimension $dsub")
     var best = 0
     var bestD = Double.MaxValue
     var c = 0
@@ -112,8 +122,7 @@ case class ArgminL2(child: Expression, codebook: Array[Array[Double]])
       val cent = codebook(c)
       var s = 0.0
       var t = 0
-      val n = math.min(v.numElements(), cent.length)
-      while (t < n) {
+      while (t < cent.length) {
         val d = v.getDouble(t) - cent(t)
         s += d * d
         t += 1
@@ -132,15 +141,18 @@ case class ArgminL2(child: Expression, codebook: Array[Array[Double]])
       val c = ctx.freshName("c")
       val t = ctx.freshName("t")
       val s = ctx.freshName("s")
-      val n = ctx.freshName("n")
       val d = ctx.freshName("d")
       s"""
+         |if ($a.numElements() < $dsub) {
+         |  throw new IllegalArgumentException(
+         |    "argmin_l2: input vector of " + $a.numElements() +
+         |    " elements is shorter than the codebook sub-dimension $dsub");
+         |}
          |int $best = 0;
          |double $bestD = Double.MAX_VALUE;
          |for (int $c = 0; $c < $cb.length; $c++) {
          |  double $s = 0.0;
-         |  int $n = java.lang.Math.min($a.numElements(), $cb[$c].length);
-         |  for (int $t = 0; $t < $n; $t++) {
+         |  for (int $t = 0; $t < $cb[$c].length; $t++) {
          |    double $d = $a.getDouble($t) - $cb[$c][$t];
          |    $s += $d * $d;
          |  }

@@ -48,7 +48,16 @@ object Extended19 {
     // frames are materialized in the catalog — drop the pinned
     // tokenized frame here instead of delegating to the harness
     built.unpersist()
-    bucketed.search(Seq("dup", "model", "the"), k = 12)
+    // pin the 12-row probe result, then drop the three catalog tables
+    // (and their warehouse files — writeBucketed's managed-table DROP)
+    // so the query leaves NO filesystem/catalog residue and is
+    // re-entrant without relying on next-run stale-cleanup
+    val res = bucketed.search(Seq("dup", "model", "the"), k = 12)
+      .localCheckpoint()
+    Seq("graft_q198_idx_postings", "graft_q198_idx_dict",
+      "graft_q198_idx_stats")
+      .foreach(tbl => s.sql(s"DROP TABLE IF EXISTS $tbl"))
+    res
   }
 
   val q198Sql: String =
@@ -156,9 +165,12 @@ object Extended19 {
         expr("""(n_docs * CAST(floor(sqrt(CAST(chars_min AS DOUBLE)
                |  / chars) * 1000000.0) AS BIGINT) + 999999)
                |  div 1000000""".stripMargin).as("keep_n"))
-    val w5 = org.apache.spark.sql.expressions.Window
-      .partitionBy($"source").orderBy($"doc_id")
-    val s5 = s4.withColumn("rn", row_number().over(w5).cast("long"))
+    // per-source row_number via the keyed two-pass rank (GlobalRank),
+    // not a window PARTITION BY source: with a handful of sources the
+    // windowed sort concentrates each source's whole extent in one
+    // task — the single-partition pathology pack's doc spells out
+    val s5 = graft.operators.GlobalRank
+      .withKeyedRank(s4, Seq("source"), Seq($"doc_id"), "rn")
       .join(broadcast(keepN), "source")
       .filter($"rn" <= $"keep_n").drop("rn", "keep_n").localCheckpoint()
     // stage 6: pack

@@ -805,12 +805,15 @@ object Extended3 {
       .withColumn("keep",
         row_number().over(Window.partitionBy($"fp").orderBy($"doc_id")) === 1)
       .filter($"keep")
-    val w = Window.partitionBy($"source").orderBy($"doc_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    deduped
+    // per-source cumsum via the keyed two-pass (the TrainPrep.pack
+    // layout) — a PARTITION BY source window would sort each source's
+    // whole extent in one task (few-source 100 TB pathology)
+    val sized = deduped
       .select($"doc_id", $"source",
         TextFns.approxBpeTokenCount($"text").as("btoks"))
-      .withColumn("cum", coalesce(sum($"btoks").over(w), lit(0L)))
+    graft.operators.GlobalRank
+      .withKeyedPrefixSum(sized, Seq("source"), Seq($"doc_id"), "btoks",
+        "cum")
       .withColumn("batch_id", expr("cum div 512"))
       .groupBy($"source", $"batch_id")
       .agg(count(lit(1)).as("n_docs"), sum($"btoks").as("batch_tokens"))
@@ -955,19 +958,30 @@ object Extended3 {
   // --------------------------------------------------------------------
   // q105 — distribution window functions (percent_rank / cume_dist /
   // rank with gaps): the remaining rank family next to q67's
-  // lead/first/ntile — per event_type value distributions, one window
-  // pass, keyed partitioning.
+  // lead/first/ntile — per event_type value distributions. The ranks
+  // come from GlobalRank.withKeyedRank (the keyed two-pass), NOT a
+  // `PARTITION BY event_type` window: event_type is low-cardinality,
+  // so the windowed plan would sort each type's ENTIRE extent in one
+  // task. The distribution arithmetic is then exact from (rank,
+  // per-type count): (event_id is unique, so the (value, event_id)
+  // order has no ties) rank-with-gaps == row_number, percent_rank ==
+  // (rk−1)/(n−1), cume_dist == rk/n — the same doubles the window
+  // functions produce, spec-pinned against the windowed form.
   def q105(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val w = Window.partitionBy($"event_type").orderBy($"value", $"event_id")
-    t(s, dir, "events")
+    val d = t(s, dir, "events")
       .filter($"event_id" % 20 === 0) // thin the output, keep the shape
-      .select($"event_type", $"event_id", $"value",
-        (floor(percent_rank().over(w) * 1e6 + lit(0.5)) / 1e6).as("pr"),
-        (floor(cume_dist().over(w) * 1e6 + lit(0.5)) / 1e6).as("cd"),
-        rank().over(w).as("rk"))
+      .select($"event_type", $"event_id", $"value")
+    val totals = d.groupBy($"event_type").agg(count(lit(1)).as("__n"))
+    graft.operators.GlobalRank
+      .withKeyedRank(d, Seq("event_type"), Seq($"value", $"event_id"), "__rk")
+      .join(broadcast(totals), "event_type")
       .select($"event_type", $"event_id", round($"value", 4).as("v"),
-        $"pr", $"cd", $"rk")
+        (floor(when($"__n" === 1L, lit(0.0))
+            .otherwise(($"__rk" - 1) / ($"__n" - 1)) * 1e6 + lit(0.5))
+          / 1e6).as("pr"),
+        (floor(($"__rk" / $"__n") * 1e6 + lit(0.5)) / 1e6).as("cd"),
+        $"__rk".cast("int").as("rk"))
       .orderBy($"event_type", $"event_id")
   }
 

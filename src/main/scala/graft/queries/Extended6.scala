@@ -177,17 +177,23 @@ object Extended6 {
   // until 80% of the source's char mass is covered — the budgeted
   // "best docs first" selection step. The 80% threshold is integer
   // cross-multiplied (5·cum ≤ 4·total): no float ever exists, so the
-  // kept set is bit-identical on any engine. Two window passes over one
-  // shuffle partitioning (source), then a small agg.
+  // kept set is bit-identical on any engine. The per-source cumsum is
+  // the keyed two-pass (GlobalRank.withKeyedPrefixSum — a PARTITION BY
+  // source window would sort each source's whole extent in ONE task,
+  // the few-source 100 TB pathology); the per-source totals are a
+  // plain agg broadcast back.
   def q129(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val bySrc = Window.partitionBy($"source")
-    val w = bySrc.orderBy($"n_chars".desc, $"doc_id")
-    t(s, dir, "documents")
-      .withColumn("cum", sum($"n_chars").over(w))
-      .withColumn("tot", sum($"n_chars").over(bySrc))
-      .withColumn("n_total", count(lit(1)).over(bySrc))
-      .filter($"cum" * 5 <= $"tot" * 4)
+    val d = t(s, dir, "documents")
+      .select($"source", $"doc_id", $"n_chars")
+    val tot = d.groupBy($"source")
+      .agg(sum($"n_chars").as("tot"), count(lit(1)).as("n_total"))
+    graft.operators.GlobalRank
+      .withKeyedPrefixSum(
+        d.withColumn("__nc", $"n_chars".cast("long")),
+        Seq("source"), Seq($"n_chars".desc, $"doc_id"), "__nc", "cumb")
+      .join(broadcast(tot), "source")
+      .filter(($"cumb" + $"n_chars") * 5 <= $"tot" * 4)
       .groupBy($"source")
       .agg(
         count(lit(1)).as("n_kept"),

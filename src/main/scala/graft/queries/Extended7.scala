@@ -405,8 +405,10 @@ object Extended7 {
   // Integer-only: batch id = running-token-start div budget. The
   // bucket assignment is GlobalRank.withNtile (range-partition +
   // arithmetic ntile — an unpartitioned ntile window would funnel the
-  // corpus through one task, the q158/q99 lesson); the batch window
-  // is bucket-partitioned.
+  // corpus through one task, the q158/q99 lesson); the per-bucket
+  // cumsum is the keyed two-pass (withKeyedPrefixSum) — 10 buckets is
+  // exactly the low-cardinality key a `PARTITION BY bucket` window
+  // would concentrate into 10 whole-extent sort tasks at 100 TB.
   def q137(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val budget = 2000L
@@ -414,10 +416,9 @@ object Extended7 {
       t(s, dir, "documents")
         .select($"doc_id", size(TextFns.tokens($"text")).cast("long").as("n_toks")),
       Seq($"n_toks", $"doc_id"), tiles = 10, tileCol = "bucket")
-    val wb = Window.partitionBy($"bucket").orderBy($"doc_id")
-    sized
-      .withColumn("cum", sum($"n_toks").over(wb))
-      .withColumn("batch_id", expr(s"(cum - n_toks) div $budget"))
+    graft.operators.GlobalRank
+      .withKeyedPrefixSum(sized, Seq("bucket"), Seq($"doc_id"), "n_toks")
+      .withColumn("batch_id", expr(s"cum_before div $budget"))
       .groupBy($"bucket", $"batch_id")
       .agg(
         count(lit(1)).as("n_docs"),

@@ -151,6 +151,100 @@ class Extended11Spec extends SparkSpec {
     }
   }
 
+  test("withKeyedRankAndPrefixSum == windowed PARTITION BY, any partitioning") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // TrainPrep.pack's exact shape: per-source rank + exclusive cumsum
+    // over doc_id order, where `source` is low-cardinality (4 values
+    // spanning many range partitions — the few-source 100 TB layout
+    // the keyed two-pass exists for)
+    val docs = Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"source", $"n_chars".cast("long").as("v"))
+    val w = Window.partitionBy($"source").orderBy($"doc_id")
+    val want = docs
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("cum", coalesce(sum($"v")
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("rn"), r.getAs[Long]("cum")))
+      .toMap
+    for (parts <- Seq(1, 3, 16)) {
+      val got = graft.operators.GlobalRank
+        .withKeyedRankAndPrefixSum(docs, Seq("source"), Seq($"doc_id"),
+          "v", "rn", "cum", partitions = parts)
+        .collect()
+        .map(r => r.getLong(0) -> (r.getAs[Long]("rn"), r.getAs[Long]("cum")))
+        .toMap
+      assert(got === want, s"partitions=$parts")
+    }
+  }
+
+  test("withKeyedPrefixSum: null values sum as 0, null keys group (window parity)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val df = Seq[(Long, Option[String], Option[Long])](
+      (1L, Some("a"), Some(10L)), (2L, Some("a"), None),
+      (3L, Some("a"), Some(5L)), (4L, None, Some(7L)),
+      (5L, None, Some(2L)), (6L, Some("b"), Some(1L)),
+      (7L, Some("b"), Some(3L))
+    ).toDF("id", "k", "v")
+    val w = Window.partitionBy($"k").orderBy($"id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val want = df.withColumn("cum", coalesce(sum($"v").over(w), lit(0L)))
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("cum")).toMap
+    for (parts <- Seq(1, 4)) {
+      val got = graft.operators.GlobalRank
+        .withKeyedPrefixSum(df, Seq("k"), Seq($"id"), "v", "cum",
+          partitions = parts)
+        .collect().map(r => r.getLong(0) -> r.getAs[Long]("cum")).toMap
+      assert(got === want, s"partitions=$parts")
+    }
+  }
+
+  test("q105 keyed two-pass == windowed percent_rank/cume_dist/rank") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // the windowed original q105 replaced in round 12 — its arithmetic
+    // must be reproduced EXACTLY by the (rank, per-key count) form
+    val w = Window.partitionBy($"event_type").orderBy($"value", $"event_id")
+    val want = Tables.load(spark, dir, "events")
+      .filter($"event_id" % 20 === 0)
+      .select($"event_type", $"event_id", $"value",
+        (floor(percent_rank().over(w) * 1e6 + lit(0.5)) / 1e6).as("pr"),
+        (floor(cume_dist().over(w) * 1e6 + lit(0.5)) / 1e6).as("cd"),
+        rank().over(w).as("rk"))
+      .select($"event_type", $"event_id", round($"value", 4).as("v"),
+        $"pr", $"cd", $"rk")
+      .orderBy($"event_type", $"event_id")
+      .collect().toSeq
+    val got = graft.queries.Extended3.q105(spark, dir).collect().toSeq
+    assert(got === want)
+    assert(want.nonEmpty, "degenerate fixture")
+  }
+
+  test("q129 keyed two-pass == windowed nucleus selection") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val bySrc = Window.partitionBy($"source")
+    val w = bySrc.orderBy($"n_chars".desc, $"doc_id")
+    val want = Tables.load(spark, dir, "documents")
+      .withColumn("cum", sum($"n_chars").over(w))
+      .withColumn("tot", sum($"n_chars").over(bySrc))
+      .withColumn("n_total", count(lit(1)).over(bySrc))
+      .filter($"cum" * 5 <= $"tot" * 4)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_kept"),
+        sum($"n_chars").cast("long").as("chars_kept"),
+        max($"n_total").as("n_total"))
+      .select($"source", $"n_kept", $"chars_kept",
+        expr("n_kept * 1000000 div n_total").as("kept_ppm"))
+      .orderBy($"source")
+      .collect().toSeq
+    val got = graft.queries.Extended6.q129(spark, dir).collect().toSeq
+    assert(got === want)
+    assert(want.nonEmpty, "degenerate fixture")
+  }
+
   test("withNtile == windowed ntile: remainders, n < k, any partitioning") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window

@@ -117,4 +117,31 @@ class IndexSpec extends SparkSpec {
     assert(!plan.contains("hashpartitioning(token"),
       s"postings must not re-shuffle on token:\n$plan")
   }
+
+  test("writeBucketed: rewrite-then-reopen is consistent; name is validated") {
+    // the single-writer contract's observable half: after a second
+    // writeBucketed under the SAME name (stale catalog tables + stale
+    // managed paths from the first), a fresh loadBucketed sees frames
+    // consistent with the latest build — counts, corpus scalars, and
+    // search results all from write #2's corpus
+    val docs = graft.queries.Tables.load(spark, sfDir, "documents")
+    val b1 = Index.build(docs.limit(40), "text", "doc_id")
+    Index.writeBucketed(b1, spark, "idx_spec_rewrite", numBuckets = 4)
+    b1.unpersist()
+    val b2 = Index.build(docs, "text", "doc_id")
+    val w2 = Index.writeBucketed(b2, spark, "idx_spec_rewrite", numBuckets = 4)
+    val mem = b2.search(Seq("data", "dup"), k = 5).collect().map(_.toSeq).toSeq
+    b2.unpersist()
+    val reopened = Index.loadBucketed(spark, "idx_spec_rewrite")
+    assert(reopened.nDocs === w2.nDocs && reopened.sumDl === w2.sumDl)
+    assert(reopened.search(Seq("data", "dup"), k = 5)
+      .collect().map(_.toSeq).toSeq === mem,
+      "reopened index diverged from the latest build")
+    // `name` rides into DROP TABLE sql and a filesystem path — bare
+    // identifiers only
+    val e = intercept[IllegalArgumentException] {
+      Index.writeBucketed(reopened, spark, "bad name; DROP TABLE x")
+    }
+    assert(e.getMessage.contains("bare SQL identifier"))
+  }
 }

