@@ -77,6 +77,23 @@ object Stress {
           tokenCap = 2048)
         .groupBy($"source", $"batch_id").count().count()
     }
+    if (picks("packwin")) timed("packwin") {
+      // A/B partner for `packing`: the SAME pack semantics through the
+      // windowed per-source cumsum the keyed two-pass replaced. At few
+      // sources each window partition is an entire source sorted in
+      // ONE task — this probe exists to price that pathology against
+      // the keyed layout at matched scale (expect: wins at small n
+      // where one task absorbs a source, loses/dies as a source's
+      // extent outgrows a task).
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"source").orderBy($"doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      docs.select($"doc_id", $"source",
+          graft.functions.TextFns.approxBpeTokenCount($"text").as("toks"))
+        .withColumn("cum", coalesce(sum($"toks").over(w), lit(0L)))
+        .withColumn("batch_id", expr("cum div 2048"))
+        .groupBy($"source", $"batch_id").count().count()
+    }
     if (picks("redact")) timed("redact") {
       docs.select(md5(graft.functions.TextFns.redactPii($"text")))
         .queryExecution.toRdd.count()

@@ -310,6 +310,51 @@ object VectorIndex {
     embeddings.withColumn(outCol, array(projCols: _*))
   }
 
+  /** Deterministic ORTHONORMAL rotation — the OPQ-style pre-step for
+    * product quantization (Ge et al., "Optimized Product Quantization",
+    * CVPR 2013 motivate learning R; the deterministic stand-in is the
+    * randomized-Hadamard transform HD/√d of the fast-JL literature):
+    * y_j = (1/√d)·Σ_i (−1)^popcount(j AND i)·s_i·x_i, with the ±1
+    * diagonal s drawn by [[signMatrix]]'s portable MD5 technique. The
+    * matrix is exactly orthonormal (Hadamard × signed diagonal), so
+    * L2 distances — and therefore brute-force neighbor sets — are
+    * preserved; what changes is how variance and correlation spread
+    * across PQ SUBSPACES. On anisotropic/correlated embeddings that
+    * balance is where rotated PQ recall comes from; on near-isotropic
+    * unit vectors (the synthetic gate corpus measures a 4× covariance
+    * eigenspread) rotation is distribution-neutral by symmetry and the
+    * priced recall moves only by sample noise — q201 reads that price
+    * honestly rather than asserting a win.
+    *
+    * Numerics contract (the q88 doctrine): every matrix entry is
+    * ±(1/√d) with d a power of two — an EXACT power-of-two scale, so
+    * each product is exact and the component sum (left fold in i
+    * order, the list_sum order) is bit-reproducible cross-engine.
+    * Scale shape: one scan, per-row O(d²) multiply-adds from d literal
+    * coefficient rows, no shuffle — the [[randomProject]] layout with
+    * a square orthonormal matrix.
+    *
+    * @param vecCol array&lt;float&gt; or array&lt;double&gt;, dim a power of 2
+    * @return input plus `outCol` array&lt;double&gt; */
+  def hadamardRotate(embeddings: DataFrame, vecCol: String,
+      outCol: String = "rvec", seed: String = "opq"): DataFrame = {
+    val dim = embeddings.select(size(col(vecCol))).head().getInt(0)
+    require(dim > 0 && (dim & (dim - 1)) == 0,
+      s"Hadamard rotation needs a power-of-2 dim, got $dim")
+    val s = signMatrix(1, dim, seed)(0)
+    val scale = 1.0 / math.sqrt(dim.toDouble)
+    val xv = transform(col(vecCol), x => x.cast("double"))
+    val comps = (0 until dim).map { j =>
+      val rowLit = array((0 until dim).map { i =>
+        val h = if (Integer.bitCount(j & i) % 2 == 0) 1 else -1
+        lit(h * s(i) * scale)
+      }: _*)
+      aggregate(zip_with(xv, rowLit, (a, b) => a * b),
+        lit(0.0), (acc, x) => acc + x)
+    }
+    embeddings.withColumn(outCol, array(comps: _*))
+  }
+
   // ------------------------------------------------------------------
   // Product quantization (Jégou/Douze/Schmid, PAMI 2011) — the
   // compressed-codes rung of the ANN ladder (brute q23 → sign-LSH q25 →

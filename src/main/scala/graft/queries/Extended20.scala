@@ -1,0 +1,174 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-12 batch (q201) — the verdict's optional stretch rung:
+  *
+  *  - q201 OPQ-rotated PQ priced: recall@10 of flat PQ vs PQ over a
+  *    deterministic orthonormal rotation (randomized-Hadamard HD/√d,
+  *    [[graft.ext.VectorIndex.hadamardRotate]]) at the SAME code
+  *    budget (m = 2 × k = 32), against the brute cosine top-10 —
+  *    completing q200's pricing table with the rotation rung. The
+  *    rotation matrix is exactly orthonormal and its entries are
+  *    exact powers of two, so the whole rotate→train→encode→search
+  *    chain unrolls into SQL bit-for-bit (the q88 doctrine). On the
+  *    gate corpus (near-isotropic unit vectors, measured 4×
+  *    covariance eigenspread) rotation is distribution-neutral; the
+  *    row prices that honestly — the rung's value shows on
+  *    anisotropic/correlated embedding families, and the point of the
+  *    query is that the price is READ, not assumed.
+  */
+object Extended20 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // --------------------------------------------------------------------
+  // q201 — the OPQ rotation rung priced at equal code budget.
+  def q201(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = t(s, dir, "embeddings")
+    def bp(c: Column) = floor(c * 10000.0 + 0.5).cast("long")
+    val q = e.filter($"vec_id" === 0).select($"embedding".as("qvec"))
+    val exact = e.filter($"vec_id" =!= 0).crossJoin(broadcast(q))
+      .select($"vec_id".as("id"),
+        bp(graft.functions.VectorFns.cosine($"embedding", $"qvec"))
+          .as("score"))
+      .orderBy($"score".desc, $"id".asc).limit(10)
+    val qRow = e.filter($"vec_id" === 0)
+      .select($"embedding").head().getSeq[Float](0)
+    // flat PQ baseline at the q200 budget (m = 2, k = 32, 2 Lloyd)
+    val cb = graft.ext.VectorIndex
+      .pqTrain(e, "embedding", "vec_id", m = 2, k = 32, iterations = 2)
+    val pqApprox = graft.ext.VectorIndex
+      .pqSearch(graft.ext.VectorIndex
+          .pqEncode(e.filter($"vec_id" =!= 0), "embedding", "vec_id", cb),
+        "vec_id", cb, qRow.map(_.toDouble).toArray, k = 10)
+      .select($"vec_id".as("id"), (-$"adist_micro").as("score"))
+    // OPQ: exactly-orthonormal deterministic rotation, SAME budget.
+    // The rotated query comes from the SAME Spark expression (1-row
+    // collect), so driver and corpus arithmetic are identical.
+    val rot = graft.ext.VectorIndex
+      .hadamardRotate(e, "embedding", "rvec", seed = "opq")
+      .select($"vec_id", $"rvec")
+    val rcb = graft.ext.VectorIndex
+      .pqTrain(rot, "rvec", "vec_id", m = 2, k = 32, iterations = 2)
+    val rq = rot.filter($"vec_id" === 0)
+      .select($"rvec").head().getSeq[Double](0).toArray
+    val opqApprox = graft.ext.VectorIndex
+      .pqSearch(graft.ext.VectorIndex
+          .pqEncode(rot.filter($"vec_id" =!= 0), "rvec", "vec_id", rcb),
+        "vec_id", rcb, rq, k = 10)
+      .select($"vec_id".as("id"), (-$"adist_micro").as("score"))
+    def price(name: String, approx: DataFrame): DataFrame =
+      graft.ext.Retrieval.recallAtK(approx, exact, "id", "score", k = 10)
+        .select(lit(name).as("method"), $"n_common", $"recall_ppm")
+    price("pq_flat", pqApprox)
+      .unionByName(price("opq_pq", opqApprox))
+      .orderBy($"method")
+  }
+
+  val q201Sql: String = {
+    val dsub = 32
+    def cos(a: String, b: String) =
+      s"""list_sum(list_transform(list_zip($a, $b), x -> x[1] * x[2]))
+         |   / (sqrt(list_sum(list_transform($a, x -> x * x)))
+         |      * sqrt(list_sum(list_transform($b, x -> x * x))))""".stripMargin
+    def l2(a: String, b: String) =
+      s"list_sum(list_transform(list_zip($a, $b), x -> (x[1] - x[2]) * (x[1] - x[2])))"
+    // one Lloyd pass of the per-subspace L2 k-means (q200's exact CTE
+    // shape), parameterized by chain prefix so the raw and rotated
+    // chains share the text
+    def lloyd(p: String, j: Int, i: Int) =
+      s""" ${p}s$j$i AS (SELECT sub.vec_id, c.cell, ${l2("sub.v", "c.c")} AS d2
+         |          FROM ${p}sub$j sub CROSS JOIN ${p}c$j$i c),
+         | ${p}a$j$i AS (SELECT vec_id, cell FROM (
+         |           SELECT vec_id, cell, row_number() OVER (
+         |             PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn
+         |           FROM ${p}s$j$i) WHERE rn = 1),
+         | ${p}m$j$i AS (SELECT cell, list(x ORDER BY i) AS c FROM (
+         |           SELECT a.cell, u.i,
+         |                  CAST(CAST(sum(u.x) / count(*) AS REAL) AS DOUBLE) AS x
+         |           FROM ${p}a$j$i a JOIN (SELECT vec_id, unnest(v) AS x,
+         |                     unnest(generate_series(1, len(v))) AS i FROM ${p}sub$j) u
+         |             USING (vec_id)
+         |           GROUP BY a.cell, u.i) GROUP BY cell),
+         | ${p}c$j${i + 1} AS (SELECT c.cell, coalesce(m.c, c.c) AS c
+         |               FROM ${p}c$j$i c LEFT JOIN ${p}m$j$i m USING (cell))""".stripMargin
+    // full flat-PQ chain (train ×2 Lloyd, assign, query LUT) over
+    // source CTE `src` with query CTE `qcte`, names prefixed `p`
+    def pqChain(p: String, src: String, qcte: String) = (0 until 2).map { j =>
+      val lo = j * dsub + 1; val hi = (j + 1) * dsub
+      s""" ${p}sub$j AS (SELECT vec_id, list_slice(v, $lo, $hi) AS v FROM $src),
+         | ${p}c${j}0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
+         |                 AS INTEGER) AS cell, v AS c
+         |        FROM (SELECT vec_id, v FROM ${p}sub$j ORDER BY vec_id LIMIT 32)),
+         |${lloyd(p, j, 0)},
+         |${lloyd(p, j, 1)},
+         | ${p}sf$j AS (SELECT sub.vec_id, c.cell, ${l2("sub.v", "c.c")} AS d2
+         |          FROM ${p}sub$j sub CROSS JOIN ${p}c${j}2 c),
+         | ${p}af$j AS (SELECT vec_id, cell FROM (
+         |           SELECT vec_id, cell, row_number() OVER (
+         |             PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn
+         |           FROM ${p}sf$j) WHERE rn = 1),
+         | ${p}lut$j AS (SELECT c.cell,
+         |             CAST(floor(${l2(s"list_slice($qcte.v, $lo, $hi)", "c.c")}
+         |               * 1000000.0) AS BIGINT) AS d
+         |           FROM ${p}c${j}2 c CROSS JOIN $qcte)""".stripMargin
+    }.mkString(",\n")
+    def top10(p: String) =
+      s"""SELECT ${p}af0.vec_id AS id
+         |   FROM ${p}af0 JOIN ${p}af1 USING (vec_id)
+         |        JOIN ${p}lut0 l0 ON l0.cell = ${p}af0.cell
+         |        JOIN ${p}lut1 l1 ON l1.cell = ${p}af1.cell
+         |   WHERE ${p}af0.vec_id <> 0
+         |   ORDER BY l0.d + l1.d, ${p}af0.vec_id LIMIT 10""".stripMargin
+    // the rotation: y[j] = Σ_i v[i]·coef(j,i), coef = ±1/8 exactly
+    // (Hadamard sign via bit_count parity × the MD5-drawn diagonal)
+    val sLit = graft.ext.VectorIndex.signMatrix(1, 64, "opq")(0)
+      .mkString("[", ", ", "]")
+    s"""WITH e AS (SELECT vec_id,
+       |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |        FROM embeddings),
+       | q AS (SELECT v FROM e WHERE vec_id = 0),
+       | exact AS (SELECT e.vec_id AS id,
+       |     CAST(floor(${cos("e.v", "q.v")} * 10000.0 + 0.5) AS BIGINT)
+       |       AS score
+       |   FROM e CROSS JOIN q WHERE e.vec_id <> 0
+       |   ORDER BY score DESC, id LIMIT 10),
+       | rot AS (SELECT vec_id,
+       |     list_transform(generate_series(0, 63), j ->
+       |       list_sum(list_transform(generate_series(0, 63), i ->
+       |         v[i + 1] * (CAST(
+       |           (1 - 2 * (bit_count(j & i) % 2)) * ($sLit)[i + 1]
+       |           AS DOUBLE) * 0.125)))) AS v
+       |   FROM e),
+       | rq AS (SELECT v FROM rot WHERE vec_id = 0),
+       |${pqChain("f", "e", "q")},
+       |${pqChain("r", "rot", "rq")},
+       | pq10 AS (${top10("f")}),
+       | opq10 AS (${top10("r")}),
+       | nex AS (SELECT CAST(count(*) AS BIGINT) AS n FROM exact)
+       |SELECT method, n_common,
+       |       CAST(n_common * 1000000 // (SELECT n FROM nex) AS BIGINT)
+       |         AS recall_ppm
+       |FROM (
+       |  SELECT 'opq_pq' AS method,
+       |    CAST((SELECT count(*) FROM exact JOIN opq10 USING (id))
+       |      AS BIGINT) AS n_common
+       |  UNION ALL SELECT 'pq_flat',
+       |    CAST((SELECT count(*) FROM exact JOIN pq10 USING (id)) AS BIGINT))
+       |ORDER BY method""".stripMargin
+  }
+
+  /** Name → query function, for SparkEntry. */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q201_opq_recall" -> (q201 _)
+  )
+
+  /** Name → DuckDB oracle SQL, for SparkEntry. */
+  val oracles: Map[String, String] = Map(
+    "q201_opq_recall" -> q201Sql
+  )
+}
