@@ -1,6 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow, UnsafeProjection}
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Deterministic GLOBAL row numbering without a single-partition
@@ -36,10 +38,21 @@ object GlobalRank {
       .sortWithinPartitions(sortCols: _*)
     val schema = StructType(sorted.schema.fields :+
       StructField(rankCol, LongType, nullable = false))
-    val ranked = sorted.rdd.zipWithIndex().map { case (row, i) =>
-      Row.fromSeq(row.toSeq :+ (i + 1L))
-    }
-    spark.createDataFrame(ranked, schema)
+    // Tungsten lane (see withKeyedRankAndPrefixSum): zipWithIndex's
+    // size pass and the appending map both stream reused UnsafeRows
+    // straight into a projection — no external-Row codec round-trip.
+    val ranked = sorted.queryExecution.toRdd.zipWithIndex()
+      .mapPartitions { it =>
+        val proj = UnsafeProjection.create(schema)
+        val appended = new GenericInternalRow(1)
+        val joined = new JoinedRow
+        it.map { case (row, i) =>
+          appended.update(0, i + 1L)
+          proj(joined(row, appended)): InternalRow
+        }
+      }
+    org.apache.spark.sql.graft.Bridge
+      .internalCreateDataFrame(spark, ranked, schema)
   }
 
   /** `ntile(k)` without the single-partition window: global rank via
@@ -99,7 +112,9 @@ object GlobalRank {
     val schema = StructType(sorted.schema.fields ++ Seq(
       StructField(rankCol, LongType, nullable = false),
       StructField(sumCol, LongType, nullable = false)))
-    val rdd = sorted.rdd
+    // Tungsten lane + copy-before-persist, as in withKeyedRankAndPrefixSum
+    val rdd = sorted.queryExecution.toRdd
+      .mapPartitions(_.map(_.copy()), preservesPartitioning = true)
     rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val partStats = rdd.mapPartitionsWithIndex { case (pid, it) =>
       var c = 0L
@@ -120,16 +135,21 @@ object GlobalRank {
     val bcC = spark.sparkContext.broadcast(cntOff)
     val bcS = spark.sparkContext.broadcast(sumOff)
     val out = rdd.mapPartitionsWithIndex { case (pid, it) =>
+      val proj = UnsafeProjection.create(schema)
+      val appended = new GenericInternalRow(2)
+      val joined = new JoinedRow
       var k = bcC.value(pid)
       var run = bcS.value(pid)
       it.map { r =>
         k += 1
-        val row = Row.fromSeq(r.toSeq ++ Seq(k, run))
+        appended.update(0, k)
+        appended.update(1, run)
         run += r.getLong(idx)
-        row
+        proj(joined(r, appended)): InternalRow
       }
     }
-    spark.createDataFrame(out, schema)
+    org.apache.spark.sql.graft.Bridge
+      .internalCreateDataFrame(spark, out, schema)
   }
 
   /** [[withRankAndPrefixSum]] generalized to RESET at key boundaries —
@@ -171,15 +191,31 @@ object GlobalRank {
     val rangeCols = keyCols.map(org.apache.spark.sql.functions.col) ++ sortCols
     val sorted = df.repartitionByRange(n, rangeCols: _*)
       .sortWithinPartitions(rangeCols: _*)
-    val vIdx = sorted.schema.fieldIndex(valueCol)
-    val keyIdxs = keyCols.map(sorted.schema.fieldIndex).toArray
-    val schema = StructType(sorted.schema.fields ++ Seq(
+    val inSchema = sorted.schema
+    val vIdx = inSchema.fieldIndex(valueCol)
+    val keyIdxs = keyCols.map(inSchema.fieldIndex).toArray
+    val keyTypes = keyIdxs.map(i => inSchema(i).dataType)
+    val schema = StructType(inSchema.fields ++ Seq(
       StructField(rankCol, LongType, nullable = false),
       StructField(sumCol, LongType, nullable = false)))
-    val rdd = sorted.rdd
+    // Both passes run on the Tungsten representation
+    // (queryExecution.toRdd): the payload columns (often KB of text)
+    // are never decoded to external Rows and never re-encoded on the
+    // way out — the first cut through df.rdd/createDataFrame paid that
+    // full codec round-trip and it dominated the operator's cost at
+    // generated-corpus scale. Sort-output UnsafeRows are buffer-reused,
+    // so rows are copy()d (a byte-array copy) before the persist that
+    // lets pass 2 skip recomputing the range shuffle.
+    val rdd = sorted.queryExecution.toRdd
+      .mapPartitions(_.map(_.copy()), preservesPartitioning = true)
     rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def keyOf(r: Row): List[Any] = keyIdxs.map(r.get).toList
-    def valOf(r: Row): Long = if (r.isNullAt(vIdx)) 0L else r.getLong(vIdx)
+    // key values surface as Tungsten-native objects (UTF8String, boxed
+    // primitives, Decimal) — all value-equal and serializable, which is
+    // what the driver-side segment merge and the broadcast need
+    def keyOf(r: InternalRow): List[Any] =
+      keyIdxs.indices.map(i => r.get(keyIdxs(i), keyTypes(i))).toList
+    def valOf(r: InternalRow): Long =
+      if (r.isNullAt(vIdx)) 0L else r.getLong(vIdx)
     // pass 1: one (count, sum) per (partition, key segment) — segments
     // are contiguous within a sorted partition, so the collect is
     // bounded by #partitions + #keys entries
@@ -214,6 +250,9 @@ object GlobalRank {
     val bc = spark.sparkContext.broadcast(offsets.toMap)
     val out = rdd.mapPartitionsWithIndex { case (pid, it) =>
       val m = bc.value
+      val proj = UnsafeProjection.create(schema)
+      val appended = new GenericInternalRow(2)
+      val joined = new JoinedRow
       var cur: List[Any] = null
       var rk = 0L
       var run = 0L
@@ -225,12 +264,15 @@ object GlobalRank {
           rk = oc; run = os
         }
         rk += 1
-        val row = Row.fromSeq(r.toSeq ++ Seq(rk, run))
+        appended.update(0, rk)
+        appended.update(1, run)
         run += valOf(r)
-        row
+        // proj reuses its output buffer — the operator-iterator contract
+        proj(joined(r, appended)): InternalRow
       }
     }
-    spark.createDataFrame(out, schema)
+    org.apache.spark.sql.graft.Bridge
+      .internalCreateDataFrame(spark, out, schema)
   }
 
   /** Per-key `row_number()` without the per-key single-task sort — see
@@ -284,7 +326,9 @@ object GlobalRank {
     val idx = sorted.schema.fieldIndex(valueCol)
     val schema = StructType(sorted.schema.fields :+
       StructField(outCol, LongType, nullable = false))
-    val rdd = sorted.rdd
+    // Tungsten lane + copy-before-persist, as in withKeyedRankAndPrefixSum
+    val rdd = sorted.queryExecution.toRdd
+      .mapPartitions(_.map(_.copy()), preservesPartitioning = true)
     rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val partSums = rdd.mapPartitionsWithIndex { case (pid, it) =>
       var s = 0L
@@ -296,13 +340,17 @@ object GlobalRank {
     for (i <- 1 to n) offsets(i) += offsets(i - 1)
     val bc = spark.sparkContext.broadcast(offsets)
     val out = rdd.mapPartitionsWithIndex { case (pid, it) =>
+      val proj = UnsafeProjection.create(schema)
+      val appended = new GenericInternalRow(1)
+      val joined = new JoinedRow
       var run = bc.value(pid)
       it.map { r =>
-        val row = Row.fromSeq(r.toSeq :+ run)
+        appended.update(0, run)
         run += r.getLong(idx)
-        row
+        proj(joined(r, appended)): InternalRow
       }
     }
-    spark.createDataFrame(out, schema)
+    org.apache.spark.sql.graft.Bridge
+      .internalCreateDataFrame(spark, out, schema)
   }
 }

@@ -29,6 +29,19 @@ object Bridge {
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.queryExecution.analyzed
 
+  /** Wrap an RDD of InternalRow as a DataFrame WITHOUT the external
+    * Row encode pass (classic.SparkSession.internalCreateDataFrame is
+    * private[sql]) — the exit lane for operators that compute on the
+    * Tungsten representation directly. Rows may be reused UnsafeRows
+    * (the standard operator-iterator contract). */
+  def internalCreateDataFrame(spark: org.apache.spark.sql.SparkSession,
+      rdd: org.apache.spark.rdd.RDD[
+        org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema)
+
   /** Register an extra planner strategy on a live session (the
     * SparkSessionExtensions path covers sessions built through
     * GraftSession; this covers pre-existing ones). */

@@ -213,6 +213,25 @@ class QueryPlanSpec extends SparkSpec {
     }
   }
 
+  test("q197: no single-task and no per-source window anywhere in the megapipe") {
+    // stage 5's downsample rank runs through GlobalRank.withKeyedRank;
+    // the remaining windows (if any stage plans one) must be keyed by
+    // something with corpus-scale cardinality — never unpartitioned and
+    // never partitioned SOLELY by the handful-valued source column,
+    // the two shapes that funnel a 100 TB corpus into a few tasks.
+    val p = executed("q197_megapipeline")
+    val offenders = p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.isEmpty ||
+          w.partitionSpec.forall {
+            case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+              a.name == "source"
+            case _ => false
+          } => w
+    }
+    assert(offenders.isEmpty, s"q197:\n$p")
+  }
+
   test("q161/q162: every window is keyed (doc/group partitionSpec)") {
     // dupSpans' islands windows are doc_id-keyed; weightedSample's
     // top-k window is group-keyed AND gets WindowGroupLimit partial
