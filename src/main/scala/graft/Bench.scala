@@ -57,6 +57,9 @@ object Bench {
     // shared between catalog queries, so drop all persisted RDDs after
     // each one.
     def dropStaleBlocks(): Unit = {
+      // drain GlobalRank's registry first (unpersists AND releases the
+      // driver-side strong refs so the cleaner can reclaim them)
+      graft.operators.GlobalRank.releaseCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
       // ContextCleaner only reclaims shuffle files / broadcasts /

@@ -188,6 +188,19 @@ object VectorIndex {
         (col("node") === col("component")).as("keep"))
   }
 
+  /** Vector dimensionality probed from the first row — with a CLEAR
+    * error on an empty frame or a null first vector (a bare `head()`
+    * throws NoSuchElementException / NPE deep inside the operator,
+    * which reads as an engine bug rather than a caller contract
+    * violation). One bounded 1-row job, the [[requireBandsFit]] shape. */
+  private def vecDim(embeddings: DataFrame, vecCol: String): Int =
+    embeddings.limit(1).select(size(col(vecCol)).cast("int")).collect()
+      .headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Int]))
+      .getOrElse(throw new IllegalArgumentException(
+        s"cannot infer vector dim: input is empty or '$vecCol' is null " +
+          "in the first row — dimension-dependent operators need at " +
+          "least one non-null vector"))
+
   /** Fail FAST on the bands·bits ≤ dim contract (it binds at bands = 1
     * too: bits alone must fit the vector) — a violation otherwise dies
     * mid-job as a bare ANSI INVALID_ARRAY_INDEX in the bucket exchange
@@ -338,7 +351,7 @@ object VectorIndex {
     * @return input plus `outCol` array&lt;double&gt; */
   def hadamardRotate(embeddings: DataFrame, vecCol: String,
       outCol: String = "rvec", seed: String = "opq"): DataFrame = {
-    val dim = embeddings.select(size(col(vecCol))).head().getInt(0)
+    val dim = vecDim(embeddings, vecCol)
     require(dim > 0 && (dim & (dim - 1)) == 0,
       s"Hadamard rotation needs a power-of-2 dim, got $dim")
     val s = signMatrix(1, dim, seed)(0)
@@ -406,7 +419,7 @@ object VectorIndex {
       m: Int, k: Int, iterations: Int): Array[Array[Array[Double]]] = {
     require(m >= 1 && k >= 2 && iterations >= 1,
       s"bad PQ params m=$m k=$k iters=$iterations")
-    val dim = embeddings.select(size(col(vecCol))).head().getInt(0)
+    val dim = vecDim(embeddings, vecCol)
     require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
     val dsub = dim / m
     (0 until m).map { j =>

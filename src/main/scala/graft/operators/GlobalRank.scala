@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow, UnsafeProjection}
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.types.{ByteType, DataType, DoubleType, FloatType, IntegerType, LongType, ShortType, StructField, StructType}
 
 /** Deterministic GLOBAL row numbering without a single-partition
   * window.
@@ -28,6 +28,58 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * @param rankCol  output column name, 1-based contiguous ranks
   */
 object GlobalRank {
+
+  /** Intermediates persisted (MEMORY_AND_DISK) by the two-pass
+    * operators below. Bench/Verify already drop ALL persisted RDDs
+    * between catalog queries (`getPersistentRDDs` sweep), but a
+    * library user running many ranked queries in one long session
+    * would otherwise accumulate full-corpus row copies in the block
+    * manager — call [[releaseCache]] between queries (or whenever the
+    * last DataFrame built from these operators is no longer needed). */
+  private val cached =
+    new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.rdd.RDD[_]]()
+
+  private def registerCached[T](rdd: org.apache.spark.rdd.RDD[T])
+      : org.apache.spark.rdd.RDD[T] = { cached.add(rdd); rdd }
+
+  /** Unpersist every intermediate this object has cached so far.
+    * Safe to call while downstream DataFrames still exist — they
+    * recompute from the range shuffle if re-read after release. */
+  def releaseCache(): Unit = {
+    var r = cached.poll()
+    while (r != null) { r.unpersist(blocking = false); r = cached.poll() }
+  }
+
+  /** Reader for the prefix-sum value column, dispatched on the actual
+    * integral type — `getLong` on a non-long column reads the wrong
+    * bytes out of an UnsafeRow and returns GARBAGE (silently wrong
+    * sums, not an error), so anything non-integral is rejected at
+    * entry. Fractional sums are out of contract: partial-order float
+    * addition would make the "deterministic prefix sum" claim false. */
+  private def longReaderFor(dt: DataType, col: String): (InternalRow, Int) => Long =
+    dt match {
+      case LongType    => (r, i) => r.getLong(i)
+      case IntegerType => (r, i) => r.getInt(i).toLong
+      case ShortType   => (r, i) => r.getShort(i).toLong
+      case ByteType    => (r, i) => r.getByte(i).toLong
+      case other => throw new IllegalArgumentException(
+        s"GlobalRank prefix sums need an integral value column; '$col' is " +
+        s"$other — cast to LONG first (float sums would be partial-order-" +
+        "dependent, defeating the operator's determinism contract)")
+    }
+
+  /** Per-partition cap on key segments in the keyed form's pass-1
+    * collect. The contract is LOW-cardinality keys (a handful of
+    * corpus sources); a high-cardinality key (e.g. a unique id) would
+    * collect ~#rows of metadata to the driver and OOM it. The guard
+    * fails IN THE EXECUTOR, before the collect can hurt the driver. */
+  private[graft] val MaxSegmentsPerPartition = 100000
+
+  /** Stand-in for NaN key values in segment identity — a singleton
+    * that IS equal to itself, unlike boxed NaN under Scala's numeric
+    * `==`. All NaN payloads collapse to one group, matching SQL window
+    * PARTITION BY (and Spark's own float normalization in keys). */
+  private[operators] case object NaNKey extends Serializable
 
   def withRank(df: DataFrame, sortCols: Seq[Column],
       rankCol: String = "rank", partitions: Int = 0): DataFrame = {
@@ -109,17 +161,18 @@ object GlobalRank {
     val sorted = df.repartitionByRange(n, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
     val idx = sorted.schema.fieldIndex(valueCol)
+    val getVal = longReaderFor(sorted.schema(idx).dataType, valueCol)
     val schema = StructType(sorted.schema.fields ++ Seq(
       StructField(rankCol, LongType, nullable = false),
       StructField(sumCol, LongType, nullable = false)))
     // Tungsten lane + copy-before-persist, as in withKeyedRankAndPrefixSum
-    val rdd = sorted.queryExecution.toRdd
-      .mapPartitions(_.map(_.copy()), preservesPartitioning = true)
+    val rdd = registerCached(sorted.queryExecution.toRdd
+      .mapPartitions(_.map(_.copy()), preservesPartitioning = true))
     rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val partStats = rdd.mapPartitionsWithIndex { case (pid, it) =>
       var c = 0L
       var s = 0L
-      it.foreach { r => c += 1; s += r.getLong(idx) }
+      it.foreach { r => c += 1; s += getVal(r, idx) }
       Iterator((pid, c, s))
     }.collect() // bounded: one (int, long, long) per partition
     val cntOff = new Array[Long](n + 1)
@@ -144,7 +197,7 @@ object GlobalRank {
         k += 1
         appended.update(0, k)
         appended.update(1, run)
-        run += r.getLong(idx)
+        run += getVal(r, idx)
         proj(joined(r, appended)): InternalRow
       }
     }
@@ -193,6 +246,7 @@ object GlobalRank {
       .sortWithinPartitions(rangeCols: _*)
     val inSchema = sorted.schema
     val vIdx = inSchema.fieldIndex(valueCol)
+    val getVal = longReaderFor(inSchema(vIdx).dataType, valueCol)
     val keyIdxs = keyCols.map(inSchema.fieldIndex).toArray
     val keyTypes = keyIdxs.map(i => inSchema(i).dataType)
     val schema = StructType(inSchema.fields ++ Seq(
@@ -206,16 +260,44 @@ object GlobalRank {
     // generated-corpus scale. Sort-output UnsafeRows are buffer-reused,
     // so rows are copy()d (a byte-array copy) before the persist that
     // lets pass 2 skip recomputing the range shuffle.
-    val rdd = sorted.queryExecution.toRdd
-      .mapPartitions(_.map(_.copy()), preservesPartitioning = true)
+    val rdd = registerCached(sorted.queryExecution.toRdd
+      .mapPartitions(_.map(_.copy()), preservesPartitioning = true))
     rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // key values surface as Tungsten-native objects (UTF8String, boxed
     // primitives, Decimal) — all value-equal and serializable, which is
-    // what the driver-side segment merge and the broadcast need
+    // what the driver-side segment merge and the broadcast need.
+    // Floating keys are NORMALIZED (-0.0 → 0.0, every NaN → the
+    // canonical NaN) so segment equality matches SQL window
+    // PARTITION BY semantics — JVM equals on boxed doubles treats
+    // -0.0 != 0.0 and NaN != NaN, which would split groups the
+    // windowed form merges. (Spark's range partitioner sorts all NaNs
+    // together and -0.0 adjacent to 0.0, so normalized segments stay
+    // contiguous within a sorted partition.)
+    // NaN maps to a SELF-EQUAL singleton marker, not a canonical boxed
+    // NaN: Scala == on boxed doubles is numeric (NaN != NaN always),
+    // so a boxed-NaN map key could never be looked up again.
+    val keyNorm: Array[Any => Any] = keyTypes.map {
+      case DoubleType => (v: Any) => v match {
+        case d: java.lang.Double =>
+          if (d.isNaN) NaNKey
+          else if (d.doubleValue() == 0.0) java.lang.Double.valueOf(0.0)
+          else d
+        case other => other
+      }
+      case FloatType => (v: Any) => v match {
+        case f: java.lang.Float =>
+          if (f.isNaN) NaNKey
+          else if (f.floatValue() == 0.0f) java.lang.Float.valueOf(0.0f)
+          else f
+        case other => other
+      }
+      case _ => identity[Any] _
+    }
     def keyOf(r: InternalRow): List[Any] =
-      keyIdxs.indices.map(i => r.get(keyIdxs(i), keyTypes(i))).toList
+      keyIdxs.indices.map(i =>
+        keyNorm(i)(r.get(keyIdxs(i), keyTypes(i)))).toList
     def valOf(r: InternalRow): Long =
-      if (r.isNullAt(vIdx)) 0L else r.getLong(vIdx)
+      if (r.isNullAt(vIdx)) 0L else getVal(r, vIdx)
     // pass 1: one (count, sum) per (partition, key segment) — segments
     // are contiguous within a sorted partition, so the collect is
     // bounded by #partitions + #keys entries
@@ -230,6 +312,17 @@ object GlobalRank {
         if (cur == null) cur = k
         else if (k != cur) {
           out += ((pid, cur, c, s)); cur = k; c = 0L; s = 0L
+          // Fail in the EXECUTOR before a high-cardinality key (a
+          // unique id, say) collects ~#rows of metadata and OOMs the
+          // driver — the operator's contract is low-cardinality keys.
+          if (out.length > MaxSegmentsPerPartition)
+            throw new IllegalArgumentException(
+              s"withKeyedRankAndPrefixSum saw > $MaxSegmentsPerPartition " +
+              s"key segments in partition $pid (keys: ${keyCols.mkString(",")})" +
+              " — the keyed two-pass form is for LOW-cardinality keys;" +
+              " for high-cardinality keys use a windowed" +
+              " row_number/sum OVER (PARTITION BY key), which scales" +
+              " fine when no single key dominates")
         }
         c += 1; s += valOf(r)
       }
@@ -324,15 +417,16 @@ object GlobalRank {
     val sorted = df.repartitionByRange(n, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
     val idx = sorted.schema.fieldIndex(valueCol)
+    val getVal = longReaderFor(sorted.schema(idx).dataType, valueCol)
     val schema = StructType(sorted.schema.fields :+
       StructField(outCol, LongType, nullable = false))
     // Tungsten lane + copy-before-persist, as in withKeyedRankAndPrefixSum
-    val rdd = sorted.queryExecution.toRdd
-      .mapPartitions(_.map(_.copy()), preservesPartitioning = true)
+    val rdd = registerCached(sorted.queryExecution.toRdd
+      .mapPartitions(_.map(_.copy()), preservesPartitioning = true))
     rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val partSums = rdd.mapPartitionsWithIndex { case (pid, it) =>
       var s = 0L
-      it.foreach(r => s += r.getLong(idx))
+      it.foreach(r => s += getVal(r, idx))
       Iterator((pid, s))
     }.collect() // bounded: one (int, long) per partition
     val offsets = new Array[Long](n + 1)
@@ -346,7 +440,7 @@ object GlobalRank {
       var run = bc.value(pid)
       it.map { r =>
         appended.update(0, run)
-        run += r.getLong(idx)
+        run += getVal(r, idx)
         proj(joined(r, appended)): InternalRow
       }
     }

@@ -24,6 +24,15 @@ object Extended20 {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** THE dimension both sides of q201 encode — the Spark path asserts
+    * the fixture matches it, and every hard number in [[q201Sql]]
+    * (subspace width, generate_series bounds, the 1/√d scale, the sign
+    * vector length) derives from it, so a fixture dim change fails
+    * LOUDLY here instead of silently diverging the oracle. Power of 2
+    * (Hadamard) and divisible by m = 2 (the PQ budget). */
+  private[queries] val RotDim = 64
+  private val RotScale = 1.0 / math.sqrt(RotDim.toDouble)
+
   // --------------------------------------------------------------------
   // q201 — the OPQ rotation rung priced at equal code budget.
   def q201(s: SparkSession, dir: String): DataFrame = {
@@ -38,6 +47,10 @@ object Extended20 {
       .orderBy($"score".desc, $"id".asc).limit(10)
     val qRow = e.filter($"vec_id" === 0)
       .select($"embedding").head().getSeq[Float](0)
+    require(qRow.length == RotDim,
+      s"q201 oracle is encoded for dim $RotDim; embeddings fixture has " +
+        s"dim ${qRow.length} — update Extended20.RotDim (both sides " +
+        "derive from it)")
     // flat PQ baseline at the q200 budget (m = 2, k = 32, 2 Lloyd)
     val cb = graft.ext.VectorIndex
       .pqTrain(e, "embedding", "vec_id", m = 2, k = 32, iterations = 2)
@@ -70,7 +83,7 @@ object Extended20 {
   }
 
   val q201Sql: String = {
-    val dsub = 32
+    val dsub = RotDim / 2
     def cos(a: String, b: String) =
       s"""list_sum(list_transform(list_zip($a, $b), x -> x[1] * x[2]))
          |   / (sqrt(list_sum(list_transform($a, x -> x * x)))
@@ -126,8 +139,12 @@ object Extended20 {
          |   ORDER BY l0.d + l1.d, ${p}af0.vec_id LIMIT 10""".stripMargin
     // the rotation: y[j] = Σ_i v[i]·coef(j,i), coef = ±1/8 exactly
     // (Hadamard sign via bit_count parity × the MD5-drawn diagonal)
-    val sLit = graft.ext.VectorIndex.signMatrix(1, 64, "opq")(0)
+    val sLit = graft.ext.VectorIndex.signMatrix(1, RotDim, "opq")(0)
       .mkString("[", ", ", "]")
+    // Double.toString round-trips exactly; for RotDim = 64 it is the
+    // exact binary value 0.125
+    val scaleLit = RotScale.toString
+    val dimM1 = RotDim - 1
     s"""WITH e AS (SELECT vec_id,
        |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |        FROM embeddings),
@@ -138,11 +155,11 @@ object Extended20 {
        |   FROM e CROSS JOIN q WHERE e.vec_id <> 0
        |   ORDER BY score DESC, id LIMIT 10),
        | rot AS (SELECT vec_id,
-       |     list_transform(generate_series(0, 63), j ->
-       |       list_sum(list_transform(generate_series(0, 63), i ->
+       |     list_transform(generate_series(0, $dimM1), j ->
+       |       list_sum(list_transform(generate_series(0, $dimM1), i ->
        |         v[i + 1] * (CAST(
        |           (1 - 2 * (bit_count(j & i) % 2)) * ($sLit)[i + 1]
-       |           AS DOUBLE) * 0.125)))) AS v
+       |           AS DOUBLE) * $scaleLit)))) AS v
        |   FROM e),
        | rq AS (SELECT v FROM rot WHERE vec_id = 0),
        |${pqChain("f", "e", "q")},
