@@ -62,9 +62,14 @@ object Extended20 {
     // OPQ: exactly-orthonormal deterministic rotation, SAME budget.
     // The rotated query comes from the SAME Spark expression (1-row
     // collect), so driver and corpus arithmetic are identical.
+    // PINNED (q197's discipline): the rotation is O(d²) multiply-adds
+    // per row and the PQ chain scans it ~8 times (per-subspace init +
+    // Lloyd passes, encode, search) — unpinned, every scan recomputes
+    // the projection and the rotation dominates the whole query.
     val rot = graft.ext.VectorIndex
       .hadamardRotate(e, "embedding", "rvec", seed = "opq")
       .select($"vec_id", $"rvec")
+      .localCheckpoint()
     val rcb = graft.ext.VectorIndex
       .pqTrain(rot, "rvec", "vec_id", m = 2, k = 32, iterations = 2)
     val rq = rot.filter($"vec_id" === 0)
