@@ -45,8 +45,10 @@ object Stress {
     // Bench's between-query System.gc().
     val gcBetweenStages = sys.env.getOrElse("GRAFT_STRESS_GC", "1") != "0"
     def gcWindow(): Unit = if (gcBetweenStages) {
+      val t0 = System.nanoTime()
       System.gc()
       Thread.sleep(200L)
+      println(f"[stress] gc-window   ${(System.nanoTime() - t0) / 1e9}%8.2f s")
     }
 
     if (picks("dedup")) timed("dedup") {
@@ -585,7 +587,11 @@ object Stress {
       // (definite-miss + maybe), the dedup blocker many times; left
       // unpinned, the chain re-evaluates multiplicatively (measured:
       // 1,222 s at 1M with only one pin vs ~170 s fully pinned)
-      val s1 = d.join(lmKeep, Seq("doc_id"), "left_semi").localCheckpoint()
+      var s1: DataFrame = null
+      timed("mg-lm") {
+        s1 = d.join(lmKeep, Seq("doc_id"), "left_semi").localCheckpoint()
+        s1.count()
+      }
       gcWindow()
       val dim = 32
       val g = $"doc_id" - $"doc_id" % 5
@@ -597,17 +603,29 @@ object Stress {
         .semanticDedup(emb, "embedding", "vec_id", tauBp = 9900,
           bits = mpBits, bands = 2, bucketCap = Some(2000L))
         .filter($"keep").select($"vec_id".as("doc_id"))
-      val s2 = s1.join(kept, Seq("doc_id"), "left_semi").localCheckpoint()
+      var s2: DataFrame = null
+      timed("mg-dedup") {
+        s2 = s1.join(kept, Seq("doc_id"), "left_semi").localCheckpoint()
+        s2.count()
+      }
       gcWindow()
       val eval0 = d.filter($"doc_id" % 37 === 0).select($"text".as("k"))
-      val s3 = graft.ext.BloomSketch.prunedAntiJoin(s2, "text", eval0, "k")
-        .localCheckpoint()
+      var s3: DataFrame = null
+      timed("mg-decontam") {
+        s3 = graft.ext.BloomSketch.prunedAntiJoin(s2, "text", eval0, "k")
+          .localCheckpoint()
+        s3.count()
+      }
       gcWindow()
       val impKeep = graft.ext.TrainPrep
         .dsirImportance(s3, s3.filter($"doc_id" % 10 === 3), "text", "doc_id")
         .filter($"imp_micro" > 0L).select($"doc_id")
-      val s4 = s3.join(impKeep, Seq("doc_id"), "left_semi")
-        .localCheckpoint()
+      var s4: DataFrame = null
+      timed("mg-dsir") {
+        s4 = s3.join(impKeep, Seq("doc_id"), "left_semi")
+          .localCheckpoint()
+        s4.count()
+      }
       gcWindow()
       val mix = s4.groupBy($"source")
         .agg(count(lit(1)).as("n_docs"), sum(length($"text")).as("chars"))
@@ -618,13 +636,38 @@ object Stress {
                  |  / chars) * 1000000.0) AS BIGINT) + 999999)
                  |  div 1000000""".stripMargin).as("keep_n"))
       gcWindow()
-      val s5 = graft.operators.GlobalRank
-        .withKeyedRank(s4, Seq("source"), Seq($"doc_id"), "rn")
-        .join(broadcast(keepN), "source")
-        .filter($"rn" <= $"keep_n").drop("rn", "keep_n")
-      graft.ext.TrainPrep
-        .pack(s5, "doc_id", "source", "text", tokenCap = 2048)
-        .count()
+      timed("mg-mix-pack") {
+        val s5 = graft.operators.GlobalRank
+          .withKeyedRank(s4, Seq("source"), Seq($"doc_id"), "rn")
+          .join(broadcast(keepN), "source")
+          .filter($"rn" <= $"keep_n").drop("rn", "keep_n")
+        graft.ext.TrainPrep
+          .pack(s5, "doc_id", "source", "text", tokenCap = 2048)
+          .count()
+      }
+      1L
+    }
+    if (picks("topk")) {
+      // A/B: per-source top-100 (4 sources — the low-cardinality-key
+      // worst case) via (a) the plain windowed row_number <= k, which
+      // Spark 3.5+ rewrites with InferWindowGroupLimit (map-side
+      // partial top-k before the shuffle, so the per-key final sort
+      // sees only k·#maps rows), vs (b) the hand-salted two-phase
+      // GroupedTopK. Decides whether the salted operator earns its
+      // second shuffle anywhere, or the built-in rewrite owns this.
+      import org.apache.spark.sql.expressions.Window
+      val d = docs.select($"doc_id", $"source", length($"text").as("len"))
+      timed("topk-window") {
+        val w = Window.partitionBy($"source")
+          .orderBy($"len".desc, $"doc_id".asc)
+        d.withColumn("rk", row_number().over(w))
+          .filter($"rk" <= 100).count()
+      }
+      timed("topk-salted") {
+        graft.operators.GroupedTopK
+          .topK(d, Seq("source"), Seq($"len".desc, $"doc_id".asc), k = 100)
+          .count()
+      }
     }
     if (picks("lcspan")) timed("lcspan") {
       // TextDedup.longestCommonSpan (q194 operator) with a FIXED

@@ -1,7 +1,6 @@
 package graft.ext
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFns
@@ -185,10 +184,12 @@ object TrainPrep {
           col("__j").cast("string"))), 1, 8), 16, 10).cast("long"))
       .groupBy(col("__grp"), col("__id"), col("__w"))
       .agg(max(col("__h")).as("key"))
-    val win = Window.partitionBy(col("__grp"))
-      .orderBy(col("key").desc, col("__id").asc)
-    expanded.withColumn("rk", row_number().over(win).cast("long"))
-      .filter(col("rk") <= k)
+    // salted two-phase top-k: groupCol is LOW-cardinality (corpus
+    // sources), so a bare PARTITION BY window would sort each group's
+    // whole extent in one task — the GroupedTopK scaladoc pathology
+    graft.operators.GroupedTopK
+      .topK(expanded, Seq("__grp"),
+        Seq(col("key").desc, col("__id").asc), k, "rk")
       .select(col("__grp").as(groupCol), col("rk"), col("__id").as(idCol),
         col("__w").as(weightCol), col("key"))
   }

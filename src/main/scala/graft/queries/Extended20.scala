@@ -3,7 +3,15 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Round-12 batch (q201) — the verdict's optional stretch rung:
+/** Round-12/13 batch (q201–q202):
+  *
+  *  - q202 grouped top-k via the salted two-phase reduction
+  *    ([[graft.operators.GroupedTopK]]): per-(source, lang) top-3 docs
+  *    by size — the `row_number() OVER (PARTITION BY low-card-key)`
+  *    shape that single-tasks each group's whole extent at scale,
+  *    re-expressed so phase 1 fans each group over salt cells and the
+  *    per-group window only ever sees ≤ salts·k bounded survivors.
+  *
   *
   *  - q201 OPQ-rotated PQ priced: recall@10 of flat PQ vs PQ over a
   *    deterministic orthonormal rotation (randomized-Hadamard HD/√d,
@@ -184,13 +192,37 @@ object Extended20 {
        |ORDER BY method""".stripMargin
   }
 
+  // --------------------------------------------------------------------
+  // q202 — salted grouped top-k (the scalable PARTITION BY-low-card
+  // window form): per (source, lang) the 3 largest docs.
+  def q202(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.operators.GroupedTopK
+      .topK(t(s, dir, "documents").select($"source", $"lang", $"doc_id",
+          $"n_chars".cast("long").as("n_chars")),
+        Seq("source", "lang"), Seq($"n_chars".desc, $"doc_id".asc), k = 3)
+      .orderBy($"source", $"lang", $"rk")
+  }
+
+  val q202Sql: String =
+    """SELECT source, lang, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+      |       rk
+      |FROM (SELECT source, lang, doc_id, n_chars,
+      |             CAST(row_number() OVER (PARTITION BY source, lang
+      |               ORDER BY n_chars DESC, doc_id ASC) AS BIGINT) AS rk
+      |      FROM documents)
+      |WHERE rk <= 3
+      |ORDER BY source, lang, rk""".stripMargin
+
   /** Name → query function, for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q201_opq_recall" -> (q201 _)
+    "q201_opq_recall" -> (q201 _),
+    "q202_grouped_topk" -> (q202 _)
   )
 
   /** Name → DuckDB oracle SQL, for SparkEntry. */
   val oracles: Map[String, String] = Map(
-    "q201_opq_recall" -> q201Sql
+    "q201_opq_recall" -> q201Sql,
+    "q202_grouped_topk" -> q202Sql
   )
 }
