@@ -27,10 +27,17 @@ object Stress {
     def docs: DataFrame = spark.read.format("graftdocs")
       .option("rows", rows).option("partitions", cpus.toInt * 2).load()
 
+    // 1-min loadavg stamped per probe line: today's adjudications keep
+    // coming back to machine load (identical megapipe code measured
+    // 252-884 s across four same-day runs) — a number without its load
+    // context cannot be compared across rounds.
+    def load1: Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     def timed(name: String)(body: => Long): Unit = {
+      val l0 = load1
       val t0 = System.nanoTime()
       val n = body
-      println(f"[stress] $name%-12s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n rows, $rows docs)")
+      println(f"[stress] $name%-12s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n rows, $rows docs, load1 $l0%.1f -> $load1%.1f)")
     }
 
     // Cleaner work window between composed-pipeline stages, on by
