@@ -3,7 +3,16 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Round-12/13 batch (q201–q202):
+/** Round-12/13 batch (q201–q203):
+  *
+  *  - q203 z-order layout priced: bucket lineitem under the natural
+  *    sort vs the Morton key ([[graft.operators.ZOrder]]) and read the
+  *    per-bucket min/max ranges both ways — the statistics that drive
+  *    file skipping. sf0.01 readout: natural (sum_xrange 271,
+  *    sum_yrange 4096 — the second dimension gets NOTHING), z-order
+  *    (1574, 1182 — both dimensions skip). Pure integer arithmetic,
+  *    oracle replays the interleave bit-for-bit.
+  *
   *
   *  - q202 grouped top-k via the salted two-phase reduction
   *    ([[graft.operators.GroupedTopK]]): per-(source, lang) top-3 docs
@@ -214,15 +223,82 @@ object Extended20 {
       |WHERE rk <= 3
       |ORDER BY source, lang, rk""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q203 — z-order layout priced against the natural sort order: bucket
+  // lineitem 16 ways under each layout and read the per-bucket min/max
+  // ranges on BOTH z-dimensions (the statistics file-skipping prunes
+  // with). Natural order gives the leading key tight ranges and the
+  // second key nothing; the Morton key balances both — the sum of
+  // y-ranges is the honest number (how much a predicate on the SECOND
+  // column can skip). All integer arithmetic end to end.
+  private val ZBits = 8
+  private val ZBuckets = 16
+
+  def q203(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = t(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_linenumber", $"l_partkey")
+    val mx = li.agg(max($"l_orderkey").as("mo"), max($"l_partkey").as("mp"))
+    val dim = 1L << ZBits
+    val q = li.crossJoin(broadcast(mx)).select(
+      $"l_orderkey", $"l_linenumber",
+      expr(s"l_orderkey * $dim div (mo + 1)").as("x"),
+      expr(s"l_partkey * $dim div (mp + 1)").as("y"))
+    val z = q.withColumn("z",
+      graft.operators.ZOrder.zvalue(Seq($"x", $"y"), ZBits))
+    def readout(sortCols: Seq[Column], layout: String): DataFrame =
+      graft.operators.GlobalRank
+        .withNtile(z, sortCols, ZBuckets, "b")
+        .groupBy($"b")
+        .agg((max($"x") - min($"x") + 1L).as("xr"),
+          (max($"y") - min($"y") + 1L).as("yr"))
+        .agg(sum($"xr").cast("long").as("sum_xrange"),
+          sum($"yr").cast("long").as("sum_yrange"),
+          sum($"xr" * $"yr").cast("long").as("sum_area"))
+        .select(lit(layout).as("layout"),
+          $"sum_xrange", $"sum_yrange", $"sum_area")
+    readout(Seq($"l_orderkey", $"l_linenumber"), "natural")
+      .unionByName(
+        readout(Seq($"z", $"l_orderkey", $"l_linenumber"), "zorder"))
+      .orderBy($"layout")
+  }
+
+  val q203Sql: String = {
+    val dim = 1L << ZBits
+    val zExpr = graft.operators.ZOrder.zvalueSql(Seq("x", "y"), ZBits)
+    def readout(order: String, layout: String) =
+      s"""SELECT '$layout' AS layout,
+         |       CAST(sum(xr) AS BIGINT) AS sum_xrange,
+         |       CAST(sum(yr) AS BIGINT) AS sum_yrange,
+         |       CAST(sum(xr * yr) AS BIGINT) AS sum_area
+         |FROM (SELECT b, max(x) - min(x) + 1 AS xr,
+         |             max(y) - min(y) + 1 AS yr
+         |      FROM (SELECT x, y, ntile($ZBuckets) OVER (ORDER BY $order) AS b
+         |            FROM z)
+         |      GROUP BY b)""".stripMargin
+    s"""WITH q AS (SELECT l_orderkey, l_linenumber,
+       |        l_orderkey * $dim // (mo + 1) AS x,
+       |        l_partkey * $dim // (mp + 1) AS y
+       |      FROM lineitem CROSS JOIN (SELECT max(l_orderkey) AS mo,
+       |        max(l_partkey) AS mp FROM lineitem)),
+       | z AS (SELECT l_orderkey, l_linenumber, x, y, $zExpr AS z FROM q)
+       |${readout("l_orderkey, l_linenumber", "natural")}
+       |UNION ALL
+       |${readout("z, l_orderkey, l_linenumber", "zorder")}
+       |ORDER BY layout""".stripMargin
+  }
+
   /** Name → query function, for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q201_opq_recall" -> (q201 _),
-    "q202_grouped_topk" -> (q202 _)
+    "q202_grouped_topk" -> (q202 _),
+    "q203_zorder_layout" -> (q203 _)
   )
 
   /** Name → DuckDB oracle SQL, for SparkEntry. */
   val oracles: Map[String, String] = Map(
     "q201_opq_recall" -> q201Sql,
-    "q202_grouped_topk" -> q202Sql
+    "q202_grouped_topk" -> q202Sql,
+    "q203_zorder_layout" -> q203Sql
   )
 }
