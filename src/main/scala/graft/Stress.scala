@@ -606,12 +606,16 @@ object Stress {
         ((xxhash64(g, lit(i)) % 1000L).cast("double") / 500.0).cast("float")
       }: _*)
       val emb = s1.select($"doc_id".as("vec_id"), vec.as("embedding"))
-      val kept = graft.ext.VectorIndex
-        .semanticDedup(emb, "embedding", "vec_id", tauBp = 9900,
-          bits = mpBits, bands = 2, bucketCap = Some(2000L))
-        .filter($"keep").select($"vec_id".as("doc_id"))
       var s2: DataFrame = null
+      // semanticDedup's CC fixpoint materializes EAGERLY at call time
+      // (localCheckpoint per round) — the timer must wrap the CALL,
+      // not just the downstream join, or the pipeline's dominant
+      // stage cost lands in no stage line (the round-13 gotcha)
       timed("mg-dedup") {
+        val kept = graft.ext.VectorIndex
+          .semanticDedup(emb, "embedding", "vec_id", tauBp = 9900,
+            bits = mpBits, bands = 2, bucketCap = Some(2000L))
+          .filter($"keep").select($"vec_id".as("doc_id"))
         s2 = s1.join(kept, Seq("doc_id"), "left_semi").localCheckpoint()
         s2.count()
       }
@@ -643,16 +647,21 @@ object Stress {
                  |  / chars) * 1000000.0) AS BIGINT) + 999999)
                  |  div 1000000""".stripMargin).as("keep_n"))
       gcWindow()
+      // the outer line reports the PACKED row count — the cross-run
+      // sanity invariant (a blocking-stage typo that silently keeps 0
+      // docs must not print an identical-looking summary)
+      var packed = 0L
       timed("mg-mix-pack") {
         val s5 = graft.operators.GlobalRank
           .withKeyedRank(s4, Seq("source"), Seq($"doc_id"), "rn")
           .join(broadcast(keepN), "source")
           .filter($"rn" <= $"keep_n").drop("rn", "keep_n")
-        graft.ext.TrainPrep
+        packed = graft.ext.TrainPrep
           .pack(s5, "doc_id", "source", "text", tokenCap = 2048)
           .count()
+        packed
       }
-      1L
+      packed
     }
     if (picks("topk")) {
       // A/B: per-source top-100 (4 sources — the low-cardinality-key

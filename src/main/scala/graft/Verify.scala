@@ -25,6 +25,14 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      } finally {
+        // nothing is shared between catalog queries: drain the
+        // GlobalRank registry (strong refs would otherwise pin every
+        // two-pass intermediate for the whole 200+-query run) and drop
+        // stray persisted blocks, the Bench discipline
+        graft.operators.GlobalRank.releaseCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -30,12 +30,13 @@ import org.apache.spark.sql.types.{ByteType, DataType, DoubleType, FloatType, In
 object GlobalRank {
 
   /** Intermediates persisted (MEMORY_AND_DISK) by the two-pass
-    * operators below. Bench/Verify already drop ALL persisted RDDs
-    * between catalog queries (`getPersistentRDDs` sweep), but a
-    * library user running many ranked queries in one long session
-    * would otherwise accumulate full-corpus row copies in the block
-    * manager — call [[releaseCache]] between queries (or whenever the
-    * last DataFrame built from these operators is no longer needed). */
+    * operators below. Bench and Verify both drain this registry per
+    * catalog query (releaseCache + a `getPersistentRDDs` sweep); a
+    * library user running many ranked queries in one long session must
+    * do the same — call [[releaseCache]] between queries (or whenever
+    * the last DataFrame built from these operators is no longer
+    * needed), else full-corpus row copies accumulate in the block
+    * manager, pinned by this queue's strong references. */
   private val cached =
     new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.rdd.RDD[_]]()
 

@@ -37,6 +37,12 @@ import org.apache.spark.sql.functions._
   */
 object GroupedTopK {
 
+  /** An orderCols entry may carry a sort direction (`$"x".desc`) —
+    * hashing needs the CHILD expression, not the Unevaluable ordering
+    * wrapper. */
+  private def stripSortOrder(c: Column): Column =
+    org.apache.spark.sql.graft.Bridge.stripSortOrder(c)
+
   def topK(df: DataFrame, keyCols: Seq[String], orderCols: Seq[Column],
       k: Int, rankCol: String = "rk", salts: Int = 0): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
@@ -46,10 +52,14 @@ object GroupedTopK {
     val s = if (salts > 0) salts
       else df.sparkSession.sessionState.conf.numShufflePartitions
     val saltCol = "__gtk_salt"
-    // deterministic per-row cell: hash of the WHOLE row, so the same
-    // input always salts the same way (no rand() — run-independence)
+    // deterministic per-row cell: hash of (key, order) only — the
+    // contract makes that a row identity (orderCols include a
+    // tiebreaker), so hashing the remaining payload columns (KB-scale
+    // text on curation frames) would buy nothing and pay per-byte.
+    // No rand(): run-independence.
+    val saltOn = keyCols.map(col) ++ orderCols.map(stripSortOrder)
     val salted = df.withColumn(saltCol,
-      pmod(xxhash64(struct(df.columns.map(col): _*)), lit(s.toLong)))
+      pmod(xxhash64(struct(saltOn: _*)), lit(s.toLong)))
     val w1 = Window
       .partitionBy((keyCols :+ saltCol).map(col): _*)
       .orderBy(orderCols: _*)

@@ -244,8 +244,12 @@ object Extended20 {
       $"l_orderkey", $"l_linenumber",
       expr(s"l_orderkey * $dim div (mo + 1)").as("x"),
       expr(s"l_partkey * $dim div (mp + 1)").as("y"))
+    // PINNED: both readouts drive ~3 actions each over this frame
+    // (range-sampling, zip-size, withNtile's count) — unpinned, the
+    // scan + max-join + quantization re-run ~6× (the q201 lesson)
     val z = q.withColumn("z",
-      graft.operators.ZOrder.zvalue(Seq($"x", $"y"), ZBits))
+        graft.operators.ZOrder.zvalue(Seq($"x", $"y"), ZBits))
+      .localCheckpoint()
     def readout(sortCols: Seq[Column], layout: String): DataFrame =
       graft.operators.GlobalRank
         .withNtile(z, sortCols, ZBuckets, "b")

@@ -16,6 +16,16 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Strip a sort-direction wrapper (`$"x".desc` wraps the child in an
+    * sql.internal.SortOrder COLUMN NODE — not the catalyst SortOrder)
+    * so the child can be used in value contexts (hashing, projection),
+    * where an ordering wrapper is Unevaluable. Identity on plain
+    * columns. */
+  def stripSortOrder(c: Column): Column = c.node match {
+    case so: org.apache.spark.sql.internal.SortOrder => Column(so.child)
+    case _ => c
+  }
+
   /** Wrap a (resolved) logical plan as a DataFrame — the entry point for
     * custom logical operators (classic.Dataset.ofRows is private[sql]). */
   def ofRows(spark: org.apache.spark.sql.SparkSession,
