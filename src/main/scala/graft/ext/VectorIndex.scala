@@ -611,4 +611,70 @@ object VectorIndex {
       .orderBy(col("adist_micro").asc, col(idCol).asc)
       .limit(k)
   }
+
+  /** Exact re-rank ("refine") rung over an ANN shortlist: join the
+    * shortlist ids back to the raw vectors and re-order by the TRUE
+    * cosine, reported in half-up basis points (the pricing scale the
+    * q32/q200 gate family fixed). The standard third stage of IVF-ADC
+    * search (Jégou/Douze/Schmid PAMI 2011 §V-A: rank an R ≫ k
+    * shortlist from 8-bit codes, then re-rank just those R with exact
+    * distances): the compressed scan does the corpus-sized work, the
+    * refine pass touches only R raw vectors. At cluster scale the
+    * shortlist is bounded driver-size output, so it BROADCASTS and the
+    * corpus side is a shuffle-free semi-join; recall recovers toward
+    * the probed-cells ceiling (refine cannot resurrect a neighbor
+    * whose coarse cell was never probed — callers widen nProbe for
+    * that, R for quantization error).
+    *
+    * @param shortlist candidate frame carrying `idCol` (e.g.
+    *                  [[ivfPqSearch]] at k = R)
+    * @param embeddings raw-vector corpus (idCol, vecCol)
+    * @return (idCol, score_bp) — k rows, score desc, ties id asc */
+  def refineExact(shortlist: DataFrame, embeddings: DataFrame,
+      vecCol: String, idCol: String, query: Array[Float],
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    embeddings
+      .join(broadcast(shortlist.select(col(idCol))), Seq(idCol), "left_semi")
+      .select(col(idCol),
+        floor(VectorFns.cosine(col(vecCol), centroidLit(query)) * 10000.0
+          + 0.5).cast("long").as("score_bp"))
+      .orderBy(col("score_bp").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Binary-quantization (BQ) top-k: pack the sign bit of the first
+    * `bits` components into ONE 64-bit code per vector
+    * ([[VectorFns.signBucket]] — no training, no codebook) and rank by
+    * Hamming distance, one XOR+popcount per comparison. The
+    * training-free rung of the compression ladder: 8 bytes/vector
+    * where float32 needs 4·d, so at corpus scale the BQ scan reads
+    * 32× (d = 64) less than brute cosine — and like ADC it is a
+    * SHORTLIST generator, its quantization error priced and then
+    * bought back with [[refineExact]] over R ≫ k candidates. Callers
+    * with a persisted index materialize the code column once
+    * (`signBucket(vec, bits)`) instead of re-packing per query.
+    * Deterministic in any engine: sign reads and integer popcounts,
+    * no floating-point distance at all.
+    *
+    * @param bits code width, ≤ 64 and ≤ dim (a silent shortfall would
+    *             zero-fill high bits and skew every distance)
+    * @return (idCol, hamming) — k rows, distance asc, ties id asc */
+  def binarySearch(embeddings: DataFrame, vecCol: String, idCol: String,
+      query: Array[Float], k: Int, bits: Int = 64): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(bits >= 1 && bits <= 64, s"bits must be in [1, 64], got $bits")
+    require(query.length >= bits,
+      s"query has ${query.length} dims; needs >= $bits")
+    val d = vecDim(embeddings, vecCol)
+    require(d >= bits, s"vectors have $d dims; bits = $bits needs >= that")
+    val qCode = query.take(bits).zipWithIndex
+      .collect { case (x, i) if x >= 0 => 1L << i }
+      .foldLeft(0L)(_ | _)
+    embeddings.select(col(idCol),
+        VectorFns.hamming(VectorFns.signBucket(col(vecCol), bits),
+          lit(qCode)).cast("long").as("hamming"))
+      .orderBy(col("hamming").asc, col(idCol).asc)
+      .limit(k)
+  }
 }

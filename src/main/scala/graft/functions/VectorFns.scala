@@ -55,4 +55,12 @@ object VectorFns {
       .map(i => when(element_at(a, offset + i + 1) >= 0, lit(1L << i))
         .otherwise(lit(0L)))
       .reduce(_ + _)
+
+  /** Hamming distance between two [[signBucket]]-packed sign codes:
+    * one XOR + one popcount per comparison, both codegen'd integer
+    * ops — the binary-quantization distance (a full 64-dim code is 8
+    * bytes/vector, so the BQ scan reads 32× less than float32
+    * vectors and does 64 bit-ops where cosine does 64 FMAs). */
+  def hamming(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
 }

@@ -509,13 +509,7 @@ object Extended19 {
   }
 
   val q200Sql: String = {
-    val dsub = 32
-    def cos(a: String, b: String) =
-      s"""list_sum(list_transform(list_zip($a, $b), x -> x[1] * x[2]))
-         |   / (sqrt(list_sum(list_transform($a, x -> x * x)))
-         |      * sqrt(list_sum(list_transform($b, x -> x * x))))""".stripMargin
-    def l2(a: String, b: String) =
-      s"list_sum(list_transform(list_zip($a, $b), x -> (x[1] - x[2]) * (x[1] - x[2])))"
+    import PqOracle.{cos, dsub, l2}
     // flat PQ (q191's chain: m = 2 × k = 4, TWO Lloyd passes), prefix f
     def flloyd(j: Int, i: Int) =
       s""" fs$j$i AS (SELECT sub.vec_id, c.cell, ${l2("sub.v", "c.c")} AS d2
@@ -552,7 +546,90 @@ object Extended19 {
          |               * 1000000.0) AS BIGINT) AS d
          |           FROM fc${j}2 c CROSS JOIN q)""".stripMargin
     }.mkString(",\n")
-    // IVF-PQ (q199's chain: coarse 4×1 + residual PQ 2×4×1), rsub/plut
+    s"""WITH ${PqOracle.eq},
+       | ${PqOracle.exact10},
+       |$flatPq,
+       | pq10 AS (SELECT faf0.vec_id AS id
+       |   FROM faf0 JOIN faf1 USING (vec_id)
+       |        JOIN flut0 l0 ON l0.cell = faf0.cell
+       |        JOIN flut1 l1 ON l1.cell = faf1.cell
+       |   WHERE faf0.vec_id <> 0
+       |   ORDER BY l0.d + l1.d, faf0.vec_id LIMIT 10),
+       |${PqOracle.ivfChain},
+       |${PqOracle.adcTop("ivfpq10", 10)},
+       | nex AS (SELECT CAST(count(*) AS BIGINT) AS n FROM exact)
+       |SELECT method, n_common,
+       |       CAST(n_common * 1000000 // (SELECT n FROM nex) AS BIGINT)
+       |         AS recall_ppm
+       |FROM (
+       |  SELECT 'ivf_pq' AS method,
+       |    CAST((SELECT count(*) FROM exact JOIN ivfpq10 USING (id))
+       |      AS BIGINT) AS n_common
+       |  UNION ALL SELECT 'pq_flat',
+       |    CAST((SELECT count(*) FROM exact JOIN pq10 USING (id)) AS BIGINT))
+       |ORDER BY method""".stripMargin
+  }
+
+  /** Name → query function, for SparkEntry. */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q197_megapipeline" -> (q197 _),
+    "q198_bm25_bucketed" -> (q198 _),
+    "q199_ivf_pq" -> (q199 _),
+    "q200_pq_recall" -> (q200 _)
+  )
+
+  /** Name → DuckDB oracle SQL, for SparkEntry. */
+  val oracles: Map[String, String] = Map(
+    "q197_megapipeline" -> q197Sql,
+    "q198_bm25_bucketed" -> q198Sql,
+    "q199_ivf_pq" -> q199Sql,
+    "q200_pq_recall" -> q200Sql
+  )
+}
+
+/** Shared DuckDB-oracle scaffolding for the PQ-family pricing queries
+  * (q200's flat-vs-IVF-PQ table, Extended20's refine rung): the
+  * embeddings preamble, the brute-force basis-point yardstick, and the
+  * complete IVF-PQ train→assign→encode→probe chain mirroring
+  * [[graft.ext.VectorIndex.ivfPqBuild]](kCoarse = 8, coarseIters = 1,
+  * m = 2, kSub = 32, pqIters = 1) probed at nProbe = 3 — ONE encoding
+  * of that chain, referenced by every oracle that prices against it
+  * (two independently-authored copies of a 100-line training unroll
+  * is how oracle and operator silently diverge). */
+private[queries] object PqOracle {
+  /** PQ subspace width: fixture dim 64 / m = 2 — [[Extended20.RotDim]]
+    * is the loud-failure guard on the fixture side. */
+  val dsub = 32
+
+  def cos(a: String, b: String): String =
+    s"""list_sum(list_transform(list_zip($a, $b), x -> x[1] * x[2]))
+       |   / (sqrt(list_sum(list_transform($a, x -> x * x)))
+       |      * sqrt(list_sum(list_transform($b, x -> x * x))))""".stripMargin
+
+  def l2(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), x -> (x[1] - x[2]) * (x[1] - x[2])))"
+
+  /** `e` (vectors as doubles) + `q` (the vec_id = 0 query row). */
+  val eq: String =
+    """e AS (SELECT vec_id,
+      |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |        FROM embeddings),
+      | q AS (SELECT v FROM e WHERE vec_id = 0)""".stripMargin
+
+  /** Brute-force cosine top-10 (`exact`, columns id/score) in basis
+    * points — every rung prices its recall against this frame. */
+  val exact10: String =
+    s"""exact AS (SELECT e.vec_id AS id,
+       |     CAST(floor(${cos("e.v", "q.v")} * 10000.0 + 0.5) AS BIGINT)
+       |       AS score
+       |   FROM e CROSS JOIN q WHERE e.vec_id <> 0
+       |   ORDER BY score DESC, id LIMIT 10)""".stripMargin
+
+  /** IVF-PQ chain (q199's shape: coarse 8×1 + residual PQ 2×32×1),
+    * ending in `res` (residuals+cell), `pr` (probed top-3 cells), `qr`
+    * (per-cell query residuals) and the `p{j}af`/`plut{j}` code/LUT
+    * frames [[adcTop]] reads. */
+  val ivfChain: String = {
     val coarse =
       s""" c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
          |                 AS INTEGER) AS cell, v AS c
@@ -614,23 +691,7 @@ object Extended19 {
          |               * 1000000.0) AS BIGINT) AS d
          |           FROM p${j}c1 c CROSS JOIN qr)""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS (SELECT vec_id,
-       |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-       |        FROM embeddings),
-       | q AS (SELECT v FROM e WHERE vec_id = 0),
-       | exact AS (SELECT e.vec_id AS id,
-       |     CAST(floor(${cos("e.v", "q.v")} * 10000.0 + 0.5) AS BIGINT)
-       |       AS score
-       |   FROM e CROSS JOIN q WHERE e.vec_id <> 0
-       |   ORDER BY score DESC, id LIMIT 10),
-       |$flatPq,
-       | pq10 AS (SELECT faf0.vec_id AS id
-       |   FROM faf0 JOIN faf1 USING (vec_id)
-       |        JOIN flut0 l0 ON l0.cell = faf0.cell
-       |        JOIN flut1 l1 ON l1.cell = faf1.cell
-       |   WHERE faf0.vec_id <> 0
-       |   ORDER BY l0.d + l1.d, faf0.vec_id LIMIT 10),
-       |$coarse,
+    s"""$coarse,
        | pr AS (SELECT cell FROM (
        |          SELECT c1.cell, row_number() OVER (
        |            ORDER BY ${cos("c1.c", "q.v")} DESC, c1.cell ASC) AS rn
@@ -638,40 +699,19 @@ object Extended19 {
        | qr AS (SELECT pr.cell,
        |          list_transform(list_zip(q.v, c.c), x -> x[1] - x[2]) AS qr
        |        FROM pr JOIN c1 c USING (cell) CROSS JOIN q),
-       |$residPq,
-       | ivfpq10 AS (SELECT r.vec_id AS id
+       |$residPq""".stripMargin
+  }
+
+  /** ADC-ranked candidate CTE `name` (column id) over the probed
+    * cells, LIMIT `k` — the asymmetric-distance read-out of
+    * [[ivfChain]], ties on id like
+    * [[graft.ext.VectorIndex.ivfPqSearch]]. */
+  def adcTop(name: String, k: Int): String =
+    s""" $name AS (SELECT r.vec_id AS id
        |   FROM res r JOIN p0af USING (vec_id) JOIN p1af f1
        |          ON f1.vec_id = r.vec_id
        |        JOIN plut0 l0 ON l0.cell = r.cell AND l0.pqcell = p0af.cell
        |        JOIN plut1 l1 ON l1.cell = r.cell AND l1.pqcell = f1.cell
        |   WHERE r.vec_id <> 0 AND r.cell IN (SELECT cell FROM pr)
-       |   ORDER BY l0.d + l1.d, r.vec_id LIMIT 10),
-       | nex AS (SELECT CAST(count(*) AS BIGINT) AS n FROM exact)
-       |SELECT method, n_common,
-       |       CAST(n_common * 1000000 // (SELECT n FROM nex) AS BIGINT)
-       |         AS recall_ppm
-       |FROM (
-       |  SELECT 'ivf_pq' AS method,
-       |    CAST((SELECT count(*) FROM exact JOIN ivfpq10 USING (id))
-       |      AS BIGINT) AS n_common
-       |  UNION ALL SELECT 'pq_flat',
-       |    CAST((SELECT count(*) FROM exact JOIN pq10 USING (id)) AS BIGINT))
-       |ORDER BY method""".stripMargin
-  }
-
-  /** Name → query function, for SparkEntry. */
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q197_megapipeline" -> (q197 _),
-    "q198_bm25_bucketed" -> (q198 _),
-    "q199_ivf_pq" -> (q199 _),
-    "q200_pq_recall" -> (q200 _)
-  )
-
-  /** Name → DuckDB oracle SQL, for SparkEntry. */
-  val oracles: Map[String, String] = Map(
-    "q197_megapipeline" -> q197Sql,
-    "q198_bm25_bucketed" -> q198Sql,
-    "q199_ivf_pq" -> q199Sql,
-    "q200_pq_recall" -> q200Sql
-  )
+       |   ORDER BY l0.d + l1.d, r.vec_id LIMIT $k)""".stripMargin
 }

@@ -3,7 +3,29 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Round-12/13 batch (q201–q203):
+/** Round-12/13 batch (q201–q206):
+  *
+  *  - q206 binary-quantization rung priced: 1-bit-per-dim sign codes
+  *    ([[graft.functions.VectorFns.signBucket]] packed to ONE long,
+  *    distance = XOR+popcount) ranked direct and through the same
+  *    R = 30 [[graft.ext.VectorIndex.refineExact]] pass as q204 — the
+  *    training-free end of the compression ladder, 32× smaller scans
+  *    than float32 at d = 64, wholly integer-deterministic.
+  *
+  *  - q205 Matryoshka prefix-dims priced: recall@10 of cosine over
+  *    only the first d ∈ {8, 16, 32, 64} stored components against the
+  *    full-dim brute-force top-10 — the nested-prefix serving read-out
+  *    of Kusupati et al. (NeurIPS 2022), where a shorter prefix cuts
+  *    scan bytes and FLOPs by 64/d and the table prices what that
+  *    costs in recall.
+  *
+  *  - q204 refine rung priced: q200's IVF-PQ index probed for an
+  *    R = 30 ADC shortlist, re-ranked exactly via
+  *    [[graft.ext.VectorIndex.refineExact]] (a broadcast semi-join
+  *    touching only R raw vectors), against the direct ADC top-10 —
+  *    the third stage of the Jégou/Douze/Schmid search ladder, sharing
+  *    ONE oracle encoding of the IVF-PQ chain with q200 through
+  *    [[PqOracle]].
   *
   *  - q203 z-order layout priced: bucket lineitem under the natural
   *    sort vs the Morton key ([[graft.operators.ZOrder]]) and read the
@@ -49,6 +71,12 @@ object Extended20 {
     * (Hadamard) and divisible by m = 2 (the PQ budget). */
   private[queries] val RotDim = 64
   private val RotScale = 1.0 / math.sqrt(RotDim.toDouble)
+
+  /** q205's nested-prefix widths, ascending; the last is the full
+    * dimension (its row is the identity sanity rung). Every width in
+    * the oracle's list_slice calls derives from this one list. */
+  private[graft] val MatryoshkaDims: Seq[Int] =
+    Seq(RotDim / 8, RotDim / 4, RotDim / 2, RotDim)
 
   // --------------------------------------------------------------------
   // q201 — the OPQ rotation rung priced at equal code budget.
@@ -292,17 +320,225 @@ object Extended20 {
        |ORDER BY layout""".stripMargin
   }
 
+  // --------------------------------------------------------------------
+  // q204 — the refine rung: exact re-rank of the IVF-PQ ADC shortlist.
+  // Same index, same probe set as q200's ivf_pq row; the ONLY new cost
+  // is R = 30 raw-vector reads (a broadcast semi-join against the
+  // corpus), and the row pair prices what that buys: recall@10 of the
+  // direct ADC top-10 vs the refined R→10 read-out. Refined recall is
+  // bounded above by the probed-cells ceiling — quantization error is
+  // recoverable, an unprobed cell is not — and the spec pins both
+  // inequalities (refine ≥ adc, refine ≤ probed-exact).
+  def q204(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = t(s, dir, "embeddings")
+    def bp(c: Column) = floor(c * 10000.0 + 0.5).cast("long")
+    val q = e.filter($"vec_id" === 0).select($"embedding".as("qvec"))
+    val exact = e.filter($"vec_id" =!= 0).crossJoin(broadcast(q))
+      .select($"vec_id".as("id"),
+        bp(graft.functions.VectorFns.cosine($"embedding", $"qvec"))
+          .as("score"))
+      .orderBy($"score".desc, $"id".asc).limit(10)
+    val qRow = e.filter($"vec_id" === 0)
+      .select($"embedding").head().getSeq[Float](0).toArray
+    val idx = graft.ext.VectorIndex.ivfPqBuild(e, "embedding", "vec_id",
+      kCoarse = 8, coarseIters = 1, m = 2, kSub = 32, pqIters = 1)
+    def adc(kk: Int): DataFrame = graft.ext.VectorIndex
+      .ivfPqSearch(idx.codes.filter($"vec_id" =!= 0), "vec_id", idx,
+        qRow, k = kk, nProbe = 3)
+    val direct = adc(10)
+      .select($"vec_id".as("id"), (-$"adist_micro").as("score"))
+    val refined = graft.ext.VectorIndex
+      .refineExact(adc(30), e.filter($"vec_id" =!= 0),
+        "embedding", "vec_id", qRow, k = 10)
+      .select($"vec_id".as("id"), $"score_bp".as("score"))
+    def price(name: String, approx: DataFrame): DataFrame =
+      graft.ext.Retrieval.recallAtK(approx, exact, "id", "score", k = 10)
+        .select(lit(name).as("method"), $"n_common", $"recall_ppm")
+    price("ivf_pq_adc", direct)
+      .unionByName(price("ivf_pq_refine", refined))
+      .orderBy($"method")
+  }
+
+  val q204Sql: String = {
+    import PqOracle.cos
+    s"""WITH ${PqOracle.eq},
+       | ${PqOracle.exact10},
+       |${PqOracle.ivfChain},
+       |${PqOracle.adcTop("adc10", 10)},
+       |${PqOracle.adcTop("short30", 30)},
+       | refined AS (SELECT id, score FROM (
+       |     SELECT s.id,
+       |       CAST(floor(${cos("e.v", "q.v")} * 10000.0 + 0.5) AS BIGINT)
+       |         AS score
+       |     FROM short30 s JOIN e ON e.vec_id = s.id CROSS JOIN q)
+       |   ORDER BY score DESC, id LIMIT 10),
+       | nex AS (SELECT CAST(count(*) AS BIGINT) AS n FROM exact)
+       |SELECT method, n_common,
+       |       CAST(n_common * 1000000 // (SELECT n FROM nex) AS BIGINT)
+       |         AS recall_ppm
+       |FROM (
+       |  SELECT 'ivf_pq_adc' AS method,
+       |    CAST((SELECT count(*) FROM exact JOIN adc10 USING (id))
+       |      AS BIGINT) AS n_common
+       |  UNION ALL SELECT 'ivf_pq_refine',
+       |    CAST((SELECT count(*) FROM exact JOIN refined USING (id))
+       |      AS BIGINT))
+       |ORDER BY method""".stripMargin
+  }
+
+  // --------------------------------------------------------------------
+  // q205 — Matryoshka head-dims pricing (Kusupati et al., NeurIPS
+  // 2022): score with only the first d components of the stored
+  // vectors (MRL's nested-prefix read-out — at serving time the tail
+  // of every vector is simply not read, shrinking scan bytes and
+  // distance FLOPs by 64/d) and price recall@10 at each prefix against
+  // the full-dim brute-force top-10. The d = 64 row is the identity
+  // sanity rung (recall 1.0 by construction). On THIS fixture the
+  // embeddings are near-isotropic — no MRL training concentrated
+  // information in the head — so the table reads as the honest
+  // worst-case price of truncation, same doctrine as q201's
+  // distribution-neutral rotation row.
+  def q205(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = t(s, dir, "embeddings")
+    def bp(c: Column) = floor(c * 10000.0 + 0.5).cast("long")
+    val q = e.filter($"vec_id" === 0).select($"embedding".as("qvec"))
+    val dlen = e.filter($"vec_id" === 0)
+      .select($"embedding").head().getSeq[Float](0).length
+    require(dlen == RotDim,
+      s"q205 oracle is encoded for dim $RotDim; embeddings fixture has " +
+        s"dim $dlen — update Extended20.RotDim (both sides derive " +
+        "from it)")
+    def scoredAt(d: Int): DataFrame =
+      e.filter($"vec_id" =!= 0).crossJoin(broadcast(q))
+        .select($"vec_id".as("id"),
+          bp(graft.functions.VectorFns.cosine(
+            slice($"embedding", 1, d), slice($"qvec", 1, d))).as("score"))
+    val exact = scoredAt(RotDim).orderBy($"score".desc, $"id".asc).limit(10)
+    MatryoshkaDims.map { d =>
+      graft.ext.Retrieval.recallAtK(scoredAt(d), exact, "id", "score",
+          k = 10)
+        .select(lit(d).as("dim"), $"n_common", $"recall_ppm")
+    }.reduce(_ unionByName _).orderBy($"dim")
+  }
+
+  val q205Sql: String = {
+    import PqOracle.cos
+    val scored = MatryoshkaDims.map { d =>
+      s""" sc$d AS (SELECT e.vec_id AS id,
+         |     CAST(floor(${cos(s"list_slice(e.v, 1, $d)",
+                                s"list_slice(q.v, 1, $d)")}
+         |       * 10000.0 + 0.5) AS BIGINT) AS score
+         |   FROM e CROSS JOIN q WHERE e.vec_id <> 0)""".stripMargin
+    }.mkString(",\n")
+    val rows = MatryoshkaDims.map { d =>
+      s"""  SELECT CAST($d AS INTEGER) AS dim,
+         |    CAST((SELECT count(*) FROM ex JOIN top$d USING (id))
+         |      AS BIGINT) AS n_common""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    val tops = MatryoshkaDims.map { d =>
+      s" top$d AS (SELECT id FROM sc$d ORDER BY score DESC, id LIMIT 10)"
+    }.mkString(",\n")
+    s"""WITH ${PqOracle.eq},
+       |$scored,
+       | ex AS (SELECT id FROM sc$RotDim ORDER BY score DESC, id LIMIT 10),
+       |$tops
+       |SELECT dim, n_common,
+       |       CAST(n_common * 1000000 // 10 AS BIGINT) AS recall_ppm
+       |FROM (
+       |$rows)
+       |ORDER BY dim""".stripMargin
+  }
+
+  // --------------------------------------------------------------------
+  // q206 — the training-free rung: binary quantization (1 bit/dim sign
+  // codes, Hamming distance) priced direct and with the q204 refine
+  // pass over an R = 30 shortlist. No codebook anywhere, so unlike the
+  // PQ rows this one's oracle needs no Lloyd unroll: the Hamming
+  // distance is an integer on both engines (DuckDB sums sign
+  // mismatches over the unpacked list; Spark XOR+popcounts the packed
+  // code — identical by construction).
+  def q206(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = t(s, dir, "embeddings")
+    def bp(c: Column) = floor(c * 10000.0 + 0.5).cast("long")
+    val q = e.filter($"vec_id" === 0).select($"embedding".as("qvec"))
+    val exact = e.filter($"vec_id" =!= 0).crossJoin(broadcast(q))
+      .select($"vec_id".as("id"),
+        bp(graft.functions.VectorFns.cosine($"embedding", $"qvec"))
+          .as("score"))
+      .orderBy($"score".desc, $"id".asc).limit(10)
+    val qRow = e.filter($"vec_id" === 0)
+      .select($"embedding").head().getSeq[Float](0).toArray
+    require(qRow.length == RotDim,
+      s"q206 oracle is encoded for dim $RotDim; embeddings fixture has " +
+        s"dim ${qRow.length} — update Extended20.RotDim")
+    val corpus = e.filter($"vec_id" =!= 0)
+    def bq(kk: Int): DataFrame = graft.ext.VectorIndex
+      .binarySearch(corpus, "embedding", "vec_id", qRow, k = kk,
+        bits = RotDim)
+    val direct = bq(10)
+      .select($"vec_id".as("id"), (-$"hamming").as("score"))
+    val refined = graft.ext.VectorIndex
+      .refineExact(bq(30), corpus, "embedding", "vec_id", qRow, k = 10)
+      .select($"vec_id".as("id"), $"score_bp".as("score"))
+    def price(name: String, approx: DataFrame): DataFrame =
+      graft.ext.Retrieval.recallAtK(approx, exact, "id", "score", k = 10)
+        .select(lit(name).as("method"), $"n_common", $"recall_ppm")
+    price("bq_hamming", direct)
+      .unionByName(price("bq_refine", refined))
+      .orderBy($"method")
+  }
+
+  val q206Sql: String = {
+    import PqOracle.cos
+    s"""WITH ${PqOracle.eq},
+       | ${PqOracle.exact10},
+       | ham AS (SELECT e.vec_id AS id,
+       |     CAST(list_sum(list_transform(list_zip(e.v, q.v),
+       |       x -> CASE WHEN (x[1] >= 0) <> (x[2] >= 0)
+       |            THEN 1 ELSE 0 END)) AS BIGINT) AS h
+       |   FROM e CROSS JOIN q WHERE e.vec_id <> 0),
+       | bq10 AS (SELECT id FROM ham ORDER BY h ASC, id ASC LIMIT 10),
+       | short30 AS (SELECT id FROM ham ORDER BY h ASC, id ASC LIMIT 30),
+       | refined AS (SELECT id FROM (
+       |     SELECT s.id,
+       |       CAST(floor(${cos("e.v", "q.v")} * 10000.0 + 0.5) AS BIGINT)
+       |         AS score
+       |     FROM short30 s JOIN e ON e.vec_id = s.id CROSS JOIN q)
+       |   ORDER BY score DESC, id LIMIT 10),
+       | nex AS (SELECT CAST(count(*) AS BIGINT) AS n FROM exact)
+       |SELECT method, n_common,
+       |       CAST(n_common * 1000000 // (SELECT n FROM nex) AS BIGINT)
+       |         AS recall_ppm
+       |FROM (
+       |  SELECT 'bq_hamming' AS method,
+       |    CAST((SELECT count(*) FROM exact JOIN bq10 USING (id))
+       |      AS BIGINT) AS n_common
+       |  UNION ALL SELECT 'bq_refine',
+       |    CAST((SELECT count(*) FROM exact JOIN refined USING (id))
+       |      AS BIGINT))
+       |ORDER BY method""".stripMargin
+  }
+
   /** Name → query function, for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q201_opq_recall" -> (q201 _),
     "q202_grouped_topk" -> (q202 _),
-    "q203_zorder_layout" -> (q203 _)
+    "q203_zorder_layout" -> (q203 _),
+    "q204_refine_rung" -> (q204 _),
+    "q205_matryoshka" -> (q205 _),
+    "q206_binary_rung" -> (q206 _)
   )
 
   /** Name → DuckDB oracle SQL, for SparkEntry. */
   val oracles: Map[String, String] = Map(
     "q201_opq_recall" -> q201Sql,
     "q202_grouped_topk" -> q202Sql,
-    "q203_zorder_layout" -> q203Sql
+    "q203_zorder_layout" -> q203Sql,
+    "q204_refine_rung" -> q204Sql,
+    "q205_matryoshka" -> q205Sql,
+    "q206_binary_rung" -> q206Sql
   )
 }

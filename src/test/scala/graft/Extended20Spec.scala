@@ -67,4 +67,126 @@ class Extended20Spec extends SparkSpec {
       assert(ppm === n * 1000000L / 10L, s"$m recall_ppm inconsistent")
     }
   }
+
+  test("refineExact with the whole corpus shortlisted == brute-force top-k") {
+    import spark.implicits._
+    val e = graft.queries.Tables.load(spark, dir, "embeddings")
+    val qRow = e.filter($"vec_id" === 0)
+      .select($"embedding").head().getSeq[Float](0).toArray
+    val corpus = e.filter($"vec_id" =!= 0)
+    val refined = graft.ext.VectorIndex
+      .refineExact(corpus.select($"vec_id"), corpus,
+        "embedding", "vec_id", qRow, k = 10)
+      .as[(Long, Long)].collect().toSeq
+    val brute = corpus
+      .select($"vec_id", floor(graft.functions.VectorFns.cosine(
+          $"embedding", array(qRow.map(lit(_)): _*).cast("array<float>"))
+        * 10000.0 + 0.5).cast("long").as("bp"))
+      .orderBy($"bp".desc, $"vec_id".asc).limit(10)
+      .as[(Long, Long)].collect().toSeq
+    assert(refined === brute)
+  }
+
+  test("q204: adc <= refined <= probed-cells ceiling; arithmetic consistent") {
+    import spark.implicits._
+    val got = Extended20.q204(spark, dir)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got.map(_._1) === Seq("ivf_pq_adc", "ivf_pq_refine"))
+    got.foreach { case (m, n, ppm) =>
+      assert(n >= 0L && n <= 10L, s"$m n_common=$n")
+      assert(ppm === n * 1000000L / 10L, s"$m recall_ppm inconsistent")
+    }
+    val Seq(adc, refined) = got.map(_._2)
+    assert(refined >= adc,
+      s"exact re-rank of a 30-superset lost recall: adc=$adc refined=$refined")
+    // the ceiling: exact top-10 restricted to the probed cells — refine
+    // can recover quantization error but never an unprobed cell
+    val e = graft.queries.Tables.load(spark, dir, "embeddings")
+    val qRow = e.filter($"vec_id" === 0)
+      .select($"embedding").head().getSeq[Float](0).toArray
+    val idx = graft.ext.VectorIndex.ivfPqBuild(e, "embedding", "vec_id",
+      kCoarse = 8, coarseIters = 1, m = 2, kSub = 32, pqIters = 1)
+    val probedAll = graft.ext.VectorIndex.ivfPqSearch(
+      idx.codes.filter($"vec_id" =!= 0), "vec_id", idx, qRow,
+      k = 1000000, nProbe = 3)
+    val ceilTop = graft.ext.VectorIndex.refineExact(probedAll,
+      e.filter($"vec_id" =!= 0), "embedding", "vec_id", qRow, k = 10)
+      .select($"vec_id".as("id"), $"score_bp".as("score"))
+    val exact = e.filter($"vec_id" =!= 0)
+      .crossJoin(broadcast(e.filter($"vec_id" === 0)
+        .select($"embedding".as("qvec"))))
+      .select($"vec_id".as("id"),
+        floor(graft.functions.VectorFns.cosine($"embedding", $"qvec")
+          * 10000.0 + 0.5).cast("long").as("score"))
+    val ceiling = graft.ext.Retrieval
+      .recallAtK(ceilTop, exact, "id", "score", k = 10)
+      .select($"n_common").head().getLong(0)
+    assert(refined <= ceiling,
+      s"refined=$refined exceeds probed-cells ceiling=$ceiling")
+  }
+
+  test("packed hamming == unpacked sign-mismatch count (all 64 bits, incl. bit 63)") {
+    import spark.implicits._
+    val e = graft.queries.Tables.load(spark, dir, "embeddings")
+    val qRow = e.filter($"vec_id" === 0)
+      .select($"embedding").head().getSeq[Float](0).toArray
+    val qCode = qRow.zipWithIndex
+      .collect { case (x, i) if x >= 0 => 1L << i }.foldLeft(0L)(_ | _)
+    val qLit = array(qRow.map(lit(_)): _*).cast("array<float>")
+    // bit 63 is the Long sign bit: the packed code of a vector whose
+    // 64th component is >= 0 is NEGATIVE, and xor/popcount must still
+    // count it — the unpacked HOF sum is the independent witness
+    val drift = e.select(
+        graft.functions.VectorFns.hamming(
+          graft.functions.VectorFns.signBucket($"embedding", 64),
+          lit(qCode)).cast("long").as("packed"),
+        aggregate(zip_with($"embedding", qLit, (x, y) =>
+            when((x >= 0) =!= (y >= 0), 1L).otherwise(0L)),
+          lit(0L), (acc, v) => acc + v).as("unpacked"))
+      .filter($"packed" =!= $"unpacked").count()
+    assert(drift === 0L)
+    assert(qCode < 0L || qRow(63) < 0,
+      "fixture never exercised the sign bit — pick a different witness")
+  }
+
+  test("q206: refine recovers recall over raw hamming; binarySearch guards") {
+    import spark.implicits._
+    val got = Extended20.q206(spark, dir)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got.map(_._1) === Seq("bq_hamming", "bq_refine"))
+    got.foreach { case (m, n, ppm) =>
+      assert(n >= 0L && n <= 10L, s"$m n_common=$n")
+      assert(ppm === n * 1000000L / 10L, s"$m recall_ppm inconsistent")
+    }
+    // every exact-top-10 member the direct read-out found is in the
+    // 30-shortlist and survives exact re-rank (at most 9 others beat
+    // it anywhere), so refine can only add recall
+    assert(got(1)._2 >= got(0)._2,
+      s"refine lost recall: ${got(0)._2} -> ${got(1)._2}")
+    val e = graft.queries.Tables.load(spark, dir, "embeddings")
+    val qRow = e.filter($"vec_id" === 0)
+      .select($"embedding").head().getSeq[Float](0).toArray
+    intercept[IllegalArgumentException] {
+      graft.ext.VectorIndex.binarySearch(e, "embedding", "vec_id",
+        qRow.take(32), k = 5, bits = 64)
+    }
+    intercept[IllegalArgumentException] {
+      graft.ext.VectorIndex.binarySearch(
+        e.select($"vec_id", slice($"embedding", 1, 16).as("embedding")),
+        "embedding", "vec_id", qRow, k = 5, bits = 64)
+    }
+  }
+
+  test("q205: dims ascend per MatryoshkaDims; full-dim rung is exact") {
+    import spark.implicits._
+    val got = Extended20.q205(spark, dir)
+      .as[(Int, Long, Long)].collect().toSeq
+    assert(got.map(_._1) === graft.queries.Extended20.MatryoshkaDims)
+    got.foreach { case (d, n, ppm) =>
+      assert(n >= 0L && n <= 10L, s"dim $d n_common=$n")
+      assert(ppm === n * 1000000L / 10L, s"dim $d recall_ppm inconsistent")
+    }
+    assert(got.last._3 === 1000000L,
+      "full-dimension prefix must reproduce the brute-force top-10")
+  }
 }
