@@ -515,7 +515,12 @@ object Stress {
         s1 = d.join(lmKeep, Seq("doc_id"), "left_semi").localCheckpoint()
         s1.count()
       }
-      val dim = 32
+      // GRAFT_STRESS_DIM is the 8M+ dial the mpBits doctrine names:
+      // bits caps at dim/bands, and at 8M docs a 32-dim corpus
+      // saturates that cap (bits 16 → 122 docs/bucket → ~1e9 candidate
+      // pairs → >80 GB of spill, measured disk-full). dim 64 lets bits
+      // keep tracking log2(n/64) through 8M.
+      val dim = sys.env.getOrElse("GRAFT_STRESS_DIM", "32").toInt
       val g = $"doc_id" - $"doc_id" % 5
       val vec = array((0 until dim).map { i =>
         ((xxhash64(g, lit(i)) % 1000L).cast("double") / 500.0).cast("float")
@@ -523,7 +528,7 @@ object Stress {
       var s2: DataFrame = null
       timed("mp-dedup") {
         val emb = s1.select($"doc_id".as("vec_id"), vec.as("embedding"))
-        val mpBits2 = math.min(16, math.max(10,
+        val mpBits2 = math.min(dim / 2, math.max(10,
           (math.log(rows.toDouble / 64.0) / math.log(2.0)).ceil.toInt))
         val kept = graft.ext.VectorIndex
           .semanticDedup(emb, "embedding", "vec_id", tauBp = 9900,
@@ -578,10 +583,12 @@ object Stress {
       // sign-blocking bits scale with log2(n): in-bucket pair volume is
       // n²/2^bits per band, so FIXED bits detonate at 4x corpus
       // (measured: bits=14 at 4M docs spilled >60 GB in the pair
-      // exchange). dim 32 with bands=2 caps bits at 16 (~4M docs at
-      // 64/bucket); beyond that the dial is dim (more hyperplanes) or
-      // bucketCap.
-      val mpBits = math.min(16, math.max(10,
+      // exchange). dim/2 (bands = 2) caps bits — at the default dim 32
+      // that's 16 (~4M docs at 64/bucket) and 8M saturates it
+      // (measured disk-full); GRAFT_STRESS_DIM=64 is the documented
+      // dial past that.
+      val dim = sys.env.getOrElse("GRAFT_STRESS_DIM", "32").toInt
+      val mpBits = math.min(dim / 2, math.max(10,
         (math.log(rows.toDouble / 64.0) / math.log(2.0)).ceil.toInt))
       val counts = graft.ext.LanguageModel
         .bigramCounts(d.filter($"doc_id" % 10 === 0), "text", "doc_id")
@@ -600,7 +607,6 @@ object Stress {
         s1.count()
       }
       gcWindow()
-      val dim = 32
       val g = $"doc_id" - $"doc_id" % 5
       val vec = array((0 until dim).map { i =>
         ((xxhash64(g, lit(i)) % 1000L).cast("double") / 500.0).cast("float")

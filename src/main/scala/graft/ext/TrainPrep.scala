@@ -425,4 +425,57 @@ object TrainPrep {
         sum(col("occ") * col("lam_micro")).as("imp_micro"))
       .select(col("__id").as(idCol), col("n_toks"), col("imp_micro"))
   }
+
+  /** Stratified EXACT-count split: within every stratum, the first
+    * n·ppm⁄10⁶ rows (by a caller-chosen deterministic order) go to
+    * each named split in turn, remainder to `restName` — scikit-style
+    * StratifiedShuffleSplit semantics with guaranteed per-(stratum,
+    * split) counts, where [[graft.operators.HashSplit]] is the
+    * proportional-only-in-EXPECTATION sibling. Guaranteed counts are
+    * the contract eval holdouts need: at 10⁹ docs a hash split's
+    * ±√n drift is thousands of docs per stratum.
+    *
+    * Rank-within-stratum comes from
+    * [[graft.operators.GlobalRank.withKeyedRank]] (range-partitioned
+    * two-pass prefix sums), NOT a per-stratum window: with a handful
+    * of sources a `row_number() OVER (PARTITION BY source)` sorts
+    * each source's entire extent in ONE task — the shape the q137
+    * rework removed from `pack`. Allocations are pure integer
+    * arithmetic (n·cum_ppm div 10⁶ thresholds on the rank), so the
+    * assignment replays bit-for-bit in any engine computing the same
+    * order.
+    *
+    * @param orderCols within-stratum order; END WITH A UNIQUE KEY
+    *                  (e.g. the id) or tie order decides splits. For a
+    *                  pseudo-shuffle use a multiplicative hash of the
+    *                  id (q207's `(id % 2²⁰)·2654435761 mod 2³²` stays
+    *                  engine-portable integer arithmetic).
+    * @param splits (name, ppm) taken in order; ppm ≥ 0, sum ≤ 10⁶,
+    *               names distinct and ≠ `restName`
+    * @return input columns + `split` */
+  def stratifiedSplit(df: DataFrame, strataCols: Seq[String],
+      orderCols: Seq[org.apache.spark.sql.Column],
+      splits: Seq[(String, Long)],
+      restName: String = "train"): DataFrame = {
+    require(splits.nonEmpty, "need at least one named split")
+    require(splits.forall(_._2 >= 0L),
+      s"split ppm must be >= 0, got $splits")
+    require(splits.map(_._2).sum <= 1000000L,
+      s"split ppm sum ${splits.map(_._2).sum} exceeds 1000000")
+    val names = splits.map(_._1)
+    require(names.distinct.size == names.size && !names.contains(restName),
+      s"split names must be distinct and != '$restName', got $names")
+    val ranked = graft.operators.GlobalRank
+      .withKeyedRank(df, strataCols, orderCols, "__ss_rn")
+    val counts = df.groupBy(strataCols.map(col): _*)
+      .agg(count(lit(1)).as("__ss_n"))
+    val cum = splits.map(_._2).scanLeft(0L)(_ + _).tail
+    val assign = splits.zip(cum).foldRight(lit(restName)) {
+      case (((name, _), c), rest) =>
+        when(col("__ss_rn") <= expr(s"__ss_n * ${c}L div 1000000L"),
+          lit(name)).otherwise(rest)
+    }
+    ranked.join(broadcast(counts), strataCols.toSeq)
+      .select(df.columns.map(col).toSeq :+ assign.as("split"): _*)
+  }
 }

@@ -3,7 +3,12 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Round-12/13 batch (q201–q206):
+/** Round-12/13 batch (q201–q207):
+  *
+  *  - q207 stratified exact-count split: per-source val/test holdouts
+  *    with guaranteed integer allocations
+  *    ([[graft.ext.TrainPrep.stratifiedSplit]]), ranked by the keyed
+  *    two-pass prefix sums instead of a per-source window.
   *
   *  - q206 binary-quantization rung priced: 1-bit-per-dim sign codes
   *    ([[graft.functions.VectorFns.signBucket]] packed to ONE long,
@@ -522,6 +527,37 @@ object Extended20 {
        |ORDER BY method""".stripMargin
   }
 
+  // --------------------------------------------------------------------
+  // q207 — stratified exact-count split: per-source val/test holdouts
+  // with GUARANTEED allocations (rank ≤ n·cum_ppm div 10⁶ within each
+  // source), ranked by an engine-portable multiplicative-hash
+  // pseudo-shuffle. Doc-level assignment is the gate output — every
+  // one of the 500 rows' split label must replay exactly in DuckDB's
+  // windowed form, while the Spark side ranks through the keyed
+  // two-pass prefix sums (no per-source single-task sort; the spec
+  // asserts the plan is window-free).
+  def q207(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = t(s, dir, "documents").select($"doc_id", $"source")
+    val shuffleKey = (($"doc_id" % 1048576L) * 2654435761L) % 4294967296L
+    graft.ext.TrainPrep.stratifiedSplit(d, Seq("source"),
+      Seq(shuffleKey, $"doc_id"),
+      Seq("val" -> 100000L, "test" -> 200000L))
+  }
+
+  val q207Sql: String =
+    """WITH r AS (SELECT doc_id, source,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY ((doc_id % 1048576) * 2654435761) % 4294967296,
+      |               doc_id) AS rn,
+      |    count(*) OVER (PARTITION BY source) AS n
+      |  FROM documents)
+      |SELECT doc_id, source,
+      |  CASE WHEN rn <= n * 100000 // 1000000 THEN 'val'
+      |       WHEN rn <= n * 300000 // 1000000 THEN 'test'
+      |       ELSE 'train' END AS split
+      |FROM r""".stripMargin
+
   /** Name → query function, for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q201_opq_recall" -> (q201 _),
@@ -529,7 +565,8 @@ object Extended20 {
     "q203_zorder_layout" -> (q203 _),
     "q204_refine_rung" -> (q204 _),
     "q205_matryoshka" -> (q205 _),
-    "q206_binary_rung" -> (q206 _)
+    "q206_binary_rung" -> (q206 _),
+    "q207_stratified_split" -> (q207 _)
   )
 
   /** Name → DuckDB oracle SQL, for SparkEntry. */
@@ -539,6 +576,7 @@ object Extended20 {
     "q203_zorder_layout" -> q203Sql,
     "q204_refine_rung" -> q204Sql,
     "q205_matryoshka" -> q205Sql,
-    "q206_binary_rung" -> q206Sql
+    "q206_binary_rung" -> q206Sql,
+    "q207_stratified_split" -> q207Sql
   )
 }

@@ -177,6 +177,51 @@ class Extended20Spec extends SparkSpec {
     }
   }
 
+  test("stratifiedSplit: exact counts, row-identical to the windowed form, window-free plan") {
+    import spark.implicits._
+    val got = Extended20.q207(spark, dir)
+    // the scale claim: ranks come from the two-pass prefix sums, not a
+    // per-source window that would single-task each source's extent
+    assert(!got.queryExecution.executedPlan.toString.contains("Window"),
+      "q207's plan contains a window operator")
+    val rows = got.as[(Long, String, String)].collect()
+    // guaranteed allocations: per source, exactly n·ppm div 1e6 each
+    rows.groupBy(_._2).foreach { case (src, rs) =>
+      val n = rs.length.toLong
+      val bySplit = rs.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+      assert(bySplit.getOrElse("val", 0L) === n * 100000L / 1000000L, src)
+      assert(bySplit.getOrElse("test", 0L) ===
+        n * 300000L / 1000000L - n * 100000L / 1000000L, src)
+      assert(bySplit.getOrElse("train", 0L) ===
+        n - n * 300000L / 1000000L, src)
+    }
+    // row identity against the plain windowed implementation
+    val d = graft.queries.Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"source")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"source")
+      .orderBy((($"doc_id" % 1048576L) * 2654435761L) % 4294967296L,
+        $"doc_id")
+    val expected = d
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy($"source")))
+      .select($"doc_id", $"source",
+        when($"rn" <= expr("n * 100000L div 1000000L"), "val")
+          .when($"rn" <= expr("n * 300000L div 1000000L"), "test")
+          .otherwise("train").as("split"))
+      .as[(Long, String, String)].collect()
+    assert(rows.sortBy(_._1) === expected.sortBy(_._1))
+    // contract guards
+    intercept[IllegalArgumentException] {
+      graft.ext.TrainPrep.stratifiedSplit(d, Seq("source"), Seq($"doc_id"),
+        Seq("a" -> 600000L, "b" -> 600000L))
+    }
+    intercept[IllegalArgumentException] {
+      graft.ext.TrainPrep.stratifiedSplit(d, Seq("source"), Seq($"doc_id"),
+        Seq("train" -> 100000L))
+    }
+  }
+
   test("q205: dims ascend per MatryoshkaDims; full-dim rung is exact") {
     import spark.implicits._
     val got = Extended20.q205(spark, dir)
