@@ -113,6 +113,49 @@ object Profile {
     *
     * @return (grp, n_tokens, tvd_ppm) per group, tvd in [0, 10⁶]
     */
+  /** TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004):
+    * PageRank over the token co-occurrence graph, window = 2 — an
+    * undirected edge links every pair of ADJACENT whitespace tokens
+    * anywhere in the corpus, and a token's rank is its stationary
+    * centrality, not its frequency (a rare token bridging frequent
+    * neighborhoods outranks a frequent-but-peripheral one — what
+    * TF-style scoring can't see). Edges are canonicalized
+    * (least/greatest, self-pairs dropped), deduplicated, then
+    * symmetrized into [[Graph.pageRank]]'s layout with token STRINGS
+    * as node ids — the rank loop is the q134 integer-exact ppt
+    * arithmetic, so the whole chain replays bit-for-bit in any
+    * engine.
+    *
+    * Scale: the pair explode is per-row work on the token stream (no
+    * shuffle), the dedup and each superstep shuffle VOCABULARY-sized
+    * frames keyed by token — corpus size enters only through the one
+    * linear scan. Fixed iteration count (no convergence probe), the
+    * q134 choice for oracle-replayable rank read-outs.
+    *
+    * @return (word, rank_ppt) — k rows, rank desc, ties word asc */
+  def textRankKeywords(docs: DataFrame, textCol: String,
+      iterations: Int = 3, k: Int = 15): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val toks = docs.select(
+      graft.functions.TextFns.tokens(col(textCol)).as("__ts"))
+    val adj = toks.select(explode(arrays_zip(
+        slice(col("__ts"), lit(1), greatest(size(col("__ts")) - 1, lit(0))),
+        slice(col("__ts"), lit(2), greatest(size(col("__ts")) - 1, lit(0)))))
+        .as("__p"))
+      .select(col("__p.0").as("a"), col("__p.1").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    val edges = adj.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(adj.select(col("b").as("src"), col("a").as("dst")))
+    Graph.pageRank(edges, maxIterations = iterations,
+        checkConvergence = false)
+      .select(col("node").as("word"), col("r").as("rank_ppt"))
+      .orderBy(col("rank_ppt").desc, col("word").asc)
+      .limit(k)
+  }
+
   def unigramDrift(counts: DataFrame): DataFrame = {
     val n = counts.agg(sum(col("c")).as("n"))
     val corpusTok = counts.groupBy(col("token")).agg(sum(col("c")).as("cc"))

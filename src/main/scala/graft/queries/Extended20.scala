@@ -3,7 +3,12 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Round-12/13 batch (q201–q207):
+/** Round-12/13 batch (q201–q208):
+  *
+  *  - q208 TextRank keywords: PageRank over the adjacent-token
+  *    co-occurrence graph ([[graft.ext.Profile.textRankKeywords]]),
+  *    token strings as node ids, 3 supersteps of q134's integer-ppt
+  *    rank arithmetic.
   *
   *  - q207 stratified exact-count split: per-source val/test holdouts
   *    with guaranteed integer allocations
@@ -558,6 +563,47 @@ object Extended20 {
       |       ELSE 'train' END AS split
       |FROM r""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q208 — TextRank keywords (Mihalcea & Tarau 2004): PageRank over
+  // the adjacent-token co-occurrence graph with token strings as node
+  // ids, 3 supersteps in the q134 integer-ppt arithmetic. Centrality,
+  // not frequency: the read-out ranks tokens by how connected their
+  // neighborhoods are, which a count(*) top-k cannot reproduce.
+  def q208(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Profile.textRankKeywords(
+      t(s, dir, "documents"), "text", iterations = 3, k = 15)
+
+  val q208Sql: String = {
+    // q134's superstep in ppt integer arithmetic, over string nodes
+    def step(prev: String, cur: String): String =
+      s""" acc_$cur AS (
+         |  SELECT e.dst AS node, CAST(sum(p.r // dg.d) AS BIGINT) AS acc
+         |  FROM e JOIN $prev p ON p.node = e.src JOIN deg dg ON dg.node = e.src
+         |  GROUP BY e.dst),
+         | $cur AS (
+         |  SELECT d.node,
+         |    CAST(150000000000 // cnt
+         |         + (85 * coalesce(a.acc, 0)) // 100 AS BIGINT) AS r
+         |  FROM deg d CROSS JOIN n LEFT JOIN acc_$cur a ON a.node = d.node)"""
+        .stripMargin
+    s"""WITH tk AS (SELECT ${DocOps.tokensSql} AS ts FROM documents),
+       | pr AS (SELECT ts[i.i] AS a, ts[i.i + 1] AS b
+       |        FROM tk, unnest(generate_series(1, len(ts) - 1)) AS i(i)),
+       | und AS (SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+       |         FROM pr WHERE a <> b),
+       | e AS (SELECT a AS src, b AS dst FROM und
+       |       UNION ALL SELECT b AS src, a AS dst FROM und),
+       | deg AS (SELECT src AS node, count(*) AS d FROM e GROUP BY src),
+       | n AS (SELECT count(*) AS cnt FROM deg),
+       | r0 AS (SELECT node, CAST(1000000000000 // cnt AS BIGINT) AS r
+       |        FROM deg CROSS JOIN n),
+       |${step("r0", "r1")},
+       |${step("r1", "r2")},
+       |${step("r2", "r3")}
+       |SELECT node AS word, r AS rank_ppt
+       |FROM r3 ORDER BY rank_ppt DESC, word LIMIT 15""".stripMargin
+  }
+
   /** Name → query function, for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q201_opq_recall" -> (q201 _),
@@ -566,7 +612,8 @@ object Extended20 {
     "q204_refine_rung" -> (q204 _),
     "q205_matryoshka" -> (q205 _),
     "q206_binary_rung" -> (q206 _),
-    "q207_stratified_split" -> (q207 _)
+    "q207_stratified_split" -> (q207 _),
+    "q208_textrank" -> (q208 _)
   )
 
   /** Name → DuckDB oracle SQL, for SparkEntry. */
@@ -577,6 +624,7 @@ object Extended20 {
     "q204_refine_rung" -> q204Sql,
     "q205_matryoshka" -> q205Sql,
     "q206_binary_rung" -> q206Sql,
-    "q207_stratified_split" -> q207Sql
+    "q207_stratified_split" -> q207Sql,
+    "q208_textrank" -> q208Sql
   )
 }

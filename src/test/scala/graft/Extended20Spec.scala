@@ -222,6 +222,31 @@ class Extended20Spec extends SparkSpec {
     }
   }
 
+  test("textRankKeywords: uniform on a cycle, hub-first on a star, q208 well-formed") {
+    import spark.implicits._
+    // "a b c d a" builds the undirected 4-cycle; every degree is 2, so
+    // the uniform distribution is the exact fixpoint and the integer
+    // arithmetic must hold it: 150e9 div 4 + 85 * (250e9 div 2 * 2)
+    // div 100 = 250e9, bit-exact every superstep
+    val cycle = Seq("a b c d a").toDF("text")
+    val cr = graft.ext.Profile.textRankKeywords(cycle, "text", 3, 10)
+      .as[(String, Long)].collect().toMap
+    assert(cr === Map("a" -> 250000000000L, "b" -> 250000000000L,
+      "c" -> 250000000000L, "d" -> 250000000000L))
+    // star: h bridges every leaf — centrality must put it first even
+    // though h and the leaves all appear once per edge
+    val star = Seq("h a h b h c").toDF("text")
+    val sr = graft.ext.Profile.textRankKeywords(star, "text", 3, 10)
+      .as[(String, Long)].collect()
+    assert(sr.head._1 === "h")
+    assert(sr.tail.map(_._2).distinct.length === 1,
+      "leaves are symmetric and must tie exactly")
+    val got = Extended20.q208(spark, dir).as[(String, Long)].collect()
+    assert(got.length === 15)
+    assert(got.forall(_._2 > 0L))
+    assert(got.map(_._2).toSeq === got.map(_._2).sortBy(-_).toSeq)
+  }
+
   test("q205: dims ascend per MatryoshkaDims; full-dim rung is exact") {
     import spark.implicits._
     val got = Extended20.q205(spark, dir)
