@@ -643,6 +643,32 @@ object VectorIndex {
       .limit(k)
   }
 
+  /** Incremental IVF-PQ maintenance: encode `newRows` with the
+    * index's FROZEN coarse centroids and codebook and append their
+    * codes — no retraining, no touch of existing codes. This is the
+    * production maintenance path at corpus scale: the codebooks are
+    * driver metadata, so an append is one embarrassingly-parallel
+    * encode scan of just the new rows (with [[writeCodes]]'s layout,
+    * new files land under their cells' partitions), while a retrain
+    * would re-encode the entire corpus. The price is codebook
+    * staleness — centroids stop being the Lloyd fixpoint of the
+    * grown corpus as the data distribution drifts; quantization error
+    * (and q200-style recall) degrades gradually until a rebuild, the
+    * same contract FAISS's `add` has. Spec-pinned: append(old, new)
+    * is row-identical to a full encode with the same frozen training
+    * set ([[ivfPqBuild]] with `trainSample` = the old corpus).
+    *
+    * @return the index with `codes` = old codes ∪ new codes */
+  def ivfPqAppend(index: IvfPqIndex, newRows: DataFrame,
+      vecCol: String, idCol: String): IvfPqIndex = {
+    val resid = assignCells(newRows, vecCol, index.coarse)
+      .select(col(idCol), col("cell"),
+        residualExpr(col(vecCol), col("cell"), index.coarse).as("__res"))
+    index.copy(codes = index.codes.unionByName(
+      pqEncode(resid, "__res", idCol, index.codebook,
+        keepCols = Seq("cell"))))
+  }
+
   /** Binary-quantization (BQ) top-k: pack the sign bit of the first
     * `bits` components into ONE 64-bit code per vector
     * ([[VectorFns.signBucket]] — no training, no codebook) and rank by

@@ -555,7 +555,7 @@ object Extended19 {
        |        JOIN flut1 l1 ON l1.cell = faf1.cell
        |   WHERE faf0.vec_id <> 0
        |   ORDER BY l0.d + l1.d, faf0.vec_id LIMIT 10),
-       |${PqOracle.ivfChain},
+       |${PqOracle.ivfChain()},
        |${PqOracle.adcTop("ivfpq10", 10)},
        | nex AS (SELECT CAST(count(*) AS BIGINT) AS n FROM exact)
        |SELECT method, n_common,
@@ -628,14 +628,24 @@ private[queries] object PqOracle {
   /** IVF-PQ chain (q199's shape: coarse 8×1 + residual PQ 2×32×1),
     * ending in `res` (residuals+cell), `pr` (probed top-3 cells), `qr`
     * (per-cell query residuals) and the `p{j}af`/`plut{j}` code/LUT
-    * frames [[adcTop]] reads. */
-  val ivfChain: String = {
+    * frames [[adcTop]] reads.
+    *
+    * @param trainPred SQL predicate on vec_id restricting the rows the
+    *        coarse centroids AND the PQ codebook are TRAINED on (seed
+    *        pick, assignment, means) — the ENCODE side (sf/af/res,
+    *        p{j}sf/p{j}af) always covers the full corpus, mirroring
+    *        [[graft.ext.VectorIndex.ivfPqBuild]]'s `trainSample`
+    *        contract and the frozen-codebook append
+    *        ([[graft.ext.VectorIndex.ivfPqAppend]]). Default: train on
+    *        everything, the q200/q204 configuration. */
+  def ivfChain(trainPred: String = "TRUE"): String = {
     val coarse =
-      s""" c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
+      s""" tr AS (SELECT * FROM e WHERE $trainPred),
+         | c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
          |                 AS INTEGER) AS cell, v AS c
-         |        FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)),
-         | s0 AS (SELECT e.vec_id, c0.cell, ${cos("e.v", "c0.c")} AS score
-         |        FROM e CROSS JOIN c0),
+         |        FROM (SELECT vec_id, v FROM tr ORDER BY vec_id LIMIT 8)),
+         | s0 AS (SELECT tr.vec_id, c0.cell, ${cos("tr.v", "c0.c")} AS score
+         |        FROM tr CROSS JOIN c0),
          | a0 AS (SELECT vec_id, cell FROM (
          |          SELECT vec_id, cell, row_number() OVER (
          |            PARTITION BY vec_id ORDER BY score DESC, cell DESC) AS rn
@@ -644,7 +654,7 @@ private[queries] object PqOracle {
          |          SELECT a0.cell, u.i,
          |                 CAST(CAST(sum(u.x) / count(*) AS REAL) AS DOUBLE) AS x
          |          FROM a0 JOIN (SELECT vec_id, unnest(v) AS x,
-         |                   unnest(generate_series(1, len(v))) AS i FROM e) u
+         |                   unnest(generate_series(1, len(v))) AS i FROM tr) u
          |            USING (vec_id)
          |          GROUP BY a0.cell, u.i) GROUP BY cell),
          | c1 AS (SELECT c0.cell, coalesce(m0.c, c0.c) AS c
@@ -662,11 +672,12 @@ private[queries] object PqOracle {
     val residPq = (0 until 2).map { j =>
       val lo = j * dsub + 1; val hi = (j + 1) * dsub
       s""" rsub$j AS (SELECT vec_id, list_slice(r, $lo, $hi) AS v FROM res),
+         | rtr$j AS (SELECT * FROM rsub$j WHERE $trainPred),
          | p${j}c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
          |                 AS INTEGER) AS cell, v AS c
-         |        FROM (SELECT vec_id, v FROM rsub$j ORDER BY vec_id LIMIT 32)),
+         |        FROM (SELECT vec_id, v FROM rtr$j ORDER BY vec_id LIMIT 32)),
          | p${j}s0 AS (SELECT sub.vec_id, c.cell, ${l2("sub.v", "c.c")} AS d2
-         |          FROM rsub$j sub CROSS JOIN p${j}c0 c),
+         |          FROM rtr$j sub CROSS JOIN p${j}c0 c),
          | p${j}a0 AS (SELECT vec_id, cell FROM (
          |           SELECT vec_id, cell, row_number() OVER (
          |             PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn
@@ -675,7 +686,7 @@ private[queries] object PqOracle {
          |           SELECT a.cell, u.i,
          |                  CAST(CAST(sum(u.x) / count(*) AS REAL) AS DOUBLE) AS x
          |           FROM p${j}a0 a JOIN (SELECT vec_id, unnest(v) AS x,
-         |                     unnest(generate_series(1, len(v))) AS i FROM rsub$j) u
+         |                     unnest(generate_series(1, len(v))) AS i FROM rtr$j) u
          |             USING (vec_id)
          |           GROUP BY a.cell, u.i) GROUP BY cell),
          | p${j}c1 AS (SELECT c.cell, coalesce(m.c, c.c) AS c

@@ -3,7 +3,13 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Round-12/13 batch (q201–q208):
+/** Round-12/13 batch (q201–q209):
+  *
+  *  - q209 incremental IVF-PQ append: second half of the corpus
+  *    encoded under FROZEN codebooks
+  *    ([[graft.ext.VectorIndex.ivfPqAppend]]) and probed — the
+  *    maintenance path of the ladder, gated by training the oracle
+  *    chain on the same old-rows predicate.
   *
   *  - q208 TextRank keywords: PageRank over the adjacent-token
   *    co-occurrence graph ([[graft.ext.Profile.textRankKeywords]]),
@@ -374,7 +380,7 @@ object Extended20 {
     import PqOracle.cos
     s"""WITH ${PqOracle.eq},
        | ${PqOracle.exact10},
-       |${PqOracle.ivfChain},
+       |${PqOracle.ivfChain()},
        |${PqOracle.adcTop("adc10", 10)},
        |${PqOracle.adcTop("short30", 30)},
        | refined AS (SELECT id, score FROM (
@@ -604,6 +610,46 @@ object Extended20 {
        |FROM r3 ORDER BY rank_ppt DESC, word LIMIT 15""".stripMargin
   }
 
+  // --------------------------------------------------------------------
+  // q209 — incremental IVF-PQ append: build on the FIRST HALF of the
+  // corpus (vec_id < 250 trains coarse centroids and codebook), append
+  // the second half with the codebooks FROZEN
+  // ([[graft.ext.VectorIndex.ivfPqAppend]] — one encode scan of the
+  // new rows, the FAISS `add` contract), then probe the grown index.
+  // The gate replays the whole lifecycle: the oracle trains its chain
+  // under the same vec_id < 250 predicate and encodes everything, so
+  // any drift between "append" and "encode under frozen training"
+  // breaks the hash. Search ids landing ABOVE 250 prove the probe
+  // reads appended rows (the spec asserts it).
+  def q209(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = t(s, dir, "embeddings")
+    val old = e.filter($"vec_id" < 250)
+    val fresh = e.filter($"vec_id" >= 250)
+    val qRow = e.filter($"vec_id" === 0)
+      .select($"embedding").head().getSeq[Float](0).toArray
+    val idx = graft.ext.VectorIndex.ivfPqBuild(old, "embedding", "vec_id",
+      kCoarse = 8, coarseIters = 1, m = 2, kSub = 32, pqIters = 1)
+    val grown = graft.ext.VectorIndex
+      .ivfPqAppend(idx, fresh, "embedding", "vec_id")
+    graft.ext.VectorIndex
+      .ivfPqSearch(grown.codes.filter($"vec_id" =!= 0), "vec_id", grown,
+        qRow, k = 10, nProbe = 3)
+      .select($"vec_id".as("id"), $"cell", $"adist_micro")
+  }
+
+  val q209Sql: String =
+    s"""WITH ${PqOracle.eq},
+       |${PqOracle.ivfChain("vec_id < 250")}
+       |SELECT r.vec_id AS id, r.cell,
+       |       CAST(l0.d + l1.d AS BIGINT) AS adist_micro
+       |FROM res r JOIN p0af USING (vec_id) JOIN p1af f1
+       |       ON f1.vec_id = r.vec_id
+       |     JOIN plut0 l0 ON l0.cell = r.cell AND l0.pqcell = p0af.cell
+       |     JOIN plut1 l1 ON l1.cell = r.cell AND l1.pqcell = f1.cell
+       |WHERE r.vec_id <> 0 AND r.cell IN (SELECT cell FROM pr)
+       |ORDER BY adist_micro, r.vec_id LIMIT 10""".stripMargin
+
   /** Name → query function, for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q201_opq_recall" -> (q201 _),
@@ -613,7 +659,8 @@ object Extended20 {
     "q205_matryoshka" -> (q205 _),
     "q206_binary_rung" -> (q206 _),
     "q207_stratified_split" -> (q207 _),
-    "q208_textrank" -> (q208 _)
+    "q208_textrank" -> (q208 _),
+    "q209_ivfpq_append" -> (q209 _)
   )
 
   /** Name → DuckDB oracle SQL, for SparkEntry. */
@@ -625,6 +672,7 @@ object Extended20 {
     "q205_matryoshka" -> q205Sql,
     "q206_binary_rung" -> q206Sql,
     "q207_stratified_split" -> q207Sql,
-    "q208_textrank" -> q208Sql
+    "q208_textrank" -> q208Sql,
+    "q209_ivfpq_append" -> q209Sql
   )
 }

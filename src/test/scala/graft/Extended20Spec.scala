@@ -247,6 +247,35 @@ class Extended20Spec extends SparkSpec {
     assert(got.map(_._2).toSeq === got.map(_._2).sortBy(-_).toSeq)
   }
 
+  test("ivfPqAppend == full encode under the same frozen training set; q209 probes appended rows") {
+    import spark.implicits._
+    val e = graft.queries.Tables.load(spark, dir, "embeddings")
+    val old = e.filter($"vec_id" < 25)
+    val fresh = e.filter($"vec_id" >= 25)
+    val idx = graft.ext.VectorIndex.ivfPqBuild(old, "embedding", "vec_id",
+      kCoarse = 4, coarseIters = 1, m = 2, kSub = 8, pqIters = 1)
+    val appended = graft.ext.VectorIndex
+      .ivfPqAppend(idx, fresh, "embedding", "vec_id")
+    // THE contract: appending is exactly "encode everything with the
+    // codebooks trained on old" — same build params, trainSample = old
+    val full = graft.ext.VectorIndex.ivfPqBuild(e, "embedding", "vec_id",
+      kCoarse = 4, coarseIters = 1, m = 2, kSub = 8, pqIters = 1,
+      trainSample = Some(old))
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select($"vec_id", $"cell", $"code".cast("array<int>"))
+      .as[(Long, Int, Seq[Int])].collect().sortBy(_._1).toSeq
+    assert(canon(appended.codes) === canon(full.codes))
+    assert(appended.codes.count() === e.count())
+    // the gate query must actually read appended rows — at the gate SF
+    // (sf0.01, 500 vectors; the q209 cutoff 250 splits it in half) the
+    // probe's top-10 includes ids from the appended half
+    val got = Extended20.q209(spark, "/root/testdata/sf0.01")
+      .as[(Long, Int, Long)].collect()
+    assert(got.length === 10)
+    assert(got.exists(_._1 >= 250L),
+      "q209's probe returned only pre-append ids — append path untested")
+  }
+
   test("q205: dims ascend per MatryoshkaDims; full-dim rung is exact") {
     import spark.implicits._
     val got = Extended20.q205(spark, dir)
