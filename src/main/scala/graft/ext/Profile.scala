@@ -156,6 +156,47 @@ object Profile {
       .limit(k)
   }
 
+  /** Per-source corpus datasheet — the one-page summary a dataset card
+    * leads with (Gebru et al., "Datasheets for Datasets"), as two
+    * aggregations: per-source doc/char/token totals, integer mean
+    * length, short-doc and exact-duplicate rates (ppm), language
+    * spread, and the majority language. All counting is integer-exact
+    * (div/ppm — no float partial sums), duplicates are detected on
+    * `md5(text)` (engine-portable, collision-free at corpus scale),
+    * and the majority language breaks ties deterministically
+    * (count desc, lang desc).
+    *
+    * Scale: one map-side-combinable agg keyed by source over the
+    * corpus scan (the only corpus-sized work), one (source, lang) agg
+    * whose output is vocabulary-sized, one broadcast-sized join. The
+    * exact `count(DISTINCT md5)` shuffles digests; swap for an HLL
+    * sketch column ([[QuantileSketch]] shelf) when ±2% suffices at
+    * the 100 TB tier.
+    *
+    * @return (source, n_docs, sum_chars, mean_chars, short_ppm,
+    *         dup_ppm, n_langs, top_lang) — one row per source */
+  def datasheet(docs: DataFrame, sourceCol: String, textCol: String,
+      langCol: String, shortBelowChars: Int = 100): DataFrame = {
+    val base = docs.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col(textCol))).as("sum_chars"),
+        sum(when(length(col(textCol)) < shortBelowChars, 1L)
+          .otherwise(0L)).as("__short"),
+        countDistinct(md5(col(textCol))).as("__uniq"),
+        countDistinct(col(langCol)).as("n_langs"))
+      .select(col(sourceCol), col("n_docs"), col("sum_chars"),
+        expr("sum_chars div n_docs").as("mean_chars"),
+        expr("__short * 1000000L div n_docs").as("short_ppm"),
+        expr("(n_docs - __uniq) * 1000000L div n_docs").as("dup_ppm"),
+        col("n_langs"))
+    val top = docs.groupBy(col(sourceCol), col(langCol))
+      .agg(count(lit(1)).as("__lc"))
+      .groupBy(col(sourceCol))
+      .agg(max(struct(col("__lc"), col(langCol).as("__lang"))).as("__m"))
+      .select(col(sourceCol), col("__m.__lang").as("top_lang"))
+    base.join(broadcast(top), Seq(sourceCol))
+  }
+
   def unigramDrift(counts: DataFrame): DataFrame = {
     val n = counts.agg(sum(col("c")).as("n"))
     val corpusTok = counts.groupBy(col("token")).agg(sum(col("c")).as("cc"))

@@ -3,7 +3,13 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Round-12/13 batch (q201–q209):
+/** Round-12/13 batch (q201–q210):
+  *
+  *  - q210 per-source corpus datasheet
+  *    ([[graft.ext.Profile.datasheet]]): the dataset-card summary row
+  *    — totals, integer mean length, short-doc and exact-dup ppm,
+  *    language spread, majority language — two map-side-combinable
+  *    aggregations, integer-exact throughout.
   *
   *  - q209 incremental IVF-PQ append: second half of the corpus
   *    encoded under FROZEN codebooks
@@ -650,6 +656,38 @@ object Extended20 {
        |WHERE r.vec_id <> 0 AND r.cell IN (SELECT cell FROM pr)
        |ORDER BY adist_micro, r.vec_id LIMIT 10""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q210 — per-source corpus datasheet: the dataset-card summary row
+  // (doc/char totals, integer mean, short-doc + exact-dup ppm rates,
+  // language spread, majority language) in two map-side-combinable
+  // aggregations. Everything integer-exact; dups detected on
+  // md5(text) identically in both engines.
+  def q210(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Profile
+      .datasheet(t(s, dir, "documents"), "source", "text", "lang")
+      .orderBy(col("source"))
+
+  val q210Sql: String =
+    """WITH b AS (SELECT source, count(*) AS n_docs,
+      |    sum(length(text)) AS sum_chars,
+      |    sum(CASE WHEN length(text) < 100 THEN 1 ELSE 0 END) AS sh,
+      |    count(DISTINCT md5(text)) AS uniq,
+      |    count(DISTINCT lang) AS n_langs
+      |  FROM documents GROUP BY source),
+      | lc AS (SELECT source, lang, count(*) AS c
+      |        FROM documents GROUP BY source, lang),
+      | tl AS (SELECT source, lang AS top_lang FROM (
+      |    SELECT source, lang, row_number() OVER (PARTITION BY source
+      |      ORDER BY c DESC, lang DESC) AS rn FROM lc) WHERE rn = 1)
+      |SELECT b.source, CAST(n_docs AS BIGINT) AS n_docs,
+      |  CAST(sum_chars AS BIGINT) AS sum_chars,
+      |  CAST(sum_chars // n_docs AS BIGINT) AS mean_chars,
+      |  CAST(sh * 1000000 // n_docs AS BIGINT) AS short_ppm,
+      |  CAST((n_docs - uniq) * 1000000 // n_docs AS BIGINT) AS dup_ppm,
+      |  CAST(n_langs AS BIGINT) AS n_langs, top_lang
+      |FROM b JOIN tl ON tl.source = b.source
+      |ORDER BY b.source""".stripMargin
+
   /** Name → query function, for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q201_opq_recall" -> (q201 _),
@@ -660,7 +698,8 @@ object Extended20 {
     "q206_binary_rung" -> (q206 _),
     "q207_stratified_split" -> (q207 _),
     "q208_textrank" -> (q208 _),
-    "q209_ivfpq_append" -> (q209 _)
+    "q209_ivfpq_append" -> (q209 _),
+    "q210_datasheet" -> (q210 _)
   )
 
   /** Name → DuckDB oracle SQL, for SparkEntry. */
@@ -673,6 +712,7 @@ object Extended20 {
     "q206_binary_rung" -> q206Sql,
     "q207_stratified_split" -> q207Sql,
     "q208_textrank" -> q208Sql,
-    "q209_ivfpq_append" -> q209Sql
+    "q209_ivfpq_append" -> q209Sql,
+    "q210_datasheet" -> q210Sql
   )
 }

@@ -276,6 +276,30 @@ class Extended20Spec extends SparkSpec {
       "q209's probe returned only pre-append ids — append path untested")
   }
 
+  test("datasheet: exact counts/rates on a constructed corpus; q210 one row per source") {
+    import spark.implicits._
+    // source A: 4 docs, one exact dup pair, langs {en, de}, en majority;
+    // one doc under the 5-char short threshold. source B: 2 docs, tie
+    // between langs breaks to the DESC one
+    val docs = Seq(
+      ("A", "hello world", "en"), ("A", "hello world", "en"),
+      ("A", "abc", "en"), ("A", "guten tag welt", "de"),
+      ("B", "one", "en"), ("B", "zwei", "de")
+    ).toDF("source", "text", "lang")
+    val got = graft.ext.Profile
+      .datasheet(docs, "source", "text", "lang", shortBelowChars = 5)
+      .orderBy($"source")
+      .as[(String, Long, Long, Long, Long, Long, Long, String)]
+      .collect().toSeq
+    val aChars = 11L + 11L + 3L + 14L
+    assert(got === Seq(
+      ("A", 4L, aChars, aChars / 4L, 250000L, 250000L, 2L, "en"),
+      ("B", 2L, 7L, 3L, 1000000L, 0L, 2L, "en")))
+    val q = Extended20.q210(spark, dir).collect()
+    assert(q.length === graft.queries.Tables.load(spark, dir, "documents")
+      .select($"source").distinct().count())
+  }
+
   test("q205: dims ascend per MatryoshkaDims; full-dim rung is exact") {
     import spark.implicits._
     val got = Extended20.q205(spark, dir)
