@@ -50,6 +50,18 @@ object Stress {
     // staged probes get this window for free at each materialization
     // barrier; composed runs must ask for it. Same mechanism as
     // Bench's between-query System.gc().
+    // Sign-blocking bucket-occupancy target for the megapipe dedup
+    // stage: bits = log2(rows/occ). The synthetic corpus duplicates
+    // every vector 5× (clusters of 5), so occupancy 64 packs ~12
+    // DISTINCT clusters per bucket and the cross-cluster junk pairs
+    // outnumber true pairs ~60:1 — at 8M docs that is ~5e8 candidate
+    // pairs whose scored join carries a 256 B vector payload through
+    // an SMJ sort: ~137 GB of spill, measured disk-death twice (dim 32
+    // AND dim 64). Occupancy ~ cluster size keeps pair volume LINEAR
+    // in n (n·occ/2 per band) — the same sizing rule a production
+    // corpus needs: target docs-per-bucket at the expected duplication
+    // factor, not a flat constant.
+    val occTarget = sys.env.getOrElse("GRAFT_STRESS_BUCKET_TARGET", "64").toInt
     val gcBetweenStages = sys.env.getOrElse("GRAFT_STRESS_GC", "1") != "0"
     def gcWindow(): Unit = if (gcBetweenStages) {
       val t0 = System.nanoTime()
@@ -529,7 +541,7 @@ object Stress {
       timed("mp-dedup") {
         val emb = s1.select($"doc_id".as("vec_id"), vec.as("embedding"))
         val mpBits2 = math.min(dim / 2, math.max(10,
-          (math.log(rows.toDouble / 64.0) / math.log(2.0)).ceil.toInt))
+          (math.log(rows.toDouble / occTarget) / math.log(2.0)).ceil.toInt))
         val kept = graft.ext.VectorIndex
           .semanticDedup(emb, "embedding", "vec_id", tauBp = 9900,
             bits = mpBits2, bands = 2, bucketCap = Some(2000L))
@@ -589,7 +601,7 @@ object Stress {
       // dial past that.
       val dim = sys.env.getOrElse("GRAFT_STRESS_DIM", "32").toInt
       val mpBits = math.min(dim / 2, math.max(10,
-        (math.log(rows.toDouble / 64.0) / math.log(2.0)).ceil.toInt))
+        (math.log(rows.toDouble / occTarget) / math.log(2.0)).ceil.toInt))
       val counts = graft.ext.LanguageModel
         .bigramCounts(d.filter($"doc_id" % 10 === 0), "text", "doc_id")
       val model = graft.ext.LanguageModel.bigramModel(counts)

@@ -390,4 +390,38 @@ class QueryPlanSpec extends SparkSpec {
     assert(scan.schema.fieldNames.length <= 5,
       s"column pruning lost: ${scan.schema.fieldNames.mkString(",")}")
   }
+
+  test("refineExact: shortlist broadcasts; corpus side never sort-merges") {
+    import spark.implicits._
+    val e = graft.queries.Tables.load(spark, dir, "embeddings")
+    val qRow = e.filter($"vec_id" === 0)
+      .select($"embedding").head().getSeq[Float](0).toArray
+    val p = graft.ext.VectorIndex
+      .refineExact(e.filter($"vec_id" < 20).select($"vec_id"), e,
+        "embedding", "vec_id", qRow, k = 10)
+      .queryExecution.sparkPlan
+    assert(count(p, _.isInstanceOf[BroadcastHashJoinExec]) === 1, p.toString)
+    assert(count(p,
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec])
+      === 0, p.toString)
+  }
+
+  test("binarySearch: one pass, no exchange — scan straight into top-k") {
+    import spark.implicits._
+    val e = graft.queries.Tables.load(spark, dir, "embeddings")
+    val qRow = e.filter($"vec_id" === 0)
+      .select($"embedding").head().getSeq[Float](0).toArray
+    val p = graft.ext.VectorIndex
+      .binarySearch(e, "embedding", "vec_id", qRow, k = 10)
+      .queryExecution.sparkPlan
+    assert(count(p,
+      _.isInstanceOf[org.apache.spark.sql.execution.TakeOrderedAndProjectExec])
+      === 1, p.toString)
+    assert(count(p, _.isInstanceOf[Exchange]) === 0, p.toString)
+  }
+
+  test("q210: datasheet's majority-language join broadcasts onto the summary") {
+    assert(count(plan("q210_datasheet"),
+      _.isInstanceOf[BroadcastHashJoinExec]) >= 1)
+  }
 }
