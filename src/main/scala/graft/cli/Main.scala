@@ -49,6 +49,9 @@ import graft.transform.RideTransform
   *   rrf <listAParquet> <listBParquet> <idCol> <scoreCol> <k> <outParquet>
   *   pq-encode <embParquet> <idCol> <vecCol> <m> <k> <iters> <outParquet>
   *   mmr <candParquet> <simsParquet> <idCol> <relCol> <k> <outParquet>
+  *   split <docsParquet> <strataCol> <idCol> <valPpm> <testPpm> <outParquet>
+  *   datasheet <docsParquet> <sourceCol> <textCol> <langCol>
+  *   textrank <docsParquet> <textCol> <iters> <k>
   */
 object Main {
 
@@ -462,6 +465,44 @@ object Main {
         idCol, relCol, k = k.toInt)
       sel.write.mode("overwrite").parquet(out)
       println(s"selected ${sel.count()} of top-${k.toInt} by MMR to $out")
+
+    // split <docsParquet> <strataCol> <idCol> <valPpm> <testPpm> <out>:
+    // stratified EXACT-count val/test/train split (guaranteed
+    // per-stratum allocations), deterministic multiplicative-hash
+    // pseudo-shuffle on the id column.
+    case "split" :: in :: strata :: idCol :: valPpm :: testPpm :: out :: Nil =>
+      import org.apache.spark.sql.functions.col
+      val d = spark.read.parquet(in)
+      val key = ((col(idCol).cast("long") % 1048576L) * 2654435761L) %
+        4294967296L
+      val res = graft.ext.TrainPrep.stratifiedSplit(d, Seq(strata),
+        Seq(key, col(idCol)),
+        Seq("val" -> valPpm.toLong, "test" -> testPpm.toLong))
+      res.write.mode("overwrite").parquet(out)
+      val counts = res.groupBy(col("split"))
+        .count().orderBy(col("split")).collect()
+        .map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(", ")
+      println(s"split ${res.count()} rows by $strata ($counts) to $out")
+
+    // datasheet <docsParquet> <sourceCol> <textCol> <langCol>: print
+    // the per-source dataset-card summary (bounded: one row/source).
+    case "datasheet" :: in :: sourceCol :: textCol :: langCol :: Nil =>
+      graft.ext.Profile
+        .datasheet(spark.read.parquet(in), sourceCol, textCol, langCol)
+        .orderBy(sourceCol).collect()
+        .foreach(r => println(s"${r.getString(0)}\tdocs=${r.getLong(1)} " +
+          s"chars=${r.getLong(2)} mean=${r.getLong(3)} " +
+          s"short=${r.getLong(4)}ppm dup=${r.getLong(5)}ppm " +
+          s"langs=${r.getLong(6)} top=${r.getString(7)}"))
+
+    // textrank <docsParquet> <textCol> <iters> <k>: TextRank keywords
+    // (PageRank centrality over the token co-occurrence graph).
+    case "textrank" :: in :: textCol :: iters :: k :: Nil =>
+      graft.ext.Profile
+        .textRankKeywords(spark.read.parquet(in), textCol,
+          iterations = iters.toInt, k = k.toInt)
+        .collect()
+        .foreach(r => println(s"${r.getString(0)}\t${r.getLong(1)} ppt"))
 
     case other =>
       sys.error(s"unknown command: ${other.mkString(" ")} — see Scaladoc for usage")

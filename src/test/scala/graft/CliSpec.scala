@@ -443,4 +443,31 @@ class CliSpec extends SparkSpec {
       .filter($"keep").count()
     assert(keptN === 3L, s"3 clusters of clones must keep 3 reps, got $keptN")
   }
+
+  test("split / datasheet / textrank subcommands") {
+    import spark.implicits._
+    val base = tmpDir("clids")
+    val docs = (0L until 40L).map { i =>
+      (i, if (i % 2 == 0) "alpha beta gamma" else "beta delta",
+        if (i < 30) "en" else "de", s"src${i % 2}")
+    }.toDF("doc_id", "text", "lang", "source")
+    docs.write.parquet(s"$base/docs")
+
+    Main.run(spark, List("split", s"$base/docs", "source", "doc_id",
+      "100000", "200000", s"$base/split"))
+    val bySplit = spark.read.parquet(s"$base/split")
+      .groupBy($"source", $"split").count()
+      .as[(String, String, Long)].collect()
+      .map { case (s, sp, n) => (s, sp) -> n }.toMap
+    // 20 docs per source: exactly 2 val, 4 test, 14 train each
+    Seq("src0", "src1").foreach { s =>
+      assert(bySplit((s, "val")) === 2L, s)
+      assert(bySplit((s, "test")) === 4L, s)
+      assert(bySplit((s, "train")) === 14L, s)
+    }
+
+    Main.run(spark, List("datasheet", s"$base/docs", "source", "text",
+      "lang"))
+    Main.run(spark, List("textrank", s"$base/docs", "text", "3", "5"))
+  }
 }
