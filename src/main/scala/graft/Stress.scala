@@ -848,6 +848,48 @@ object Stress {
       // track the corpus scan, with the fold flat in `rows`.
       graft.ext.Profile.textProfile(docs, "text", "source").count()
     }
+    if (picks("acscan")) {
+      // q212's matcher at generated scale, A/B against the built-in
+      // formulation with an IDENTICAL plan shape (explode matched
+      // patterns → per-pattern counts) — only the matcher differs:
+      // one Aho–Corasick automaton pass vs one contains() rescan of
+      // the text PER PATTERN. The gap is the blocklist-size scaling
+      // argument (AC is flat in |patterns|, the chain is linear).
+      val pats = graft.queries.Extended21.Blocklist ++ Seq(
+        "data table row", "key value fast", "stream spark query",
+        "group window hash", "merge sort part", "small big line",
+        "order customer vector", "column scan join")
+      timed("acscan-ac") {
+        docs.select(explode(graft.plans.StringMatchExpressions
+            .multiMatch($"text", pats)).as("p"))
+          .groupBy($"p").count().count()
+      }
+      gcWindow()
+      timed("acscan-naive") {
+        docs.select(explode(filter(array(pats.map(lit): _*),
+            p => $"text".contains(p))).as("p"))
+          .groupBy($"p").count().count()
+      }
+    }
+    if (picks("kmv")) timed("kmv") {
+      // q213's sketch at generated scale: per-source k = 256 KMV over
+      // word bigrams. The whole reduction is one tokenize/explode scan
+      // plus an O(sources × k) aggregate — no exact-distinct shuffle —
+      // so wall time should track the scan linearly; the saturated
+      // buffer rejects all but ~k/n_distinct of inputs with one string
+      // compare. (Generated vocab is 30 words ⇒ ≤900 distinct bigrams;
+      // k = 256 genuinely subsamples.)
+      val kmv = udaf(graft.functions.KmvSketch(256),
+        org.apache.spark.sql.Encoders.STRING)
+      val sk = docs
+        .select($"source", split($"text", " ").as("ts"))
+        .select($"source", explode(transform(sequence(lit(1), size($"ts") - 1),
+          i => concat(element_at($"ts", i), lit(" "),
+            element_at($"ts", i + 1)))).as("g"))
+        .select($"source", md5($"g").as("h"))
+        .groupBy($"source").agg(kmv($"h").as("sk"))
+      sk.agg(sum(size($"sk"))).collect()(0).getLong(0)
+    }
     spark.stop()
   }
 }

@@ -188,6 +188,54 @@ object VectorIndex {
         (col("node") === col("component")).as("keep"))
   }
 
+  /** SemDeDup-style CLUSTER-scoped semantic dedup (Abbas et al. 2023):
+    * partition the corpus by k-means cell (the same frozen-centroid
+    * assignment the IVF index uses), then compare pairs only WITHIN a
+    * cell and drop every vector that has a lower-id cell-mate above the
+    * cosine threshold.
+    *
+    * This is the other blocking geometry from [[semanticDedup]]'s
+    * sign-LSH: LSH buckets are data-independent hyperplane cuts (recall
+    * is probabilistic per pair), k-means cells follow the data's actual
+    * density (near-duplicates co-assign unless they straddle a cell
+    * boundary — the miss mode the paper accepts). Pair volume is
+    * Σ_cells n_c², so the centroid count k plays the bucket-width role:
+    * at 100 TB you size k so E[n_c] keeps n_c² per-task-bounded, and
+    * the per-cell expansion shuffles on the cell id exactly like the
+    * LSH bucket exchange — only (cell, id, vec) rows, no cross-cell
+    * traffic. Training cost is bounded separately (fixed-iteration
+    * Lloyd on a driver-bounded seed set, [[trainCentroids]]).
+    *
+    * Tie/threshold semantics match [[semanticDedup]]: the comparison is
+    * on floor(cos·10⁴ + 0.5) ≥ tauBp, integer basis points, so the
+    * keep/drop decision is oracle-stable. Unlike the CC formulation,
+    * "keep" here is NOT transitive-closure canonicalization: a vector
+    * survives iff NO lower-id cell-mate clears the threshold — the
+    * paper's greedy keep-first rule, one anti-join instead of a
+    * fixpoint.
+    *
+    * @return (idCol, cell, keep) — one row per input vector
+    */
+  def semanticDedupClustered(embeddings: DataFrame, vecCol: String,
+      idCol: String, centroids: Array[Array[Float]], tauBp: Int): DataFrame = {
+    val assigned = assignCells(embeddings, vecCol, centroids)
+      .select(col(idCol).as("__id"), col("cell"), col(vecCol).as("__v"))
+      .withColumn("__nrm", VectorFns.l2Norm(col("__v")))
+    val a = assigned.select(col("cell"), col("__id").as("ia"),
+      col("__v").as("va"), col("__nrm").as("na"))
+    val b = assigned.select(col("cell"), col("__id").as("ib"),
+      col("__v").as("vb"), col("__nrm").as("nb"))
+    val dropped = a.join(b, Seq("cell"))
+      .filter(col("ia") < col("ib"))
+      .filter(floor(VectorFns.dot(col("va"), col("vb"))
+        / (col("na") * col("nb")) * 10000 + lit(0.5)) >= tauBp)
+      .select(col("ib").as("__dropId")).distinct()
+    assigned
+      .join(dropped, assigned("__id") === dropped("__dropId"), "left_outer")
+      .select(col("__id").as(idCol), col("cell"),
+        col("__dropId").isNull.as("keep"))
+  }
+
   /** Vector dimensionality probed from the first row — with a CLEAR
     * error on an empty frame or a null first vector (a bare `head()`
     * throws NoSuchElementException / NPE deep inside the operator,

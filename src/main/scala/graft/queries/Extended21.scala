@@ -1,0 +1,457 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.KmvSketch
+import graft.plans.StringMatchExpressions
+
+/** Round-13 batch (q211–q216): string-matching natives, a mergeable
+  * KMV sketch, classifier-inference plumbing, the cluster-scoped
+  * semantic dedup geometry, and rendezvous-hash resharding.
+  *
+  *  - q211 typo-tolerant entity resolution through the native
+  *    unrestricted Damerau–Levenshtein expression
+  *    ([[graft.plans.DamerauLevenshtein]]): dirty probes (deterministic
+  *    adjacent-char swaps of part names) match back to the clean
+  *    dimension with dl ≤ 1 — the single-transposition typo class that
+  *    plain `levenshtein` prices at 2. Candidates come from the q151
+  *    bigram q-gram join with the transposition-adjusted completeness
+  *    bound (a transposition perturbs q+1 = 3 bigrams, so shared
+  *    multiset bigrams ≥ max(len) − 1 − 3k).
+  *
+  *  - q212 blocklist tagging through the native Aho–Corasick
+  *    multi-pattern matcher ([[graft.plans.MultiPatternMatch]]): every
+  *    blocklist phrase found per document in ONE text pass (vs one
+  *    `contains` rescan per pattern), aggregated to per-pattern
+  *    document counts.
+  *
+  *  - q213 cross-source vocabulary overlap from K-Minimum-Values
+  *    sketches ([[graft.functions.KmvSketch]]): per-source bounded
+  *    sketches of the bigram space (md5-hashed, the cross-engine-stable
+  *    hash), merged pairwise into the Beyer et al. Jaccard estimator —
+  *    all string/integer arithmetic, shuffle volume O(sources × k).
+  *
+  *  - q214 hashed-feature linear classifier INFERENCE (the fastText
+  *    serving shape): unigram+bigram features hashed into 4096 buckets
+  *    (first 8 md5 hex chars), deterministic integer bucket weights,
+  *    per-doc integer scores rolled up per source — the one-scan,
+  *    broadcast-weights plumbing a learned quality classifier runs on
+  *    at 100 TB, with the weight table stubbed by a deterministic
+  *    function so the whole chain stays oracle-exact.
+  *
+  *  - q215 SemDeDup-style cluster-scoped semantic dedup
+  *    ([[graft.ext.VectorIndex.semanticDedupClustered]]): k-means cells
+  *    as the blocking geometry (vs q163/q180's sign-LSH), greedy
+  *    keep-lowest-id inside each cell at the q163 threshold; the
+  *    k-means chain reuses q49's fixed-iteration deterministic Lloyd
+  *    unroll ([[KmeansOracle]]).
+  *
+  *  - q216 rendezvous (HRW) shard assignment priced against mod-hash:
+  *    the minimal-disruption resharding primitive — growing 8 → 9
+  *    shards moves ~1/9 of docs under HRW vs ~8/9 under mod — as pure
+  *    per-row arithmetic with one summary aggregation.
+  */
+object Extended21 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // --------------------------------------------------------------------
+  // q211 — typo-tolerant probe→dimension resolution with native
+  // Damerau–Levenshtein. Probes are DERIVED deterministically (swap the
+  // adjacent chars at 1-based position p = partkey mod (len−1) + 1), so
+  // both engines construct the identical dirty set; every probe is a
+  // true transposition of its source name (dl = 1, lev = 2 unless the
+  // swapped chars are equal). The scale path is the q151 gram join —
+  // pairs are generated from shared bigrams (shuffle key = the bigram,
+  // candidate volume tracks bigram df, never |probes|·|names|) — with
+  // the bound relaxed for transpositions: dl(a,b) ≤ k ⇒ shared
+  // multiset bigrams ≥ max(|a|,|b|) − 1 − 3k (each ins/del/sub touches
+  // ≤ 2 bigrams, each transposition ≤ 3). Verification = ONE native
+  // dl call per candidate.
+  def q211(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val part = t(s, dir, "part").filter(length($"p_name") >= 2)
+    val probes = part
+      .select($"p_partkey", $"p_name", length($"p_name").as("len"))
+      .withColumn("p", ($"p_partkey" % ($"len" - 1) + 1).cast("int"))
+      .select($"p_partkey",
+        concat(
+          $"p_name".substr(lit(1), $"p" - 1),
+          $"p_name".substr($"p" + 1, lit(1)),
+          $"p_name".substr($"p", lit(1)),
+          $"p_name".substr($"p" + 2, $"len")).as("probe"))
+    val names = part.select($"p_name".as("name")).distinct()
+      .withColumn("nlen", length($"name"))
+
+    def bigrams(str: Column, len: Column): Column =
+      transform(sequence(lit(1), len - 1), i => str.substr(i, lit(2)))
+
+    val probeGrams = probes.withColumn("plen", length($"probe"))
+      .select($"p_partkey", $"probe", $"plen",
+        explode(bigrams($"probe", $"plen")).as("g"))
+      .groupBy($"p_partkey", $"probe", $"plen", $"g")
+      .agg(count(lit(1)).as("c"))
+    val nameGrams = names
+      .select($"name", $"nlen", explode(bigrams($"name", $"nlen")).as("g"))
+      .groupBy($"name", $"nlen", $"g").agg(count(lit(1)).as("c"))
+    // multiset-shared bigrams ≥ max(len) − 4 (k = 1, transposition-aware)
+    val cand = probeGrams.join(nameGrams, Seq("g"))
+      .groupBy($"p_partkey", $"probe", $"name")
+      .agg(sum(least(probeGrams("c"), nameGrams("c"))).as("m"),
+        first($"plen").as("plen"), first($"nlen").as("nlen"))
+      .filter($"m" >= greatest($"plen", $"nlen") - 4)
+    // the bound is vacuous when max(len) ≤ 4 — pair those few short
+    // strings all-vs-all (bounded: the ≤4-char universe)
+    val shortPairs = probes.filter(length($"probe") <= 4)
+      .crossJoin(names.filter($"nlen" <= 4).select($"name"))
+      .select($"p_partkey", $"probe", $"name")
+    cand.select($"p_partkey", $"probe", $"name").union(shortPairs).distinct()
+      .withColumn("dl",
+        StringMatchExpressions.damerauLevenshtein($"probe", $"name"))
+      .filter($"dl" <= 1)
+      .select($"p_partkey", $"probe", $"name", $"dl")
+      .orderBy($"p_partkey", $"name")
+  }
+
+  val q211Sql: String =
+    """WITH part2 AS (SELECT * FROM part WHERE length(p_name) >= 2),
+      | pr AS (SELECT p_partkey, p_name, length(p_name) AS len,
+      |          CAST(p_partkey % (length(p_name) - 1) + 1 AS INTEGER) AS p
+      |        FROM part2),
+      | probes AS (SELECT p_partkey,
+      |     substr(p_name, 1, p - 1) || substr(p_name, p + 1, 1)
+      |       || substr(p_name, p, 1) || substr(p_name, p + 2, len) AS probe
+      |   FROM pr),
+      | n AS (SELECT DISTINCT p_name AS name FROM part2)
+      |SELECT pb.p_partkey, pb.probe, n.name,
+      |       CAST(damerau_levenshtein(pb.probe, n.name) AS BIGINT) AS dl
+      |FROM probes pb JOIN n ON damerau_levenshtein(pb.probe, n.name) <= 1
+      |ORDER BY pb.p_partkey, n.name""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q212 — blocklist tagging via Aho–Corasick: which blocklist phrases
+  // occur (as substrings) in each document, one automaton pass per doc
+  // regardless of blocklist size. Read-out: per-pattern document counts
+  // + the earliest flagged doc as a witness. Patterns that match no
+  // document drop out (inner semantics on both sides).
+  private[graft] val Blocklist: Seq[String] = Seq(
+    "fast table", "slow scan", "big query", "stream merge",
+    "hash value", "agg row", "sort key", "vector")
+
+  def q212(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select($"doc_id",
+        explode(StringMatchExpressions.multiMatch($"text", Blocklist))
+          .as("pattern"))
+      .groupBy($"pattern")
+      .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("first_doc"))
+      .orderBy($"pattern")
+  }
+
+  val q212Sql: String = {
+    val lits = Blocklist.map(p => s"'$p'").mkString(", ")
+    s"""SELECT p.pattern, count(*) AS n_docs, min(d.doc_id) AS first_doc
+       |FROM documents d
+       |JOIN (SELECT unnest([$lits]) AS pattern) p
+       |  ON contains(d.text, p.pattern)
+       |GROUP BY p.pattern ORDER BY p.pattern""".stripMargin
+  }
+
+  // --------------------------------------------------------------------
+  // q213 — cross-source vocabulary overlap from KMV sketches. Per
+  // source: the k = 32 lexicographically smallest md5 hashes of the
+  // source's word-bigram set (a bounded mergeable aggregate — map-side
+  // partials carry ≤ k strings). Per source pair: the Beyer et al.
+  // estimator — take the k smallest of the UNION of the two sketches;
+  // the fraction of them present in BOTH sketches estimates Jaccard.
+  // Everything downstream of md5 is string ordering + integer counts
+  // (jac_ppm by integer division), so the estimate is oracle-exact.
+  private[queries] val KmvK = 32
+
+  def q213(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val kmv = udaf(KmvSketch(KmvK), org.apache.spark.sql.Encoders.STRING)
+    val toks = split(trim($"text"), "\\s+")
+    val grams = t(s, dir, "documents")
+      .select($"source", toks.as("ts"))
+      .select($"source", explode(when(size($"ts") >= 2,
+        transform(sequence(lit(1), size($"ts") - 1),
+          i => concat(element_at($"ts", i), lit(" "),
+            element_at($"ts", i + 1))))
+        .otherwise(array())).as("g"))
+    val sk = grams.select($"source", md5($"g").as("h"))
+      .groupBy($"source").agg(kmv($"h").as("sk"))
+    val pairs = sk.as("a").join(sk.as("b"), $"a.source" < $"b.source")
+      .select($"a.source".as("source_a"), $"b.source".as("source_b"),
+        $"a.sk".as("ska"), $"b.sk".as("skb"))
+      .withColumn("u",
+        slice(array_sort(array_distinct(concat($"ska", $"skb"))), 1, KmvK))
+      .withColumn("k_used", size($"u").cast("long"))
+      .withColumn("matches",
+        size(filter($"u", h =>
+          array_contains($"ska", h) && array_contains($"skb", h)))
+          .cast("long"))
+    pairs
+      .select($"source_a", $"source_b", $"k_used", $"matches",
+        expr("(matches * 1000000) div k_used").as("jac_ppm"))
+      .orderBy($"source_a", $"source_b")
+  }
+
+  val q213Sql: String =
+    s"""WITH toks AS (SELECT source, regexp_split_to_array(trim(text), '\\s+') AS ts
+       |              FROM documents),
+       | grams AS (SELECT source, ts[i] || ' ' || ts[i + 1] AS g
+       |           FROM toks, unnest(generate_series(1, len(ts) - 1)) AS t(i)
+       |           WHERE len(ts) >= 2),
+       | hashed AS (SELECT DISTINCT source, md5(g) AS h FROM grams),
+       | ranked AS (SELECT source, h,
+       |              row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+       |            FROM hashed),
+       | sk AS (SELECT source, list(h ORDER BY h) AS sk
+       |        FROM ranked WHERE rn <= $KmvK GROUP BY source),
+       | pairs AS (SELECT a.source AS source_a, b.source AS source_b,
+       |             a.sk AS ska, b.sk AS skb
+       |           FROM sk a JOIN sk b ON a.source < b.source),
+       | uni AS (SELECT source_a, source_b, ska, skb,
+       |           list_slice(list_sort(list_distinct(list_concat(ska, skb))),
+       |                      1, $KmvK) AS u
+       |         FROM pairs)
+       |SELECT source_a, source_b,
+       |  CAST(len(u) AS BIGINT) AS k_used,
+       |  CAST(len(list_filter(u, h -> list_contains(ska, h)
+       |                             AND list_contains(skb, h))) AS BIGINT)
+       |    AS matches,
+       |  (CAST(len(list_filter(u, h -> list_contains(ska, h)
+       |                              AND list_contains(skb, h))) AS BIGINT)
+       |   * 1000000) // CAST(len(u) AS BIGINT) AS jac_ppm
+       |FROM uni ORDER BY source_a, source_b""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q214 — hashed-feature linear classifier inference (the fastText
+  // serving shape): features = unigrams + word bigrams, hashed into
+  // D = 4096 buckets via the first 8 md5 hex chars (the engine's
+  // cross-engine-stable uniform hash), weight(bucket) = a deterministic
+  // integer surrogate for a trained weight vector ((bucket·2654435761)
+  // mod 1001 − 500 ∈ [−500, 500]). Per-doc score = Σ weights — one
+  // scan, one explode, two integer aggregations; the weight "table" is
+  // a pure function, which is exactly how a broadcast weight array
+  // behaves at scale (no shuffle on the feature side).
+  def q214(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = split(trim($"text"), "\\s+")
+    val feats = t(s, dir, "documents")
+      .select($"doc_id", $"source", toks.as("ts"))
+      .select($"doc_id", $"source", explode(concat($"ts",
+        when(size($"ts") >= 2,
+          transform(sequence(lit(1), size($"ts") - 1),
+            i => concat(element_at($"ts", i), lit(" "),
+              element_at($"ts", i + 1))))
+          .otherwise(array()))).as("f"))
+    val scored = feats
+      .withColumn("bucket",
+        conv(substring(md5($"f"), 1, 8), 16, 10).cast("long") % 4096)
+      .withColumn("w", $"bucket" * 2654435761L % 1001L - 500L)
+    val perDoc = scored.groupBy($"doc_id", $"source")
+      .agg(sum($"w").as("score"))
+    perDoc.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"score").as("sum_score"),
+        sum(when($"score" > 0, 1L).otherwise(0L)).as("n_pos"),
+        max($"score").as("max_score"), min($"score").as("min_score"))
+      .orderBy($"source")
+  }
+
+  val q214Sql: String =
+    """WITH toks AS (SELECT doc_id, source,
+      |                regexp_split_to_array(trim(text), '\s+') AS ts
+      |              FROM documents),
+      | feats AS (
+      |   SELECT doc_id, source, unnest(ts) AS f FROM toks
+      |   UNION ALL
+      |   SELECT doc_id, source, ts[i] || ' ' || ts[i + 1] AS f
+      |   FROM toks, unnest(generate_series(1, len(ts) - 1)) AS t(i)
+      |   WHERE len(ts) >= 2),
+      | scored AS (SELECT doc_id, source,
+      |     (('0x' || substr(md5(f), 1, 8))::BIGINT % 4096)
+      |       * 2654435761 % 1001 - 500 AS w
+      |   FROM feats),
+      | perdoc AS (SELECT doc_id, source, CAST(sum(w) AS BIGINT) AS score
+      |            FROM scored GROUP BY 1, 2)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(score) AS BIGINT) AS sum_score,
+      |  CAST(sum(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+      |  CAST(max(score) AS BIGINT) AS max_score,
+      |  CAST(min(score) AS BIGINT) AS min_score
+      |FROM perdoc GROUP BY source ORDER BY source""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q215 — SemDeDup: cluster-scoped semantic dedup over the q49 k-means
+  // cells (k = 8, 2 Lloyd iterations, deterministic seeds), greedy
+  // keep-lowest-id at the q163 threshold (4200 bp). Read-out: per-cell
+  // member/dropped counts. The oracle replays the full train→assign
+  // chain through [[KmeansOracle]] and brute-forces the within-cell
+  // pair test.
+  def q215(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = t(s, dir, "embeddings")
+    val centroids = graft.ext.VectorIndex
+      .trainCentroids(e, "embedding", k = 8, iterations = 2)
+    graft.ext.VectorIndex
+      .semanticDedupClustered(e, "embedding", "vec_id", centroids,
+        tauBp = 4200)
+      .groupBy($"cell")
+      .agg(count(lit(1)).as("n_members"),
+        sum(when(!$"keep", 1L).otherwise(0L)).as("n_dropped"))
+      .orderBy($"cell")
+  }
+
+  val q215Sql: String =
+    s"""WITH ${KmeansOracle.chain(k = 8, iterations = 2)},
+       | m AS (SELECT e.vec_id, af.cell, e.v FROM e JOIN af USING (vec_id)),
+       | dropped AS (SELECT DISTINCT b.vec_id AS vid
+       |   FROM m a JOIN m b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |   WHERE floor(${KmeansOracle.cos("a.v", "b.v")} * 10000 + 0.5) >= 4200)
+       |SELECT m.cell, count(*) AS n_members,
+       |  CAST(sum(CASE WHEN d.vid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_dropped
+       |FROM m LEFT JOIN dropped d ON m.vec_id = d.vid
+       |GROUP BY m.cell ORDER BY m.cell""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q216 — rendezvous (highest-random-weight) shard assignment, priced
+  // against mod-hash resharding. HRW (Thaler & Ravishankar 1998) gives
+  // every (doc, shard) pair a hash weight and assigns the doc to the
+  // argmax shard: when the fleet grows k → k+1, a doc moves IFF the new
+  // shard wins its argmax — the minimal-disruption optimum of 1/(k+1)
+  // of the corpus — while doc_id MOD k reassigns ~k/(k+1) of it. The
+  // read-out prices both on the same corpus: moved-doc counts and ppm
+  // for 8 → 9 shards. Shape: pure per-row arithmetic (no shuffle until
+  // the single summary agg) — the stable-resharding primitive a 100 TB
+  // ingest needs so an added shard doesn't resettle the whole corpus.
+  // Weights are the engine's cross-engine-stable hash (first 15 md5 hex
+  // chars of "doc_id:shard" → 60-bit int); argmax ties break toward the
+  // larger shard id on BOTH sides (struct max / ORDER BY w DESC, s DESC).
+  private def hrwShard(nShards: Int): Column = {
+    val scores = (0 until nShards).map { sh =>
+      struct(conv(substring(md5(concat(col("doc_id").cast("string"),
+        lit(s":$sh"))), 1, 15), 16, 10).cast("long").as("w"),
+        lit(sh).as("s"))
+    }
+    array_max(array(scores: _*)).getField("s")
+  }
+
+  def q216(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select($"doc_id", hrwShard(8).as("hrw8"), hrwShard(9).as("hrw9"),
+        ($"doc_id" % 8).as("mod8"), ($"doc_id" % 9).as("mod9"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"hrw8" =!= $"hrw9", 1L).otherwise(0L)).as("hrw_moved"),
+        sum(when($"mod8" =!= $"mod9", 1L).otherwise(0L)).as("mod_moved"))
+      .select($"n_docs", $"hrw_moved",
+        expr("(hrw_moved * 1000000) div n_docs").as("hrw_moved_ppm"),
+        $"mod_moved",
+        expr("(mod_moved * 1000000) div n_docs").as("mod_moved_ppm"))
+  }
+
+  val q216Sql: String = {
+    def assign(k: Int, alias: String) =
+      s"""$alias AS (SELECT doc_id, s AS shard FROM (
+         |   SELECT d.doc_id, t.s, row_number() OVER (
+         |     PARTITION BY d.doc_id
+         |     ORDER BY ('0x' || substr(md5(d.doc_id || ':' || t.s), 1, 15))::BIGINT DESC,
+         |              t.s DESC) AS rn
+         |   FROM documents d, unnest(generate_series(0, ${k - 1})) AS t(s))
+         | WHERE rn = 1)""".stripMargin
+    s"""WITH ${assign(8, "h8")},
+       |${assign(9, "h9")},
+       | moved AS (SELECT d.doc_id,
+       |     CASE WHEN h8.shard <> h9.shard THEN 1 ELSE 0 END AS hrw_m,
+       |     CASE WHEN d.doc_id % 8 <> d.doc_id % 9 THEN 1 ELSE 0 END AS mod_m
+       |   FROM documents d
+       |   JOIN h8 ON d.doc_id = h8.doc_id JOIN h9 ON d.doc_id = h9.doc_id)
+       |SELECT count(*) AS n_docs,
+       |  CAST(sum(hrw_m) AS BIGINT) AS hrw_moved,
+       |  (CAST(sum(hrw_m) AS BIGINT) * 1000000) // count(*) AS hrw_moved_ppm,
+       |  CAST(sum(mod_m) AS BIGINT) AS mod_moved,
+       |  (CAST(sum(mod_m) AS BIGINT) * 1000000) // count(*) AS mod_moved_ppm
+       |FROM moved""".stripMargin
+  }
+
+  /** Name → query, for SparkEntry. */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q211_damerau_probe_join" -> (q211 _),
+    "q212_blocklist_multimatch" -> (q212 _),
+    "q213_kmv_source_jaccard" -> (q213 _),
+    "q214_hashed_linear_scorer" -> (q214 _),
+    "q215_semdedup_clustered" -> (q215 _),
+    "q216_rendezvous_reshard" -> (q216 _)
+  )
+
+  /** Name → DuckDB oracle SQL, for SparkEntry. */
+  val oracles: Map[String, String] = Map(
+    "q211_damerau_probe_join" -> q211Sql,
+    "q212_blocklist_multimatch" -> q212Sql,
+    "q213_kmv_source_jaccard" -> q213Sql,
+    "q214_hashed_linear_scorer" -> q214Sql,
+    "q215_semdedup_clustered" -> q215Sql,
+    "q216_rendezvous_reshard" -> q216Sql
+  )
+}
+
+/** Shared SQL builder for the deterministic k-means chain
+  * ([[graft.ext.VectorIndex.trainCentroids]] + [[graft.ext.VectorIndex
+  * .assignCells]]): fixed-iteration Lloyd from first-k-by-id seeds,
+  * per-cell float-rounded component means, assignment ties broken
+  * toward the larger cell index (Spark's `greatest(struct)`), empty
+  * cells carrying their previous centroid. Produces the `WITH`-chain
+  * BODY `e, c0, s0/a0/m0/c1, …, sf, af` — callers append their own
+  * CTEs and read `e` (vec_id, v) joined with `af` (vec_id, cell).
+  * Same derivation q49's inline oracle encodes; factored here so new
+  * k-means consumers (q215) don't re-unroll it. */
+private[queries] object KmeansOracle {
+
+  /** Cosine over DOUBLE lists — the q23/q49 fragment family. */
+  def cos(a: String, b: String): String =
+    s"""list_sum(list_transform(list_zip($a, $b), x -> x[1] * x[2]))
+       |   / (sqrt(list_sum(list_transform($a, x -> x * x)))
+       |      * sqrt(list_sum(list_transform($b, x -> x * x))))""".stripMargin
+
+  private def lloyd(i: Int): String =
+    s""" s$i AS (SELECT e.vec_id, c$i.cell, ${cos("e.v", s"c$i.c")} AS score
+       |          FROM e CROSS JOIN c$i),
+       | a$i AS (SELECT vec_id, cell FROM (
+       |           SELECT vec_id, cell, row_number() OVER (
+       |             PARTITION BY vec_id ORDER BY score DESC, cell DESC) AS rn
+       |           FROM s$i) WHERE rn = 1),
+       | m$i AS (SELECT cell, list(x ORDER BY i) AS c FROM (
+       |           SELECT a$i.cell, u.i,
+       |                  CAST(CAST(sum(u.x) / count(*) AS REAL) AS DOUBLE) AS x
+       |           FROM a$i JOIN (SELECT vec_id, unnest(v) AS x,
+       |                            unnest(generate_series(1, len(v))) AS i FROM e) u
+       |             USING (vec_id)
+       |           GROUP BY a$i.cell, u.i) GROUP BY cell),
+       | c${i + 1} AS (SELECT c$i.cell, coalesce(m$i.c, c$i.c) AS c
+       |               FROM c$i LEFT JOIN m$i USING (cell))""".stripMargin
+
+  /** The full chain body: `e` … `af` (final assignment after
+    * `iterations` Lloyd steps over `k` seeds). */
+  def chain(k: Int, iterations: Int): String = {
+    val steps = (0 until iterations).map(lloyd).mkString(",\n")
+    val cf = s"c$iterations"
+    s"""e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |           FROM embeddings),
+       | c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+       |               v AS c
+       |        FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $k)),
+       |$steps,
+       | sf AS (SELECT e.vec_id, $cf.cell, ${cos("e.v", s"$cf.c")} AS score
+       |        FROM e CROSS JOIN $cf),
+       | af AS (SELECT vec_id, cell FROM (
+       |          SELECT vec_id, cell, row_number() OVER (
+       |            PARTITION BY vec_id ORDER BY score DESC, cell DESC) AS rn
+       |          FROM sf) WHERE rn = 1)""".stripMargin
+  }
+}
