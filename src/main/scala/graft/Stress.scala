@@ -853,42 +853,73 @@ object Stress {
       // formulation with an IDENTICAL plan shape (explode matched
       // patterns → per-pattern counts) — only the matcher differs:
       // one Aho–Corasick automaton pass vs one contains() rescan of
-      // the text PER PATTERN. The gap is the blocklist-size scaling
-      // argument (AC is flat in |patterns|, the chain is linear).
-      val pats = graft.queries.Extended21.Blocklist ++ Seq(
-        "data table row", "key value fast", "stream spark query",
-        "group window hash", "merge sort part", "small big line",
-        "order customer vector", "column scan join")
-      timed("acscan-ac") {
-        docs.select(explode(graft.plans.StringMatchExpressions
-            .multiMatch($"text", pats)).as("p"))
-          .groupBy($"p").count().count()
-      }
-      gcWindow()
-      timed("acscan-naive") {
-        docs.select(explode(filter(array(pats.map(lit): _*),
-            p => $"text".contains(p))).as("p"))
-          .groupBy($"p").count().count()
+      // the text PER PATTERN. Swept over blocklist SIZE because that
+      // is the argument: the chain's cost is linear in |patterns|
+      // while the automaton's is flat (the DFA table grows, the scan
+      // doesn't). Patterns are word triples off the generator vocab,
+      // so they hit the same match machinery the real blocklist does.
+      val vocab = Seq("the", "a", "data", "table", "row", "scan",
+        "join", "agg", "key", "value", "fast", "slow", "batch",
+        "stream", "spark", "query")
+      val allPats = (for (x <- vocab; y <- vocab) yield s"$x $y $x").distinct
+      // untimed warmup: the FIRST execution of each arm carries JVM /
+      // codegen cost that would land on whichever row runs first
+      // (measured: 2.5-4.2 s vs 0.6-0.8 s steady on the same AC arm);
+      // both matchers warm on a 10k-doc slice
+      val warm = docs.limit(10000)
+      warm.select(explode(graft.plans.StringMatchExpressions
+        .multiMatch($"text", allPats.take(16))).as("p")).count()
+      warm.select(explode(filter(array(allPats.take(16).map(lit): _*),
+        p => $"text".contains(p))).as("p")).count()
+      for (nPats <- Seq(16, 64, 256)) {
+        val pats = allPats.take(nPats)
+        timed(s"acscan-ac-$nPats") {
+          docs.select(explode(graft.plans.StringMatchExpressions
+              .multiMatch($"text", pats)).as("p"))
+            .groupBy($"p").count().count()
+        }
+        gcWindow()
+        timed(s"acscan-chain-$nPats") {
+          docs.select(explode(filter(array(pats.map(lit): _*),
+              p => $"text".contains(p))).as("p"))
+            .groupBy($"p").count().count()
+        }
+        gcWindow()
       }
     }
-    if (picks("kmv")) timed("kmv") {
+    if (picks("kmv")) {
       // q213's sketch at generated scale: per-source k = 256 KMV over
       // word bigrams. The whole reduction is one tokenize/explode scan
       // plus an O(sources × k) aggregate — no exact-distinct shuffle —
       // so wall time should track the scan linearly; the saturated
       // buffer rejects all but ~k/n_distinct of inputs with one string
       // compare. (Generated vocab is 30 words ⇒ ≤900 distinct bigrams;
-      // k = 256 genuinely subsamples.)
+      // k = 256 genuinely subsamples.) Two arms price the HASH choice:
+      // md5 hex is the ORACLE-stable rendering q213 gates on;
+      // xxhash64 is what a production deployment would feed the same
+      // sketch (any uniform element rendering satisfies its contract).
       val kmv = udaf(graft.functions.KmvSketch(256),
         org.apache.spark.sql.Encoders.STRING)
-      val sk = docs
-        .select($"source", split($"text", " ").as("ts"))
-        .select($"source", explode(transform(sequence(lit(1), size($"ts") - 1),
-          i => concat(element_at($"ts", i), lit(" "),
-            element_at($"ts", i + 1)))).as("g"))
-        .select($"source", md5($"g").as("h"))
-        .groupBy($"source").agg(kmv($"h").as("sk"))
-      sk.agg(sum(size($"sk"))).collect()(0).getLong(0)
+      def run(hash: org.apache.spark.sql.Column => org.apache.spark.sql.Column): Long =
+        docs
+          .select($"source", split($"text", " ").as("ts"))
+          .select($"source", explode(transform(sequence(lit(1), size($"ts") - 1),
+            i => concat(element_at($"ts", i), lit(" "),
+              element_at($"ts", i + 1)))).as("g"))
+          .select($"source", hash($"g").as("h"))
+          .groupBy($"source").agg(kmv($"h").as("sk"))
+          .agg(sum(size($"sk"))).collect()(0).getLong(0)
+      // GRAFT_STRESS_KMV_ORDER=xx64first flips arm order — the probe
+      // self-loads the box, so a cross-arm call needs both orders
+      // (the megapipe adjudication lesson applied within one session)
+      val arms = Seq(
+        "kmv-md5" -> (() => run(md5)),
+        "kmv-xx64" -> (() => run(c => format_string("%016x", xxhash64(c)))))
+      val ordered = if (sys.env.get("GRAFT_STRESS_KMV_ORDER")
+          .contains("xx64first")) arms.reverse else arms
+      ordered.foreach { case (name, body) =>
+        timed(name)(body()); gcWindow()
+      }
     }
     spark.stop()
   }

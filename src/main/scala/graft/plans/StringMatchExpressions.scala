@@ -123,9 +123,11 @@ final class AcAutomaton(val patterns: Array[String]) extends Serializable {
 
   val nPatterns: Int = patterns.length
 
-  // Dense tables: next(state)(char) transition DFA; outs(state) = ids of
+  // Dense tables: next(state·128 + char) transition DFA (flattened to
+  // ONE int array — a single bounds check and better cache locality
+  // than a 2D table in the per-byte hot loop); outs(state) = ids of
   // patterns ENDING at this state (failure-closed).
-  private val (next: Array[Array[Int]], outs: Array[Array[Int]]) = {
+  private val (next: Array[Int], outs: Array[Array[Int]]) = {
     val maxNodes = patterns.map(_.length).sum + 1
     val goto = Array.fill(maxNodes)(Array.fill(128)(-1))
     val out = Array.fill(maxNodes)(List.empty[Int])
@@ -160,20 +162,29 @@ final class AcAutomaton(val patterns: Array[String]) extends Serializable {
         c += 1
       }
     }
-    (goto.take(nNodes), out.take(nNodes).map(_.toArray.sorted))
+    val flat = new Array[Int](nNodes * 128)
+    var u = 0
+    while (u < nNodes) {
+      System.arraycopy(goto(u), 0, flat, u * 128, 128)
+      u += 1
+    }
+    (flat, out.take(nNodes).map(_.toArray.sorted))
   }
 
   /** Patterns present in `text`, as a catalyst array of UTF8Strings in
-    * original pattern order. Early-exits once every pattern matched. */
+    * original pattern order. Early-exits once every pattern matched.
+    * Reads bytes straight off the UTF8String (no copy); per byte the
+    * loop is one flat-table load plus an output-emptiness check. */
   def matchedPatterns(text: UTF8String): GenericArrayData = {
     val found = new Array[Boolean](nPatterns)
     var nFound = 0
-    val bytes = text.getBytes
+    val n = text.numBytes()
+    val tbl = next
     var u = 0
     var i = 0
-    while (i < bytes.length && nFound < nPatterns) {
-      val c = bytes(i) & 0xff
-      u = if (c < 128) next(u)(c) else 0
+    while (i < n && nFound < nPatterns) {
+      val c = text.getByte(i) & 0xff
+      u = if (c < 128) tbl((u << 7) | c) else 0
       val o = outs(u)
       var t = 0
       while (t < o.length) {
