@@ -52,6 +52,10 @@ import graft.transform.RideTransform
   *   split <docsParquet> <strataCol> <idCol> <valPpm> <testPpm> <outParquet>
   *   datasheet <docsParquet> <sourceCol> <textCol> <langCol>
   *   textrank <docsParquet> <textCol> <iters> <k>
+  *   blocklist <docsParquet> <idCol> <textCol> <p1,p2,...> <outParquet>
+  *   reshard <parquet> <idCol> <n> <outDir>
+  *   source-overlap <docsParquet> <groupCol> <textCol> <k>
+  *   semdedup-kmeans <embParquet> <idCol> <vecCol> <cells> <iters> <tauBp> <outParquet>
   */
 object Main {
 
@@ -503,6 +507,55 @@ object Main {
           iterations = iters.toInt, k = k.toInt)
         .collect()
         .foreach(r => println(s"${r.getString(0)}\t${r.getLong(1)} ppt"))
+
+    // blocklist <docsParquet> <idCol> <textCol> <p1,p2,...> <outParquet>:
+    // Aho–Corasick tagging — rows containing ≥1 blocklist phrase, with
+    // the matched phrases, in one text pass per row.
+    case "blocklist" :: in :: idCol :: textCol :: patternsCsv :: out :: Nil =>
+      import org.apache.spark.sql.functions._
+      val pats = patternsCsv.split(",").toSeq
+      val flagged = spark.read.parquet(in)
+        .select(col(idCol), graft.plans.StringMatchExpressions
+          .multiMatch(col(textCol), pats).as("matched"))
+        .filter(size(col("matched")) > 0)
+      flagged.write.mode("overwrite").parquet(out)
+      println(s"flagged ${flagged.count()} rows against ${pats.length} " +
+        s"patterns into $out")
+
+    // reshard <parquet> <idCol> <n> <outDir>: rendezvous-hash shard
+    // assignment (stable under fleet resizes: n -> n+1 moves ~1/(n+1)
+    // of rows), partitioned write like `shard`.
+    case "reshard" :: in :: idCol :: n :: out :: Nil =>
+      import org.apache.spark.sql.functions._
+      val sharded = spark.read.parquet(in).withColumn("shard",
+        graft.operators.HashSplit.hrwShard(col(idCol), n.toInt))
+      sharded.write.mode("overwrite").partitionBy("shard").parquet(out)
+      println(s"wrote ${n.toInt} rendezvous shards under $out")
+
+    // source-overlap <docsParquet> <groupCol> <textCol> <k>: pairwise
+    // vocabulary-overlap estimates from per-group KMV sketches.
+    case "source-overlap" :: in :: groupCol :: textCol :: k :: Nil =>
+      graft.ext.Profile
+        .kmvSourceOverlap(spark.read.parquet(in), groupCol, textCol, k.toInt)
+        .collect()
+        .foreach(r => println(s"${r.getString(0)}\t${r.getString(1)}\t" +
+          s"jac=${r.getLong(4)} ppm (${r.getLong(3)}/${r.getLong(2)})"))
+
+    // semdedup-kmeans <embParquet> <idCol> <vecCol> <cells> <iters>
+    //   <tauBp> <outParquet>: cluster-scoped semantic dedup (k-means
+    // cells, greedy keep-lowest-id above tauBp basis points).
+    case "semdedup-kmeans" :: in :: idCol :: vecCol :: cells :: iters ::
+        tauBp :: out :: Nil =>
+      val e = spark.read.parquet(in)
+      val centroids = graft.ext.VectorIndex
+        .trainCentroids(e, vecCol, k = cells.toInt, iterations = iters.toInt)
+      val flagged = graft.ext.VectorIndex
+        .semanticDedupClustered(e, vecCol, idCol, centroids, tauBp.toInt)
+      flagged.write.mode("overwrite").parquet(out)
+      val dropped = flagged.filter(org.apache.spark.sql.functions
+        .not(org.apache.spark.sql.functions.col("keep"))).count()
+      println(s"semdedup-kmeans: $dropped dropped across ${cells.toInt} " +
+        s"cells into $out")
 
     case other =>
       sys.error(s"unknown command: ${other.mkString(" ")} — see Scaladoc for usage")

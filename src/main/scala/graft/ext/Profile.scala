@@ -197,6 +197,52 @@ object Profile {
     base.join(broadcast(top), Seq(sourceCol))
   }
 
+  /** Cross-group vocabulary-overlap estimates from K-Minimum-Values
+    * sketches ([[graft.functions.KmvSketch]]): per group, the k smallest
+    * md5 hashes of the group's word-BIGRAM set (one tokenize/explode
+    * scan, bounded mergeable aggregate); per group pair, the Beyer et
+    * al. (SIGMOD 2007) estimator — of the k smallest hashes in the
+    * union of the two sketches, the fraction present in BOTH estimates
+    * Jaccard. Entirely string/integer arithmetic (ppm by integer
+    * division), so the estimate is reproducible across engines.
+    *
+    * Scale shape: the sketch aggregate ships O(groups × k) strings
+    * through the shuffle however many rows feed it; the pair stage is
+    * groups², on sketches — driver-scale, not corpus-scale.
+    *
+    * @return (group_a, group_b, k_used, matches, jac_ppm), group_a <
+    *         group_b, ordered
+    */
+  def kmvSourceOverlap(docs: DataFrame, groupCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val kmv = udaf(graft.functions.KmvSketch(k),
+      org.apache.spark.sql.Encoders.STRING)
+    val ts = split(trim(col(textCol)), "\\s+")
+    val grams = docs
+      .select(col(groupCol).as("__grp"), ts.as("__ts"))
+      .select(col("__grp"), explode(when(size(col("__ts")) >= 2,
+        transform(sequence(lit(1), size(col("__ts")) - 1),
+          i => concat(element_at(col("__ts"), i), lit(" "),
+            element_at(col("__ts"), i + 1))))
+        .otherwise(array())).as("__g"))
+    val sk = grams.select(col("__grp"), md5(col("__g")).as("__h"))
+      .groupBy(col("__grp")).agg(kmv(col("__h")).as("__sk"))
+    sk.as("a").join(sk.as("b"), col("a.__grp") < col("b.__grp"))
+      .select(col("a.__grp").as("source_a"), col("b.__grp").as("source_b"),
+        col("a.__sk").as("ska"), col("b.__sk").as("skb"))
+      .withColumn("u",
+        slice(array_sort(array_distinct(concat(col("ska"), col("skb")))), 1, k))
+      .withColumn("k_used", size(col("u")).cast("long"))
+      .withColumn("matches",
+        size(filter(col("u"), h =>
+          array_contains(col("ska"), h) && array_contains(col("skb"), h)))
+          .cast("long"))
+      .select(col("source_a"), col("source_b"), col("k_used"), col("matches"),
+        expr("(matches * 1000000) div k_used").as("jac_ppm"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   def unigramDrift(counts: DataFrame): DataFrame = {
     val n = counts.agg(sum(col("c")).as("n"))
     val corpusTok = counts.groupBy(col("token")).agg(sum(col("c")).as("cc"))

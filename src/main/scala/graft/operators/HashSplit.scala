@@ -38,4 +38,27 @@ object HashSplit {
     }
     expr
   }
+
+  /** Rendezvous (highest-random-weight, Thaler & Ravishankar 1998)
+    * shard assignment: each (id, shard) pair gets an independent hash
+    * weight (first 15 md5 hex chars of "id:shard" — 60 bits, same
+    * portable digest as [[bucket]]) and the row goes to the argmax
+    * shard, ties toward the larger shard index.
+    *
+    * What it buys over `bucket(id, n)`: STABILITY under fleet resizes —
+    * growing n → n+1 moves exactly the rows the new shard wins
+    * (~1/(n+1) of them, the provable minimum), where mod-hash moves
+    * ~n/(n+1). Still purely scalar and codegen'd: n md5 calls per row,
+    * no shuffle — so it suits moderate shard counts (a fan-out of
+    * hundreds, not millions; the per-row cost is linear in n). */
+  def hrwShard(idCol: Column, nShards: Int): Column = {
+    require(nShards >= 1 && nShards <= 4096,
+      s"nShards must be in [1, 4096], got $nShards (per-row cost is linear in it)")
+    val scores = (0 until nShards).map { sh =>
+      struct(conv(substring(md5(concat(idCol.cast("string"), lit(s":$sh"))),
+        1, 15), 16, 10).cast("long").as("w"),
+        lit(sh).as("s"))
+    }
+    array_max(array(scores: _*)).getField("s")
+  }
 }

@@ -3,7 +3,6 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.KmvSketch
 import graft.plans.StringMatchExpressions
 
 /** Round-13 batch (q211–q216): string-matching natives, a mergeable
@@ -171,34 +170,9 @@ object Extended21 {
   // (jac_ppm by integer division), so the estimate is oracle-exact.
   private[queries] val KmvK = 32
 
-  def q213(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val kmv = udaf(KmvSketch(KmvK), org.apache.spark.sql.Encoders.STRING)
-    val toks = split(trim($"text"), "\\s+")
-    val grams = t(s, dir, "documents")
-      .select($"source", toks.as("ts"))
-      .select($"source", explode(when(size($"ts") >= 2,
-        transform(sequence(lit(1), size($"ts") - 1),
-          i => concat(element_at($"ts", i), lit(" "),
-            element_at($"ts", i + 1))))
-        .otherwise(array())).as("g"))
-    val sk = grams.select($"source", md5($"g").as("h"))
-      .groupBy($"source").agg(kmv($"h").as("sk"))
-    val pairs = sk.as("a").join(sk.as("b"), $"a.source" < $"b.source")
-      .select($"a.source".as("source_a"), $"b.source".as("source_b"),
-        $"a.sk".as("ska"), $"b.sk".as("skb"))
-      .withColumn("u",
-        slice(array_sort(array_distinct(concat($"ska", $"skb"))), 1, KmvK))
-      .withColumn("k_used", size($"u").cast("long"))
-      .withColumn("matches",
-        size(filter($"u", h =>
-          array_contains($"ska", h) && array_contains($"skb", h)))
-          .cast("long"))
-    pairs
-      .select($"source_a", $"source_b", $"k_used", $"matches",
-        expr("(matches * 1000000) div k_used").as("jac_ppm"))
-      .orderBy($"source_a", $"source_b")
-  }
+  def q213(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Profile.kmvSourceOverlap(
+      t(s, dir, "documents"), "source", "text", KmvK)
 
   val q213Sql: String =
     s"""WITH toks AS (SELECT source, regexp_split_to_array(trim(text), '\\s+') AS ts
@@ -333,14 +307,9 @@ object Extended21 {
   // Weights are the engine's cross-engine-stable hash (first 15 md5 hex
   // chars of "doc_id:shard" → 60-bit int); argmax ties break toward the
   // larger shard id on BOTH sides (struct max / ORDER BY w DESC, s DESC).
-  private def hrwShard(nShards: Int): Column = {
-    val scores = (0 until nShards).map { sh =>
-      struct(conv(substring(md5(concat(col("doc_id").cast("string"),
-        lit(s":$sh"))), 1, 15), 16, 10).cast("long").as("w"),
-        lit(sh).as("s"))
-    }
-    array_max(array(scores: _*)).getField("s")
-  }
+  // The assignment lives in [[graft.operators.HashSplit.hrwShard]].
+  private def hrwShard(nShards: Int): Column =
+    graft.operators.HashSplit.hrwShard(col("doc_id"), nShards)
 
   def q216(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

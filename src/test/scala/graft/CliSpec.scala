@@ -470,4 +470,45 @@ class CliSpec extends SparkSpec {
       "lang"))
     Main.run(spark, List("textrank", s"$base/docs", "text", "3", "5"))
   }
+
+  test("blocklist / reshard / source-overlap / semdedup-kmeans subcommands") {
+    import spark.implicits._
+    val base = tmpDir("clibl")
+    val docs = (0L until 40L).map { i =>
+      (i, if (i % 2 == 0) "alpha beta gamma" else "beta delta", s"src${i % 2}")
+    }.toDF("doc_id", "text", "source")
+    docs.write.parquet(s"$base/docs")
+
+    // "beta gamma" only occurs in even docs; "nope" matches nothing
+    Main.run(spark, List("blocklist", s"$base/docs", "doc_id", "text",
+      "beta gamma,nope", s"$base/flagged"))
+    val flagged = spark.read.parquet(s"$base/flagged")
+    assert(flagged.count() === 20L)
+    assert(flagged.select(explode($"matched")).distinct()
+      .as[String].collect().toSeq === Seq("beta gamma"))
+
+    Main.run(spark, List("reshard", s"$base/docs", "doc_id", "4",
+      s"$base/shards"))
+    val sharded = spark.read.parquet(s"$base/shards")
+    assert(sharded.count() === 40L)
+    assert(sharded.select($"shard").distinct().as[Int].collect()
+      .forall(s => s >= 0 && s < 4))
+
+    Main.run(spark, List("source-overlap", s"$base/docs", "source",
+      "text", "8"))
+
+    val emb = (0L until 12L).map { i =>
+      // two tight clusters: ids 0-5 near (1,0), 6-11 near (0,1)
+      val v = if (i < 6) Seq(1.0f, 0.001f * i) else Seq(0.001f * i, 1.0f)
+      (i, v)
+    }.toDF("vec_id", "embedding")
+    emb.write.parquet(s"$base/emb")
+    Main.run(spark, List("semdedup-kmeans", s"$base/emb", "vec_id",
+      "embedding", "2", "2", "9900", s"$base/dedup"))
+    val flags = spark.read.parquet(s"$base/dedup")
+    assert(flags.count() === 12L)
+    // near-identical cluster-mates dedup to one keeper per cell
+    assert(flags.filter($"keep").count() <= 4L)
+    assert(flags.filter($"keep").count() >= 2L)
+  }
 }
