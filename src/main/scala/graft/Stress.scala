@@ -858,9 +858,10 @@ object Stress {
       // while the automaton's is flat (the DFA table grows, the scan
       // doesn't). Patterns are word triples off the generator vocab,
       // so they hit the same match machinery the real blocklist does.
-      val vocab = Seq("the", "a", "data", "table", "row", "scan",
-        "join", "agg", "key", "value", "fast", "slow", "batch",
-        "stream", "spark", "query")
+      // vocab comes FROM the generator (not a copied literal), so a
+      // DocGen wording change can't silently turn the probe into an
+      // empty-match benchmark
+      val vocab = graft.sources.DocGen.words.take(16).toSeq
       val allPats = (for (x <- vocab; y <- vocab) yield s"$x $y $x").distinct
       // untimed warmup: the FIRST execution of each arm carries JVM /
       // codegen cost that would land on whichever row runs first
@@ -903,9 +904,13 @@ object Stress {
       def run(hash: org.apache.spark.sql.Column => org.apache.spark.sql.Column): Long =
         docs
           .select($"source", split($"text", " ").as("ts"))
-          .select($"source", explode(transform(sequence(lit(1), size($"ts") - 1),
-            i => concat(element_at($"ts", i), lit(" "),
-              element_at($"ts", i + 1)))).as("g"))
+          // size >= 2 guard: Spark's sequence(1, 0) DESCENDS, so a
+          // one-token doc would index element_at(ts, 0) and die — the
+          // same guard every other bigram builder in the repo carries
+          .select($"source", explode(when(size($"ts") >= 2,
+            transform(sequence(lit(1), size($"ts") - 1),
+              i => concat(element_at($"ts", i), lit(" "),
+                element_at($"ts", i + 1)))).otherwise(array())).as("g"))
           .select($"source", hash($"g").as("h"))
           .groupBy($"source").agg(kmv($"h").as("sk"))
           .agg(sum(size($"sk"))).collect()(0).getLong(0)

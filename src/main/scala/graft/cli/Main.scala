@@ -538,7 +538,9 @@ object Main {
       graft.ext.Profile
         .kmvSourceOverlap(spark.read.parquet(in), groupCol, textCol, k.toInt)
         .collect()
-        .foreach(r => println(s"${r.getString(0)}\t${r.getString(1)}\t" +
+        // r.get(…): the group column is any orderable type, not
+        // necessarily string
+        .foreach(r => println(s"${r.get(0)}\t${r.get(1)}\t" +
           s"jac=${r.getLong(4)} ppm (${r.getLong(3)}/${r.getLong(2)})"))
 
     // semdedup-kmeans <embParquet> <idCol> <vecCol> <cells> <iters>
@@ -548,7 +550,8 @@ object Main {
         tauBp :: out :: Nil =>
       val e = spark.read.parquet(in)
       val centroids = graft.ext.VectorIndex
-        .trainCentroids(e, vecCol, k = cells.toInt, iterations = iters.toInt)
+        .trainCentroids(e, vecCol, k = cells.toInt, iterations = iters.toInt,
+          idCol = idCol)
       val flagged = graft.ext.VectorIndex
         .semanticDedupClustered(e, vecCol, idCol, centroids, tauBp.toInt)
       flagged.write.mode("overwrite").parquet(out)

@@ -351,50 +351,16 @@ object Extended {
   }
 
   val q49Sql: String = {
-    // cosine over DOUBLE lists — same fragment family as q23/q25.
-    def cos(a: String, b: String) =
-      s"""list_sum(list_transform(list_zip($a, $b), x -> x[1] * x[2]))
-         |   / (sqrt(list_sum(list_transform($a, x -> x * x)))
-         |      * sqrt(list_sum(list_transform($b, x -> x * x))))""".stripMargin
-    // One Lloyd iteration against centroid table c{i}: assignment a{i}
-    // (row_number ties score DESC, cell DESC = Spark greatest(struct):
-    // equal scores pick the larger cell index) + float-rounded means
-    // m{i} reassembled in component order + carry-forward c{i+1}.
-    def lloyd(i: Int) =
-      s""" s$i AS (SELECT e.vec_id, c$i.cell, ${cos("e.v", s"c$i.c")} AS score
-         |          FROM e CROSS JOIN c$i),
-         | a$i AS (SELECT vec_id, cell FROM (
-         |           SELECT vec_id, cell, row_number() OVER (
-         |             PARTITION BY vec_id ORDER BY score DESC, cell DESC) AS rn
-         |           FROM s$i) WHERE rn = 1),
-         | m$i AS (SELECT cell, list(x ORDER BY i) AS c FROM (
-         |           SELECT a$i.cell, u.i,
-         |                  CAST(CAST(sum(u.x) / count(*) AS REAL) AS DOUBLE) AS x
-         |           FROM a$i JOIN (SELECT vec_id, unnest(v) AS x,
-         |                            unnest(generate_series(1, len(v))) AS i FROM e) u
-         |             USING (vec_id)
-         |           GROUP BY a$i.cell, u.i) GROUP BY cell),
-         | c${i + 1} AS (SELECT c$i.cell, coalesce(m$i.c, c$i.c) AS c
-         |               FROM c$i LEFT JOIN m$i USING (cell))""".stripMargin
-    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-       |           FROM embeddings),
-       | c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
-       |               v AS c
-       |        FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)),
-       |${lloyd(0)},
-       |${lloyd(1)},
-       | sf AS (SELECT e.vec_id, c2.cell, ${cos("e.v", "c2.c")} AS score
-       |        FROM e CROSS JOIN c2),
-       | af AS (SELECT vec_id, cell FROM (
-       |          SELECT vec_id, cell, row_number() OVER (
-       |            PARTITION BY vec_id ORDER BY score DESC, cell DESC) AS rn
-       |          FROM sf) WHERE rn = 1),
+    // train→assign chain (e … af) via the SHARED deterministic-k-means
+    // SQL builder — one encoding of trainCentroids/assignCells for
+    // every k-means consumer (q49, q215); see [[KmeansOracle]].
+    s"""WITH ${KmeansOracle.chain(k = 8, iterations = 2)},
        | q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
        | pr AS (SELECT cell FROM (
        |          SELECT c2.cell, row_number() OVER (
-       |            ORDER BY ${cos("c2.c", "q.qv")} DESC, c2.cell ASC) AS rn
+       |            ORDER BY ${KmeansOracle.cos("c2.c", "q.qv")} DESC, c2.cell ASC) AS rn
        |          FROM c2 CROSS JOIN q) WHERE rn <= 3)
-       |SELECT e.vec_id, round(${cos("e.v", "q.qv")}, 4) AS cos_sim
+       |SELECT e.vec_id, round(${KmeansOracle.cos("e.v", "q.qv")}, 4) AS cos_sim
        |FROM e JOIN af USING (vec_id) CROSS JOIN q
        |WHERE e.vec_id <> 0 AND af.cell IN (SELECT cell FROM pr)
        |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin

@@ -208,7 +208,7 @@ object DocGen {
     StructField("source", StringType, nullable = false),
     StructField("n_chars", LongType, nullable = false)))
 
-  private val words = Array("the", "a", "data", "table", "row", "scan",
+  private[graft] val words = Array("the", "a", "data", "table", "row", "scan",
     "join", "agg", "key", "value", "fast", "slow", "batch", "stream",
     "spark", "query", "filter", "group", "window", "hash", "merge",
     "sort", "part", "small", "big", "line", "order", "customer",
