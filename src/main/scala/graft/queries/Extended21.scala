@@ -5,9 +5,10 @@ import org.apache.spark.sql.functions._
 
 import graft.plans.StringMatchExpressions
 
-/** Round-13 batch (q211–q216): string-matching natives, a mergeable
+/** Round-13 batch (q211–q218): string-matching natives, a mergeable
   * KMV sketch, classifier-inference plumbing, the cluster-scoped
-  * semantic dedup geometry, and rendezvous-hash resharding.
+  * semantic dedup geometry, rendezvous-hash resharding, and the
+  * labeled-data evaluation shelf.
   *
   *  - q211 typo-tolerant entity resolution through the native
   *    unrestricted Damerau–Levenshtein expression
@@ -50,6 +51,11 @@ import graft.plans.StringMatchExpressions
   *    the minimal-disruption resharding primitive — growing 8 → 9
   *    shards moves ~1/9 of docs under HRW vs ~8/9 under mod — as pure
   *    per-row arithmetic with one summary aggregation.
+  *
+  *  - q217/q218 labeled-data evaluation ([[graft.ext.Eval]]):
+  *    nearest-centroid classification of the embeddings against their
+  *    own labels — exact confusion matrix (q217) and Cohen's kappa in
+  *    ppm integers (q218), the "are these labels real signal?" QA row.
   */
 object Extended21 {
 
@@ -349,6 +355,50 @@ object Extended21 {
        |FROM moved""".stripMargin
   }
 
+  // --------------------------------------------------------------------
+  // q217/q218 — the labeled-data evaluation shelf (ext/Eval): nearest-
+  // centroid classification of the embeddings fixture against its own
+  // labels. q217 reads the exact confusion matrix; q218 folds it to
+  // Cohen's kappa in ppm integers (observed vs marginal-chance
+  // agreement) — the "are these labels real signal?" QA row (fixture:
+  // po 408000 ppm vs pe 100324 ppm, kappa ≈ 0.342). Centroid
+  // components are FLOAT-ROUNDED means (the q49 discipline: a discrete
+  // argmax must not hinge on partial-agg ulp drift); prediction ties
+  // break toward the larger label on both sides.
+  def q217(s: SparkSession, dir: String): DataFrame = {
+    val p = graft.ext.Eval.centroidPredictions(
+      t(s, dir, "embeddings"), "embedding", "label")
+    graft.ext.Eval.confusion(p, "label", "pred")
+  }
+
+  def q218(s: SparkSession, dir: String): DataFrame = {
+    val p = graft.ext.Eval.centroidPredictions(
+      t(s, dir, "embeddings"), "embedding", "label")
+    graft.ext.Eval.cohenKappaPpm(p, "label", "pred")
+  }
+
+  val q217Sql: String =
+    s"""WITH ${CentroidPredOracle.chain}
+       |SELECT label, pred, count(*) AS n
+       |FROM pred GROUP BY label, pred ORDER BY label, pred""".stripMargin
+
+  val q218Sql: String =
+    s"""WITH ${CentroidPredOracle.chain},
+       | tot AS (SELECT count(*) AS n,
+       |           CAST(sum(CASE WHEN label = pred THEN 1 ELSE 0 END)
+       |             AS BIGINT) AS correct
+       |         FROM pred),
+       | marg AS (SELECT CAST(coalesce(sum(nt * np), 0) AS BIGINT) AS pesum
+       |   FROM (SELECT label AS k, count(*) AS nt FROM pred GROUP BY 1) a
+       |   JOIN (SELECT pred AS k, count(*) AS np FROM pred GROUP BY 1) b
+       |     USING (k))
+       |SELECT n, correct,
+       |  (correct * 1000000) // n AS po_ppm,
+       |  (pesum * 1000000) // (n * n) AS pe_ppm,
+       |  (((correct * 1000000) // n - (pesum * 1000000) // (n * n)) * 1000000)
+       |    // (1000000 - (pesum * 1000000) // (n * n)) AS kappa_ppm
+       |FROM tot CROSS JOIN marg""".stripMargin
+
   /** Name → query, for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q211_damerau_probe_join" -> (q211 _),
@@ -356,7 +406,9 @@ object Extended21 {
     "q213_kmv_source_jaccard" -> (q213 _),
     "q214_hashed_linear_scorer" -> (q214 _),
     "q215_semdedup_clustered" -> (q215 _),
-    "q216_rendezvous_reshard" -> (q216 _)
+    "q216_rendezvous_reshard" -> (q216 _),
+    "q217_centroid_confusion" -> (q217 _),
+    "q218_cohen_kappa" -> (q218 _)
   )
 
   /** Name → DuckDB oracle SQL, for SparkEntry. */
@@ -366,8 +418,37 @@ object Extended21 {
     "q213_kmv_source_jaccard" -> q213Sql,
     "q214_hashed_linear_scorer" -> q214Sql,
     "q215_semdedup_clustered" -> q215Sql,
-    "q216_rendezvous_reshard" -> q216Sql
+    "q216_rendezvous_reshard" -> q216Sql,
+    "q217_centroid_confusion" -> q217Sql,
+    "q218_cohen_kappa" -> q218Sql
   )
+}
+
+/** Shared SQL builder for [[graft.ext.Eval.centroidPredictions]]: the
+  * `WITH`-chain body `e, cents, scored, pred` — per-label FLOAT-ROUNDED
+  * component-mean centroids (the [[KmeansOracle]] m-CTE discipline) and
+  * per-row max-cosine prediction, ties toward the larger label. Callers
+  * append their own CTEs and read `pred` (vec_id, label, pred). */
+private[queries] object CentroidPredOracle {
+
+  val chain: String =
+    s"""e AS (SELECT vec_id, label,
+       |            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |      FROM embeddings),
+       | cents AS (SELECT cl, list(x ORDER BY i) AS c FROM (
+       |     SELECT e.label AS cl, u.i,
+       |            CAST(CAST(sum(u.x) / count(*) AS REAL) AS DOUBLE) AS x
+       |     FROM e JOIN (SELECT vec_id, unnest(v) AS x,
+       |                    unnest(generate_series(1, len(v))) AS i FROM e) u
+       |       USING (vec_id)
+       |     GROUP BY cl, u.i) GROUP BY cl),
+       | scored AS (SELECT e.vec_id, e.label, c.cl,
+       |              ${KmeansOracle.cos("e.v", "c.c")} AS score
+       |            FROM e CROSS JOIN cents c),
+       | pred AS (SELECT vec_id, label, cl AS pred FROM (
+       |            SELECT vec_id, label, cl, row_number() OVER (
+       |              PARTITION BY vec_id ORDER BY score DESC, cl DESC) AS rn
+       |            FROM scored) WHERE rn = 1)""".stripMargin
 }
 
 /** Shared SQL builder for the deterministic k-means chain

@@ -181,6 +181,49 @@ class Extended21Spec extends SparkSpec {
     assert(moved === toNew, "moved set must equal the new shard's intake")
   }
 
+  // -------------------------------------------------------- eval shelf
+
+  test("cohenKappaPpm: exact 1e6 on perfect agreement, exact 0 on a constant predictor") {
+    import spark.implicits._
+    val labels = (0L until 60L).map(i => (i, (i % 3).toInt)).toDF("id", "label")
+    val perfect = graft.ext.Eval.cohenKappaPpm(
+      labels.withColumn("pred", $"label"), "label", "pred").head()
+    assert(perfect.getAs[Long]("po_ppm") === 1000000L)
+    assert(perfect.getAs[Long]("kappa_ppm") === 1000000L)
+    // constant predictor: po == pe == majority share, kappa EXACTLY 0
+    // (the ppm integer divisions cancel: (n_c·10⁶·n) div n² = (n_c·10⁶) div n)
+    val const = graft.ext.Eval.cohenKappaPpm(
+      labels.withColumn("pred", lit(0)), "label", "pred").head()
+    assert(const.getAs[Long]("po_ppm") === const.getAs[Long]("pe_ppm"))
+    assert(const.getAs[Long]("kappa_ppm") === 0L)
+  }
+
+  test("centroidPredictions + confusion: marginals consistent, separable clusters perfect") {
+    import spark.implicits._
+    // two tight clusters labeled correctly → centroid classifier is exact
+    val emb = (0L until 20L).map { i =>
+      val lab = if (i < 10) 0 else 1
+      val v = if (lab == 0) Seq(1.0f, 0.01f * i) else Seq(0.01f * i, 1.0f)
+      (i, v, lab)
+    }.toDF("vec_id", "embedding", "label")
+    val p = graft.ext.Eval.centroidPredictions(emb, "embedding", "label")
+    val conf = graft.ext.Eval.confusion(p, "label", "pred").collect()
+    assert(conf.map(_.getLong(2)).sum === 20L)
+    assert(conf.forall(r => r.getInt(0) === r.getInt(1)),
+      s"separable clusters misclassified: ${conf.mkString(";")}")
+    val kap = graft.ext.Eval.cohenKappaPpm(p, "label", "pred").head()
+    assert(kap.getAs[Long]("kappa_ppm") === 1000000L)
+    // the real fixture: labels are genuine signal (well above chance)
+    val e = graft.queries.Tables.load(spark, dir, "embeddings")
+    val kp = graft.ext.Eval.cohenKappaPpm(
+      graft.ext.Eval.centroidPredictions(e, "embedding", "label"),
+      "label", "pred").head()
+    assert(kp.getAs[Long]("po_ppm") > kp.getAs[Long]("pe_ppm"),
+      "fixture labels should beat marginal chance")
+    assert(kp.getAs[Long]("kappa_ppm") > 100000L,
+      s"fixture kappa unexpectedly weak: $kp")
+  }
+
   // ------------------------------------------- clustered semantic dedup
 
   test("semanticDedupClustered ≡ brute-force greedy rule on fixture") {
