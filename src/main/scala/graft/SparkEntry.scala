@@ -36,7 +36,8 @@ object SparkEntry {
       graft.queries.Extended18.queries ++
       graft.queries.Extended19.queries ++
       graft.queries.Extended20.queries ++
-      graft.queries.Extended21.queries
+      graft.queries.Extended21.queries ++
+      graft.queries.Extended22.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -58,5 +59,6 @@ object SparkEntry {
       graft.queries.Extended18.oracles ++
       graft.queries.Extended19.oracles ++
       graft.queries.Extended20.oracles ++
-      graft.queries.Extended21.oracles
+      graft.queries.Extended21.oracles ++
+      graft.queries.Extended22.oracles
 }

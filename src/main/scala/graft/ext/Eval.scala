@@ -34,6 +34,61 @@ object Eval {
     */
   def centroidPredictions(emb: DataFrame, vecCol: String,
       labelCol: String): DataFrame = {
+    val scores = labelCentroids(emb, vecCol, labelCol).map { case (lab, c) =>
+      struct(VectorFns.cosine(col(vecCol), centroidLit(c)).as("score"),
+        lit(lab).as("pred"))
+    }
+    emb.withColumn("pred", greatest(scores.toSeq: _*).getField("pred"))
+  }
+
+  /** [[centroidPredictions]] plus the winning score as `conf_micro`
+    * (max cosine, floor-rounded to integer micro-units — the repo's
+    * cross-engine float read-out discipline): the classifier's
+    * CONFIDENCE, which [[calibrationBins]] prices against realized
+    * accuracy. Same one-scan / broadcast-literal shape. */
+  def centroidScoredPredictions(emb: DataFrame, vecCol: String,
+      labelCol: String): DataFrame = {
+    val scores = labelCentroids(emb, vecCol, labelCol).map { case (lab, c) =>
+      struct(VectorFns.cosine(col(vecCol), centroidLit(c)).as("score"),
+        lit(lab).as("pred"))
+    }
+    val best = greatest(scores.toSeq: _*)
+    emb.withColumn("pred", best.getField("pred"))
+      .withColumn("conf_micro",
+        floor(best.getField("score") * 1000000.0 + 0.5).cast("long"))
+  }
+
+  /** One prediction column per Matryoshka prefix width — `pred_w{w}`
+    * classifies on the FIRST w components only. A component mean does
+    * not depend on the other components, so the width-w centroid IS the
+    * width-w prefix of the full-dimension centroid: ONE centroid
+    * aggregation serves every width, and all widths classify in the
+    * same single codegen'd scan (no extra pass per rater). The widths
+    * act as independent "raters" of graded fidelity for
+    * [[fleissKappaPpm]].
+    *
+    * @param widths ascending prefix widths; each ≤ the vector dim
+    */
+  def multiWidthPredictions(emb: DataFrame, vecCol: String,
+      labelCol: String, widths: Seq[Int]): DataFrame = {
+    require(widths.nonEmpty, "need at least one prefix width")
+    val cents = labelCentroids(emb, vecCol, labelCol)
+    widths.foldLeft(emb) { case (df, w) =>
+      val scores = cents.map { case (lab, c) =>
+        require(w <= c.length, s"prefix width $w exceeds vector dim ${c.length}")
+        struct(VectorFns.cosine(slice(col(vecCol), 1, w),
+            centroidLit(c.take(w))).as("score"),
+          lit(lab).as("pred"))
+      }
+      df.withColumn(s"pred_w$w", greatest(scores.toSeq: _*).getField("pred"))
+    }
+  }
+
+  /** Per-label FLOAT-ROUNDED component-mean centroids as bounded driver
+    * metadata (labels × dim floats — the [[graft.ext.VectorIndex]]
+    * contract; the DATA never collects). */
+  private def labelCentroids(emb: DataFrame, vecCol: String,
+      labelCol: String): Array[(Int, Array[Float])] = {
     val dim = emb.limit(1).select(size(col(vecCol)).cast("int")).collect()
       .headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Int]))
       .getOrElse(throw new IllegalArgumentException(
@@ -46,14 +101,11 @@ object Eval {
       .collect()
       .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray)
     require(cents.nonEmpty, "no labels to build centroids from")
-    def centroidLit(c: Array[Float]): Column =
-      array(c.map(v => lit(v)): _*).cast("array<float>")
-    val scores = cents.map { case (lab, c) =>
-      struct(VectorFns.cosine(col(vecCol), centroidLit(c)).as("score"),
-        lit(lab).as("pred"))
-    }
-    emb.withColumn("pred", greatest(scores.toSeq: _*).getField("pred"))
+    cents
   }
+
+  private def centroidLit(c: Array[Float]): Column =
+    array(c.map(v => lit(v)): _*).cast("array<float>")
 
   /** Exact confusion matrix: one row per (label, pred) pair that
     * occurs, with its count — the canonical classification read-out
@@ -96,5 +148,203 @@ object Eval {
       .select(col("n"), col("correct"), col("po_ppm"), col("pe_ppm"),
         expr("((po_ppm - pe_ppm) * 1000000) div (1000000 - pe_ppm)")
           .as("kappa_ppm"))
+  }
+
+  /** Per-class precision / recall / F1 in exact ppm integers, one row
+    * per class (union of true and predicted label sets) plus a `-1`
+    * macro row (unweighted mean of the per-class ppm values, sums in
+    * the count columns). Zero-denominator classes read 0 (the sklearn
+    * `zero_division=0` convention). Everything folds from the two
+    * marginal counts + the diagonal — three tiny aggregations on an
+    * already-shuffled key, then arithmetic on ≤ #classes rows. */
+  def perClassPrf1(pred: DataFrame, labelCol: String,
+      predCol: String): DataFrame = {
+    val p = pred.select(col(labelCol).cast("int").as("__l"),
+      col(predCol).cast("int").as("__p"))
+    val byTrue = p.groupBy(col("__l").as("class")).agg(
+      count(lit(1)).as("n_true"),
+      sum(when(col("__l") === col("__p"), 1L).otherwise(0L)).as("tp"))
+    val byPred = p.groupBy(col("__p").as("class"))
+      .agg(count(lit(1)).as("n_pred"))
+    val per = byTrue.join(byPred, Seq("class"), "full_outer")
+      .select(col("class"),
+        coalesce(col("tp"), lit(0L)).as("tp"),
+        (coalesce(col("n_pred"), lit(0L)) - coalesce(col("tp"), lit(0L)))
+          .as("fp"),
+        (coalesce(col("n_true"), lit(0L)) - coalesce(col("tp"), lit(0L)))
+          .as("fn"))
+      .select(col("class"), col("tp"), col("fp"), col("fn"),
+        expr("CASE WHEN tp + fp > 0 THEN (tp * 1000000) div (tp + fp)" +
+          " ELSE 0 END").as("precision_ppm"),
+        expr("CASE WHEN tp + fn > 0 THEN (tp * 1000000) div (tp + fn)" +
+          " ELSE 0 END").as("recall_ppm"))
+      .withColumn("f1_ppm",
+        expr("CASE WHEN precision_ppm + recall_ppm > 0 THEN" +
+          " (2 * precision_ppm * recall_ppm) div (precision_ppm + recall_ppm)" +
+          " ELSE 0 END"))
+    val macroRow = per.agg(
+      lit(-1).as("class"),
+      sum(col("tp")).as("tp"), sum(col("fp")).as("fp"),
+      sum(col("fn")).as("fn"),
+      expr("sum(precision_ppm) div count(*)").as("precision_ppm"),
+      expr("sum(recall_ppm) div count(*)").as("recall_ppm"),
+      expr("sum(f1_ppm) div count(*)").as("f1_ppm"))
+    per.unionByName(macroRow).orderBy(col("class"))
+  }
+
+  /** Normalized mutual information between two discrete assignment
+    * columns (e.g. a k-means cell vs a curated label) — the standard
+    * "does the clustering recover the labels?" score, arithmetic-mean
+    * normalized: NMI = 2·I(U;V) / (H(U) + H(V)).
+    *
+    * Float discipline: each log term is rounded to NANO units PER
+    * CONTINGENCY CELL (`floor(x·10⁹ + 0.5)`, bit-reproducible on any
+    * libm since the argument doubles are ratios of exact counts built
+    * by one fixed expression shape), then summed as exact integers —
+    * so partial-aggregation order can never move the read-out. The
+    * contingency table is one shuffle; everything after is arithmetic
+    * on ≤ |U|·|V| rows.
+    *
+    * @return one row: (n, mi_nano, h_left_nano, h_right_nano, nmi_ppm)
+    */
+  def nmiPpm(assign: DataFrame, leftCol: String,
+      rightCol: String): DataFrame = {
+    val p = assign.select(col(leftCol).cast("int").as("__u"),
+      col(rightCol).cast("int").as("__v"))
+    val cells = p.groupBy(col("__u"), col("__v")).agg(count(lit(1)).as("nij"))
+    val nTot = p.agg(count(lit(1)).as("n"))
+    // per-cell MI term in nano units; nij > 0 by construction
+    val mi = cells
+      .join(cells.groupBy(col("__u")).agg(sum(col("nij")).as("ni")), "__u")
+      .join(cells.groupBy(col("__v")).agg(sum(col("nij")).as("nj")), "__v")
+      .crossJoin(nTot)
+      .select(expr("floor((CAST(nij AS DOUBLE) / CAST(n AS DOUBLE)) *" +
+        " ln((CAST(n AS DOUBLE) * CAST(nij AS DOUBLE)) /" +
+        " (CAST(ni AS DOUBLE) * CAST(nj AS DOUBLE))) * 1000000000.0 + 0.5)")
+        .cast("long").as("t"))
+      .agg(coalesce(sum(col("t")), lit(0L)).as("mi_nano"))
+    def entropyNano(keyCol: String, out: String): DataFrame =
+      p.groupBy(col(keyCol)).agg(count(lit(1)).as("nk")).crossJoin(nTot)
+        .select(expr("floor(-(CAST(nk AS DOUBLE) / CAST(n AS DOUBLE)) *" +
+          " ln(CAST(nk AS DOUBLE) / CAST(n AS DOUBLE)) *" +
+          " 1000000000.0 + 0.5)").cast("long").as("t"))
+        .agg(coalesce(sum(col("t")), lit(0L)).as(out))
+    nTot.crossJoin(mi)
+      .crossJoin(entropyNano("__u", "h_left_nano"))
+      .crossJoin(entropyNano("__v", "h_right_nano"))
+      .select(col("n"), col("mi_nano"), col("h_left_nano"),
+        col("h_right_nano"),
+        expr("CASE WHEN h_left_nano + h_right_nano > 0 THEN" +
+          " (2 * mi_nano * 1000000) div (h_left_nano + h_right_nano)" +
+          " ELSE 0 END").as("nmi_ppm"))
+  }
+
+  /** Simplified (centroid-based) silhouette per label group: for each
+    * row, a = euclidean distance to its OWN label centroid, b = the
+    * minimum distance to any OTHER label centroid,
+    * s = (b − a) / max(a, b) ∈ [−1, 1] — Hamerly's O(n·k) variant of
+    * the O(n²) classic, the only form that scales (the pairwise
+    * definition is a full self-join). Distances expand to
+    * dot(v,v) − 2·dot(v,c) + dot(c,c) so the hot loop is the native
+    * codegen'd dot products; dot(c,c) folds to a driver constant.
+    * Per-row s is floored to ppm; group means are exact integer
+    * divisions. Returns one row per label plus a `-1` overall row:
+    * (label, n, mean_sil_ppm). */
+  def simplifiedSilhouette(emb: DataFrame, vecCol: String,
+      labelCol: String): DataFrame = {
+    val cents = labelCentroids(emb, vecCol, labelCol)
+    require(cents.length >= 2,
+      "silhouette needs at least two label groups")
+    def selfDot(c: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += c(i).toDouble * c(i).toDouble; i += 1 }
+      s
+    }
+    val vv = VectorFns.dot(col(vecCol), col(vecCol))
+    def d2(c: Array[Float]): Column =
+      greatest(vv - lit(2.0) * VectorFns.dot(col(vecCol), centroidLit(c))
+        + lit(selfDot(c)), lit(0.0))
+    val lab = col(labelCol).cast("int")
+    // own distance: exactly one branch matches
+    val a2 = coalesce(cents.map { case (l, c) =>
+      when(lab === l, d2(c)) }: _*)
+    val b2 = least(cents.map { case (l, c) =>
+      when(lab =!= l, d2(c)) }: _*)
+    val s = when(greatest(sqrt(a2), sqrt(b2)) > 0.0,
+      (sqrt(b2) - sqrt(a2)) / greatest(sqrt(a2), sqrt(b2)))
+      .otherwise(lit(0.0))
+    val rows = emb.select(lab.as("label"),
+      floor(s * 1000000.0 + 0.5).cast("long").as("s_ppm"))
+    val per = rows.groupBy(col("label")).agg(count(lit(1)).as("n"),
+      expr("sum(s_ppm) div count(*)").as("mean_sil_ppm"))
+    val overall = rows.agg(lit(-1).as("label"), count(lit(1)).as("n"),
+      expr("sum(s_ppm) div count(*)").as("mean_sil_ppm"))
+    per.unionByName(overall).orderBy(col("label"))
+  }
+
+  /** Reliability table + expected calibration error, all integer ppm:
+    * rows whose `confMicroCol` (micro-units, e.g. max-cosine × 10⁶)
+    * lands in bin b = clamp(conf_micro·bins div 10⁶, 0, bins−1) are
+    * priced for realized accuracy vs mean stated confidence;
+    * gap_ppm = |acc − conf| per bin, and the trailing `-1` row carries
+    * ECE = Σ n_b·gap_b div n — the one-number "is the classifier's
+    * confidence honest?" read-out. One shuffle on the bin key. */
+  def calibrationBins(scored: DataFrame, labelCol: String, predCol: String,
+      confMicroCol: String, bins: Int = 10): DataFrame = {
+    require(bins > 0, "need at least one bin")
+    val b = greatest(least(
+      expr(s"($confMicroCol * $bins) div 1000000"), lit(bins - 1L)), lit(0L))
+    val per = scored
+      .select(b.as("bin"),
+        when(col(labelCol).cast("int") === col(predCol).cast("int"), 1L)
+          .otherwise(0L).as("ok"),
+        col(confMicroCol).cast("long").as("cm"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("ok")).as("correct"),
+        expr("(sum(ok) * 1000000) div count(*)").as("acc_ppm"),
+        expr("sum(cm) div count(*)").as("conf_ppm"))
+      .withColumn("gap_ppm", abs(col("acc_ppm") - col("conf_ppm")))
+    val ece = per.agg(
+      lit(-1L).as("bin"),
+      sum(col("n")).as("n"), sum(col("correct")).as("correct"),
+      expr("(sum(correct) * 1000000) div sum(n)").as("acc_ppm"),
+      expr("sum(n * conf_ppm) div sum(n)").as("conf_ppm"),
+      expr("sum(n * gap_ppm) div sum(n)").as("gap_ppm"))
+    per.unionByName(ece).orderBy(col("bin"))
+  }
+
+  /** Fleiss' kappa for r raters in exact ppm integers — the multi-rater
+    * generalization of [[cohenKappaPpm]]: per-item agreement
+    * P_i = (Σ_k n_ik² − r) / (r(r−1)) folds to the single corpus sum
+    * S = Σ_i Σ_k n_ik² (pure integer), chance agreement to the squared
+    * class marginals. Long arithmetic holds through n·r ≈ 3·10⁹
+    * assignments (the (N·r)² term); past that, lift to DECIMAL.
+    *
+    * @param raterCols one prediction column per rater (≥ 2)
+    * @return one row: (n_items, n_raters, pbar_ppm, pe_ppm, kappa_ppm)
+    */
+  def fleissKappaPpm(df: DataFrame, itemCol: String,
+      raterCols: Seq[String]): DataFrame = {
+    require(raterCols.length >= 2, "Fleiss' kappa needs >= 2 raters")
+    val r = raterCols.length
+    val ratings = df.select(col(itemCol).as("__it"),
+      explode(array(raterCols.map(c => col(c).cast("int")): _*)).as("__r"))
+    val s2 = ratings.groupBy(col("__it"), col("__r"))
+      .agg(count(lit(1)).as("c"))
+      .agg(sum(col("c") * col("c")).as("s2"),
+        expr("count(distinct __it)").as("n_items"))
+    val marg = ratings.groupBy(col("__r")).agg(count(lit(1)).as("ck"))
+      .agg(coalesce(sum(col("ck") * col("ck")), lit(0L)).as("ck2"))
+    s2.crossJoin(marg)
+      .select(col("n_items"), lit(r).cast("long").as("n_raters"),
+        expr(s"((s2 - n_items * $r) * 1000000) div" +
+          s" (n_items * $r * ${r - 1})").as("pbar_ppm"),
+        expr(s"(ck2 * 1000000) div ((n_items * $r) * (n_items * $r))")
+          .as("pe_ppm"))
+      .select(col("n_items"), col("n_raters"), col("pbar_ppm"),
+        col("pe_ppm"),
+        expr("CASE WHEN pe_ppm = 1000000 THEN 1000000 ELSE" +
+          " ((pbar_ppm - pe_ppm) * 1000000) div (1000000 - pe_ppm)" +
+          " END").as("kappa_ppm"))
   }
 }

@@ -428,10 +428,13 @@ object Extended21 {
   * `WITH`-chain body `e, cents, scored, pred` — per-label FLOAT-ROUNDED
   * component-mean centroids (the [[KmeansOracle]] m-CTE discipline) and
   * per-row max-cosine prediction, ties toward the larger label. Callers
-  * append their own CTEs and read `pred` (vec_id, label, pred). */
+  * append their own CTEs and read `pred` (vec_id, label, pred, score —
+  * the winning cosine, for confidence-derived read-outs like q222). */
 private[queries] object CentroidPredOracle {
 
-  val chain: String =
+  /** Just `e` + `cents` — for consumers that need the label centroids
+    * but not the prediction (q221's silhouette distances). */
+  val base: String =
     s"""e AS (SELECT vec_id, label,
        |            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |      FROM embeddings),
@@ -441,14 +444,36 @@ private[queries] object CentroidPredOracle {
        |     FROM e JOIN (SELECT vec_id, unnest(v) AS x,
        |                    unnest(generate_series(1, len(v))) AS i FROM e) u
        |       USING (vec_id)
-       |     GROUP BY cl, u.i) GROUP BY cl),
+       |     GROUP BY cl, u.i) GROUP BY cl)""".stripMargin
+
+  val chain: String =
+    s"""$base,
        | scored AS (SELECT e.vec_id, e.label, c.cl,
        |              ${KmeansOracle.cos("e.v", "c.c")} AS score
        |            FROM e CROSS JOIN cents c),
-       | pred AS (SELECT vec_id, label, cl AS pred FROM (
-       |            SELECT vec_id, label, cl, row_number() OVER (
+       | pred AS (SELECT vec_id, label, cl AS pred, score FROM (
+       |            SELECT vec_id, label, cl, score, row_number() OVER (
        |              PARTITION BY vec_id ORDER BY score DESC, cl DESC) AS rn
        |            FROM scored) WHERE rn = 1)""".stripMargin
+
+  /** Prefix-width prediction CTEs for the Matryoshka "raters" (q223):
+    * for each w in `widths`, `pred$w` (vec_id, p$w) classifies on the
+    * first w components of both the vector and the SAME full-dim
+    * centroids (a component mean doesn't depend on the other
+    * components, so the width-w centroid IS the prefix — mirroring
+    * [[graft.ext.Eval.multiWidthPredictions]]). */
+  def widthChains(widths: Seq[Int]): String =
+    base + widths.map { w =>
+      s""",
+         | scored$w AS (SELECT e.vec_id, c.cl,
+         |     ${KmeansOracle.cos(s"list_slice(e.v, 1, $w)",
+                                  s"list_slice(c.c, 1, $w)")} AS score
+         |   FROM e CROSS JOIN cents c),
+         | pred$w AS (SELECT vec_id, cl AS p$w FROM (
+         |     SELECT vec_id, cl, row_number() OVER (
+         |       PARTITION BY vec_id ORDER BY score DESC, cl DESC) AS rn
+         |     FROM scored$w) WHERE rn = 1)""".stripMargin
+    }.mkString
 }
 
 /** Shared SQL builder for the deterministic k-means chain
