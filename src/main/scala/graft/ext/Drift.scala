@@ -1,0 +1,97 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus drift / two-sample read-outs: "did this slice of the corpus
+  * move away from the rest?" — the QA a training-data pipeline runs
+  * when a new crawl snapshot, source, or time window lands.
+  *
+  * Both operators follow the repo's float discipline: group means are
+  * FLOAT-ROUNDED before any distance, log terms are nano-rounded per
+  * cell before the exact integer sum, so read-outs are reproducible to
+  * the last digit on any engine and any partial-aggregation order.
+  */
+object Drift {
+
+  /** Pairwise linear-kernel MMD² between group centroids:
+    * MMD²_lin(A, B) = ‖μ_A − μ_B‖² — the cheapest two-sample statistic
+    * over an embedding column, exact in one aggregation (the quadratic
+    * kernel forms need a pair sample; the linear form folds to the
+    * means, which is why it's the one that scales). Means are
+    * float-rounded per component; the distance accumulates in double
+    * left-to-right and is floored to micro units.
+    *
+    * One shuffle builds the k group means; the pair expansion is k²
+    * rows of metadata, never data.
+    *
+    * @return (group_a, group_b, mmd2_micro) for group_a < group_b
+    */
+  def groupMeanShift(emb: DataFrame, vecCol: String,
+      groupCol: String): DataFrame = {
+    val dim = emb.limit(1).select(size(col(vecCol)).cast("int")).collect()
+      .headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Int]))
+      .getOrElse(throw new IllegalArgumentException(
+        s"cannot infer vector dim: input is empty or '$vecCol' is null"))
+    val means = emb.groupBy(col(groupCol).cast("int").as("g"))
+      .agg(array((1 to dim).map(i =>
+        (sum(element_at(col(vecCol), i)) / count(lit(1)))
+          .cast("float")): _*).as("mvec"))
+    val a = means.select(col("g").as("group_a"), col("mvec").as("va"))
+    val b = means.select(col("g").as("group_b"), col("mvec").as("vb"))
+    val d2 = aggregate(
+      zip_with(col("va"), col("vb"),
+        (x, y) => (x.cast("double") - y.cast("double")) *
+          (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+    a.join(b, col("group_a") < col("group_b"))
+      .select(col("group_a"), col("group_b"),
+        floor(d2 * 1000000.0 + 0.5).cast("long").as("mmd2_micro"))
+      .orderBy(col("group_a"), col("group_b"))
+  }
+
+  /** Jensen–Shannon divergence of each group's bin distribution against
+    * the REST of the corpus (leave-one-group-out), in exact nano
+    * integers. JSD is the drift metric that stays finite when a bin is
+    * empty on one side (PSI's log-ratio blows up), bounded by ln 2 —
+    * a group reading near 693147180 nano occupies bins nobody else
+    * touches.
+    *
+    * Input is an already-binned frame (e.g. [[graft.operators
+    * .GlobalRank.withNtile]] deciles over a quality score or length).
+    * Cost: two tiny aggregations on (group, bin) and (bin); the grid
+    * arithmetic runs on |groups|·|bins| rows. Per-bin terms
+    * 0.5·p·ln(p/m) + 0.5·q·ln(q/m), m = (p+q)/2, are nano-rounded
+    * BEFORE the per-group integer sum (the [[Eval.nmiPpm]] discipline).
+    *
+    * @return one row per group: (groupCol, n, jsd_nano)
+    */
+  def jsDivergenceBinned(binned: DataFrame, groupCol: String,
+      binCol: String): DataFrame = {
+    val p0 = binned.select(col(groupCol).as("__g"),
+      col(binCol).cast("int").as("__b"))
+    val cells = p0.groupBy(col("__g"), col("__b"))
+      .agg(count(lit(1)).as("ngb"))
+    val binTotals = p0.groupBy(col("__b")).agg(count(lit(1)).as("nb"))
+    val groupTotals = p0.groupBy(col("__g")).agg(count(lit(1)).as("ng"))
+    val nTot = p0.agg(count(lit(1)).as("n"))
+    val grid = groupTotals.crossJoin(binTotals).crossJoin(nTot)
+      .join(cells, Seq("__g", "__b"), "left")
+      .withColumn("ngb", coalesce(col("ngb"), lit(0L)))
+    val pC = col("ngb").cast("double") / col("ng").cast("double")
+    val qC = when(col("n") - col("ng") > 0,
+      (col("nb") - col("ngb")).cast("double") /
+        (col("n") - col("ng")).cast("double")).otherwise(lit(0.0))
+    val mC = (pC + qC) / lit(2.0)
+    val term =
+      when(col("ngb") > 0, lit(0.5) * pC * log(pC / mC)).otherwise(lit(0.0)) +
+      when(col("nb") - col("ngb") > 0 && col("n") - col("ng") > 0,
+        lit(0.5) * qC * log(qC / mC)).otherwise(lit(0.0))
+    grid.select(col("__g"), col("ng"),
+        floor(term * 1000000000.0 + 0.5).cast("long").as("t"))
+      .groupBy(col("__g"))
+      .agg(max(col("ng")).as("n"), sum(col("t")).as("jsd_nano"))
+      .select(col("__g").as(groupCol), col("n"), col("jsd_nano"))
+      .orderBy(col(groupCol))
+  }
+}

@@ -240,13 +240,77 @@ object Extended22 {
        |FROM folded""".stripMargin
   }
 
+  // --------------------------------------------------------------------
+  // q224 — pairwise linear-MMD² between label-group centroids
+  // (ext/Drift): the cheapest embedding-space two-sample statistic —
+  // ‖μ_A − μ_B‖² folds to ONE aggregation, so it's the form that
+  // scales (quadratic kernels need pair samples). Micro-unit integers
+  // over float-rounded means.
+  def q224(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Drift.groupMeanShift(
+      t(s, dir, "embeddings"), "embedding", "label")
+
+  val q224Sql: String =
+    s"""WITH ${CentroidPredOracle.base}
+       |SELECT a.cl AS group_a, b.cl AS group_b,
+       |  CAST(floor(list_sum(list_transform(list_zip(a.c, b.c),
+       |    x -> (x[1] - x[2]) * (x[1] - x[2]))) * 1000000.0 + 0.5)
+       |    AS BIGINT) AS mmd2_micro
+       |FROM cents a JOIN cents b ON a.cl < b.cl
+       |ORDER BY group_a, group_b""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q225 — per-source Jensen–Shannon drift over global length deciles:
+  // bins come from GlobalRank.withNtile (the two-pass global sort — no
+  // single-task window), then each source's decile distribution is
+  // priced against the REST of the corpus. JSD stays finite on empty
+  // bins (PSI blows up) and is bounded by ln 2 ≈ 693147180 nano.
+  def q225(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val binned = graft.operators.GlobalRank.withNtile(
+      docs, Seq(col("n_chars"), col("doc_id")), tiles = 10, tileCol = "bin")
+    graft.ext.Drift.jsDivergenceBinned(binned, "source", "bin")
+  }
+
+  val q225Sql: String = {
+    val p = "(CAST(ngb AS DOUBLE) / CAST(ng AS DOUBLE))"
+    val q = "(CAST(nb - ngb AS DOUBLE) / CAST(n - ng AS DOUBLE))"
+    val qGuarded = s"(CASE WHEN n - ng > 0 THEN $q ELSE 0.0 END)"
+    s"""WITH b AS (SELECT source,
+       |     ntile(10) OVER (ORDER BY n_chars, doc_id) AS bin
+       |   FROM documents),
+       | cc AS (SELECT source, bin, count(*) AS ngb FROM b GROUP BY 1, 2),
+       | bt AS (SELECT bin, count(*) AS nb FROM b GROUP BY 1),
+       | gt AS (SELECT source, count(*) AS ng FROM b GROUP BY 1),
+       | tot AS (SELECT count(*) AS n FROM b),
+       | grid AS (SELECT gt.source, gt.ng, bt.bin, bt.nb, tot.n,
+       |            coalesce(cc.ngb, 0) AS ngb
+       |          FROM gt CROSS JOIN bt CROSS JOIN tot
+       |          LEFT JOIN cc ON cc.source = gt.source AND cc.bin = bt.bin),
+       | terms AS (SELECT source, ng, CAST(floor((
+       |     CASE WHEN ngb > 0 THEN
+       |       0.5 * $p * ln($p / (($p + $qGuarded) / 2.0))
+       |     ELSE 0.0 END
+       |     +
+       |     CASE WHEN nb - ngb > 0 AND n - ng > 0 THEN
+       |       0.5 * $q * ln($q / (($p + $q) / 2.0))
+       |     ELSE 0.0 END) * 1000000000.0 + 0.5) AS BIGINT) AS t
+       |   FROM grid)
+       |SELECT source, ng AS n, CAST(sum(t) AS BIGINT) AS jsd_nano
+       |FROM terms GROUP BY source, ng
+       |ORDER BY source""".stripMargin
+  }
+
   /** Name → query, for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q219_per_class_prf1" -> (q219 _),
     "q220_kmeans_label_nmi" -> (q220 _),
     "q221_simplified_silhouette" -> (q221 _),
     "q222_calibration_ece" -> (q222 _),
-    "q223_fleiss_kappa" -> (q223 _)
+    "q223_fleiss_kappa" -> (q223 _),
+    "q224_group_mean_shift" -> (q224 _),
+    "q225_source_js_drift" -> (q225 _)
   )
 
   /** Name → DuckDB oracle SQL, for SparkEntry. */
@@ -255,6 +319,8 @@ object Extended22 {
     "q220_kmeans_label_nmi" -> q220Sql,
     "q221_simplified_silhouette" -> q221Sql,
     "q222_calibration_ece" -> q222Sql,
-    "q223_fleiss_kappa" -> q223Sql
+    "q223_fleiss_kappa" -> q223Sql,
+    "q224_group_mean_shift" -> q224Sql,
+    "q225_source_js_drift" -> q225Sql
   )
 }

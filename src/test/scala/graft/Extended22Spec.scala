@@ -173,4 +173,44 @@ class Extended22Spec extends SparkSpec {
     val agree = multi.filter($"pred_w16" === $"pred_w64").count()
     assert(agree * 5 > n, s"width-16 rater agreed on only $agree/$n")
   }
+
+  // ------------------------------------------------------------- drift
+
+  test("groupMeanShift: hand-checked distance, zero on identical groups") {
+    import spark.implicits._
+    // group 0 mean (1, 0); group 1 mean (4, 4); group 2 ≡ group 0
+    val emb = Seq(
+      (0L, Seq(0.0f, 0.0f), 0), (1L, Seq(2.0f, 0.0f), 0),
+      (2L, Seq(3.0f, 3.0f), 1), (3L, Seq(5.0f, 5.0f), 1),
+      (4L, Seq(0.0f, 0.0f), 2), (5L, Seq(2.0f, 0.0f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val rows = graft.ext.Drift
+      .groupMeanShift(emb, "embedding", "label").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(rows.keySet === Set((0, 1), (0, 2), (1, 2)))
+    // ‖(1,0)−(4,4)‖² = 9 + 16 = 25 exactly
+    assert(rows((0, 1)) === 25000000L)
+    assert(rows((0, 2)) === 0L)
+    assert(rows((1, 2)) === 25000000L)
+  }
+
+  test("jsDivergenceBinned: identical distributions 0, disjoint bins exactly ln 2") {
+    import spark.implicits._
+    // both groups spread 50/50 over two bins → p = q in every bin → 0
+    val same = (0 until 40).map(i => (s"g${i % 2}", (i / 2) % 2))
+      .toDF("source", "bin")
+    graft.ext.Drift.jsDivergenceBinned(same, "source", "bin")
+      .collect().foreach(r => assert(r.getLong(2) === 0L))
+    // disjoint: each group owns one bin → JSD = ln 2, i.e. two per-bin
+    // terms of floor(0.5·ln2·1e9 + 0.5) = 346573590 nano each
+    val disjoint = (0 until 40).map(i => (s"g${i % 2}", i % 2))
+      .map { case (g, b) => (g, if (g == "g0") 0 else 1) }
+      .toDF("source", "bin")
+    graft.ext.Drift.jsDivergenceBinned(disjoint, "source", "bin")
+      .collect().foreach { r =>
+        assert(r.getLong(1) === 20L)
+        assert(r.getLong(2) === 2L * 346573590L,
+          s"disjoint groups must read ln 2: $r")
+      }
+  }
 }
