@@ -27,4 +27,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Let HotSpot JIT-compile whole-stage-codegen consume methods wider
+  // than 8000 bytecode bytes (wide array-constructor projections hit
+  // this; past the limit the JIT silently leaves the method interpreted
+  // — measured 30× on a 64-wide generated-embedding scan). Standard
+  // Spark ops flag; Spark itself only falls back to interpreted plans
+  // at spark.sql.codegen.hugeMethodLimit = 65535.
+  "-XX:-DontCompileHugeMethods",
 )

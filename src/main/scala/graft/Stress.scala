@@ -512,6 +512,138 @@ object Stress {
         .ivfPqSearch(idx.codes, "doc_id", idx, q, k = 10, nProbe = 2)
         .count()
     }
+    if (picks("evalshelf")) {
+      // The q217–q225 evaluation + drift shelves at generated scale:
+      // dim-64 labeled vectors with a recoverable structure (component
+      // i carries +3.0 when i ≡ label mod 10, plus xxhash noise in
+      // [-1, 1]) so centroids genuinely classify. Every read-out is a
+      // handful of rows; the corpus-sized costs are (a) ONE
+      // per-label centroid aggregation per metric family and (b) one
+      // codegen'd classification scan — both linear, no pair
+      // expansion anywhere in these shelves. drift-jsd additionally
+      // pays the two-pass global ntile sort over n_chars.
+      val dim = 64
+      val lab = ($"doc_id" % 10).cast("int")
+      val vec = array((0 until dim).map { i =>
+        (when(lit(i % 10) === lab, 3.0).otherwise(0.0) +
+          (xxhash64($"doc_id", lit(i)) % 1000L).cast("double") / 500.0)
+          .cast("float")
+      }: _*)
+      // Pin the synthesized vectors ONCE (a real pipeline reads
+      // embeddings from storage as UnsafeArrayData; re-synthesizing a
+      // 64-element array-constructor per scan is a fixture artifact —
+      // and the constructor+operator consume method is exactly the
+      // huge-method JIT case the build now flags around).
+      val emb: DataFrame = docs
+        .select($"doc_id".as("vec_id"), lab.as("label"), vec.as("embedding"))
+        .localCheckpoint()
+      // Pinning discipline (q197/q201): every agreement metric scans
+      // its prediction frame 2-3× (totals + marginals + join), and an
+      // unpinned lineage re-runs the full classification (and vector
+      // synthesis) per scan. The narrow (id, label, pred) frame is
+      // ~12 B/row — pin THAT, never the vectors.
+      var p: DataFrame = null
+      timed("eval-classify") {
+        p = graft.ext.Eval.centroidPredictions(emb, "embedding", "label")
+          .select($"vec_id", $"label", $"pred").localCheckpoint()
+        p.count()
+      }
+      timed("eval-kappa") {
+        graft.ext.Eval.cohenKappaPpm(p, "label", "pred").count()
+      }
+      timed("eval-prf1") {
+        graft.ext.Eval.perClassPrf1(p, "label", "pred").count()
+      }
+      timed("eval-sil") {
+        graft.ext.Eval.simplifiedSilhouette(emb, "embedding", "label").count()
+      }
+      timed("eval-ece") {
+        val sp = graft.ext.Eval
+          .centroidScoredPredictions(emb, "embedding", "label")
+          .select($"label", $"pred", $"conf_micro").localCheckpoint()
+        graft.ext.Eval
+          .calibrationBins(sp, "label", "pred", "conf_micro").count()
+      }
+      timed("eval-fleiss") {
+        val multi = graft.ext.Eval
+          .multiWidthPredictions(emb, "embedding", "label", Seq(16, 32, 64))
+          .select($"vec_id", $"pred_w16", $"pred_w32", $"pred_w64")
+          .localCheckpoint()
+        graft.ext.Eval.fleissKappaPpm(multi, "vec_id",
+          Seq("pred_w16", "pred_w32", "pred_w64")).count()
+      }
+      timed("drift-mmd") {
+        graft.ext.Drift.groupMeanShift(emb, "embedding", "label").count()
+      }
+      timed("drift-jsd") {
+        // narrow projection pinned: withNtile's range sort reads its
+        // input ~3× (partitioner sample + sort + rank pass), and each
+        // unpinned read re-synthesizes doc text just to take n_chars —
+        // a parquet scan would read the pruned column instead
+        val narrow = docs.select($"doc_id", $"source", $"n_chars")
+          .localCheckpoint()
+        val binned = graft.operators.GlobalRank.withNtile(
+          narrow, Seq($"n_chars", $"doc_id"), tiles = 10, tileCol = "bin")
+        graft.ext.Drift.jsDivergenceBinned(binned, "source", "bin").count()
+      }
+      graft.operators.GlobalRank.releaseCache()
+    }
+    if (picks("evalparts")) {
+      // component isolation for the evalshelf classify path
+      val dim = 64
+      val lab = ($"doc_id" % 10).cast("int")
+      val vec = array((0 until dim).map { i =>
+        (when(lit(i % 10) === lab, 3.0).otherwise(0.0) +
+          (xxhash64($"doc_id", lit(i)) % 1000L).cast("double") / 500.0)
+          .cast("float")
+      }: _*)
+      def emb: DataFrame = docs
+        .select($"doc_id".as("vec_id"), lab.as("label"), vec.as("embedding"))
+      timed("ep-vecgen") {
+        emb.select(element_at($"embedding", 1).as("x"))
+          .agg(count($"x")).head(); rows
+      }
+      timed("ep-centagg") {
+        emb.groupBy($"label").agg(array((1 to dim).map(i =>
+          (sum(element_at($"embedding", i)) / count(lit(1)))
+            .cast("float")): _*).as("c")).count()
+      }
+      var cents: Array[(Int, Array[Float])] = null
+      timed("ep-centcollect") {
+        cents = emb.groupBy($"label").agg(array((1 to dim).map(i =>
+          (sum(element_at($"embedding", i)) / count(lit(1)))
+            .cast("float")): _*).as("c")).collect()
+          .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray)
+        cents.length.toLong
+      }
+      timed("ep-argmax") {
+        emb.select(graft.plans.VectorExpressions
+            .cosineArgmax($"embedding", cents).getField("pred").as("p"))
+          .agg(sum($"p")).head(); rows
+      }
+      timed("ep-ckpt") {
+        emb.select($"vec_id", $"label",
+            graft.plans.VectorExpressions
+              .cosineArgmax($"embedding", cents).getField("pred").as("pred"))
+          .localCheckpoint().count()
+      }
+      // same argmax over a MATERIALIZED embedding column (UnsafeArrayData
+      // rows, not the projection's boxed GenericArrayData)
+      val pinned = emb.localCheckpoint()
+      timed("ep-argmax-pinned") {
+        pinned.select(graft.plans.VectorExpressions
+            .cosineArgmax($"embedding", cents).getField("pred").as("p"))
+          .agg(sum($"p")).head(); rows
+      }
+      // and the struct-free score read (is the struct output the cost?)
+      timed("ep-dots-pinned") {
+        pinned.select((0 until 10).map(c =>
+            graft.functions.VectorFns.dot($"embedding",
+              array(cents(c)._2.map(lit(_)): _*).cast("array<float>"))
+              .as(s"d$c")): _*)
+          .agg(sum($"d0") + sum($"d9")).head(); rows
+      }
+    }
     if (picks("megaparts")) {
       // stage-isolated variant of megapipe (the bloomparts pattern):
       // each stage materializes (localCheckpoint) and times separately

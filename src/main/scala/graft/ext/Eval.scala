@@ -34,11 +34,10 @@ object Eval {
     */
   def centroidPredictions(emb: DataFrame, vecCol: String,
       labelCol: String): DataFrame = {
-    val scores = labelCentroids(emb, vecCol, labelCol).map { case (lab, c) =>
-      struct(VectorFns.cosine(col(vecCol), centroidLit(c)).as("score"),
-        lit(lab).as("pred"))
-    }
-    emb.withColumn("pred", greatest(scores.toSeq: _*).getField("pred"))
+    val cents = labelCentroids(emb, vecCol, labelCol)
+    withBest(emb, vecCol, cents)
+      .withColumn("pred", col("__best").getField("pred"))
+      .drop("__best")
   }
 
   /** [[centroidPredictions]] plus the winning score as `conf_micro`
@@ -48,14 +47,13 @@ object Eval {
     * accuracy. Same one-scan / broadcast-literal shape. */
   def centroidScoredPredictions(emb: DataFrame, vecCol: String,
       labelCol: String): DataFrame = {
-    val scores = labelCentroids(emb, vecCol, labelCol).map { case (lab, c) =>
-      struct(VectorFns.cosine(col(vecCol), centroidLit(c)).as("score"),
-        lit(lab).as("pred"))
-    }
-    val best = greatest(scores.toSeq: _*)
-    emb.withColumn("pred", best.getField("pred"))
+    val cents = labelCentroids(emb, vecCol, labelCol)
+    withBest(emb, vecCol, cents)
+      .withColumn("pred", col("__best").getField("pred"))
       .withColumn("conf_micro",
-        floor(best.getField("score") * 1000000.0 + 0.5).cast("long"))
+        floor(col("__best").getField("score") * 1000000.0 + 0.5)
+          .cast("long"))
+      .drop("__best")
   }
 
   /** One prediction column per Matryoshka prefix width — `pred_w{w}`
@@ -74,14 +72,42 @@ object Eval {
     require(widths.nonEmpty, "need at least one prefix width")
     val cents = labelCentroids(emb, vecCol, labelCol)
     widths.foldLeft(emb) { case (df, w) =>
-      val scores = cents.map { case (lab, c) =>
-        require(w <= c.length, s"prefix width $w exceeds vector dim ${c.length}")
-        struct(VectorFns.cosine(slice(col(vecCol), 1, w),
-            centroidLit(c.take(w))).as("score"),
-          lit(lab).as("pred"))
+      cents.foreach { case (_, c) =>
+        require(w <= c.length,
+          s"prefix width $w exceeds vector dim ${c.length}")
       }
-      df.withColumn(s"pred_w$w", greatest(scores.toSeq: _*).getField("pred"))
+      // the native argmax reads the leading components in place — no
+      // slice copy per width per row
+      withBest(df, vecCol, cents, width = w)
+        .withColumn(s"pred_w$w", col("__best").getField("pred"))
+        .drop("__best")
     }
+  }
+
+  /** The shared classification scan: appends `__best`, the
+    * (score, pred) struct of the max-cosine centroid (ties toward the
+    * larger label) via the native codegen'd
+    * [[graft.plans.CosineArgmax]] — one self-dot + k fused
+    * dot/compare steps per row, k-invariant code size. The Column
+    * form it replaced (`greatest` over k cosine structs) classified
+    * 1M dim-64 rows against 10 centroids in 58 s; the native pass
+    * does it in ~2 s, bit-identical scores (sequential double sums,
+    * nan-safe ordering, ties toward the larger label). */
+  private def withBest(emb: DataFrame, vecCol: String,
+      cents: Array[(Int, Array[Float])], width: Int = 0): DataFrame =
+    emb.withColumn("__best",
+      graft.plans.VectorExpressions.cosineArgmax(col(vecCol), cents, width))
+
+  /** Reference Column-API form (greatest over cosine structs), kept
+    * for cross-checking the native expression in tests — the
+    * [[VectorFns.dotHof]] pattern. */
+  private[graft] def withBestColumnForm(emb: DataFrame, vecCol: String,
+      cents: Array[(Int, Array[Float])]): DataFrame = {
+    val scores = cents.map { case (lab, c) =>
+      struct(VectorFns.cosine(col(vecCol), centroidLit(c)).as("score"),
+        lit(lab).as("pred"))
+    }
+    emb.withColumn("__best", greatest(scores.toSeq: _*))
   }
 
   /** Per-label FLOAT-ROUNDED component-mean centroids as bounded driver
@@ -106,6 +132,15 @@ object Eval {
 
   private def centroidLit(c: Array[Float]): Column =
     array(c.map(v => lit(v)): _*).cast("array<float>")
+
+  /** Sequential (left-to-right) double self-dot — the same
+    * accumulation order as the codegen'd dot expression and DuckDB's
+    * list_sum, so a folded literal is bit-identical. */
+  private def selfDot(c: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    while (i < c.length) { s += c(i).toDouble * c(i).toDouble; i += 1 }
+    s
+  }
 
   /** Exact confusion matrix: one row per (label, pred) pair that
     * occurs, with its count — the canonical classification read-out
@@ -255,11 +290,6 @@ object Eval {
     val cents = labelCentroids(emb, vecCol, labelCol)
     require(cents.length >= 2,
       "silhouette needs at least two label groups")
-    def selfDot(c: Array[Float]): Double = {
-      var s = 0.0; var i = 0
-      while (i < c.length) { s += c(i).toDouble * c(i).toDouble; i += 1 }
-      s
-    }
     val vv = VectorFns.dot(col(vecCol), col(vecCol))
     def d2(c: Array[Float]): Column =
       greatest(vv - lit(2.0) * VectorFns.dot(col(vecCol), centroidLit(c))
@@ -320,6 +350,17 @@ object Eval {
     * class marginals. Long arithmetic holds through n·r ≈ 3·10⁹
     * assignments (the (N·r)² term); past that, lift to DECIMAL.
     *
+    * Scale shape: each item's Σ_k n_ik² is the pairwise-agreement
+    * identity r + 2·Σ_{i<j}[pred_i = pred_j] — a pure ROW expression
+    * over the r rater columns, so S needs NO per-item shuffle (the
+    * first cut exploded to (item, rating) rows and grouped on the
+    * high-cardinality item key: a corpus-sized shuffle for a number
+    * that folds map-side). The only shuffle left is the class-marginal
+    * count, keyed on the tiny label space.
+    *
+    * Input contract: ONE ROW PER ITEM, one prediction column per
+    * rater (all non-null).
+    *
     * @param raterCols one prediction column per rater (≥ 2)
     * @return one row: (n_items, n_raters, pbar_ppm, pe_ppm, kappa_ppm)
     */
@@ -327,13 +368,14 @@ object Eval {
       raterCols: Seq[String]): DataFrame = {
     require(raterCols.length >= 2, "Fleiss' kappa needs >= 2 raters")
     val r = raterCols.length
-    val ratings = df.select(col(itemCol).as("__it"),
-      explode(array(raterCols.map(c => col(c).cast("int")): _*)).as("__r"))
-    val s2 = ratings.groupBy(col("__it"), col("__r"))
-      .agg(count(lit(1)).as("c"))
-      .agg(sum(col("c") * col("c")).as("s2"),
-        expr("count(distinct __it)").as("n_items"))
-    val marg = ratings.groupBy(col("__r")).agg(count(lit(1)).as("ck"))
+    val preds = raterCols.map(c => col(c).cast("int"))
+    val agreePairs = (for { i <- 0 until r; j <- (i + 1) until r } yield
+      when(preds(i) === preds(j), 1L).otherwise(0L)).reduce(_ + _)
+    val s2 = df.select((lit(r.toLong) + lit(2L) * agreePairs).as("s2i"))
+      .agg(coalesce(sum(col("s2i")), lit(0L)).as("s2"),
+        count(lit(1)).as("n_items"))
+    val marg = df.select(explode(array(preds: _*)).as("__r"))
+      .groupBy(col("__r")).agg(count(lit(1)).as("ck"))
       .agg(coalesce(sum(col("ck") * col("ck")), lit(0L)).as("ck2"))
     s2.crossJoin(marg)
       .select(col("n_items"), lit(r).cast("long").as("n_raters"),

@@ -57,16 +57,19 @@ object VectorIndex {
     centroids
   }
 
-  /** Assignment: nearest centroid by cosine, as a single codegen-friendly
-    * expression over the broadcast centroid literals. */
+  /** Assignment: nearest centroid by cosine in ONE native codegen'd
+    * pass ([[graft.plans.CosineArgmax]] — one self-dot + k fused
+    * dot/compare steps per row, k-invariant code size). Scores and the
+    * ties-toward-larger-cell rule are bit-identical to the
+    * `greatest(struct(cosine, cell))` Column form it replaced (which
+    * paid per-row struct allocation + interpreted struct comparison —
+    * the ArgminL2 pathology), so every k-means oracle is unchanged. */
   def assignCells(embeddings: DataFrame, vecCol: String,
       centroids: Array[Array[Float]]): DataFrame = {
-    val scores = centroids.zipWithIndex.map { case (c, i) =>
-      struct(VectorFns.cosine(col(vecCol), centroidLit(c)).as("score"),
-        lit(i).as("cell"))
-    }
+    val labeled = centroids.zipWithIndex.map { case (c, i) => (i, c) }
     embeddings.withColumn("cell",
-      greatest(scores: _*).getField("cell"))
+      graft.plans.VectorExpressions.cosineArgmax(col(vecCol), labeled)
+        .getField("pred"))
   }
 
   private def centroidLit(c: Array[Float]) =

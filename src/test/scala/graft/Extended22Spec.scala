@@ -174,6 +174,34 @@ class Extended22Spec extends SparkSpec {
     assert(agree * 5 > n, s"width-16 rater agreed on only $agree/$n")
   }
 
+  test("CosineArgmax native ≡ greatest(struct(cosine)) column form on the fixture") {
+    import spark.implicits._
+    val e = graft.queries.Tables.load(spark, dir, "embeddings")
+    val cents = Array(
+      0 -> Array.fill(64)(0.1f),
+      3 -> (0 until 64).map(i => if (i % 2 == 0) 0.2f else -0.1f).toArray,
+      7 -> (0 until 64).map(i => (i - 32) / 64.0f).toArray)
+    val native = graft.ext.Eval.withBestColumnForm(e, "embedding", cents)
+      .select($"vec_id", $"__best".getField("score").as("s_col"),
+        $"__best".getField("pred").as("p_col"))
+    val viaExpr = e.select($"vec_id",
+      graft.plans.VectorExpressions.cosineArgmax($"embedding", cents)
+        .as("b"))
+      .select($"vec_id", $"b".getField("score").as("s_nat"),
+        $"b".getField("pred").as("p_nat"))
+    val joined = native.join(viaExpr, "vec_id")
+    // scores bit-identical (not just close), predictions identical
+    assert(joined.filter($"s_col" =!= $"s_nat" || $"p_col" =!= $"p_nat")
+      .count() === 0L)
+    // exact-tie behavior: two centroids that are positive multiples of
+    // each other give the SAME cosine to every vector → larger label
+    val tied = Array(2 -> Array.fill(8)(1.0f), 5 -> Array.fill(8)(2.0f))
+    val one = Seq((0L, (1 to 8).map(_.toFloat))).toDF("vec_id", "v")
+    val p = one.select(graft.plans.VectorExpressions
+      .cosineArgmax($"v", tied).getField("pred")).head().getInt(0)
+    assert(p === 5, "ties must resolve toward the larger label")
+  }
+
   // ------------------------------------------------------------- drift
 
   test("groupMeanShift: hand-checked distance, zero on identical groups") {
