@@ -27,11 +27,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-  // Let HotSpot JIT-compile whole-stage-codegen consume methods wider
-  // than 8000 bytecode bytes (wide array-constructor projections hit
-  // this; past the limit the JIT silently leaves the method interpreted
-  // — measured 30× on a 64-wide generated-embedding scan). Standard
-  // Spark ops flag; Spark itself only falls back to interpreted plans
-  // at spark.sql.codegen.hugeMethodLimit = 65535.
-  "-XX:-DontCompileHugeMethods",
+  // NOT set: -XX:-DontCompileHugeMethods. WSCG consume methods past
+  // HotSpot's 8000-byte limit silently run as interpreted bytecode
+  // (~30× — measured 41 s vs 0.5 s when a 64-wide array constructor
+  // inlined next to an operator loop; Spark's own interpreted-plan
+  // fallback only triggers at hugeMethodLimit = 65535). The flag fixes
+  // that but taxes every heavy-codegen query with C2 compilation of
+  // giant methods (q152 +22% A/B'd), so the repo fixes it in the
+  // LIBRARY instead: custom expressions emit their bodies via
+  // ctx.addNewFunction (see plans.CosineArgmax). Diagnose suspected
+  // cases with debug.codegenString's maxMethodCodeSize.
 )

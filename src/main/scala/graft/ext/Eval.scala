@@ -343,6 +343,72 @@ object Eval {
     per.unionByName(ece).orderBy(col("bin"))
   }
 
+  /** Quadratically-weighted Cohen's kappa in exact ppm integers — the
+    * ORDINAL-label agreement statistic (a 1-vs-2 confusion should cost
+    * less than 1-vs-9; plain kappa charges both the same):
+    * κ_w = 1 − Σ w_ij·O_ij / Σ w_ij·E_ij with w_ij = (i−j)² and
+    * E_ij = row_i·col_j / n. Scaling E by n cancels the division, so
+    * the whole statistic is INTEGER: κ_w_ppm = 10⁶ −
+    * (n·Σw·O·10⁶) div Σ(w·row_i·col_j) — reproducible to the last
+    * digit with no float anywhere. Long arithmetic holds through
+    * n ≈ 10⁸ at label span ≤ 10 (the n²·span⁴ term); past that, lift
+    * to DECIMAL. One shuffle on the (label, pred) key.
+    *
+    * @return one row: (n, wo_sum, we_sum, kappa_w_ppm); we_sum = 0
+    *         (single observed class on both sides) reads κ = 10⁶
+    */
+  def weightedKappaPpm(pred: DataFrame, labelCol: String,
+      predCol: String): DataFrame = {
+    val p = pred.select(col(labelCol).cast("long").as("__l"),
+      col(predCol).cast("long").as("__p"))
+    val cells = p.groupBy(col("__l"), col("__p")).agg(count(lit(1)).as("nij"))
+    val wo = cells.agg(coalesce(sum(
+      (col("__l") - col("__p")) * (col("__l") - col("__p")) * col("nij")),
+      lit(0L)).as("wo_sum"))
+    val we = cells.groupBy(col("__l")).agg(sum(col("nij")).as("ri"))
+      .crossJoin(cells.groupBy(col("__p")).agg(sum(col("nij")).as("cj"))
+        .withColumnRenamed("__p", "__pc"))
+      .agg(coalesce(sum((col("__l") - col("__pc")) * (col("__l") - col("__pc"))
+        * col("ri") * col("cj")), lit(0L)).as("we_sum"))
+    p.agg(count(lit(1)).as("n")).crossJoin(wo).crossJoin(we)
+      .select(col("n"), col("wo_sum"), col("we_sum"),
+        expr("CASE WHEN we_sum = 0 THEN 1000000 ELSE" +
+          " 1000000 - (n * wo_sum * 1000000) div we_sum END")
+          .as("kappa_w_ppm"))
+  }
+
+  /** Multiclass Matthews correlation coefficient (the Gorodkin R_K) in
+    * ppm: MCC = (c·n − Σ t_k·p_k) / √((n² − Σ p_k²)(n² − Σ t_k²)) with
+    * c = Σ n_kk, t/p the true/predicted marginals. Numerator and both
+    * radicands are EXACT integer folds of the confusion counts; only
+    * the final two sqrt + one divide run in double (same literal ops
+    * both engines), floor-rounded to ppm. Degenerate marginals (either
+    * radicand 0 — a constant predictor or a single-class corpus) read
+    * 0 by convention. One shuffle on the (label, pred) key. */
+  def mccPpm(pred: DataFrame, labelCol: String,
+      predCol: String): DataFrame = {
+    val p = pred.select(col(labelCol).cast("int").as("__l"),
+      col(predCol).cast("int").as("__p"))
+    val totals = p.agg(count(lit(1)).as("n"),
+      sum(when(col("__l") === col("__p"), 1L).otherwise(0L)).as("correct"))
+    val tk = p.groupBy(col("__l")).agg(count(lit(1)).as("t"))
+    val pk = p.groupBy(col("__p")).agg(count(lit(1)).as("q"))
+    val cross = tk.join(pk, col("__l") === col("__p"))
+      .agg(coalesce(sum(col("t") * col("q")), lit(0L)).as("tp_sum"))
+    val sq = tk.agg(coalesce(sum(col("t") * col("t")), lit(0L)).as("t2"))
+      .crossJoin(pk.agg(coalesce(sum(col("q") * col("q")), lit(0L)).as("p2")))
+    totals.crossJoin(cross).crossJoin(sq)
+      .select(col("n"), col("correct"),
+        (col("correct") * col("n") - col("tp_sum")).as("num"),
+        (col("n") * col("n") - col("p2")).as("rad_p"),
+        (col("n") * col("n") - col("t2")).as("rad_t"))
+      .select(col("n"), col("correct"),
+        expr("CASE WHEN rad_p = 0 OR rad_t = 0 THEN 0 ELSE" +
+          " CAST(floor(CAST(num AS DOUBLE) /" +
+          " (sqrt(CAST(rad_p AS DOUBLE)) * sqrt(CAST(rad_t AS DOUBLE)))" +
+          " * 1000000.0 + 0.5) AS BIGINT) END").as("mcc_ppm"))
+  }
+
   /** Fleiss' kappa for r raters in exact ppm integers — the multi-rater
     * generalization of [[cohenKappaPpm]]: per-item agreement
     * P_i = (Σ_k n_ik² − r) / (r(r−1)) folds to the single corpus sum

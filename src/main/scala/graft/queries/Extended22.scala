@@ -302,8 +302,71 @@ object Extended22 {
        |ORDER BY source""".stripMargin
   }
 
+  // --------------------------------------------------------------------
+  // q226 — quadratically-weighted kappa: the ordinal-agreement read-out
+  // (near-miss predictions cost (i−j)², not a flat 1) — entirely
+  // integer arithmetic, no float anywhere in the statistic.
+  def q226(s: SparkSession, dir: String): DataFrame = {
+    val p = graft.ext.Eval.centroidPredictions(
+      t(s, dir, "embeddings"), "embedding", "label")
+    graft.ext.Eval.weightedKappaPpm(p, "label", "pred")
+  }
+
+  val q226Sql: String =
+    s"""WITH ${CentroidPredOracle.chain},
+       | cells AS (SELECT CAST(label AS BIGINT) AS l,
+       |     CAST(pred AS BIGINT) AS pr, count(*) AS nij
+       |   FROM pred GROUP BY 1, 2),
+       | tot AS (SELECT count(*) AS n FROM pred),
+       | wo AS (SELECT CAST(coalesce(sum((l - pr) * (l - pr) * nij), 0)
+       |     AS BIGINT) AS wo_sum FROM cells),
+       | we AS (SELECT CAST(coalesce(sum(
+       |       (a.l - b.pr) * (a.l - b.pr) * a.ri * b.cj), 0)
+       |     AS BIGINT) AS we_sum
+       |   FROM (SELECT l, sum(nij) AS ri FROM cells GROUP BY 1) a
+       |   CROSS JOIN (SELECT pr, sum(nij) AS cj FROM cells GROUP BY 1) b)
+       |SELECT n, wo_sum, we_sum,
+       |  CAST(CASE WHEN we_sum = 0 THEN 1000000
+       |    ELSE 1000000 - (n * wo_sum * 1000000) // we_sum
+       |  END AS BIGINT) AS kappa_w_ppm
+       |FROM tot CROSS JOIN wo CROSS JOIN we""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q227 — multiclass Matthews correlation (Gorodkin R_K): integer
+  // numerator/radicands from the confusion marginals, two sqrt + one
+  // divide in double at the very end, floored to ppm.
+  def q227(s: SparkSession, dir: String): DataFrame = {
+    val p = graft.ext.Eval.centroidPredictions(
+      t(s, dir, "embeddings"), "embedding", "label")
+    graft.ext.Eval.mccPpm(p, "label", "pred")
+  }
+
+  val q227Sql: String =
+    s"""WITH ${CentroidPredOracle.chain},
+       | tot AS (SELECT count(*) AS n,
+       |     CAST(sum(CASE WHEN label = pred THEN 1 ELSE 0 END) AS BIGINT)
+       |       AS correct
+       |   FROM pred),
+       | tk AS (SELECT label AS k, count(*) AS t FROM pred GROUP BY 1),
+       | pk AS (SELECT pred AS k, count(*) AS q FROM pred GROUP BY 1),
+       | cr AS (SELECT CAST(coalesce(sum(t * q), 0) AS BIGINT) AS tp_sum
+       |   FROM tk JOIN pk USING (k)),
+       | sq AS (SELECT
+       |     CAST((SELECT coalesce(sum(t * t), 0) FROM tk) AS BIGINT) AS t2,
+       |     CAST((SELECT coalesce(sum(q * q), 0) FROM pk) AS BIGINT) AS p2)
+       |SELECT n, correct,
+       |  CAST(CASE WHEN (n * n - p2) = 0 OR (n * n - t2) = 0 THEN 0
+       |    ELSE CAST(floor(CAST(correct * n - tp_sum AS DOUBLE) /
+       |      (sqrt(CAST(n * n - p2 AS DOUBLE)) *
+       |       sqrt(CAST(n * n - t2 AS DOUBLE))) * 1000000.0 + 0.5)
+       |      AS BIGINT)
+       |  END AS BIGINT) AS mcc_ppm
+       |FROM tot CROSS JOIN cr CROSS JOIN sq""".stripMargin
+
   /** Name → query, for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q226_weighted_kappa" -> (q226 _),
+    "q227_multiclass_mcc" -> (q227 _),
     "q219_per_class_prf1" -> (q219 _),
     "q220_kmeans_label_nmi" -> (q220 _),
     "q221_simplified_silhouette" -> (q221 _),
@@ -315,6 +378,8 @@ object Extended22 {
 
   /** Name → DuckDB oracle SQL, for SparkEntry. */
   val oracles: Map[String, String] = Map(
+    "q226_weighted_kappa" -> q226Sql,
+    "q227_multiclass_mcc" -> q227Sql,
     "q219_per_class_prf1" -> q219Sql,
     "q220_kmeans_label_nmi" -> q220Sql,
     "q221_simplified_silhouette" -> q221Sql,

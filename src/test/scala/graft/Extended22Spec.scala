@@ -124,6 +124,54 @@ class Extended22Spec extends SparkSpec {
     assert(byBin(-1L)._5 === (2 * 25000L + 2 * 75000L + 250000L) / 5)
   }
 
+  test("weightedKappaPpm: near-miss beats far-miss at equal plain accuracy; hand value exact") {
+    import spark.implicits._
+    // both predictors are wrong on the same 4 of 12 rows (same plain
+    // accuracy); `near` misses by one ordinal step (no mod-wrap — a
+    // 3→0 wrap would weigh 9 and equalize the two), `far` jumps to
+    // the opposite end of the scale
+    val base = (0 until 12).map(i => i % 4)
+    val near = base.zipWithIndex.map { case (l, i) =>
+      (l, if (i < 4) (if (l == 3) 2 else l + 1) else l) }
+      .toDF("label", "pred")
+    val far = base.zipWithIndex.map { case (l, i) =>
+      (l, if (i < 4) (if (l < 2) 3 else 0) else l) }.toDF("label", "pred")
+    val kn = graft.ext.Eval.weightedKappaPpm(near, "label", "pred").head()
+    val kf = graft.ext.Eval.weightedKappaPpm(far, "label", "pred").head()
+    // hand folds: near wo 4, we 336 → 1 − 48/336; far wo 26, we 408
+    assert(kn.getAs[Long]("kappa_w_ppm") === 1000000L - 48000000L / 336L)
+    assert(kf.getAs[Long]("kappa_w_ppm") === 1000000L - 312000000L / 408L)
+    assert(kn.getAs[Long]("kappa_w_ppm") > kf.getAs[Long]("kappa_w_ppm"),
+      s"ordinal weighting must prefer near misses: $kn vs $kf")
+    // perfect agreement reads exactly 1e6 (wo_sum = 0)
+    val perfect = base.map(l => (l, l)).toDF("label", "pred")
+    val kp = graft.ext.Eval.weightedKappaPpm(perfect, "label", "pred").head()
+    assert(kp.getAs[Long]("wo_sum") === 0L)
+    assert(kp.getAs[Long]("kappa_w_ppm") === 1000000L)
+    // hand check: 2 classes {0,1}, counts O = [[2,1],[0,1]], n = 4;
+    // w01 = w10 = 1 → wo = 1; rows (3,1), cols (2,2) →
+    // we = 3·2·0 + 3·2·1 + 1·2·1 + 1·2·0 = 8 → κw = 1 − 4·1/8 = 0.5
+    val tiny = Seq((0, 0), (0, 0), (0, 1), (1, 1)).toDF("label", "pred")
+    val kt = graft.ext.Eval.weightedKappaPpm(tiny, "label", "pred").head()
+    assert(kt.getAs[Long]("wo_sum") === 1L)
+    assert(kt.getAs[Long]("we_sum") === 8L)
+    assert(kt.getAs[Long]("kappa_w_ppm") === 500000L)
+  }
+
+  test("mccPpm: perfect 1e6, constant predictor exactly 0, anti-predictor negative") {
+    import spark.implicits._
+    val labels = (0 until 40).map(i => i % 2)
+    val perfect = labels.map(l => (l, l)).toDF("label", "pred")
+    assert(graft.ext.Eval.mccPpm(perfect, "label", "pred").head()
+      .getAs[Long]("mcc_ppm") === 1000000L)
+    val const = labels.map(l => (l, 1)).toDF("label", "pred")
+    assert(graft.ext.Eval.mccPpm(const, "label", "pred").head()
+      .getAs[Long]("mcc_ppm") === 0L)
+    val anti = labels.map(l => (l, 1 - l)).toDF("label", "pred")
+    assert(graft.ext.Eval.mccPpm(anti, "label", "pred").head()
+      .getAs[Long]("mcc_ppm") === -1000000L)
+  }
+
   // ----------------------------------------------------------- Fleiss
 
   test("fleissKappaPpm: perfect agreement 1e6; full disagreement negative") {
