@@ -56,6 +56,8 @@ import graft.transform.RideTransform
   *   reshard <parquet> <idCol> <n> <outDir>
   *   source-overlap <docsParquet> <groupCol> <textCol> <k>
   *   semdedup-kmeans <embParquet> <idCol> <vecCol> <cells> <iters> <tauBp> <outParquet>
+  *   eval-report <embParquet> <vecCol> <labelCol> <outDir>
+  *   drift-report <parquet> <groupCol> <valueCol> <idCol> <tiles> <outParquet>
   */
 object Main {
 
@@ -559,6 +561,53 @@ object Main {
         .not(org.apache.spark.sql.functions.col("keep"))).count()
       println(s"semdedup-kmeans: $dropped dropped across ${cells.toInt} " +
         s"cells into $out")
+
+    // eval-report <embParquet> <vecCol> <labelCol> <outDir>: classify
+    // by per-label centroids, then write the full evaluation shelf —
+    // confusion matrix, Cohen's + weighted kappa, MCC, per-class
+    // P/R/F1, reliability bins + ECE — one parquet per metric.
+    case "eval-report" :: in :: vecCol :: labelCol :: out :: Nil =>
+      import org.apache.spark.sql.functions.col
+      val e = spark.read.parquet(in)
+      val scored = graft.ext.Eval
+        .centroidScoredPredictions(e, vecCol, labelCol)
+        .select(col(labelCol).as("label"), col("pred"), col("conf_micro"))
+        .localCheckpoint() // every metric scans preds 2-4×; pin ONCE
+      Seq(
+        "confusion" -> graft.ext.Eval.confusion(scored, "label", "pred"),
+        "kappa" -> graft.ext.Eval.cohenKappaPpm(scored, "label", "pred"),
+        "weighted_kappa" ->
+          graft.ext.Eval.weightedKappaPpm(scored, "label", "pred"),
+        "mcc" -> graft.ext.Eval.mccPpm(scored, "label", "pred"),
+        "prf1" -> graft.ext.Eval.perClassPrf1(scored, "label", "pred"),
+        "calibration" -> graft.ext.Eval
+          .calibrationBins(scored, "label", "pred", "conf_micro")
+      ).foreach { case (name, df) =>
+        df.write.mode("overwrite").parquet(s"$out/$name")
+      }
+      val k = spark.read.parquet(s"$out/kappa").head()
+      println(s"eval-report: n=${k.getAs[Long]("n")} " +
+        s"po_ppm=${k.getAs[Long]("po_ppm")} " +
+        s"kappa_ppm=${k.getAs[Long]("kappa_ppm")} → $out/{confusion," +
+        "kappa,weighted_kappa,mcc,prf1,calibration}")
+
+    // drift-report <parquet> <groupCol> <valueCol> <idCol> <tiles> <out>:
+    // per-group Jensen–Shannon divergence vs rest-of-corpus over global
+    // value deciles (two-pass ntile — no single-task window).
+    case "drift-report" :: in :: groupCol :: valueCol :: idCol ::
+        tiles :: out :: Nil =>
+      import org.apache.spark.sql.functions.col
+      val binned = graft.operators.GlobalRank.withNtile(
+        spark.read.parquet(in).select(col(idCol), col(groupCol),
+          col(valueCol)),
+        Seq(col(valueCol), col(idCol)), tiles = tiles.toInt,
+        tileCol = "bin")
+      val jsd = graft.ext.Drift.jsDivergenceBinned(binned, groupCol, "bin")
+      jsd.write.mode("overwrite").parquet(out)
+      graft.operators.GlobalRank.releaseCache()
+      val worst = jsd.orderBy(col("jsd_nano").desc).head()
+      println(s"drift-report: ${jsd.count()} groups, max drift " +
+        s"${worst.get(0)}=${worst.getAs[Long]("jsd_nano")} nano → $out")
 
     case other =>
       sys.error(s"unknown command: ${other.mkString(" ")} — see Scaladoc for usage")

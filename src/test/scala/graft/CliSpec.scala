@@ -511,4 +511,45 @@ class CliSpec extends SparkSpec {
     assert(flags.filter($"keep").count() <= 4L)
     assert(flags.filter($"keep").count() >= 2L)
   }
+
+  test("eval-report / drift-report subcommands") {
+    import spark.implicits._
+    val base = tmpDir("clieval")
+    // separable labeled clusters → the centroid classifier is perfect
+    val emb = (0L until 20L).map { i =>
+      val lab = if (i < 10) 0 else 1
+      val v = if (lab == 0) Seq(1.0f, 0.01f * i) else Seq(0.01f * i, 1.0f)
+      (i, v, lab)
+    }.toDF("vec_id", "embedding", "label")
+    emb.write.parquet(s"$base/emb")
+    Main.run(spark, List("eval-report", s"$base/emb", "embedding",
+      "label", s"$base/eval"))
+    assert(spark.read.parquet(s"$base/eval/kappa").head()
+      .getAs[Long]("kappa_ppm") === 1000000L)
+    assert(spark.read.parquet(s"$base/eval/mcc").head()
+      .getAs[Long]("mcc_ppm") === 1000000L)
+    assert(spark.read.parquet(s"$base/eval/confusion").count() === 2L)
+    assert(spark.read.parquet(s"$base/eval/prf1").count() === 3L)
+    val cal = spark.read.parquet(s"$base/eval/calibration")
+    assert(cal.filter($"bin" === -1L).head().getAs[Long]("acc_ppm")
+      === 1000000L)
+
+    // one group owns the low half of the value range → max drift
+    val rows = (0L until 80L).map { i =>
+      (i, if (i < 40) "low" else s"g${i % 2}", i)
+    }.toDF("id", "grp", "v")
+    rows.write.parquet(s"$base/rows")
+    Main.run(spark, List("drift-report", s"$base/rows", "grp", "v",
+      "id", "4", s"$base/drift"))
+    val jsd = spark.read.parquet(s"$base/drift").collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("jsd_nano")).toMap
+    assert(jsd.keySet === Set("low", "g0", "g1"))
+    // "low" occupies bins nobody else touches → exactly ln 2; g0/g1
+    // are identically distributed (each drifts vs a rest that is 2/3
+    // "low", so their jsd is nonzero but below the disjoint bound,
+    // and by construction EQUAL to each other)
+    assert(jsd("low") === 2L * 346573590L)
+    assert(jsd("g0") === jsd("g1"))
+    assert(jsd("g0") > 0L && jsd("g0") < jsd("low"))
+  }
 }
