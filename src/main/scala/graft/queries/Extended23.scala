@@ -1,0 +1,142 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Round-13 spectral batch (q228/q229): the "all-but-the-top"
+  * embedding analysis ([[graft.ext.Spectral]]) — distributed power
+  * iteration for the corpus' dominant principal direction and the
+  * variance share it captures. Trained embedding spaces concentrate a
+  * large variance fraction in one common direction (Mu & Viswanath
+  * 2018); measuring and removing it is a standard embedding-hygiene
+  * pass before similarity search or dedup.
+  *
+  *  - q228 reads (μ, PC1) per dimension after 4 power steps from the
+  *    deterministic all-ones start — each step is ONE aggregation
+  *    (Σ y·x and Σ y; the centering folds algebraically, the data is
+  *    never copied), vector state is driver metadata, and every
+  *    iterate is float-rounded so both engines walk the SAME vectors.
+  *  - q229 prices the direction: per-row centered energy ‖x−μ‖² and
+  *    top-direction energy ⟨x−μ,v⟩², micro-floored per row before
+  *    exact integer sums → share_ppm.
+  *
+  * The oracle unrolls the same 4 steps as CTEs (the q49 Lloyd
+  * discipline), mean and iterates float-rounded identically.
+  */
+object Extended23 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** THE dimension both sides encode (the q201 RotDim pattern): the
+    * Spark path asserts the fixture matches, the oracle derives every
+    * generate_series bound and the v₀ literal from it. */
+  private val Dim = 64
+  private val Iters = 4
+
+  private def muPc(s: SparkSession, dir: String): (Array[Float], Array[Float]) = {
+    val e = t(s, dir, "embeddings")
+    val got = e.limit(1).select(
+      org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.col("embedding"))).head().getInt(0)
+    require(got == Dim,
+      s"q228/q229 oracle is encoded for dim $Dim; embeddings fixture has" +
+        s" dim $got — update Extended23.Dim (both sides derive from it)")
+    graft.ext.Spectral.topComponent(e, "embedding", iterations = Iters)
+  }
+
+  // --------------------------------------------------------------------
+  // q228 — (i, mu, pc) per dimension.
+  def q228(s: SparkSession, dir: String): DataFrame = {
+    val (mu, pc) = muPc(s, dir)
+    import s.implicits._
+    (0 until Dim).map(j => (j + 1, mu(j).toDouble, pc(j).toDouble))
+      .toDF("i", "mu", "pc").orderBy("i")
+  }
+
+  // --------------------------------------------------------------------
+  // q229 — variance share of PC1, integer micro/ppm read-out.
+  def q229(s: SparkSession, dir: String): DataFrame = {
+    val (mu, pc) = muPc(s, dir)
+    graft.ext.Spectral.topShare(t(s, dir, "embeddings"), "embedding", mu, pc)
+  }
+
+  // ------------------------------------------------------------ oracle
+
+  private def dot(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), p -> p[1] * p[2]))"
+
+  /** CTE chain `e, u, mu, v0, …, v$Iters` — the unrolled power steps. */
+  private def chain: String = {
+    val steps = (1 to Iters).map { k =>
+      val p = if (k == 1) "v0" else s"v${k - 1}"
+      s""",
+         | mv$k AS (SELECT ${dot("mu.m", s"$p.vv")} AS mv
+         |          FROM mu CROSS JOIN $p),
+         | y$k AS (SELECT e.vec_id, ${dot("e.v", s"$p.vv")} - mv$k.mv AS y
+         |         FROM e CROSS JOIN $p CROSS JOIN mv$k),
+         | w$k AS (SELECT list(wj ORDER BY i) AS w FROM (
+         |     SELECT u.i, sum(y$k.y * u.x) AS wj
+         |     FROM u JOIN y$k USING (vec_id) GROUP BY u.i)),
+         | s$k AS (SELECT sum(y) AS ys FROM y$k),
+         | c$k AS (SELECT list_transform(list_zip(w$k.w, mu.m),
+         |            pr -> pr[1] - pr[2] * s$k.ys) AS c
+         |         FROM w$k CROSS JOIN mu CROSS JOIN s$k),
+         | v$k AS (SELECT list_transform(c, z -> CAST(CAST(z /
+         |            sqrt(list_sum(list_transform(c, q -> q * q)))
+         |            AS REAL) AS DOUBLE)) AS vv FROM c$k)""".stripMargin
+    }.mkString
+    s"""e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |      FROM embeddings),
+       | u AS (SELECT vec_id, unnest(v) AS x,
+       |         unnest(generate_series(1, len(v))) AS i FROM e),
+       | mu AS (SELECT list(x ORDER BY i) AS m FROM (
+       |     SELECT i, CAST(CAST(sum(x) / count(*) AS REAL) AS DOUBLE) AS x
+       |     FROM u GROUP BY i)),
+       | v0 AS (SELECT list_transform(generate_series(1, $Dim),
+       |          q -> CAST(CAST(1.0 / sqrt(CAST($Dim AS DOUBLE)) AS REAL)
+       |               AS DOUBLE)) AS vv)$steps""".stripMargin
+  }
+
+  val q228Sql: String =
+    s"""WITH $chain
+       |SELECT CAST(gs AS INTEGER) AS i, mu.m[gs] AS mu,
+       |  v$Iters.vv[gs] AS pc
+       |FROM generate_series(1, $Dim) t(gs) CROSS JOIN mu CROSS JOIN v$Iters
+       |ORDER BY i""".stripMargin
+
+  val q229Sql: String =
+    s"""WITH $chain,
+       | msf AS (SELECT ${dot("a.m", "b.m")} AS ms
+       |         FROM mu a CROSS JOIN mu b),
+       | mvf AS (SELECT ${dot("mu.m", s"v$Iters.vv")} AS mv
+       |         FROM mu CROSS JOIN v$Iters),
+       | terms AS (SELECT
+       |     CAST(floor(greatest((${dot("e.v", "e.v")}
+       |         - 2.0 * ${dot("e.v", "mu.m")}) + msf.ms, 0.0)
+       |       * 1000000.0 + 0.5) AS BIGINT) AS d2m,
+       |     CAST(floor((${dot("e.v", s"v$Iters.vv")} - mvf.mv)
+       |       * (${dot("e.v", s"v$Iters.vv")} - mvf.mv)
+       |       * 1000000.0 + 0.5) AS BIGINT) AS y2m
+       |   FROM e CROSS JOIN mu CROSS JOIN v$Iters
+       |   CROSS JOIN msf CROSS JOIN mvf)
+       |SELECT count(*) AS n,
+       |  CAST(coalesce(sum(d2m), 0) AS BIGINT) AS total_micro,
+       |  CAST(coalesce(sum(y2m), 0) AS BIGINT) AS top_micro,
+       |  CASE WHEN coalesce(sum(d2m), 0) > 0 THEN
+       |    CAST((CAST(coalesce(sum(y2m), 0) AS BIGINT) * 1000000)
+       |      // CAST(coalesce(sum(d2m), 0) AS BIGINT) AS BIGINT)
+       |  ELSE 0 END AS share_ppm
+       |FROM terms""".stripMargin
+
+  /** Name → query, for SparkEntry. */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q228_top_component" -> (q228 _),
+    "q229_abtt_share" -> (q229 _)
+  )
+
+  /** Name → DuckDB oracle SQL, for SparkEntry. */
+  val oracles: Map[String, String] = Map(
+    "q228_top_component" -> q228Sql,
+    "q229_abtt_share" -> q229Sql
+  )
+}
