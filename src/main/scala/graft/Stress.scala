@@ -575,6 +575,13 @@ object Stress {
       timed("drift-mmd") {
         graft.ext.Drift.groupMeanShift(emb, "embedding", "label").count()
       }
+      timed("spectral-pc1") {
+        // 4 power steps = 4 one-agg scans + the mean agg; vector state
+        // never leaves the driver
+        val (mu, pc) = graft.ext.Spectral
+          .topComponent(emb, "embedding", iterations = 4)
+        graft.ext.Spectral.topShare(emb, "embedding", mu, pc).count()
+      }
       timed("drift-jsd") {
         // narrow projection pinned: withNtile's range sort reads its
         // input ~3× (partitioner sample + sort + rank pass), and each
