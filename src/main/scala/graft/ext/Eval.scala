@@ -343,6 +343,32 @@ object Eval {
     per.unionByName(ece).orderBy(col("bin"))
   }
 
+  /** [[cohenKappaPpm]] over an ALREADY-FOLDED confusion matrix
+    * (label, pred, n) — the entry point for mergeable monitoring state
+    * ([[graft.streaming.StreamEval]]) and for any corpus big enough
+    * that you fold once and derive every metric from the ≤ |classes|²
+    * counts. Identical read-out to the row form (same ppm divisions
+    * over the same exact integers). */
+  def cohenKappaFromCounts(conf: DataFrame, labelCol: String,
+      predCol: String, nCol: String): DataFrame = {
+    val c = conf.select(col(labelCol).cast("int").as("__l"),
+      col(predCol).cast("int").as("__p"), col(nCol).cast("long").as("__n"))
+    val totals = c.agg(coalesce(sum(col("__n")), lit(0L)).as("n"),
+      coalesce(sum(when(col("__l") === col("__p"), col("__n"))
+        .otherwise(0L)), lit(0L)).as("correct"))
+    val pe = c.groupBy(col("__l")).agg(sum(col("__n")).as("nt"))
+      .join(c.groupBy(col("__p")).agg(sum(col("__n")).as("np")),
+        col("__l") === col("__p"))
+      .agg(coalesce(sum(col("nt") * col("np")), lit(0L)).as("pesum"))
+    totals.crossJoin(pe)
+      .select(col("n"), col("correct"),
+        expr("(correct * 1000000) div n").as("po_ppm"),
+        expr("(pesum * 1000000) div (n * n)").as("pe_ppm"))
+      .select(col("n"), col("correct"), col("po_ppm"), col("pe_ppm"),
+        expr("((po_ppm - pe_ppm) * 1000000) div (1000000 - pe_ppm)")
+          .as("kappa_ppm"))
+  }
+
   /** Quadratically-weighted Cohen's kappa in exact ppm integers — the
     * ORDINAL-label agreement statistic (a 1-vs-2 confusion should cost
     * less than 1-vs-9; plain kappa charges both the same):

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.StreamEval
+
+/** Streaming model-quality monitor: confusion counts as mergeable
+  * state — batch-order independence, idempotent replay, and the
+  * counts-fold reading EXACTLY what the row-level fold reads on the
+  * same data.
+  */
+class StreamEvalSpec extends SparkSpec {
+
+  test("mergeBatch: counts add across batches; replayed batch is a no-op") {
+    import spark.implicits._
+    val state = tmpDir("seval") + "/state"
+    val b1 = Seq((0, 0), (0, 1), (1, 1)).toDF("label", "pred")
+    val b2 = Seq((0, 0), (1, 0), (1, 1), (1, 1)).toDF("label", "pred")
+    assert(StreamEval.mergeBatch(spark, b1, "label", "pred", state, 0L) === 3L)
+    assert(StreamEval.mergeBatch(spark, b2, "label", "pred", state, 1L) === 4L)
+    // replay of batch 1 after a simulated restart: state unchanged
+    assert(StreamEval.mergeBatch(spark, b2, "label", "pred", state, 1L) === 0L)
+    val counts = StreamEval.counts(spark, state).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(counts === Map((0, 0) -> 2L, (0, 1) -> 1L,
+      (1, 0) -> 1L, (1, 1) -> 3L))
+    // the counts fold reads exactly what the row fold reads
+    val all = b1.unionByName(b2)
+    val fromRows = graft.ext.Eval.cohenKappaPpm(all, "label", "pred").head()
+    val fromCounts = graft.ext.Eval.cohenKappaFromCounts(
+      StreamEval.counts(spark, state), "label", "pred", "n").head()
+    assert(fromCounts.getAs[Long]("n") === 7L)
+    Seq("n", "correct", "po_ppm", "pe_ppm", "kappa_ppm").foreach { c =>
+      assert(fromCounts.getAs[Long](c) === fromRows.getAs[Long](c),
+        s"counts fold diverged on $c")
+    }
+  }
+
+  test("end-to-end stream: file source -> monitor state via AvailableNow") {
+    import spark.implicits._
+    val landing = tmpDir("sevalland")
+    val state = tmpDir("sevalst") + "/state"
+    val ckpt = tmpDir("sevalckpt")
+    (0 until 30).map(i => (i % 3, if (i % 10 == 9) (i + 1) % 3 else i % 3))
+      .toDF("label", "pred").write.parquet(s"$landing/part1")
+    val stream = spark.readStream
+      .schema("label INT, pred INT")
+      .parquet(s"$landing/*")
+    val q = StreamEval.start(stream, "label", "pred", state, ckpt,
+      Trigger.AvailableNow())
+    q.awaitTermination(60000L)
+    val total = StreamEval.counts(spark, state)
+      .agg(sum(col("n"))).head().getLong(0)
+    assert(total === 30L)
+    val kappa = graft.ext.Eval.cohenKappaFromCounts(
+      StreamEval.counts(spark, state), "label", "pred", "n").head()
+    // 27 of 30 correct, balanced classes → well above chance
+    assert(kappa.getAs[Long]("correct") === 27L)
+    assert(kappa.getAs[Long]("kappa_ppm") > 800000L)
+  }
+}
