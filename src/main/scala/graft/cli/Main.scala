@@ -58,6 +58,7 @@ import graft.transform.RideTransform
   *   semdedup-kmeans <embParquet> <idCol> <vecCol> <cells> <iters> <tauBp> <outParquet>
   *   eval-report <embParquet> <vecCol> <labelCol> <outDir>
   *   drift-report <parquet> <groupCol> <valueCol> <idCol> <tiles> <outParquet>
+  *   abtt <embParquet> <vecCol> <iters> <outParquet>
   */
 object Main {
 
@@ -608,6 +609,20 @@ object Main {
       val worst = jsd.orderBy(col("jsd_nano").desc).head()
       println(s"drift-report: ${jsd.count()} groups, max drift " +
         s"${worst.get(0)}=${worst.getAs[Long]("jsd_nano")} nano → $out")
+
+    // abtt <embParquet> <vecCol> <iters> <outParquet>: all-but-the-top
+    // embedding correction — power-iterate PC1, print its variance
+    // share, write vectors with the component removed.
+    case "abtt" :: in :: vecCol :: iters :: out :: Nil =>
+      val e = spark.read.parquet(in)
+      val (mu, pc) = graft.ext.Spectral
+        .topComponent(e, vecCol, iterations = iters.toInt)
+      val share = graft.ext.Spectral.topShare(e, vecCol, mu, pc).head()
+      graft.ext.Spectral.removeTop(e, vecCol, mu, pc, s"${vecCol}_abtt")
+        .write.mode("overwrite").parquet(out)
+      println(s"abtt: PC1 share ${share.getAs[Long]("share_ppm")} ppm over " +
+        s"${share.getAs[Long]("n")} vectors; corrected column " +
+        s"${vecCol}_abtt → $out")
 
     case other =>
       sys.error(s"unknown command: ${other.mkString(" ")} — see Scaladoc for usage")

@@ -551,5 +551,23 @@ class CliSpec extends SparkSpec {
     assert(jsd("low") === 2L * 346573590L)
     assert(jsd("g0") === jsd("g1"))
     assert(jsd("g0") > 0L && jsd("g0") < jsd("low"))
+
+    // abtt on a rank-1 corpus: correction flattens the vectors
+    val r1 = (0L until 32L).map { i =>
+      val t = (i % 8).toDouble - 3.5
+      (i, Seq((1.0 + t).toFloat, (2.0 - 0.5 * t).toFloat, 3.0f))
+    }.toDF("vec_id", "embedding")
+    r1.write.parquet(s"$base/r1")
+    Main.run(spark, List("abtt", s"$base/r1", "embedding", "5",
+      s"$base/abtt"))
+    val corrected = spark.read.parquet(s"$base/abtt")
+    assert(corrected.count() === 32L)
+    // residual vectors are ~constant (all variance was along PC1)
+    val distinctRounded = corrected
+      .select(transform($"embedding_abtt",
+        x => round(x.cast("double"), 3)).as("r"))
+      .distinct().count()
+    assert(distinctRounded === 1L,
+      s"rank-1 corpus should flatten to one residual, got $distinctRounded")
   }
 }
