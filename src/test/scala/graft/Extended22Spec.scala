@@ -250,6 +250,31 @@ class Extended22Spec extends SparkSpec {
     assert(p === 5, "ties must resolve toward the larger label")
   }
 
+  test("plan shapes: classification is one shuffle-free codegen'd scan; silhouette too") {
+    val e = graft.queries.Tables.load(spark, dir, "embeddings")
+    // the returned frame (after the bounded centroid collect) must be a
+    // pure projection over the scan: NO Exchange, NO extra aggregation
+    import org.apache.spark.sql.execution.WholeStageCodegenExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val pred = graft.ext.Eval.centroidPredictions(e, "embedding", "label")
+    val predPlan = pred.queryExecution.executedPlan
+    assert(predPlan.collect { case s: ShuffleExchangeLike => s }.isEmpty,
+      s"classification scan must not shuffle:\n$predPlan")
+    assert(predPlan.collect { case w: WholeStageCodegenExec => w }.nonEmpty,
+      s"classification scan must stay inside WSCG:\n$predPlan")
+    assert(predPlan.toString.contains("cosine_argmax"),
+      "classification must ride the native expression")
+    val silPlan = graft.ext.Eval
+      .simplifiedSilhouette(e, "embedding", "label")
+      .queryExecution.executedPlan
+    // hash-agg shuffles on the (tiny) label key are the ONLY exchanges
+    // (per-label fold + the union's overall fold)
+    assert(silPlan.collect { case s: ShuffleExchangeLike => s }.length <= 2,
+      s"silhouette should shuffle only the per-label folds:\n$silPlan")
+    assert(silPlan.toString.contains("float_vector_dot"),
+      "silhouette distances must ride the native dot")
+  }
+
   // ------------------------------------------------------------- drift
 
   test("groupMeanShift: hand-checked distance, zero on identical groups") {
