@@ -606,8 +606,11 @@ object Main {
       val jsd = graft.ext.Drift.jsDivergenceBinned(binned, groupCol, "bin")
       jsd.write.mode("overwrite").parquet(out)
       graft.operators.GlobalRank.releaseCache()
-      val worst = jsd.orderBy(col("jsd_nano").desc).head()
-      println(s"drift-report: ${jsd.count()} groups, max drift " +
+      // summarize from the WRITTEN parquet — re-running the plan would
+      // repeat the two-pass global sort with the rank cache released
+      val back = spark.read.parquet(out)
+      val worst = back.orderBy(col("jsd_nano").desc).head()
+      println(s"drift-report: ${back.count()} groups, max drift " +
         s"${worst.get(0)}=${worst.getAs[Long]("jsd_nano")} nano → $out")
 
     // abtt <embParquet> <vecCol> <iters> <outParquet>: all-but-the-top

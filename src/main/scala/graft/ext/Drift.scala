@@ -29,14 +29,9 @@ object Drift {
     */
   def groupMeanShift(emb: DataFrame, vecCol: String,
       groupCol: String): DataFrame = {
-    val dim = emb.limit(1).select(size(col(vecCol)).cast("int")).collect()
-      .headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Int]))
-      .getOrElse(throw new IllegalArgumentException(
-        s"cannot infer vector dim: input is empty or '$vecCol' is null"))
+    val dim = VecOps.vecDim(emb, vecCol)
     val means = emb.groupBy(col(groupCol).cast("int").as("g"))
-      .agg(array((1 to dim).map(i =>
-        (sum(element_at(col(vecCol), i)) / count(lit(1)))
-          .cast("float")): _*).as("mvec"))
+      .agg(VecOps.meanArray(vecCol, dim).as("mvec"))
     val a = means.select(col("g").as("group_a"), col("mvec").as("va"))
     val b = means.select(col("g").as("group_b"), col("mvec").as("vb"))
     val d2 = aggregate(

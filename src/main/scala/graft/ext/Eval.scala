@@ -112,35 +112,15 @@ object Eval {
 
   /** Per-label FLOAT-ROUNDED component-mean centroids as bounded driver
     * metadata (labels × dim floats — the [[graft.ext.VectorIndex]]
-    * contract; the DATA never collects). */
+    * contract; the DATA never collects). NULL labels are rejected
+    * loudly (see [[VecOps.groupMeans]]). */
   private def labelCentroids(emb: DataFrame, vecCol: String,
-      labelCol: String): Array[(Int, Array[Float])] = {
-    val dim = emb.limit(1).select(size(col(vecCol)).cast("int")).collect()
-      .headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Int]))
-      .getOrElse(throw new IllegalArgumentException(
-        s"cannot infer vector dim: input is empty or '$vecCol' is null"))
-    val cents: Array[(Int, Array[Float])] = emb
-      .groupBy(col(labelCol).cast("int").as("__cl"))
-      .agg(array((1 to dim).map(i =>
-        (sum(element_at(col(vecCol), i)) / count(lit(1)))
-          .cast("float")): _*).as("__c"))
-      .collect()
-      .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray)
-    require(cents.nonEmpty, "no labels to build centroids from")
-    cents
-  }
+      labelCol: String): Array[(Int, Array[Float])] =
+    VecOps.groupMeans(emb, vecCol, labelCol)
 
-  private def centroidLit(c: Array[Float]): Column =
-    array(c.map(v => lit(v)): _*).cast("array<float>")
+  private def centroidLit(c: Array[Float]): Column = VecOps.litF(c)
 
-  /** Sequential (left-to-right) double self-dot — the same
-    * accumulation order as the codegen'd dot expression and DuckDB's
-    * list_sum, so a folded literal is bit-identical. */
-  private def selfDot(c: Array[Float]): Double = {
-    var s = 0.0; var i = 0
-    while (i < c.length) { s += c(i).toDouble * c(i).toDouble; i += 1 }
-    s
-  }
+  private def selfDot(c: Array[Float]): Double = VecOps.seqDot(c, c)
 
   /** Exact confusion matrix: one row per (label, pred) pair that
     * occurs, with its count — the canonical classification read-out
@@ -167,23 +147,15 @@ object Eval {
     * @return one row: (n, correct, po_ppm, pe_ppm, kappa_ppm)
     */
   def cohenKappaPpm(pred: DataFrame, labelCol: String,
-      predCol: String): DataFrame = {
-    val p = pred.select(col(labelCol).cast("int").as("__l"),
-      col(predCol).cast("int").as("__p"))
-    val totals = p.agg(count(lit(1)).as("n"),
-      sum(when(col("__l") === col("__p"), 1L).otherwise(0L)).as("correct"))
-    val pe = p.groupBy(col("__l")).agg(count(lit(1)).as("nt"))
-      .join(p.groupBy(col("__p")).agg(count(lit(1)).as("np")),
-        col("__l") === col("__p"))
-      .agg(coalesce(sum(col("nt") * col("np")), lit(0L)).as("pesum"))
-    totals.crossJoin(pe)
-      .select(col("n"), col("correct"),
-        expr("(correct * 1000000) div n").as("po_ppm"),
-        expr("(pesum * 1000000) div (n * n)").as("pe_ppm"))
-      .select(col("n"), col("correct"), col("po_ppm"), col("pe_ppm"),
-        expr("((po_ppm - pe_ppm) * 1000000) div (1000000 - pe_ppm)")
-          .as("kappa_ppm"))
-  }
+      predCol: String): DataFrame =
+    // fold rows to the ≤ |classes|² confusion counts and delegate —
+    // the counts form is the single implementation (StreamEvalSpec
+    // pins the two entry points to identical read-outs)
+    cohenKappaFromCounts(
+      pred.groupBy(col(labelCol).cast("int").as("__cl"),
+          col(predCol).cast("int").as("__cp"))
+        .agg(count(lit(1)).as("__cn")),
+      "__cl", "__cp", "__cn")
 
   /** Per-class precision / recall / F1 in exact ppm integers, one row
     * per class (union of true and predicted label sets) plus a `-1`
@@ -365,8 +337,12 @@ object Eval {
         expr("(correct * 1000000) div n").as("po_ppm"),
         expr("(pesum * 1000000) div (n * n)").as("pe_ppm"))
       .select(col("n"), col("correct"), col("po_ppm"), col("pe_ppm"),
-        expr("((po_ppm - pe_ppm) * 1000000) div (1000000 - pe_ppm)")
-          .as("kappa_ppm"))
+        // pe = 10⁶ (every row one class on both sides) zeroes the
+        // denominator; agreement is perfect-but-uninformative and
+        // reads 10⁶ by convention — the fleissKappaPpm guard
+        expr("CASE WHEN pe_ppm = 1000000 THEN 1000000 ELSE" +
+          " ((po_ppm - pe_ppm) * 1000000) div (1000000 - pe_ppm)" +
+          " END").as("kappa_ppm"))
   }
 
   /** Quadratically-weighted Cohen's kappa in exact ppm integers — the

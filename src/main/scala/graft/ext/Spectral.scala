@@ -30,9 +30,7 @@ object Spectral {
   /** Global float-rounded component mean. */
   def meanVector(emb: DataFrame, vecCol: String): Array[Float] = {
     val dim = vecDim(emb, vecCol)
-    emb.agg(array((1 to dim).map(i =>
-        (sum(element_at(col(vecCol), i)) / count(lit(1)))
-          .cast("float")): _*).as("m"))
+    emb.agg(VecOps.meanArray(vecCol, dim).as("m"))
       .head().getSeq[Float](0).toArray
   }
 
@@ -101,31 +99,26 @@ object Spectral {
 
   /** Remove the top component from every vector:
     * x' = x − ⟨x − μ, v⟩·v (the "all-but-the-top" correction, applied
-    * around the mean). One scan, no shuffle; output is float. */
+    * around the mean). One scan, no shuffle; output is float. The
+    * scalar y is materialized ONCE per row — referencing the dot
+    * expression inside the zip_with lambda would re-evaluate the
+    * d-element dot per output component (O(d²)/row). */
   def removeTop(emb: DataFrame, vecCol: String, mu: Array[Float],
       v: Array[Float], outCol: String): DataFrame = {
     val y = VectorFns.dot(col(vecCol), litF(v)) - lit(seqDot(mu, v))
-    emb.withColumn(outCol,
-      zip_with(col(vecCol), litF(v),
-        (x, vc) => (x.cast("double") - y * vc.cast("double"))
-          .cast("float")))
+    emb.withColumn("__abtt_y", y)
+      .withColumn(outCol,
+        zip_with(col(vecCol), litF(v),
+          (x, vc) => (x.cast("double") - col("__abtt_y") * vc.cast("double"))
+            .cast("float")))
+      .drop("__abtt_y")
   }
 
   private def vecDim(emb: DataFrame, vecCol: String): Int =
-    emb.limit(1).select(size(col(vecCol)).cast("int")).collect()
-      .headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Int]))
-      .getOrElse(throw new IllegalArgumentException(
-        s"cannot infer vector dim: input is empty or '$vecCol' is null"))
+    VecOps.vecDim(emb, vecCol)
 
-  private def litF(a: Array[Float]): Column =
-    array(a.map(x => lit(x)): _*).cast("array<float>")
+  private def litF(a: Array[Float]): Column = VecOps.litF(a)
 
-  /** Left-to-right double dot of two float vectors — the SQL list_sum
-    * accumulation order, so driver scalars match oracle scalars. */
-  private def seqDot(a: Array[Float], b: Array[Float]): Double = {
-    var s = 0.0; var i = 0
-    val n = math.min(a.length, b.length)
-    while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
-    s
-  }
+  private def seqDot(a: Array[Float], b: Array[Float]): Double =
+    VecOps.seqDot(a, b)
 }

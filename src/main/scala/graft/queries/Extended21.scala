@@ -395,8 +395,11 @@ object Extended21 {
        |SELECT n, correct,
        |  (correct * 1000000) // n AS po_ppm,
        |  (pesum * 1000000) // (n * n) AS pe_ppm,
-       |  (((correct * 1000000) // n - (pesum * 1000000) // (n * n)) * 1000000)
-       |    // (1000000 - (pesum * 1000000) // (n * n)) AS kappa_ppm
+       |  CAST(CASE WHEN (pesum * 1000000) // (n * n) = 1000000 THEN 1000000
+       |    ELSE (((correct * 1000000) // n
+       |           - (pesum * 1000000) // (n * n)) * 1000000)
+       |      // (1000000 - (pesum * 1000000) // (n * n))
+       |  END AS BIGINT) AS kappa_ppm
        |FROM tot CROSS JOIN marg""".stripMargin
 
   /** Name → query, for SparkEntry. */

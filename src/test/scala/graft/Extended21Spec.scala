@@ -196,6 +196,14 @@ class Extended21Spec extends SparkSpec {
       labels.withColumn("pred", lit(0)), "label", "pred").head()
     assert(const.getAs[Long]("po_ppm") === const.getAs[Long]("pe_ppm"))
     assert(const.getAs[Long]("kappa_ppm") === 0L)
+    // degenerate single-class corpus: pe = 10⁶ zeroes the denominator;
+    // defined as 10⁶ by convention (the fleissKappaPpm guard) instead
+    // of a silent NULL / ANSI divide-by-zero
+    import spark.implicits._
+    val single = (0L until 8L).map(i => (i, 3, 3)).toDF("id", "label", "pred")
+    val deg = graft.ext.Eval.cohenKappaPpm(single, "label", "pred").head()
+    assert(deg.getAs[Long]("pe_ppm") === 1000000L)
+    assert(deg.getAs[Long]("kappa_ppm") === 1000000L)
   }
 
   test("centroidPredictions + confusion: marginals consistent, separable clusters perfect") {

@@ -37,6 +37,33 @@ class StreamEvalSpec extends SparkSpec {
     }
   }
 
+  test("mergeBatch: empty batch is a no-op; crashed swap recovers from _bak") {
+    import spark.implicits._
+    val state = tmpDir("sevalempty") + "/state"
+    val empty = Seq.empty[(Int, Int)].toDF("label", "pred")
+    // empty FIRST batch must not write a state whose max(batch_id)
+    // would be NULL over zero rows (the NPE crash-loop case)
+    assert(StreamEval.mergeBatch(spark, empty, "label", "pred", state, 0L) === 0L)
+    val b1 = Seq((0, 0), (1, 1)).toDF("label", "pred")
+    assert(StreamEval.mergeBatch(spark, b1, "label", "pred", state, 1L) === 2L)
+    assert(StreamEval.mergeBatch(spark, empty, "label", "pred", state, 2L) === 0L)
+    assert(StreamEval.counts(spark, state).count() === 2L)
+    // simulate a swap that died between its two renames: live state
+    // gone, _bak generation present → reads and merges keep working
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(state).getFileSystem(conf)
+    fs.rename(new org.apache.hadoop.fs.Path(state),
+      new org.apache.hadoop.fs.Path(state + "_bak"))
+    assert(StreamEval.counts(spark, state).count() === 2L)
+    // replay of batch 1 against the recovered generation: still a no-op
+    assert(StreamEval.mergeBatch(spark, b1, "label", "pred", state, 1L) === 0L)
+    // a new batch merges on top of the recovered counts
+    assert(StreamEval.mergeBatch(spark, b1, "label", "pred", state, 3L) === 2L)
+    val total = StreamEval.counts(spark, state)
+      .agg(org.apache.spark.sql.functions.sum("n")).head().getLong(0)
+    assert(total === 4L)
+  }
+
   test("end-to-end stream: file source -> monitor state via AvailableNow") {
     import spark.implicits._
     val landing = tmpDir("sevalland")
