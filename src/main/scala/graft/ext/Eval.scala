@@ -284,6 +284,48 @@ object Eval {
     per.unionByName(overall).orderBy(col("label"))
   }
 
+  /** Confidence Brier score in exact micro² integers: mean squared gap
+    * between the stated confidence (micro units) and the 0/1 outcome
+    * (10⁶ on a correct prediction, 0 otherwise) — the proper-scoring
+    * complement to [[calibrationBins]]' binned ECE (ECE can read 0 for
+    * a confidently-wrong-in-both-directions model; Brier can't). Pure
+    * integer: per-row (conf − outcome)² summed exactly, mean by
+    * integer division. Long arithmetic holds through ~2·10⁶ rows per
+    * 4·10¹² max per-row term — lift the sum to DECIMAL past ~10⁹ rows.
+    *
+    * @return one row: (n, correct, sum_micro2, brier_micro2)
+    */
+  def brierMicro2(scored: DataFrame, labelCol: String, predCol: String,
+      confMicroCol: String): DataFrame =
+    scored.select(
+        when(col(labelCol).cast("int") === col(predCol).cast("int"),
+          1000000L).otherwise(0L).as("t"),
+        col(confMicroCol).cast("long").as("cm"))
+      .select(col("t"), ((col("cm") - col("t")) * (col("cm") - col("t")))
+        .as("se"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(when(col("t") === 1000000L, 1L).otherwise(0L)),
+          lit(0L)).as("correct"),
+        coalesce(sum(col("se")), lit(0L)).as("sum_micro2"))
+      .select(col("n"), col("correct"), col("sum_micro2"),
+        expr("CASE WHEN n > 0 THEN sum_micro2 div n ELSE 0 END")
+          .as("brier_micro2"))
+
+  /** Balanced accuracy in exact ppm: the unweighted mean of per-class
+    * recalls — the accuracy read-out that a skewed class mix can't
+    * flatter (a constant majority-class predictor reads 1/k, not the
+    * majority share). Classes with no true rows don't vote. */
+  def balancedAccuracyPpm(pred: DataFrame, labelCol: String,
+      predCol: String): DataFrame =
+    pred.select(col(labelCol).cast("int").as("__l"),
+        col(predCol).cast("int").as("__p"))
+      .groupBy(col("__l"))
+      .agg(count(lit(1)).as("nt"),
+        sum(when(col("__l") === col("__p"), 1L).otherwise(0L)).as("tp"))
+      .select(expr("(tp * 1000000) div nt").as("recall_ppm"))
+      .agg(count(lit(1)).as("n_classes"),
+        expr("sum(recall_ppm) div count(*)").as("balanced_acc_ppm"))
+
   /** Reliability table + expected calibration error, all integer ppm:
     * rows whose `confMicroCol` (micro-units, e.g. max-cosine × 10⁶)
     * lands in bin b = clamp(conf_micro·bins div 10⁶, 0, bins−1) are

@@ -128,15 +128,63 @@ object Extended23 {
        |  ELSE 0 END AS share_ppm
        |FROM terms""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q230 — confidence Brier score (micro² integers): the proper-scoring
+  // complement to q222's binned ECE.
+  def q230(s: SparkSession, dir: String): DataFrame = {
+    val scored = graft.ext.Eval.centroidScoredPredictions(
+      t(s, dir, "embeddings"), "embedding", "label")
+    graft.ext.Eval.brierMicro2(scored, "label", "pred", "conf_micro")
+  }
+
+  val q230Sql: String =
+    s"""WITH ${CentroidPredOracle.chain},
+       | scr AS (SELECT
+       |     CASE WHEN label = pred THEN 1000000 ELSE 0 END AS t,
+       |     CAST(floor(score * 1000000.0 + 0.5) AS BIGINT) AS cm
+       |   FROM pred)
+       |SELECT count(*) AS n,
+       |  CAST(coalesce(sum(CASE WHEN t = 1000000 THEN 1 ELSE 0 END), 0)
+       |    AS BIGINT) AS correct,
+       |  CAST(coalesce(sum((cm - t) * (cm - t)), 0) AS BIGINT)
+       |    AS sum_micro2,
+       |  CAST(CASE WHEN count(*) > 0 THEN
+       |    CAST(coalesce(sum((cm - t) * (cm - t)), 0) AS BIGINT)
+       |      // count(*)
+       |  ELSE 0 END AS BIGINT) AS brier_micro2
+       |FROM scr""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q231 — balanced accuracy (mean per-class recall, ppm): the
+  // skew-proof accuracy read-out.
+  def q231(s: SparkSession, dir: String): DataFrame = {
+    val p = graft.ext.Eval.centroidPredictions(
+      t(s, dir, "embeddings"), "embedding", "label")
+    graft.ext.Eval.balancedAccuracyPpm(p, "label", "pred")
+  }
+
+  val q231Sql: String =
+    s"""WITH ${CentroidPredOracle.chain},
+       | rc AS (SELECT (CAST(sum(CASE WHEN label = pred THEN 1 ELSE 0 END)
+       |            AS BIGINT) * 1000000) // count(*) AS recall_ppm
+       |        FROM pred GROUP BY label)
+       |SELECT count(*) AS n_classes,
+       |  CAST(sum(recall_ppm) AS BIGINT) // count(*) AS balanced_acc_ppm
+       |FROM rc""".stripMargin
+
   /** Name → query, for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q228_top_component" -> (q228 _),
-    "q229_abtt_share" -> (q229 _)
+    "q229_abtt_share" -> (q229 _),
+    "q230_brier_score" -> (q230 _),
+    "q231_balanced_accuracy" -> (q231 _)
   )
 
   /** Name → DuckDB oracle SQL, for SparkEntry. */
   val oracles: Map[String, String] = Map(
     "q228_top_component" -> q228Sql,
-    "q229_abtt_share" -> q229Sql
+    "q229_abtt_share" -> q229Sql,
+    "q230_brier_score" -> q230Sql,
+    "q231_balanced_accuracy" -> q231Sql
   )
 }

@@ -65,6 +65,45 @@ class Extended23Spec extends SparkSpec {
       s"removal left energy along pc: $residShare vs $share")
   }
 
+  test("brierMicro2: hand values; perfect-confident 0; confident-wrong maximal") {
+    import spark.implicits._
+    // (label, pred, conf): right@0.9 → (9e5−1e6)² = 1e10;
+    // wrong@0.4 → (4e5)² = 1.6e11; right@1.0 → 0
+    val scored = Seq((0, 0, 900000L), (0, 1, 400000L), (1, 1, 1000000L))
+      .toDF("label", "pred", "conf_micro")
+    val b = graft.ext.Eval
+      .brierMicro2(scored, "label", "pred", "conf_micro").head()
+    assert(b.getAs[Long]("sum_micro2") === 10000000000L + 160000000000L)
+    assert(b.getAs[Long]("brier_micro2") === 170000000000L / 3)
+    // perfectly calibrated and correct → exactly 0
+    val perfect = Seq((0, 0, 1000000L), (1, 1, 1000000L))
+      .toDF("label", "pred", "conf_micro")
+    assert(graft.ext.Eval
+      .brierMicro2(perfect, "label", "pred", "conf_micro").head()
+      .getAs[Long]("brier_micro2") === 0L)
+    // fully confident and always wrong → the 1e12 maximum
+    val worst = Seq((0, 1, 1000000L), (1, 0, 1000000L))
+      .toDF("label", "pred", "conf_micro")
+    assert(graft.ext.Eval
+      .brierMicro2(worst, "label", "pred", "conf_micro").head()
+      .getAs[Long]("brier_micro2") === 1000000000000L)
+  }
+
+  test("balancedAccuracyPpm: constant majority predictor reads 1/k, not the majority share") {
+    import spark.implicits._
+    // 90 rows of class 0, 10 of class 1; predictor always says 0:
+    // plain accuracy 90%, balanced accuracy exactly 50%
+    val skew = ((0 until 90).map(_ => (0, 0)) ++ (0 until 10).map(_ => (1, 0)))
+      .toDF("label", "pred")
+    val ba = graft.ext.Eval.balancedAccuracyPpm(skew, "label", "pred").head()
+    assert(ba.getAs[Long]("n_classes") === 2L)
+    assert(ba.getAs[Long]("balanced_acc_ppm") === 500000L)
+    // perfect predictor reads exactly 1e6
+    val perfect = (0 until 30).map(i => (i % 3, i % 3)).toDF("label", "pred")
+    assert(graft.ext.Eval.balancedAccuracyPpm(perfect, "label", "pred")
+      .head().getAs[Long]("balanced_acc_ppm") === 1000000L)
+  }
+
   test("fixture: PC1 unit-norm, share strictly between isotropy and rank-1") {
     val e = graft.queries.Tables.load(spark, dir, "embeddings")
     val (mu, pc) = graft.ext.Spectral.topComponent(e, "embedding", 4)
