@@ -290,8 +290,13 @@ object Eval {
     * complement to [[calibrationBins]]' binned ECE (ECE can read 0 for
     * a confidently-wrong-in-both-directions model; Brier can't). Pure
     * integer: per-row (conf − outcome)² summed exactly, mean by
-    * integer division. Long arithmetic holds through ~2·10⁶ rows per
-    * 4·10¹² max per-row term — lift the sum to DECIMAL past ~10⁹ rows.
+    * integer division. Long bound: the worst-case per-row term is
+    * 4·10¹² (confidence −10⁶ on a correct row), so the exact sum
+    * holds through ~2.3·10⁶ ADVERSARIAL rows; a typically-calibrated
+    * corpus (mean se far below 10¹²) reaches 10⁸–10⁹. Past the bound,
+    * lift the sum to DECIMAL on BOTH engines. NULL confidence fails
+    * LOUDLY — silently skipping it would divide a partial sum by the
+    * full row count.
     *
     * @return one row: (n, correct, sum_micro2, brier_micro2)
     */
@@ -300,7 +305,10 @@ object Eval {
     scored.select(
         when(col(labelCol).cast("int") === col(predCol).cast("int"),
           1000000L).otherwise(0L).as("t"),
-        col(confMicroCol).cast("long").as("cm"))
+        coalesce(col(confMicroCol).cast("long"),
+          raise_error(lit(s"brierMicro2: NULL in '$confMicroCol' — " +
+            "score every row or filter unscored rows first"))
+            .cast("long")).as("cm"))
       .select(col("t"), ((col("cm") - col("t")) * (col("cm") - col("t")))
         .as("se"))
       .agg(count(lit(1)).as("n"),
@@ -314,10 +322,23 @@ object Eval {
   /** Balanced accuracy in exact ppm: the unweighted mean of per-class
     * recalls — the accuracy read-out that a skewed class mix can't
     * flatter (a constant majority-class predictor reads 1/k, not the
-    * majority share). Classes with no true rows don't vote. */
+    * majority share).
+    *
+    * Class-set semantics, deliberately different from
+    * [[perClassPrf1]]'s macro row: the mean here runs over TRUE-label
+    * classes only (the standard balanced-accuracy definition — recall
+    * is undefined for a class nobody ever has), while the macro row
+    * averages over the union of true and predicted classes (a
+    * predicted-only class votes 0 there). NULL labels fail LOUDLY —
+    * a null key would otherwise form a phantom recall-0 class and
+    * drag the mean (the same hazard [[VecOps.groupMeans]] guards). */
   def balancedAccuracyPpm(pred: DataFrame, labelCol: String,
       predCol: String): DataFrame =
-    pred.select(col(labelCol).cast("int").as("__l"),
+    pred.select(
+        coalesce(col(labelCol).cast("int"),
+          raise_error(lit(s"balancedAccuracyPpm: NULL in '$labelCol' — " +
+            "a null key would form a phantom recall-0 class"))
+            .cast("int")).as("__l"),
         col(predCol).cast("int").as("__p"))
       .groupBy(col("__l"))
       .agg(count(lit(1)).as("nt"),

@@ -89,6 +89,22 @@ class Extended23Spec extends SparkSpec {
       .getAs[Long]("brier_micro2") === 1000000000000L)
   }
 
+  test("NULL guards fail loudly: unscored rows in brier, null labels in balanced accuracy") {
+    import spark.implicits._
+    val holey = Seq((0, 0, Some(900000L)), (0, 0, None))
+      .toDF("label", "pred", "conf_micro")
+    val e1 = intercept[Exception] {
+      graft.ext.Eval.brierMicro2(holey, "label", "pred", "conf_micro")
+        .head()
+    }
+    assert(e1.getMessage != null)
+    val nullLab = Seq((Some(0), 0), (None, 0)).toDF("label", "pred")
+    val e2 = intercept[Exception] {
+      graft.ext.Eval.balancedAccuracyPpm(nullLab, "label", "pred").head()
+    }
+    assert(e2.getMessage != null)
+  }
+
   test("balancedAccuracyPpm: constant majority predictor reads 1/k, not the majority share") {
     import spark.implicits._
     // 90 rows of class 0, 10 of class 1; predictor always says 0:
