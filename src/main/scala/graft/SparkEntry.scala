@@ -38,7 +38,8 @@ object SparkEntry {
       graft.queries.Extended20.queries ++
       graft.queries.Extended21.queries ++
       graft.queries.Extended22.queries ++
-      graft.queries.Extended23.queries
+      graft.queries.Extended23.queries ++
+      graft.queries.Extended24.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -62,5 +63,6 @@ object SparkEntry {
       graft.queries.Extended20.oracles ++
       graft.queries.Extended21.oracles ++
       graft.queries.Extended22.oracles ++
-      graft.queries.Extended23.oracles
+      graft.queries.Extended23.oracles ++
+      graft.queries.Extended24.oracles
 }

@@ -576,10 +576,15 @@ object Stress {
         graft.ext.Drift.groupMeanShift(emb, "embedding", "label").count()
       }
       timed("spectral-pc1") {
-        // 4 power steps = 4 one-agg scans + the mean agg; vector state
-        // never leaves the driver
-        val (mu, pc) = graft.ext.Spectral
-          .topComponent(emb, "embedding", iterations = 4)
+        // 4 power steps = 4 one-agg scans (the mean FOLDS into the
+        // first — r13 item 4); vector state never leaves the driver.
+        // Rayleigh residuals price the iteration budget (r13 item 5).
+        val (mu, pc, res) = graft.ext.Spectral
+          .topComponentWithResiduals(emb, "embedding", iterations = 4)
+        res.foreach { case (it, lambda, r) =>
+          println(f"[stress] spectral-iter $it  lambda $lambda%.4g" +
+            f"  residual ${r}%.3e")
+        }
         graft.ext.Spectral.topShare(emb, "embedding", mu, pc).count()
       }
       timed("drift-jsd") {
@@ -1063,6 +1068,124 @@ object Stress {
           .contains("xx64first")) arms.reverse else arms
       ordered.foreach { case (name, body) =>
         timed(name)(body()); gcWindow()
+      }
+    }
+    if (picks("semdd")) {
+      // r13 item 7: TWO blocking geometries for the same semantic-dedup
+      // decision — banded sign-LSH buckets (q163) vs k-means
+      // cluster-scoped all-pairs (q215, the SemDeDup shape). Fixture:
+      // dim-32 vectors in 5-clone groups (group signal + per-doc
+      // noise), the duplication factor the bucket-occupancy rule
+      // targets. Per size: analytic pairs-examined for each geometry
+      // (Σ C(occupants, 2) from the bucket/cell counts — exact, no
+      // detonation needed), dups found, and wall time. The structural
+      // asymmetry this prices: LSH occupancy is FREE to tune (bits
+      // cost nothing), while cluster occupancy is bought with k
+      // classification flops — at affordable k the cells stay big and
+      // the within-cell all-pairs goes quadratic.
+      val dim = 32
+      def embOf(n: Long): DataFrame = {
+        val d = spark.read.format("graftdocs")
+          .option("rows", n).option("partitions", cpus.toInt * 2).load()
+        val grp = ($"doc_id" / 5L)
+        val vec = array((0 until dim).map { i =>
+          ((xxhash64(grp, lit(i)) % 1000L).cast("double") / 500.0 +
+            (xxhash64($"doc_id", lit(i + 777)) % 100L).cast("double")
+              / 5000.0).cast("float")
+        }: _*)
+        d.select($"doc_id".as("vec_id"), vec.as("embedding"))
+          .localCheckpoint()
+      }
+      def pairVolume(counts: DataFrame): BigInt = BigInt(counts
+        .agg(sum(col("count").cast("decimal(38,0)") * (col("count") - 1)))
+        .head().getDecimal(0).toBigInteger) / 2
+      for (n <- Seq(rows / 10, rows / 4, rows)) {
+        val emb = embOf(n)
+        val bits = math.max(4, math.min(24,
+          (math.log(n.toDouble / occTarget) / math.log(2)).round.toInt))
+        val lshVol = pairVolume(emb.select(graft.functions.VectorFns
+          .signBucket($"embedding", bits).as("b")).groupBy($"b").count())
+        println(s"[stress] semdd-$n lsh bits=$bits analytic pairs=$lshVol")
+        timed(s"semdd-lsh-$n") {
+          graft.ext.VectorIndex.semanticDedup(emb, "embedding", "vec_id",
+            tauBp = 9000, bits = bits).filter(!$"keep").count()
+        }
+        gcWindow()
+        val k = 256
+        var cents: Array[Array[Float]] = null
+        timed(s"semdd-train-$n") {
+          cents = graft.ext.VectorIndex.trainCentroids(
+            emb, "embedding", k = k, iterations = 2)
+          cents.length.toLong
+        }
+        val cellVol = pairVolume(graft.ext.VectorIndex
+          .assignCells(emb, "embedding", cents)
+          .groupBy($"cell").count())
+        println(s"[stress] semdd-$n cluster k=$k analytic pairs=$cellVol")
+        if (cellVol < BigInt(500000000L)) {
+          timed(s"semdd-cluster-$n") {
+            graft.ext.VectorIndex.semanticDedupClustered(emb, "embedding",
+              "vec_id", cents, tauBp = 9000).filter(!$"keep").count()
+          }
+        } else println(s"[stress] semdd-cluster-$n SKIPPED — analytic " +
+          s"pairs $cellVol at affordable k=$k (that IS the finding)")
+        gcWindow()
+      }
+    }
+    if (picks("gramblock")) {
+      // r13 verdict item: price all-grams vs df-rarest-prefix blocking
+      // for edit-distance joins on a ZIPF-SKEWED name corpus — TPC-H
+      // part names hide the hazard (templated vocabulary, flat gram
+      // df); natural-language entity names put a constant fraction of
+      // the corpus on the hottest bigram, and all-grams blocking
+      // shuffles Σ_g C(df(g), 2) candidate pairs through that key.
+      // Names are 14 chars drawn from a 100-slot natural-letter-
+      // frequency table (e≈12%, t≈9%, …), hashed off the row id —
+      // deterministic, zero IO. Per size: the ANALYTIC all-grams
+      // candidate volume (exact, from the df table — no need to
+      // detonate the join to know its size), the all-grams join
+      // wall-time where volume permits, and the prefix path's
+      // wall-time + surviving candidate count (lev ≤ 2 ⇒ budget 4,
+      // 5 rarest tagged grams per string as the only join keys).
+      val letterSlots =
+        "eeeeeeeeeeee" + "ttttttttt" + "aaaaaaaa" + "oooooooo" +
+        "iiiiiii" + "nnnnnnn" + "ssssss" + "hhhhhh" + "rrrrrr" +
+        "dddd" + "llll" + "ccc" + "uuu" + "mm" + "ww" + "ff" + "gg" +
+        "yy" + "pp" + "b" + "v" + "k" + "j" + "x"
+      require(letterSlots.length == 100, s"slots ${letterSlots.length}")
+      val lut = array(letterSlots.map(c => lit(c.toString)): _*)
+      def entityNames(n: Long): DataFrame = spark.range(n)
+        .repartition(cpus.toInt * 2)
+        .select($"id", concat_ws("",
+          transform(sequence(lit(1), lit(14)),
+            i => element_at(lut, (pmod(xxhash64($"id" * 131L + i),
+              lit(100)) + 1).cast("int")))).as("name"))
+      for (n <- Seq(rows / 40, rows / 4, rows)) {
+        val nm = entityNames(n).localCheckpoint()
+        val tg = graft.ext.TextDedup.taggedGrams(nm, "id", "name", 2)
+        val dfreq = tg.groupBy($"g", $"o").agg(count(lit(1)).as("df"))
+        val vol2 = dfreq
+          .agg(sum(($"df".cast("decimal(38,0)")) * ($"df" - 1)))
+          .head().getDecimal(0)
+        val allVol = BigInt(vol2.toBigInteger) / 2
+        println(f"[stress] gramblock-$n allgrams analytic candidate" +
+          f" volume = $allVol (load1 $load1%.1f)")
+        if (allVol < BigInt(300000000L)) {
+          timed(s"gb-allgrams-$n") {
+            tg.as("a").join(tg.as("b"),
+                $"a.g" === $"b.g" && $"a.o" === $"b.o" &&
+                  $"a.str" < $"b.str")
+              .select($"a.id", $"b.id").distinct().count()
+          }
+        } else println(s"[stress] gb-allgrams-$n SKIPPED — analytic " +
+          s"volume $allVol would detonate the shuffle (that IS the finding)")
+        gcWindow()
+        timed(s"gb-prefix-$n") {
+          graft.ext.TextDedup.edJoinCandidates(nm, "id", "name",
+            nm, "id", "name", q = 2, destroyBudget = 4,
+            selfPairs = true).count()
+        }
+        gcWindow()
       }
     }
     spark.stop()

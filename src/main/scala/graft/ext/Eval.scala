@@ -13,7 +13,10 @@ import graft.functions.VectorFns
   * All read-outs are exact integer arithmetic (counts and ppm by
   * integer division), the repo's oracle-stability discipline: a metric
   * whose last digit depends on float partial-aggregation order can't be
-  * hash-gated or compared across engines.
+  * hash-gated or compared across engines. Every sum and ×10⁶ fold that
+  * can reach n²-or-micro² magnitude runs in DECIMAL(38,0) via
+  * [[Exact]], so no statistic here silently caps the corpus scale —
+  * exposed raw-sum columns fail loudly past 64 bits rather than wrap.
   */
 object Eval {
 
@@ -140,9 +143,11 @@ object Eval {
     * div n², kappa_ppm = (po_ppm − pe_ppm)·10⁶ div (10⁶ − pe_ppm) —
     * reproducible to the last digit on any engine (both Spark `div`
     * and the oracle's `//` truncate toward zero, including for a
-    * below-chance negative kappa). Long arithmetic holds through
-    * n ≈ 3·10⁹ rows (n² against Σ products); past that, lift to
-    * DECIMAL.
+    * below-chance negative kappa). The marginal-product sum and the
+    * ×10⁶ ppm fold run in DECIMAL(38,0) (the [[Exact]] carrier): the
+    * n²-magnitude `pesum` and its ×10⁶ scaling outgrow 64 bits at
+    * n ≈ 3·10⁶ rows, so the decimal lift is what makes the statistic
+    * exact at corpus scale rather than documented-to-a-bound.
     *
     * @return one row: (n, correct, po_ppm, pe_ppm, kappa_ppm)
     */
@@ -161,7 +166,12 @@ object Eval {
     * per class (union of true and predicted label sets) plus a `-1`
     * macro row (unweighted mean of the per-class ppm values, sums in
     * the count columns). Zero-denominator classes read 0 (the sklearn
-    * `zero_division=0` convention). Everything folds from the two
+    * `zero_division=0` convention). Class-set note: the macro row
+    * averages over the UNION of true and predicted classes (a
+    * predicted-only class contributes a 0 vote), deliberately
+    * different from [[balancedAccuracyPpm]], which averages recall
+    * over TRUE classes only — the two read-outs diverge on corpora
+    * with predicted-only classes. Everything folds from the two
     * marginal counts + the diagonal — three tiny aggregations on an
     * already-shuffled key, then arithmetic on ≤ #classes rows. */
   def perClassPrf1(pred: DataFrame, labelCol: String,
@@ -181,10 +191,10 @@ object Eval {
         (coalesce(col("n_true"), lit(0L)) - coalesce(col("tp"), lit(0L)))
           .as("fn"))
       .select(col("class"), col("tp"), col("fp"), col("fn"),
-        expr("CASE WHEN tp + fp > 0 THEN (tp * 1000000) div (tp + fp)" +
-          " ELSE 0 END").as("precision_ppm"),
-        expr("CASE WHEN tp + fn > 0 THEN (tp * 1000000) div (tp + fn)" +
-          " ELSE 0 END").as("recall_ppm"))
+        expr(s"CASE WHEN tp + fp > 0 THEN (CAST(tp AS ${Exact.Dec})" +
+          " * 1000000) div (tp + fp) ELSE 0L END").as("precision_ppm"),
+        expr(s"CASE WHEN tp + fn > 0 THEN (CAST(tp AS ${Exact.Dec})" +
+          " * 1000000) div (tp + fn) ELSE 0L END").as("recall_ppm"))
       .withColumn("f1_ppm",
         expr("CASE WHEN precision_ppm + recall_ppm > 0 THEN" +
           " (2 * precision_ppm * recall_ppm) div (precision_ppm + recall_ppm)" +
@@ -241,9 +251,12 @@ object Eval {
       .crossJoin(entropyNano("__v", "h_right_nano"))
       .select(col("n"), col("mi_nano"), col("h_left_nano"),
         col("h_right_nano"),
-        expr("CASE WHEN h_left_nano + h_right_nano > 0 THEN" +
-          " (2 * mi_nano * 1000000) div (h_left_nano + h_right_nano)" +
-          " ELSE 0 END").as("nmi_ppm"))
+        // nano sums are cell-bounded, not row-bounded, but the ×10⁶
+        // fold still outgrows 64 bits on a large contingency table —
+        // lift it (the Exact discipline)
+        expr(s"CASE WHEN h_left_nano + h_right_nano > 0 THEN" +
+          s" (2 * CAST(mi_nano AS ${Exact.Dec}) * 1000000)" +
+          " div (h_left_nano + h_right_nano) ELSE 0L END").as("nmi_ppm"))
   }
 
   /** Simplified (centroid-based) silhouette per label group: for each
@@ -278,9 +291,11 @@ object Eval {
     val rows = emb.select(lab.as("label"),
       floor(s * 1000000.0 + 0.5).cast("long").as("s_ppm"))
     val per = rows.groupBy(col("label")).agg(count(lit(1)).as("n"),
-      expr("sum(s_ppm) div count(*)").as("mean_sil_ppm"))
+      expr(s"sum(CAST(s_ppm AS ${Exact.Dec})) div count(*)")
+        .as("mean_sil_ppm"))
     val overall = rows.agg(lit(-1).as("label"), count(lit(1)).as("n"),
-      expr("sum(s_ppm) div count(*)").as("mean_sil_ppm"))
+      expr(s"sum(CAST(s_ppm AS ${Exact.Dec})) div count(*)")
+        .as("mean_sil_ppm"))
     per.unionByName(overall).orderBy(col("label"))
   }
 
@@ -289,14 +304,15 @@ object Eval {
     * (10⁶ on a correct prediction, 0 otherwise) — the proper-scoring
     * complement to [[calibrationBins]]' binned ECE (ECE can read 0 for
     * a confidently-wrong-in-both-directions model; Brier can't). Pure
-    * integer: per-row (conf − outcome)² summed exactly, mean by
-    * integer division. Long bound: the worst-case per-row term is
-    * 4·10¹² (confidence −10⁶ on a correct row), so the exact sum
-    * holds through ~2.3·10⁶ ADVERSARIAL rows; a typically-calibrated
-    * corpus (mean se far below 10¹²) reaches 10⁸–10⁹. Past the bound,
-    * lift the sum to DECIMAL on BOTH engines. NULL confidence fails
-    * LOUDLY — silently skipping it would divide a partial sum by the
-    * full row count.
+    * integer: per-row (conf − outcome)² summed exactly in
+    * DECIMAL(38,0) (the [[Exact]] carrier — the worst-case per-row
+    * term is 4·10¹², so a 64-bit sum wrapped at ~2.3·10⁶ adversarial
+    * rows, three orders of magnitude under the design scale; the
+    * decimal sum is exact to 10³⁸), mean by integer division. The
+    * mean always fits BIGINT (it is ≤ the per-row maximum); the raw
+    * `sum_micro2` read-out fails LOUDLY past 64 bits instead of
+    * wrapping. NULL confidence fails LOUDLY — silently skipping it
+    * would divide a partial sum by the full row count.
     *
     * @return one row: (n, correct, sum_micro2, brier_micro2)
     */
@@ -314,9 +330,11 @@ object Eval {
       .agg(count(lit(1)).as("n"),
         coalesce(sum(when(col("t") === 1000000L, 1L).otherwise(0L)),
           lit(0L)).as("correct"),
-        coalesce(sum(col("se")), lit(0L)).as("sum_micro2"))
-      .select(col("n"), col("correct"), col("sum_micro2"),
-        expr("CASE WHEN n > 0 THEN sum_micro2 div n ELSE 0 END")
+        Exact.decSum(col("se")).as("sum_dec"))
+      .select(col("n"), col("correct"),
+        Exact.asLongOrFail(col("sum_dec"), "brierMicro2: sum_micro2")
+          .as("sum_micro2"),
+        expr("CASE WHEN n > 0 THEN sum_dec div n ELSE 0L END")
           .as("brier_micro2"))
 
   /** Balanced accuracy in exact ppm: the unweighted mean of per-class
@@ -343,7 +361,8 @@ object Eval {
       .groupBy(col("__l"))
       .agg(count(lit(1)).as("nt"),
         sum(when(col("__l") === col("__p"), 1L).otherwise(0L)).as("tp"))
-      .select(expr("(tp * 1000000) div nt").as("recall_ppm"))
+      .select(expr(s"(CAST(tp AS ${Exact.Dec}) * 1000000) div nt")
+        .as("recall_ppm"))
       .agg(count(lit(1)).as("n_classes"),
         expr("sum(recall_ppm) div count(*)").as("balanced_acc_ppm"))
 
@@ -353,28 +372,45 @@ object Eval {
     * priced for realized accuracy vs mean stated confidence;
     * gap_ppm = |acc − conf| per bin, and the trailing `-1` row carries
     * ECE = Σ n_b·gap_b div n — the one-number "is the classifier's
-    * confidence honest?" read-out. One shuffle on the bin key. */
+    * confidence honest?" read-out. One shuffle on the bin key.
+    *
+    * NULL confidence/label/pred fail LOUDLY (the [[brierMicro2]]
+    * guard): least/greatest skip nulls, so an unguarded NULL
+    * confidence would land in the TOP bin while `sum(cm) div
+    * count(*)` divided a partial confidence sum by the full row
+    * count — a silent miscalibration read-out. All ×10⁶ folds run in
+    * DECIMAL(38,0) (the [[Exact]] carrier) so no bin count caps the
+    * scale. */
   def calibrationBins(scored: DataFrame, labelCol: String, predCol: String,
       confMicroCol: String, bins: Int = 10): DataFrame = {
     require(bins > 0, "need at least one bin")
-    val b = greatest(least(
-      expr(s"($confMicroCol * $bins) div 1000000"), lit(bins - 1L)), lit(0L))
+    def guarded(c: String, as: String): Column =
+      coalesce(col(c).cast("long"),
+        raise_error(lit(s"calibrationBins: NULL in '$c' — score every " +
+          "row or filter unscored rows first")).cast("long")).as(as)
     val per = scored
-      .select(b.as("bin"),
-        when(col(labelCol).cast("int") === col(predCol).cast("int"), 1L)
-          .otherwise(0L).as("ok"),
-        col(confMicroCol).cast("long").as("cm"))
+      .select(guarded(labelCol, "l"), guarded(predCol, "p"),
+        guarded(confMicroCol, "cm"))
+      .select(
+        expr(s"greatest(least((cm * $bins) div 1000000, " +
+          s"${bins - 1L}L), 0L)").as("bin"),
+        when(col("l") === col("p"), 1L).otherwise(0L).as("ok"),
+        col("cm"))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n"), sum(col("ok")).as("correct"),
-        expr("(sum(ok) * 1000000) div count(*)").as("acc_ppm"),
-        expr("sum(cm) div count(*)").as("conf_ppm"))
+        expr(s"(CAST(sum(ok) AS ${Exact.Dec}) * 1000000) div count(*)")
+          .as("acc_ppm"),
+        expr(s"sum(CAST(cm AS ${Exact.Dec})) div count(*)").as("conf_ppm"))
       .withColumn("gap_ppm", abs(col("acc_ppm") - col("conf_ppm")))
     val ece = per.agg(
       lit(-1L).as("bin"),
       sum(col("n")).as("n"), sum(col("correct")).as("correct"),
-      expr("(sum(correct) * 1000000) div sum(n)").as("acc_ppm"),
-      expr("sum(n * conf_ppm) div sum(n)").as("conf_ppm"),
-      expr("sum(n * gap_ppm) div sum(n)").as("gap_ppm"))
+      expr(s"(CAST(sum(correct) AS ${Exact.Dec}) * 1000000) div sum(n)")
+        .as("acc_ppm"),
+      expr(s"sum(CAST(n AS ${Exact.Dec}) * conf_ppm) div sum(n)")
+        .as("conf_ppm"),
+      expr(s"sum(CAST(n AS ${Exact.Dec}) * gap_ppm) div sum(n)")
+        .as("gap_ppm"))
     per.unionByName(ece).orderBy(col("bin"))
   }
 
@@ -394,11 +430,13 @@ object Eval {
     val pe = c.groupBy(col("__l")).agg(sum(col("__n")).as("nt"))
       .join(c.groupBy(col("__p")).agg(sum(col("__n")).as("np")),
         col("__l") === col("__p"))
-      .agg(coalesce(sum(col("nt") * col("np")), lit(0L)).as("pesum"))
+      .agg(Exact.decSum(Exact.dec(col("nt")) * col("np")).as("pesum"))
     totals.crossJoin(pe)
       .select(col("n"), col("correct"),
-        expr("(correct * 1000000) div n").as("po_ppm"),
-        expr("(pesum * 1000000) div (n * n)").as("pe_ppm"))
+        expr(s"(CAST(correct AS ${Exact.Dec}) * 1000000) div n")
+          .as("po_ppm"),
+        expr(s"(pesum * 1000000) div (CAST(n AS ${Exact.Dec}) * n)")
+          .as("pe_ppm"))
       .select(col("n"), col("correct"), col("po_ppm"), col("pe_ppm"),
         // pe = 10⁶ (every row one class on both sides) zeroes the
         // denominator; agreement is perfect-but-uninformative and
@@ -415,9 +453,13 @@ object Eval {
     * E_ij = row_i·col_j / n. Scaling E by n cancels the division, so
     * the whole statistic is INTEGER: κ_w_ppm = 10⁶ −
     * (n·Σw·O·10⁶) div Σ(w·row_i·col_j) — reproducible to the last
-    * digit with no float anywhere. Long arithmetic holds through
-    * n ≈ 10⁸ at label span ≤ 10 (the n²·span⁴ term); past that, lift
-    * to DECIMAL. One shuffle on the (label, pred) key.
+    * digit with no float anywhere. Both weighted sums and the
+    * n·wo·10⁶ numerator run in DECIMAL(38,0) (the [[Exact]] carrier):
+    * the 64-bit numerator overflowed at n ≈ 3·10⁵ worst-case rows at
+    * label span 10 (wo_sum up to 81·n against the ×10⁶ scaling), and
+    * we_sum carries an n²·span⁴ term. The exposed wo_sum/we_sum
+    * read-outs fail LOUDLY past 64 bits instead of wrapping. One
+    * shuffle on the (label, pred) key.
     *
     * @return one row: (n, wo_sum, we_sum, kappa_w_ppm); we_sum = 0
     *         (single observed class on both sides) reads κ = 10⁶
@@ -427,29 +469,36 @@ object Eval {
     val p = pred.select(col(labelCol).cast("long").as("__l"),
       col(predCol).cast("long").as("__p"))
     val cells = p.groupBy(col("__l"), col("__p")).agg(count(lit(1)).as("nij"))
-    val wo = cells.agg(coalesce(sum(
-      (col("__l") - col("__p")) * (col("__l") - col("__p")) * col("nij")),
-      lit(0L)).as("wo_sum"))
+    val wo = cells.agg(Exact.decSum(
+      Exact.dec((col("__l") - col("__p")) * (col("__l") - col("__p")))
+        * col("nij")).as("wo_dec"))
     val we = cells.groupBy(col("__l")).agg(sum(col("nij")).as("ri"))
       .crossJoin(cells.groupBy(col("__p")).agg(sum(col("nij")).as("cj"))
         .withColumnRenamed("__p", "__pc"))
-      .agg(coalesce(sum((col("__l") - col("__pc")) * (col("__l") - col("__pc"))
-        * col("ri") * col("cj")), lit(0L)).as("we_sum"))
+      .agg(Exact.decSum(
+        Exact.dec((col("__l") - col("__pc")) * (col("__l") - col("__pc")))
+          * col("ri") * col("cj")).as("we_dec"))
     p.agg(count(lit(1)).as("n")).crossJoin(wo).crossJoin(we)
-      .select(col("n"), col("wo_sum"), col("we_sum"),
-        expr("CASE WHEN we_sum = 0 THEN 1000000 ELSE" +
-          " 1000000 - (n * wo_sum * 1000000) div we_sum END")
-          .as("kappa_w_ppm"))
+      .select(col("n"),
+        Exact.asLongOrFail(col("wo_dec"), "weightedKappaPpm: wo_sum")
+          .as("wo_sum"),
+        Exact.asLongOrFail(col("we_dec"), "weightedKappaPpm: we_sum")
+          .as("we_sum"),
+        expr(s"CASE WHEN we_dec = 0 THEN 1000000L ELSE" +
+          s" 1000000 - (CAST(n AS ${Exact.Dec}) * wo_dec * 1000000)" +
+          s" div we_dec END").as("kappa_w_ppm"))
   }
 
   /** Multiclass Matthews correlation coefficient (the Gorodkin R_K) in
     * ppm: MCC = (c·n − Σ t_k·p_k) / √((n² − Σ p_k²)(n² − Σ t_k²)) with
     * c = Σ n_kk, t/p the true/predicted marginals. Numerator and both
-    * radicands are EXACT integer folds of the confusion counts; only
-    * the final two sqrt + one divide run in double (same literal ops
-    * both engines), floor-rounded to ppm. Degenerate marginals (either
-    * radicand 0 — a constant predictor or a single-class corpus) read
-    * 0 by convention. One shuffle on the (label, pred) key. */
+    * radicands are EXACT integer folds of the confusion counts in
+    * DECIMAL(38,0) (the [[Exact]] carrier — the n²-magnitude terms
+    * outgrow 64 bits at n ≈ 3·10⁹ rows); only the final two sqrt +
+    * one divide run in double (same literal ops both engines),
+    * floor-rounded to ppm. Degenerate marginals (either radicand 0 —
+    * a constant predictor or a single-class corpus) read 0 by
+    * convention. One shuffle on the (label, pred) key. */
   def mccPpm(pred: DataFrame, labelCol: String,
       predCol: String): DataFrame = {
     val p = pred.select(col(labelCol).cast("int").as("__l"),
@@ -459,14 +508,15 @@ object Eval {
     val tk = p.groupBy(col("__l")).agg(count(lit(1)).as("t"))
     val pk = p.groupBy(col("__p")).agg(count(lit(1)).as("q"))
     val cross = tk.join(pk, col("__l") === col("__p"))
-      .agg(coalesce(sum(col("t") * col("q")), lit(0L)).as("tp_sum"))
-    val sq = tk.agg(coalesce(sum(col("t") * col("t")), lit(0L)).as("t2"))
-      .crossJoin(pk.agg(coalesce(sum(col("q") * col("q")), lit(0L)).as("p2")))
+      .agg(Exact.decSum(Exact.dec(col("t")) * col("q")).as("tp_sum"))
+    val sq = tk.agg(Exact.decSum(Exact.dec(col("t")) * col("t")).as("t2"))
+      .crossJoin(pk.agg(Exact.decSum(Exact.dec(col("q")) * col("q"))
+        .as("p2")))
     totals.crossJoin(cross).crossJoin(sq)
       .select(col("n"), col("correct"),
-        (col("correct") * col("n") - col("tp_sum")).as("num"),
-        (col("n") * col("n") - col("p2")).as("rad_p"),
-        (col("n") * col("n") - col("t2")).as("rad_t"))
+        (Exact.dec(col("correct")) * col("n") - col("tp_sum")).as("num"),
+        (Exact.dec(col("n")) * col("n") - col("p2")).as("rad_p"),
+        (Exact.dec(col("n")) * col("n") - col("t2")).as("rad_t"))
       .select(col("n"), col("correct"),
         expr("CASE WHEN rad_p = 0 OR rad_t = 0 THEN 0 ELSE" +
           " CAST(floor(CAST(num AS DOUBLE) /" +
@@ -478,8 +528,11 @@ object Eval {
     * generalization of [[cohenKappaPpm]]: per-item agreement
     * P_i = (Σ_k n_ik² − r) / (r(r−1)) folds to the single corpus sum
     * S = Σ_i Σ_k n_ik² (pure integer), chance agreement to the squared
-    * class marginals. Long arithmetic holds through n·r ≈ 3·10⁹
-    * assignments (the (N·r)² term); past that, lift to DECIMAL.
+    * class marginals. The marginal-square sum and both ppm folds run
+    * in DECIMAL(38,0) (the [[Exact]] carrier): ck2 approaches (N·r)²
+    * and its ×10⁶ scaling outgrew 64 bits at n·r ≈ 3·10⁶
+    * assignments, so the decimal lift is what keeps the statistic
+    * exact at corpus scale.
     *
     * Scale shape: each item's Σ_k n_ik² is the pairwise-agreement
     * identity r + 2·Σ_{i<j}[pred_i = pred_j] — a pure ROW expression
@@ -503,17 +556,18 @@ object Eval {
     val agreePairs = (for { i <- 0 until r; j <- (i + 1) until r } yield
       when(preds(i) === preds(j), 1L).otherwise(0L)).reduce(_ + _)
     val s2 = df.select((lit(r.toLong) + lit(2L) * agreePairs).as("s2i"))
-      .agg(coalesce(sum(col("s2i")), lit(0L)).as("s2"),
+      .agg(Exact.decSum(col("s2i")).as("s2"),
         count(lit(1)).as("n_items"))
     val marg = df.select(explode(array(preds: _*)).as("__r"))
       .groupBy(col("__r")).agg(count(lit(1)).as("ck"))
-      .agg(coalesce(sum(col("ck") * col("ck")), lit(0L)).as("ck2"))
+      .agg(Exact.decSum(Exact.dec(col("ck")) * col("ck")).as("ck2"))
     s2.crossJoin(marg)
       .select(col("n_items"), lit(r).cast("long").as("n_raters"),
-        expr(s"((s2 - n_items * $r) * 1000000) div" +
-          s" (n_items * $r * ${r - 1})").as("pbar_ppm"),
-        expr(s"(ck2 * 1000000) div ((n_items * $r) * (n_items * $r))")
-          .as("pe_ppm"))
+        expr(s"((s2 - CAST(n_items AS ${Exact.Dec}) * $r) * 1000000) div" +
+          s" (CAST(n_items AS ${Exact.Dec}) * $r * ${r - 1})")
+          .as("pbar_ppm"),
+        expr(s"(ck2 * 1000000) div ((CAST(n_items AS ${Exact.Dec}) * $r)" +
+          s" * (CAST(n_items AS ${Exact.Dec}) * $r))").as("pe_ppm"))
       .select(col("n_items"), col("n_raters"), col("pbar_ppm"),
         col("pe_ppm"),
         expr("CASE WHEN pe_ppm = 1000000 THEN 1000000 ELSE" +

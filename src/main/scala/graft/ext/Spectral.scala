@@ -38,23 +38,71 @@ object Spectral {
     * power steps from the deterministic start v₀ = (1/√d, …, 1/√d).
     * Returns (μ, v) as float-rounded driver metadata. The sign of v is
     * fixed by v₀ (power iteration converges to ±PC1; a deterministic
-    * start makes the sign reproducible). */
+    * start makes the sign reproducible).
+    *
+    * The mean FOLDS INTO the first power step (r13 verdict item 4):
+    * with y = ⟨x,v₀⟩ − ⟨μ,v₀⟩, both Σ y·x = Σ ⟨x,v₀⟩x − ⟨μ,v₀⟩·Σx and
+    * Σ y = Σ⟨x,v₀⟩ − n·⟨μ,v₀⟩ need only v₀-projections and raw
+    * component sums — none of which depend on μ — so ONE scan yields
+    * μ (as sum/count, meanArray's exact arithmetic) AND the first
+    * iterate: iterations+0 scans instead of iterations+1. The
+    * algebraic regrouping perturbs doubles at the same ulp scale as
+    * partial-aggregation order, which the float-rounding of every
+    * broadcast iterate already absorbs (the discipline above). */
   def topComponent(emb: DataFrame, vecCol: String,
       iterations: Int = 4): (Array[Float], Array[Float]) = {
+    val (mu, v, _) = topComponentWithResiduals(emb, vecCol, iterations)
+    (mu, v)
+  }
+
+  /** [[topComponent]] plus the per-iteration convergence read-out
+    * (iter, lambda, residual): λ = ⟨v_prev, A·v_prev⟩ (the Rayleigh
+    * quotient — the pre-normalization iterate IS A·v_prev) and
+    * residual = ‖A·v_prev − λ·v_prev‖ / λ. Both fold driver-side from
+    * numbers each step already computed — the iteration budget gets
+    * priced like every other dial with ZERO extra scans (Stress
+    * `spectral-pc1` prints the column). */
+  def topComponentWithResiduals(emb: DataFrame, vecCol: String,
+      iterations: Int = 4)
+      : (Array[Float], Array[Float], Seq[(Int, Double, Double)]) = {
     require(iterations >= 1, "need at least one power step")
     val dim = vecDim(emb, vecCol)
-    val mu = meanVector(emb, vecCol)
-    var v: Array[Float] = Array.fill(dim)((1.0 / math.sqrt(dim.toDouble)).toFloat)
+    val v0: Array[Float] =
+      Array.fill(dim)((1.0 / math.sqrt(dim.toDouble)).toFloat)
+    // fused scan 1: raw component sums (→ μ) + v₀-projection sums
+    val xv = VectorFns.dot(col(vecCol), litF(v0))
+    val row0 = emb.agg(
+      array((1 to dim).map(i =>
+        sum(element_at(col(vecCol), i))): _*).as("m"),
+      array((1 to dim).map(i =>
+        sum(xv * element_at(col(vecCol), i))): _*).as("a"),
+      sum(xv).as("s"), count(lit(1)).as("n")).head()
+    val msum = row0.getSeq[Double](0)
+    val asum = row0.getSeq[Double](1)
+    val s = row0.getDouble(2)
+    val n = row0.getLong(3)
+    require(n > 0, "empty corpus — no mean or principal direction")
+    // sum/count then float-round: meanArray's exact arithmetic
+    val mu: Array[Float] = Array.tabulate(dim)(j => (msum(j) / n).toFloat)
+    val residuals = Seq.newBuilder[(Int, Double, Double)]
+    var v: Array[Float] = v0
     var k = 0
     while (k < iterations) {
-      val y = VectorFns.dot(col(vecCol), litF(v)) - lit(seqDot(mu, v))
-      val row = emb.agg(
-        array((1 to dim).map(i =>
-          sum(y * element_at(col(vecCol), i))): _*).as("w"),
-        sum(y).as("ys")).head()
-      val w = row.getSeq[Double](0)
-      val ys = row.getDouble(1)
-      // Σ y·(x − μ) = Σ y·x − μ·Σ y, componentwise
+      val c0 = seqDot(mu, v)
+      // Σ y·x and Σ y: from the fused scan on the first step, one
+      // dedicated scan per later step
+      val (w, ys) =
+        if (k == 0)
+          (Array.tabulate(dim)(j => asum(j) - c0 * msum(j)), s - n * c0)
+        else {
+          val y = VectorFns.dot(col(vecCol), litF(v)) - lit(c0)
+          val row = emb.agg(
+            array((1 to dim).map(i =>
+              sum(y * element_at(col(vecCol), i))): _*).as("w"),
+            sum(y).as("ys")).head()
+          (row.getSeq[Double](0).toArray, row.getDouble(1))
+        }
+      // Σ y·(x − μ) = Σ y·x − μ·Σ y, componentwise; c = n·Cov·v
       val c = Array.tabulate(dim)(j => w(j) - mu(j).toDouble * ys)
       var n2 = 0.0
       var j = 0
@@ -63,18 +111,36 @@ object Spectral {
       require(norm > 0.0,
         "power iteration collapsed to zero — corpus has no variance" +
           " along the current iterate")
+      // convergence: λ = ⟨v, c⟩ (Rayleigh, un-normalized operator),
+      // residual = ‖c − λv‖/λ — both from already-computed numbers
+      val lambda = {
+        var acc = 0.0; var i = 0
+        while (i < dim) { acc += v(i).toDouble * c(i); i += 1 }
+        acc
+      }
+      if (lambda > 0.0) {
+        var r2 = 0.0; var i = 0
+        while (i < dim) {
+          val d = c(i) - lambda * v(i).toDouble; r2 += d * d; i += 1
+        }
+        residuals += ((k + 1, lambda, math.sqrt(r2) / lambda))
+      } else residuals += ((k + 1, lambda, Double.NaN))
       v = c.map(x => (x / norm).toFloat)
       k += 1
     }
-    (mu, v)
+    (mu, v, residuals.result())
   }
 
   /** Variance share of the top component, integer-exact read-out: per
     * row, total centered energy d² = ‖x − μ‖² and top-direction energy
     * y² = ⟨x − μ, v⟩² are each floored to micro units BEFORE the exact
     * integer sums (so partial-agg order can't move a digit);
-    * share_ppm = top·10⁶ div total. One scan with two native dots per
-    * row (the d² expansion reuses the silhouette trick).
+    * share_ppm = top·10⁶ div total. Both sums and the ×10⁶ fold run
+    * in DECIMAL(38,0) (the [[Exact]] carrier — a 64-bit micro-energy
+    * sum caps out near 10¹² rows and the ppm multiply 10⁶× earlier);
+    * the exposed sums fail LOUDLY past 64 bits instead of wrapping.
+    * One scan with two native dots per row (the d² expansion reuses
+    * the silhouette trick).
     *
     * @return one row: (n, total_micro, top_micro, share_ppm)
     */
@@ -89,11 +155,15 @@ object Spectral {
         floor(d2 * 1000000.0 + 0.5).cast("long").as("d2m"),
         floor(y * y * 1000000.0 + 0.5).cast("long").as("y2m"))
       .agg(count(lit(1)).as("n"),
-        coalesce(sum(col("d2m")), lit(0L)).as("total_micro"),
-        coalesce(sum(col("y2m")), lit(0L)).as("top_micro"))
-      .select(col("n"), col("total_micro"), col("top_micro"),
-        expr("CASE WHEN total_micro > 0 THEN" +
-          " (top_micro * 1000000) div total_micro ELSE 0 END")
+        Exact.decSum(col("d2m")).as("total_dec"),
+        Exact.decSum(col("y2m")).as("top_dec"))
+      .select(col("n"),
+        Exact.asLongOrFail(col("total_dec"), "topShare: total_micro")
+          .as("total_micro"),
+        Exact.asLongOrFail(col("top_dec"), "topShare: top_micro")
+          .as("top_micro"),
+        expr("CASE WHEN total_dec > 0 THEN" +
+          " (top_dec * 1000000) div total_dec ELSE 0L END")
           .as("share_ppm"))
   }
 

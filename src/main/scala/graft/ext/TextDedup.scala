@@ -683,4 +683,106 @@ object TextDedup {
       .select(col("__a").as(aCol), col("__b").as(bCol),
         coalesce(col("__lcs"), lit(0L)).as("lcs_tokens"))
   }
+
+  /** df-rarest-prefix candidate generation for EDIT-DISTANCE joins —
+    * the Ed-Join discipline (Xiao/Wang/Lin, VLDB 2008) applied with
+    * [[similarityJoin]]'s df-ordered prefix machinery: instead of
+    * joining on EVERY positional q-gram (a shuffle whose candidate
+    * volume is Σ_g df_a(g)·df_b(g) on a Zipf-distributed gram key —
+    * the hottest gram of a natural-language corpus appears in a
+    * constant fraction of strings, so all-grams blocking goes
+    * quadratic at scale), each string contributes only its
+    * (destroyBudget+1) globally-RAREST tagged grams as join keys.
+    *
+    * Completeness (the prefix-filter lemma over tagged multisets): a
+    * qualifying edit sequence destroys at most `destroyBudget` of the
+    * longer string's positional q-grams, so the multiset overlap is
+    * ≥ max(|A|,|B|) − destroyBudget; with both sides' gram multisets
+    * sorted by ONE global (df, gram, occurrence) order, any pair with
+    * overlap ≥ α must collide within its first |·| − α + 1 grams —
+    * i.e. within the (destroyBudget+1)-prefix. Multisets are made
+    * set-like by tagging each gram with its occurrence index, so a
+    * repeated gram matches occurrence-for-occurrence.
+    *
+    * destroyBudget per metric, q-grams of order q: Levenshtein ≤ k
+    * destroys ≤ k·q grams (each ins/del/sub touches q windows);
+    * Damerau–Levenshtein ≤ k destroys ≤ k·(q+1) (an adjacent
+    * transposition touches q+1 windows).
+    *
+    * Scope: strings with ≥ 1 q-gram (len ≥ q) AND pairs whose LONGER
+    * side has ≥ destroyBudget+1 grams (len ≥ destroyBudget+q) — below
+    * that the overlap bound is vacuous; the caller unions an
+    * all-pairs branch over that bounded short-string universe
+    * (exactly the q151/q211 pattern).
+    *
+    * Scale shape: gram explode + per-string keyed window (the
+    * [[similarityJoin]] prefix discipline — partitioned by the string
+    * key, never global), then an equi-join whose left/right sides
+    * carry ≤ destroyBudget+1 rows per string. Candidate volume is
+    * Σ over tagged grams of dfP_a·dfP_b where dfP counts PREFIX
+    * occurrences only — hot grams are precisely the ones prefixes
+    * exclude, so the volume stays near-linear where all-grams
+    * blocking detonates (measured: Stress `gramblock`).
+    *
+    * @param a        left side; `aId` must be unique per string row
+    * @param b        right side (pass `a`'s frame again + selfPairs
+    *                 for a self-join)
+    * @param selfPairs emit each unordered pair once via
+    *                 `a.str < b.str` (and never a string with itself)
+    * @return candidate pairs (a_id, a_str, b_id, b_str), distinct
+    */
+  def edJoinCandidates(a: DataFrame, aId: String, aStr: String,
+      b: DataFrame, bId: String, bStr: String,
+      q: Int, destroyBudget: Int, selfPairs: Boolean = false): DataFrame = {
+    require(q >= 1, s"gram order must be >= 1, got $q")
+    require(destroyBudget >= 1, s"destroy budget must be >= 1, got $destroyBudget")
+    val ta = taggedGrams(a, aId, aStr, q)
+    val tb = if (selfPairs) ta else taggedGrams(b, bId, bStr, q)
+    // ONE global rarity order shared by both sides (the lemma's only
+    // requirement); for a two-sided join the df is over the union
+    val dfreq = (if (selfPairs) ta.select(col("g"), col("o"))
+      else ta.select(col("g"), col("o"))
+        .unionAll(tb.select(col("g"), col("o"))))
+      .groupBy(col("g"), col("o")).agg(count(lit(1)).as("df"))
+    val pa = gramPrefix(ta, dfreq, destroyBudget + 1)
+    val pb = if (selfPairs) pa else gramPrefix(tb, dfreq, destroyBudget + 1)
+    val cond = col("a.g") === col("b.g") && col("a.o") === col("b.o") &&
+      (if (selfPairs) col("a.str") < col("b.str") else lit(true))
+    pa.as("a").join(pb.as("b"), cond)
+      .select(col("a.id").as("a_id"), col("a.str").as("a_str"),
+        col("b.id").as("b_id"), col("b.str").as("b_str"))
+      .distinct()
+  }
+
+  /** Tagged positional q-gram multiset: one row per (string, gram,
+    * occurrence-index) — the set-like multiset encoding the prefix
+    * lemma needs. Strings shorter than q contribute nothing (callers
+    * cover them in their short-string branch). */
+  private[graft] def taggedGrams(df: DataFrame, idCol: String,
+      strCol: String, q: Int): DataFrame =
+    df.select(col(idCol).as("id"), col(strCol).as("str"))
+      .withColumn("len", length(col("str")))
+      .filter(col("len") >= q)
+      .select(col("id"), col("str"),
+        explode(expr(s"transform(sequence(1, len - ${q - 1})," +
+          s" i -> substring(str, i, $q))")).as("g"))
+      .groupBy(col("id"), col("str"), col("g")).agg(count(lit(1)).as("c"))
+      .select(col("id"), col("str"), col("g"),
+        explode(expr("sequence(1, c)")).as("o"))
+
+  /** Each string's `prefixLen` globally-rarest tagged grams in the
+    * shared (df, g, o) order — keyed window on the unique string id
+    * (the [[similarityJoin]] discipline; no global sort). Exposed
+    * package-private so specs can assert the ≤ prefixLen-rows-per-
+    * string invariant on the JOIN INPUT itself. */
+  private[graft] def gramPrefix(tagged: DataFrame, dfreq: DataFrame,
+      prefixLen: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("df"), col("g"), col("o"))
+    tagged.join(dfreq, Seq("g", "o"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= prefixLen)
+      .select(col("id"), col("str"), col("g"), col("o"))
+  }
 }

@@ -22,46 +22,38 @@ object Extended11 {
   // q151 — edit-distance self-join over distinct part names: all pairs
   // with levenshtein ≤ 2 (entity-resolution dedup for dimension
   // strings). The naive form is |names|² levenshtein calls — the
-  // oracle runs exactly that. The scale plan uses the q-gram theorem
-  // as a COMPLETE filter: lev(a,b) ≤ k ⇒ multiset-shared q-grams
-  // ≥ max(|a|,|b|) − q + 1 − k·q (q=2, k=2 ⇒ ≥ max−5). Pairs are
-  // generated from a bigram equi-join (shuffle key = the bigram),
-  // multiset intersection = Σ min(cnt_a, cnt_b) per shared gram; the
-  // bound only bites when max(len) ≥ 6, so shorter strings (a bounded
-  // set) pair all-vs-all in a union branch. Candidates then verify
-  // with one levenshtein call each.
+  // oracle runs exactly that. The scale plan is df-RAREST-PREFIX
+  // candidate generation (TextDedup.edJoinCandidates, the Ed-Join
+  // discipline): lev ≤ 2 destroys ≤ k·q = 4 positional bigrams, so
+  // any qualifying pair must collide within each string's 5
+  // globally-rarest tagged bigrams — those 5 are the ONLY join keys.
+  // (The previous all-grams form joined on EVERY bigram and applied
+  // the count bound after the shuffle: Σ df² candidate volume on a
+  // Zipf gram key — the r13 verdict's named scale-killer. Prefixes
+  // exclude exactly the hot grams, so candidate volume stays
+  // near-linear; measured in Stress `gramblock`.) Candidates verify
+  // with one levenshtein call each; a |len| band-filter runs first.
   //
-  // Scale: candidate volume tracks bigram collisions (df-style), never
-  // |names|²; degenerate grams ('  ' in templated names) behave like
-  // q138's frequent shingles — the length filter and count bound keep
-  // the verify set tight.
+  // Completeness: the prefix-filter lemma (overlap ≥ max(|A|,|B|)−4
+  // ⇒ prefix collision) bites only when the longer string has ≥ 5
+  // bigrams (len ≥ 6) — shorter strings (a bounded universe) pair
+  // all-vs-all in the union branch, same as before.
   def q151(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val names = t(s, dir, "part").select($"p_name".as("name")).distinct()
       .withColumn("len", length($"name"))
-    // len >= 2 guard: sequence(1, 0) is DESCENDING ([1, 0]) in Spark, so
-    // a 1-char name would emit phantom duplicate bigrams; short names
-    // (len <= 5) are fully covered by the all-pairs branch below anyway
-    val grams = names.filter($"len" >= 2)
-      .select($"name", $"len",
-        explode(expr("transform(sequence(1, len - 1)," +
-          " i -> substring(name, i, 2))")).as("g"))
-      .groupBy($"name", $"len", $"g").agg(count(lit(1)).as("c"))
-    // multiset-shared bigrams per candidate pair
-    val shared = grams.as("a")
-      .join(grams.as("b"), $"a.g" === $"b.g" && $"a.name" < $"b.name")
-      .groupBy($"a.name".as("name_a"), $"b.name".as("name_b"),
-        $"a.len".as("la"), $"b.len".as("lb"))
-      .agg(sum(least($"a.c", $"b.c")).as("m"))
-      .filter($"m" >= greatest($"la", $"lb") - 5)
-      .select($"name_a", $"name_b")
-    // the q-gram bound is vacuous when max(len) <= 5 — those few short
+    val cand = graft.ext.TextDedup.edJoinCandidates(
+        names, "name", "name", names, "name", "name",
+        q = 2, destroyBudget = 4, selfPairs = true)
+      .select($"a_str".as("name_a"), $"b_str".as("name_b"))
+    // the overlap bound is vacuous when max(len) <= 5 — those few short
     // strings pair all-vs-all (bounded: the name universe with len<=5)
     val short = names.filter($"len" <= 5).select($"name")
     val shortPairs = short.as("a")
       .join(short.as("b"), $"a.name" < $"b.name")
       .select($"a.name".as("name_a"), $"b.name".as("name_b"))
-    shared.union(shortPairs).distinct()
+    cand.union(shortPairs).distinct()
+      .filter(abs(length($"name_a") - length($"name_b")) <= 2)
       .filter(levenshtein($"name_a", $"name_b") <= 2)
       .select($"name_a", $"name_b",
         levenshtein($"name_a", $"name_b").cast("long").as("lev"))

@@ -68,13 +68,15 @@ object Extended21 {
   // adjacent chars at 1-based position p = partkey mod (len−1) + 1), so
   // both engines construct the identical dirty set; every probe is a
   // true transposition of its source name (dl = 1, lev = 2 unless the
-  // swapped chars are equal). The scale path is the q151 gram join —
-  // pairs are generated from shared bigrams (shuffle key = the bigram,
-  // candidate volume tracks bigram df, never |probes|·|names|) — with
-  // the bound relaxed for transpositions: dl(a,b) ≤ k ⇒ shared
-  // multiset bigrams ≥ max(|a|,|b|) − 1 − 3k (each ins/del/sub touches
-  // ≤ 2 bigrams, each transposition ≤ 3). Verification = ONE native
-  // dl call per candidate.
+  // swapped chars are equal). The scale path is df-rarest-prefix
+  // candidate generation (TextDedup.edJoinCandidates — the same
+  // Ed-Join rewrite as q151, two-sided): dl ≤ 1 destroys ≤ k·(q+1) = 3
+  // positional bigrams (a transposition touches 3 windows), so any
+  // qualifying (probe, name) pair collides within each side's 4
+  // globally-rarest tagged bigrams — the only join keys. (The
+  // previous all-grams bigram join was the r13 verdict's Σ df²
+  // Zipf-key scale-killer.) Verification = ONE native dl call per
+  // candidate.
   def q211(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val part = t(s, dir, "part").filter(length($"p_name") >= 2)
@@ -89,30 +91,17 @@ object Extended21 {
           $"p_name".substr($"p" + 2, $"len")).as("probe"))
     val names = part.select($"p_name".as("name")).distinct()
       .withColumn("nlen", length($"name"))
-
-    def bigrams(str: Column, len: Column): Column =
-      transform(sequence(lit(1), len - 1), i => str.substr(i, lit(2)))
-
-    val probeGrams = probes.withColumn("plen", length($"probe"))
-      .select($"p_partkey", $"probe", $"plen",
-        explode(bigrams($"probe", $"plen")).as("g"))
-      .groupBy($"p_partkey", $"probe", $"plen", $"g")
-      .agg(count(lit(1)).as("c"))
-    val nameGrams = names
-      .select($"name", $"nlen", explode(bigrams($"name", $"nlen")).as("g"))
-      .groupBy($"name", $"nlen", $"g").agg(count(lit(1)).as("c"))
-    // multiset-shared bigrams ≥ max(len) − 4 (k = 1, transposition-aware)
-    val cand = probeGrams.join(nameGrams, Seq("g"))
-      .groupBy($"p_partkey", $"probe", $"name")
-      .agg(sum(least(probeGrams("c"), nameGrams("c"))).as("m"),
-        first($"plen").as("plen"), first($"nlen").as("nlen"))
-      .filter($"m" >= greatest($"plen", $"nlen") - 4)
+    val cand = graft.ext.TextDedup.edJoinCandidates(
+        probes, "p_partkey", "probe", names, "name", "name",
+        q = 2, destroyBudget = 3)
+      .select($"a_id".as("p_partkey"), $"a_str".as("probe"),
+        $"b_str".as("name"))
     // the bound is vacuous when max(len) ≤ 4 — pair those few short
     // strings all-vs-all (bounded: the ≤4-char universe)
     val shortPairs = probes.filter(length($"probe") <= 4)
       .crossJoin(names.filter($"nlen" <= 4).select($"name"))
       .select($"p_partkey", $"probe", $"name")
-    cand.select($"p_partkey", $"probe", $"name").union(shortPairs).distinct()
+    cand.union(shortPairs).distinct()
       .withColumn("dl",
         StringMatchExpressions.damerauLevenshtein($"probe", $"name"))
       .filter($"dl" <= 1)

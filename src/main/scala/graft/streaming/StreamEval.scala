@@ -71,6 +71,130 @@ object StreamEval {
     nRows
   }
 
+  // ------------------------------------------------------------------
+  // Calibration / Brier monitoring: per-bin (n, correct, conf_sum,
+  // se_sum) is the sufficient statistic for BOTH the reliability
+  // table + ECE and the Brier score, it is ≤ bins rows forever, and
+  // it merges by addition — the same semilattice contract as the
+  // confusion counts above. Sums are DECIMAL(38,0) ([[graft.ext.Exact]]):
+  // a running se_sum is exactly the accumulator the 64-bit bound
+  // capped at ~2.3M adversarial rows, and a MONITOR is the first
+  // place that bound would be crossed silently.
+
+  /** Start a calibration/Brier monitor over a streaming frame of
+    * (label, pred, conf_micro) rows. */
+  def startScored(scored: DataFrame, labelCol: String, predCol: String,
+      confMicroCol: String, statePath: String, checkpointDir: String,
+      bins: Int = 10,
+      trigger: Trigger = Trigger.ProcessingTime("60 seconds"))
+      : StreamingQuery = {
+    val spark = scored.sparkSession
+    scored.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        mergeScoredBatch(spark, batch, labelCol, predCol, confMicroCol,
+          statePath, id, bins)
+        ()
+      }
+      .start()
+  }
+
+  /** One scored micro-batch: fold to per-bin (n, correct, conf_sum,
+    * se_sum) and add into the state. Same idempotent-replay and
+    * crash-safe-swap contract as [[mergeBatch]]; NULL label/pred/
+    * confidence fail LOUDLY (the [[graft.ext.Eval.calibrationBins]]
+    * guard — a silently skipped NULL would divide a partial sum by
+    * the full count at read time). */
+  def mergeScoredBatch(spark: SparkSession, batch: DataFrame,
+      labelCol: String, predCol: String, confMicroCol: String,
+      statePath: String, batchId: Long, bins: Int = 10): Long = {
+    require(bins > 0, "need at least one bin")
+    val prev: Option[DataFrame] = readState(spark, statePath)
+    val maxSeen = prev.flatMap(p =>
+        Option(p.agg(max(col("batch_id"))).head().get(0)))
+      .map(_.asInstanceOf[Long]).getOrElse(-1L)
+    if (batchId <= maxSeen) return 0L
+    val nRows = batch.count()
+    if (nRows == 0L) return 0L
+    def guarded(c: String, as: String) =
+      coalesce(col(c).cast("long"),
+        raise_error(lit(s"mergeScoredBatch: NULL in '$c' — score every " +
+          "row or filter unscored rows first")).cast("long")).as(as)
+    val delta = batch
+      .select(guarded(labelCol, "l"), guarded(predCol, "p"),
+        guarded(confMicroCol, "cm"))
+      .select(
+        expr(s"greatest(least((cm * $bins) div 1000000, " +
+          s"${bins - 1L}L), 0L)").as("bin"),
+        when(col("l") === col("p"), 1L).otherwise(0L).as("ok"),
+        col("cm"))
+      .withColumn("se",
+        (col("cm") - col("ok") * 1000000L) * (col("cm") - col("ok") * 1000000L))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("ok")).as("correct"),
+        graft.ext.Exact.decSum(col("cm")).as("conf_sum"),
+        graft.ext.Exact.decSum(col("se")).as("se_sum"))
+    val merged = prev.map(_.select(col("bin"), col("n"), col("correct"),
+        col("conf_sum"), col("se_sum")))
+      .map(_.unionByName(delta)).getOrElse(delta)
+      .groupBy(col("bin"))
+      .agg(sum(col("n")).as("n"), sum(col("correct")).as("correct"),
+        sum(col("conf_sum")).cast(graft.ext.Exact.Dec).as("conf_sum"),
+        sum(col("se_sum")).cast(graft.ext.Exact.Dec).as("se_sum"))
+      .withColumn("batch_id", lit(batchId))
+    val tmp = statePath + "_tmp"
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
+    replace(spark, tmp, statePath)
+    nRows
+  }
+
+  /** Current per-bin scored state (bin, n, correct, conf_sum, se_sum). */
+  def scoredCounts(spark: SparkSession, statePath: String): DataFrame =
+    readState(spark, statePath)
+      .getOrElse(throw new IllegalStateException(
+        s"no monitor state at $statePath (and no backup generation)"))
+      .select(col("bin"), col("n"), col("correct"), col("conf_sum"),
+        col("se_sum"))
+      .orderBy(col("bin"))
+
+  /** Reliability table + ECE from the monitor state — the SAME
+    * formulas (same integer divisions over the same exact integers)
+    * as [[graft.ext.Eval.calibrationBins]], so stream-built ≡
+    * batch-built to the last digit (StreamEvalSpec pins it). */
+  def calibrationFromState(spark: SparkSession,
+      statePath: String): DataFrame = {
+    val dec = graft.ext.Exact.Dec
+    val per = scoredCounts(spark, statePath)
+      .select(col("bin"), col("n"), col("correct"),
+        expr(s"(CAST(correct AS $dec) * 1000000) div n").as("acc_ppm"),
+        expr("conf_sum div n").as("conf_ppm"))
+      .withColumn("gap_ppm", abs(col("acc_ppm") - col("conf_ppm")))
+    val ece = per.agg(
+      lit(-1L).as("bin"),
+      sum(col("n")).as("n"), sum(col("correct")).as("correct"),
+      expr(s"(CAST(sum(correct) AS $dec) * 1000000) div sum(n)")
+        .as("acc_ppm"),
+      expr(s"sum(CAST(n AS $dec) * conf_ppm) div sum(n)").as("conf_ppm"),
+      expr(s"sum(CAST(n AS $dec) * gap_ppm) div sum(n)").as("gap_ppm"))
+    per.unionByName(ece).orderBy(col("bin"))
+  }
+
+  /** Brier read-out from the monitor state — identical integers to
+    * [[graft.ext.Eval.brierMicro2]] over the full streamed history
+    * (Σ per-bin se_sum IS the corpus se sum; binning loses nothing
+    * for a sum). */
+  def brierFromState(spark: SparkSession, statePath: String): DataFrame =
+    scoredCounts(spark, statePath)
+      .agg(coalesce(sum(col("n")), lit(0L)).as("n"),
+        coalesce(sum(col("correct")), lit(0L)).as("correct"),
+        sum(col("se_sum")).cast(graft.ext.Exact.Dec).as("sum_dec"))
+      .select(col("n"), col("correct"),
+        graft.ext.Exact.asLongOrFail(col("sum_dec"),
+          "brierFromState: sum_micro2").as("sum_micro2"),
+        expr("CASE WHEN n > 0 THEN sum_dec div n ELSE 0L END")
+          .as("brier_micro2"))
+
   /** Current confusion counts (label, pred, n), ready for the
     * counts-based folds in [[graft.ext.Eval]]. */
   def counts(spark: SparkSession, statePath: String): DataFrame =
@@ -98,16 +222,36 @@ object StreamEval {
     * deleted) before the new one takes its place, so a crash between
     * the two renames leaves the `_bak` generation for [[readState]] —
     * delete-then-rename would silently drop ALL accumulated counts
-    * AND reset the replay guard if the process died in the gap. */
-  private def replace(spark: SparkSession, from: String, to: String): Unit = {
+    * AND reset the replay guard if the process died in the gap.
+    *
+    * Ordering invariant: at EVERY intermediate point either the live
+    * path or `_bak` holds a complete generation. A stale `_bak` is
+    * therefore only deleted while the live path exists (it is
+    * redundant then); in the recovery path where `_bak` is the ONLY
+    * surviving copy (prior crash between the two renames), the new
+    * generation is installed FIRST and `_bak` cleaned after — an
+    * upfront `_bak` delete there would leave a crash window with
+    * neither copy, losing all accumulated counts and the replay
+    * guard. */
+  private[graft] def replace(spark: SparkSession, from: String,
+      to: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val src = new org.apache.hadoop.fs.Path(from)
     val dst = new org.apache.hadoop.fs.Path(to)
     val bak = new org.apache.hadoop.fs.Path(to + "_bak")
     val fs = src.getFileSystem(conf)
-    if (fs.exists(bak)) fs.delete(bak, true)
-    if (fs.exists(dst)) fs.rename(dst, bak)
-    fs.rename(src, dst)
+    if (fs.exists(dst)) {
+      // dst is complete → a leftover _bak is redundant; clear it so
+      // the rename-aside below lands
+      if (fs.exists(bak)) fs.delete(bak, true)
+      fs.rename(dst, bak)
+    }
+    // dst absent here; if _bak was the only surviving generation it is
+    // STILL intact — a crash (or a failed rename, checked LOUDLY)
+    // before dst lands loses nothing
+    require(fs.rename(src, dst),
+      s"StreamEval.replace: installing $from -> $to failed; " +
+        "previous generation (if any) preserved at _bak")
     if (fs.exists(bak)) fs.delete(bak, true)
   }
 }

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.TextDedup
+import graft.queries.Tables
+
+/** The Ed-Join rarest-prefix rewrite (r13 verdict item: the all-grams
+  * bigram blocker shuffled Σ df² candidates on a Zipf key): the join
+  * input carries at most destroyBudget+1 rows per string, candidates
+  * stay complete under an engineered super-hot gram, and the volume
+  * advantage over all-grams blocking is structural, not incidental.
+  */
+class EdJoinPrefixSpec extends SparkSpec {
+
+  private def levOk(a: String, b: String, k: Int): Boolean = {
+    if (math.abs(a.length - b.length) > k) return false
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length) <= k
+  }
+
+  // Zipf-ish fixture: every string shares the super-hot "aa" prefix
+  // (the gram a natural-language corpus would detonate on), with a
+  // long tail of rare suffix grams; clusters of 3 are 1-2 edits apart.
+  private def hotFixture = {
+    import spark.implicits._
+    (0 until 120).map { i =>
+      val base = s"aaaa${('b' + i / 3).toChar}x${i / 3}zq"
+      i % 3 match {
+        case 0 => base
+        case 1 => base.dropRight(1) + "w"          // 1 substitution
+        case _ => base + "m"                       // 1 insertion
+      }
+    }.distinct.toDF("name")
+  }
+
+  test("join input invariant: <= destroyBudget+1 tagged grams per " +
+    "string, on the fixture AND on q151's real input") {
+    val fx = TextDedup.taggedGrams(hotFixture, "name", "name", 2)
+    val dfx = fx.groupBy(col("g"), col("o")).agg(count(lit(1)).as("df"))
+    val maxFx = TextDedup.gramPrefix(fx, dfx, 5)
+      .groupBy(col("id")).count().agg(max(col("count"))).head().getLong(0)
+    assert(maxFx <= 5L, s"fixture prefix carried $maxFx rows per string")
+
+    val names = Tables.load(spark, "/root/testdata/sf0.001", "part")
+      .select(col("p_name").as("name")).distinct()
+    val tg = TextDedup.taggedGrams(names, "name", "name", 2)
+    val dfreq = tg.groupBy(col("g"), col("o")).agg(count(lit(1)).as("df"))
+    val maxReal = TextDedup.gramPrefix(tg, dfreq, 5)
+      .groupBy(col("id")).count().agg(max(col("count"))).head().getLong(0)
+    assert(maxReal <= 5L, s"q151 prefix carried $maxReal rows per string")
+  }
+
+  test("complete under the hot gram: every brute-force lev<=2 pair " +
+    "is a candidate; volume beats all-grams blocking") {
+    import spark.implicits._
+    val names = hotFixture
+    val cand = TextDedup.edJoinCandidates(names, "name", "name",
+        names, "name", "name", q = 2, destroyBudget = 4, selfPairs = true)
+      .select(col("a_str"), col("b_str")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val all = names.as[String].collect()
+    val truth = (for {
+      a <- all; b <- all if a < b && levOk(a, b, 2)
+    } yield (a, b)).toSet
+    assert(truth.subsetOf(cand),
+      s"missed ${truth.diff(cand).take(5)} of ${truth.size} true pairs")
+    // all-grams blocking on this fixture: every string shares "aa"
+    // occurrences, so its candidate set is ~all-pairs; the prefix form
+    // must stay well under that
+    val tg = TextDedup.taggedGrams(names, "name", "name", 2)
+    val allGramPairs = tg.as("a")
+      .join(tg.as("b"),
+        col("a.g") === col("b.g") && col("a.o") === col("b.o") &&
+          col("a.str") < col("b.str"))
+      .select(col("a.str"), col("b.str")).distinct().count()
+    assert(cand.size.toLong * 2 < allGramPairs,
+      s"prefix ${cand.size} vs all-grams $allGramPairs — no volume win")
+  }
+
+  test("two-sided DL<=1 (q211 shape): every adjacent transposition " +
+    "resolves to its source name") {
+    import spark.implicits._
+    val names = (0 until 60).map(i => s"dim${('a' + i % 7).toChar}ension$i")
+      .distinct.toDF("name")
+    val probes = names.select(col("name").as("src"),
+        concat(substring(col("name"), 1, 2),
+          substring(col("name"), 4, 1), substring(col("name"), 3, 1),
+          expr("substring(name, 5)")).as("probe"))
+      .withColumn("pid", monotonically_increasing_id())
+    val cand = TextDedup.edJoinCandidates(probes, "pid", "probe",
+        names, "name", "name", q = 2, destroyBudget = 3)
+      .select(col("a_str").as("probe"), col("b_str").as("name"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val want = probes.select(col("probe"), col("src")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(want.subsetOf(cand),
+      s"missed ${want.diff(cand).take(5)} of ${want.size} transpositions")
+  }
+}

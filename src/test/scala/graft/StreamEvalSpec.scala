@@ -64,6 +64,85 @@ class StreamEvalSpec extends SparkSpec {
     assert(total === 4L)
   }
 
+  test("replace ordering: recovery path installs dst before touching " +
+    "the only surviving _bak; failed install preserves it") {
+    import spark.implicits._
+    val state = tmpDir("sevalswap") + "/state"
+    val conf = spark.sparkContext.hadoopConfiguration
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val fs = p(state).getFileSystem(conf)
+    // recovery posture: _bak is the ONLY copy (prior crash between renames)
+    Seq((0, 0, 5L)).toDF("label", "pred", "n").withColumn("batch_id",
+      org.apache.spark.sql.functions.lit(0L))
+      .write.parquet(state + "_bak")
+    // a failed install (src missing — the crash-before-rename window)
+    // must fail LOUDLY and leave _bak intact; the old upfront delete
+    // dropped it here, losing every accumulated count
+    intercept[Exception] {
+      StreamEval.replace(spark, state + "_tmp_missing", state)
+    }
+    assert(fs.exists(p(state + "_bak")),
+      "_bak (the only surviving generation) must not be touched before dst lands")
+    assert(StreamEval.counts(spark, state).count() === 1L)
+    // a successful install from the same posture lands dst and cleans _bak
+    Seq((0, 0, 7L)).toDF("label", "pred", "n").withColumn("batch_id",
+      org.apache.spark.sql.functions.lit(1L))
+      .write.parquet(state + "_tmp")
+    StreamEval.replace(spark, state + "_tmp", state)
+    assert(fs.exists(p(state)) && !fs.exists(p(state + "_bak")))
+    assert(StreamEval.counts(spark, state).head().getLong(2) === 7L)
+  }
+
+  test("scored monitor: stream-built ECE/Brier == batch-built to the " +
+    "last digit, with replayed batches a no-op") {
+    import spark.implicits._
+    val state = tmpDir("sevalscored") + "/state"
+    def mkBatch(seed: Int, n: Int) =
+      (0 until n).map { i =>
+        val label = (i + seed) % 3
+        val pred = if ((i + seed) % 7 == 0) (label + 1) % 3 else label
+        val conf = 350000L + ((i * 37 + seed * 101) % 650) * 1000L
+        (label, pred, conf)
+      }.toDF("label", "pred", "conf_micro")
+    val b1 = mkBatch(1, 40)
+    val b2 = mkBatch(2, 55)
+    val b3 = mkBatch(5, 23)
+    assert(StreamEval.mergeScoredBatch(spark, b1, "label", "pred",
+      "conf_micro", state, 0L) === 40L)
+    assert(StreamEval.mergeScoredBatch(spark, b2, "label", "pred",
+      "conf_micro", state, 1L) === 55L)
+    // replay after a simulated restart: no-op
+    assert(StreamEval.mergeScoredBatch(spark, b2, "label", "pred",
+      "conf_micro", state, 1L) === 0L)
+    assert(StreamEval.mergeScoredBatch(spark, b3, "label", "pred",
+      "conf_micro", state, 2L) === 23L)
+    val all = b1.unionByName(b2).unionByName(b3)
+    // calibration: every column of every row identical
+    val want = graft.ext.Eval.calibrationBins(all, "label", "pred",
+      "conf_micro").collect().map(_.toSeq).toSeq
+    val got = StreamEval.calibrationFromState(spark, state)
+      .collect().map(_.toSeq).toSeq
+    assert(got === want)
+    // Brier: identical read-out
+    val wantB = graft.ext.Eval.brierMicro2(all, "label", "pred",
+      "conf_micro").head()
+    val gotB = StreamEval.brierFromState(spark, state).head()
+    Seq("n", "correct", "sum_micro2", "brier_micro2").foreach { c =>
+      assert(gotB.getAs[Long](c) === wantB.getAs[Long](c),
+        s"stream Brier diverged on $c")
+    }
+    // NULL confidence in a batch fails loudly, state untouched
+    val holey = Seq((Some(1), Some(1), None: Option[Long]))
+      .toDF("label", "pred", "conf_micro")
+    val e = intercept[Exception] {
+      StreamEval.mergeScoredBatch(spark, holey, "label", "pred",
+        "conf_micro", state, 3L)
+    }
+    assert(e.getMessage.contains("mergeScoredBatch: NULL"))
+    assert(StreamEval.brierFromState(spark, state).head()
+      .getAs[Long]("n") === 118L)
+  }
+
   test("end-to-end stream: file source -> monitor state via AvailableNow") {
     import spark.implicits._
     val landing = tmpDir("sevalland")
