@@ -39,7 +39,8 @@ object SparkEntry {
       graft.queries.Extended21.queries ++
       graft.queries.Extended22.queries ++
       graft.queries.Extended23.queries ++
-      graft.queries.Extended24.queries
+      graft.queries.Extended24.queries ++
+      graft.queries.Extended25.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -64,5 +65,6 @@ object SparkEntry {
       graft.queries.Extended21.oracles ++
       graft.queries.Extended22.oracles ++
       graft.queries.Extended23.oracles ++
-      graft.queries.Extended24.oracles
+      graft.queries.Extended24.oracles ++
+      graft.queries.Extended25.oracles
 }

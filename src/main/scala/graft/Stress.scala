@@ -1087,7 +1087,10 @@ object Stress {
       def embOf(n: Long): DataFrame = {
         val d = spark.read.format("graftdocs")
           .option("rows", n).option("partitions", cpus.toInt * 2).load()
-        val grp = ($"doc_id" / 5L)
+        // integral div: `/` on Columns is DOUBLE division — it would
+        // give every doc a unique "group" and silently de-clone the
+        // fixture
+        val grp = expr("doc_id div 5")
         val vec = array((0 until dim).map { i =>
           ((xxhash64(grp, lit(i)) % 1000L).cast("double") / 500.0 +
             (xxhash64($"doc_id", lit(i + 777)) % 100L).cast("double")
@@ -1118,9 +1121,9 @@ object Stress {
             emb, "embedding", k = k, iterations = 2)
           cents.length.toLong
         }
-        val cellVol = pairVolume(graft.ext.VectorIndex
-          .assignCells(emb, "embedding", cents)
-          .groupBy($"cell").count())
+        val assignedCells = graft.ext.VectorIndex
+          .assignCells(emb, "embedding", cents).localCheckpoint()
+        val cellVol = pairVolume(assignedCells.groupBy($"cell").count())
         println(s"[stress] semdd-$n cluster k=$k analytic pairs=$cellVol")
         if (cellVol < BigInt(500000000L)) {
           timed(s"semdd-cluster-$n") {
@@ -1129,6 +1132,25 @@ object Stress {
           }
         } else println(s"[stress] semdd-cluster-$n SKIPPED — analytic " +
           s"pairs $cellVol at affordable k=$k (that IS the finding)")
+        gcWindow()
+        // the operator-side fix: (cell × sign sub-bucket) keys — size
+        // subBits so expected cell×bucket occupancy ~ occTarget
+        val subBits = math.max(2, math.min(24,
+          (math.log(n.toDouble / k / occTarget) / math.log(2)).round.toInt))
+        val hierVol = pairVolume(assignedCells
+          .withColumn("sub",
+            graft.functions.VectorFns.signBucket($"embedding", subBits))
+          .groupBy($"cell", $"sub").count())
+        println(s"[stress] semdd-$n hier k=$k subBits=$subBits" +
+          s" analytic pairs=$hierVol")
+        if (hierVol < BigInt(500000000L)) {
+          timed(s"semdd-hier-$n") {
+            graft.ext.VectorIndex.semanticDedupClustered(emb, "embedding",
+              "vec_id", cents, tauBp = 9000, subBits = subBits)
+              .filter(!$"keep").count()
+          }
+        } else println(s"[stress] semdd-hier-$n SKIPPED — analytic " +
+          s"pairs $hierVol")
         gcWindow()
       }
     }
@@ -1139,14 +1161,20 @@ object Stress {
       // df); natural-language entity names put a constant fraction of
       // the corpus on the hottest bigram, and all-grams blocking
       // shuffles Σ_g C(df(g), 2) candidate pairs through that key.
-      // Names are 14 chars drawn from a 100-slot natural-letter-
-      // frequency table (e≈12%, t≈9%, …), hashed off the row id —
-      // deterministic, zero IO. Per size: the ANALYTIC all-grams
-      // candidate volume (exact, from the df table — no need to
-      // detonate the join to know its size), the all-grams join
-      // wall-time where volume permits, and the prefix path's
-      // wall-time + surviving candidate count (lev ≤ 2 ⇒ budget 4,
-      // 5 rarest tagged grams per string as the only join keys).
+      //
+      // The probe's own first run surfaced the SECOND dial: at q = 2
+      // the gram VOCABULARY (26² letter pairs) saturates — every gram
+      // is hot once n ≫ |Σ|², so even the rarest prefix goes
+      // quadratic (measured: 2.6e8 candidates at 100k names, 12×
+      // under all-grams but the same exponent). Prefix filtering is
+      // near-linear only while |Σ|^q ≫ n, so the sweep prices the
+      // GRAM ORDER q ∈ {2,3,4} alongside the blocker: per (n, q) the
+      // exact analytic candidate volume of BOTH forms (Σ C(df, 2)
+      // from the df table — no need to detonate a join to know its
+      // size), and wall time where the volume permits. Names are
+      // 12–20 chars from a 100-slot natural-letter-frequency table
+      // (e≈12%, t≈9%, …), hashed off the row id — deterministic,
+      // zero IO.
       val letterSlots =
         "eeeeeeeeeeee" + "ttttttttt" + "aaaaaaaa" + "oooooooo" +
         "iiiiiii" + "nnnnnnn" + "ssssss" + "hhhhhh" + "rrrrrr" +
@@ -1157,34 +1185,43 @@ object Stress {
       def entityNames(n: Long): DataFrame = spark.range(n)
         .repartition(cpus.toInt * 2)
         .select($"id", concat_ws("",
-          transform(sequence(lit(1), lit(14)),
+          transform(sequence(lit(1), lit(12) + pmod(xxhash64($"id"), lit(9)).cast("int")),
             i => element_at(lut, (pmod(xxhash64($"id" * 131L + i),
               lit(100)) + 1).cast("int")))).as("name"))
-      for (n <- Seq(rows / 40, rows / 4, rows)) {
-        val nm = entityNames(n).localCheckpoint()
-        val tg = graft.ext.TextDedup.taggedGrams(nm, "id", "name", 2)
+        .localCheckpoint()
+      def pairVol(df: DataFrame,
+          cnt: org.apache.spark.sql.Column): BigInt = BigInt(df
+        .agg(sum(cnt.cast("decimal(38,0)") * (cnt - 1))).head()
+        .getDecimal(0).toBigInteger) / 2
+      val cap = BigInt(sys.env.getOrElse("GRAFT_GRAMBLOCK_CAP",
+        "200000000").toLong)
+      for (n <- Seq(rows / 40, rows / 4, rows); q <- Seq(2, 3, 4)) {
+        val nm = entityNames(n)
+        val budget = 2 * q // lev <= 2 destroys <= k*q grams
+        val tg = graft.ext.TextDedup.taggedGrams(nm, "id", "name", q)
+          .localCheckpoint()
         val dfreq = tg.groupBy($"g", $"o").agg(count(lit(1)).as("df"))
-        val vol2 = dfreq
-          .agg(sum(($"df".cast("decimal(38,0)")) * ($"df" - 1)))
-          .head().getDecimal(0)
-        val allVol = BigInt(vol2.toBigInteger) / 2
-        println(f"[stress] gramblock-$n allgrams analytic candidate" +
-          f" volume = $allVol (load1 $load1%.1f)")
-        if (allVol < BigInt(300000000L)) {
-          timed(s"gb-allgrams-$n") {
-            tg.as("a").join(tg.as("b"),
-                $"a.g" === $"b.g" && $"a.o" === $"b.o" &&
-                  $"a.str" < $"b.str")
-              .select($"a.id", $"b.id").distinct().count()
-          }
-        } else println(s"[stress] gb-allgrams-$n SKIPPED — analytic " +
-          s"volume $allVol would detonate the shuffle (that IS the finding)")
+          .localCheckpoint()
+        val allVol = pairVol(dfreq, $"df")
+        val pfx = graft.ext.TextDedup.gramPrefix(tg, dfreq, budget + 1)
+        val pfxVol = pairVol(
+          pfx.groupBy($"g", $"o").agg(count(lit(1)).as("c")), $"c")
+        println(f"[stress] gramblock n=$n q=$q allgrams-vol=$allVol" +
+          f" prefix-vol=$pfxVol (load1 $load1%.1f)")
+        if (allVol < cap) timed(s"gb-allgrams-$n-q$q") {
+          tg.as("a").join(tg.as("b"),
+              $"a.g" === $"b.g" && $"a.o" === $"b.o" &&
+                $"a.str" < $"b.str")
+            .select($"a.id", $"b.id").distinct().count()
+        } else println(s"[stress] gb-allgrams-$n-q$q SKIPPED — analytic" +
+          s" volume $allVol (that IS the finding)")
         gcWindow()
-        timed(s"gb-prefix-$n") {
+        if (pfxVol < cap) timed(s"gb-prefix-$n-q$q") {
           graft.ext.TextDedup.edJoinCandidates(nm, "id", "name",
-            nm, "id", "name", q = 2, destroyBudget = 4,
+            nm, "id", "name", q = q, destroyBudget = budget,
             selfPairs = true).count()
-        }
+        } else println(s"[stress] gb-prefix-$n-q$q SKIPPED — analytic" +
+          s" volume $pfxVol (gram space saturated: grow q)")
         gcWindow()
       }
     }

@@ -366,6 +366,64 @@ object Eval {
       .agg(count(lit(1)).as("n_classes"),
         expr("sum(recall_ppm) div count(*)").as("balanced_acc_ppm"))
 
+  /** Per-group balanced accuracy + the equal-opportunity gap, exact
+    * ppm integers — the group-fairness read-out a labeling pipeline
+    * runs before shipping labels: does the classifier serve every
+    * cohort equally well? Per integer group: row count, true-class
+    * count, and balanced accuracy ([[balancedAccuracyPpm]]'s
+    * definition scoped to the group); a trailing `group = -1` row
+    * carries (total rows, number of groups, max − min bacc) — the
+    * GAP is the fairness statistic (0 = parity). NULL labels/groups
+    * fail LOUDLY (phantom-class hazard). Two tiny keyed aggregations;
+    * ×10⁶ folds in DECIMAL via [[Exact]]. */
+  def groupBalancedAccuracyPpm(pred: DataFrame, labelCol: String,
+      predCol: String, groupCol: String): DataFrame = {
+    def guarded(c: String) = coalesce(col(c).cast("int"),
+      raise_error(lit(s"groupBalancedAccuracyPpm: NULL in '$c' — a null" +
+        " key would form a phantom group/class")).cast("int"))
+    val per = pred
+      .select(guarded(groupCol).as("__g"), guarded(labelCol).as("__l"),
+        col(predCol).cast("int").as("__p"))
+      .groupBy(col("__g"), col("__l"))
+      .agg(count(lit(1)).as("nt"),
+        sum(when(col("__l") === col("__p"), 1L).otherwise(0L)).as("tp"))
+      .select(col("__g"), col("nt"),
+        expr(s"(CAST(tp AS ${Exact.Dec}) * 1000000) div nt")
+          .as("recall_ppm"))
+      .groupBy(col("__g").as("group"))
+      .agg(sum(col("nt")).as("n"), count(lit(1)).as("n_classes"),
+        expr("sum(recall_ppm) div count(*)").as("bacc_ppm"))
+    val gap = per.agg(lit(-1).as("group"), sum(col("n")).as("n"),
+      count(lit(1)).as("n_classes"),
+      (max(col("bacc_ppm")) - min(col("bacc_ppm"))).as("bacc_ppm"))
+    per.unionByName(gap).orderBy(col("group"))
+  }
+
+  /** McNemar's paired test (continuity-corrected) between two
+    * classifiers scored on the SAME rows — the right way to ask
+    * "is B actually better than A?" (comparing two accuracies throws
+    * away the pairing; only the DISAGREEMENT cells carry signal):
+    * b = A-right/B-wrong, c = A-wrong/B-right,
+    * stat = (|b − c| − 1)² / (b + c), read in micro units by integer
+    * division (χ²₁ at 0.05 ≈ 3.84 ⇒ 3,841,459 micro). b + c = 0
+    * (perfect agreement) reads 0 by convention. One aggregation,
+    * no shuffle beyond the scan; the squared term in DECIMAL. */
+  def mcnemarMicro(pred: DataFrame, labelCol: String,
+      aCol: String, bCol: String): DataFrame =
+    pred.select(col(labelCol).cast("int").as("__l"),
+        col(aCol).cast("int").as("__a"), col(bCol).cast("int").as("__b"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(when(col("__a") === col("__l") &&
+          !(col("__b") === col("__l")), 1L).otherwise(0L)), lit(0L))
+          .as("b"),
+        coalesce(sum(when(!(col("__a") === col("__l")) &&
+          col("__b") === col("__l"), 1L).otherwise(0L)), lit(0L))
+          .as("c"))
+      .select(col("n"), col("b"), col("c"),
+        expr(s"CASE WHEN b + c = 0 THEN 0L ELSE" +
+          s" (CAST(abs(b - c) - 1 AS ${Exact.Dec}) * (abs(b - c) - 1)" +
+          " * 1000000) div (b + c) END").as("mcnemar_micro"))
+
   /** Reliability table + expected calibration error, all integer ppm:
     * rows whose `confMicroCol` (micro-units, e.g. max-cosine × 10⁶)
     * lands in bin b = clamp(conf_micro·bins div 10⁶, 0, bins−1) are

@@ -724,6 +724,22 @@ object TextDedup {
     * exclude, so the volume stays near-linear where all-grams
     * blocking detonates (measured: Stress `gramblock`).
     *
+    * SIZE q TO THE CORPUS: prefix filtering buys a CONSTANT factor
+    * (measured ~12–16× under all-grams at every (n, q) — Stress
+    * `gramblock`); the volume EXPONENT is set by gram-space
+    * saturation. While the effective gram vocabulary out-scales the
+    * corpus the volume is near-linear; once it saturates, even the
+    * rarest gram is hot and both forms go quadratic. "Effective"
+    * means perplexity, not |Σ|^q: on natural-letter-frequency names
+    * each +1 of q multiplies the effective vocabulary (and divides
+    * candidate volume) by the per-letter perplexity, measured ~17×,
+    * so q must satisfy perplexity^q ≫ n (q = 2 saturates by
+    * n ≈ 10⁴·5; q = 4 by ≈ 10⁵·5). The budget scales as k·q, so
+    * strings must be comfortably longer than (k+1)·q for the prefix
+    * to filter at all — for SHORT strings at giant n, block on
+    * (length band × rarest grams) and accept the verify cost, or
+    * move to token-level grams where the vocabulary is corpus-sized.
+    *
     * @param a        left side; `aId` must be unique per string row
     * @param b        right side (pass `a`'s frame again + selfPairs
     *                 for a self-join)

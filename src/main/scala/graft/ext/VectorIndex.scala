@@ -217,18 +217,36 @@ object VectorIndex {
     * paper's greedy keep-first rule, one anti-join instead of a
     * fixpoint.
     *
+    * `subBits` is the HIERARCHICAL escape hatch the Stress `semdd`
+    * pricing forced: cluster occupancy is bought with k·dim
+    * classification flops, so at affordable k the cells grow with n
+    * and the within-cell all-pairs goes n²/k (measured: 3.1e10
+    * analytic pairs at 4M docs, k = 256). With subBits > 0 the pair
+    * expansion keys on (cell, sign-LSH sub-bucket) instead — expected
+    * volume divides by ~2^subBits at zero extra build cost (the sign
+    * bits read the vector already in hand), and the sub-bucket is a
+    * deterministic function of the vector so the read-out stays
+    * oracle-exact. Recall consequence: a qualifying pair is missed
+    * iff it straddles a sub-bucket sign boundary — the q163/banded
+    * trade, priced in Stress `semdd` (hier arm). subBits = 0 (the
+    * default) is the exact SemDeDup geometry, bit-identical to before.
+    *
     * @return (idCol, cell, keep) — one row per input vector
     */
   def semanticDedupClustered(embeddings: DataFrame, vecCol: String,
-      idCol: String, centroids: Array[Array[Float]], tauBp: Int): DataFrame = {
+      idCol: String, centroids: Array[Array[Float]], tauBp: Int,
+      subBits: Int = 0): DataFrame = {
+    require(subBits >= 0, s"subBits must be >= 0, got $subBits")
     val assigned = assignCells(embeddings, vecCol, centroids)
       .select(col(idCol).as("__id"), col("cell"), col(vecCol).as("__v"))
       .withColumn("__nrm", VectorFns.l2Norm(col("__v")))
-    val a = assigned.select(col("cell"), col("__id").as("ia"),
-      col("__v").as("va"), col("__nrm").as("na"))
-    val b = assigned.select(col("cell"), col("__id").as("ib"),
-      col("__v").as("vb"), col("__nrm").as("nb"))
-    val dropped = a.join(b, Seq("cell"))
+      .withColumn("__sub", if (subBits == 0) lit(0L)
+        else VectorFns.signBucket(col("__v"), subBits))
+    val a = assigned.select(col("cell"), col("__sub"),
+      col("__id").as("ia"), col("__v").as("va"), col("__nrm").as("na"))
+    val b = assigned.select(col("cell"), col("__sub"),
+      col("__id").as("ib"), col("__v").as("vb"), col("__nrm").as("nb"))
+    val dropped = a.join(b, Seq("cell", "__sub"))
       .filter(col("ia") < col("ib"))
       .filter(floor(VectorFns.dot(col("va"), col("vb"))
         / (col("na") * col("nb")) * 10000 + lit(0.5)) >= tauBp)

@@ -1,0 +1,179 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext.Exact
+
+/** Round-14 second batch (q238–q240): the comparison / fairness /
+  * concentration read-outs that close out the evaluation shelf —
+  * does the classifier serve every cohort equally (q238), is the
+  * wide model ACTUALLY better than the narrow one on paired data
+  * (q239), and how concentrated is the corpus without paying a
+  * global sort for it (q240, the one-scan complement to q232's
+  * ranked Gini).
+  */
+object Extended25 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // --------------------------------------------------------------------
+  // q238 — equal-opportunity gap across synthetic cohorts (vec_id mod 3
+  // — deterministic, both engines derive it): per-group balanced
+  // accuracy of the centroid classifier plus the max−min gap row.
+  def q238(s: SparkSession, dir: String): DataFrame = {
+    val p = graft.ext.Eval.centroidPredictions(
+      t(s, dir, "embeddings"), "embedding", "label")
+      .withColumn("grp", (col("vec_id") % 3).cast("int"))
+    graft.ext.Eval.groupBalancedAccuracyPpm(p, "label", "pred", "grp")
+  }
+
+  val q238Sql: String =
+    s"""WITH ${CentroidPredOracle.chain},
+       | rc AS (SELECT CAST(vec_id % 3 AS INTEGER) AS grp,
+       |          count(*) AS nt,
+       |          (CAST(sum(CASE WHEN label = pred THEN 1 ELSE 0 END)
+       |             AS BIGINT) * 1000000) // count(*) AS recall_ppm
+       |        FROM pred GROUP BY 1, label),
+       | per AS (SELECT grp AS "group", CAST(sum(nt) AS BIGINT) AS n,
+       |           count(*) AS n_classes,
+       |           CAST(sum(recall_ppm) AS BIGINT) // count(*) AS bacc_ppm
+       |         FROM rc GROUP BY 1)
+       |SELECT * FROM per
+       |UNION ALL
+       |SELECT CAST(-1 AS INTEGER), CAST(sum(n) AS BIGINT), count(*),
+       |  max(bacc_ppm) - min(bacc_ppm)
+       |FROM per
+       |ORDER BY "group"""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q239 — McNemar's paired test between the width-16 and width-64
+  // Matryoshka classifiers (q223's raters): the disagreement cells
+  // b/c and the continuity-corrected statistic in micro units —
+  // "does full width beat the 16-prefix beyond chance?" One scan
+  // (both predictions come from the same fused classification pass).
+  private val McnWidths = Seq(16, 64)
+
+  def q239(s: SparkSession, dir: String): DataFrame = {
+    val multi = graft.ext.Eval.multiWidthPredictions(
+      t(s, dir, "embeddings"), "embedding", "label", McnWidths)
+    graft.ext.Eval.mcnemarMicro(multi, "label",
+      s"pred_w${McnWidths.head}", s"pred_w${McnWidths.last}")
+  }
+
+  val q239Sql: String = {
+    val (wa, wb) = (McnWidths.head, McnWidths.last)
+    s"""WITH ${CentroidPredOracle.widthChains(McnWidths)},
+       | paired AS (SELECT e.label, pred$wa.p$wa AS a, pred$wb.p$wb AS b
+       |            FROM e JOIN pred$wa USING (vec_id)
+       |            JOIN pred$wb USING (vec_id)),
+       | f AS (SELECT count(*) AS n,
+       |   CAST(sum(CASE WHEN a = label AND b <> label THEN 1 ELSE 0 END)
+       |     AS BIGINT) AS b,
+       |   CAST(sum(CASE WHEN a <> label AND b = label THEN 1 ELSE 0 END)
+       |     AS BIGINT) AS c
+       |   FROM paired)
+       |SELECT n, b, c,
+       |  CAST(CASE WHEN b + c = 0 THEN 0 ELSE
+       |    ((abs(b - c) - 1) * (abs(b - c) - 1) * 1000000) // (b + c)
+       |  END AS BIGINT) AS mcnemar_micro
+       |FROM f""".stripMargin
+  }
+
+  // --------------------------------------------------------------------
+  // q240 — Theil T index of document-length concentration: the
+  // one-scan complement to q232's Gini (Gini needs a GLOBAL RANK —
+  // two range-partitioned passes; Theil is a plain aggregation, the
+  // form to prefer at 100 TB when any inequality read-out will do).
+  // T = (1/n) Σ r·ln r with r = x·n/X; per-row terms nano-floored
+  // before the exact integer sum (the q178/q220 log discipline), the
+  // sum in DECIMAL (one mega-doc makes r·ln r ~ n·ln n). Zero-length
+  // docs carry r = 0 and contribute 0 (lim x→0 x·ln x), encoded
+  // explicitly on both engines.
+  def q240(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = t(s, dir, "documents").select($"n_chars".cast("long").as("x"))
+    val tot = d.agg(count(lit(1)).as("n"), sum($"x").as("xs"))
+    d.crossJoin(tot)
+      .select(expr("CASE WHEN x > 0 THEN CAST(floor(" +
+        "((CAST(x AS DOUBLE) * n) / xs) *" +
+        " ln((CAST(x AS DOUBLE) * n) / xs) * 1000000000.0 + 0.5)" +
+        " AS BIGINT) ELSE 0L END").as("t"))
+      .agg(count(lit(1)).as("n"), Exact.decSum($"t").as("tsum"))
+      .select($"n",
+        expr("tsum div n").as("theil_nano"))
+  }
+
+  val q240Sql: String =
+    """WITH d AS (SELECT CAST(n_chars AS BIGINT) AS x FROM documents),
+      | tot AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS xs FROM d),
+      | terms AS (SELECT CASE WHEN x > 0 THEN CAST(floor(
+      |     ((CAST(x AS DOUBLE) * n) / xs) *
+      |     ln((CAST(x AS DOUBLE) * n) / xs) * 1000000000.0 + 0.5)
+      |     AS BIGINT) ELSE 0 END AS t
+      |   FROM d CROSS JOIN tot)
+      |SELECT count(*) AS n,
+      |  CAST(CAST(sum(t) AS HUGEINT) // count(*) AS BIGINT) AS theil_nano
+      |FROM terms""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q241 — HIERARCHICAL SemDeDup (q215 with sign-LSH sub-bucketing,
+  // subBits = 2): the within-cell all-pairs keys on (cell, sub-bucket)
+  // so pair volume divides by ~2^subBits — the Stress `semdd` pricing
+  // found affordable-k cells detonating at 4M (3.1e10 pairs) and this
+  // is the operator-side fix. The sub-bucket is a deterministic sign
+  // function of the vector, so the oracle replays it exactly;
+  // comparing q241's per-cell drops against q215's reads the recall
+  // cost of the geometry on this corpus.
+  private val HierSubBits = 2
+
+  def q241(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = t(s, dir, "embeddings")
+    val centroids = graft.ext.VectorIndex
+      .trainCentroids(e, "embedding", k = 8, iterations = 2)
+    graft.ext.VectorIndex
+      .semanticDedupClustered(e, "embedding", "vec_id", centroids,
+        tauBp = 4200, subBits = HierSubBits)
+      .groupBy($"cell")
+      .agg(count(lit(1)).as("n_members"),
+        sum(when(!$"keep", 1L).otherwise(0L)).as("n_dropped"))
+      .orderBy($"cell")
+  }
+
+  val q241Sql: String = {
+    val sub = (0 until HierSubBits)
+      .map(i => s"(CASE WHEN v[${i + 1}] >= 0 THEN ${1L << i} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH ${KmeansOracle.chain(k = 8, iterations = 2)},
+       | m AS (SELECT e.vec_id, af.cell, e.v, $sub AS sub
+       |       FROM e JOIN af USING (vec_id)),
+       | dropped AS (SELECT DISTINCT b.vec_id AS vid
+       |   FROM m a JOIN m b ON a.cell = b.cell AND a.sub = b.sub
+       |     AND a.vec_id < b.vec_id
+       |   WHERE floor(${KmeansOracle.cos("a.v", "b.v")} * 10000 + 0.5)
+       |     >= 4200)
+       |SELECT m.cell, count(*) AS n_members,
+       |  CAST(sum(CASE WHEN d.vid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_dropped
+       |FROM m LEFT JOIN dropped d ON m.vec_id = d.vid
+       |GROUP BY m.cell ORDER BY m.cell""".stripMargin
+  }
+
+  /** Name → query, for SparkEntry. */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q238_equal_opportunity_gap" -> (q238 _),
+    "q239_mcnemar_paired" -> (q239 _),
+    "q240_theil_index" -> (q240 _),
+    "q241_semdedup_hier" -> (q241 _)
+  )
+
+  /** Name → DuckDB oracle SQL, for SparkEntry. */
+  val oracles: Map[String, String] = Map(
+    "q238_equal_opportunity_gap" -> q238Sql,
+    "q239_mcnemar_paired" -> q239Sql,
+    "q240_theil_index" -> q240Sql,
+    "q241_semdedup_hier" -> q241Sql
+  )
+}
