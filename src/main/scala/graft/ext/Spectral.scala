@@ -64,6 +64,14 @@ object Spectral {
     * `spectral-pc1` prints the column). */
   def topComponentWithResiduals(emb: DataFrame, vecCol: String,
       iterations: Int = 4)
+      : (Array[Float], Array[Float], Seq[(Int, Double, Double)]) =
+    iterate(emb, vecCol, iterations, stopAt = None)
+
+  /** The shared power-iteration loop: exactly `iterations` steps when
+    * `stopAt` is None (oracle-parity mode — both engines unroll the
+    * same count), early exit once the residual ≤ stopAt otherwise. */
+  private def iterate(emb: DataFrame, vecCol: String, iterations: Int,
+      stopAt: Option[Double])
       : (Array[Float], Array[Float], Seq[(Int, Double, Double)]) = {
     require(iterations >= 1, "need at least one power step")
     val dim = vecDim(emb, vecCol)
@@ -118,17 +126,48 @@ object Spectral {
         while (i < dim) { acc += v(i).toDouble * c(i); i += 1 }
         acc
       }
-      if (lambda > 0.0) {
-        var r2 = 0.0; var i = 0
-        while (i < dim) {
-          val d = c(i) - lambda * v(i).toDouble; r2 += d * d; i += 1
-        }
-        residuals += ((k + 1, lambda, math.sqrt(r2) / lambda))
-      } else residuals += ((k + 1, lambda, Double.NaN))
+      val residual =
+        if (lambda > 0.0) {
+          var r2 = 0.0; var i = 0
+          while (i < dim) {
+            val d = c(i) - lambda * v(i).toDouble; r2 += d * d; i += 1
+          }
+          math.sqrt(r2) / lambda
+        } else Double.NaN
+      residuals += ((k + 1, lambda, residual))
       v = c.map(x => (x / norm).toFloat)
       k += 1
+      // early exit in residual-driven mode (never in oracle-parity
+      // mode, where the step count is part of the contract)
+      if (stopAt.exists(t => residual <= t)) k = iterations
     }
     (mu, v, residuals.result())
+  }
+
+  /** Residual-driven [[topComponent]]: iterate until the Rayleigh
+    * residual ‖Av − λv‖/λ drops below `tol` (or `maxIterations`),
+    * paying only the scans convergence actually needs — the
+    * production entry point when the spectrum is unknown (the
+    * fixed-`iterations` form exists for oracle parity, where both
+    * engines must unroll the same step count). The check is FREE:
+    * the residual folds driver-side from each step's own aggregates
+    * and the loop RESUMES from the current iterate — one scan per
+    * step, never a restart. Fails loudly if maxIterations exhausts
+    * before tol (a silently non-converged direction would quietly
+    * under-read every downstream share/removal). */
+  def topComponentConverged(emb: DataFrame, vecCol: String,
+      tol: Double = 1e-3, maxIterations: Int = 32)
+      : (Array[Float], Array[Float], Seq[(Int, Double, Double)]) = {
+    require(tol > 0.0, s"tol must be positive, got $tol")
+    require(maxIterations >= 1, "need at least one power step")
+    iterate(emb, vecCol, maxIterations, stopAt = Some(tol)) match {
+      case (mu, v, res) if res.last._3 <= tol => (mu, v, res)
+      case (_, _, res) =>
+        throw new IllegalStateException(
+          s"power iteration residual ${res.last._3} > tol $tol after" +
+            s" $maxIterations steps — spectrum too flat; raise" +
+            " maxIterations or accept a wider tol explicitly")
+    }
   }
 
   /** Variance share of the top component, integer-exact read-out: per

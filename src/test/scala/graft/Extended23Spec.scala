@@ -23,6 +23,25 @@ class Extended23Spec extends SparkSpec {
     }.toDF("vec_id", "embedding")
   }
 
+  test("topComponentConverged: stops at tol with the same direction, " +
+    "loud when the budget can't reach it") {
+    val e = planted(220)
+    val (_, pcFixed) = graft.ext.Spectral.topComponent(e, "embedding", 12)
+    val (_, pc, res) = graft.ext.Spectral
+      .topComponentConverged(e, "embedding", tol = 1e-4, maxIterations = 16)
+    assert(res.last._3 <= 1e-4, s"did not converge: $res")
+    assert(res.length < 16, "early stop never fired")
+    // same direction as a generously-iterated fixed run
+    val cos = pc.zip(pcFixed).map { case (a, b) => a.toDouble * b }.sum
+    assert(math.abs(cos) > 0.9999, s"direction drifted: $cos")
+    // an unreachable tol inside a tiny budget fails LOUDLY
+    val ex = intercept[IllegalStateException] {
+      graft.ext.Spectral.topComponentConverged(e, "embedding",
+        tol = 1e-13, maxIterations = 2)
+    }
+    assert(ex.getMessage.contains("raise"), ex.getMessage)
+  }
+
   test("topComponent recovers a planted dominant direction; deterministic") {
     val e = planted(220)
     val (mu, pc) = graft.ext.Spectral.topComponent(e, "embedding", 6)
