@@ -424,6 +424,83 @@ object Eval {
           s" (CAST(abs(b - c) - 1 AS ${Exact.Dec}) * (abs(b - c) - 1)" +
           " * 1000000) div (b + c) END").as("mcnemar_micro"))
 
+  /** Cochran's Q in exact micro units — the k-classifier
+    * generalization of [[mcnemarMicro]] (are ANY of these k paired
+    * classifiers different beyond chance?):
+    * Q = (k−1)·(k·ΣC_j² − T²) / (k·T − ΣR_i²) with R_i = #classifiers
+    * right on item i, C_j = #items classifier j got right, T = ΣR_i.
+    * Everything is an integer fold of ONE scan (R_i is a row
+    * expression over the k prediction columns; the C_j are k
+    * conditional sums in the same aggregation); the squared terms run
+    * in DECIMAL via [[Exact]]. Unanimous-on-every-item data
+    * (denominator Σ R_i(k−R_i) = 0) reads 0 by convention. χ²_{k−1}
+    * at 0.05 for k = 3 ≈ 5.99 ⇒ 5,991,465 micro.
+    *
+    * @return one row: (n_items, n_raters, t, q_micro)
+    */
+  def cochranQMicro(pred: DataFrame, labelCol: String,
+      raterCols: Seq[String]): DataFrame = {
+    require(raterCols.length >= 2, "Cochran's Q needs >= 2 classifiers")
+    val k = raterCols.length
+    val l = col(labelCol).cast("int")
+    val oks = raterCols.map(c =>
+      when(col(c).cast("int") === l, 1L).otherwise(0L))
+    val ri = oks.reduce(_ + _)
+    val aggs =
+      Seq(count(lit(1)).as("n_items"),
+        coalesce(sum(ri), lit(0L)).as("t"),
+        Exact.decSum(Exact.dec(ri) * ri).as("r2")) ++
+      oks.zipWithIndex.map { case (o, j) =>
+        coalesce(sum(o), lit(0L)).as(s"c$j") }
+    val csq = (0 until k).map(j =>
+      s"CAST(c$j AS ${Exact.Dec}) * c$j").mkString(" + ")
+    pred.agg(aggs.head, aggs.tail: _*)
+      .select(col("n_items"), lit(k).cast("long").as("n_raters"), col("t"),
+        expr(s"CASE WHEN $k * t - r2 = 0 THEN 0L ELSE" +
+          s" (${k - 1} * ($k * ($csq) - CAST(t AS ${Exact.Dec}) * t)" +
+          s" * 1000000) div ($k * t - r2) END").as("q_micro"))
+  }
+
+  /** Krippendorff's alpha (nominal metric, complete data) in exact
+    * ppm — the agreement statistic built on COINCIDENCES rather than
+    * rater marginals, the standard when raters are interchangeable:
+    * α = 1 − D_o/D_e with
+    * D_o ∝ Σ_items Σ_classes o_uc·(r − o_uc) = n_items·r² − S2 (S2 is
+    * the same Σ o² sum [[fleissKappaPpm]] folds via the pairwise-
+    * agreement identity — a pure row expression, no per-item
+    * shuffle), and D_e ∝ Σ_classes n_c·(n − n_c) over the pooled
+    * value counts (n = n_items·r). Exact:
+    * α_ppm = 10⁶ − ((n_items·r² − S2)·(n−1)·10⁶) div
+    *               ((r−1)·Σ n_c(n−n_c)), DECIMAL throughout.
+    * Single-class data (D_e = 0: no disagreement is even possible)
+    * reads 10⁶ by the [[fleissKappaPpm]] convention.
+    *
+    * @return one row: (n_items, n_raters, alpha_ppm)
+    */
+  def krippendorffAlphaPpm(df: DataFrame,
+      raterCols: Seq[String]): DataFrame = {
+    require(raterCols.length >= 2, "Krippendorff's alpha needs >= 2 raters")
+    val r = raterCols.length
+    val preds = raterCols.map(c => col(c).cast("int"))
+    val agreePairs = (for { i <- 0 until r; j <- (i + 1) until r } yield
+      when(preds(i) === preds(j), 1L).otherwise(0L)).reduce(_ + _)
+    val s2 = df.select((lit(r.toLong) + lit(2L) * agreePairs).as("s2i"))
+      .agg(Exact.decSum(col("s2i")).as("s2"), count(lit(1)).as("n_items"))
+    // Σ n_c·(n − n_c) = (Σn_c)² − Σn_c² — one aggregation over the
+    // pooled value counts, no second pass for the total
+    val dexp = df.select(explode(array(preds: _*)).as("__r"))
+      .groupBy(col("__r")).agg(count(lit(1)).as("nc"))
+      .agg(coalesce(sum(col("nc")), lit(0L)).as("nn"),
+        Exact.decSum(Exact.dec(col("nc")) * col("nc")).as("nc2"))
+      .select((Exact.dec(col("nn")) * col("nn") - col("nc2")).as("dexp"))
+    s2.crossJoin(dexp)
+      .select(col("n_items"), lit(r).cast("long").as("n_raters"),
+        expr(s"CASE WHEN dexp = 0 THEN 1000000L ELSE" +
+          s" 1000000 - ((CAST(n_items AS ${Exact.Dec}) * ${r * r} - s2)" +
+          s" * (n_items * $r - 1) * 1000000)" +
+          s" div (${r - 1} * dexp) END").as("alpha_ppm"))
+  }
+
   /** Reliability table + expected calibration error, all integer ppm:
     * rows whose `confMicroCol` (micro-units, e.g. max-cosine × 10⁶)
     * lands in bin b = clamp(conf_micro·bins div 10⁶, 0, bins−1) are

@@ -161,12 +161,95 @@ object Extended25 {
        |GROUP BY m.cell ORDER BY m.cell""".stripMargin
   }
 
+  // --------------------------------------------------------------------
+  // q242 — Cochran's Q across the width-16/32/64 Matryoshka
+  // classifiers: "are ANY of the k paired classifiers different beyond
+  // chance?" — the omnibus test run before pairwise McNemar (q239).
+  // One scan: R_i is a row expression, the C_j are conditional sums in
+  // the same aggregation.
+  private val CochranWidths = Seq(16, 32, 64)
+
+  def q242(s: SparkSession, dir: String): DataFrame = {
+    val multi = graft.ext.Eval.multiWidthPredictions(
+      t(s, dir, "embeddings"), "embedding", "label", CochranWidths)
+    graft.ext.Eval.cochranQMicro(multi, "label",
+      CochranWidths.map(w => s"pred_w$w"))
+  }
+
+  val q242Sql: String = {
+    val ws = CochranWidths
+    val joined = ws.map(w => s"pred$w").reduce((a, b) => s"$a JOIN $b USING (vec_id)")
+    val ok = ws.map(w => s"(CASE WHEN p$w = label THEN 1 ELSE 0 END)")
+    val ri = ok.mkString(" + ")
+    val cs = ws.indices.map(j =>
+      s"CAST(sum(${ok(j)}) AS HUGEINT) AS c$j").mkString(",\n       |   ")
+    val csq = ws.indices.map(j => s"c$j * c$j").mkString(" + ")
+    val k = ws.length
+    s"""WITH ${CentroidPredOracle.widthChains(ws)},
+       | paired AS (SELECT e.label, ${ws.map(w => s"p$w").mkString(", ")}
+       |            FROM e JOIN $joined USING (vec_id)),
+       | f AS (SELECT count(*) AS n_items,
+       |   CAST(sum($ri) AS HUGEINT) AS t,
+       |   CAST(sum(CAST(($ri) AS HUGEINT) * ($ri)) AS HUGEINT) AS r2,
+       |   $cs
+       |   FROM paired)
+       |SELECT n_items, CAST($k AS BIGINT) AS n_raters,
+       |  CAST(t AS BIGINT) AS t,
+       |  CAST(CASE WHEN $k * t - r2 = 0 THEN 0 ELSE
+       |    (${k - 1} * ($k * ($csq) - t * t) * 1000000) // ($k * t - r2)
+       |  END AS BIGINT) AS q_micro
+       |FROM f""".stripMargin
+  }
+
+  // --------------------------------------------------------------------
+  // q243 — Krippendorff's alpha (nominal, complete data) over the same
+  // three width-raters: the coincidence-based agreement statistic
+  // (raters interchangeable), complementing q223's Fleiss kappa with a
+  // different chance model. Exact ppm; D_e folds via
+  // Σ n_c(n−n_c) = (Σn_c)² − Σn_c² (one aggregation).
+  def q243(s: SparkSession, dir: String): DataFrame = {
+    val multi = graft.ext.Eval.multiWidthPredictions(
+      t(s, dir, "embeddings"), "embedding", "label", CochranWidths)
+    graft.ext.Eval.krippendorffAlphaPpm(multi,
+      CochranWidths.map(w => s"pred_w$w"))
+  }
+
+  val q243Sql: String = {
+    val ws = CochranWidths
+    val r = ws.length
+    val joined = ws.map(w => s"pred$w").reduce((a, b) => s"$a JOIN $b USING (vec_id)")
+    val agree = (for { i <- 0 until r; j <- (i + 1) until r } yield
+      s"(CASE WHEN p${ws(i)} = p${ws(j)} THEN 1 ELSE 0 END)").mkString(" + ")
+    val vals = ws.map(w => s"p$w").mkString(", ")
+    s"""WITH ${CentroidPredOracle.widthChains(ws)},
+       | paired AS (SELECT ${ws.map(w => s"p$w").mkString(", ")}
+       |            FROM $joined),
+       | s2 AS (SELECT count(*) AS n_items,
+       |          CAST(sum($r + 2 * ($agree)) AS HUGEINT) AS s2
+       |        FROM paired),
+       | marg AS (SELECT v, count(*) AS nc
+       |          FROM (SELECT unnest([$vals]) AS v FROM paired)
+       |          GROUP BY 1),
+       | de AS (SELECT CAST(sum(nc) AS HUGEINT) AS nn,
+       |          CAST(sum(CAST(nc AS HUGEINT) * nc) AS HUGEINT) AS nc2
+       |        FROM marg)
+       |SELECT n_items, CAST($r AS BIGINT) AS n_raters,
+       |  CAST(CASE WHEN nn * nn - nc2 = 0 THEN 1000000 ELSE
+       |    1000000 - ((CAST(n_items AS HUGEINT) * ${r * r} - s2)
+       |      * (n_items * $r - 1) * 1000000)
+       |      // (${r - 1} * (nn * nn - nc2))
+       |  END AS BIGINT) AS alpha_ppm
+       |FROM s2 CROSS JOIN de""".stripMargin
+  }
+
   /** Name → query, for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q238_equal_opportunity_gap" -> (q238 _),
     "q239_mcnemar_paired" -> (q239 _),
     "q240_theil_index" -> (q240 _),
-    "q241_semdedup_hier" -> (q241 _)
+    "q241_semdedup_hier" -> (q241 _),
+    "q242_cochran_q" -> (q242 _),
+    "q243_krippendorff_alpha" -> (q243 _)
   )
 
   /** Name → DuckDB oracle SQL, for SparkEntry. */
@@ -174,6 +257,8 @@ object Extended25 {
     "q238_equal_opportunity_gap" -> q238Sql,
     "q239_mcnemar_paired" -> q239Sql,
     "q240_theil_index" -> q240Sql,
-    "q241_semdedup_hier" -> q241Sql
+    "q241_semdedup_hier" -> q241Sql,
+    "q242_cochran_q" -> q242Sql,
+    "q243_krippendorff_alpha" -> q243Sql
   )
 }

@@ -34,6 +34,42 @@ class Extended25Spec extends SparkSpec {
     assert(e.getMessage.contains("groupBalancedAccuracyPpm: NULL in 'grp'"))
   }
 
+  test("cochranQMicro: hand value; unanimous items read 0") {
+    import spark.implicits._
+    // correctness patterns (1,1,1),(1,1,0),(1,0,0),(0,0,0):
+    // C = [3,2,1], T = 6, sumC2 = 14, sumR2 = 14
+    // Q = 2*(3*14 - 36)/(3*6 - 14) = 12/4 = 3.0 -> 3,000,000 micro
+    val df = Seq((1, 1, 1, 1), (1, 1, 1, 0), (1, 1, 0, 0), (1, 0, 0, 0))
+      .toDF("label", "a", "b", "c")
+    val r = Eval.cochranQMicro(df, "label", Seq("a", "b", "c")).head()
+    assert(r.getAs[Long]("n_items") === 4L)
+    assert(r.getAs[Long]("t") === 6L)
+    assert(r.getAs[Long]("q_micro") === 3000000L)
+    // unanimous rows only (all right or all wrong): denominator 0 -> 0
+    val una = Seq((1, 1, 1, 1), (1, 0, 0, 0)).toDF("label", "a", "b", "c")
+    assert(Eval.cochranQMicro(una, "label", Seq("a", "b", "c")).head()
+      .getAs[Long]("q_micro") === 0L)
+  }
+
+  test("krippendorffAlphaPpm: hand value; perfect agreement reads 10^6") {
+    import spark.implicits._
+    // 2 raters, items (0,0) (1,1) (0,1): S2 = 4+4+2 = 10,
+    // Do_num = 3*4-10 = 2, n = 6, marg (0:3, 1:3) -> dexp = 36-18 = 18
+    // alpha = 1 - (2*5)/(1*18) -> 10^6 - 10^7 div 18 = 444445
+    val df = Seq((0, 0), (1, 1), (0, 1)).toDF("r1", "r2")
+    val a = Eval.krippendorffAlphaPpm(df, Seq("r1", "r2")).head()
+    assert(a.getAs[Long]("n_items") === 3L)
+    assert(a.getAs[Long]("alpha_ppm") === 1000000L - 10000000L / 18L)
+    // perfect agreement over >= 2 classes
+    val perfect = Seq((0, 0), (1, 1), (2, 2)).toDF("r1", "r2")
+    assert(Eval.krippendorffAlphaPpm(perfect, Seq("r1", "r2")).head()
+      .getAs[Long]("alpha_ppm") === 1000000L)
+    // single-class corpus: no disagreement possible -> 10^6 convention
+    val mono = Seq((7, 7), (7, 7)).toDF("r1", "r2")
+    assert(Eval.krippendorffAlphaPpm(mono, Seq("r1", "r2")).head()
+      .getAs[Long]("alpha_ppm") === 1000000L)
+  }
+
   test("mcnemarMicro: hand disagreement cells; agreement reads 0") {
     import spark.implicits._
     // 8 disagreement rows: b = 5 (A right, B wrong), c = 3 -> stat =
