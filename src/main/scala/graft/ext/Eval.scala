@@ -121,6 +121,22 @@ object Eval {
       labelCol: String): Array[(Int, Array[Float])] =
     VecOps.groupMeans(emb, vecCol, labelCol)
 
+  /** Per-corpus (Σ_items Σ_classes o_uc², n_items) folded via the
+    * pairwise-agreement identity Σ_c o_uc² = r + 2·Σ_{i<j}[pred_i =
+    * pred_j] — a pure ROW expression, no per-item shuffle. The ONE
+    * implementation behind both [[fleissKappaPpm]]'s P̄ and
+    * [[krippendorffAlphaPpm]]'s D_o (they must share null-handling:
+    * a NULL rater compares false on every pair). */
+  private def s2AndItems(df: DataFrame,
+      raterCols: Seq[String]): DataFrame = {
+    val r = raterCols.length
+    val preds = raterCols.map(c => col(c).cast("int"))
+    val agreePairs = (for { i <- 0 until r; j <- (i + 1) until r } yield
+      when(preds(i) === preds(j), 1L).otherwise(0L)).reduce(_ + _)
+    df.select((lit(r.toLong) + lit(2L) * agreePairs).as("s2i"))
+      .agg(Exact.decSum(col("s2i")).as("s2"), count(lit(1)).as("n_items"))
+  }
+
   private def centroidLit(c: Array[Float]): Column = VecOps.litF(c)
 
   private def selfDot(c: Array[Float]): Double = VecOps.seqDot(c, c)
@@ -482,10 +498,7 @@ object Eval {
     require(raterCols.length >= 2, "Krippendorff's alpha needs >= 2 raters")
     val r = raterCols.length
     val preds = raterCols.map(c => col(c).cast("int"))
-    val agreePairs = (for { i <- 0 until r; j <- (i + 1) until r } yield
-      when(preds(i) === preds(j), 1L).otherwise(0L)).reduce(_ + _)
-    val s2 = df.select((lit(r.toLong) + lit(2L) * agreePairs).as("s2i"))
-      .agg(Exact.decSum(col("s2i")).as("s2"), count(lit(1)).as("n_items"))
+    val s2 = s2AndItems(df, raterCols)
     // Σ n_c·(n − n_c) = (Σn_c)² − Σn_c² — one aggregation over the
     // pooled value counts, no second pass for the total
     val dexp = df.select(explode(array(preds: _*)).as("__r"))
@@ -517,13 +530,25 @@ object Eval {
     * DECIMAL(38,0) (the [[Exact]] carrier) so no bin count caps the
     * scale. */
   def calibrationBins(scored: DataFrame, labelCol: String, predCol: String,
-      confMicroCol: String, bins: Int = 10): DataFrame = {
+      confMicroCol: String, bins: Int = 10): DataFrame =
+    calibrationFromBinCounts(
+      binCounts(scoredRows(scored, labelCol, predCol, confMicroCol,
+        bins, what = "calibrationBins")))
+
+  /** The shared scored-row projection — (bin, ok, cm) with loud NULL
+    * guards — used by BOTH the batch read-out above and the streaming
+    * monitor ([[graft.streaming.StreamEval.mergeScoredBatch]]): the
+    * stream ≡ batch to-the-last-digit contract holds because the
+    * expressions exist ONCE, not because two copies are in lockstep. */
+  private[graft] def scoredRows(scored: DataFrame, labelCol: String,
+      predCol: String, confMicroCol: String, bins: Int,
+      what: String): DataFrame = {
     require(bins > 0, "need at least one bin")
     def guarded(c: String, as: String): Column =
       coalesce(col(c).cast("long"),
-        raise_error(lit(s"calibrationBins: NULL in '$c' — score every " +
+        raise_error(lit(s"$what: NULL in '$c' — score every " +
           "row or filter unscored rows first")).cast("long")).as(as)
-    val per = scored
+    scored
       .select(guarded(labelCol, "l"), guarded(predCol, "p"),
         guarded(confMicroCol, "cm"))
       .select(
@@ -531,11 +556,29 @@ object Eval {
           s"${bins - 1L}L), 0L)").as("bin"),
         when(col("l") === col("p"), 1L).otherwise(0L).as("ok"),
         col("cm"))
-      .groupBy(col("bin"))
+  }
+
+  /** Per-row squared confidence error off a [[scoredRows]] frame —
+    * the Brier term the streaming monitor accumulates. */
+  private[graft] def seFromOkCm: Column =
+    (col("cm") - col("ok") * 1000000L) * (col("cm") - col("ok") * 1000000L)
+
+  /** Per-bin sufficient statistic (bin, n, correct, conf_sum as
+    * DECIMAL) — everything the reliability table derives from. */
+  private[graft] def binCounts(rows: DataFrame): DataFrame =
+    rows.groupBy(col("bin"))
       .agg(count(lit(1)).as("n"), sum(col("ok")).as("correct"),
-        expr(s"(CAST(sum(ok) AS ${Exact.Dec}) * 1000000) div count(*)")
+        Exact.decSum(col("cm")).as("conf_sum"))
+
+  /** Reliability table + ECE from per-bin counts — the ONE
+    * implementation behind [[calibrationBins]] and the streaming
+    * monitor's [[graft.streaming.StreamEval.calibrationFromState]]. */
+  def calibrationFromBinCounts(counts: DataFrame): DataFrame = {
+    val per = counts
+      .select(col("bin"), col("n"), col("correct"),
+        expr(s"(CAST(correct AS ${Exact.Dec}) * 1000000) div n")
           .as("acc_ppm"),
-        expr(s"sum(CAST(cm AS ${Exact.Dec})) div count(*)").as("conf_ppm"))
+        expr("conf_sum div n").as("conf_ppm"))
       .withColumn("gap_ppm", abs(col("acc_ppm") - col("conf_ppm")))
     val ece = per.agg(
       lit(-1L).as("bin"),
@@ -688,11 +731,7 @@ object Eval {
     require(raterCols.length >= 2, "Fleiss' kappa needs >= 2 raters")
     val r = raterCols.length
     val preds = raterCols.map(c => col(c).cast("int"))
-    val agreePairs = (for { i <- 0 until r; j <- (i + 1) until r } yield
-      when(preds(i) === preds(j), 1L).otherwise(0L)).reduce(_ + _)
-    val s2 = df.select((lit(r.toLong) + lit(2L) * agreePairs).as("s2i"))
-      .agg(Exact.decSum(col("s2i")).as("s2"),
-        count(lit(1)).as("n_items"))
+    val s2 = s2AndItems(df, raterCols)
     val marg = df.select(explode(array(preds: _*)).as("__r"))
       .groupBy(col("__r")).agg(count(lit(1)).as("ck"))
       .agg(Exact.decSum(Exact.dec(col("ck")) * col("ck")).as("ck2"))

@@ -85,11 +85,13 @@ object Spectral {
       array((1 to dim).map(i =>
         sum(xv * element_at(col(vecCol), i))): _*).as("a"),
       sum(xv).as("s"), count(lit(1)).as("n")).head()
+    // read the COUNT first: on an empty corpus the sums are NULL and
+    // a getDouble on them NPEs before any loud guard could fire
+    val n = row0.getLong(3)
+    require(n > 0, "empty corpus — no mean or principal direction")
     val msum = row0.getSeq[Double](0)
     val asum = row0.getSeq[Double](1)
     val s = row0.getDouble(2)
-    val n = row0.getLong(3)
-    require(n > 0, "empty corpus — no mean or principal direction")
     // sum/count then float-round: meanArray's exact arithmetic
     val mu: Array[Float] = Array.tabulate(dim)(j => (msum(j) / n).toFloat)
     val residuals = Seq.newBuilder[(Int, Double, Double)]

@@ -743,8 +743,11 @@ object TextDedup {
     * @param a        left side; `aId` must be unique per string row
     * @param b        right side (pass `a`'s frame again + selfPairs
     *                 for a self-join)
-    * @param selfPairs emit each unordered pair once via
-    *                 `a.str < b.str` (and never a string with itself)
+    * @param selfPairs emit each unordered pair once, ordered by
+    *                 (str, id) — two DISTINCT rows carrying the SAME
+    *                 string (edit distance 0, the hottest dedup case)
+    *                 still pair, ordered by id; a row never pairs
+    *                 with itself
     * @return candidate pairs (a_id, a_str, b_id, b_str), distinct
     */
   def edJoinCandidates(a: DataFrame, aId: String, aStr: String,
@@ -763,7 +766,10 @@ object TextDedup {
     val pa = gramPrefix(ta, dfreq, destroyBudget + 1)
     val pb = if (selfPairs) pa else gramPrefix(tb, dfreq, destroyBudget + 1)
     val cond = col("a.g") === col("b.g") && col("a.o") === col("b.o") &&
-      (if (selfPairs) col("a.str") < col("b.str") else lit(true))
+      (if (selfPairs)
+        col("a.str") < col("b.str") ||
+          (col("a.str") === col("b.str") && col("a.id") < col("b.id"))
+      else lit(true))
     pa.as("a").join(pb.as("b"), cond)
       .select(col("a.id").as("a_id"), col("a.str").as("a_str"),
         col("b.id").as("b_id"), col("b.str").as("b_str"))

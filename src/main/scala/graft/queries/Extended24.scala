@@ -135,18 +135,23 @@ object Extended24 {
   // 3-way conditional fold per source.
   def q234(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    t(s, dir, "documents")
-      .select($"source", explode(TextFns.tokens($"text")).as("w"))
-      .groupBy($"source", $"w").agg(count(lit(1)).as("c"))
-      .groupBy($"source")
+    chao1Fold(t(s, dir, "documents")).orderBy($"source")
+  }
+
+  /** The q234 fold, frame-parameterized so Extended24Spec's hand
+    * values pin the PRODUCTION expressions (a copy would let a
+    * symmetric Spark+oracle edit slip past both gates). */
+  private[graft] def chao1Fold(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"), explode(TextFns.tokens(col("text"))).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
       .agg(count(lit(1)).as("s_obs"),
-        sum(when($"c" === 1, 1L).otherwise(0L)).as("f1"),
-        sum(when($"c" === 2, 1L).otherwise(0L)).as("f2"))
-      .select($"source", $"s_obs", $"f1", $"f2",
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).as("f2"))
+      .select(col("source"), col("s_obs"), col("f1"), col("f2"),
         expr(s"s_obs * 1000 + (CAST(f1 AS ${Exact.Dec}) * (f1 - 1)" +
           " * 1000) div (2 * (f2 + 1))").as("chao1_milli"))
-      .orderBy($"source")
-  }
 
   val q234Sql: String =
     s"""WITH wc AS (SELECT source, w, count(*) AS c
@@ -215,20 +220,24 @@ object Extended24 {
       .filter($"nt" >= 1)
     val perDoc = d.groupBy($"source")
       .agg(count(lit(1)).as("n_docs"), sum($"nt".cast("long")).as("n_tokens"))
-    val chunks = d
-      .select($"source", $"nt",
-        explode(expr(s"transform(sequence(0," +
-          s" (greatest(nt - $ChunkWin, 0) + ${ChunkStride - 1}) div $ChunkStride)," +
-          s" j -> 1 + $ChunkStride * j)")).as("start"))
-      .groupBy($"source")
-      .agg(count(lit(1)).as("n_chunks"),
-        sum(least(lit(ChunkWin.toLong), $"nt" - $"start" + 1))
-          .as("sum_chunk_tokens"))
-    perDoc.join(chunks, "source")
+    perDoc.join(chunkFold(d), "source")
       .select($"source", $"n_docs", $"n_tokens", $"n_chunks",
         $"sum_chunk_tokens")
       .orderBy($"source")
   }
+
+  /** The q236 chunk accounting over a (source, nt) frame — the
+    * PRODUCTION expressions Extended24Spec's boundary cases pin
+    * (nt 64/65/5/160 against [[ChunkWin]]/[[ChunkStride]]). */
+  private[graft] def chunkFold(d: DataFrame): DataFrame =
+    d.select(col("source"), col("nt"),
+        explode(expr(s"transform(sequence(0," +
+          s" (greatest(nt - $ChunkWin, 0) + ${ChunkStride - 1}) div $ChunkStride)," +
+          s" j -> 1 + $ChunkStride * j)")).as("start"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(least(lit(ChunkWin.toLong), col("nt") - col("start") + 1))
+          .as("sum_chunk_tokens"))
 
   val q236Sql: String =
     s"""WITH d AS (SELECT source, len(${DocOps.tokensSql}) AS nt
@@ -258,21 +267,28 @@ object Extended24 {
 
   def q237(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val docs = t(s, dir, "documents")
+    burstinessFold(t(s, dir, "documents"), BurstMinCount)
+      .orderBy($"total".desc, $"w")
+      .limit(15)
+  }
+
+  /** The q237 VMR fold — the PRODUCTION expressions Extended24Spec's
+    * concentrated-vs-uniform hand values pin. */
+  private[graft] def burstinessFold(docs: DataFrame,
+      minCount: Int): DataFrame = {
     val perDoc = docs
-      .select($"doc_id", explode(TextFns.tokens($"text")).as("w"))
-      .groupBy($"doc_id", $"w").agg(count(lit(1)).as("c"))
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
     val nDocs = docs.agg(count(lit(1)).as("n"))
-    perDoc.groupBy($"w")
-      .agg(sum($"c").as("s"), Exact.decSum(Exact.dec($"c") * $"c").as("q"))
-      .filter($"s" >= BurstMinCount)
+    perDoc.groupBy(col("w"))
+      .agg(sum(col("c")).as("s"),
+        Exact.decSum(Exact.dec(col("c")) * col("c")).as("q"))
+      .filter(col("s") >= minCount)
       .crossJoin(nDocs)
-      .select($"w", $"s".as("total"),
+      .select(col("w"), col("s").as("total"),
         expr(s"((CAST(n AS ${Exact.Dec}) * q - CAST(s AS ${Exact.Dec})" +
           s" * s) * 1000000) div (CAST(n AS ${Exact.Dec}) * s)")
           .as("vmr_micro"))
-      .orderBy($"total".desc, $"w")
-      .limit(15)
   }
 
   val q237Sql: String =

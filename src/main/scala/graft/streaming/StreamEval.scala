@@ -117,20 +117,13 @@ object StreamEval {
     if (batchId <= maxSeen) return 0L
     val nRows = batch.count()
     if (nRows == 0L) return 0L
-    def guarded(c: String, as: String) =
-      coalesce(col(c).cast("long"),
-        raise_error(lit(s"mergeScoredBatch: NULL in '$c' — score every " +
-          "row or filter unscored rows first")).cast("long")).as(as)
-    val delta = batch
-      .select(guarded(labelCol, "l"), guarded(predCol, "p"),
-        guarded(confMicroCol, "cm"))
-      .select(
-        expr(s"greatest(least((cm * $bins) div 1000000, " +
-          s"${bins - 1L}L), 0L)").as("bin"),
-        when(col("l") === col("p"), 1L).otherwise(0L).as("ok"),
-        col("cm"))
-      .withColumn("se",
-        (col("cm") - col("ok") * 1000000L) * (col("cm") - col("ok") * 1000000L))
+    // the row projection / guards / binning / squared-error term are
+    // graft.ext.Eval's OWN expressions — stream ≡ batch holds because
+    // the formulas exist once, not because two copies stay in lockstep
+    val delta = graft.ext.Eval
+      .scoredRows(batch, labelCol, predCol, confMicroCol, bins,
+        what = "mergeScoredBatch")
+      .withColumn("se", graft.ext.Eval.seFromOkCm)
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n"), sum(col("ok")).as("correct"),
         graft.ext.Exact.decSum(col("cm")).as("conf_sum"),
@@ -158,27 +151,15 @@ object StreamEval {
         col("se_sum"))
       .orderBy(col("bin"))
 
-  /** Reliability table + ECE from the monitor state — the SAME
-    * formulas (same integer divisions over the same exact integers)
-    * as [[graft.ext.Eval.calibrationBins]], so stream-built ≡
-    * batch-built to the last digit (StreamEvalSpec pins it). */
+  /** Reliability table + ECE from the monitor state — LITERALLY
+    * [[graft.ext.Eval.calibrationFromBinCounts]] over the persisted
+    * per-bin counts, so stream-built ≡ batch-built to the last digit
+    * by construction (StreamEvalSpec still pins it end to end). */
   def calibrationFromState(spark: SparkSession,
-      statePath: String): DataFrame = {
-    val dec = graft.ext.Exact.Dec
-    val per = scoredCounts(spark, statePath)
-      .select(col("bin"), col("n"), col("correct"),
-        expr(s"(CAST(correct AS $dec) * 1000000) div n").as("acc_ppm"),
-        expr("conf_sum div n").as("conf_ppm"))
-      .withColumn("gap_ppm", abs(col("acc_ppm") - col("conf_ppm")))
-    val ece = per.agg(
-      lit(-1L).as("bin"),
-      sum(col("n")).as("n"), sum(col("correct")).as("correct"),
-      expr(s"(CAST(sum(correct) AS $dec) * 1000000) div sum(n)")
-        .as("acc_ppm"),
-      expr(s"sum(CAST(n AS $dec) * conf_ppm) div sum(n)").as("conf_ppm"),
-      expr(s"sum(CAST(n AS $dec) * gap_ppm) div sum(n)").as("gap_ppm"))
-    per.unionByName(ece).orderBy(col("bin"))
-  }
+      statePath: String): DataFrame =
+    graft.ext.Eval.calibrationFromBinCounts(
+      scoredCounts(spark, statePath)
+        .select(col("bin"), col("n"), col("correct"), col("conf_sum")))
 
   /** Brier read-out from the monitor state — identical integers to
     * [[graft.ext.Eval.brierMicro2]] over the full streamed history
@@ -242,9 +223,14 @@ object StreamEval {
     val fs = src.getFileSystem(conf)
     if (fs.exists(dst)) {
       // dst is complete → a leftover _bak is redundant; clear it so
-      // the rename-aside below lands
+      // the rename-aside below lands. The aside rename is checked
+      // LOUDLY with its own message — an unchecked false here would
+      // let the final error claim the generation is "preserved at
+      // _bak" when _bak was just deleted (dst itself still holds it)
       if (fs.exists(bak)) fs.delete(bak, true)
-      fs.rename(dst, bak)
+      require(fs.rename(dst, bak),
+        s"StreamEval.replace: renaming $to aside to ${to}_bak failed;" +
+          " the live generation is still intact at its original path")
     }
     // dst absent here; if _bak was the only surviving generation it is
     // STILL intact — a crash (or a failed rename, checked LOUDLY)

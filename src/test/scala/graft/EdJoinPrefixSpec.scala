@@ -83,6 +83,20 @@ class EdJoinPrefixSpec extends SparkSpec {
       s"prefix ${cand.size} vs all-grams $allGramPairs — no volume win")
   }
 
+  test("selfPairs: two distinct rows with the SAME string (lev = 0, " +
+    "the hottest dedup case) still pair, ordered by id") {
+    import spark.implicits._
+    val rows = Seq((1L, "acme corporation"), (2L, "acme corporation"),
+      (3L, "acme corporatian")).toDF("id", "name")
+    val cand = TextDedup.edJoinCandidates(rows, "id", "name",
+        rows, "id", "name", q = 2, destroyBudget = 4, selfPairs = true)
+      .select(col("a_id"), col("b_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand.contains((1L, 2L)), s"identical-string pair missing: $cand")
+    assert(!cand.contains((2L, 1L)) && !cand.contains((1L, 1L)))
+    assert(cand.contains((3L, 1L)) || cand.contains((1L, 3L)))
+  }
+
   test("two-sided DL<=1 (q211 shape): every adjacent transposition " +
     "resolves to its source name") {
     import spark.implicits._

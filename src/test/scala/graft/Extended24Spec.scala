@@ -39,14 +39,14 @@ class Extended24Spec extends SparkSpec {
     val docs = Seq(
       (1L, "X", "a b c"), (2L, "X", "c d d d")
     ).toDF("doc_id", "source", "text")
-    val got = Extended24Style.chao1(docs).head()
+    val got = graft.queries.Extended24.chao1Fold(docs).head()
     assert(got.getAs[Long]("s_obs") === 4L)
     assert(got.getAs[Long]("f1") === 2L)
     assert(got.getAs[Long]("f2") === 1L)
     assert(got.getAs[Long]("chao1_milli") === 4500L)
     // f2 = 0: a(1) b(1) -> 2 + 2*1/2 = 3.0
     val d2 = Seq((1L, "Y", "a b")).toDF("doc_id", "source", "text")
-    assert(Extended24Style.chao1(d2).head()
+    assert(graft.queries.Extended24.chao1Fold(d2).head()
       .getAs[Long]("chao1_milli") === 3000L)
   }
 
@@ -58,7 +58,10 @@ class Extended24Spec extends SparkSpec {
     val docs = Seq((1L, "s64", mk(64)), (2L, "s65", mk(65)),
       (3L, "s5", mk(5)), (4L, "s160", mk(160)))
       .toDF("doc_id", "source", "text")
-    val rows = Extended24Style.chunks(docs).collect()
+    val rows = graft.queries.Extended24.chunkFold(
+      docs.select(col("source"),
+        size(graft.functions.TextFns.tokens(col("text"))).as("nt"))
+        .filter(col("nt") >= 1)).collect()
       .map(r => r.getString(0) ->
         (r.getAs[Long]("n_chunks"), r.getAs[Long]("sum_chunk_tokens")))
       .toMap
@@ -77,58 +80,9 @@ class Extended24Spec extends SparkSpec {
       val b = if (i == 1) " " + Seq.fill(10)("b").mkString(" ") else ""
       (i.toLong, "s", "u" + b)
     }.toDF("doc_id", "source", "text")
-    val got = Extended24Style.burstiness(docs, minCount = 5).collect()
+    val got = graft.queries.Extended24.burstinessFold(docs, minCount = 5).collect()
       .map(r => r.getString(0) -> r.getAs[Long]("vmr_micro")).toMap
     assert(got("u") === 0L)
     assert(got("b") === 9000000L)
-  }
-}
-
-/** Fixture-driven variants of the q234/q236/q237 folds (same
-  * expressions, caller-supplied frame instead of the documents
-  * table) so hand values don't need a parquet staging dance. */
-private object Extended24Style {
-  import org.apache.spark.sql.{Column, DataFrame}
-  import graft.ext.Exact
-  import graft.functions.TextFns
-
-  def chao1(docs: DataFrame): DataFrame =
-    docs.select(col("source"), explode(TextFns.tokens(col("text"))).as("w"))
-      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("s_obs"),
-        sum(when(col("c") === 1, 1L).otherwise(0L)).as("f1"),
-        sum(when(col("c") === 2, 1L).otherwise(0L)).as("f2"))
-      .select(col("source"), col("s_obs"), col("f1"), col("f2"),
-        expr(s"s_obs * 1000 + (CAST(f1 AS ${Exact.Dec}) * (f1 - 1)" +
-          " * 1000) div (2 * (f2 + 1))").as("chao1_milli"))
-
-  def chunks(docs: DataFrame): DataFrame = {
-    val d = docs
-      .select(col("source"), size(TextFns.tokens(col("text"))).as("nt"))
-      .filter(col("nt") >= 1)
-    d.select(col("source"), col("nt"),
-        explode(expr("transform(sequence(0," +
-          " (greatest(nt - 64, 0) + 47) div 48), j -> 1 + 48 * j)")).as("start"))
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_chunks"),
-        sum(least(lit(64L), col("nt") - col("start") + 1))
-          .as("sum_chunk_tokens"))
-  }
-
-  def burstiness(docs: DataFrame, minCount: Int): DataFrame = {
-    val perDoc = docs
-      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("w"))
-      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
-    val nDocs = docs.agg(count(lit(1)).as("n"))
-    perDoc.groupBy(col("w"))
-      .agg(sum(col("c")).as("s"),
-        Exact.decSum(Exact.dec(col("c")) * col("c")).as("q"))
-      .filter(col("s") >= minCount)
-      .crossJoin(nDocs)
-      .select(col("w"), col("s").as("total"),
-        expr(s"((CAST(n AS ${Exact.Dec}) * q - CAST(s AS ${Exact.Dec})" +
-          s" * s) * 1000000) div (CAST(n AS ${Exact.Dec}) * s)")
-          .as("vmr_micro"))
   }
 }
