@@ -121,16 +121,30 @@ object Eval {
       labelCol: String): Array[(Int, Array[Float])] =
     VecOps.groupMeans(emb, vecCol, labelCol)
 
+  /** A rater column with the LOUD NULL guard (the
+    * [[groupBalancedAccuracyPpm]] pattern): both multi-rater agreement
+    * statistics are documented complete-data only, and an unguarded
+    * NULL is SILENTLY wrong in two inconsistent ways at once — the
+    * pairwise-agreement identity counts it as disagreeing on every
+    * pair while the exploded marginals group it into a phantom class
+    * counted in n_c/n. Fail at the first null row instead. */
+  private def guardedRater(c: String, what: String): Column =
+    coalesce(col(c).cast("int"),
+      raise_error(lit(s"$what: NULL in rater column '$c' — the " +
+        "agreement statistics are complete-data only; filter or " +
+        "impute unrated items first")).cast("int"))
+
   /** Per-corpus (Σ_items Σ_classes o_uc², n_items) folded via the
     * pairwise-agreement identity Σ_c o_uc² = r + 2·Σ_{i<j}[pred_i =
     * pred_j] — a pure ROW expression, no per-item shuffle. The ONE
     * implementation behind both [[fleissKappaPpm]]'s P̄ and
-    * [[krippendorffAlphaPpm]]'s D_o (they must share null-handling:
-    * a NULL rater compares false on every pair). */
+    * [[krippendorffAlphaPpm]]'s D_o; rater NULLs fail loudly via
+    * [[guardedRater]] (shared with the marginal folds, so the two
+    * halves of each statistic can never diverge on null handling). */
   private def s2AndItems(df: DataFrame,
-      raterCols: Seq[String]): DataFrame = {
+      raterCols: Seq[String], what: String): DataFrame = {
     val r = raterCols.length
-    val preds = raterCols.map(c => col(c).cast("int"))
+    val preds = raterCols.map(c => guardedRater(c, what))
     val agreePairs = (for { i <- 0 until r; j <- (i + 1) until r } yield
       when(preds(i) === preds(j), 1L).otherwise(0L)).reduce(_ + _)
     df.select((lit(r.toLong) + lit(2L) * agreePairs).as("s2i"))
@@ -497,8 +511,8 @@ object Eval {
       raterCols: Seq[String]): DataFrame = {
     require(raterCols.length >= 2, "Krippendorff's alpha needs >= 2 raters")
     val r = raterCols.length
-    val preds = raterCols.map(c => col(c).cast("int"))
-    val s2 = s2AndItems(df, raterCols)
+    val preds = raterCols.map(c => guardedRater(c, "krippendorffAlphaPpm"))
+    val s2 = s2AndItems(df, raterCols, "krippendorffAlphaPpm")
     // Σ n_c·(n − n_c) = (Σn_c)² − Σn_c² — one aggregation over the
     // pooled value counts, no second pass for the total
     val dexp = df.select(explode(array(preds: _*)).as("__r"))
@@ -730,8 +744,8 @@ object Eval {
       raterCols: Seq[String]): DataFrame = {
     require(raterCols.length >= 2, "Fleiss' kappa needs >= 2 raters")
     val r = raterCols.length
-    val preds = raterCols.map(c => col(c).cast("int"))
-    val s2 = s2AndItems(df, raterCols)
+    val preds = raterCols.map(c => guardedRater(c, "fleissKappaPpm"))
+    val s2 = s2AndItems(df, raterCols, "fleissKappaPpm")
     val marg = df.select(explode(array(preds: _*)).as("__r"))
       .groupBy(col("__r")).agg(count(lit(1)).as("ck"))
       .agg(Exact.decSum(Exact.dec(col("ck")) * col("ck")).as("ck2"))

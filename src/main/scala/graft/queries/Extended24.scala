@@ -79,9 +79,16 @@ object Extended24 {
 
   def q233(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // `toks` feeds THREE subtrees (bigram counts, unigram counts, and
+    // the totals over both): without pinning, the tokenize+explode
+    // pipeline executes per reference — ReuseExchange dedups only the
+    // identical `uni` shuffle, not the differently-shaped scans. At
+    // 100 TB tokenization is the dominant cost; one localCheckpoint
+    // (the q153/q201 precedent) makes it a single pass.
     val toks = t(s, dir, "documents")
       .select(TextFns.tokens($"text").as("ts"))
       .select($"ts", size($"ts").as("nt"))
+      .localCheckpoint()
     val bi = toks.filter($"nt" >= 2)
       .select(explode(expr("transform(sequence(1, nt - 1)," +
         " i -> struct(element_at(ts, i) AS a," +

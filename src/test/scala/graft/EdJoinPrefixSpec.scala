@@ -56,6 +56,34 @@ class EdJoinPrefixSpec extends SparkSpec {
     assert(maxReal <= 5L, s"q151 prefix carried $maxReal rows per string")
   }
 
+  test("the df lookup is a BroadcastHashJoin by construction — the " +
+    "hot-gram shuffle straggler is impossible, not threshold luck") {
+    val names = Tables.load(spark, "/root/testdata/sf0.001", "part")
+      .select(col("p_name").as("name")).distinct()
+    val tg = TextDedup.taggedGrams(names, "name", "name", 2)
+    val dfreq = tg.groupBy(col("g"), col("o")).agg(count(lit(1)).as("df"))
+    // force the threshold to -1: the broadcast must come from the
+    // operator's own hint, not from autoBroadcastThreshold luck
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val pfx = TextDedup.gramPrefix(tg, dfreq, 5)
+      val plan = pfx.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"gramPrefix df join must broadcast structurally, got:\n$plan")
+      assert(!plan.contains("SortMergeJoin"),
+        s"df join fell back to a shuffle join:\n$plan")
+    }
+  }
+
+  private def withSQLConf[T](kv: (String, String)*)(f: => T): T = {
+    val conf = spark.conf
+    val saved = kv.map { case (k, _) => k -> conf.getOption(k) }
+    kv.foreach { case (k, v) => conf.set(k, v) }
+    try f finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("complete under the hot gram: every brute-force lev<=2 pair " +
     "is a candidate; volume beats all-grams blocking") {
     import spark.implicits._

@@ -70,6 +70,26 @@ class Extended25Spec extends SparkSpec {
       .getAs[Long]("alpha_ppm") === 1000000L)
   }
 
+  test("agreement statistics fail LOUDLY on a NULL rater value — " +
+    "never a silently-wrong complete-data statistic") {
+    import spark.implicits._
+    // a NULL rater used to be counted as disagreeing on every pair
+    // (pairwise identity) AND as a phantom class in the marginals —
+    // two inconsistent silent answers at once
+    val withNull = Seq((Some(1), Some(1)), (Some(2), None), (Some(0), Some(0)))
+      .toDF("r1", "r2")
+    val ka = intercept[Exception] {
+      Eval.krippendorffAlphaPpm(withNull, Seq("r1", "r2")).collect()
+    }
+    assert(ka.getMessage.contains("krippendorffAlphaPpm") &&
+      ka.getMessage.contains("r2"), s"wrong message: ${ka.getMessage}")
+    val fk = intercept[Exception] {
+      Eval.fleissKappaPpm(withNull, "r1", Seq("r1", "r2")).collect()
+    }
+    assert(fk.getMessage.contains("fleissKappaPpm") &&
+      fk.getMessage.contains("r2"), s"wrong message: ${fk.getMessage}")
+  }
+
   test("mcnemarMicro: hand disagreement cells; agreement reads 0") {
     import spark.implicits._
     // 8 disagreement rows: b = 5 (A right, B wrong), c = 3 -> stat =
