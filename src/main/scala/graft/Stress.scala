@@ -1133,10 +1133,12 @@ object Stress {
         } else println(s"[stress] semdd-cluster-$n SKIPPED — analytic " +
           s"pairs $cellVol at affordable k=$k (that IS the finding)")
         gcWindow()
-        // the operator-side fix: (cell × sign sub-bucket) keys — size
-        // subBits so expected cell×bucket occupancy ~ occTarget
-        val subBits = math.max(2, math.min(24,
-          (math.log(n.toDouble / k / occTarget) / math.log(2)).round.toInt))
+        // the operator-side fix: (cell × sign sub-bucket) keys — the
+        // SHARED occupancy law (largest b with k·occ·2^b ≤ n keeps
+        // expected cell×bucket occupancy ≥ occTarget), the same
+        // derivation q241 replays in its oracle
+        val subBits = graft.ext.VectorIndex.occupancySubBits(
+          n, k = k, occTarget = occTarget, maxBits = 24)
         val hierVol = pairVolume(assignedCells
           .withColumn("sub",
             graft.functions.VectorFns.signBucket($"embedding", subBits))

@@ -776,6 +776,104 @@ object TextDedup {
       .distinct()
   }
 
+  /** All strings reachable from `s` by deleting AT MOST `k`
+    * characters (including `s` itself) — the FastSS/SymSpell deletion
+    * neighborhood. Completeness lemma (Bocek et al. 2007): if
+    * lev(a, b) ≤ k — or DL(a, b) ≤ k; a transposition is one deletion
+    * from each side — then D_≤k(a) ∩ D_≤k(b) ≠ ∅, so joining on the
+    * exploded neighborhood is a complete candidate blocker.
+    *
+    * This is the SHORT-STRING stratum's blocker (r14 verdict minor
+    * finding): below len ≈ (k+1)·q the prefix lemma of
+    * [[edJoinCandidates]] is vacuous, and an all-pairs/cross-join
+    * carve-out is O(n·|Σ|^len) on a short-string-heavy corpus. The
+    * neighborhood bounds the join keys at C(len, ≤k) ≈ len^k per
+    * string (≤ 16 for len ≤ 5, k = 2) with per-key fan-in bounded by
+    * |Σ|·len (the strings that delete TO a variant), so the candidate
+    * volume is O(n·len^{2k}) — never corpus-quadratic. Neighborhoods
+    * grow combinatorially with k·len: keep this for the short stratum
+    * and the gram prefix for everything else. */
+  private[graft] def deletionVariants(s: Column, k: Int): Column = {
+    require(k >= 1 && k <= 3, s"deletion budget out of range: $k")
+    def del1(x: Column): Column =
+      when(length(x) === 0, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), length(x)),
+          i => concat(x.substr(lit(1), i - 1), x.substr(i + 1, length(x)))))
+    val layers = Iterator.iterate(array(s))(prev =>
+      array_distinct(flatten(transform(prev, t => del1(t)))))
+      .take(k + 1).toSeq
+    array_distinct(concat(layers: _*))
+  }
+
+  /** Estimate the gram order `q` for [[edJoinCandidates]] from the
+    * corpus itself, so callers stop hard-coding it (r14 verdict item
+    * 6). The law the Stress `gramblock` probe measured: prefix
+    * filtering buys a CONSTANT ~12–16× under all-grams; the volume
+    * EXPONENT is set by gram-space saturation, so q must be large
+    * enough that the effective tagged-gram vocabulary out-scales the
+    * corpus (perplexity^q ≫ n — ~17×/+1 on natural-letter names).
+    *
+    * Method: the same analytic-volume discipline the Stress probes
+    * apply, exposed operator-side. A DETERMINISTIC id-hash sample
+    * (each string kept iff xxhash64(id) mod 1000 < samplePermille, so
+    * a pair survives with probability f² exactly) is exploded to
+    * tagged grams per candidate q; the sample's exact all-grams
+    * candidate volume Σ_g C(df_g, 2) (a DECIMAL fold off the count
+    * table — no join is ever run) scales by 1/f² to the full-corpus
+    * prediction, and the smallest q whose prediction is ≤
+    * budgetPerString·n wins. The all-grams prediction is conservative
+    * by the measured prefix constant. Corpora smaller than ~100/f
+    * strings skip sampling (f = 1): the "sample" is the corpus.
+    *
+    * Cost: one count + maxQ−1 bounded aggregations over a ~f-fraction
+    * sample; driver state is a handful of scalars.
+    *
+    * @param budgetPerString accepted mean candidates per string (each
+    *        candidate costs one edit-distance verify)
+    * @return gram order in [2, maxQ]; maxQ if even it saturates
+    *         (callers should then expect quadratic-ish volume — the
+    *         gramblock finding — and consider token-level grams)
+    */
+  def estimateGramOrder(df: DataFrame, idCol: String, strCol: String,
+      maxQ: Int = 6, budgetPerString: Int = 32,
+      samplePermille: Int = 10): Int = {
+    require(maxQ >= 2, s"maxQ must be >= 2, got $maxQ")
+    require(budgetPerString >= 1, "budgetPerString must be >= 1")
+    require(samplePermille >= 1 && samplePermille <= 1000,
+      s"samplePermille out of range: $samplePermille")
+    val n = df.count()
+    if (n == 0) return 2
+    // below ~100 sampled strings the volume estimate is noise — use
+    // the whole corpus (the estimator is cheap there anyway)
+    val pm = if (n * samplePermille < 100000L) 1000 else samplePermille
+    val sample = df
+      .filter(pmod(xxhash64(col(idCol)), lit(1000)) < lit(pm))
+      .select(col(idCol).as("sid"), col(strCol).as("sstr"))
+      .localCheckpoint()
+    val m = sample.count()
+    if (m < 2) return 2
+    val fInv = BigInt(1000) // volume scales by (1000/pm)² — exact ints
+    var q = 2
+    while (q < maxQ) {
+      // measure the exact TAGGED (g, occurrence) space the blocker
+      // joins on — occurrence tags split hot grams, so an untagged df
+      // table would overestimate the volume
+      val row = taggedGrams(sample, "sid", "sstr", q)
+        .groupBy(col("g"), col("o")).agg(count(lit(1)).as("c"))
+        .agg(sum(col("c").cast("decimal(38,0)") * (col("c") - 1))
+          .as("pairs2"))
+        .head()
+      val pairs2 =
+        if (row.isNullAt(0)) BigInt(0)
+        else BigInt(row.getDecimal(0).toBigInteger)
+      // predicted full-corpus all-grams volume = (Σ c(c−1)/2) / f²
+      val predicted = pairs2 * fInv * fInv / (BigInt(2) * pm * pm)
+      if (predicted <= BigInt(budgetPerString) * n) return q
+      q += 1
+    }
+    maxQ
+  }
+
   /** Tagged positional q-gram multiset: one row per (string, gram,
     * occurrence-index) — the set-like multiset encoding the prefix
     * lemma needs. Strings shorter than q contribute nothing (callers

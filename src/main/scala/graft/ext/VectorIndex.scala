@@ -233,6 +233,31 @@ object VectorIndex {
     *
     * @return (idCol, cell, keep) — one row per input vector
     */
+  /** The occupancy law for the hierarchical `subBits` dial of
+    * [[semanticDedupClustered]] — the same discipline
+    * [[lshCandidates]] applies to its band bits: pick the LARGEST b
+    * with k·occTarget·2^b ≤ n, so the expected (cell × sub-bucket)
+    * occupancy n/(k·2^b) stays ≥ occTarget and within-cell pair
+    * volume is ~n·occTarget (linear in n) instead of n²/k. Derivation
+    * is INTEGRAL (no log/floor float knife-edge), so an engine
+    * replaying it — e.g. the q241 oracle's generate_series scan —
+    * lands on the identical value by exact arithmetic. Returns 0
+    * (the exact SemDeDup geometry) when even one sub-bucket would
+    * under-fill; capped at `maxBits` leading components (must fit
+    * the vector dim — [[graft.functions.VectorFns.signBucket]] reads
+    * component i for bit i). A hard-coded subBits re-opens the n²/k
+    * cell blow-up the dial exists to close (r14 verdict item 3):
+    * derive it from the corpus unless oracle parity pins a value. */
+  def occupancySubBits(n: Long, k: Int, occTarget: Int = 64,
+      maxBits: Int = 16): Int = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(occTarget >= 1, s"occTarget must be >= 1, got $occTarget")
+    require(maxBits >= 0 && maxBits <= 62, s"maxBits out of range: $maxBits")
+    (0 to maxBits).reverse
+      .find(b => k.toLong * occTarget * (1L << b) <= n)
+      .getOrElse(0)
+  }
+
   def semanticDedupClustered(embeddings: DataFrame, vecCol: String,
       idCol: String, centroids: Array[Array[Float]], tauBp: Int,
       subBits: Int = 0): DataFrame = {

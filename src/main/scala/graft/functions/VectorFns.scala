@@ -42,7 +42,10 @@ object VectorFns {
     * deterministic and reproducible in any engine. Vectors in the same
     * bucket are cosine-close candidates. */
   def signBucket(a: Column, bits: Int): Column =
-    (0 until bits)
+    // bits = 0 is a legitimate value of the occupancy-derived dial
+    // (VectorIndex.occupancySubBits on a small corpus): one bucket
+    if (bits == 0) lit(0L)
+    else (0 until bits)
       .map(i => when(element_at(a, i + 1) >= 0, lit(1L << i)).otherwise(lit(0L)))
       .reduce(_ + _)
 

@@ -46,11 +46,16 @@ object Extended11 {
         names, "name", "name", names, "name", "name",
         q = 2, destroyBudget = 4, selfPairs = true)
       .select($"a_str".as("name_a"), $"b_str".as("name_b"))
-    // the overlap bound is vacuous when max(len) <= 5 — those few short
-    // strings pair all-vs-all (bounded: the name universe with len<=5)
+    // the overlap bound is vacuous when max(len) <= 5 — that stratum
+    // blocks on the FastSS deletion neighborhood (D_<=2 join keys:
+    // <= C(5, <=2) = 16 per string, per-key fan-in bounded by
+    // |alphabet|*len) instead of all-pairs, so a short-name-heavy
+    // corpus pays O(n*len^4), never O(n^2) (r14 minor finding)
     val short = names.filter($"len" <= 5).select($"name")
+      .withColumn("v",
+        explode(graft.ext.TextDedup.deletionVariants($"name", 2)))
     val shortPairs = short.as("a")
-      .join(short.as("b"), $"a.name" < $"b.name")
+      .join(short.as("b"), $"a.v" === $"b.v" && $"a.name" < $"b.name")
       .select($"a.name".as("name_a"), $"b.name".as("name_b"))
     cand.union(shortPairs).distinct()
       .filter(abs(length($"name_a") - length($"name_b")) <= 2)

@@ -96,10 +96,18 @@ object Extended21 {
         q = 2, destroyBudget = 3)
       .select($"a_id".as("p_partkey"), $"a_str".as("probe"),
         $"b_str".as("name"))
-    // the bound is vacuous when max(len) ≤ 4 — pair those few short
-    // strings all-vs-all (bounded: the ≤4-char universe)
+    // the bound is vacuous when max(len) ≤ 4 — that stratum blocks on
+    // the FastSS deletion neighborhood (DL ≤ 1 pairs share a D_≤1
+    // variant; ≤ len+1 join keys per string), so the probe side pays
+    // O(n·len²) instead of the old cross join's O(n·|Σ|⁴) on a
+    // short-name-heavy corpus (r14 minor finding)
     val shortPairs = probes.filter(length($"probe") <= 4)
-      .crossJoin(names.filter($"nlen" <= 4).select($"name"))
+      .withColumn("v",
+        explode(graft.ext.TextDedup.deletionVariants($"probe", 1)))
+      .join(names.filter($"nlen" <= 4)
+          .withColumn("v",
+            explode(graft.ext.TextDedup.deletionVariants($"name", 1))),
+        "v")
       .select($"p_partkey", $"probe", $"name")
     cand.union(shortPairs).distinct()
       .withColumn("dl",

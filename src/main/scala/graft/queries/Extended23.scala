@@ -79,10 +79,45 @@ object Extended23 {
     * expansion (and the parquet re-scan count) doubles per step —
     * 4 unrolled steps planned, 8 exhausted the process fd limit.
     * Materialization makes the oracle's work linear in Iters, same
-    * as the Spark side's one-agg-per-step shape. */
+    * as the Spark side's one-agg-per-step shape.
+    *
+    * STEP 1 MIRRORS THE SPARK SIDE'S FUSED ALGEBRA (r14 advice): the
+    * engine folds the mean into the first power step — w₁ = Σ⟨x,v₀⟩x
+    * − c₀·Σx and Σy = Σ⟨x,v₀⟩ − n·c₀ with c₀ = ⟨μ,v₀⟩ — so the
+    * oracle computes w₁ from the SAME raw component sums and
+    * v₀-projections rather than the algebraically-equal per-row
+    * y₁ = ⟨x,v₀⟩ − c₀ form. The two regroupings differ at ulp scale
+    * in double arithmetic; with both engines running the identical
+    * grouping, parity no longer leans on the float-rounding of each
+    * iterate to absorb the difference. Steps ≥ 2 keep the per-row y
+    * form on both sides. */
   private def chain: String = {
-    val steps = (1 to Iters).map { k =>
-      val p = if (k == 1) "v0" else s"v${k - 1}"
+    val step1 =
+      s""",
+         | rs AS MATERIALIZED (SELECT list(sx ORDER BY i) AS ms FROM (
+         |     SELECT i, sum(x) AS sx FROM u GROUP BY i)),
+         | cnt AS MATERIALIZED (SELECT count(*) AS n FROM e),
+         | pj AS MATERIALIZED (SELECT e.vec_id,
+         |         ${dot("e.v", "v0.vv")} AS xv FROM e CROSS JOIN v0),
+         | a1 AS MATERIALIZED (SELECT list(aj ORDER BY i) AS a FROM (
+         |     SELECT u.i, sum(pj.xv * u.x) AS aj
+         |     FROM u JOIN pj USING (vec_id) GROUP BY u.i)),
+         | mv1 AS MATERIALIZED (SELECT ${dot("mu.m", "v0.vv")} AS mv
+         |          FROM mu CROSS JOIN v0),
+         | w1 AS MATERIALIZED (SELECT list_transform(list_zip(a1.a, rs.ms),
+         |            p -> p[1] - mv1.mv * p[2]) AS w
+         |         FROM a1 CROSS JOIN rs CROSS JOIN mv1),
+         | s1 AS MATERIALIZED (SELECT (SELECT sum(xv) FROM pj)
+         |            - cnt.n * mv1.mv AS ys
+         |         FROM cnt CROSS JOIN mv1),
+         | c1 AS MATERIALIZED (SELECT list_transform(list_zip(w1.w, mu.m),
+         |            pr -> pr[1] - pr[2] * s1.ys) AS c
+         |         FROM w1 CROSS JOIN mu CROSS JOIN s1),
+         | v1 AS MATERIALIZED (SELECT list_transform(c, z -> CAST(CAST(z /
+         |            sqrt(list_sum(list_transform(c, q -> q * q)))
+         |            AS REAL) AS DOUBLE)) AS vv FROM c1)""".stripMargin
+    val steps = (2 to Iters).map { k =>
+      val p = s"v${k - 1}"
       s""",
          | mv$k AS MATERIALIZED (SELECT ${dot("mu.m", s"$p.vv")} AS mv
          |          FROM mu CROSS JOIN $p),
@@ -110,7 +145,7 @@ object Extended23 {
        |     FROM u GROUP BY i)),
        | v0 AS MATERIALIZED (SELECT list_transform(generate_series(1, $Dim),
        |          q -> CAST(CAST(1.0 / sqrt(CAST($Dim AS DOUBLE)) AS REAL)
-       |               AS DOUBLE)) AS vv)$steps""".stripMargin
+       |               AS DOUBLE)) AS vv)$step1$steps""".stripMargin
   }
 
   val q228Sql: String =

@@ -118,37 +118,58 @@ object Extended25 {
       |FROM terms""".stripMargin
 
   // --------------------------------------------------------------------
-  // q241 — HIERARCHICAL SemDeDup (q215 with sign-LSH sub-bucketing,
-  // subBits = 2): the within-cell all-pairs keys on (cell, sub-bucket)
-  // so pair volume divides by ~2^subBits — the Stress `semdd` pricing
-  // found affordable-k cells detonating at 4M (3.1e10 pairs) and this
-  // is the operator-side fix. The sub-bucket is a deterministic sign
-  // function of the vector, so the oracle replays it exactly;
-  // comparing q241's per-cell drops against q215's reads the recall
-  // cost of the geometry on this corpus.
-  private val HierSubBits = 2
+  // q241 — HIERARCHICAL SemDeDup (q215 with sign-LSH sub-bucketing):
+  // the within-cell all-pairs keys on (cell, sub-bucket) so pair
+  // volume divides by ~2^subBits — the Stress `semdd` pricing found
+  // affordable-k cells detonating at 4M (3.1e10 pairs) and this is
+  // the operator-side fix. subBits is DERIVED from corpus size by the
+  // occupancy law (VectorIndex.occupancySubBits: largest b with
+  // k·occ·2^b ≤ n — a hard-coded value re-opened the n²/k blow-up at
+  // 100×, the r14 verdict's point), and the derivation is INTEGRAL so
+  // the oracle replays it exactly with a generate_series scan; the
+  // occupancy target is gate-fixture sized (500 vecs at sf0.01 —
+  // production corpora use the operator default 64). The sub-bucket
+  // itself is a deterministic sign function of the vector; comparing
+  // q241's per-cell drops against q215's reads the recall cost of
+  // the geometry on this corpus.
+  private val HierK = 8
+  private val HierOccTarget = 16
+  private val HierMaxBits = 16
 
   def q241(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = t(s, dir, "embeddings")
+    // one bounded count job prices the dial; the value is metadata
+    val subBits = graft.ext.VectorIndex.occupancySubBits(
+      e.count(), k = HierK, occTarget = HierOccTarget,
+      maxBits = HierMaxBits)
     val centroids = graft.ext.VectorIndex
-      .trainCentroids(e, "embedding", k = 8, iterations = 2)
+      .trainCentroids(e, "embedding", k = HierK, iterations = 2)
     graft.ext.VectorIndex
       .semanticDedupClustered(e, "embedding", "vec_id", centroids,
-        tauBp = 4200, subBits = HierSubBits)
+        tauBp = 4200, subBits = subBits)
       .groupBy($"cell")
       .agg(count(lit(1)).as("n_members"),
         sum(when(!$"keep", 1L).otherwise(0L)).as("n_dropped"))
       .orderBy($"cell")
   }
 
-  val q241Sql: String = {
-    val sub = (0 until HierSubBits)
-      .map(i => s"(CASE WHEN v[${i + 1}] >= 0 THEN ${1L << i} ELSE 0 END)")
-      .mkString(" + ")
-    s"""WITH ${KmeansOracle.chain(k = 8, iterations = 2)},
-       | m AS (SELECT e.vec_id, af.cell, e.v, $sub AS sub
-       |       FROM e JOIN af USING (vec_id)),
+  // sb replays occupancySubBits integrally (largest b in [0, maxBits]
+  // with k·occ·2^b ≤ n, else 0); sub folds the first `bits` sign bits
+  // dynamically via generate_series — identical value by exact
+  // integer arithmetic at ANY scale factor, no float log knife-edge.
+  val q241Sql: String =
+    s"""WITH ${KmeansOracle.chain(k = HierK, iterations = 2)},
+       | sb AS (SELECT COALESCE((SELECT max(b)
+       |     FROM generate_series(0, $HierMaxBits) t(b)
+       |     WHERE ${HierK * HierOccTarget} * (1::BIGINT << CAST(b AS INTEGER))
+       |       <= (SELECT count(*) FROM e)), 0) AS bits),
+       | m AS (SELECT e.vec_id, af.cell, e.v,
+       |     COALESCE(list_sum(list_transform(range(1, sb.bits + 1),
+       |       i -> CASE WHEN e.v[CAST(i AS INTEGER)] >= 0
+       |            THEN (1::BIGINT << CAST(i - 1 AS INTEGER))
+       |            ELSE 0::BIGINT END)), 0) AS sub
+       |   FROM e JOIN af USING (vec_id) CROSS JOIN sb),
        | dropped AS (SELECT DISTINCT b.vec_id AS vid
        |   FROM m a JOIN m b ON a.cell = b.cell AND a.sub = b.sub
        |     AND a.vec_id < b.vec_id
@@ -159,7 +180,6 @@ object Extended25 {
        |    AS n_dropped
        |FROM m LEFT JOIN dropped d ON m.vec_id = d.vid
        |GROUP BY m.cell ORDER BY m.cell""".stripMargin
-  }
 
   // --------------------------------------------------------------------
   // q242 — Cochran's Q across the width-16/32/64 Matryoshka

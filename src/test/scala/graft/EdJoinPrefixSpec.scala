@@ -111,6 +111,93 @@ class EdJoinPrefixSpec extends SparkSpec {
       s"prefix ${cand.size} vs all-grams $allGramPairs — no volume win")
   }
 
+  test("deletionVariants: hand values and the C(len, <=k) key bound") {
+    import spark.implicits._
+    val got1 = Seq("abc").toDF("s")
+      .select(TextDedup.deletionVariants(col("s"), 1).as("v"))
+      .head().getSeq[String](0).toSet
+    assert(got1 === Set("abc", "bc", "ac", "ab"))
+    val got2 = Seq("abc").toDF("s")
+      .select(TextDedup.deletionVariants(col("s"), 2).as("v"))
+      .head().getSeq[String](0).toSet
+    assert(got2 === Set("abc", "bc", "ac", "ab", "a", "b", "c"))
+    // bound: a len-5 string carries <= 1 + 5 + C(5,2) = 16 keys at k=2
+    val n5 = Seq("abcde").toDF("s")
+      .select(size(TextDedup.deletionVariants(col("s"), 2)).as("n"))
+      .head().getInt(0)
+    assert(n5 <= 16, s"len-5 neighborhood carried $n5 keys")
+  }
+
+  test("short stratum: deletion-neighborhood join is COMPLETE for " +
+    "lev<=2 (k=2) and DL<=1 (k=1) on a short-name-heavy fixture") {
+    import spark.implicits._
+    // every len 2..5 string over a 4-letter alphabet that a dense
+    // short corpus would contain — the exact stratum the old
+    // all-pairs/cross carve-outs paid O(n^2)/O(n*|alphabet|^4) on
+    val alpha = "abcd"
+    val all = (2 to 4).flatMap { len =>
+      (0 until math.pow(4, len).toInt).map { i =>
+        (0 until len).map(p => alpha((i >> (2 * p)) & 3)).mkString
+      }
+    }.distinct
+    val names = all.toDF("name")
+      .withColumn("v", explode(TextDedup.deletionVariants(col("name"), 2)))
+    val cand = names.as("a")
+      .join(names.as("b"), col("a.v") === col("b.v") &&
+        col("a.name") < col("b.name"))
+      .select(col("a.name"), col("b.name")).distinct()
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val truth = (for {
+      a <- all; b <- all if a < b && levOk(a, b, 2)
+    } yield (a, b)).toSet
+    assert(truth.subsetOf(cand),
+      s"missed ${truth.diff(cand).take(5)} of ${truth.size} lev<=2 pairs")
+
+    // DL<=1 at k=1: adjacent transpositions must share a variant
+    val probes = Seq(("ab", "ba"), ("ax", "ay"), ("ab", "axb"))
+    probes.foreach { case (a, b) =>
+      val va = Seq(a).toDF("s")
+        .select(TextDedup.deletionVariants(col("s"), 1)).head()
+        .getSeq[String](0).toSet
+      val vb = Seq(b).toDF("s")
+        .select(TextDedup.deletionVariants(col("s"), 1)).head()
+        .getSeq[String](0).toSet
+      assert(va.intersect(vb).nonEmpty, s"($a, $b) share no D<=1 variant")
+    }
+  }
+
+  test("estimateGramOrder: saturated alphabet drives q up, diverse " +
+    "corpus stays at 2, id-hash sampling is deterministic") {
+    import spark.implicits._
+    // binary alphabet, 12 chars: every gram order <= 3 saturates
+    val binary = (0 until 400).map { i =>
+      (0 until 12).map(p => if (((i * 2654435761L >>> p) & 1) == 0) 'a'
+        else 'b').mkString
+    }.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "name")
+    assert(TextDedup.estimateGramOrder(binary, "id", "name", maxQ = 4) === 4)
+    // 26-letter pseudo-random names, small corpus: bigrams suffice
+    // (java.util.Random's LCG is spec-fixed, so the fixture is stable)
+    val rnd = new java.util.Random(42)
+    val diverse = (0 until 200).map { i =>
+      (0 until 12).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    }.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "name")
+    assert(TextDedup.estimateGramOrder(diverse, "id", "name", maxQ = 4,
+      budgetPerString = 64) === 2)
+    // a corpus big enough to exercise the 1% sampling path: the
+    // id-hash sample makes the estimate a pure function of the data
+    val big = spark.range(20000).selectExpr("id",
+      "concat_ws('', transform(sequence(1, 12), " +
+        "p -> char(97 + pmod(xxhash64(id * 131 + p), 26)))) AS name")
+    val e1 = TextDedup.estimateGramOrder(big, "id", "name",
+      budgetPerString = 512)
+    val e2 = TextDedup.estimateGramOrder(big, "id", "name",
+      budgetPerString = 512)
+    assert(e1 === e2, s"estimator not deterministic: $e1 vs $e2")
+    assert(e1 >= 3, s"20k names must saturate bigrams, got q=$e1")
+  }
+
   test("selfPairs: two distinct rows with the SAME string (lev = 0, " +
     "the hottest dedup case) still pair, ordered by id") {
     import spark.implicits._

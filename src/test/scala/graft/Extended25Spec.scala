@@ -70,6 +70,24 @@ class Extended25Spec extends SparkSpec {
       .getAs[Long]("alpha_ppm") === 1000000L)
   }
 
+  test("occupancySubBits: the integral occupancy law — largest b with " +
+    "k*occ*2^b <= n, 0 below one full sub-bucket, capped at maxBits") {
+    import graft.ext.VectorIndex.occupancySubBits
+    // k*occ = 512 is the unit: below it the dial reads 0 (exact
+    // SemDeDup geometry), and each corpus doubling adds one bit
+    assert(occupancySubBits(511, 8, 64) === 0)
+    assert(occupancySubBits(512, 8, 64) === 0)
+    assert(occupancySubBits(1023, 8, 64) === 0)
+    assert(occupancySubBits(1024, 8, 64) === 1)
+    assert(occupancySubBits(4194304, 8, 64) === 13)
+    // cap: a giant corpus cannot out-run the vector dim
+    assert(occupancySubBits(Long.MaxValue / 2, 8, 64, maxBits = 16) === 16)
+    // the q241 gate instances (embeddings fixture: 500 at sf0.01,
+    // 2000 at sf0.1) — both exercise the hierarchical path
+    assert(occupancySubBits(500, 8, 16) === 1)
+    assert(occupancySubBits(2000, 8, 16) === 3)
+  }
+
   test("agreement statistics fail LOUDLY on a NULL rater value — " +
     "never a silently-wrong complete-data statistic") {
     import spark.implicits._
