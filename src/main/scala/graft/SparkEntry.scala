@@ -40,7 +40,8 @@ object SparkEntry {
       graft.queries.Extended22.queries ++
       graft.queries.Extended23.queries ++
       graft.queries.Extended24.queries ++
-      graft.queries.Extended25.queries
+      graft.queries.Extended25.queries ++
+      graft.queries.Extended26.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -66,5 +67,6 @@ object SparkEntry {
       graft.queries.Extended22.oracles ++
       graft.queries.Extended23.oracles ++
       graft.queries.Extended24.oracles ++
-      graft.queries.Extended25.oracles
+      graft.queries.Extended25.oracles ++
+      graft.queries.Extended26.oracles
 }

@@ -587,6 +587,18 @@ object Stress {
         }
         graft.ext.Spectral.topShare(emb, "embedding", mu, pc).count()
       }
+      timed("spectral-converged") {
+        // the PRODUCTION entry point priced the same way the
+        // oracle-parity fixed-iterations form is (r14 item 8): how
+        // many scans does residual-driven convergence actually buy at
+        // this corpus, vs the fixed 8 the q228 oracle unrolls?
+        val (mu, pc, res) = graft.ext.Spectral
+          .topComponentConverged(emb, "embedding", tol = 1e-3,
+            maxIterations = 32)
+        println(s"[stress] spectral-converged iters=${res.length}" +
+          f" (fixed-oracle budget 8)  final-residual ${res.last._3}%.3e")
+        graft.ext.Spectral.topShare(emb, "embedding", mu, pc).count()
+      }
       timed("drift-jsd") {
         // narrow projection pinned: withNtile's range sort reads its
         // input ~3× (partitioner sample + sort + rank pass), and each

@@ -63,13 +63,31 @@ object Drift {
     */
   def jsDivergenceBinned(binned: DataFrame, groupCol: String,
       binCol: String): DataFrame = {
-    val p0 = binned.select(col(groupCol).as("__g"),
-      col(binCol).cast("int").as("__b"))
-    val cells = p0.groupBy(col("__g"), col("__b"))
+    val cells = binned.select(col(groupCol).as("__g"),
+        col(binCol).cast("int").as("__b"))
+      .groupBy(col("__g"), col("__b"))
       .agg(count(lit(1)).as("ngb"))
-    val binTotals = p0.groupBy(col("__b")).agg(count(lit(1)).as("nb"))
-    val groupTotals = p0.groupBy(col("__g")).agg(count(lit(1)).as("ng"))
-    val nTot = p0.agg(count(lit(1)).as("n"))
+    jsDivergenceFromCounts(cells, "__g", "__b", "ngb", groupCol)
+  }
+
+  /** [[jsDivergenceBinned]] from an already-folded (group, bin, count)
+    * frame — the per-cell counts are the MERGEABLE sufficient
+    * statistic (≤ |groups|·|bins| rows forever, merged by addition),
+    * which is what lets [[graft.streaming.StreamEval]] maintain the
+    * drift read-out incrementally over a stream: the batch entry
+    * point above and the streaming monitor both delegate HERE, so
+    * stream-built ≡ batch-built to the last nano digit because the
+    * grid arithmetic exists once. Every total (per group, per bin,
+    * overall) folds from the cells; a (group, bin) pair the group
+    * never hit reads 0 through the left join exactly as in the
+    * row-level form. */
+  def jsDivergenceFromCounts(cellCounts: DataFrame, gCol: String,
+      bCol: String, nCol: String, outGroupCol: String): DataFrame = {
+    val cells = cellCounts.select(col(gCol).as("__g"),
+      col(bCol).cast("int").as("__b"), col(nCol).cast("long").as("ngb"))
+    val binTotals = cells.groupBy(col("__b")).agg(sum(col("ngb")).as("nb"))
+    val groupTotals = cells.groupBy(col("__g")).agg(sum(col("ngb")).as("ng"))
+    val nTot = cells.agg(sum(col("ngb")).as("n"))
     val grid = groupTotals.crossJoin(binTotals).crossJoin(nTot)
       .join(cells, Seq("__g", "__b"), "left")
       .withColumn("ngb", coalesce(col("ngb"), lit(0L)))
@@ -86,7 +104,7 @@ object Drift {
         floor(term * 1000000000.0 + 0.5).cast("long").as("t"))
       .groupBy(col("__g"))
       .agg(max(col("ng")).as("n"), sum(col("t")).as("jsd_nano"))
-      .select(col("__g").as(groupCol), col("n"), col("jsd_nano"))
-      .orderBy(col(groupCol))
+      .select(col("__g").as(outGroupCol), col("n"), col("jsd_nano"))
+      .orderBy(col(outGroupCol))
   }
 }

@@ -176,6 +176,81 @@ object StreamEval {
         expr("CASE WHEN n > 0 THEN sum_dec div n ELSE 0L END")
           .as("brier_micro2"))
 
+  // ------------------------------------------------------------------
+  // Distribution-drift monitoring: per-(group, bin) counts are the
+  // sufficient statistic for the leave-one-group-out JSD drift
+  // read-out (Drift.jsDivergenceFromCounts) — ≤ |groups|·|bins| rows
+  // forever, merged by addition, the same semilattice contract as the
+  // confusion and calibration states above.
+
+  /** Start a drift monitor over a streaming frame of already-binned
+    * (group, bin) rows — e.g. quality-score deciles tagged by source. */
+  def startBinned(binned: DataFrame, groupCol: String, binCol: String,
+      statePath: String, checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("60 seconds"))
+      : StreamingQuery = {
+    val spark = binned.sparkSession
+    binned.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        mergeBinnedBatch(spark, batch, groupCol, binCol, statePath, id)
+        ()
+      }
+      .start()
+  }
+
+  /** One binned micro-batch: fold to (group, bin, n) and add into the
+    * state. Same idempotent-replay and crash-safe-swap contract as
+    * [[mergeBatch]]; the projection (group kept as-is, bin cast int)
+    * is the SAME one [[graft.ext.Drift.jsDivergenceBinned]] applies,
+    * so the stream ≡ batch contract starts at the fold. */
+  def mergeBinnedBatch(spark: SparkSession, batch: DataFrame,
+      groupCol: String, binCol: String, statePath: String,
+      batchId: Long): Long = {
+    val prev: Option[DataFrame] = readState(spark, statePath)
+    val maxSeen = prev.flatMap(p =>
+        Option(p.agg(max(col("batch_id"))).head().get(0)))
+      .map(_.asInstanceOf[Long]).getOrElse(-1L)
+    if (batchId <= maxSeen) return 0L
+    val nRows = batch.count()
+    if (nRows == 0L) return 0L
+    val delta = batch.select(col(groupCol).as("group"),
+        col(binCol).cast("int").as("bin"))
+      .groupBy(col("group"), col("bin"))
+      .agg(count(lit(1)).as("n"))
+    val merged = prev.map(_.select(col("group"), col("bin"), col("n")))
+      .map(_.unionByName(delta)).getOrElse(delta)
+      .groupBy(col("group"), col("bin"))
+      .agg(sum(col("n")).as("n"))
+      .withColumn("batch_id", lit(batchId))
+    val tmp = statePath + "_tmp"
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
+    replace(spark, tmp, statePath)
+    nRows
+  }
+
+  /** Current drift-state cells (group, bin, n). */
+  def binnedCounts(spark: SparkSession, statePath: String): DataFrame =
+    readState(spark, statePath)
+      .getOrElse(throw new IllegalStateException(
+        s"no monitor state at $statePath (and no backup generation)"))
+      .select(col("group"), col("bin"), col("n"))
+      .orderBy(col("group"), col("bin"))
+
+  /** Leave-one-group-out JSD drift from the monitor state — LITERALLY
+    * [[graft.ext.Drift.jsDivergenceFromCounts]] over the persisted
+    * cells, so stream-built ≡ batch-built to the last nano digit by
+    * construction (StreamEvalSpec pins it end to end).
+    *
+    * @param outGroupCol name for the group column in the read-out
+    *        (match the batch query's column for digit-for-digit
+    *        comparisons) */
+  def jsDriftFromState(spark: SparkSession, statePath: String,
+      outGroupCol: String = "group"): DataFrame =
+    graft.ext.Drift.jsDivergenceFromCounts(
+      binnedCounts(spark, statePath), "group", "bin", "n", outGroupCol)
+
   /** Current confusion counts (label, pred, n), ready for the
     * counts-based folds in [[graft.ext.Eval]]. */
   def counts(spark: SparkSession, statePath: String): DataFrame =

@@ -143,6 +143,49 @@ class StreamEvalSpec extends SparkSpec {
       .getAs[Long]("n") === 118L)
   }
 
+  test("drift monitor: stream-built leave-one-out JSD == batch-built " +
+    "to the last nano digit, out-of-order batches, replay a no-op") {
+    import spark.implicits._
+    val state = tmpDir("sevaldrift") + "/state"
+    // three sources with DIFFERENT decile shapes (c occupies bins no
+    // one else touches — the near-ln2 drift case)
+    def mkBatch(seed: Int, n: Int) =
+      (0 until n).map { i =>
+        val src = "abc"((i + seed) % 3).toString
+        val bin = src match {
+          case "a" => (i * 7 + seed) % 6           // bins 0..5
+          case "b" => 2 + (i * 5 + seed) % 6       // bins 2..7
+          case _ => 8 + (i + seed) % 2             // bins 8..9 only
+        }
+        (src, bin)
+      }.toDF("source", "bin")
+    val b1 = mkBatch(1, 50)
+    val b2 = mkBatch(4, 35)
+    val b3 = mkBatch(9, 28)
+    // out-of-order delivery relative to construction order
+    assert(StreamEval.mergeBinnedBatch(spark, b2, "source", "bin",
+      state, 0L) === 35L)
+    assert(StreamEval.mergeBinnedBatch(spark, b3, "source", "bin",
+      state, 1L) === 28L)
+    // replay after a simulated restart: no-op
+    assert(StreamEval.mergeBinnedBatch(spark, b3, "source", "bin",
+      state, 1L) === 0L)
+    assert(StreamEval.mergeBinnedBatch(spark, b1, "source", "bin",
+      state, 2L) === 50L)
+    val all = b2.unionByName(b3).unionByName(b1)
+    val want = graft.ext.Drift.jsDivergenceBinned(all, "source", "bin")
+      .collect().map(_.toSeq).toSeq
+    val got = StreamEval.jsDriftFromState(spark, state, "source")
+      .collect().map(_.toSeq).toSeq
+    assert(got === want, s"stream drift diverged:\n$got\nvs\n$want")
+    // the isolated source reads near ln 2 (693147180 nano), the
+    // overlapping ones far below — the read-out ORDERS the drift
+    val bySrc = StreamEval.jsDriftFromState(spark, state, "source")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(bySrc("c") > 600000000L, s"isolated source read ${bySrc("c")}")
+    assert(bySrc("c") > bySrc("a") && bySrc("c") > bySrc("b"))
+  }
+
   test("end-to-end stream: file source -> monitor state via AvailableNow") {
     import spark.implicits._
     val landing = tmpDir("sevalland")
