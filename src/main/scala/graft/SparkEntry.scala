@@ -41,7 +41,8 @@ object SparkEntry {
       graft.queries.Extended23.queries ++
       graft.queries.Extended24.queries ++
       graft.queries.Extended25.queries ++
-      graft.queries.Extended26.queries
+      graft.queries.Extended26.queries ++
+      graft.queries.Extended27.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -68,5 +69,6 @@ object SparkEntry {
       graft.queries.Extended23.oracles ++
       graft.queries.Extended24.oracles ++
       graft.queries.Extended25.oracles ++
-      graft.queries.Extended26.oracles
+      graft.queries.Extended26.oracles ++
+      graft.queries.Extended27.oracles
 }

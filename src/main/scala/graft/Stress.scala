@@ -612,6 +612,56 @@ object Stress {
       }
       graft.operators.GlobalRank.releaseCache()
     }
+    if (picks("stats2")) {
+      // the q252+ two-sample / association shelf at generated scale.
+      // ks/cvm/w1 fold over the VALUE HISTOGRAM (distinct n_chars is
+      // bounded, so their prefix frames are metadata once the one
+      // corpus groupBy lands); mwu re-ranks the corpus (two-pass
+      // GlobalRank); bh explodes n·m·B coins but folds them map-side
+      // into an m·B-row frame — the probe prices exactly that
+      // explode-vs-fold trade.
+      val narrow = docs.select($"doc_id", $"n_chars", $"lang",
+          expr("CASE WHEN lang = 'en' THEN 1 ELSE 0 END").as("g"))
+        .localCheckpoint()
+      timed("st2-ks") {
+        graft.ext.Stats.ksTwoSample(
+          narrow.select($"n_chars".as("v"), $"g"), "v", "g").count()
+      }
+      timed("st2-cvm") {
+        graft.ext.Stats.cvmTwoSample(
+          narrow.select($"n_chars".as("v"), $"g"), "v", "g").count()
+      }
+      timed("st2-w1") {
+        graft.ext.Stats.wasserstein1(
+          narrow.select($"n_chars".as("v"), $"g"), "v", "g").count()
+      }
+      timed("st2-mwu") {
+        graft.ext.Stats.mannWhitneyZ(narrow, "n_chars", "g", "doc_id")
+          .count()
+      }
+      timed("st2-perm32") {
+        graft.ext.Stats.permutationMeanDiff(narrow, "n_chars", "g",
+          "doc_id", reps = 32).count()
+      }
+      timed("st2-bh64") {
+        // m=5 langs × B=64 at alpha=0.1 (resolution law reps+1 >= m/a)
+        graft.ext.Stats.bhRandomizationTests(narrow, "n_chars", "lang",
+          "doc_id", reps = 64, alphaPpm = 100000L).count()
+      }
+      timed("st2-resample") {
+        graft.ext.Stats.systematicResample(narrow, "doc_id", "n_chars",
+          m = 100).agg(sum($"mult")).head(); rows
+      }
+      timed("st2-cover") {
+        val counts = docs
+          .select(explode(graft.functions.TextFns.tokens($"text"))
+            .as("tok"))
+          .groupBy($"tok").agg(count(lit(1)).as("cnt"))
+        graft.ext.Stats.coverageCurve(counts, "tok", "cnt",
+          Seq(1L, 10L, 100L, 1000L)).count()
+      }
+      graft.operators.GlobalRank.releaseCache()
+    }
     if (picks("evalparts")) {
       // component isolation for the evalshelf classify path
       val dim = 64

@@ -1,0 +1,566 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.operators.GlobalRank
+
+/** Two-sample / association test folds for corpus curation read-outs
+  * (the q252+ shelf): exact-integer statistics over distribution
+  * comparisons — "did source X's length distribution move", "are the
+  * length deciles homogeneous across sources", "is length really
+  * associated with token count" — the questions a curation team asks
+  * BEFORE believing a drift dashboard.
+  *
+  * Design rules shared with [[Eval]] / [[Drift]] / [[Exact]]:
+  *  - every rank is the two-pass [[GlobalRank]] (never a single-task
+  *    window over the corpus);
+  *  - every cross-row sum runs on the DECIMAL(38,0) carrier
+  *    ([[Exact.decSum]]) so partial-agg order cannot move a digit and
+  *    64-bit accumulators cannot wrap;
+  *  - doubles appear only in ONE final expression per statistic,
+  *    written with literally the same operation order as the DuckDB
+  *    oracle, on exact integer operands;
+  *  - "randomness" is a shared integer LCG both engines replay
+  *    literally (no engine hash, no float draw);
+  *  - incomplete inputs fail LOUDLY (raise_error), never silently
+  *    skew the statistic.
+  */
+object Stats {
+
+  /** Loud 0/1 group guard — the [[Eval]] NULL discipline: a NULL or
+    * out-of-domain group label raises with the operator's name rather
+    * than silently landing in either sample. */
+  private def groupBit(g: Column, what: String): Column =
+    when(g.isNull || (g =!= 0 && g =!= 1),
+      raise_error(lit(s"$what: group column must be 0 or 1 and non-null"))
+        .cast("int"))
+      .otherwise(g.cast("int"))
+
+  /** Shared two-sample CDF frame: one row per DISTINCT value with the
+    * per-value counts (a, t), inclusive prefix sums as the integer
+    * CDF numerators fa = A(v)·n₂ − B(v)·n₁-style pieces, plus n1/n2
+    * riding along — the base every two-sample distribution statistic
+    * (KS max, Cramér–von Mises sum, Wasserstein-1 integral) folds
+    * from. The prefix sums run over the value HISTOGRAM (bounded by
+    * the distinct-value count, never the row count) via
+    * [[GlobalRank.withPrefixSum]]; the global rank rides along so
+    * integral-style consumers can self-join adjacent values by rank
+    * (a shuffle join on rank — no single-task window anywhere).
+    *
+    * Columns: v, t (rows at v), rk (1-based value rank),
+    * ia/ib (inclusive counts ≤ v per group), n1, n2.
+    */
+  private def twoSampleCdf(df: DataFrame, valueCol: String,
+      grpCol: String, what: String): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val g = df.select(col(valueCol).cast("long").as("v"),
+      groupBit(col(grpCol), what).as("g"))
+    val per = g.groupBy($"v")
+      .agg(sum(when($"g" === 1, 1L).otherwise(0L)).as("a"),
+        count(lit(1)).as("t"))
+    val cum = GlobalRank.withRankAndPrefixSum(
+      GlobalRank.withPrefixSum(per, Seq($"v"), "a", "ca"),
+      Seq($"v"), valueCol = "t", rankCol = "rk", sumCol = "ct")
+    val tot = per.agg(sum($"a").as("n1"), sum($"t").as("n"))
+      .select($"n1", ($"n" - $"n1").as("n2"))
+    cum.crossJoin(tot)
+      .select($"v", $"t", $"rk",
+        ($"ca" + $"a").as("ia"),
+        ($"ct" + $"t" - $"ca" - $"a").as("ib"),
+        $"n1", $"n2")
+  }
+
+  /** Two-sample Kolmogorov–Smirnov distance, exact.
+    *
+    * D = max over values v of |F̂₁(v) − F̂₂(v)| is computed WITHOUT
+    * floats: the statistic is the max of the integer
+    * |A·n₂ − B·n₁| over the [[twoSampleCdf]] histogram frame, in
+    * units of 1/(n₁n₂) — one map-side-combinable aggregation.
+    *
+    * Output: n1, n2, d_num (= D·n₁n₂, exact, loud if > 2⁶³),
+    * ks_ppm (= ⌊D·10⁶⌋, always in range).
+    */
+  def ksTwoSample(df: DataFrame, valueCol: String, grpCol: String)
+      : DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    twoSampleCdf(df, valueCol, grpCol, "ksTwoSample")
+      .select($"n1", $"n2",
+        abs(Exact.dec($"ia") * $"n2" - Exact.dec($"ib") * $"n1").as("dn"))
+      .groupBy($"n1", $"n2").agg(max($"dn").as("d_num"))
+      .select($"n1", $"n2",
+        Exact.asLongOrFail($"d_num", "ksTwoSample d_num").as("d_num"),
+        expr(s"CAST((d_num * 1000000) div (CAST(n1 AS ${Exact.Dec}) * n2)" +
+          " AS BIGINT)").as("ks_ppm"))
+  }
+
+  /** Two-sample Cramér–von Mises criterion
+    * T = (n₁n₂/N²)·Σ over all N pooled points of (F̂₁ − F̂₂)² — the
+    * whole-CDF complement to KS's single worst point. Each distinct
+    * value contributes t·D_v² where D_v is the ppm-floored CDF gap
+    * (deterministic integer division in both engines, truncation
+    * ≤ 1 ppm per point); the weighted sum runs exact on the DECIMAL
+    * carrier (≤ n·10¹² — exact past 10²⁵ rows), and the closing
+    * n₁n₂/N² scaling divides the sum down by 10⁶ FIRST so the
+    * decimal product stays ≤ n³·10⁶ (exact to n ≈ 3·10¹⁰, the chi2
+    * family bound; truncation ≤ 1 micro). Same bounded histogram
+    * shape as [[ksTwoSample]].
+    *
+    * Output: n1, n2, t_micro (= ⌊T·10⁶⌋).
+    */
+  def cvmTwoSample(df: DataFrame, valueCol: String, grpCol: String)
+      : DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    twoSampleCdf(df, valueCol, grpCol, "cvmTwoSample")
+      .select($"n1", $"n2",
+        expr(s"abs(CAST(ia AS ${Exact.Dec}) * n2" +
+          s" - CAST(ib AS ${Exact.Dec}) * n1) * 1000000" +
+          s" div (CAST(n1 AS ${Exact.Dec}) * n2)").as("dppm"),
+        $"t")
+      .groupBy($"n1", $"n2")
+      .agg(Exact.decSum(Exact.dec($"t") * $"dppm" * $"dppm").as("sq"))
+      .select($"n1", $"n2",
+        expr(s"CAST(CAST(n1 AS ${Exact.Dec}) * n2 * (sq div 1000000)" +
+          s" div (CAST(n1 + n2 AS ${Exact.Dec}) * (n1 + n2))" +
+          " AS BIGINT)").as("t_micro"))
+  }
+
+  /** Exact Wasserstein-1 (earth mover) distance between the two
+    * empirical distributions: W₁ = ∫|F̂₁ − F̂₂| dv, the
+    * transport-cost read-out in the VALUE's own units. The integral
+    * is the rank self-join of the [[twoSampleCdf]] histogram — each
+    * value's |A·n₂ − B·n₁| weighted by the gap to the NEXT distinct
+    * value (a shuffle join on rank, never a single-task lead window)
+    * — summed exact on the DECIMAL carrier and closed by one integer
+    * division.
+    *
+    * Output: n1, n2, w1_micro (= ⌊W₁·10⁶⌋, value units).
+    */
+  def wasserstein1(df: DataFrame, valueCol: String, grpCol: String)
+      : DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val cdf = twoSampleCdf(df, valueCol, grpCol, "wasserstein1")
+    val nxt = cdf.select(($"rk" - 1).as("rk"), $"v".as("v_next"))
+    // decSum's empty-sum-is-0 keeps the single-distinct-value corpus
+    // (no adjacent pair at all) at W1 = 0 rather than zero rows
+    val w = cdf.join(nxt, "rk")
+      .select((abs(Exact.dec($"ia") * $"n2" - Exact.dec($"ib") * $"n1") *
+        ($"v_next" - $"v")).as("seg"))
+      .agg(Exact.decSum($"seg").as("w"))
+    cdf.agg(first($"n1").as("n1"), first($"n2").as("n2"))
+      .crossJoin(w)
+      .select($"n1", $"n2",
+        expr(s"CAST((w * 1000000) div (CAST(n1 AS ${Exact.Dec}) * n2)" +
+          " AS BIGINT)").as("w1_micro"))
+  }
+
+  /** Mann–Whitney U with tie-corrected normal approximation, exact
+    * until the single final z expression.
+    *
+    * Pooled average ranks use the q244 double-rank device: with rk a
+    * deterministic global row number over (value, id), the per-value
+    * min(rk)+max(rk) equals TWICE the average rank of every row
+    * sharing that value — all integers. The per-value frame (bounded
+    * by the distinct-value count) is BROADCAST back to the rows: a
+    * value-keyed shuffle join would put the hottest value on one
+    * partition. Then
+    *   2U₁ = Σ_{g=1} dr − n₁(n₁+1),   E[2U₁] = n₁n₂,
+    *   Var(U) = n₁n₂·((n+1)·n·(n−1) − Σ(t³−t)) / (12·n·(n−1)),
+    * and z = (2U₁ − n₁n₂) / (2·√Var) — the variance pieces stay on
+    * the DECIMAL carrier (n³ magnitude: exact past 10¹² rows) and the
+    * one double expression is written identically in the oracle.
+    *
+    * Output: n1, n2, u1_x2 (= 2U₁ exact, loud if > 2⁶³),
+    * cliffs_delta_ppm (the distribution-free effect size
+    * δ = (#(x>y) − #(x<y))/(n₁n₂) = (2U₁ − n₁n₂)/(n₁n₂), exact ppm
+    * with sign-symmetric truncation so both engines round identically
+    * on negative values), and z_ppm (0 when the variance is 0 — all
+    * values tied).
+    */
+  def mannWhitneyZ(df: DataFrame, valueCol: String, grpCol: String,
+      idCol: String): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val g = df.select(col(valueCol).cast("long").as("v"),
+      col(idCol).cast("long").as("id"),
+      groupBit(col(grpCol), "mannWhitneyZ").as("g"))
+    val ranked = GlobalRank.withRank(g.select($"v", $"id"),
+      Seq($"v", $"id"), rankCol = "rk")
+    val perv = ranked.groupBy($"v")
+      .agg((min($"rk") + max($"rk")).as("dr"), count(lit(1)).as("t"))
+    val f = g.join(broadcast(perv.select($"v", $"dr")), "v")
+      .agg(count(lit(1)).as("n"),
+        sum($"g".cast("long")).as("n1"),
+        Exact.decSum(when($"g" === 1, $"dr").otherwise(0L)).as("sdr1"))
+      .select($"n", $"n1", ($"n" - $"n1").as("n2"), $"sdr1")
+    val ties = perv.agg(
+      Exact.decSum(Exact.dec($"t") * $"t" * $"t" - $"t").as("tie3"))
+    f.crossJoin(ties)
+      .select($"n", $"n1", $"n2",
+        expr(s"sdr1 - CAST(n1 AS ${Exact.Dec}) * (n1 + 1)").as("u1_x2"),
+        expr(s"CAST(n + 1 AS ${Exact.Dec}) * n * (n - 1) - tie3").as("d3"))
+      .select($"n1", $"n2",
+        Exact.asLongOrFail($"u1_x2", "mannWhitneyZ u1_x2").as("u1_x2"),
+        expr(s"CASE WHEN n1 = 0 OR n2 = 0 THEN 0L" +
+          s" WHEN u1_x2 < CAST(n1 AS ${Exact.Dec}) * n2 THEN" +
+          s" -CAST(((CAST(n1 AS ${Exact.Dec}) * n2 - u1_x2) * 1000000)" +
+          s" div (CAST(n1 AS ${Exact.Dec}) * n2) AS BIGINT)" +
+          s" ELSE CAST(((u1_x2 - CAST(n1 AS ${Exact.Dec}) * n2)" +
+          s" * 1000000) div (CAST(n1 AS ${Exact.Dec}) * n2) AS BIGINT)" +
+          " END").as("cliffs_delta_ppm"),
+        expr(s"CASE WHEN d3 <= 0 OR n1 = 0 OR n2 = 0 THEN 0L ELSE " +
+          s"CAST(floor(CAST(u1_x2 - CAST(n1 AS ${Exact.Dec}) * n2" +
+          " AS DOUBLE) / (2.0 * sqrt(CAST(n1 AS DOUBLE) * n2" +
+          " * CAST(d3 AS DOUBLE)" +
+          " / (12.0 * CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1))))" +
+          " * 1000000.0 + 0.5) AS BIGINT) END").as("z_ppm"))
+  }
+
+  /** Pearson chi-square homogeneity over a bounded (bin × group)
+    * contingency, plus Cramér's V.
+    *
+    * One shuffle builds the cell counts; row/column marginals are
+    * re-aggregations of the CELL frame (bounded by bins·groups, never
+    * the corpus) and are BROADCAST back. Exactness: the algebraic
+    * form χ² = Σ O²·n/(r·c) − n is computed with per-cell
+    * micro-floored integer division (deterministic in both engines),
+    * then one exact DECIMAL sum — per-cell truncation bounds the
+    * error at #cells micro, and partial-agg order cannot move a
+    * digit. Magnitude bound: O²·n·10⁶ ≤ n³·10⁶ must fit
+    * DECIMAL(38,0) → exact to n ≈ 3·10¹⁰ rows (loud past it).
+    *
+    * Output: n, n_bins, n_groups, dof, chi2_micro (clamped at ≥ 0:
+    * truncation can leave −#cells micro at χ² = 0), cramers_v_ppm.
+    */
+  def chiSquareHomogeneity(df: DataFrame, binCol: String, grpCol: String)
+      : DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val base = df.select(
+      when(col(binCol).isNull,
+        raise_error(lit("chiSquareHomogeneity: NULL in bin column"))
+          .cast("string"))
+        .otherwise(col(binCol).cast("string")).as("bin"),
+      when(col(grpCol).isNull,
+        raise_error(lit("chiSquareHomogeneity: NULL in group column"))
+          .cast("string"))
+        .otherwise(col(grpCol).cast("string")).as("grp"))
+    val cells = base.groupBy($"bin", $"grp").agg(count(lit(1)).as("o"))
+    val rows = cells.groupBy($"bin").agg(sum($"o").as("r"))
+    val cols = cells.groupBy($"grp").agg(sum($"o").as("c"))
+    val tot = cells.agg(sum($"o").as("n"),
+      countDistinct($"bin").as("n_bins"),
+      countDistinct($"grp").as("n_groups"))
+    cells
+      .join(broadcast(rows), "bin")
+      .join(broadcast(cols), "grp")
+      .crossJoin(broadcast(tot))
+      .select($"n", $"n_bins", $"n_groups",
+        expr(s"(CAST(o AS ${Exact.Dec}) * o * n * 1000000)" +
+          s" div (CAST(r AS ${Exact.Dec}) * c)").as("term"))
+      .groupBy($"n", $"n_bins", $"n_groups")
+      .agg(Exact.decSum($"term").as("st"))
+      .select($"n", $"n_bins", $"n_groups",
+        (($"n_bins" - 1) * ($"n_groups" - 1)).as("dof"),
+        expr(s"greatest(CAST(0 AS ${Exact.Dec})," +
+          s" st - CAST(n AS ${Exact.Dec}) * 1000000)").as("chi2"))
+      .select($"n", $"n_bins", $"n_groups", $"dof",
+        Exact.asLongOrFail($"chi2", "chiSquareHomogeneity chi2_micro")
+          .as("chi2_micro"),
+        expr("CASE WHEN dof = 0 THEN 0L ELSE" +
+          " CAST(floor(sqrt(CAST(chi2 AS DOUBLE) / 1000000.0" +
+          " / (CAST(n AS DOUBLE)" +
+          " * least(n_bins - 1, n_groups - 1)))" +
+          " * 1000000.0 + 0.5) AS BIGINT) END").as("cramers_v_ppm"))
+  }
+
+  /** The shared two-round LCG draw in [0, 2³¹) — a SQL fragment valid
+    * in BOTH Spark SQL and DuckDB (only `*`, `+`, `%`), seeded by an
+    * integer expression; the seed is reduced mod 2³¹ BEFORE the
+    * multiply so the product stays under 2⁶² at any id scale. */
+  def lcgU31Sql(seed: String): String = {
+    val x0 = s"(($seed) % 2147483648)"
+    val x1 = s"((1103515245 * $x0 + 12345) % 2147483648)"
+    s"((1103515245 * $x1 + 12345) % 2147483648)"
+  }
+
+  /** The LCG fair coin: bit 20 of [[lcgU31Sql]] (low LCG bits
+    * alternate), via `%` and a comparison only — no division operator,
+    * so the one fragment parses identically in both engines. */
+  def lcgBitSql(seed: String): String =
+    s"(CASE WHEN (${lcgU31Sql(seed)}) % 2097152 >= 1048576" +
+      " THEN 1 ELSE 0 END)"
+
+  /** Randomization test for a difference in mean value between two
+    * labeled groups: B deterministic LCG coin-flip re-labelings, each
+    * replicate's |mean difference| folded in the SAME scan (each row
+    * carries its B pseudo-labels — no resampling shuffle exists), and
+    * the p-value is the add-one share of replicates at least as
+    * extreme as the observed labeling. Means are nano-floored exact
+    * integer divisions, so "at least as extreme" is an INTEGER
+    * comparison both engines replay bit-for-bit. A replicate that
+    * flips every row to one side (probability 2·2⁻ⁿ) counts as
+    * extreme — conservative, documented. The observed groups must
+    * both be non-empty (loud otherwise).
+    *
+    * Output: n, b_reps, obs_diff_nano, b_ge, p_ppm.
+    */
+  def permutationMeanDiff(df: DataFrame, valueCol: String, grpCol: String,
+      idCol: String, reps: Int): DataFrame = {
+    require(reps >= 1, s"reps must be >= 1, got $reps")
+    val s = df.sparkSession
+    import s.implicits._
+    val g = df.select(col(valueCol).cast("long").as("x"),
+      col(idCol).cast("long").as("id"),
+      groupBit(col(grpCol), "permutationMeanDiff").as("g"))
+    val obs = g.agg(count(lit(1)).as("n"),
+        sum($"g".cast("long")).as("na"),
+        Exact.decSum(when($"g" === 1, $"x").otherwise(0L)).as("sa"),
+        Exact.decSum(when($"g" === 0, $"x").otherwise(0L)).as("sb"))
+      .select($"n", $"na", ($"n" - $"na").as("nb"), $"sa", $"sb")
+      .select($"n",
+        when($"na".isNull || $"na" === 0 || $"nb" === 0,
+          raise_error(lit("permutationMeanDiff: a group is empty"))
+            .cast("long"))
+          .otherwise(expr("CAST(abs((sa * 1000000000) div na" +
+            " - (sb * 1000000000) div nb) AS BIGINT)"))
+          .as("obs_diff_nano"))
+    val perRep = g
+      .select($"x", $"id", explode(sequence(lit(0L), lit(reps - 1L))).as("b"))
+      .select($"x", $"b",
+        expr(lcgBitSql(s"id * $reps + b")).cast("int").as("bit"))
+      .groupBy($"b")
+      .agg(count(lit(1)).as("nr"), sum($"bit".cast("long")).as("nra"),
+        Exact.decSum(when($"bit" === 1, $"x").otherwise(0L)).as("sra"),
+        Exact.decSum(when($"bit" === 0, $"x").otherwise(0L)).as("srb"))
+      .select($"b",
+        when($"nra" === 0 || $"nra" === $"nr", lit(null).cast("long"))
+          .otherwise(expr("CAST(abs((sra * 1000000000) div nra" +
+            " - (srb * 1000000000) div (nr - nra)) AS BIGINT)"))
+          .as("diff_nano"))
+    perRep.crossJoin(obs)
+      .agg(first($"n").as("n"), count(lit(1)).as("b_reps"),
+        first($"obs_diff_nano").as("obs_diff_nano"),
+        sum(when($"diff_nano".isNull ||
+          $"diff_nano" >= $"obs_diff_nano", 1L).otherwise(0L)).as("b_ge"))
+      .select($"n", $"b_reps", $"obs_diff_nano", $"b_ge",
+        expr("((1 + b_ge) * 1000000) div (b_reps + 1)").as("p_ppm"))
+  }
+
+  /** Per-category randomization tests with Benjamini–Hochberg
+    * correction — the multiple-testing capstone: "which of these m
+    * sources/languages REALLY moved, after accounting for the fact
+    * that we ran m tests?".
+    *
+    * For each category c the observed statistic is the |in-vs-rest
+    * mean gap| (nano-floored exact integer division). The null is
+    * size-matched binomial re-labeling: replicate b marks each row
+    * pseudo-in with probability n_c/n via an integer threshold on the
+    * shared [[lcgU31Sql]] draw (seed (id·m + cat_index)·reps + b — one
+    * independent stream per (row, test, replicate)), so every
+    * replicate statistic folds map-side from the SAME n·m·B exploded
+    * scan — no shuffle of data ever happens, and m·B is the bounded
+    * fold width. An all-one-side replicate counts as extreme
+    * (conservative). p = (1 + #{|diff_b| ≥ obs})/(B+1), exact in ppm.
+    *
+    * BH then runs on the m-row p frame (metadata — the ORDER BY
+    * window there is driver-scale, the q249 carve-out): ascending
+    * (p, category) ranks k, k* = max{k : p_(k)·m ≤ α·k} in exact
+    * integer arithmetic, reject exactly the tests ranked ≤ k*.
+    *
+    * Resolution contract: rejections need p ≥ 1/(B+1) to clear
+    * α·1/m, i.e. reps ≥ m/α − 1 — loud, not silent, because an
+    * undersized B makes EVERY test unrejectable.
+    *
+    * Output per category: grp, n_g, obs_diff_nano, p_ppm, bh_k,
+    * bh_reject (0/1), ordered by grp.
+    */
+  def bhRandomizationTests(df: DataFrame, valueCol: String,
+      grpCol: String, idCol: String, reps: Int, alphaPpm: Long)
+      : DataFrame = {
+    require(reps >= 1, s"reps must be >= 1, got $reps")
+    require(alphaPpm > 0 && alphaPpm < 1000000,
+      s"alphaPpm must be in (0, 1e6), got $alphaPpm")
+    val s = df.sparkSession
+    import s.implicits._
+    val g = df.select(col(idCol).cast("long").as("id"),
+      col(valueCol).cast("long").as("x"),
+      when(col(grpCol).isNull,
+        raise_error(lit("bhRandomizationTests: NULL in group column"))
+          .cast("string"))
+        .otherwise(col(grpCol).cast("string")).as("grp"))
+    val tot = g.agg(count(lit(1)).as("n"), Exact.decSum($"x").as("sx"))
+    // per-category frame: bounded by m — index, size, threshold, obs
+    val perg = g.groupBy($"grp")
+      .agg(count(lit(1)).as("ng"), Exact.decSum($"x").as("sg"))
+    val m = perg.count()
+    require(reps + 1 >= math.ceil(m * 1000000.0 / alphaPpm).toLong,
+      s"reps=$reps cannot resolve alpha=${alphaPpm}ppm over $m tests " +
+        s"(need reps >= ${math.ceil(m * 1e6 / alphaPpm).toLong - 1}): " +
+        "every BH rejection would be impossible by construction")
+    val gi = org.apache.spark.sql.expressions.Window.orderBy($"grp")
+    val cats = perg.crossJoin(tot)
+      .select($"grp", $"ng",
+        (row_number().over(gi) - 1)
+          .cast("long").as("gidx"), // m-row frame: window is metadata
+        expr(s"CAST((CAST(ng AS ${Exact.Dec}) * 2147483648) div n" +
+          " AS BIGINT)").as("thr"),
+        when($"ng" === $"n",
+          raise_error(lit("bhRandomizationTests: a category covers " +
+            "every row — no out-group exists")).cast("long"))
+          .otherwise(expr("CAST(abs((sg * 1000000000) div ng" +
+            " - ((sx - sg) * 1000000000) div (n - ng)) AS BIGINT)"))
+          .as("obs_diff_nano"))
+    // one scan: every (row, test, replicate) coin folds map-side into
+    // the bounded m·B group frame — the data itself never shuffles
+    val diffs = g
+      .crossJoin(broadcast(
+        cats.select($"grp".as("test_grp"), $"gidx", $"thr")))
+      .select($"x", $"test_grp", $"thr", $"id", $"gidx",
+        explode(sequence(lit(0L), lit(reps - 1L))).as("b"))
+      .select($"x", $"test_grp", $"b",
+        expr(s"CASE WHEN ${lcgU31Sql(s"(id * $m + gidx) * $reps + b")}" +
+          " < thr THEN 1 ELSE 0 END").as("coin"))
+      .groupBy($"test_grp", $"b")
+      .agg(count(lit(1)).as("nr"), sum($"coin".cast("long")).as("nra"),
+        Exact.decSum(when($"coin" === 1, $"x").otherwise(0L)).as("sra"),
+        Exact.decSum($"x").as("srt"))
+      .select($"test_grp",
+        when($"nra" === 0 || $"nra" === $"nr", lit(null).cast("long"))
+          .otherwise(expr("CAST(abs((sra * 1000000000) div nra" +
+            " - ((srt - sra) * 1000000000) div (nr - nra)) AS BIGINT)"))
+          .as("diff_nano"))
+    val ps = diffs
+      .join(broadcast(cats.select($"grp".as("test_grp"), $"ng",
+        $"obs_diff_nano")), "test_grp")
+      .groupBy($"test_grp", $"ng", $"obs_diff_nano")
+      .agg(sum(when($"diff_nano".isNull ||
+        $"diff_nano" >= $"obs_diff_nano", 1L).otherwise(0L)).as("b_ge"))
+      .select($"test_grp".as("grp"), $"ng".as("n_g"), $"obs_diff_nano",
+        expr(s"((b_ge + 1) * 1000000) div ${reps + 1}").as("p_ppm"))
+    // BH on the m-row p frame: metadata-scale windows (q249 carve-out)
+    val ki = org.apache.spark.sql.expressions.Window
+      .orderBy($"p_ppm", $"grp")
+    val flagged = ps
+      .withColumn("bh_k", row_number().over(ki).cast("long"))
+      .withColumn("ok",
+        when($"p_ppm" * m <= lit(alphaPpm) * $"bh_k", $"bh_k"))
+    val kstar = flagged.agg(coalesce(max($"ok"), lit(0L)).as("kstar"))
+    flagged.crossJoin(broadcast(kstar))
+      .select($"grp", $"n_g", $"obs_diff_nano", $"p_ppm", $"bh_k",
+        when($"bh_k" <= $"kstar", 1L).otherwise(0L).as("bh_reject"))
+      .orderBy($"grp")
+  }
+
+  /** Deterministic weighted systematic resampling: m evenly-spaced
+    * probes at the midpoints T_j = ⌊(2j+1)·W/(2m)⌋ of the cumulative
+    * weight axis (the particle-filter "systematic" scheme — no
+    * randomness, exact integers, and by the telescoping of
+    * count(x) = #{j : T_j < x} the multiplicities ALWAYS sum to m).
+    * One [[GlobalRank.withPrefixSum]] over the deterministic id order
+    * gives each row its weight interval [c, c+w); its multiplicity is
+    * count(c+w) − count(c), a closed-form integer expression. Weights
+    * must be positive (loud otherwise); bound: 2m·W must fit BIGINT
+    * (m = 100 → W < 4.6·10¹⁶ total weight — 46 PB of characters).
+    *
+    * Returns the per-row frame (id, w, mult) — callers aggregate.
+    */
+  def systematicResample(df: DataFrame, idCol: String, weightCol: String,
+      m: Int): DataFrame = {
+    require(m >= 1, s"m must be >= 1, got $m")
+    val s = df.sparkSession
+    import s.implicits._
+    val g = df.select(col(idCol).cast("long").as("id"),
+      when(col(weightCol).isNull || col(weightCol) <= 0,
+        raise_error(lit("systematicResample: weights must be > 0"))
+          .cast("long"))
+        .otherwise(col(weightCol).cast("long")).as("w"))
+    val pre = GlobalRank.withPrefixSum(g, Seq($"id"), "w", "c")
+    val tot = g.agg(sum($"w").as("tw"))
+    def cnt(x: String): String =
+      s"CASE WHEN 2 * $m * ($x) <= tw THEN 0L ELSE " +
+        s"least(CAST($m AS BIGINT)," +
+        s" (2 * $m * ($x) - tw - 1) div (2 * tw) + 1) END"
+    pre.crossJoin(tot)
+      .select($"id", $"w",
+        expr(s"${cnt("c + w")} - ${cnt("c")}").as("mult"))
+  }
+
+  /** Vocabulary coverage curve: for each k, the exact share of all
+    * token OCCURRENCES covered by the top-k types (count-desc,
+    * token-asc deterministic order). One [[GlobalRank]] sort of the
+    * TYPE histogram — never the token stream — then each k is a
+    * single exact rank selection (clamped to the type count) against
+    * the inclusive prefix sum; the k-row lookup side is broadcast.
+    *
+    * Output: (k, types_used, coverage_ppm), ordered by k.
+    */
+  def coverageCurve(counts: DataFrame, tokenCol: String, cntCol: String,
+      ks: Seq[Long]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1L), s"ks must all be >= 1: $ks")
+    val s = counts.sparkSession
+    import s.implicits._
+    val base = counts.select(col(tokenCol).cast("string").as("tok"),
+      col(cntCol).cast("long").as("cnt"))
+    val ranked = GlobalRank.withRankAndPrefixSum(base,
+      Seq($"cnt".desc, $"tok"), valueCol = "cnt",
+      rankCol = "rk", sumCol = "cb")
+    val tot = base.agg(sum($"cnt").as("tt"), count(lit(1)).as("n_types"))
+    val ksdf = ks.toDF("k").crossJoin(tot)
+      .select($"k", least($"k", $"n_types").as("keff"), $"tt")
+    ranked.join(broadcast(ksdf), $"rk" === $"keff")
+      .select($"k", $"keff".as("types_used"),
+        expr(s"CAST((CAST(cb + cnt AS ${Exact.Dec}) * 1000000) div tt" +
+          " AS BIGINT)").as("coverage_ppm"))
+      .orderBy($"k")
+  }
+
+  /** Kendall tau-b from a bounded contingency: concordant/discordant
+    * pair counts fold from the CELL frame (≤ bins² rows — after the
+    * one corpus aggregation, the quadratic pair loop runs on
+    * metadata, not data; the broadcast self-join is the documented
+    * bounded carve-out). Tie corrections come from the marginals:
+    *   τ_b = (C − D) / √((n₀ − n₁)(n₀ − n₂)),
+    * n₀ = n(n−1)/2, n₁/n₂ = Σ r(r−1)/2 over row/col marginals. C, D
+    * and the corrections stay on the DECIMAL carrier (n² magnitude);
+    * the one double expression mirrors the oracle.
+    *
+    * Output: n, c_pairs/d_pairs (loud past 2⁶³), taub_ppm.
+    */
+  def kendallTauB(cells: DataFrame, xCol: String, yCol: String,
+      cntCol: String): DataFrame = {
+    val s = cells.sparkSession
+    import s.implicits._
+    val a = cells.select(col(xCol).cast("int").as("dx"),
+      col(yCol).cast("int").as("dy"), col(cntCol).cast("long").as("o"))
+    val b = a.select($"dx".as("bx"), $"dy".as("by"), $"o".as("bo"))
+    val cd = a.crossJoin(broadcast(b))
+      .agg(Exact.decSum(when($"bx" > $"dx" && $"by" > $"dy",
+          Exact.dec($"o") * $"bo").otherwise(lit(0L).cast(Exact.Dec)))
+          .as("c_pairs"),
+        Exact.decSum(when($"bx" > $"dx" && $"by" < $"dy",
+          Exact.dec($"o") * $"bo").otherwise(lit(0L).cast(Exact.Dec)))
+          .as("d_pairs"))
+    val n = a.agg(sum($"o").as("n"))
+    val rt = a.groupBy($"dx").agg(sum($"o").as("r"))
+      .agg(Exact.decSum(Exact.dec($"r") * ($"r" - 1)).as("t1x2"))
+    val ct = a.groupBy($"dy").agg(sum($"o").as("c"))
+      .agg(Exact.decSum(Exact.dec($"c") * ($"c" - 1)).as("t2x2"))
+    cd.crossJoin(n).crossJoin(rt).crossJoin(ct)
+      .select($"n",
+        Exact.asLongOrFail($"c_pairs", "kendallTauB c_pairs").as("c_pairs"),
+        Exact.asLongOrFail($"d_pairs", "kendallTauB d_pairs").as("d_pairs"),
+        expr(s"CAST(n AS ${Exact.Dec}) * (n - 1) - t1x2").as("den1"),
+        expr(s"CAST(n AS ${Exact.Dec}) * (n - 1) - t2x2").as("den2"),
+        ($"c_pairs" - $"d_pairs").as("cd"))
+      .select($"n", $"c_pairs", $"d_pairs",
+        expr("CASE WHEN den1 <= 0 OR den2 <= 0 THEN 0L ELSE" +
+          " CAST(floor(2.0 * CAST(cd AS DOUBLE)" +
+          " / sqrt(CAST(den1 AS DOUBLE) * CAST(den2 AS DOUBLE))" +
+          " * 1000000.0 + 0.5) AS BIGINT) END").as("taub_ppm"))
+  }
+}
