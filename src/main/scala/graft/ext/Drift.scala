@@ -83,14 +83,7 @@ object Drift {
     * row-level form. */
   def jsDivergenceFromCounts(cellCounts: DataFrame, gCol: String,
       bCol: String, nCol: String, outGroupCol: String): DataFrame = {
-    val cells = cellCounts.select(col(gCol).as("__g"),
-      col(bCol).cast("int").as("__b"), col(nCol).cast("long").as("ngb"))
-    val binTotals = cells.groupBy(col("__b")).agg(sum(col("ngb")).as("nb"))
-    val groupTotals = cells.groupBy(col("__g")).agg(sum(col("ngb")).as("ng"))
-    val nTot = cells.agg(sum(col("ngb")).as("n"))
-    val grid = groupTotals.crossJoin(binTotals).crossJoin(nTot)
-      .join(cells, Seq("__g", "__b"), "left")
-      .withColumn("ngb", coalesce(col("ngb"), lit(0L)))
+    val grid = looGrid(cellCounts, gCol, bCol, nCol)
     val pC = col("ngb").cast("double") / col("ng").cast("double")
     val qC = when(col("n") - col("ng") > 0,
       (col("nb") - col("ngb")).cast("double") /
@@ -106,5 +99,110 @@ object Drift {
       .agg(max(col("ng")).as("n"), sum(col("t")).as("jsd_nano"))
       .select(col("__g").as(outGroupCol), col("n"), col("jsd_nano"))
       .orderBy(col(outGroupCol))
+  }
+
+  /** The shared leave-one-group-out grid: every (group, bin) cell
+    * with its zero-filled count, bin total, group total and corpus
+    * total — the frame [[jsDivergenceFromCounts]],
+    * [[ksFromCounts]] and [[psiFromCounts]] all read, built ONCE so
+    * the three drift read-outs can never disagree about what a cell
+    * is. |groups|·|bins| rows — metadata, not data. */
+  private def looGrid(cellCounts: DataFrame, gCol: String, bCol: String,
+      nCol: String): DataFrame = {
+    val cells = cellCounts.select(col(gCol).as("__g"),
+      col(bCol).cast("int").as("__b"), col(nCol).cast("long").as("ngb"))
+    val binTotals = cells.groupBy(col("__b")).agg(sum(col("ngb")).as("nb"))
+    val groupTotals = cells.groupBy(col("__g")).agg(sum(col("ngb")).as("ng"))
+    val nTot = cells.agg(sum(col("ngb")).as("n"))
+    groupTotals.crossJoin(binTotals).crossJoin(nTot)
+      .join(cells, Seq("__g", "__b"), "left")
+      .withColumn("ngb", coalesce(col("ngb"), lit(0L)))
+  }
+
+  /** Exact binned two-sample KS of each group vs the REST of the
+    * corpus, from the mergeable (group, bin, count) cells — the
+    * integer-exact drift read-out beside [[jsDivergenceFromCounts]]:
+    * where JSD prices the whole distribution in nats, binned KS reads
+    * the single worst CDF point in ppm, with NO floats anywhere
+    * (D·ng·(n−ng) is an integer; the one division is integer ppm).
+    * Bins must be ordinal (they are: ntile deciles). The cumulative
+    * window runs on the |groups|·|bins| grid partitioned by group —
+    * metadata, not data. A group that IS the whole corpus has no rest
+    * to drift from and reads 0.
+    *
+    * @return one row per group: (outGroupCol, n, ks_ppm)
+    */
+  def ksFromCounts(cellCounts: DataFrame, gCol: String, bCol: String,
+      nCol: String, outGroupCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__g")).orderBy(col("__b"))
+    looGrid(cellCounts, gCol, bCol, nCol)
+      .withColumn("cg", sum(col("ngb")).over(w))
+      .withColumn("cr", sum(col("nb") - col("ngb")).over(w))
+      .select(col("__g"), col("ng"), col("n"),
+        abs(Exact.dec(col("cg")) * (col("n") - col("ng")) -
+          Exact.dec(col("cr")) * col("ng")).as("dn"))
+      .groupBy(col("__g"))
+      .agg(max(col("ng")).as("ng"), max(col("n")).as("nn"),
+        max(col("dn")).as("d"))
+      .select(col("__g").as(outGroupCol), col("ng").as("n"),
+        expr(s"CASE WHEN nn - ng <= 0 THEN 0L ELSE CAST((d * 1000000)" +
+          s" div (CAST(ng AS ${Exact.Dec}) * (nn - ng)) AS BIGINT) END")
+          .as("ks_ppm"))
+      .orderBy(col(outGroupCol))
+  }
+
+  /** Population stability index of each group vs the REST, from the
+    * same mergeable cells — the industry-dashboard drift number. PSI's
+    * log-ratio is infinite on a bin one side never hits, so the
+    * counts are Laplace-smoothed (+1 per cell on BOTH sides, i.e.
+    * p = (ngb+1)/(ng+B) with B the bin count) — the standard finite
+    * PSI, documented rather than silently clamped. Per-cell terms
+    * (p−q)·ln(p/q) are nano-rounded BEFORE the per-group integer sum
+    * (the [[jsDivergenceFromCounts]] discipline); the double
+    * arithmetic is one expression mirrored in the oracle.
+    *
+    * @return one row per group: (outGroupCol, n, psi_nano)
+    */
+  def psiFromCounts(cellCounts: DataFrame, gCol: String, bCol: String,
+      nCol: String, outGroupCol: String): DataFrame = {
+    val grid = looGrid(cellCounts, gCol, bCol, nCol)
+      .crossJoin(cellCounts.select(col(bCol)).distinct()
+        .agg(count(lit(1)).as("nbins")))
+    val pC = (col("ngb") + 1).cast("double") /
+      (col("ng") + col("nbins")).cast("double")
+    val qC = (col("nb") - col("ngb") + 1).cast("double") /
+      (col("n") - col("ng") + col("nbins")).cast("double")
+    val term = when(col("n") - col("ng") > 0,
+      (pC - qC) * log(pC / qC)).otherwise(lit(0.0))
+    grid.select(col("__g"), col("ng"),
+        floor(term * 1000000000.0 + 0.5).cast("long").as("t"))
+      .groupBy(col("__g"))
+      .agg(max(col("ng")).as("n"), sum(col("t")).as("psi_nano"))
+      .select(col("__g").as(outGroupCol), col("n"), col("psi_nano"))
+      .orderBy(col(outGroupCol))
+  }
+
+  /** [[ksFromCounts]] over row-level binned data — one fold to cells,
+    * then the shared counts form (same delegation contract as
+    * [[jsDivergenceBinned]], so stream-built state and batch rows
+    * read identically). */
+  def ksBinned(binned: DataFrame, groupCol: String, binCol: String)
+      : DataFrame = {
+    val cells = binned.select(col(groupCol).as("__g"),
+        col(binCol).cast("int").as("__b"))
+      .groupBy(col("__g"), col("__b"))
+      .agg(count(lit(1)).as("ngb"))
+    ksFromCounts(cells, "__g", "__b", "ngb", groupCol)
+  }
+
+  /** [[psiFromCounts]] over row-level binned data. */
+  def psiBinned(binned: DataFrame, groupCol: String, binCol: String)
+      : DataFrame = {
+    val cells = binned.select(col(groupCol).as("__g"),
+        col(binCol).cast("int").as("__b"))
+      .groupBy(col("__g"), col("__b"))
+      .agg(count(lit(1)).as("ngb"))
+    psiFromCounts(cells, "__g", "__b", "ngb", groupCol)
   }
 }

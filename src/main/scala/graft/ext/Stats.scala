@@ -519,6 +519,50 @@ object Stats {
       .orderBy($"k")
   }
 
+  /** Isotonic (pool-adjacent-violators) calibration over BOUNDED
+    * confidence bins — the monotone accuracy curve a probability
+    * calibrator actually deploys, where the raw reliability table
+    * (q222) only diagnoses. Uses the max-min closed form of PAV:
+    *   fitted(i) = max_{j ≤ i} min_{k ≥ i} avg(ok over bins j..k)
+    * — interval averages come from bin prefix sums, every quantity is
+    * an exact micro integer (interval avg = (ok·10⁶) div n, identical
+    * truncation in both engines), and the O(B³) pair enumeration runs
+    * on the ≤ bins-row frame: metadata, not data (the corpus was
+    * folded to per-bin counts by the caller). The window over the
+    * bin frame is the q249 bounded-frame carve-out.
+    *
+    * Output per bin: bin, n, acc_micro (raw), fitted_micro
+    * (monotone non-decreasing in bin), ordered by bin.
+    */
+  def isotonicCalibration(cells: DataFrame, binCol: String, nCol: String,
+      okCol: String): DataFrame = {
+    val s = cells.sparkSession
+    import s.implicits._
+    val base = cells.select(col(binCol).cast("long").as("bin"),
+      col(nCol).cast("long").as("n"), col(okCol).cast("long").as("ok"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"bin")
+    val pref = base
+      .withColumn("pn", sum($"n").over(w))
+      .withColumn("pok", sum($"ok").over(w)) // bounded frame: metadata
+    val jSide = pref.select($"bin".as("jbin"),
+      ($"pn" - $"n").as("pnj"), ($"pok" - $"ok").as("pokj"))
+    val kSide = pref.select($"bin".as("kbin"), $"pn".as("pnk"),
+      $"pok".as("pokk"))
+    val intervals = jSide.join(kSide, $"jbin" <= $"kbin")
+      .select($"jbin", $"kbin",
+        expr(s"((CAST(pokk AS ${Exact.Dec}) - pokj) * 1000000)" +
+          " div (pnk - pnj)").as("avg_micro"))
+    val fitted = base.select($"bin")
+      .join(intervals, $"jbin" <= $"bin" && $"bin" <= $"kbin")
+      .groupBy($"bin", $"jbin").agg(min($"avg_micro").as("mn"))
+      .groupBy($"bin").agg(max($"mn").as("fitted_micro"))
+    base.join(fitted, "bin")
+      .select($"bin", $"n",
+        expr(s"(CAST(ok AS ${Exact.Dec}) * 1000000) div n")
+          .as("acc_micro"), $"fitted_micro")
+      .orderBy($"bin")
+  }
+
   /** Kendall tau-b from a bounded contingency: concordant/discordant
     * pair counts fold from the CELL frame (≤ bins² rows — after the
     * one corpus aggregation, the quadratic pair loop runs on

@@ -494,8 +494,130 @@ object Extended27 {
        |    AS w1_micro
        |FROM f CROSS JOIN tot""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q262 — per-source PSI (population stability index) over global
+  // length deciles: the industry-dashboard drift number beside q225's
+  // JSD, Laplace-smoothed (+1 per cell both sides) so it stays finite
+  // on bins a source never hits. Same mergeable-cells fold the
+  // streaming monitor reads (Drift.psiFromCounts).
+  def q262(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val binned = GlobalRank.withNtile(docs,
+      Seq(col("n_chars"), col("doc_id")), tiles = 10, tileCol = "bin")
+    graft.ext.Drift.psiBinned(binned, "source", "bin")
+  }
+
+  val q262Sql: String = {
+    val p = "(CAST(ngb + 1 AS DOUBLE) / CAST(ng + nbins AS DOUBLE))"
+    val q = "(CAST(nb - ngb + 1 AS DOUBLE)" +
+      " / CAST(n - ng + nbins AS DOUBLE))"
+    s"""WITH b AS (SELECT source,
+       |     ntile(10) OVER (ORDER BY n_chars, doc_id) AS bin
+       |   FROM documents),
+       | cc AS (SELECT source, bin, count(*) AS ngb FROM b GROUP BY 1, 2),
+       | bt AS (SELECT bin, count(*) AS nb FROM b GROUP BY 1),
+       | gt AS (SELECT source, count(*) AS ng FROM b GROUP BY 1),
+       | tot AS (SELECT count(*) AS n FROM b),
+       | nbs AS (SELECT count(DISTINCT bin) AS nbins FROM cc),
+       | grid AS (SELECT gt.source, gt.ng, bt.bin, bt.nb, tot.n,
+       |            nbs.nbins, coalesce(cc.ngb, 0) AS ngb
+       |          FROM gt CROSS JOIN bt CROSS JOIN tot CROSS JOIN nbs
+       |          LEFT JOIN cc ON cc.source = gt.source
+       |            AND cc.bin = bt.bin),
+       | terms AS (SELECT source, ng, CAST(floor((
+       |     CASE WHEN n - ng > 0 THEN ($p - $q) * ln($p / $q)
+       |     ELSE 0.0 END) * 1000000000.0 + 0.5) AS BIGINT) AS t
+       |   FROM grid)
+       |SELECT source, ng AS n, CAST(sum(t) AS BIGINT) AS psi_nano
+       |FROM terms GROUP BY source, ng
+       |ORDER BY source""".stripMargin
+  }
+
+  // --------------------------------------------------------------------
+  // q263 — per-source exact binned two-sample KS over the same decile
+  // grid: the integer-exact member of the drift trio (q225 JSD, q262
+  // PSI) — no float anywhere, the worst CDF point in ppm.
+  def q263(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val binned = GlobalRank.withNtile(docs,
+      Seq(col("n_chars"), col("doc_id")), tiles = 10, tileCol = "bin")
+    graft.ext.Drift.ksBinned(binned, "source", "bin")
+  }
+
+  val q263Sql: String =
+    """WITH b AS (SELECT source,
+      |     ntile(10) OVER (ORDER BY n_chars, doc_id) AS bin
+      |   FROM documents),
+      | cc AS (SELECT source, bin, count(*) AS ngb FROM b GROUP BY 1, 2),
+      | bt AS (SELECT bin, count(*) AS nb FROM b GROUP BY 1),
+      | gt AS (SELECT source, count(*) AS ng FROM b GROUP BY 1),
+      | tot AS (SELECT count(*) AS n FROM b),
+      | grid AS (SELECT gt.source, gt.ng, bt.bin, bt.nb, tot.n,
+      |            coalesce(cc.ngb, 0) AS ngb
+      |          FROM gt CROSS JOIN bt CROSS JOIN tot
+      |          LEFT JOIN cc ON cc.source = gt.source
+      |            AND cc.bin = bt.bin),
+      | cum AS (SELECT source, ng, n,
+      |     sum(ngb) OVER (PARTITION BY source ORDER BY bin) AS cg,
+      |     sum(nb - ngb) OVER (PARTITION BY source ORDER BY bin) AS cr
+      |   FROM grid),
+      | dd AS (SELECT source, ng, n,
+      |     max(abs(CAST(cg AS HUGEINT) * (n - ng)
+      |       - CAST(cr AS HUGEINT) * ng)) AS d
+      |   FROM cum GROUP BY source, ng, n)
+      |SELECT source, CAST(ng AS BIGINT) AS n,
+      |  CASE WHEN n - ng <= 0 THEN 0
+      |  ELSE CAST((d * 1000000) // (CAST(ng AS HUGEINT) * (n - ng))
+      |    AS BIGINT) END AS ks_ppm
+      |FROM dd ORDER BY source""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q264 — isotonic (PAV) calibration of the centroid classifier's
+  // reliability table: the deployable monotone accuracy-vs-confidence
+  // curve, fitted by the max-min closed form on the 10-bin frame.
+  def q264(s: SparkSession, dir: String): DataFrame = {
+    val scored = graft.ext.Eval.centroidScoredPredictions(
+      t(s, dir, "embeddings"), "embedding", "label")
+    val cells = graft.ext.Eval.binCounts(graft.ext.Eval.scoredRows(
+      scored, "label", "pred", "conf_micro", bins = 10,
+      what = "q264_isotonic"))
+    Stats.isotonicCalibration(cells, "bin", "n", "correct")
+  }
+
+  val q264Sql: String =
+    s"""WITH ${CentroidPredOracle.chain},
+       | scr AS (SELECT label, pred,
+       |           CAST(floor(score * 1000000.0 + 0.5) AS BIGINT) AS cm
+       |         FROM pred),
+       | binned AS (SELECT
+       |     greatest(least((cm * 10) // 1000000, 9), 0) AS bin,
+       |     CASE WHEN label = pred THEN 1 ELSE 0 END AS ok FROM scr),
+       | per AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(ok) AS BIGINT) AS ok FROM binned GROUP BY bin),
+       | pref AS (SELECT bin, n, ok, sum(n) OVER (ORDER BY bin) AS pn,
+       |          sum(ok) OVER (ORDER BY bin) AS pok FROM per),
+       | iv AS (SELECT j.bin AS jbin, k.bin AS kbin,
+       |     ((CAST(k.pok AS HUGEINT) - (j.pok - j.ok)) * 1000000)
+       |       // (k.pn - (j.pn - j.n)) AS avg_micro
+       |   FROM pref j JOIN pref k ON j.bin <= k.bin),
+       | mn AS (SELECT p.bin, iv.jbin, min(iv.avg_micro) AS mn
+       |   FROM per p JOIN iv ON iv.jbin <= p.bin AND p.bin <= iv.kbin
+       |   GROUP BY p.bin, iv.jbin),
+       | ft AS (SELECT bin, CAST(max(mn) AS BIGINT) AS fitted_micro
+       |        FROM mn GROUP BY bin)
+       |SELECT CAST(p.bin AS BIGINT) AS bin, p.n,
+       |  CAST((CAST(p.ok AS HUGEINT) * 1000000) // p.n AS BIGINT)
+       |    AS acc_micro,
+       |  ft.fitted_micro
+       |FROM per p JOIN ft USING (bin) ORDER BY bin""".stripMargin
+
   /** Name → query, for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q262_psi_drift" -> (q262 _),
+    "q263_binned_ks_drift" -> (q263 _),
+    "q264_isotonic_calibration" -> (q264 _),
     "q252_ks_two_sample" -> (q252 _),
     "q259_bh_lang_drift" -> (q259 _),
     "q260_cvm_two_sample" -> (q260 _),
@@ -510,6 +632,9 @@ object Extended27 {
 
   /** Name → DuckDB oracle SQL, for SparkEntry. */
   val oracles: Map[String, String] = Map(
+    "q262_psi_drift" -> q262Sql,
+    "q263_binned_ks_drift" -> q263Sql,
+    "q264_isotonic_calibration" -> q264Sql,
     "q252_ks_two_sample" -> q252Sql,
     "q259_bh_lang_drift" -> q259Sql,
     "q260_cvm_two_sample" -> q260Sql,

@@ -251,6 +251,23 @@ object StreamEval {
     graft.ext.Drift.jsDivergenceFromCounts(
       binnedCounts(spark, statePath), "group", "bin", "n", outGroupCol)
 
+  /** Exact binned two-sample KS drift from the SAME monitor state —
+    * literally [[graft.ext.Drift.ksFromCounts]] over the persisted
+    * cells, the delegation contract of [[jsDriftFromState]]: one
+    * binned state feeds all three drift read-outs. */
+  def ksDriftFromState(spark: SparkSession, statePath: String,
+      outGroupCol: String = "group"): DataFrame =
+    graft.ext.Drift.ksFromCounts(
+      binnedCounts(spark, statePath), "group", "bin", "n", outGroupCol)
+
+  /** Laplace-smoothed PSI drift from the SAME monitor state —
+    * literally [[graft.ext.Drift.psiFromCounts]] over the persisted
+    * cells. */
+  def psiFromState(spark: SparkSession, statePath: String,
+      outGroupCol: String = "group"): DataFrame =
+    graft.ext.Drift.psiFromCounts(
+      binnedCounts(spark, statePath), "group", "bin", "n", outGroupCol)
+
   /** Current confusion counts (label, pred, n), ready for the
     * counts-based folds in [[graft.ext.Eval]]. */
   def counts(spark: SparkSession, statePath: String): DataFrame =

@@ -317,6 +317,108 @@ class Extended27Spec extends SparkSpec {
     assert(r.getAs[Long]("taub_ppm") === taub)
   }
 
+  test("Drift.ksBinned == brute per-group binned CDF loop; " +
+    "whole-corpus group reads 0") {
+    import spark.implicits._
+    val rows = (0 until 60).map { i =>
+      val g = "xyz"((i % 7) % 3).toString
+      val bin = (i * 11 + (if (g == "z") 5 else 0)) % 10
+      (g, bin)
+    }
+    val df = rows.toDF("src", "bin")
+    val groups = rows.map(_._1).distinct.sorted
+    val n = rows.size.toLong
+    val brute = groups.map { g =>
+      val ng = rows.count(_._1 == g).toLong
+      val d = (0 until 10).map { b =>
+        val cg = rows.count(r => r._1 == g && r._2 <= b).toLong
+        val cr = rows.count(r => r._1 != g && r._2 <= b).toLong
+        math.abs(cg * (n - ng) - cr * ng)
+      }.max
+      g -> (d * 1000000L / (ng * (n - ng)))
+    }.toMap
+    val got = graft.ext.Drift.ksBinned(df, "src", "bin")
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("ks_ppm")).toMap
+    assert(got === brute)
+    val solo = Seq(("only", 1), ("only", 2)).toDF("src", "bin")
+    assert(graft.ext.Drift.ksBinned(solo, "src", "bin").head()
+      .getAs[Long]("ks_ppm") === 0L)
+  }
+
+  test("Drift.psiBinned == brute Laplace-smoothed PSI loop; an " +
+    "isolated group dominates") {
+    import spark.implicits._
+    val rows = (0 until 90).map { i =>
+      val g = "pqr"(i % 3).toString
+      val bin = g match {
+        case "p" => (i / 3) % 6       // bins 0..5
+        case "q" => 1 + (i / 3) % 6   // bins 1..6 — broad overlap with p
+        case _ => 8 + (i / 3) % 2     // bins nobody else touches
+      }
+      (g, bin)
+    }
+    val df = rows.toDF("src", "bin")
+    val groups = rows.map(_._1).distinct.sorted
+    val bins = rows.map(_._2).distinct
+    val bCnt = bins.size.toLong
+    val n = rows.size.toLong
+    val brute = groups.map { g =>
+      val ng = rows.count(_._1 == g).toLong
+      val t = bins.map { b => // every bin PRESENT anywhere, zero-filled
+        val ngb = rows.count(r => r._1 == g && r._2 == b).toLong
+        val nb = rows.count(_._2 == b).toLong
+        val p = (ngb + 1).toDouble / (ng + bCnt)
+        val q = (nb - ngb + 1).toDouble / (n - ng + bCnt)
+        math.floor((p - q) * math.log(p / q) * 1e9 + 0.5).toLong
+      }.sum
+      g -> t
+    }.toMap
+    val got = graft.ext.Drift.psiBinned(df, "src", "bin")
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("psi_nano"))
+      .toMap
+    assert(got === brute)
+    assert(got("r") > got("p") && got("r") > got("q"))
+  }
+
+  test("isotonicCalibration == brute pool-adjacent-violators loop; " +
+    "fit is monotone; already-monotone input is untouched") {
+    import spark.implicits._
+    // classic PAV pooling, independent of the max-min closed form
+    def brutePav(cells: Seq[(Long, Long, Long)]): Seq[Long] = {
+      case class Block(n: Long, ok: Long, size: Int)
+      val stack = scala.collection.mutable.ArrayBuffer.empty[Block]
+      for ((_, n, ok) <- cells.sortBy(_._1)) {
+        stack += Block(n, ok, 1)
+        // pool while the last block's avg < the previous block's avg
+        while (stack.size >= 2 && {
+          val a = stack(stack.size - 2); val b = stack.last
+          // exact rational comparison: okB/nB < okA/nA
+          b.ok * a.n < a.ok * b.n
+        }) {
+          val b = stack.remove(stack.size - 1)
+          val a = stack.remove(stack.size - 1)
+          stack += Block(a.n + b.n, a.ok + b.ok, a.size + b.size)
+        }
+      }
+      stack.toSeq.flatMap(bl =>
+        Seq.fill(bl.size)(bl.ok * 1000000L / bl.n))
+    }
+    val cells = Seq((0L, 10L, 2L), (1L, 10L, 6L), (2L, 10L, 4L),
+      (3L, 10L, 5L), (4L, 10L, 9L), (5L, 10L, 8L))
+    val got = graft.ext.Stats.isotonicCalibration(
+        cells.toDF("bin", "n", "correct"), "bin", "n", "correct")
+      .orderBy($"bin").collect().map(_.getAs[Long]("fitted_micro")).toSeq
+    assert(got === brutePav(cells))
+    assert(got === got.sorted, "fit must be monotone non-decreasing")
+    // monotone input: the fit IS the raw accuracy
+    val mono = Seq((0L, 10L, 1L), (1L, 10L, 5L), (2L, 10L, 9L))
+    val gotMono = graft.ext.Stats.isotonicCalibration(
+        mono.toDF("bin", "n", "correct"), "bin", "n", "correct")
+      .orderBy($"bin").collect()
+      .map(r => (r.getAs[Long]("acc_micro"), r.getAs[Long]("fitted_micro")))
+    gotMono.foreach { case (acc, fit) => assert(acc === fit) }
+  }
+
   test("coverageCurve: hand histogram pins; k past the vocabulary " +
     "clamps to full coverage") {
     import spark.implicits._

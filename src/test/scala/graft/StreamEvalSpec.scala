@@ -184,6 +184,23 @@ class StreamEvalSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
     assert(bySrc("c") > 600000000L, s"isolated source read ${bySrc("c")}")
     assert(bySrc("c") > bySrc("a") && bySrc("c") > bySrc("b"))
+    // the SAME binned state feeds the KS and PSI read-outs — stream ≡
+    // batch by the identical delegation contract (one counts fold)
+    val wantKs = graft.ext.Drift.ksBinned(all, "source", "bin")
+      .collect().map(_.toSeq).toSeq
+    val gotKs = StreamEval.ksDriftFromState(spark, state, "source")
+      .collect().map(_.toSeq).toSeq
+    assert(gotKs === wantKs, s"stream KS diverged:\n$gotKs\nvs\n$wantKs")
+    val wantPsi = graft.ext.Drift.psiBinned(all, "source", "bin")
+      .collect().map(_.toSeq).toSeq
+    val gotPsi = StreamEval.psiFromState(spark, state, "source")
+      .collect().map(_.toSeq).toSeq
+    assert(gotPsi === wantPsi,
+      s"stream PSI diverged:\n$gotPsi\nvs\n$wantPsi")
+    // the isolated source dominates all three drift orderings
+    val ksBySrc = gotKs.map(r =>
+      r(0).toString -> r(2).asInstanceOf[Long]).toMap
+    assert(ksBySrc("c") > ksBySrc("a") && ksBySrc("c") > ksBySrc("b"))
   }
 
   test("end-to-end stream: file source -> monitor state via AvailableNow") {
