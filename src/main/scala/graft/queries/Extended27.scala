@@ -613,8 +613,78 @@ object Extended27 {
        |  ft.fitted_micro
        |FROM per p JOIN ft USING (bin) ORDER BY bin""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q265 — ROUGE-1/2 F1 + BLEU-2 over the LSH near-duplicate
+  // candidate pairs: the interpretable "how alike, exactly" verifier
+  // between the band join (cheap, coarse) and a keep/drop decision.
+  // Same candidate generator as q248's yield curve, so the two
+  // read-outs price the same pipeline stage.
+  def q265(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = graft.ext.TextDedup.lshCandidates(
+      docs, "text", "doc_id", ngram = 3, numHashes = 4, bands = 1)
+    graft.ext.TextEval.rougeBleuPairs(docs, pairs, "doc_id", "text")
+  }
+
+  val q265Sql: String = {
+    val ng = DocOps.ngramsSql(3)
+    val bigrams = """list_transform(
+      |     generate_series(1, greatest(len(t) - 1, 1)),
+      |     i -> array_to_string(list_slice(t, i, i + 1), ' '))"""
+      .stripMargin
+    s"""WITH sig AS (
+       | SELECT doc_id,
+       |  ${DocOps.minhashChunkSql(ng, 0)} || '|' ||
+       |  ${DocOps.minhashChunkSql(ng, 1)} || '|' ||
+       |  ${DocOps.minhashChunkSql(ng, 2)} || '|' ||
+       |  ${DocOps.minhashChunkSql(ng, 3)} AS band
+       | FROM documents),
+       | pairs AS (SELECT a.doc_id AS ia, b.doc_id AS ib
+       |           FROM sig a JOIN sig b
+       |             ON a.band = b.band AND a.doc_id < b.doc_id),
+       | tk AS (SELECT doc_id AS id, ${DocOps.tokensSql} AS t
+       |        FROM documents),
+       | uc AS (SELECT id, g, count(*) AS c FROM
+       |          (SELECT id, unnest(t) AS g FROM tk) GROUP BY id, g),
+       | bc AS (SELECT id, g, count(*) AS c FROM
+       |          (SELECT id, unnest($bigrams) AS g FROM tk)
+       |        GROUP BY id, g),
+       | lens AS (SELECT id, CAST(len(t) AS BIGINT) AS l1,
+       |          CAST(greatest(len(t) - 1, 1) AS BIGINT) AS l2 FROM tk),
+       | o1 AS (SELECT p.ia, p.ib,
+       |          CAST(sum(least(a.c, b.c)) AS BIGINT) AS ov1
+       |        FROM pairs p JOIN uc a ON a.id = p.ia
+       |        JOIN uc b ON b.id = p.ib AND b.g = a.g GROUP BY 1, 2),
+       | o2 AS (SELECT p.ia, p.ib,
+       |          CAST(sum(least(a.c, b.c)) AS BIGINT) AS ov2
+       |        FROM pairs p JOIN bc a ON a.id = p.ia
+       |        JOIN bc b ON b.id = p.ib AND b.g = a.g GROUP BY 1, 2),
+       | j AS (SELECT p.ia, p.ib,
+       |     coalesce(o1.ov1, 0) AS ov1, coalesce(o2.ov2, 0) AS ov2,
+       |     la.l1 AS l1a, la.l2 AS l2a, lb.l1 AS l1b, lb.l2 AS l2b
+       |   FROM pairs p
+       |   LEFT JOIN o1 ON o1.ia = p.ia AND o1.ib = p.ib
+       |   LEFT JOIN o2 ON o2.ia = p.ia AND o2.ib = p.ib
+       |   JOIN lens la ON la.id = p.ia
+       |   JOIN lens lb ON lb.id = p.ib)
+       |SELECT ia, ib,
+       |  CAST((2 * ov1 * 1000000) // (l1a + l1b) AS BIGINT)
+       |    AS rouge1_f_ppm,
+       |  CAST((2 * ov2 * 1000000) // (l2a + l2b) AS BIGINT)
+       |    AS rouge2_f_ppm,
+       |  CASE WHEN ov1 = 0 OR ov2 = 0 THEN 0 ELSE CAST(floor(
+       |    (CASE WHEN l1b >= l1a THEN 1.0
+       |     ELSE exp(1.0 - CAST(l1a AS DOUBLE) / CAST(l1b AS DOUBLE))
+       |     END)
+       |    * sqrt((CAST(ov1 AS DOUBLE) / l1b)
+       |    * (CAST(ov2 AS DOUBLE) / l2b))
+       |    * 1000000.0 + 0.5) AS BIGINT) END AS bleu2_ppm
+       |FROM j ORDER BY ia, ib""".stripMargin
+  }
+
   /** Name → query, for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q265_rouge_bleu_pairs" -> (q265 _),
     "q262_psi_drift" -> (q262 _),
     "q263_binned_ks_drift" -> (q263 _),
     "q264_isotonic_calibration" -> (q264 _),
@@ -632,6 +702,7 @@ object Extended27 {
 
   /** Name → DuckDB oracle SQL, for SparkEntry. */
   val oracles: Map[String, String] = Map(
+    "q265_rouge_bleu_pairs" -> q265Sql,
     "q262_psi_drift" -> q262Sql,
     "q263_binned_ks_drift" -> q263Sql,
     "q264_isotonic_calibration" -> q264Sql,

@@ -419,6 +419,54 @@ class Extended27Spec extends SparkSpec {
     gotMono.foreach { case (acc, fit) => assert(acc === fit) }
   }
 
+  test("rougeBleuPairs == brute multiset overlap + literal BLEU math; " +
+    "identical pair reads 1e6 across the board") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c a"), (2L, "a c d"), (3L, "a b c a"),
+      (4L, "x"), (5L, "a c d d")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 5L), (5L, 2L))
+      .toDF("id_a", "id_b")
+    def grams(t: String, n: Int): Seq[String] = {
+      val tk = t.split("\\s+").toSeq
+      if (n == 1) tk
+      else if (tk.size < 2) tk // the q55 padding convention
+      else tk.sliding(2).map(_.mkString(" ")).toSeq
+    }
+    def ov(a: String, b: String, n: Int): Long = {
+      val ca = grams(a, n).groupBy(identity).view.mapValues(_.size)
+      val cb = grams(b, n).groupBy(identity).view.mapValues(_.size)
+      ca.keys.toSeq.intersect(cb.keys.toSeq)
+        .map(g => math.min(ca(g), cb(g)).toLong).sum
+    }
+    val byText = Seq((1L, "a b c a"), (2L, "a c d"), (3L, "a b c a"),
+      (4L, "x"), (5L, "a c d d")).toMap
+    val brute = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 5L), (5L, 2L))
+      .map { case (ia, ib) =>
+        val (a, b) = (byText(ia), byText(ib))
+        val (o1, o2) = (ov(a, b, 1), ov(a, b, 2))
+        val (l1a, l1b) = (grams(a, 1).size.toLong, grams(b, 1).size.toLong)
+        val (l2a, l2b) = (grams(a, 2).size.toLong, grams(b, 2).size.toLong)
+        val bleu = if (o1 == 0 || o2 == 0) 0L else {
+          val bp = if (l1b >= l1a) 1.0
+            else math.exp(1.0 - l1a.toDouble / l1b)
+          math.floor(bp * math.sqrt((o1.toDouble / l1b) *
+            (o2.toDouble / l2b)) * 1e6 + 0.5).toLong
+        }
+        (ia, ib) -> ((2 * o1 * 1000000L / (l1a + l1b),
+          2 * o2 * 1000000L / (l2a + l2b), bleu))
+      }.toMap
+    val got = graft.ext.TextEval.rougeBleuPairs(docs, pairs, "doc_id",
+      "text").collect()
+      .map(r => (r.getAs[Long]("ia"), r.getAs[Long]("ib")) ->
+        ((r.getAs[Long]("rouge1_f_ppm"), r.getAs[Long]("rouge2_f_ppm"),
+          r.getAs[Long]("bleu2_ppm")))).toMap
+    assert(got === brute)
+    assert(got((1L, 3L)) === ((1000000L, 1000000L, 1000000L)))
+    // the asymmetric brevity penalty: (2,5) unpenalized, (5,2) penalized
+    assert(got((2L, 5L))._3 === 707107L)
+    assert(got((5L, 2L))._3 === 716531L)
+  }
+
   test("coverageCurve: hand histogram pins; k past the vocabulary " +
     "clamps to full coverage") {
     import spark.implicits._

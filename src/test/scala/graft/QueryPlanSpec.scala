@@ -424,4 +424,39 @@ class QueryPlanSpec extends SparkSpec {
     assert(count(plan("q210_datasheet"),
       _.isInstanceOf[BroadcastHashJoinExec]) >= 1)
   }
+
+  test("q244: both double-rank folds broadcast back onto the corpus " +
+    "(a value-keyed shuffle join would hot-spot the modal length)") {
+    assert(count(plan("q244_spearman_rho"),
+      _.isInstanceOf[BroadcastHashJoinExec]) === 2)
+  }
+
+  test("q253: the per-value rank frame broadcasts onto the rows") {
+    assert(count(plan("q253_mann_whitney"),
+      _.isInstanceOf[BroadcastHashJoinExec]) >= 1)
+  }
+
+  test("q256: the k-row coverage lookup broadcasts onto the ranked " +
+    "type histogram") {
+    assert(count(plan("q256_vocab_coverage"),
+      _.isInstanceOf[BroadcastHashJoinExec]) >= 1)
+  }
+
+  test("q254: row/column marginals broadcast back onto the cell frame") {
+    assert(count(plan("q254_chi2_homogeneity"),
+      _.isInstanceOf[BroadcastHashJoinExec]) === 2)
+  }
+
+  test("q258: the bounded contingency self-join is broadcast " +
+    "nested-loop (metadata, never a shuffle)") {
+    assert(count(plan("q258_kendall_taub"),
+      _.isInstanceOf[BroadcastNestedLoopJoinExec]) >= 1)
+  }
+
+  test("q259: the category frame (thresholds, seeds) broadcasts onto " +
+    "the coin scan — the n·m·B explode never shuffles") {
+    val p = plan("q259_bh_lang_drift")
+    assert(count(p, _.isInstanceOf[BroadcastNestedLoopJoinExec]) >= 1,
+      p.toString)
+  }
 }
