@@ -185,6 +185,158 @@ object Spectral {
     *
     * @return one row: (n, total_micro, top_micro, share_ppm)
     */
+  /** Top-k principal SUBSPACE by block (orthogonal) power iteration —
+    * the deflation-free generalization of [[topComponent]]: all k
+    * directions advance together, each step is still ONE scan (the
+    * aggregation just carries k·dim + k sums instead of dim + 1),
+    * and the k×k orthogonalization runs driver-side on metadata.
+    * Gram-matrix-free: at dim d the covariance never materializes —
+    * the scan cost is O(rows·d·k) and the driver cost O(d·k²).
+    *
+    * Starts are the deterministic Rademacher block (direction j
+    * alternates sign every 2ʲ components, scaled 1/√d) — mutually
+    * orthogonal when 2^k divides d, which is required loudly.
+    * After each step the block re-orthonormalizes by modified
+    * Gram–Schmidt IN ITERATION ORDER, each vector float-rounded
+    * before the next projects against it — the same
+    * round-the-broadcast-iterate discipline as [[topComponent]], and
+    * the exact arithmetic the oracle mirrors step for step. The
+    * first scan fuses the mean exactly as the k = 1 path does.
+    *
+    * Returns (μ, the k float-rounded directions, per-step per-dir
+    * (iter, dir, rayleigh) read-outs — pre-orthogonalization Rayleigh
+    * quotients, the spectrum estimate that prices `iterations`).
+    */
+  def topSubspace(emb: DataFrame, vecCol: String, k: Int,
+      iterations: Int)
+      : (Array[Float], Seq[Array[Float]], Seq[(Int, Int, Double)]) = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(iterations >= 1, "need at least one power step")
+    val dim = vecDim(emb, vecCol)
+    require(dim % (1 << k) == 0,
+      s"Rademacher starts need 2^k | dim (k=$k, dim=$dim)")
+    val inv = (1.0 / math.sqrt(dim.toDouble)).toFloat
+    // direction 0 starts uniform (EXACTLY the k = 1 path's v₀, so the
+    // leading direction reproduces topComponent bit for bit);
+    // direction j ≥ 1 flips sign on bit j−1 of the component index —
+    // Walsh rows, mutually orthogonal when 2^k | dim
+    val v0: Seq[Array[Float]] = (0 until k).map { j =>
+      if (j == 0) Array.fill(dim)(inv)
+      else Array.tabulate(dim)(i =>
+        if (((i >> (j - 1)) & 1) == 0) inv else -inv)
+    }
+    // fused scan 1: raw component sums + each direction's v₀ sums
+    val xvs = v0.map(v => VectorFns.dot(col(vecCol), litF(v)))
+    val agg0: Seq[Column] =
+      Seq(array((1 to dim).map(i => sum(element_at(col(vecCol), i))): _*)
+          .as("m"),
+        count(lit(1)).as("n")) ++
+      xvs.flatMap(xv => Seq(
+        array((1 to dim).map(i => sum(xv * element_at(col(vecCol), i)))
+          : _*),
+        sum(xv)))
+    val row0 = emb.agg(agg0.head, agg0.tail: _*).head()
+    val msum = row0.getSeq[Double](0)
+    val n = row0.getLong(1)
+    require(n > 0, "empty corpus — no mean or principal subspace")
+    val mu: Array[Float] = Array.tabulate(dim)(j => (msum(j) / n).toFloat)
+    val rayleighs = Seq.newBuilder[(Int, Int, Double)]
+    var vs: Seq[Array[Float]] = v0
+    var it = 0
+    while (it < iterations) {
+      // the block scan: c_j = Σ y_j·x − μ·Σ y_j, y_j = ⟨x,v_j⟩ − ⟨μ,v_j⟩
+      val cs: Seq[Array[Double]] =
+        if (it == 0) {
+          vs.zipWithIndex.map { case (v, j) =>
+            val c0 = seqDot(mu, v)
+            val a = row0.getSeq[Double](2 + 2 * j)
+            val s = row0.getDouble(3 + 2 * j)
+            val ys = s - n * c0
+            Array.tabulate(dim)(i => a(i) - c0 * msum(i) -
+              mu(i).toDouble * ys)
+          }
+        } else {
+          val ys = vs.map(v =>
+            VectorFns.dot(col(vecCol), litF(v)) - lit(seqDot(mu, v)))
+          val aggK: Seq[Column] = ys.flatMap(y => Seq(
+            array((1 to dim).map(i =>
+              sum(y * element_at(col(vecCol), i))): _*),
+            sum(y)))
+          val row = emb.agg(aggK.head, aggK.tail: _*).head()
+          vs.indices.map { j =>
+            val w = row.getSeq[Double](2 * j)
+            val s = row.getDouble(2 * j + 1)
+            Array.tabulate(dim)(i => w(i) - mu(i).toDouble * s)
+          }
+        }
+      // Rayleigh per direction BEFORE orthogonalization: λ_j = ⟨v_j, c_j⟩
+      vs.zip(cs).zipWithIndex.foreach { case ((v, c), j) =>
+        var acc = 0.0; var i = 0
+        while (i < dim) { acc += v(i).toDouble * c(i); i += 1 }
+        rayleighs += ((it + 1, j + 1, acc))
+      }
+      // modified Gram–Schmidt, float-rounding each vector before the
+      // next projects against it (the oracle replays this literally)
+      val next = Array.ofDim[Array[Float]](k)
+      var j = 0
+      while (j < k) {
+        val r = cs(j).clone()
+        var l = 0
+        while (l < j) {
+          val u = next(l)
+          var pr = 0.0; var i = 0
+          while (i < dim) { pr += r(i) * u(i).toDouble; i += 1 }
+          i = 0
+          while (i < dim) { r(i) -= pr * u(i).toDouble; i += 1 }
+          l += 1
+        }
+        var n2 = 0.0; var i = 0
+        while (i < dim) { n2 += r(i) * r(i); i += 1 }
+        require(n2 > 0.0,
+          s"block power iteration collapsed in direction ${j + 1} — " +
+            "the corpus has fewer than k directions of variance")
+        val norm = math.sqrt(n2)
+        next(j) = r.map(x => (x / norm).toFloat)
+        j += 1
+      }
+      vs = next.toSeq
+      it += 1
+    }
+    (mu, vs, rayleighs.result())
+  }
+
+  /** Variance share captured by a SUBSPACE (the k-direction
+    * generalization of [[topShare]]): per-row Σ_j ⟨xᶜ,v_j⟩², each
+    * direction's square micro-floored separately (the per-row-floor-
+    * then-exact-sum discipline, mirrored by the oracle), against the
+    * total centered energy. */
+  def subspaceShare(emb: DataFrame, vecCol: String, mu: Array[Float],
+      vs: Seq[Array[Float]]): DataFrame = {
+    require(vs.nonEmpty, "need at least one direction")
+    val d2 = greatest(
+      VectorFns.dot(col(vecCol), col(vecCol))
+        - lit(2.0) * VectorFns.dot(col(vecCol), litF(mu))
+        + lit(seqDot(mu, mu)), lit(0.0))
+    val y2m = vs.map { v =>
+      val y = VectorFns.dot(col(vecCol), litF(v)) - lit(seqDot(mu, v))
+      floor(y * y * 1000000.0 + 0.5).cast("long")
+    }.reduce(_ + _)
+    emb.select(
+        floor(d2 * 1000000.0 + 0.5).cast("long").as("d2m"),
+        y2m.as("y2m"))
+      .agg(count(lit(1)).as("n"),
+        Exact.decSum(col("d2m")).as("total_dec"),
+        Exact.decSum(col("y2m")).as("top_dec"))
+      .select(col("n"),
+        Exact.asLongOrFail(col("total_dec"), "subspaceShare: total_micro")
+          .as("total_micro"),
+        Exact.asLongOrFail(col("top_dec"), "subspaceShare: top_micro")
+          .as("top_micro"),
+        expr("CASE WHEN total_dec > 0 THEN" +
+          " (top_dec * 1000000) div total_dec ELSE 0L END")
+          .as("share_ppm"))
+  }
+
   def topShare(emb: DataFrame, vecCol: String, mu: Array[Float],
       v: Array[Float]): DataFrame = {
     val d2 = greatest(

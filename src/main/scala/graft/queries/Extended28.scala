@@ -1,0 +1,282 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext.Exact
+
+/** Round-15 sixth batch (q266–q268): the top-k spectral pair and
+  * quantile normalization.
+  *
+  *  - q266 top-2 principal SUBSPACE by block power iteration
+  *    ([[graft.ext.Spectral.topSubspace]]) — all directions advance
+  *    in ONE scan per step, modified Gram–Schmidt on driver metadata,
+  *    every broadcast iterate float-rounded; the oracle unrolls the
+  *    identical 8 steps (shared-CTE chain, step 1 fused exactly like
+  *    the engine);
+  *  - q267 variance share of that subspace (per-row per-direction
+  *    micro floors, exact DECIMAL sums);
+  *  - q268 quantile normalization of per-source length distributions
+  *    onto the corpus distribution — within-source keyed rank mapped
+  *    to the global order statistic at the same quantile position
+  *    (two rank passes + one shuffle join on rank; no window
+  *    anywhere).
+  */
+object Extended28 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Encoded dimension/steps — the q228 contract: the oracle chain is
+    * generated for exactly these, the query asserts the fixture. */
+  private val Dim = 64
+  private val Iters = 8
+  private val K = 2
+
+  private def muVs(s: SparkSession, dir: String)
+      : (Array[Float], Seq[Array[Float]]) = {
+    val emb = t(s, dir, "embeddings")
+    val got = emb.select(size(col("embedding"))).head().getInt(0)
+    require(got == Dim,
+      s"q266/q267 oracle is encoded for dim $Dim; embeddings fixture" +
+        s" has $got")
+    val (mu, vs, _) = graft.ext.Spectral.topSubspace(
+      emb, "embedding", k = K, iterations = Iters)
+    (mu, vs)
+  }
+
+  // --------------------------------------------------------------------
+  // q266 — the top-2 subspace itself (μ, pc1, pc2 per component).
+  def q266(s: SparkSession, dir: String): DataFrame = {
+    val (mu, vs) = muVs(s, dir)
+    import s.implicits._
+    (0 until Dim).map(j =>
+        (j + 1, mu(j).toDouble, vs(0)(j).toDouble, vs(1)(j).toDouble))
+      .toDF("i", "mu", "pc1", "pc2").orderBy("i")
+  }
+
+  // --------------------------------------------------------------------
+  // q267 — variance share captured by the 2-direction subspace.
+  def q267(s: SparkSession, dir: String): DataFrame = {
+    val (mu, vs) = muVs(s, dir)
+    graft.ext.Spectral.subspaceShare(
+      t(s, dir, "embeddings"), "embedding", mu, vs)
+  }
+
+  // ------------------------------------------------------------ oracle
+
+  private def dot(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), p -> p[1] * p[2]))"
+
+  /** Float-round every component of a double list (the broadcast-
+    * iterate discipline both engines share). */
+  private def rnd(c: String, n2: String): String =
+    s"list_transform($c, z -> CAST(CAST(z / sqrt($n2) AS REAL)" +
+      " AS DOUBLE))"
+
+  private def norm2(c: String): String =
+    s"list_sum(list_transform($c, q -> q * q))"
+
+  /** One power step for one direction: y = ⟨x,v⟩ − ⟨μ,v⟩ per row,
+    * c = Σy·x − μ·Σy. `p` names the previous iterate CTE. */
+  private def dirStep(tag: String, k: Int, p: String): String =
+    s""",
+       | mv$tag$k AS MATERIALIZED (SELECT ${dot("mu.m", s"$p.vv")} AS mv
+       |          FROM mu CROSS JOIN $p),
+       | y$tag$k AS MATERIALIZED (SELECT e.vec_id,
+       |         ${dot("e.v", s"$p.vv")} - mv$tag$k.mv AS y
+       |         FROM e CROSS JOIN $p CROSS JOIN mv$tag$k),
+       | w$tag$k AS MATERIALIZED (SELECT list(wj ORDER BY i) AS w FROM (
+       |     SELECT u.i, sum(y$tag$k.y * u.x) AS wj
+       |     FROM u JOIN y$tag$k USING (vec_id) GROUP BY u.i)),
+       | s$tag$k AS MATERIALIZED (SELECT sum(y) AS ys FROM y$tag$k),
+       | c$tag$k AS MATERIALIZED (SELECT
+       |         list_transform(list_zip(w$tag$k.w, mu.m),
+       |            pr -> pr[1] - pr[2] * s$tag$k.ys) AS c
+       |         FROM w$tag$k CROSS JOIN mu CROSS JOIN s$tag$k)"""
+      .stripMargin
+
+  /** The fused step-1 for one direction (mirrors the engine exactly:
+    * w₁ = Σ⟨x,v₀⟩x − c₀·Σx, Σy = Σ⟨x,v₀⟩ − n·c₀, then c = w − μ·Σy —
+    * the same left-associated grouping as the driver's tabulate). */
+  private def dirStep1(tag: String, v0: String): String =
+    s""",
+       | pj$tag AS MATERIALIZED (SELECT e.vec_id,
+       |         ${dot("e.v", s"$v0.vv")} AS xv FROM e CROSS JOIN $v0),
+       | a1$tag AS MATERIALIZED (SELECT list(aj ORDER BY i) AS a FROM (
+       |     SELECT u.i, sum(pj$tag.xv * u.x) AS aj
+       |     FROM u JOIN pj$tag USING (vec_id) GROUP BY u.i)),
+       | mv1$tag AS MATERIALIZED (SELECT ${dot("mu.m", s"$v0.vv")} AS mv
+       |          FROM mu CROSS JOIN $v0),
+       | w1$tag AS MATERIALIZED (SELECT
+       |         list_transform(list_zip(a1$tag.a, rs.ms),
+       |            p -> p[1] - mv1$tag.mv * p[2]) AS w
+       |         FROM a1$tag CROSS JOIN rs CROSS JOIN mv1$tag),
+       | s1$tag AS MATERIALIZED (SELECT (SELECT sum(xv) FROM pj$tag)
+       |            - cnt.n * mv1$tag.mv AS ys
+       |         FROM cnt CROSS JOIN mv1$tag),
+       | c${tag}1 AS MATERIALIZED (SELECT
+       |         list_transform(list_zip(w1$tag.w, mu.m),
+       |            pr -> pr[1] - pr[2] * s1$tag.ys) AS c
+       |         FROM w1$tag CROSS JOIN mu CROSS JOIN s1$tag)"""
+      .stripMargin
+
+  /** The orthogonalization tail of step k: va = round(ca/‖ca‖);
+    * rb = cb − ⟨cb, va⟩·va (against the FLOAT-ROUNDED va, as the
+    * driver does); vb = round(rb/‖rb‖). */
+  private def ortho(k: Int): String =
+    s""",
+       | va$k AS MATERIALIZED (SELECT ${rnd("c", norm2("c"))} AS vv
+       |         FROM ca$k),
+       | prb$k AS MATERIALIZED (SELECT ${dot(s"cb$k.c", s"va$k.vv")}
+       |            AS pr
+       |          FROM cb$k CROSS JOIN va$k),
+       | rb$k AS MATERIALIZED (SELECT
+       |         list_transform(list_zip(cb$k.c, va$k.vv),
+       |            pr2 -> pr2[1] - prb$k.pr * pr2[2]) AS c
+       |         FROM cb$k CROSS JOIN va$k CROSS JOIN prb$k),
+       | vb$k AS MATERIALIZED (SELECT ${rnd("c", norm2("c"))} AS vv
+       |         FROM rb$k)""".stripMargin
+
+  private def chain2: String = {
+    val base =
+      s"""e AS MATERIALIZED (SELECT vec_id,
+         |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |      FROM embeddings),
+         | u AS MATERIALIZED (SELECT vec_id, unnest(v) AS x,
+         |         unnest(generate_series(1, len(v))) AS i FROM e),
+         | mu AS MATERIALIZED (SELECT list(x ORDER BY i) AS m FROM (
+         |     SELECT i, CAST(CAST(sum(x) / count(*) AS REAL) AS DOUBLE)
+         |       AS x
+         |     FROM u GROUP BY i)),
+         | rs AS MATERIALIZED (SELECT list(sx ORDER BY i) AS ms FROM (
+         |     SELECT i, sum(x) AS sx FROM u GROUP BY i)),
+         | cnt AS MATERIALIZED (SELECT count(*) AS n FROM e),
+         | v0a AS MATERIALIZED (SELECT
+         |     list_transform(generate_series(1, $Dim),
+         |       q -> CAST(CAST(1.0 / sqrt(CAST($Dim AS DOUBLE)) AS REAL)
+         |            AS DOUBLE)) AS vv),
+         | v0b AS MATERIALIZED (SELECT
+         |     list_transform(generate_series(1, $Dim),
+         |       q -> CAST(CAST(CASE WHEN (q - 1) % 2 = 0
+         |            THEN 1.0 / sqrt(CAST($Dim AS DOUBLE))
+         |            ELSE -1.0 / sqrt(CAST($Dim AS DOUBLE)) END AS REAL)
+         |            AS DOUBLE)) AS vv)""".stripMargin
+    val step1 = dirStep1("a", "v0a") + dirStep1("b", "v0b") + ortho(1)
+    val rest = (2 to Iters).map { k =>
+      dirStep("a", k, s"va${k - 1}") + dirStep("b", k, s"vb${k - 1}") +
+        ortho(k)
+    }.mkString
+    base + step1 + rest
+  }
+
+  val q266Sql: String =
+    s"""WITH $chain2
+       |SELECT CAST(gs AS INTEGER) AS i, mu.m[gs] AS mu,
+       |  va$Iters.vv[gs] AS pc1, vb$Iters.vv[gs] AS pc2
+       |FROM generate_series(1, $Dim) t(gs) CROSS JOIN mu
+       |CROSS JOIN va$Iters CROSS JOIN vb$Iters
+       |ORDER BY i""".stripMargin
+
+  val q267Sql: String =
+    s"""WITH $chain2,
+       | msf AS (SELECT ${dot("a.m", "b.m")} AS ms
+       |         FROM mu a CROSS JOIN mu b),
+       | mva AS (SELECT ${dot("mu.m", s"va$Iters.vv")} AS mv
+       |         FROM mu CROSS JOIN va$Iters),
+       | mvb AS (SELECT ${dot("mu.m", s"vb$Iters.vv")} AS mv
+       |         FROM mu CROSS JOIN vb$Iters),
+       | terms AS (SELECT
+       |     CAST(floor(greatest((${dot("e.v", "e.v")}
+       |         - 2.0 * ${dot("e.v", "mu.m")}) + msf.ms, 0.0)
+       |       * 1000000.0 + 0.5) AS BIGINT) AS d2m,
+       |     CAST(floor((${dot("e.v", s"va$Iters.vv")} - mva.mv)
+       |       * (${dot("e.v", s"va$Iters.vv")} - mva.mv)
+       |       * 1000000.0 + 0.5) AS BIGINT)
+       |     + CAST(floor((${dot("e.v", s"vb$Iters.vv")} - mvb.mv)
+       |       * (${dot("e.v", s"vb$Iters.vv")} - mvb.mv)
+       |       * 1000000.0 + 0.5) AS BIGINT) AS y2m
+       |   FROM e CROSS JOIN mu CROSS JOIN va$Iters CROSS JOIN vb$Iters
+       |   CROSS JOIN msf CROSS JOIN mva CROSS JOIN mvb)
+       |SELECT count(*) AS n,
+       |  CAST(coalesce(sum(d2m), 0) AS BIGINT) AS total_micro,
+       |  CAST(coalesce(sum(y2m), 0) AS BIGINT) AS top_micro,
+       |  CASE WHEN coalesce(sum(d2m), 0) > 0 THEN
+       |    CAST((CAST(coalesce(sum(y2m), 0) AS BIGINT) * 1000000)
+       |      // CAST(coalesce(sum(d2m), 0) AS BIGINT) AS BIGINT)
+       |  ELSE 0 END AS share_ppm
+       |FROM terms""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q268 — quantile normalization: map each document's length to the
+  // CORPUS order statistic at the same within-source quantile
+  // position (p = ⌈rk·N/n_s⌉), so every source's distribution becomes
+  // the corpus distribution — the standard cross-source feature
+  // alignment. Two rank passes (keyed + global, both two-phase, no
+  // window) and one shuffle join on the global rank. Read-out per
+  // source: mean before vs after (after ≈ corpus mean everywhere —
+  // THE invariant that makes the op auditable).
+  def q268(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+      .select($"doc_id", $"source", $"n_chars".cast("long").as("x"))
+    val keyed = graft.operators.GlobalRank.withKeyedRank(
+      docs, Seq("source"), Seq($"x", $"doc_id"), rankCol = "rk")
+    val global = graft.operators.GlobalRank.withRank(
+        docs.select($"x", $"doc_id"), Seq($"x", $"doc_id"),
+        rankCol = "grk")
+      .select($"grk", $"x".as("qx"))
+    val tot = docs.agg(count(lit(1)).as("nn"))
+    val perSrc = docs.groupBy($"source").agg(count(lit(1)).as("ns"))
+    val mapped = keyed
+      .join(broadcast(perSrc), "source")
+      .crossJoin(broadcast(tot))
+      .select($"source", $"x",
+        expr("(rk * nn + ns - 1) div ns").as("grk"))
+      .join(global, "grk")
+    mapped.groupBy($"source")
+      .agg(count(lit(1)).as("n"),
+        Exact.decSum($"x").as("sb"), Exact.decSum($"qx").as("sa"))
+      .select($"source", $"n",
+        expr("CAST((sb * 1000000) div n AS BIGINT)")
+          .as("mean_before_micro"),
+        expr("CAST((sa * 1000000) div n AS BIGINT)")
+          .as("mean_after_micro"))
+      .orderBy($"source")
+  }
+
+  val q268Sql: String =
+    """WITH d AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS x
+      |           FROM documents),
+      | k AS (SELECT source, x,
+      |     row_number() OVER (PARTITION BY source ORDER BY x, doc_id)
+      |       AS rk FROM d),
+      | g AS (SELECT x AS qx,
+      |     row_number() OVER (ORDER BY x, doc_id) AS grk FROM d),
+      | ps AS (SELECT source, CAST(count(*) AS BIGINT) AS ns FROM d
+      |        GROUP BY source),
+      | tot AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM d),
+      | mapped AS (SELECT k.source, k.x, g.qx
+      |   FROM k JOIN ps USING (source) CROSS JOIN tot
+      |   JOIN g ON g.grk = (k.rk * tot.nn + ps.ns - 1) // ps.ns)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n,
+      |  CAST((CAST(sum(x) AS HUGEINT) * 1000000) // count(*) AS BIGINT)
+      |    AS mean_before_micro,
+      |  CAST((CAST(sum(qx) AS HUGEINT) * 1000000) // count(*) AS BIGINT)
+      |    AS mean_after_micro
+      |FROM mapped GROUP BY source ORDER BY source""".stripMargin
+
+  /** Name → query, for SparkEntry. */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q266_top2_subspace" -> (q266 _),
+    "q267_subspace_share" -> (q267 _),
+    "q268_quantile_normalize" -> (q268 _)
+  )
+
+  /** Name → DuckDB oracle SQL, for SparkEntry. */
+  val oracles: Map[String, String] = Map(
+    "q266_top2_subspace" -> q266Sql,
+    "q267_subspace_share" -> q267Sql,
+    "q268_quantile_normalize" -> q268Sql
+  )
+}

@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-15 sixth batch: block power iteration (top-k subspace),
+  * subspace variance share, quantile normalization. */
+class Extended28Spec extends SparkSpec {
+
+  private def mkEmb(rows: Seq[Array[Float]]) = {
+    import spark.implicits._
+    rows.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
+      .toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+  }
+
+  // two dominant orthogonal axes (e1 strong, e2 weaker) + trace noise
+  private def twoAxisCorpus(dim: Int, n: Int): Seq[Array[Float]] =
+    (0 until n).map { i =>
+      val a = if (i % 2 == 0) 10f else -10f // axis e1, variance 100
+      val b = if (i % 4 < 2) 3f else -3f    // axis e2, variance 9
+      Array.tabulate(dim)(j =>
+        (if (j == 0) a else if (j == 1) b else 0.001f * ((i + j) % 3)))
+    }
+
+  test("topSubspace k=1 reproduces topComponent bit for bit") {
+    val emb = mkEmb(twoAxisCorpus(8, 40))
+    val (mu1, v1, _) = graft.ext.Spectral
+      .topComponentWithResiduals(emb, "embedding", iterations = 5)
+    val (mu2, vs, _) = graft.ext.Spectral
+      .topSubspace(emb, "embedding", k = 1, iterations = 5)
+    assert(mu1.toSeq === mu2.toSeq)
+    assert(v1.toSeq === vs.head.toSeq)
+  }
+
+  test("topSubspace k=2: finds both planted axes, orthonormal output, " +
+    "Rayleigh orders the spectrum") {
+    val emb = mkEmb(twoAxisCorpus(8, 40))
+    val (_, vs, ray) = graft.ext.Spectral
+      .topSubspace(emb, "embedding", k = 2, iterations = 8)
+    val (va, vb) = (vs(0), vs(1))
+    assert(math.abs(va(0)) > 0.999, s"pc1 should be ±e1: ${va.toSeq}")
+    assert(math.abs(vb(1)) > 0.999, s"pc2 should be ±e2: ${vb.toSeq}")
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+    assert(math.abs(dot(va, vb)) < 1e-6)
+    assert(math.abs(dot(va, va) - 1.0) < 1e-6)
+    assert(math.abs(dot(vb, vb) - 1.0) < 1e-6)
+    // final-iteration Rayleigh quotients: leading direction dominates
+    val last = ray.filter(_._1 == 8).map(r => r._2 -> r._3).toMap
+    assert(last(1) > last(2) && last(2) > 0.0)
+  }
+
+  test("topSubspace: loud on non-power-of-two-divisible dim and on " +
+    "rank-deficient corpora") {
+    val emb = mkEmb(twoAxisCorpus(6, 12)) // 2^2 does not divide 6
+    val e = intercept[IllegalArgumentException] {
+      graft.ext.Spectral.topSubspace(emb, "embedding", 2, 2)
+    }
+    assert(e.getMessage.contains("Rademacher starts"))
+    // all rows identical: zero variance in every direction
+    val flat = mkEmb(Seq.fill(10)(Array.fill(8)(2f)))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.ext.Spectral.topSubspace(flat, "embedding", 2, 2)
+    }
+    assert(e2.getMessage.contains("collapsed"))
+  }
+
+  test("subspaceShare: k=1 equals topShare exactly; the planted " +
+    "2-axis corpus is ~fully captured by its two axes") {
+    val emb = mkEmb(twoAxisCorpus(8, 40))
+    val (mu, vs, _) = graft.ext.Spectral
+      .topSubspace(emb, "embedding", k = 2, iterations = 8)
+    val single = graft.ext.Spectral
+      .topShare(emb, "embedding", mu, vs.head).head()
+    val sub1 = graft.ext.Spectral
+      .subspaceShare(emb, "embedding", mu, Seq(vs.head)).head()
+    assert(single.toSeq === sub1.toSeq)
+    val sub2 = graft.ext.Spectral
+      .subspaceShare(emb, "embedding", mu, vs).head()
+    assert(sub2.getAs[Long]("share_ppm") > 999900L,
+      s"two axes must capture ~everything: ${sub2.toSeq}")
+    assert(sub2.getAs[Long]("share_ppm") >
+      single.getAs[Long]("share_ppm"))
+  }
+
+  test("q268 quantile normalization == brute rank->order-statistic " +
+    "mapping on a hand fixture") {
+    import spark.implicits._
+    // source A short docs, source B long docs, source C spans both
+    val rows = (0 until 30).map { i =>
+      val (src, x) = (i % 3) match {
+        case 0 => ("A", 10L + i)
+        case 1 => ("B", 1000L + i)
+        case _ => ("C", 10L * i)
+      }
+      (i.toLong, src, x)
+    }
+    val dir = tmpDir("q268fix")
+    rows.toDF("doc_id", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    // brute: per source sort by (x, id), map rank -> global order stat
+    val n = rows.size.toLong
+    val globalSorted = rows.sortBy(r => (r._3, r._1)).map(_._3)
+    val brute = rows.groupBy(_._2).map { case (src, rs) =>
+      val sorted = rs.sortBy(r => (r._3, r._1))
+      val ns = sorted.size.toLong
+      val mapped = sorted.zipWithIndex.map { case (_, idx) =>
+        val rk = idx + 1L
+        val p = (rk * n + ns - 1) / ns
+        globalSorted((p - 1).toInt)
+      }
+      src -> ((mapped.map(identity).sum * 1000000L) / ns,
+        (sorted.map(_._3).sum * 1000000L) / ns)
+    }
+    val got = graft.queries.Extended28.queries("q268_quantile_normalize")(
+        spark, dir).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("mean_after_micro"),
+          r.getAs[Long]("mean_before_micro")))).toMap
+    for ((src, (after, before)) <- brute) {
+      assert(got(src) === ((after, before)), s"source $src")
+    }
+    // the normalized means all land near the corpus mean
+    val corpusMeanMicro = rows.map(_._3).sum * 1000000L / n
+    for ((_, (after, _)) <- got) {
+      assert(math.abs(after - corpusMeanMicro).toDouble <
+        0.2 * corpusMeanMicro)
+    }
+  }
+}
