@@ -313,10 +313,7 @@ object Spectral {
   def subspaceShare(emb: DataFrame, vecCol: String, mu: Array[Float],
       vs: Seq[Array[Float]]): DataFrame = {
     require(vs.nonEmpty, "need at least one direction")
-    val d2 = greatest(
-      VectorFns.dot(col(vecCol), col(vecCol))
-        - lit(2.0) * VectorFns.dot(col(vecCol), litF(mu))
-        + lit(seqDot(mu, mu)), lit(0.0))
+    val d2 = centeredEnergyCol(col(vecCol), mu)
     val y2m = vs.map { v =>
       val y = VectorFns.dot(col(vecCol), litF(v)) - lit(seqDot(mu, v))
       floor(y * y * 1000000.0 + 0.5).cast("long")
@@ -337,12 +334,48 @@ object Spectral {
           .as("share_ppm"))
   }
 
+  /** Remove a whole SUBSPACE from every vector:
+    * x′ = x − Σ_j ⟨x − μ, v_j⟩·v_j — the k-direction generalization
+    * of [[removeTop]] (all-but-the-top-k). One scan, no shuffle; each
+    * projection scalar y_j materializes ONCE per row ([[removeTop]]'s
+    * O(d²)-per-row guard), and the corrections apply in direction
+    * order so the arithmetic is reproducible. Orthonormal `vs`
+    * assumed (what [[topSubspace]] returns). */
+  def removeSubspace(emb: DataFrame, vecCol: String, mu: Array[Float],
+      vs: Seq[Array[Float]], outCol: String): DataFrame = {
+    require(vs.nonEmpty, "need at least one direction")
+    val yCols = vs.indices.map(j => s"__abtt_y$j")
+    val withYs = vs.zip(yCols).foldLeft(emb) { case (df, (v, yc)) =>
+      df.withColumn(yc,
+        VectorFns.dot(col(vecCol), litF(v)) - lit(seqDot(mu, v)))
+    }
+    val corrected: Column = vs.zip(yCols)
+      .foldLeft(col(vecCol)) { case (acc, (v, yc)) =>
+        zip_with(acc, litF(v),
+          (x, vc) => x.cast("double") - col(yc) * vc.cast("double"))
+      }
+    withYs
+      .withColumn(outCol, transform(corrected, z => z.cast("float")))
+      .drop(yCols: _*)
+  }
+
+  /** Raw projection ⟨x, v⟩ as a Column — the binning-friendly form
+    * (ordering is translation-invariant, so grid read-outs need no
+    * centering constant). */
+  def rawProjectionCol(vec: Column, v: Array[Float]): Column =
+    VectorFns.dot(vec, litF(v))
+
+  /** Centered energy ‖x − μ‖² as a Column (clamped at 0 against ulp
+    * cancellation) — the denominator every share read-out uses. */
+  def centeredEnergyCol(vec: Column, mu: Array[Float]): Column =
+    greatest(
+      VectorFns.dot(vec, vec)
+        - lit(2.0) * VectorFns.dot(vec, litF(mu)) + lit(seqDot(mu, mu)),
+      lit(0.0))
+
   def topShare(emb: DataFrame, vecCol: String, mu: Array[Float],
       v: Array[Float]): DataFrame = {
-    val d2 = greatest(
-      VectorFns.dot(col(vecCol), col(vecCol))
-        - lit(2.0) * VectorFns.dot(col(vecCol), litF(mu))
-        + lit(seqDot(mu, mu)), lit(0.0))
+    val d2 = centeredEnergyCol(col(vecCol), mu)
     val y = VectorFns.dot(col(vecCol), litF(v)) - lit(seqDot(mu, v))
     emb.select(
         floor(d2 * 1000000.0 + 0.5).cast("long").as("d2m"),

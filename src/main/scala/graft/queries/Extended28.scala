@@ -266,17 +266,143 @@ object Extended28 {
       |    AS mean_after_micro
       |FROM mapped GROUP BY source ORDER BY source""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q269 — residual energy after REMOVING the top-2 subspace
+  // (all-but-the-top-k): x′ = x − Σ_j ⟨xᶜ,v_j⟩v_j via
+  // Spectral.removeSubspace, then the same centered-energy fold as
+  // q267 on the corrected vectors. Self-auditing: resid_ppm +
+  // q267.share_ppm ≈ 10⁶ by Parseval — the spec asserts the identity,
+  // the oracle hashes the value.
+  def q269(s: SparkSession, dir: String): DataFrame = {
+    val (mu, vs) = muVs(s, dir)
+    val emb = t(s, dir, "embeddings")
+    val removed = graft.ext.Spectral.removeSubspace(
+      emb, "embedding", mu, vs, "r")
+    val d2 = graft.ext.Spectral.centeredEnergyCol(col("embedding"), mu)
+    val r2 = graft.ext.Spectral.centeredEnergyCol(col("r"), mu)
+    removed.select(
+        floor(d2 * 1000000.0 + 0.5).cast("long").as("d2m"),
+        floor(r2 * 1000000.0 + 0.5).cast("long").as("r2m"))
+      .agg(count(lit(1)).as("n"),
+        Exact.decSum(col("d2m")).as("total_dec"),
+        Exact.decSum(col("r2m")).as("resid_dec"))
+      .select(col("n"),
+        Exact.asLongOrFail(col("total_dec"), "q269: total_micro")
+          .as("total_micro"),
+        Exact.asLongOrFail(col("resid_dec"), "q269: resid_micro")
+          .as("resid_micro"),
+        expr("CASE WHEN total_dec > 0 THEN" +
+          " (resid_dec * 1000000) div total_dec ELSE 0L END")
+          .as("resid_ppm"))
+  }
+
+  val q269Sql: String =
+    s"""WITH $chain2,
+       | msf AS (SELECT ${dot("a.m", "b.m")} AS ms
+       |         FROM mu a CROSS JOIN mu b),
+       | mva AS (SELECT ${dot("mu.m", s"va$Iters.vv")} AS mv
+       |         FROM mu CROSS JOIN va$Iters),
+       | mvb AS (SELECT ${dot("mu.m", s"vb$Iters.vv")} AS mv
+       |         FROM mu CROSS JOIN vb$Iters),
+       | rv AS (SELECT e.vec_id, e.v,
+       |     list_transform(
+       |       list_zip(e.v, va$Iters.vv, vb$Iters.vv),
+       |       p -> CAST(CAST((p[1]
+       |         - (${dot("e.v", s"va$Iters.vv")} - mva.mv) * p[2])
+       |         - (${dot("e.v", s"vb$Iters.vv")} - mvb.mv) * p[3]
+       |         AS REAL) AS DOUBLE)) AS r
+       |   FROM e CROSS JOIN va$Iters CROSS JOIN vb$Iters
+       |   CROSS JOIN mva CROSS JOIN mvb),
+       | terms AS (SELECT
+       |     CAST(floor(greatest((${dot("rv.v", "rv.v")}
+       |         - 2.0 * ${dot("rv.v", "mu.m")}) + msf.ms, 0.0)
+       |       * 1000000.0 + 0.5) AS BIGINT) AS d2m,
+       |     CAST(floor(greatest((${dot("rv.r", "rv.r")}
+       |         - 2.0 * ${dot("rv.r", "mu.m")}) + msf.ms, 0.0)
+       |       * 1000000.0 + 0.5) AS BIGINT) AS r2m
+       |   FROM rv CROSS JOIN mu CROSS JOIN msf)
+       |SELECT count(*) AS n,
+       |  CAST(coalesce(sum(d2m), 0) AS BIGINT) AS total_micro,
+       |  CAST(coalesce(sum(r2m), 0) AS BIGINT) AS resid_micro,
+       |  CASE WHEN coalesce(sum(d2m), 0) > 0 THEN
+       |    CAST((CAST(coalesce(sum(r2m), 0) AS BIGINT) * 1000000)
+       |      // CAST(coalesce(sum(d2m), 0) AS BIGINT) AS BIGINT)
+       |  ELSE 0 END AS resid_ppm
+       |FROM terms""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q270 — the embedding MAP: 4×4 occupancy grid of the corpus in the
+  // top-2 subspace (ntile on each raw projection — self-scaling, no
+  // data-dependent literals), each cell joined back to metadata
+  // (dominant label + its share). The read-out an embedding-space
+  // segmentation dashboard draws. Projections bin by the UNCENTERED
+  // dot (ordering is translation-invariant); both ntiles are the
+  // two-pass GlobalRank form.
+  def q270(s: SparkSession, dir: String): DataFrame = {
+    val (_, vs) = muVs(s, dir)
+    val emb = t(s, dir, "embeddings")
+    import s.implicits._
+    val proj = emb.select($"vec_id", $"label",
+      graft.ext.Spectral.rawProjectionCol($"embedding", vs(0)).as("ya"),
+      graft.ext.Spectral.rawProjectionCol($"embedding", vs(1)).as("yb"))
+    val gx = graft.operators.GlobalRank.withNtile(proj,
+      Seq($"ya", $"vec_id"), tiles = 4, tileCol = "gx")
+    val gxy = graft.operators.GlobalRank.withNtile(gx,
+      Seq($"yb", $"vec_id"), tiles = 4, tileCol = "gy")
+    val perLab = gxy.groupBy($"gx", $"gy", $"label")
+      .agg(count(lit(1)).as("nl"))
+    val cells = perLab.groupBy($"gx", $"gy").agg(sum($"nl").as("n"))
+    // dominant label per cell: 16-cell frame — metadata-scale window
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"gx", $"gy").orderBy($"nl".desc, $"label")
+    perLab.withColumn("rk", row_number().over(w)).filter($"rk" === 1)
+      .join(cells, Seq("gx", "gy"))
+      .select($"gx", $"gy", $"n", $"label".as("top_label"),
+        expr(s"(CAST(nl AS ${Exact.Dec}) * 1000000) div n")
+          .as("top_label_share_ppm"))
+      .orderBy($"gx", $"gy")
+  }
+
+  val q270Sql: String =
+    s"""WITH $chain2,
+       | proj AS (SELECT e.vec_id, emb.label,
+       |     ${dot("e.v", s"va$Iters.vv")} AS ya,
+       |     ${dot("e.v", s"vb$Iters.vv")} AS yb
+       |   FROM e JOIN embeddings emb ON emb.vec_id = e.vec_id
+       |   CROSS JOIN va$Iters CROSS JOIN vb$Iters),
+       | b AS (SELECT label,
+       |     ntile(4) OVER (ORDER BY ya, vec_id) AS gx,
+       |     ntile(4) OVER (ORDER BY yb, vec_id) AS gy
+       |   FROM proj),
+       | perlab AS (SELECT gx, gy, label, CAST(count(*) AS BIGINT) AS nl
+       |            FROM b GROUP BY gx, gy, label),
+       | cells AS (SELECT gx, gy, CAST(sum(nl) AS BIGINT) AS n
+       |           FROM perlab GROUP BY gx, gy),
+       | top AS (SELECT gx, gy, label, nl, row_number() OVER (
+       |     PARTITION BY gx, gy ORDER BY nl DESC, label) AS rk
+       |   FROM perlab)
+       |SELECT CAST(t.gx AS INTEGER) AS gx, CAST(t.gy AS INTEGER) AS gy,
+       |  c.n, CAST(t.label AS INTEGER) AS top_label,
+       |  CAST((CAST(t.nl AS HUGEINT) * 1000000) // c.n AS BIGINT)
+       |    AS top_label_share_ppm
+       |FROM top t JOIN cells c ON c.gx = t.gx AND c.gy = t.gy
+       |WHERE t.rk = 1 ORDER BY gx, gy""".stripMargin
+
   /** Name → query, for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q266_top2_subspace" -> (q266 _),
     "q267_subspace_share" -> (q267 _),
-    "q268_quantile_normalize" -> (q268 _)
+    "q268_quantile_normalize" -> (q268 _),
+    "q269_abtt2_residual" -> (q269 _),
+    "q270_subspace_grid" -> (q270 _)
   )
 
   /** Name → DuckDB oracle SQL, for SparkEntry. */
   val oracles: Map[String, String] = Map(
     "q266_top2_subspace" -> q266Sql,
     "q267_subspace_share" -> q267Sql,
-    "q268_quantile_normalize" -> q268Sql
+    "q268_quantile_normalize" -> q268Sql,
+    "q269_abtt2_residual" -> q269Sql,
+    "q270_subspace_grid" -> q270Sql
   )
 }

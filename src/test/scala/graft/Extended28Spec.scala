@@ -83,6 +83,39 @@ class Extended28Spec extends SparkSpec {
       single.getAs[Long]("share_ppm"))
   }
 
+  test("removeSubspace: k=1 equals removeTop bit for bit; Parseval " +
+    "identity share + residual ≈ 1e6; planted corpus leaves only noise") {
+    import spark.implicits._
+    val emb = mkEmb(twoAxisCorpus(8, 40))
+    val (mu, vs, _) = graft.ext.Spectral
+      .topSubspace(emb, "embedding", k = 2, iterations = 8)
+    val viaTop = graft.ext.Spectral
+      .removeTop(emb, "embedding", mu, vs.head, "r")
+      .orderBy($"vec_id").collect().map(_.getSeq[Float](2).toSeq).toSeq
+    val viaSub = graft.ext.Spectral
+      .removeSubspace(emb, "embedding", mu, Seq(vs.head), "r")
+      .orderBy($"vec_id").collect().map(_.getSeq[Float](2).toSeq).toSeq
+    assert(viaTop === viaSub)
+    // Parseval: captured share + residual share ≈ 1 (float + floor slack)
+    val share = graft.ext.Spectral
+      .subspaceShare(emb, "embedding", mu, vs).head()
+      .getAs[Long]("share_ppm")
+    val removed = graft.ext.Spectral
+      .removeSubspace(emb, "embedding", mu, vs, "r")
+    val resid = removed.select(
+        floor(graft.ext.Spectral.centeredEnergyCol($"embedding", mu)
+          * 1000000.0 + 0.5).cast("long").as("d2m"),
+        floor(graft.ext.Spectral.centeredEnergyCol($"r", mu)
+          * 1000000.0 + 0.5).cast("long").as("r2m"))
+      .agg(sum($"d2m").as("t"), sum($"r2m").as("rr")).head()
+    val residPpm = resid.getAs[Long]("rr") * 1000000L /
+      resid.getAs[Long]("t")
+    assert(math.abs(share + residPpm - 1000000L) < 200L,
+      s"share=$share resid=$residPpm")
+    // the two planted axes carry ~everything: the residual is noise
+    assert(residPpm < 100L, s"resid=$residPpm")
+  }
+
   test("q268 quantile normalization == brute rank->order-statistic " +
     "mapping on a hand fixture") {
     import spark.implicits._
