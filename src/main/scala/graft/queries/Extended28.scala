@@ -388,8 +388,104 @@ object Extended28 {
        |FROM top t JOIN cells c ON c.gx = t.gx AND c.gy = t.gy
        |WHERE t.rk = 1 ORDER BY gx, gy""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q271 — the data-contract gate: null discipline, key uniqueness,
+  // derived-column consistency, domain membership and vector hygiene
+  // over BOTH tables — one scan per table regardless of how many
+  // expectations it carries (Expectations.report's contract), plus
+  // two tiny distinct-count checks. The report a pipeline inspects
+  // before spending cluster-hours.
+  private val ContractLangs = Seq("en", "de", "fr", "es", "zh")
+
+  def q271(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    val emb = t(s, dir, "embeddings")
+    val scans = graft.ext.Expectations.report(Seq(
+      ("documents", docs, Seq(
+        "doc_id_null" -> $"doc_id".isNull,
+        "text_empty" -> ($"text".isNull || length(trim($"text")) === 0),
+        "n_chars_mismatch" -> !($"n_chars" <=> length($"text")),
+        "lang_outside_contract" ->
+          !$"lang".isin(ContractLangs.map(x => x: Any): _*))),
+      ("embeddings", emb, Seq(
+        "vec_id_null" -> $"vec_id".isNull,
+        "dim_not_64" -> (size($"embedding") =!= 64),
+        "has_nan" -> exists($"embedding", x => isnan(x)),
+        "label_out_of_range" -> ($"label" < 0 || $"label" > 9)))))
+    // key-uniqueness needs a second (distinct-count) aggregation per
+    // table — still bounded output, appended as two more report rows
+    val uniq = docs
+      .agg(count(lit(1)).as("n"), countDistinct($"doc_id").as("d"))
+      .select(lit("documents.doc_id_duplicate").as("check"),
+        $"n".as("n_checked"), ($"n" - $"d").as("n_violations"))
+      .unionByName(emb
+        .agg(count(lit(1)).as("n"), countDistinct($"vec_id").as("d"))
+        .select(lit("embeddings.vec_id_duplicate").as("check"),
+          $"n".as("n_checked"), ($"n" - $"d").as("n_violations")))
+      .select($"check", $"n_checked", $"n_violations",
+        when($"n_violations" === 0L, 1L).otherwise(0L).as("pass"))
+    scans.unionByName(uniq).orderBy($"check")
+  }
+
+  val q271Sql: String = {
+    val langs = ContractLangs.map(l => s"'$l'").mkString(", ")
+    s"""WITH d AS (SELECT
+       |     CAST(count(*) AS BIGINT) AS n,
+       |     CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)
+       |       AS BIGINT) AS doc_id_null,
+       |     CAST(sum(CASE WHEN text IS NULL
+       |       OR length(trim(text)) = 0 THEN 1 ELSE 0 END)
+       |       AS BIGINT) AS text_empty,
+       |     CAST(sum(CASE WHEN n_chars IS DISTINCT FROM length(text)
+       |       THEN 1 ELSE 0 END) AS BIGINT) AS n_chars_mismatch,
+       |     CAST(sum(CASE WHEN lang IS NULL
+       |       OR lang NOT IN ($langs) THEN 1 ELSE 0 END)
+       |       AS BIGINT) AS lang_outside_contract,
+       |     CAST(count(*) - count(DISTINCT doc_id) AS BIGINT)
+       |       AS doc_id_duplicate
+       |   FROM documents),
+       | e AS (SELECT
+       |     CAST(count(*) AS BIGINT) AS n,
+       |     CAST(sum(CASE WHEN vec_id IS NULL THEN 1 ELSE 0 END)
+       |       AS BIGINT) AS vec_id_null,
+       |     CAST(sum(CASE WHEN len(embedding) IS DISTINCT FROM 64
+       |       THEN 1 ELSE 0 END) AS BIGINT) AS dim_not_64,
+       |     CAST(sum(CASE WHEN coalesce(len(list_filter(embedding,
+       |       x -> isnan(x))) > 0, true) THEN 1 ELSE 0 END) AS BIGINT)
+       |       AS has_nan,
+       |     CAST(sum(CASE WHEN label IS NULL OR label < 0 OR label > 9
+       |       THEN 1 ELSE 0 END) AS BIGINT) AS label_out_of_range,
+       |     CAST(count(*) - count(DISTINCT vec_id) AS BIGINT)
+       |       AS vec_id_duplicate
+       |   FROM embeddings),
+       | rows_ AS (
+       |   SELECT 'documents.doc_id_null' AS "check", n AS n_checked,
+       |     doc_id_null AS n_violations FROM d
+       |   UNION ALL SELECT 'documents.text_empty', n, text_empty FROM d
+       |   UNION ALL SELECT 'documents.n_chars_mismatch', n,
+       |     n_chars_mismatch FROM d
+       |   UNION ALL SELECT 'documents.lang_outside_contract', n,
+       |     lang_outside_contract FROM d
+       |   UNION ALL SELECT 'documents.doc_id_duplicate', n,
+       |     doc_id_duplicate FROM d
+       |   UNION ALL SELECT 'embeddings.vec_id_null', n, vec_id_null
+       |     FROM e
+       |   UNION ALL SELECT 'embeddings.dim_not_64', n, dim_not_64 FROM e
+       |   UNION ALL SELECT 'embeddings.has_nan', n, has_nan FROM e
+       |   UNION ALL SELECT 'embeddings.label_out_of_range', n,
+       |     label_out_of_range FROM e
+       |   UNION ALL SELECT 'embeddings.vec_id_duplicate', n,
+       |     vec_id_duplicate FROM e)
+       |SELECT "check", n_checked, n_violations,
+       |  CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS BIGINT)
+       |    AS pass
+       |FROM rows_ ORDER BY "check"""".stripMargin
+  }
+
   /** Name → query, for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q271_expectations_gate" -> (q271 _),
     "q266_top2_subspace" -> (q266 _),
     "q267_subspace_share" -> (q267 _),
     "q268_quantile_normalize" -> (q268 _),
@@ -399,6 +495,7 @@ object Extended28 {
 
   /** Name → DuckDB oracle SQL, for SparkEntry. */
   val oracles: Map[String, String] = Map(
+    "q271_expectations_gate" -> q271Sql,
     "q266_top2_subspace" -> q266Sql,
     "q267_subspace_share" -> q267Sql,
     "q268_quantile_normalize" -> q268Sql,

@@ -116,6 +116,40 @@ class Extended28Spec extends SparkSpec {
     assert(residPpm < 100L, s"resid=$residPpm")
   }
 
+  test("Expectations.report: dirty fixture counts every violation " +
+    "class; an unevaluable (NULL) predicate counts as violated") {
+    import spark.implicits._
+    val dirty = Seq(
+      (Some(1L), Some("ok text"), Some(7L)),
+      (None: Option[Long], Some("x"), Some(1L)), // null id
+      (Some(3L), None: Option[String], None: Option[Long]), // null text
+      (Some(4L), Some(""), Some(0L)), // empty text
+      (Some(5L), Some("abc"), Some(99L)) // wrong n_chars
+    ).toDF("id", "text", "n_chars")
+    val rows = graft.ext.Expectations.report(Seq(
+      ("t", dirty, Seq(
+        "id_null" -> $"id".isNull,
+        "text_empty" -> ($"text".isNull || length(trim($"text")) === 0),
+        "n_chars_mismatch" -> !($"n_chars" <=> length($"text")),
+        "n_chars_positive_violated" -> ($"n_chars" <= 0)))))
+      .collect()
+      .map(r => r.getAs[String]("check") ->
+        ((r.getAs[Long]("n_checked"), r.getAs[Long]("n_violations"),
+          r.getAs[Long]("pass")))).toMap
+    assert(rows("t.id_null") === ((5L, 1L, 0L)))
+    assert(rows("t.text_empty") === ((5L, 2L, 0L)))
+    // only row 5 mismatches; row 3's BOTH-null pair is <=>-equal by
+    // design (mirrors the oracle's IS DISTINCT FROM)
+    assert(rows("t.n_chars_mismatch") === ((5L, 1L, 0L)))
+    // row 4 violates (0); row 3's NULL predicate counts as violated
+    assert(rows("t.n_chars_positive_violated") === ((5L, 2L, 0L)))
+    val clean = Seq((1L, "ab", 2L)).toDF("id", "text", "n_chars")
+    val ok = graft.ext.Expectations.report(Seq(
+      ("t", clean, Seq("id_null" -> $"id".isNull)))).head()
+    assert((ok.getAs[Long]("n_violations"), ok.getAs[Long]("pass")) ===
+      ((0L, 1L)))
+  }
+
   test("q268 quantile normalization == brute rank->order-statistic " +
     "mapping on a hand fixture") {
     import spark.implicits._
