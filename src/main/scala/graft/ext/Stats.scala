@@ -563,6 +563,85 @@ object Stats {
       .orderBy($"bin")
   }
 
+  /** Exact autocorrelation of an aggregated series at lags 1..maxLag.
+    *
+    * BOUNDED-FRAME contract: the input is an already-aggregated
+    * series (one row per period — days, hours), so every window and
+    * self-join here runs on metadata (a year is 365 rows), never on
+    * the event stream; the caller pays the one corpus aggregation.
+    * Exactness: the mean never materializes — multiplying through by
+    * n turns (x_t − x̄) into the integer (n·x_t − S), so
+    *   r_l = Σ (n·x_t − S)(n·x_{t+l} − S) / Σ (n·x_t − S)²
+    * is a ratio of exact DECIMAL sums (the standard estimator:
+    * full-series denominator, overlapping-pair numerator), closed by
+    * one sign-symmetric integer division to ppm.
+    *
+    * Output per lag: lag, n_pairs, acf_ppm.
+    */
+  def autocorrelation(series: DataFrame, tCol: String, xCol: String,
+      maxLag: Int): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val s = series.sparkSession
+    import s.implicits._
+    val base = series.select(col(tCol).as("t"),
+      col(xCol).cast("long").as("x"))
+    val tot = base.agg(count(lit(1)).as("n"), Exact.decSum($"x").as("sx"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"t")
+    val ranked = base
+      .withColumn("rk", row_number().over(w)) // bounded frame: metadata
+      .crossJoin(broadcast(tot))
+      .select($"rk", expr(s"CAST(n AS ${Exact.Dec}) * x - sx").as("d"),
+        $"n")
+    val den = ranked.agg(Exact.decSum($"d" * $"d").as("den"),
+      first($"n").as("n"))
+    val lagged = ranked.select(($"rk" - lit(1)).as("rk0"), $"d".as("dl"))
+    val nums = Seq.range(1, maxLag + 1).map { l =>
+      ranked.join(lagged.select(($"rk0" - lit(l - 1)).as("rk"),
+          $"dl"), "rk")
+        .agg(lit(l).cast("long").as("lag"), count(lit(1)).as("n_pairs"),
+          Exact.decSum($"d" * $"dl").as("num"))
+    }.reduce(_ unionByName _)
+    nums.crossJoin(broadcast(den))
+      .select($"lag", $"n_pairs",
+        expr("CASE WHEN den <= 0 THEN 0L" +
+          " WHEN num < 0 THEN -CAST(((-num) * 1000000) div den AS BIGINT)" +
+          " ELSE CAST((num * 1000000) div den AS BIGINT) END")
+          .as("acf_ppm"))
+      .orderBy($"lag")
+  }
+
+  /** CUSUM change-point read-out over an aggregated series (same
+    * BOUNDED-FRAME contract as [[autocorrelation]]): the period t*
+    * maximizing |Σ_{i≤t}(x_i − x̄)| — the classic "where did the mean
+    * shift" estimator — with the deviation priced as a ppm share of
+    * the series' total mass. Multiplied through by n, the cumulative
+    * deviation n·S_t = Σ_{i≤t}(n·x_i − S) stays an exact integer;
+    * ties break to the EARLIEST period.
+    *
+    * Output: n_periods, change_t, dev_ppm (= max|n·S_t|·10⁶ / (n·S),
+    * 0 when the series total is 0).
+    */
+  def cusumChangePoint(series: DataFrame, tCol: String, xCol: String)
+      : DataFrame = {
+    val s = series.sparkSession
+    import s.implicits._
+    val base = series.select(col(tCol).as("t"),
+      col(xCol).cast("long").as("x"))
+    val tot = base.agg(count(lit(1)).as("n"), Exact.decSum($"x").as("sx"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"t")
+    base
+      .withColumn("rk", row_number().over(w)) // bounded frame: metadata
+      .crossJoin(broadcast(tot))
+      .withColumn("d", expr(s"CAST(n AS ${Exact.Dec}) * x - sx"))
+      .withColumn("cs", sum($"d").over(w))
+      .select($"t", $"n", $"sx", abs($"cs").as("dev"))
+      .orderBy($"dev".desc, $"t".asc).limit(1)
+      .select($"n".as("n_periods"), $"t".as("change_t"),
+        expr(s"CASE WHEN sx <= 0 THEN 0L ELSE" +
+          s" CAST((dev * 1000000) div (CAST(n AS ${Exact.Dec}) * sx)" +
+          " AS BIGINT) END").as("dev_ppm"))
+  }
+
   /** Kendall tau-b from a bounded contingency: concordant/discordant
     * pair counts fold from the CELL frame (≤ bins² rows — after the
     * one corpus aggregation, the quadratic pair loop runs on

@@ -483,8 +483,74 @@ object Extended28 {
        |FROM rows_ ORDER BY "check"""".stripMargin
   }
 
+  // --------------------------------------------------------------------
+  // q272 — autocorrelation of the daily event count at lags 1..7: the
+  // seasonality read-out (a strong lag-7 says weekly rhythm; lag-1
+  // says momentum) behind any ingestion-volume dashboard. One corpus
+  // aggregation to the day series; every ACF quantity then runs on
+  // the bounded day frame via Stats.autocorrelation's exact
+  // multiply-through-by-n arithmetic.
+  def q272(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = t(s, dir, "events")
+      .groupBy(to_date($"ts").as("day")).agg(count(lit(1)).as("cnt"))
+    graft.ext.Stats.autocorrelation(daily, "day", "cnt", maxLag = 7)
+  }
+
+  val q272Sql: String =
+    """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+      |     CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
+      | tot AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+      |         CAST(sum(x) AS HUGEINT) AS sx FROM daily),
+      | r AS (SELECT row_number() OVER (ORDER BY day) AS rk,
+      |       CAST(n * x - sx AS HUGEINT) AS d
+      |       FROM daily CROSS JOIN tot),
+      | den AS (SELECT CAST(sum(d * d) AS HUGEINT) AS den FROM r),
+      | lags AS (SELECT CAST(l AS BIGINT) AS lag
+      |          FROM generate_series(1, 7) t(l)),
+      | nums AS (SELECT lags.lag, CAST(count(*) AS BIGINT) AS n_pairs,
+      |     CAST(sum(a.d * b.d) AS HUGEINT) AS num
+      |   FROM lags CROSS JOIN r a JOIN r b ON b.rk = a.rk + lags.lag
+      |   GROUP BY lags.lag)
+      |SELECT lag, n_pairs,
+      |  CASE WHEN den <= 0 THEN 0
+      |  WHEN num < 0 THEN -CAST(((-num) * 1000000) // den AS BIGINT)
+      |  ELSE CAST((num * 1000000) // den AS BIGINT) END AS acf_ppm
+      |FROM nums CROSS JOIN den ORDER BY lag""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q273 — CUSUM change point of the daily event count: the day where
+  // the cumulative deviation from the series mean peaks ("when did
+  // the volume regime shift"), deviation priced as a ppm share of
+  // total mass. Same bounded day frame; exact integers throughout.
+  def q273(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = t(s, dir, "events")
+      .groupBy(to_date($"ts").as("day")).agg(count(lit(1)).as("cnt"))
+    graft.ext.Stats.cusumChangePoint(daily, "day", "cnt")
+  }
+
+  val q273Sql: String =
+    """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+      |     CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
+      | tot AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+      |         CAST(sum(x) AS HUGEINT) AS sx FROM daily),
+      | r AS (SELECT day, row_number() OVER (ORDER BY day) AS rk,
+      |       CAST(n * x - sx AS HUGEINT) AS d
+      |       FROM daily CROSS JOIN tot),
+      | cs AS (SELECT day, abs(sum(d) OVER (ORDER BY rk)) AS dev FROM r),
+      | pick AS (SELECT day, dev FROM cs
+      |          ORDER BY dev DESC, day ASC LIMIT 1)
+      |SELECT CAST(tot.n AS BIGINT) AS n_periods, pick.day AS change_t,
+      |  CASE WHEN tot.sx <= 0 THEN 0
+      |  ELSE CAST((pick.dev * 1000000) // (tot.n * tot.sx) AS BIGINT)
+      |  END AS dev_ppm
+      |FROM pick CROSS JOIN tot""".stripMargin
+
   /** Name → query, for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q272_daily_acf" -> (q272 _),
+    "q273_cusum_changepoint" -> (q273 _),
     "q271_expectations_gate" -> (q271 _),
     "q266_top2_subspace" -> (q266 _),
     "q267_subspace_share" -> (q267 _),
@@ -495,6 +561,8 @@ object Extended28 {
 
   /** Name → DuckDB oracle SQL, for SparkEntry. */
   val oracles: Map[String, String] = Map(
+    "q272_daily_acf" -> q272Sql,
+    "q273_cusum_changepoint" -> q273Sql,
     "q271_expectations_gate" -> q271Sql,
     "q266_top2_subspace" -> q266Sql,
     "q267_subspace_share" -> q267Sql,

@@ -150,6 +150,54 @@ class Extended28Spec extends SparkSpec {
       ((0L, 1L)))
   }
 
+  test("autocorrelation == brute double ACF within 1 ppm; alternating " +
+    "series reads ~-1 at lag 1; constant series reads 0") {
+    import spark.implicits._
+    val xs = Seq(3L, 7L, 4L, 9L, 12L, 5L, 8L, 11L, 6L, 10L)
+    val df = xs.zipWithIndex.map { case (x, i) => (i, x) }.toDF("t", "x")
+    val got = graft.ext.Stats.autocorrelation(df, "t", "x", maxLag = 3)
+      .collect().map(r => r.getAs[Long]("lag") ->
+        ((r.getAs[Long]("n_pairs"), r.getAs[Long]("acf_ppm")))).toMap
+    val mean = xs.sum.toDouble / xs.size
+    val den = xs.map(x => (x - mean) * (x - mean)).sum
+    for (l <- 1 to 3) {
+      val num = xs.dropRight(l).zip(xs.drop(l))
+        .map { case (a, b) => (a - mean) * (b - mean) }.sum
+      val (np, ppm) = got(l.toLong)
+      assert(np === (xs.size - l).toLong)
+      assert(math.abs(ppm - num / den * 1e6) <= 1.0, s"lag $l")
+    }
+    val alt = (0 until 20).map(i => (i, if (i % 2 == 0) 10L else 0L))
+      .toDF("t", "x")
+    val a1 = graft.ext.Stats.autocorrelation(alt, "t", "x", 1).head()
+    assert(a1.getAs[Long]("acf_ppm") < -900000L)
+    val const = (0 until 8).map(i => (i, 5L)).toDF("t", "x")
+    assert(graft.ext.Stats.autocorrelation(const, "t", "x", 1).head()
+      .getAs[Long]("acf_ppm") === 0L)
+  }
+
+  test("cusumChangePoint finds the planted shift day; ties break " +
+    "earliest") {
+    import spark.implicits._
+    // mean shifts up at t = 12: CUSUM trough is at the last
+    // pre-shift period (t = 11)
+    val xs = (0 until 20).map(i => (i, if (i < 12) 10L else 30L))
+    val r = graft.ext.Stats.cusumChangePoint(xs.toDF("t", "x"), "t", "x")
+      .head()
+    assert(r.getAs[Long]("n_periods") === 20L)
+    assert(r.getAs[Int]("change_t") === 11)
+    // brute the ppm: max |n*S_t| over prefixes / (n * total)
+    val n = xs.size.toLong
+    val s = xs.map(_._2).sum
+    val devs = xs.map(_._2).scanLeft(0L)((acc, x) => acc + n * x - s)
+      .tail.map(math.abs)
+    assert(r.getAs[Long]("dev_ppm") === devs.max * 1000000L / (n * s))
+    // constant series: every prefix deviation is 0 -> earliest period
+    val cst = (0 until 5).map(i => (i, 4L)).toDF("t", "x")
+    assert(graft.ext.Stats.cusumChangePoint(cst, "t", "x").head()
+      .getAs[Int]("change_t") === 0)
+  }
+
   test("q268 quantile normalization == brute rank->order-statistic " +
     "mapping on a hand fixture") {
     import spark.implicits._
