@@ -62,13 +62,20 @@ object Drift {
     * @return one row per group: (groupCol, n, jsd_nano)
     */
   def jsDivergenceBinned(binned: DataFrame, groupCol: String,
-      binCol: String): DataFrame = {
-    val cells = binned.select(col(groupCol).as("__g"),
+      binCol: String): DataFrame =
+    jsDivergenceFromCounts(toCells(binned, groupCol, binCol),
+      "__g", "__b", "ngb", groupCol)
+
+  /** THE row-level fold to mergeable cells — exists once so the three
+    * drift read-outs (and the streaming monitor's batch projection)
+    * can never disagree about what a cell is: an edit to the bin
+    * policy lands on every entry point or none. */
+  private def toCells(binned: DataFrame, groupCol: String,
+      binCol: String): DataFrame =
+    binned.select(col(groupCol).as("__g"),
         col(binCol).cast("int").as("__b"))
       .groupBy(col("__g"), col("__b"))
       .agg(count(lit(1)).as("ngb"))
-    jsDivergenceFromCounts(cells, "__g", "__b", "ngb", groupCol)
-  }
 
   /** [[jsDivergenceBinned]] from an already-folded (group, bin, count)
     * frame — the per-cell counts are the MERGEABLE sufficient
@@ -188,21 +195,13 @@ object Drift {
     * [[jsDivergenceBinned]], so stream-built state and batch rows
     * read identically). */
   def ksBinned(binned: DataFrame, groupCol: String, binCol: String)
-      : DataFrame = {
-    val cells = binned.select(col(groupCol).as("__g"),
-        col(binCol).cast("int").as("__b"))
-      .groupBy(col("__g"), col("__b"))
-      .agg(count(lit(1)).as("ngb"))
-    ksFromCounts(cells, "__g", "__b", "ngb", groupCol)
-  }
+      : DataFrame =
+    ksFromCounts(toCells(binned, groupCol, binCol),
+      "__g", "__b", "ngb", groupCol)
 
   /** [[psiFromCounts]] over row-level binned data. */
   def psiBinned(binned: DataFrame, groupCol: String, binCol: String)
-      : DataFrame = {
-    val cells = binned.select(col(groupCol).as("__g"),
-        col(binCol).cast("int").as("__b"))
-      .groupBy(col("__g"), col("__b"))
-      .agg(count(lit(1)).as("ngb"))
-    psiFromCounts(cells, "__g", "__b", "ngb", groupCol)
-  }
+      : DataFrame =
+    psiFromCounts(toCells(binned, groupCol, binCol),
+      "__g", "__b", "ngb", groupCol)
 }

@@ -29,9 +29,15 @@ object Expectations {
     require(groups.nonEmpty && groups.forall(_._3.nonEmpty),
       "need at least one expectation per group")
     groups.map { case (tbl, df, checks) =>
+      // coalesce the empty-table sum: a 0-row frame has 0 violations
+      // (every check PASSES, with n_checked = 0 visible for callers
+      // that additionally gate on non-emptiness) — without it the
+      // report would read n_violations = NULL, pass = 0: a "failure"
+      // with no violation to point at
       val aggs = count(lit(1)).as("__n") +: checks.map {
         case (nm, pred) =>
-          sum(when(coalesce(pred, lit(true)), 1L).otherwise(0L)).as(nm)
+          coalesce(sum(when(coalesce(pred, lit(true)), 1L).otherwise(0L)),
+            lit(0L)).as(nm)
       }
       df.agg(aggs.head, aggs.tail: _*)
         .select(lit(tbl).as("tbl"), col("__n").as("n_checked"),

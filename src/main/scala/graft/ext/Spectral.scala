@@ -213,8 +213,11 @@ object Spectral {
     require(k >= 1, s"k must be >= 1, got $k")
     require(iterations >= 1, "need at least one power step")
     val dim = vecDim(emb, vecCol)
-    require(dim % (1 << k) == 0,
-      s"Rademacher starts need 2^k | dim (k=$k, dim=$dim)")
+    // k = 1 uses only the uniform start (no orthogonality to satisfy
+    // — any dim works, matching topComponent's domain); for k ≥ 2 the
+    // Walsh block needs bit k−2 balanced: 2^(k−1) | dim exactly
+    require(k == 1 || dim % (1 << (k - 1)) == 0,
+      s"Rademacher starts need 2^(k-1) | dim (k=$k, dim=$dim)")
     val inv = (1.0 / math.sqrt(dim.toDouble)).toFloat
     // direction 0 starts uniform (EXACTLY the k = 1 path's v₀, so the
     // leading direction reproduces topComponent bit for bit);

@@ -763,8 +763,14 @@ object TextDedup {
       else ta.select(col("g"), col("o"))
         .unionAll(tb.select(col("g"), col("o"))))
       .groupBy(col("g"), col("o")).agg(count(lit(1)).as("df"))
-    val pa = gramPrefix(ta, dfreq, destroyBudget + 1)
-    val pb = if (selfPairs) pa else gramPrefix(tb, dfreq, destroyBudget + 1)
+    // broadcast the df lookup only in the small-vocabulary regime
+    // (character q ≤ 4) — see gramPrefix's mutually-exclusive-risks
+    // note; at estimateGramOrder's large-q operating point dfreq can
+    // approach corpus scale and must shuffle (safely: no hot grams)
+    val bcast = q <= 4
+    val pa = gramPrefix(ta, dfreq, destroyBudget + 1, bcast)
+    val pb = if (selfPairs) pa
+      else gramPrefix(tb, dfreq, destroyBudget + 1, bcast)
     val cond = col("a.g") === col("b.g") && col("a.o") === col("b.o") &&
       (if (selfPairs)
         col("a.str") < col("b.str") ||
@@ -896,22 +902,29 @@ object TextDedup {
     * package-private so specs can assert the ≤ prefixLen-rows-per-
     * string invariant on the JOIN INPUT itself.
     *
-    * The df lookup is an EXPLICIT broadcast, not a threshold accident
-    * (r14 verdict item 1): `dfreq` is bounded by the tagged-gram
-    * vocabulary (≤ effective-|Σ|^q × occurrence multiplicity — tiny
-    * for the character q ≤ 4 this operator exists for), while `tagged`
-    * is corpus-sized with a Zipf-distributed gram key. A shuffle hash
-    * join here would route every occurrence of the hottest gram
-    * ("e ", occurrence 1 — a constant fraction of any natural-language
-    * corpus) to ONE reduce partition: the exact straggler class the
-    * prefix rewrite was built to kill. EdJoinPrefixSpec plan-asserts
-    * the BroadcastHashJoin so the guarantee is structural. */
+    * The df lookup is an EXPLICIT broadcast when `broadcastDf` (r14
+    * verdict item 1): at small gram order the tagged-gram vocabulary
+    * (≤ effective-|Σ|^q × occurrence multiplicity) is tiny while
+    * `tagged` is corpus-sized with a Zipf-distributed gram key — a
+    * shuffle hash join would route every occurrence of the hottest
+    * gram ("e ", occurrence 1 — a constant fraction of any
+    * natural-language corpus) to ONE reduce partition: the exact
+    * straggler class the prefix rewrite was built to kill.
+    * EdJoinPrefixSpec plan-asserts the BroadcastHashJoin so the
+    * guarantee is structural. The flag exists because the two risks
+    * are MUTUALLY EXCLUSIVE in q: callers steered by
+    * [[estimateGramOrder]] toward large q (vocabulary out-scaling
+    * the corpus, |Σ|^q ≫ n) would blow a forced broadcast up to
+    * corpus size — but in exactly that regime no gram is hot (the
+    * Zipf head has been diluted away by construction), so the
+    * shuffle join the flag falls back to is straggler-safe. */
   private[graft] def gramPrefix(tagged: DataFrame, dfreq: DataFrame,
-      prefixLen: Int): DataFrame = {
+      prefixLen: Int, broadcastDf: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("id"))
       .orderBy(col("df"), col("g"), col("o"))
-    tagged.join(broadcast(dfreq), Seq("g", "o"))
+    tagged.join(if (broadcastDf) broadcast(dfreq) else dfreq,
+        Seq("g", "o"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= prefixLen)
       .select(col("id"), col("str"), col("g"), col("o"))

@@ -253,8 +253,12 @@ object VectorIndex {
     require(k >= 1, s"k must be >= 1, got $k")
     require(occTarget >= 1, s"occTarget must be >= 1, got $occTarget")
     require(maxBits >= 0 && maxBits <= 62, s"maxBits out of range: $maxBits")
+    // overflow-proof form of k·occ·2^b <= n: compare 2^b against the
+    // DIVIDED bound (k·occ·2^b wraps Long past b ≈ 54 and would
+    // silently return maxBits for any n)
+    val bound = n / (k.toLong * occTarget)
     (0 to maxBits).reverse
-      .find(b => k.toLong * occTarget * (1L << b) <= n)
+      .find(b => (1L << b) <= bound)
       .getOrElse(0)
   }
 

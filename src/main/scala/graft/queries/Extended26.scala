@@ -231,9 +231,14 @@ object Extended26 {
     }
   }
 
-  /** The shared draw: SQL fragment valid in BOTH Spark SQL and DuckDB. */
+  /** The shared draw: SQL fragment valid in BOTH Spark SQL and DuckDB.
+    * The seed is reduced mod 2³¹ BEFORE the first multiply (the
+    * [[graft.ext.Stats.lcgU31Sql]] discipline): without it the
+    * product 1103515245·seed overflows BIGINT past doc_id ≈ 5.2·10⁸
+    * — three orders of magnitude under the design scale. */
   private def poisWeightSql(seed: String): String = {
-    val x1 = s"(1103515245 * ($seed) + 12345) % 2147483648"
+    val x0 = s"(($seed) % 2147483648)"
+    val x1 = s"(1103515245 * $x0 + 12345) % 2147483648"
     val x2 = s"(1103515245 * ($x1) + 12345) % 2147483648"
     val cases = PoisThresholds.zipWithIndex
       .map { case (t, k) => s"WHEN ($x2) < $t THEN ${k}" }

@@ -374,8 +374,15 @@ object Extended27 {
 
   def q259(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    val docs = t(s, dir, "documents")
+    // the oracle bakes BhLangs into every LCG seed — assert the
+    // fixture LOUDLY (the muVs/Dim discipline) instead of letting a
+    // changed language count surface as an opaque hash mismatch
+    val m = docs.select($"lang").distinct().count()
+    require(m == BhLangs,
+      s"q259 oracle is encoded for $BhLangs languages; fixture has $m")
     Stats.bhRandomizationTests(
-      t(s, dir, "documents").select($"doc_id", $"n_chars", $"lang"),
+      docs.select($"doc_id", $"n_chars", $"lang"),
       "n_chars", "lang", "doc_id", BhReps, BhAlphaPpm)
   }
 

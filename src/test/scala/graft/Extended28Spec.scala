@@ -52,11 +52,17 @@ class Extended28Spec extends SparkSpec {
 
   test("topSubspace: loud on non-power-of-two-divisible dim and on " +
     "rank-deficient corpora") {
-    val emb = mkEmb(twoAxisCorpus(6, 12)) // 2^2 does not divide 6
+    val emb = mkEmb(twoAxisCorpus(7, 12)) // k=2 needs 2^(k-1)=2 | dim
     val e = intercept[IllegalArgumentException] {
       graft.ext.Spectral.topSubspace(emb, "embedding", 2, 2)
     }
     assert(e.getMessage.contains("Rademacher starts"))
+    // k=2 on dim 6 is legal under the exact condition (2 | 6); and
+    // k=1 carries NO dim constraint (topComponent's domain)
+    graft.ext.Spectral.topSubspace(mkEmb(twoAxisCorpus(6, 12)),
+      "embedding", 2, 2)
+    graft.ext.Spectral.topSubspace(mkEmb(twoAxisCorpus(7, 12)),
+      "embedding", 1, 2)
     // all rows identical: zero variance in every direction
     val flat = mkEmb(Seq.fill(10)(Array.fill(8)(2f)))
     val e2 = intercept[IllegalArgumentException] {
