@@ -642,6 +642,78 @@ object Stats {
           " AS BIGINT) END").as("dev_ppm"))
   }
 
+  /** Theil–Sen robust trend over an aggregated series (same
+    * BOUNDED-FRAME contract as [[autocorrelation]]): the median of
+    * all pairwise slopes (x_j − x_i)/(t_j − t_i), the trend estimator
+    * a single outlier day cannot move. Every slope is a
+    * sign-symmetrically truncated micro integer (identical in both
+    * engines — no float ordering anywhere), the median is an exact
+    * rank selection with (slope, ti, tj) tie-break, and the O(m²)
+    * pair frame is bounded by the period count (a year = 66k pairs —
+    * metadata).
+    *
+    * Output: n_periods, n_pairs, slope_micro (per unit of t; lower
+    * median for even pair counts).
+    */
+  def theilSenSlope(series: DataFrame, tCol: String, xCol: String)
+      : DataFrame = {
+    val s = series.sparkSession
+    import s.implicits._
+    val base = series.select(col(tCol).cast("long").as("t"),
+      col(xCol).cast("long").as("x"))
+    val b = base.select($"t".as("tj"), $"x".as("xj"))
+    val pairs = base.join(b, $"t" < $"tj")
+      .select($"t".as("ti"), $"tj",
+        expr("CASE WHEN xj - x < 0 THEN" +
+          " -((-(xj - x) * 1000000) div (tj - t))" +
+          " ELSE ((xj - x) * 1000000) div (tj - t) END").as("sl"))
+    val np = pairs.agg(count(lit(1)).as("n_pairs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"sl", $"ti", $"tj") // bounded pair frame: metadata
+    pairs.withColumn("rk", row_number().over(w))
+      .crossJoin(broadcast(np))
+      .filter(expr("rk = (n_pairs + 1) div 2"))
+      .crossJoin(broadcast(base.agg(count(lit(1)).as("n_periods"))))
+      .select($"n_periods", $"n_pairs", $"sl".as("slope_micro"))
+  }
+
+  /** Mann–Kendall trend test over an aggregated series (the
+    * significance companion to [[theilSenSlope]]): S = Σ_{i<j}
+    * sign(x_j − x_i), tie-corrected variance
+    * Var(S) = (m(m−1)(2m+5) − Σ t(t−1)(2t+5)) / 18, and the
+    * continuity-corrected z = (S ∓ 1)/√Var — S and the variance
+    * pieces exact integers on the bounded frame, one mirrored double
+    * expression at the close.
+    *
+    * Output: n_periods, s_stat, z_ppm (0 when Var = 0).
+    */
+  def mannKendall(series: DataFrame, tCol: String, xCol: String)
+      : DataFrame = {
+    val s = series.sparkSession
+    import s.implicits._
+    val base = series.select(col(tCol).cast("long").as("t"),
+      col(xCol).cast("long").as("x"))
+    val b = base.select($"t".as("tj"), $"x".as("xj"))
+    val ss = base.join(b, $"t" < $"tj")
+      .agg(coalesce(sum(signum($"xj" - $"x").cast("long")), lit(0L))
+        .as("s_stat"))
+    val ties = base.groupBy($"x").agg(count(lit(1)).as("tt"))
+      .agg(Exact.decSum(Exact.dec($"tt") * ($"tt" - 1) *
+        ($"tt" * 2 + 5)).as("tie"), count(lit(1)).as("n_distinct"))
+    val m = base.agg(count(lit(1)).as("m"))
+    ss.crossJoin(ties).crossJoin(m)
+      .select($"m".as("n_periods"), $"s_stat",
+        expr(s"CAST(CAST(m AS ${Exact.Dec}) * (m - 1) * (2 * m + 5)" +
+          " - tie AS DOUBLE) / 18.0").as("var_s"),
+        $"s_stat".as("s2"))
+      .select($"n_periods", $"s_stat",
+        expr("CASE WHEN var_s <= 0.0 THEN 0L ELSE" +
+          " CAST(floor((CASE WHEN s2 > 0 THEN CAST(s2 - 1 AS DOUBLE)" +
+          " WHEN s2 < 0 THEN CAST(s2 + 1 AS DOUBLE) ELSE 0.0 END)" +
+          " / sqrt(var_s) * 1000000.0 + 0.5) AS BIGINT) END")
+          .as("z_ppm"))
+  }
+
   /** Kendall tau-b from a bounded contingency: concordant/discordant
     * pair counts fold from the CELL frame (≤ bins² rows — after the
     * one corpus aggregation, the quadratic pair loop runs on

@@ -547,8 +547,81 @@ object Extended28 {
       |  END AS dev_ppm
       |FROM pick CROSS JOIN tot""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q274 — Theil–Sen robust trend of daily event volume: the
+  // median-of-pairwise-slopes estimator a single outlier day cannot
+  // move (the OLS slope q108 computes is exactly what a burst
+  // poisons). Entirely integer: sign-symmetric micro slopes, exact
+  // median rank. t is the day offset from the first day, so the
+  // slope reads events/day in micro.
+  private def dailyOffsets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .groupBy(to_date($"ts").as("day")).agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(
+        t(s, dir, "events").agg(min(to_date($"ts")).as("d0"))))
+      .select(datediff($"day", $"d0").cast("long").as("toff"), $"cnt")
+  }
+
+  def q274(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Stats.theilSenSlope(dailyOffsets(s, dir), "toff", "cnt")
+
+  private val DailySeriesSql =
+    """daily AS (SELECT CAST(ts AS DATE) AS day,
+      |     CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
+      | d0 AS (SELECT min(day) AS d0 FROM daily),
+      | ser AS (SELECT CAST(day - d0 AS BIGINT) AS t, x
+      |         FROM daily CROSS JOIN d0)""".stripMargin
+
+  val q274Sql: String =
+    s"""WITH $DailySeriesSql,
+       | pairs AS (SELECT a.t AS ti, b.t AS tj,
+       |     CASE WHEN b.x - a.x < 0 THEN
+       |       -((-(b.x - a.x) * 1000000) // (b.t - a.t))
+       |     ELSE ((b.x - a.x) * 1000000) // (b.t - a.t) END AS sl
+       |   FROM ser a JOIN ser b ON a.t < b.t),
+       | np AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM pairs),
+       | r AS (SELECT sl, row_number() OVER (ORDER BY sl, ti, tj) AS rk
+       |       FROM pairs),
+       | m AS (SELECT CAST(count(*) AS BIGINT) AS n_periods FROM ser)
+       |SELECT m.n_periods, np.n_pairs, r.sl AS slope_micro
+       |FROM r CROSS JOIN np CROSS JOIN m
+       |WHERE r.rk = (np.n_pairs + 1) // 2""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q275 — Mann–Kendall trend test on the same series: is the q274
+  // slope SIGNIFICANT? S = Σ sign(x_j − x_i), tie-corrected variance,
+  // continuity-corrected z — the nonparametric pair every
+  // volume-trend dashboard quotes together.
+  def q275(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Stats.mannKendall(dailyOffsets(s, dir), "toff", "cnt")
+
+  val q275Sql: String =
+    s"""WITH $DailySeriesSql,
+       | ss AS (SELECT CAST(coalesce(sum(CASE WHEN b.x > a.x THEN 1
+       |     WHEN b.x < a.x THEN -1 ELSE 0 END), 0) AS BIGINT) AS s_stat
+       |   FROM ser a JOIN ser b ON a.t < b.t),
+       | ties AS (SELECT CAST(coalesce(sum(CAST(tt AS HUGEINT)
+       |       * (tt - 1) * (2 * tt + 5)), 0) AS HUGEINT) AS tie
+       |   FROM (SELECT CAST(count(*) AS BIGINT) AS tt FROM ser
+       |         GROUP BY x)),
+       | m AS (SELECT CAST(count(*) AS HUGEINT) AS m FROM ser)
+       |SELECT CAST(m.m AS BIGINT) AS n_periods, ss.s_stat,
+       |  CASE WHEN CAST(m.m * (m.m - 1) * (2 * m.m + 5) - ties.tie
+       |      AS DOUBLE) / 18.0 <= 0.0 THEN 0
+       |  ELSE CAST(floor((CASE WHEN ss.s_stat > 0
+       |      THEN CAST(ss.s_stat - 1 AS DOUBLE)
+       |      WHEN ss.s_stat < 0 THEN CAST(ss.s_stat + 1 AS DOUBLE)
+       |      ELSE 0.0 END)
+       |    / sqrt(CAST(m.m * (m.m - 1) * (2 * m.m + 5) - ties.tie
+       |        AS DOUBLE) / 18.0)
+       |    * 1000000.0 + 0.5) AS BIGINT) END AS z_ppm
+       |FROM ss CROSS JOIN ties CROSS JOIN m""".stripMargin
+
   /** Name → query, for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q274_theil_sen_trend" -> (q274 _),
+    "q275_mann_kendall" -> (q275 _),
     "q272_daily_acf" -> (q272 _),
     "q273_cusum_changepoint" -> (q273 _),
     "q271_expectations_gate" -> (q271 _),
@@ -561,6 +634,8 @@ object Extended28 {
 
   /** Name → DuckDB oracle SQL, for SparkEntry. */
   val oracles: Map[String, String] = Map(
+    "q274_theil_sen_trend" -> q274Sql,
+    "q275_mann_kendall" -> q275Sql,
     "q272_daily_acf" -> q272Sql,
     "q273_cusum_changepoint" -> q273Sql,
     "q271_expectations_gate" -> q271Sql,

@@ -204,6 +204,54 @@ class Extended28Spec extends SparkSpec {
       .getAs[Int]("change_t") === 0)
   }
 
+  test("theilSenSlope == brute pairwise-slope median; an outlier day " +
+    "cannot move it") {
+    import spark.implicits._
+    val xs = Seq((0L, 10L), (1L, 13L), (2L, 15L), (3L, 19L), (4L, 21L),
+      (5L, 500L), (6L, 28L), (7L, 31L)) // one burst day
+    val df = xs.toDF("t", "x")
+    def slMicro(a: (Long, Long), b: (Long, Long)): Long = {
+      val num = b._2 - a._2; val den = b._1 - a._1
+      if (num < 0) -((-num) * 1000000L / den) else num * 1000000L / den
+    }
+    val slopes = (for (i <- xs.indices; j <- xs.indices if i < j)
+      yield (slMicro(xs(i), xs(j)), xs(i)._1, xs(j)._1)).sorted
+    val expect = slopes((slopes.size + 1) / 2 - 1)._1
+    val r = graft.ext.Stats.theilSenSlope(df, "t", "x").head()
+    assert(r.getAs[Long]("n_periods") === 8L)
+    assert(r.getAs[Long]("n_pairs") === 28L)
+    assert(r.getAs[Long]("slope_micro") === expect)
+    // robust: despite the 500 burst the trend reads ~3/day, not ~70
+    assert(r.getAs[Long]("slope_micro") < 4000000L &&
+      r.getAs[Long]("slope_micro") > 2000000L)
+  }
+
+  test("mannKendall == brute S and tie-corrected z; monotone series " +
+    "maxes S; constant series reads 0") {
+    import spark.implicits._
+    val xs = Seq(3L, 7L, 5L, 5L, 9L, 8L, 12L, 11L, 14L, 13L)
+    val df = xs.zipWithIndex.map { case (x, i) => (i.toLong, x) }
+      .toDF("t", "x")
+    val sStat = (for (i <- xs.indices; j <- xs.indices if i < j)
+      yield java.lang.Long.signum(xs(j) - xs(i)).toLong).sum
+    val m = xs.size.toLong
+    val tie = xs.groupBy(identity).values
+      .map(g => { val t = g.size.toLong; t * (t - 1) * (2 * t + 5) }).sum
+    val varS = (m * (m - 1) * (2 * m + 5) - tie).toDouble / 18.0
+    val zExp = math.floor((sStat - 1).toDouble / math.sqrt(varS) * 1e6 +
+      0.5).toLong
+    val r = graft.ext.Stats.mannKendall(df, "t", "x").head()
+    assert(r.getAs[Long]("s_stat") === sStat)
+    assert(r.getAs[Long]("z_ppm") === zExp)
+    val mono = (0 until 6).map(i => (i.toLong, i * 10L)).toDF("t", "x")
+    assert(graft.ext.Stats.mannKendall(mono, "t", "x").head()
+      .getAs[Long]("s_stat") === 15L)
+    val cst = (0 until 6).map(i => (i.toLong, 5L)).toDF("t", "x")
+    val cr = graft.ext.Stats.mannKendall(cst, "t", "x").head()
+    assert(cr.getAs[Long]("s_stat") === 0L)
+    assert(cr.getAs[Long]("z_ppm") === 0L)
+  }
+
   test("q268 quantile normalization == brute rank->order-statistic " +
     "mapping on a hand fixture") {
     import spark.implicits._
