@@ -714,6 +714,99 @@ object Stats {
           .as("z_ppm"))
   }
 
+  /** Correlation ratio η² — the share of a value column's variance
+    * explained by a categorical factor ("does source explain document
+    * length?"), the effect size a chi-square-style p-value never
+    * gives. One shuffle on the group key; exactness by the
+    * chi-square-family discipline: per-group terms (s_g²·10⁶) div n_g
+    * are micro-floored integer divisions (deterministic both engines,
+    * truncation ≤ #groups micro), everything else exact DECIMAL:
+    *   η² = (Σ_g s_g²/n_g − S²/n) / (Σ x² − S²/n),
+    * clamped to [0, 10⁶] ppm against truncation at the edges.
+    *
+    * Output: n, n_groups, eta2_ppm.
+    */
+  def etaSquared(df: DataFrame, valueCol: String, grpCol: String)
+      : DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val g = df.select(col(valueCol).cast("long").as("x"),
+      when(col(grpCol).isNull,
+        raise_error(lit("etaSquared: NULL in group column"))
+          .cast("string"))
+        .otherwise(col(grpCol).cast("string")).as("grp"))
+    val per = g.groupBy($"grp")
+      .agg(count(lit(1)).as("ng"), Exact.decSum($"x").as("sg"))
+    val a = per.agg(
+      Exact.decSum(expr(s"(sg * sg * 1000000) div ng")).as("a"),
+      count(lit(1)).as("n_groups"),
+      Exact.decSum($"ng").as("n"), Exact.decSum($"sg").as("ss"))
+    val sq = g.agg(Exact.decSum(Exact.dec($"x") * $"x").as("sxx"))
+    a.crossJoin(sq)
+      .select(
+        Exact.asLongOrFail($"n", "etaSquared n").as("n"), $"n_groups",
+        expr("a - (ss * ss * 1000000) div n").as("ssb"),
+        expr("sxx * 1000000 - (ss * ss * 1000000) div n").as("sst"))
+      .select($"n", $"n_groups",
+        expr("CASE WHEN sst <= 0 THEN 0L ELSE" +
+          " least(1000000L, greatest(0L," +
+          " CAST((ssb * 1000000) div sst AS BIGINT))) END")
+          .as("eta2_ppm"))
+  }
+
+  /** Kruskal–Wallis H (tie-corrected) — the k-group generalization of
+    * [[mannWhitneyZ]]: does ANY of the k groups' value distributions
+    * sit above the others? Pooled average ranks via the same
+    * double-rank device (integer 2R_g = Σ min(rk)+max(rk)), the
+    * per-value frame broadcast back; with the per-group micro floor
+    * q_g = ((2R_g)²·10⁶) div n_g the statistic
+    *   H = [3·Σ q_g / (n(n+1)) − 3(n+1)·10⁶] · (n³−n) / (n³−n − Σ(t³−t))
+    * closes in TWO exact integer divisions (micro units) — no float
+    * anywhere, clamped at 0 against per-group truncation when H = 0.
+    * All-tied input (zero tie divisor) reads 0. Magnitude bound
+    * (loud under the ANSI carrier, never silent): (2R_g)²·10⁶ must
+    * fit DECIMAL(38,0) → 2R_g ≤ 10¹⁶, i.e. n·n_g ≲ 5·10¹⁵ — uniform
+    * 5-group corpora are exact past 10⁷ rows per group and refuse
+    * beyond, the kappa-family posture.
+    *
+    * Output: n, n_groups, h_micro.
+    */
+  def kruskalWallis(df: DataFrame, valueCol: String, grpCol: String,
+      idCol: String): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val g = df.select(col(valueCol).cast("long").as("v"),
+      col(idCol).cast("long").as("id"),
+      when(col(grpCol).isNull,
+        raise_error(lit("kruskalWallis: NULL in group column"))
+          .cast("string"))
+        .otherwise(col(grpCol).cast("string")).as("grp"))
+    val ranked = GlobalRank.withRank(g.select($"v", $"id"),
+      Seq($"v", $"id"), rankCol = "rk")
+    val perv = ranked.groupBy($"v")
+      .agg((min($"rk") + max($"rk")).as("dr"), count(lit(1)).as("t"))
+    val perg = g.join(broadcast(perv.select($"v", $"dr")), "v")
+      .groupBy($"grp")
+      .agg(count(lit(1)).as("ng"), Exact.decSum($"dr").as("r2g"))
+    val f = perg.agg(count(lit(1)).as("n_groups"),
+      Exact.decSum($"ng").as("n"),
+      Exact.decSum(expr("(r2g * r2g * 1000000) div ng")).as("q"))
+    val ties = perv.agg(
+      Exact.decSum(Exact.dec($"t") * $"t" * $"t" - $"t").as("tie3"))
+    f.crossJoin(ties)
+      .select(Exact.asLongOrFail($"n", "kruskalWallis n").as("n"),
+        $"n_groups",
+        expr(s"(CAST(3 AS ${Exact.Dec}) * q) div" +
+          s" (CAST(n AS ${Exact.Dec}) * (n + 1))" +
+          s" - CAST(3 AS ${Exact.Dec}) * (n + 1) * 1000000").as("hraw"),
+        expr(s"CAST(n AS ${Exact.Dec}) * n * n - n").as("n3n"),
+        $"tie3")
+      .select($"n", $"n_groups",
+        expr("CASE WHEN n3n - tie3 <= 0 THEN 0L ELSE" +
+          " greatest(0L, CAST((hraw * n3n) div (n3n - tie3) AS BIGINT))" +
+          " END").as("h_micro"))
+  }
+
   /** Kendall tau-b from a bounded contingency: concordant/discordant
     * pair counts fold from the CELL frame (≤ bins² rows — after the
     * one corpus aggregation, the quadratic pair loop runs on

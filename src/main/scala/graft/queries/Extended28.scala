@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ext.Exact
+import graft.functions.TextFns
 
 /** Round-15 sixth batch (q266–q268): the top-k spectral pair and
   * quantile normalization.
@@ -618,8 +619,87 @@ object Extended28 {
        |    * 1000000.0 + 0.5) AS BIGINT) END AS z_ppm
        |FROM ss CROSS JOIN ties CROSS JOIN m""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q276 — η² (correlation ratio): how much of document length does
+  // SOURCE explain? The effect size behind q254's chi-square — a big
+  // corpus makes any difference "significant"; η² says whether it
+  // MATTERS. Per-group micro-floored terms, everything else exact
+  // DECIMAL (Stats.etaSquared).
+  def q276(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.ext.Stats.etaSquared(
+      t(s, dir, "documents").select($"n_chars", $"source"),
+      "n_chars", "source")
+  }
+
+  val q276Sql: String =
+    """WITH g AS (SELECT CAST(n_chars AS BIGINT) AS x, source AS grp
+      |           FROM documents),
+      | per AS (SELECT grp, CAST(count(*) AS HUGEINT) AS ng,
+      |         CAST(sum(x) AS HUGEINT) AS sg FROM g GROUP BY grp),
+      | a AS (SELECT CAST(sum((sg * sg * 1000000) // ng) AS HUGEINT)
+      |         AS a,
+      |       CAST(count(*) AS BIGINT) AS n_groups,
+      |       CAST(sum(ng) AS HUGEINT) AS n,
+      |       CAST(sum(sg) AS HUGEINT) AS ss FROM per),
+      | sq AS (SELECT CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT)
+      |        AS sxx FROM g),
+      | e AS (SELECT CAST(n AS BIGINT) AS n, n_groups,
+      |     a - (ss * ss * 1000000) // n AS ssb,
+      |     sxx * 1000000 - (ss * ss * 1000000) // n AS sst
+      |   FROM a CROSS JOIN sq)
+      |SELECT n, n_groups,
+      |  CASE WHEN sst <= 0 THEN 0
+      |  ELSE least(1000000, greatest(0,
+      |    CAST((ssb * 1000000) // sst AS BIGINT))) END AS eta2_ppm
+      |FROM e""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q277 — Kruskal–Wallis H across the five languages on token
+  // counts: the k-group rank test (q253's MWU generalized), fully
+  // integer via the double-rank device and two closing exact
+  // divisions.
+  def q277(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.ext.Stats.kruskalWallis(
+      t(s, dir, "documents").select(
+        size(TextFns.tokens($"text")).cast("long").as("v"),
+        $"doc_id", $"lang"),
+      "v", "lang", "doc_id")
+  }
+
+  val q277Sql: String =
+    s"""WITH d AS (SELECT doc_id,
+       |    CAST(len(${DocOps.tokensSql}) AS BIGINT) AS v,
+       |    lang AS grp FROM documents),
+       | r AS (SELECT v, doc_id, row_number() OVER (ORDER BY v, doc_id)
+       |       AS rk FROM d),
+       | perv AS (SELECT v, MIN(rk) + MAX(rk) AS dr,
+       |          CAST(count(*) AS BIGINT) AS t FROM r GROUP BY v),
+       | perg AS (SELECT grp, CAST(count(*) AS HUGEINT) AS ng,
+       |     CAST(sum(dr) AS HUGEINT) AS r2g
+       |   FROM d JOIN perv USING (v) GROUP BY grp),
+       | f AS (SELECT CAST(count(*) AS BIGINT) AS n_groups,
+       |     CAST(sum(ng) AS HUGEINT) AS n,
+       |     CAST(sum((r2g * r2g * 1000000) // ng) AS HUGEINT) AS q
+       |   FROM perg),
+       | ties AS (SELECT CAST(sum(CAST(t AS HUGEINT) * t * t - t)
+       |          AS HUGEINT) AS tie3 FROM perv),
+       | e AS (SELECT CAST(f.n AS BIGINT) AS n, f.n_groups,
+       |     (3 * f.q) // (f.n * (f.n + 1)) - 3 * (f.n + 1) * 1000000
+       |       AS hraw,
+       |     f.n * f.n * f.n - f.n AS n3n, ties.tie3
+       |   FROM f CROSS JOIN ties)
+       |SELECT n, n_groups,
+       |  CASE WHEN n3n - tie3 <= 0 THEN 0
+       |  ELSE greatest(0, CAST((hraw * n3n) // (n3n - tie3) AS BIGINT))
+       |  END AS h_micro
+       |FROM e""".stripMargin
+
   /** Name → query, for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q276_eta_squared" -> (q276 _),
+    "q277_kruskal_wallis" -> (q277 _),
     "q274_theil_sen_trend" -> (q274 _),
     "q275_mann_kendall" -> (q275 _),
     "q272_daily_acf" -> (q272 _),
@@ -634,6 +714,8 @@ object Extended28 {
 
   /** Name → DuckDB oracle SQL, for SparkEntry. */
   val oracles: Map[String, String] = Map(
+    "q276_eta_squared" -> q276Sql,
+    "q277_kruskal_wallis" -> q277Sql,
     "q274_theil_sen_trend" -> q274Sql,
     "q275_mann_kendall" -> q275Sql,
     "q272_daily_acf" -> q272Sql,

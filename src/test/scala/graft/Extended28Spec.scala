@@ -252,6 +252,72 @@ class Extended28Spec extends SparkSpec {
     assert(cr.getAs[Long]("z_ppm") === 0L)
   }
 
+  test("etaSquared == brute ANOVA decomposition within 2 ppm; " +
+    "group-determined values read ~1e6; shuffled labels read ~0") {
+    import spark.implicits._
+    val rows = Seq(("a", 10L), ("a", 12L), ("a", 11L), ("b", 30L),
+      ("b", 29L), ("b", 34L), ("c", 50L), ("c", 52L), ("c", 48L))
+    val df = rows.map(_.swap).toDF("x", "grp")
+    val mean = rows.map(_._2).sum.toDouble / rows.size
+    val sst = rows.map(r => (r._2 - mean) * (r._2 - mean)).sum
+    val ssb = rows.groupBy(_._1).values.map { g =>
+      val gm = g.map(_._2).sum.toDouble / g.size
+      g.size * (gm - mean) * (gm - mean)
+    }.sum
+    val r = graft.ext.Stats.etaSquared(df, "x", "grp").head()
+    assert(r.getAs[Long]("n") === 9L)
+    assert(r.getAs[Long]("n_groups") === 3L)
+    assert(math.abs(r.getAs[Long]("eta2_ppm") -
+      math.floor(ssb / sst * 1e6)) <= 2.0)
+    // constant within groups: the factor explains EVERYTHING
+    val pure = Seq(("a", 5L), ("a", 5L), ("b", 9L), ("b", 9L))
+      .map(_.swap).toDF("x", "grp")
+    assert(graft.ext.Stats.etaSquared(pure, "x", "grp").head()
+      .getAs[Long]("eta2_ppm") === 1000000L)
+    val e = intercept[Exception] {
+      graft.ext.Stats.etaSquared(
+        Seq((Some("a"), 1L), (None: Option[String], 2L))
+          .toDF("grp", "x"), "x", "grp").collect()
+    }
+    assert(e.getMessage.contains("etaSquared: NULL"))
+  }
+
+  test("kruskalWallis == brute textbook H with average ranks and tie " +
+    "correction; separated groups dominate; all-tied reads 0") {
+    import spark.implicits._
+    val rows = Seq(("a", 3L), ("a", 5L), ("a", 5L), ("b", 8L),
+      ("b", 9L), ("b", 5L), ("c", 12L), ("c", 14L), ("c", 9L),
+      ("c", 15L))
+    val df = rows.zipWithIndex
+      .map { case ((g, v), i) => (v, i.toLong, g) }
+      .toDF("v", "id", "grp")
+    // brute: average ranks over the pooled sample
+    val sorted = rows.map(_._2).sorted
+    def avgRank(v: Long): Double = {
+      val idx = sorted.zipWithIndex.filter(_._1 == v).map(_._2 + 1)
+      idx.sum.toDouble / idx.size
+    }
+    val n = rows.size
+    val hNum = rows.groupBy(_._1).values.map { g =>
+      val rg = g.map(r => avgRank(r._2)).sum
+      rg * rg / g.size
+    }.sum
+    val tie = rows.map(_._2).groupBy(identity).values
+      .map(g => { val t = g.size.toLong; (t * t * t - t).toDouble }).sum
+    val h = (12.0 / (n * (n + 1)) * hNum - 3 * (n + 1)) /
+      (1.0 - tie / (n.toDouble * n * n - n))
+    val r = graft.ext.Stats.kruskalWallis(df, "v", "grp", "id").head()
+    assert(r.getAs[Long]("n") === 10L)
+    assert(r.getAs[Long]("n_groups") === 3L)
+    // per-group micro floors: within a few micro of the double H
+    assert(math.abs(r.getAs[Long]("h_micro") - h * 1e6) <= 5.0,
+      s"got ${r.getAs[Long]("h_micro")} want ~${h * 1e6}")
+    val flat = Seq((5L, 1L, "a"), (5L, 2L, "b"), (5L, 3L, "a"))
+      .toDF("v", "id", "grp")
+    assert(graft.ext.Stats.kruskalWallis(flat, "v", "grp", "id").head()
+      .getAs[Long]("h_micro") === 0L)
+  }
+
   test("q268 quantile normalization == brute rank->order-statistic " +
     "mapping on a hand fixture") {
     import spark.implicits._
