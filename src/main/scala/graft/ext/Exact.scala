@@ -39,6 +39,24 @@ object Exact {
     * the overflow-proof replacement for `coalesce(sum(c), lit(0L))`. */
   def decSum(c: Column): Column = coalesce(sum(dec(c)), lit(0L).cast(Dec))
 
+  /** SQL for an exact floor division `num / den` that STAYS on the
+    * DECIMAL carrier. Spark's `a div b` narrows to BIGINT and — on
+    * this build, ANSI on — silently WRAPS when the quotient exceeds
+    * 2⁶³ (`CAST(1e35 AS DECIMAL(38,0)) div 3` returns a garbage Long
+    * with no error; verified empirically). Subtracting the remainder
+    * first makes the decimal division exact, so the quotient is
+    * representable to 10³² (the division result type is
+    * DECIMAL(38,6)) and overflows LOUDLY (ANSI
+    * NUMERIC_VALUE_OUT_OF_RANGE) beyond — never silently.
+    *
+    * Contract: `num` ≥ 0 and `den` > 0 (Spark's `%` takes the
+    * dividend's sign, so negative numerators would truncate toward
+    * zero, not floor — every caller in the shelf divides squared or
+    * count-like quantities).
+    */
+  def divFloorSql(num: String, den: String): String =
+    s"CAST((($num) - ($num) % ($den)) / ($den) AS $Dec)"
+
   /** Read an exact DECIMAL value back out as BIGINT, failing LOUDLY
     * when it no longer fits — the schema-stable alternative to a
     * silent wrap (ANSI off) or an anonymous ARITHMETIC_OVERFLOW (ANSI

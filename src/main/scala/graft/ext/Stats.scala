@@ -164,10 +164,14 @@ object Stats {
     * Pooled average ranks use the q244 double-rank device: with rk a
     * deterministic global row number over (value, id), the per-value
     * min(rk)+max(rk) equals TWICE the average rank of every row
-    * sharing that value — all integers. The per-value frame (bounded
-    * by the distinct-value count) is BROADCAST back to the rows: a
-    * value-keyed shuffle join would put the hottest value on one
-    * partition. Then
+    * sharing that value — all integers. When `boundedValueDomain`
+    * (default) the per-value frame (bounded by the distinct-value
+    * count) is BROADCAST back to the rows: a value-keyed shuffle join
+    * would put the hottest value on one partition. For
+    * near-continuous values pass false — the frame is corpus-sized
+    * (broadcast would OOM the driver) but then no value is hot, so
+    * the shuffle join is straggler-safe: the two risk regimes are
+    * mutually exclusive (the TextDedup.gramPrefix law). Then
     *   2U₁ = Σ_{g=1} dr − n₁(n₁+1),   E[2U₁] = n₁n₂,
     *   Var(U) = n₁n₂·((n+1)·n·(n−1) − Σ(t³−t)) / (12·n·(n−1)),
     * and z = (2U₁ − n₁n₂) / (2·√Var) — the variance pieces stay on
@@ -182,7 +186,7 @@ object Stats {
     * values tied).
     */
   def mannWhitneyZ(df: DataFrame, valueCol: String, grpCol: String,
-      idCol: String): DataFrame = {
+      idCol: String, boundedValueDomain: Boolean = true): DataFrame = {
     val s = df.sparkSession
     import s.implicits._
     val g = df.select(col(valueCol).cast("long").as("v"),
@@ -192,7 +196,9 @@ object Stats {
       Seq($"v", $"id"), rankCol = "rk")
     val perv = ranked.groupBy($"v")
       .agg((min($"rk") + max($"rk")).as("dr"), count(lit(1)).as("t"))
-    val f = g.join(broadcast(perv.select($"v", $"dr")), "v")
+    val pervS = perv.select($"v", $"dr")
+    val f = g.join(
+        if (boundedValueDomain) broadcast(pervS) else pervS, "v")
       .agg(count(lit(1)).as("n"),
         sum($"g".cast("long")).as("n1"),
         Exact.decSum(when($"g" === 1, $"dr").otherwise(0L)).as("sdr1"))
@@ -723,6 +729,13 @@ object Stats {
     * truncation ≤ #groups micro), everything else exact DECIMAL:
     *   η² = (Σ_g s_g²/n_g − S²/n) / (Σ x² − S²/n),
     * clamped to [0, 10⁶] ppm against truncation at the edges.
+    * The floored divisions run remainder-subtract on the DECIMAL
+    * carrier ([[Exact.divFloorSql]]) — Spark's `div` narrows to
+    * BIGINT and silently wraps past 2⁶³ (for mean value x̄ ~ 10³ that
+    * is only ~9·10⁶ rows per group) — so they are exact to quotient
+    * 10³² (n_g·x̄² ≤ 10²⁶) and the binding bound is the DECIMAL
+    * product s_g²·10⁶ ≤ 10³⁸ (n_g·x̄ ≤ 10¹⁶), loud ANSI refusal
+    * beyond — never silent.
     *
     * Output: n, n_groups, eta2_ppm.
     */
@@ -738,15 +751,18 @@ object Stats {
     val per = g.groupBy($"grp")
       .agg(count(lit(1)).as("ng"), Exact.decSum($"x").as("sg"))
     val a = per.agg(
-      Exact.decSum(expr(s"(sg * sg * 1000000) div ng")).as("a"),
+      Exact.decSum(expr(Exact.divFloorSql("sg * sg * 1000000", "ng")))
+        .as("a"),
       count(lit(1)).as("n_groups"),
       Exact.decSum($"ng").as("n"), Exact.decSum($"sg").as("ss"))
     val sq = g.agg(Exact.decSum(Exact.dec($"x") * $"x").as("sxx"))
     a.crossJoin(sq)
       .select(
         Exact.asLongOrFail($"n", "etaSquared n").as("n"), $"n_groups",
-        expr("a - (ss * ss * 1000000) div n").as("ssb"),
-        expr("sxx * 1000000 - (ss * ss * 1000000) div n").as("sst"))
+        expr(s"a - ${Exact.divFloorSql("ss * ss * 1000000", "n")}")
+          .as("ssb"),
+        expr("sxx * 1000000 - " +
+          Exact.divFloorSql("ss * ss * 1000000", "n")).as("sst"))
       .select($"n", $"n_groups",
         expr("CASE WHEN sst <= 0 THEN 0L ELSE" +
           " least(1000000L, greatest(0L," +
@@ -761,18 +777,36 @@ object Stats {
     * per-value frame broadcast back; with the per-group micro floor
     * q_g = ((2R_g)²·10⁶) div n_g the statistic
     *   H = [3·Σ q_g / (n(n+1)) − 3(n+1)·10⁶] · (n³−n) / (n³−n − Σ(t³−t))
-    * closes in TWO exact integer divisions (micro units) — no float
+    * closes in exact integer divisions (micro units) — no float
     * anywhere, clamped at 0 against per-group truncation when H = 0.
-    * All-tied input (zero tie divisor) reads 0. Magnitude bound
-    * (loud under the ANSI carrier, never silent): (2R_g)²·10⁶ must
-    * fit DECIMAL(38,0) → 2R_g ≤ 10¹⁶, i.e. n·n_g ≲ 5·10¹⁵ — uniform
-    * 5-group corpora are exact past 10⁷ rows per group and refuse
-    * beyond, the kappa-family posture.
+    * All-tied input (zero tie divisor) reads 0.
+    *
+    * Magnitude bound (loud under the ANSI carrier, never silent):
+    * the per-group fold q_g runs as a remainder-subtract DECIMAL
+    * division ([[Exact.divFloorSql]] — Spark's `div` narrows to
+    * BIGINT and silently WRAPS past 2⁶³ even under ANSI, verified on
+    * this build), exact to quotient 10³². Binding limits are the
+    * DECIMAL(38,0) products: (2R_g)²·10⁶ ≤ 10³⁸ (n·n_g ≤ 10¹⁶) and
+    * the tie-correction product hraw·(n³−n) ≤ 10³⁸ — overall
+    * n ≲ 2·10⁸ periods/rows, i.e. uniform 5-group corpora are exact
+    * past 10⁷ rows per group and refuse LOUDLY beyond (ANSI decimal
+    * overflow), the kappa-family posture.
+    *
+    * @param boundedValueDomain when true (default) the per-value rank
+    *        frame is BROADCAST back onto the rows — safe exactly when
+    *        the value domain is bounded (lengths, token counts,
+    *        deciles: distinct ≪ rows), and required there because a
+    *        value-keyed shuffle join would put the hottest value on
+    *        one partition. For near-continuous values (distinct ≈
+    *        rows) pass false: the frame is corpus-sized (a broadcast
+    *        would OOM the driver) but no value is hot, so the shuffle
+    *        join is straggler-safe — the two risk regimes are
+    *        mutually exclusive, the TextDedup.gramPrefix law.
     *
     * Output: n, n_groups, h_micro.
     */
   def kruskalWallis(df: DataFrame, valueCol: String, grpCol: String,
-      idCol: String): DataFrame = {
+      idCol: String, boundedValueDomain: Boolean = true): DataFrame = {
     val s = df.sparkSession
     import s.implicits._
     val g = df.select(col(valueCol).cast("long").as("v"),
@@ -785,12 +819,15 @@ object Stats {
       Seq($"v", $"id"), rankCol = "rk")
     val perv = ranked.groupBy($"v")
       .agg((min($"rk") + max($"rk")).as("dr"), count(lit(1)).as("t"))
-    val perg = g.join(broadcast(perv.select($"v", $"dr")), "v")
+    val pervS = perv.select($"v", $"dr")
+    val perg = g.join(
+        if (boundedValueDomain) broadcast(pervS) else pervS, "v")
       .groupBy($"grp")
       .agg(count(lit(1)).as("ng"), Exact.decSum($"dr").as("r2g"))
     val f = perg.agg(count(lit(1)).as("n_groups"),
       Exact.decSum($"ng").as("n"),
-      Exact.decSum(expr("(r2g * r2g * 1000000) div ng")).as("q"))
+      Exact.decSum(expr(Exact.divFloorSql("r2g * r2g * 1000000", "ng")))
+        .as("q"))
     val ties = perv.agg(
       Exact.decSum(Exact.dec($"t") * $"t" * $"t" - $"t").as("tie3"))
     f.crossJoin(ties)
