@@ -538,14 +538,26 @@ object Stats {
     * bin frame is the q249 bounded-frame carve-out.
     *
     * Output per bin: bin, n, acc_micro (raw), fitted_micro
-    * (monotone non-decreasing in bin), ordered by bin.
+    * (monotone non-decreasing in bin), ordered by bin. The O(B³)
+    * interval enumeration makes the bounded contract structural:
+    * the bin frame is pinned once (it feeds the prefix window, both
+    * interval sides and the final join) and its bin count must pass
+    * `maxBins` (default 1024 — calibration tables are tens of bins),
+    * loud otherwise.
     */
   def isotonicCalibration(cells: DataFrame, binCol: String, nCol: String,
-      okCol: String): DataFrame = {
+      okCol: String, maxBins: Long = 1024L): DataFrame = {
     val s = cells.sparkSession
     import s.implicits._
     val base = cells.select(col(binCol).cast("long").as("bin"),
       col(nCol).cast("long").as("n"), col(okCol).cast("long").as("ok"))
+      .localCheckpoint()
+    val m = base.count()
+    require(m <= maxBins,
+      s"isotonicCalibration: $m bins exceed maxBins=$maxBins — the " +
+        "O(bins^3) PAV interval frame is a bounded-METADATA " +
+        "contract; fold the corpus to per-bin counts first (or raise " +
+        "maxBins deliberately)")
     val w = org.apache.spark.sql.expressions.Window.orderBy($"bin")
     val pref = base
       .withColumn("pn", sum($"n").over(w))
@@ -582,15 +594,30 @@ object Stats {
     * full-series denominator, overlapping-pair numerator), closed by
     * one sign-symmetric integer division to ppm.
     *
-    * Output per lag: lag, n_pairs, acf_ppm.
+    * The contract is STRUCTURAL, not just documented: the series is
+    * pinned once (localCheckpoint — it feeds the denominator, the
+    * rank pass and every lag join) and its period count must pass
+    * `maxPeriods` (default 10⁶), failing LOUDLY instead of silently
+    * detonating the window on an unaggregated event stream.
+    *
+    * Output per lag: lag, n_pairs, acf_ppm — lags with NO pair
+    * (series shorter than lag+1) are DROPPED, the grouped-fold
+    * reading (an ungrouped agg over an empty join would otherwise
+    * fabricate a (0, 0) row no per-lag GROUP BY engine emits).
     */
   def autocorrelation(series: DataFrame, tCol: String, xCol: String,
-      maxLag: Int): DataFrame = {
+      maxLag: Int, maxPeriods: Long = 1000000L): DataFrame = {
     require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
     val s = series.sparkSession
     import s.implicits._
     val base = series.select(col(tCol).as("t"),
-      col(xCol).cast("long").as("x"))
+      col(xCol).cast("long").as("x")).localCheckpoint()
+    val m = base.count()
+    require(m <= maxPeriods,
+      s"autocorrelation: $m periods exceed maxPeriods=$maxPeriods — " +
+        "this read-out runs on a bounded AGGREGATED series; " +
+        "aggregate the stream to periods first (or raise maxPeriods " +
+        "deliberately)")
     val tot = base.agg(count(lit(1)).as("n"), Exact.decSum($"x").as("sx"))
     val w = org.apache.spark.sql.expressions.Window.orderBy($"t")
     val ranked = base
@@ -608,6 +635,7 @@ object Stats {
           Exact.decSum($"d" * $"dl").as("num"))
     }.reduce(_ unionByName _)
     nums.crossJoin(broadcast(den))
+      .filter($"n_pairs" > 0)
       .select($"lag", $"n_pairs",
         expr("CASE WHEN den <= 0 THEN 0L" +
           " WHEN num < 0 THEN -CAST(((-num) * 1000000) div den AS BIGINT)" +
@@ -625,14 +653,22 @@ object Stats {
     * ties break to the EARLIEST period.
     *
     * Output: n_periods, change_t, dev_ppm (= max|n·S_t|·10⁶ / (n·S),
-    * 0 when the series total is 0).
+    * 0 when the series total is 0). The bounded-frame contract is
+    * structural: the series is pinned once and its period count must
+    * pass `maxPeriods`, loud otherwise (see [[autocorrelation]]).
     */
-  def cusumChangePoint(series: DataFrame, tCol: String, xCol: String)
-      : DataFrame = {
+  def cusumChangePoint(series: DataFrame, tCol: String, xCol: String,
+      maxPeriods: Long = 1000000L): DataFrame = {
     val s = series.sparkSession
     import s.implicits._
     val base = series.select(col(tCol).as("t"),
-      col(xCol).cast("long").as("x"))
+      col(xCol).cast("long").as("x")).localCheckpoint()
+    val m = base.count()
+    require(m <= maxPeriods,
+      s"cusumChangePoint: $m periods exceed maxPeriods=$maxPeriods — " +
+        "this read-out runs on a bounded AGGREGATED series; " +
+        "aggregate the stream to periods first (or raise maxPeriods " +
+        "deliberately)")
     val tot = base.agg(count(lit(1)).as("n"), Exact.decSum($"x").as("sx"))
     val w = org.apache.spark.sql.expressions.Window.orderBy($"t")
     base
@@ -659,14 +695,23 @@ object Stats {
     * metadata).
     *
     * Output: n_periods, n_pairs, slope_micro (per unit of t; lower
-    * median for even pair counts).
+    * median for even pair counts). The O(m²) pair frame makes the
+    * bounded contract structural at a TIGHTER default than the
+    * linear read-outs: `maxPeriods` = 10⁵ (5·10⁹ pairs) — loud
+    * beyond, never a silent detonation on an unaggregated stream.
     */
-  def theilSenSlope(series: DataFrame, tCol: String, xCol: String)
-      : DataFrame = {
+  def theilSenSlope(series: DataFrame, tCol: String, xCol: String,
+      maxPeriods: Long = 100000L): DataFrame = {
     val s = series.sparkSession
     import s.implicits._
     val base = series.select(col(tCol).cast("long").as("t"),
-      col(xCol).cast("long").as("x"))
+      col(xCol).cast("long").as("x")).localCheckpoint()
+    val m = base.count()
+    require(m <= maxPeriods,
+      s"theilSenSlope: $m periods exceed maxPeriods=$maxPeriods — " +
+        "the O(m^2) pairwise-slope frame is a bounded-METADATA " +
+        "contract; aggregate the stream to periods first (or raise " +
+        "maxPeriods deliberately)")
     val b = base.select($"t".as("tj"), $"x".as("xj"))
     val pairs = base.join(b, $"t" < $"tj")
       .select($"t".as("ti"), $"tj",
@@ -691,14 +736,22 @@ object Stats {
     * pieces exact integers on the bounded frame, one mirrored double
     * expression at the close.
     *
-    * Output: n_periods, s_stat, z_ppm (0 when Var = 0).
+    * Output: n_periods, s_stat, z_ppm (0 when Var = 0). Same
+    * structural O(m²) bound as [[theilSenSlope]]: `maxPeriods`
+    * (default 10⁵), loud beyond.
     */
-  def mannKendall(series: DataFrame, tCol: String, xCol: String)
-      : DataFrame = {
+  def mannKendall(series: DataFrame, tCol: String, xCol: String,
+      maxPeriods: Long = 100000L): DataFrame = {
     val s = series.sparkSession
     import s.implicits._
     val base = series.select(col(tCol).cast("long").as("t"),
-      col(xCol).cast("long").as("x"))
+      col(xCol).cast("long").as("x")).localCheckpoint()
+    val nPer = base.count()
+    require(nPer <= maxPeriods,
+      s"mannKendall: $nPer periods exceed maxPeriods=$maxPeriods — " +
+        "the O(m^2) sign-pair frame is a bounded-METADATA contract; " +
+        "aggregate the stream to periods first (or raise maxPeriods " +
+        "deliberately)")
     val b = base.select($"t".as("tj"), $"x".as("xj"))
     val ss = base.join(b, $"t" < $"tj")
       .agg(coalesce(sum(signum($"xj" - $"x").cast("long")), lit(0L))

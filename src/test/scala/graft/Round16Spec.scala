@@ -138,6 +138,48 @@ class Round16Spec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------------------------
+  // 3. Bounded-frame contracts are structural (loud), not scaladoc.
+
+  test("series read-outs refuse an over-bound period count loudly " +
+    "instead of detonating the O(m^2) pair frame") {
+    import spark.implicits._
+    val series = (0 until 50).map(i => (i.toLong, (i % 9).toLong))
+      .toDF("t", "x")
+    val eTs = intercept[IllegalArgumentException](
+      Stats.theilSenSlope(series, "t", "x", maxPeriods = 10L))
+    assert(eTs.getMessage.contains("theilSenSlope"))
+    val eMk = intercept[IllegalArgumentException](
+      Stats.mannKendall(series, "t", "x", maxPeriods = 10L))
+    assert(eMk.getMessage.contains("mannKendall"))
+    val eAc = intercept[IllegalArgumentException](
+      Stats.autocorrelation(series, "t", "x", maxLag = 3,
+        maxPeriods = 10L))
+    assert(eAc.getMessage.contains("autocorrelation"))
+    val eCu = intercept[IllegalArgumentException](
+      Stats.cusumChangePoint(series, "t", "x", maxPeriods = 10L))
+    assert(eCu.getMessage.contains("cusumChangePoint"))
+    val cells = (0 until 20).map(i => (i.toLong, 10L, 5L))
+      .toDF("bin", "n", "ok")
+    val eIso = intercept[IllegalArgumentException](
+      Stats.isotonicCalibration(cells, "bin", "n", "ok", maxBins = 4L))
+    assert(eIso.getMessage.contains("isotonicCalibration"))
+    // within bound: all five still answer
+    assert(Stats.theilSenSlope(series, "t", "x").count() === 1L)
+    assert(Stats.isotonicCalibration(cells, "bin", "n", "ok")
+      .count() === 20L)
+  }
+
+  test("autocorrelation drops pairless lags (series shorter than " +
+    "lag+1) — the per-lag GROUP BY reading both engines share") {
+    import spark.implicits._
+    val short = Seq((1L, 5L), (2L, 9L), (3L, 4L)).toDF("t", "x")
+    val lags = Stats.autocorrelation(short, "t", "x", maxLag = 7)
+      .select("lag").as[Long].collect().toSeq
+    assert(lags === Seq(1L, 2L),
+      s"expected only the lags with pairs, got $lags")
+  }
+
   test("kruskalWallis boundedValueDomain=false takes a shuffle join " +
     "and matches the broadcast path digit for digit") {
     import spark.implicits._
