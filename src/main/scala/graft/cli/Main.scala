@@ -17,6 +17,7 @@ import graft.transform.RideTransform
   *
   * Usage:
   *   load <ridesCsv> <stationsCsv> <storePath>
+  *   load-checked <ridesCsv> <stationsCsv> <storePath>
   *   load-folder <csvDir> <stationsCsv> <storePath> <interimDir>
   *   fetch-latest <portalUrl> <rawDir>
   *   metrics-day <storePath> <yyyy-MM-dd> <outJson>
@@ -74,6 +75,27 @@ object Main {
         RideCsv.read(spark, csv), StationCsv.read(spark, stationsCsv))
       val n = RidesTable.append(spark, cleaned, store)
       println(s"loaded $n new rides into $store")
+
+    // load, gated by the rides data contract: the expectations report
+    // (ext/Expectations.rideContract) runs BEFORE the append touches
+    // the store — a malformed export fails the job LOUDLY, listing
+    // every violated check, instead of spending cluster-hours
+    // materializing metrics over garbage. The cleaned batch is pinned
+    // once so gate + append share one pass over the input.
+    case "load-checked" :: csv :: stationsCsv :: store :: Nil =>
+      val cleaned = RideTransform(
+        RideCsv.read(spark, csv), StationCsv.read(spark, stationsCsv))
+        .localCheckpoint()
+      val gate = graft.ext.Expectations.rideContract(cleaned).collect()
+      val failed = gate.filter(_.getAs[Long]("pass") == 0L)
+      if (failed.nonEmpty)
+        sys.error("data contract FAILED — nothing was written:\n" +
+          failed.map(r => s"  ${r.getAs[String]("check")}: " +
+            s"${r.getAs[Long]("n_violations")} violation(s) over " +
+            s"${r.getAs[Long]("n_checked")} rows").mkString("\n"))
+      val n = RidesTable.append(spark, cleaned, store)
+      println(s"contract ok (${gate.length} checks); " +
+        s"loaded $n new rides into $store")
 
     // load-folder (reference bike_rides_cli.py cmd_load): every CSV in
     // the folder, in name order, each with an interim cleaned-CSV write.

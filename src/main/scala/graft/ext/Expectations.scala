@@ -51,4 +51,44 @@ object Expectations {
         when(col("n_violations") === 0L, 1L).otherwise(0L).as("pass"))
       .orderBy(col("check"))
   }
+
+  /** The built-in data contract for a CLEANED rides batch (the
+    * reference's load path schema — uid/bike_number/start_time/
+    * end_time/duration after RideTransform): the gate
+    * `cli.Main load-checked` runs BEFORE appending to the store, so a
+    * malformed export fails the job loudly instead of spending
+    * cluster-hours materializing metrics over garbage. One scan for
+    * the row checks plus the bounded distinct-count uniqueness row
+    * (the q271 pattern).
+    *
+    * Checks: uid present, rental timestamp parsed, bike id present,
+    * duration non-negative when present, return-before-rental
+    * impossible, and in-batch uid uniqueness.
+    */
+  def rideContract(cleaned: DataFrame): DataFrame = {
+    val rows = report(Seq(("rides", cleaned, Seq(
+      "uid_null" -> col("uid").isNull,
+      "start_time_null" -> col("start_time").isNull,
+      "bike_number_null" ->
+        (col("bike_number").isNull ||
+          length(trim(col("bike_number"))) === 0),
+      "duration_negative" ->
+        (col("duration").isNotNull && col("duration") < 0),
+      "end_before_start" ->
+        (col("start_time").isNotNull && col("end_time").isNotNull &&
+          col("end_time") < col("start_time"))))))
+    val uniq = cleaned
+      .agg(count(lit(1)).as("n"),
+        count_distinct(col("uid")).as("d"),
+        coalesce(sum(when(col("uid").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("nulls"))
+      // countDistinct skips NULLs — add them back so a batch of only
+      // NULL uids doesn't read as "unique"
+      .select(lit("rides.uid_duplicate").as("check"),
+        col("n").as("n_checked"),
+        (col("n") - col("d") - col("nulls")).as("n_violations"))
+      .select(col("check"), col("n_checked"), col("n_violations"),
+        when(col("n_violations") === 0L, 1L).otherwise(0L).as("pass"))
+    rows.unionByName(uniq).orderBy(col("check"))
+  }
 }

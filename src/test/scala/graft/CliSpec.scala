@@ -35,6 +35,45 @@ class CliSpec extends SparkSpec {
     assert(days3.size >= 7)
   }
 
+  test("load-checked: clean batch loads; dirty batch fails the gate " +
+    "loudly and writes NOTHING to the store") {
+    val base = tmpDir("cligate")
+    val store = s"$base/store"
+    val header = "UID wynajmu,Numer roweru,Data wynajmu,Data zwrotu," +
+      "Stacja wynajmu,Stacja zwrotu,Czas trwania"
+    def writeCsv(name: String, rows: Seq[String]): String = {
+      val p = java.nio.file.Paths.get(base, name)
+      java.nio.file.Files.write(p,
+        (header +: rows).mkString("\n").getBytes("UTF-8"))
+      p.toString
+    }
+    val clean = writeCsv("clean.csv", Seq(
+      "1,600001,2024-06-07 08:00:00,2024-06-07 08:30:00,A,B,30",
+      "2,600002,2024-06-07 09:00:00,2024-06-07 09:10:00,B,A,10"))
+    // duplicate uid, a negative duration AND a return before rental
+    val dirty = writeCsv("dirty.csv", Seq(
+      "5,600001,2024-06-08 08:00:00,2024-06-08 08:30:00,A,B,30",
+      "5,600002,2024-06-08 09:00:00,2024-06-08 09:10:00,B,A,10",
+      "6,600003,2024-06-08 09:00:00,2024-06-08 08:00:00,A,B,-60"))
+
+    Main.run(spark, List("load-checked", clean, stationsCsv, store))
+    assert(spark.read.parquet(store).count() === 2L)
+
+    val e = intercept[RuntimeException](
+      Main.run(spark, List("load-checked", dirty, stationsCsv, store)))
+    assert(e.getMessage.contains("data contract FAILED"))
+    assert(e.getMessage.contains("uid_duplicate"))
+    assert(e.getMessage.contains("duration_negative"))
+    assert(e.getMessage.contains("end_before_start"))
+    // the failed batch wrote nothing
+    assert(spark.read.parquet(store).count() === 2L)
+
+    // idempotent re-load of the clean batch is a no-op (the K2 gate
+    // composes with the contract gate)
+    Main.run(spark, List("load-checked", clean, stationsCsv, store))
+    assert(spark.read.parquet(store).count() === 2L)
+  }
+
   test("status-once through the CLI") {
     val landing = tmpDir("cliland")
     java.nio.file.Files.copy(
