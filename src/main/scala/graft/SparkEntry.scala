@@ -43,7 +43,8 @@ object SparkEntry {
       graft.queries.Extended25.queries ++
       graft.queries.Extended26.queries ++
       graft.queries.Extended27.queries ++
-      graft.queries.Extended28.queries
+      graft.queries.Extended28.queries ++
+      graft.queries.Extended29.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -72,5 +73,6 @@ object SparkEntry {
       graft.queries.Extended25.oracles ++
       graft.queries.Extended26.oracles ++
       graft.queries.Extended27.oracles ++
-      graft.queries.Extended28.oracles
+      graft.queries.Extended28.oracles ++
+      graft.queries.Extended29.oracles
 }

@@ -31,7 +31,7 @@ object Stats {
   /** Loud 0/1 group guard — the [[Eval]] NULL discipline: a NULL or
     * out-of-domain group label raises with the operator's name rather
     * than silently landing in either sample. */
-  private def groupBit(g: Column, what: String): Column =
+  private[graft] def groupBit(g: Column, what: String): Column =
     when(g.isNull || (g =!= 0 && g =!= 1),
       raise_error(lit(s"$what: group column must be 0 or 1 and non-null"))
         .cast("int"))
@@ -57,9 +57,36 @@ object Stats {
     import s.implicits._
     val g = df.select(col(valueCol).cast("long").as("v"),
       groupBit(col(grpCol), what).as("g"))
-    val per = g.groupBy($"v")
+    cdfFromPer(g.groupBy($"v")
       .agg(sum(when($"g" === 1, 1L).otherwise(0L)).as("a"),
-        count(lit(1)).as("t"))
+        count(lit(1)).as("t")))
+  }
+
+  /** The SAME CDF frame from pre-folded per-(value, group) COUNT cells
+    * (v, g ∈ {0,1}, n) — the mergeable sufficient statistic a
+    * streaming monitor persists ([[graft.streaming.StreamEval]]):
+    * per-(group, value) counts merge by ADDITION, so stream-built ≡
+    * batch-built holds at the fold, before any statistic is read. */
+  private def twoSampleCdfFromCounts(cells: DataFrame, valueCol: String,
+      grpCol: String, cntCol: String, what: String): DataFrame = {
+    val s = cells.sparkSession
+    import s.implicits._
+    val c = cells.select(col(valueCol).cast("long").as("v"),
+      groupBit(col(grpCol), what).as("g"),
+      col(cntCol).cast("long").as("n"))
+    cdfFromPer(c.groupBy($"v")
+      .agg(sum(when($"g" === 1, $"n").otherwise(0L)).as("a"),
+        sum($"n").as("t")))
+  }
+
+  /** Shared tail of both CDF builders: per = (v, a, t), pinned once
+    * (localCheckpoint — a bounded value histogram): it feeds the rank
+    * pass AND the n1/n2 totals, and without the pin the corpus
+    * aggregation that built it ran once per consumer. */
+  private def cdfFromPer(perIn: DataFrame): DataFrame = {
+    val per = perIn.localCheckpoint()
+    val s = per.sparkSession
+    import s.implicits._
     val cum = GlobalRank.withRankAndPrefixSum(
       GlobalRank.withPrefixSum(per, Seq($"v"), "a", "ca"),
       Seq($"v"), valueCol = "t", rankCol = "rk", sumCol = "ct")
@@ -83,10 +110,22 @@ object Stats {
     * ks_ppm (= ⌊D·10⁶⌋, always in range).
     */
   def ksTwoSample(df: DataFrame, valueCol: String, grpCol: String)
-      : DataFrame = {
-    val s = df.sparkSession
+      : DataFrame =
+    ksFold(twoSampleCdf(df, valueCol, grpCol, "ksTwoSample"))
+
+  /** [[ksTwoSample]] from pre-folded (value, group, count) cells —
+    * LITERALLY the same fold over the counts-built CDF frame, so a
+    * streaming monitor's persisted per-(group, value) counts read the
+    * identical statistic the batch operator computes. */
+  def ksTwoSampleFromCounts(cells: DataFrame, valueCol: String,
+      grpCol: String, cntCol: String): DataFrame =
+    ksFold(twoSampleCdfFromCounts(cells, valueCol, grpCol, cntCol,
+      "ksTwoSampleFromCounts"))
+
+  private def ksFold(cdf: DataFrame): DataFrame = {
+    val s = cdf.sparkSession
     import s.implicits._
-    twoSampleCdf(df, valueCol, grpCol, "ksTwoSample")
+    cdf
       .select($"n1", $"n2",
         abs(Exact.dec($"ia") * $"n2" - Exact.dec($"ib") * $"n1").as("dn"))
       .groupBy($"n1", $"n2").agg(max($"dn").as("d_num"))
@@ -111,10 +150,20 @@ object Stats {
     * Output: n1, n2, t_micro (= ⌊T·10⁶⌋).
     */
   def cvmTwoSample(df: DataFrame, valueCol: String, grpCol: String)
-      : DataFrame = {
-    val s = df.sparkSession
+      : DataFrame =
+    cvmFold(twoSampleCdf(df, valueCol, grpCol, "cvmTwoSample"))
+
+  /** [[cvmTwoSample]] from pre-folded (value, group, count) cells —
+    * the [[ksTwoSampleFromCounts]] delegation contract. */
+  def cvmTwoSampleFromCounts(cells: DataFrame, valueCol: String,
+      grpCol: String, cntCol: String): DataFrame =
+    cvmFold(twoSampleCdfFromCounts(cells, valueCol, grpCol, cntCol,
+      "cvmTwoSampleFromCounts"))
+
+  private def cvmFold(cdf: DataFrame): DataFrame = {
+    val s = cdf.sparkSession
     import s.implicits._
-    twoSampleCdf(df, valueCol, grpCol, "cvmTwoSample")
+    cdf
       .select($"n1", $"n2",
         expr(s"abs(CAST(ia AS ${Exact.Dec}) * n2" +
           s" - CAST(ib AS ${Exact.Dec}) * n1) * 1000000" +
@@ -140,10 +189,19 @@ object Stats {
     * Output: n1, n2, w1_micro (= ⌊W₁·10⁶⌋, value units).
     */
   def wasserstein1(df: DataFrame, valueCol: String, grpCol: String)
-      : DataFrame = {
-    val s = df.sparkSession
+      : DataFrame =
+    w1Fold(twoSampleCdf(df, valueCol, grpCol, "wasserstein1"))
+
+  /** [[wasserstein1]] from pre-folded (value, group, count) cells —
+    * the [[ksTwoSampleFromCounts]] delegation contract. */
+  def wasserstein1FromCounts(cells: DataFrame, valueCol: String,
+      grpCol: String, cntCol: String): DataFrame =
+    w1Fold(twoSampleCdfFromCounts(cells, valueCol, grpCol, cntCol,
+      "wasserstein1FromCounts"))
+
+  private def w1Fold(cdf: DataFrame): DataFrame = {
+    val s = cdf.sparkSession
     import s.implicits._
-    val cdf = twoSampleCdf(df, valueCol, grpCol, "wasserstein1")
     val nxt = cdf.select(($"rk" - 1).as("rk"), $"v".as("v_next"))
     // decSum's empty-sum-is-0 keeps the single-distinct-value corpus
     // (no adjacent pair at all) at W1 = 0 rather than zero rows
@@ -255,7 +313,11 @@ object Stats {
         raise_error(lit("chiSquareHomogeneity: NULL in group column"))
           .cast("string"))
         .otherwise(col(grpCol).cast("string")).as("grp"))
+    // pinned once (bounded: bins × groups): the cell frame feeds the
+    // row/column marginals, the totals AND the main join — without
+    // the pin the corpus aggregation that built it ran 4×
     val cells = base.groupBy($"bin", $"grp").agg(count(lit(1)).as("o"))
+      .localCheckpoint()
     val rows = cells.groupBy($"bin").agg(sum($"o").as("r"))
     val cols = cells.groupBy($"grp").agg(sum($"o").as("c"))
     val tot = cells.agg(sum($"o").as("n"),
@@ -503,6 +565,11 @@ object Stats {
     * single exact rank selection (clamped to the type count) against
     * the inclusive prefix sum; the k-row lookup side is broadcast.
     *
+    * The histogram is pinned once (localCheckpoint — vocabulary-sized,
+    * bounded): it feeds BOTH the rank pass and the totals aggregation,
+    * and without the pin the caller's histogram build (for q256 a full
+    * corpus tokenization — the dominant cost at scale) ran twice.
+    *
     * Output: (k, types_used, coverage_ppm), ordered by k.
     */
   def coverageCurve(counts: DataFrame, tokenCol: String, cntCol: String,
@@ -511,7 +578,7 @@ object Stats {
     val s = counts.sparkSession
     import s.implicits._
     val base = counts.select(col(tokenCol).cast("string").as("tok"),
-      col(cntCol).cast("long").as("cnt"))
+      col(cntCol).cast("long").as("cnt")).localCheckpoint()
     val ranked = GlobalRank.withRankAndPrefixSum(base,
       Seq($"cnt".desc, $"tok"), valueCol = "cnt",
       rankCol = "rk", sumCol = "cb")
@@ -895,6 +962,93 @@ object Stats {
         expr("CASE WHEN n3n - tie3 <= 0 THEN 0L ELSE" +
           " greatest(0L, CAST((hraw * n3n) div (n3n - tie3) AS BIGINT))" +
           " END").as("h_micro"))
+  }
+
+  /** Pettitt change-point test over an aggregated series (the
+    * rank-based, distribution-free companion to [[cusumChangePoint]]:
+    * a single burst day cannot fake a regime shift here). The
+    * statistic U_t = Σ_{i≤t} Σ_{j>t} sign(x_i − x_j) folds in O(m)
+    * via the mid-rank identity U_t = Σ_{i≤t} dr_i − t(m+1) with dr
+    * the q244 double-rank (2× the average rank — all integers), so
+    * the whole test is one rank pass + one time-ordered prefix sum on
+    * the bounded frame; K = max_t |U_t| over t < m, ties to the
+    * EARLIEST period. The approximate significance
+    * p ≈ 2·exp(−6K²/(m³+m²)) is the ONE mirrored double expression.
+    * Bounded contract structural as in [[autocorrelation]].
+    *
+    * Output: n_periods, change_t, k_stat, p_ppm (capped at 10⁶);
+    * empty for m < 2 (no interior split point exists).
+    */
+  def pettittChangePoint(series: DataFrame, tCol: String, xCol: String,
+      maxPeriods: Long = 1000000L): DataFrame = {
+    val s = series.sparkSession
+    import s.implicits._
+    val base = series.select(col(tCol).as("t"),
+      col(xCol).cast("long").as("x")).localCheckpoint()
+    val m = base.count()
+    require(m <= maxPeriods,
+      s"pettittChangePoint: $m periods exceed maxPeriods=$maxPeriods " +
+        "— this read-out runs on a bounded AGGREGATED series; " +
+        "aggregate the stream to periods first (or raise maxPeriods " +
+        "deliberately)")
+    val wv = org.apache.spark.sql.expressions.Window.orderBy($"x", $"t")
+    val ranked = base
+      .withColumn("rk", row_number().over(wv)) // bounded frame
+    val dr = ranked.groupBy($"x")
+      .agg((min($"rk") + max($"rk")).as("dr"))
+    val wt = org.apache.spark.sql.expressions.Window.orderBy($"t")
+    base.join(dr, "x")
+      .withColumn("tpos", row_number().over(wt)) // bounded frame
+      .withColumn("pref", sum($"dr").over(wt))
+      .select($"t", $"tpos",
+        ($"pref" - $"tpos" * lit(m + 1)).as("u"))
+      .filter($"tpos" < m)
+      .orderBy(abs($"u").desc, $"t".asc).limit(1)
+      .select(lit(m).as("n_periods"), $"t".as("change_t"),
+        abs($"u").as("k_stat"),
+        expr(s"least(1000000L, CAST(floor(2.0" +
+          " * exp(-6.0 * CAST(abs(u) AS DOUBLE) * abs(u)" +
+          s" / (CAST($m AS DOUBLE) * $m * $m" +
+          s" + CAST($m AS DOUBLE) * $m))" +
+          " * 1000000.0 + 0.5) AS BIGINT))").as("p_ppm"))
+  }
+
+  /** Page–Hinkley-style drawup read-out over an aggregated series
+    * (δ = 0): the maximum rise of the centered cumulative-sum path
+    * above its own running minimum, max_t (S_t − min_{s≤t} S_s) —
+    * the sequential "sustained increase" detector where
+    * [[cusumChangePoint]] finds the single largest |deviation|.
+    * Multiplied through by n ([[autocorrelation]]'s device) the path
+    * n·S_t = Σ_{i≤t}(n·x_i − S) stays an exact DECIMAL integer; the
+    * drawup is priced as a ppm share of the series' total mass (the
+    * [[cusumChangePoint]] normalization). Ties to the EARLIEST
+    * period. Bounded contract structural.
+    *
+    * Output: n_periods, peak_t, ph_ppm (0 when the series total ≤ 0).
+    */
+  def pageHinkleyDrawup(series: DataFrame, tCol: String, xCol: String,
+      maxPeriods: Long = 1000000L): DataFrame = {
+    val s = series.sparkSession
+    import s.implicits._
+    val base = series.select(col(tCol).as("t"),
+      col(xCol).cast("long").as("x")).localCheckpoint()
+    val m = base.count()
+    require(m <= maxPeriods,
+      s"pageHinkleyDrawup: $m periods exceed maxPeriods=$maxPeriods " +
+        "— this read-out runs on a bounded AGGREGATED series; " +
+        "aggregate the stream to periods first (or raise maxPeriods " +
+        "deliberately)")
+    val tot = base.agg(count(lit(1)).as("n"), Exact.decSum($"x").as("sx"))
+    val wt = org.apache.spark.sql.expressions.Window.orderBy($"t")
+    base.crossJoin(broadcast(tot))
+      .withColumn("d", expr(s"CAST(n AS ${Exact.Dec}) * x - sx"))
+      .withColumn("cs", sum($"d").over(wt)) // bounded frame
+      .withColumn("dup", $"cs" - min($"cs").over(wt))
+      .orderBy($"dup".desc, $"t".asc).limit(1)
+      .select($"n".as("n_periods"), $"t".as("peak_t"),
+        expr(s"CASE WHEN sx <= 0 THEN 0L ELSE" +
+          s" CAST((dup * 1000000) div (CAST(n AS ${Exact.Dec}) * sx)" +
+          " AS BIGINT) END").as("ph_ppm"))
   }
 
   /** Kendall tau-b from a bounded contingency: concordant/discordant

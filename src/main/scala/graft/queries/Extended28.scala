@@ -516,7 +516,8 @@ object Extended28 {
   private val dailyMemo = new java.util.concurrent.ConcurrentHashMap[
     String, Seq[(java.sql.Date, Long)]]()
 
-  private def dailySeries(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def dailySeries(s: SparkSession, dir: String)
+      : DataFrame = {
     val rows = dailyMemo.computeIfAbsent(dir, _ => {
       import s.implicits._
       t(s, dir, "events")

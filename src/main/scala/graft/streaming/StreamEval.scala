@@ -268,6 +268,97 @@ object StreamEval {
     graft.ext.Drift.psiFromCounts(
       binnedCounts(spark, statePath), "group", "bin", "n", outGroupCol)
 
+  // ------------------------------------------------------------------
+  // Two-sample distribution monitoring on RAW values: per-(group,
+  // value) counts are the sufficient statistic for the EXACT
+  // two-sample family (KS / Cramér–von Mises / Wasserstein-1 — no
+  // binning loss, unlike the binned drift trio above), bounded by the
+  // distinct-value count forever, merged by addition — the same
+  // semilattice contract as every state in this file.
+
+  /** Start a two-sample value monitor over a streaming frame of
+    * (value, group ∈ {0,1}) rows — e.g. doc lengths tagged
+    * baseline/candidate. */
+  def startValues(rows: DataFrame, valueCol: String, grpCol: String,
+      statePath: String, checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("60 seconds"))
+      : StreamingQuery = {
+    val spark = rows.sparkSession
+    rows.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        mergeValueBatch(spark, batch, valueCol, grpCol, statePath, id)
+        ()
+      }
+      .start()
+  }
+
+  /** One value micro-batch: fold to (v, g, n) and add into the state.
+    * Same idempotent-replay and crash-safe-swap contract as
+    * [[mergeBatch]]. The projection (value cast long, the loud 0/1
+    * group guard) is LITERALLY [[graft.ext.Stats]]' two-sample
+    * projection, so stream ≡ batch starts at the fold — a NULL or
+    * out-of-domain group label fails the batch rather than silently
+    * landing in either sample. */
+  def mergeValueBatch(spark: SparkSession, batch: DataFrame,
+      valueCol: String, grpCol: String, statePath: String,
+      batchId: Long): Long = {
+    val prev: Option[DataFrame] = readState(spark, statePath)
+    val maxSeen = prev.flatMap(p =>
+        Option(p.agg(max(col("batch_id"))).head().get(0)))
+      .map(_.asInstanceOf[Long]).getOrElse(-1L)
+    if (batchId <= maxSeen) return 0L
+    val nRows = batch.count()
+    if (nRows == 0L) return 0L
+    val delta = batch.select(col(valueCol).cast("long").as("v"),
+        graft.ext.Stats.groupBit(col(grpCol), "mergeValueBatch")
+          .as("g"))
+      .groupBy(col("v"), col("g"))
+      .agg(count(lit(1)).as("n"))
+    val merged = prev.map(_.select(col("v"), col("g"), col("n")))
+      .map(_.unionByName(delta)).getOrElse(delta)
+      .groupBy(col("v"), col("g"))
+      .agg(sum(col("n")).as("n"))
+      .withColumn("batch_id", lit(batchId))
+    val tmp = statePath + "_tmp"
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
+    replace(spark, tmp, statePath)
+    nRows
+  }
+
+  /** Current two-sample value cells (v, g, n). */
+  def valueCounts(spark: SparkSession, statePath: String): DataFrame =
+    readState(spark, statePath)
+      .getOrElse(throw new IllegalStateException(
+        s"no monitor state at $statePath (and no backup generation)"))
+      .select(col("v"), col("g"), col("n"))
+      .orderBy(col("v"), col("g"))
+
+  /** Exact two-sample KS from the monitor state — LITERALLY
+    * [[graft.ext.Stats.ksTwoSampleFromCounts]] over the persisted
+    * cells, so stream-built ≡ batch-built to the last digit by
+    * construction (StreamEvalSpec pins it with out-of-order + replay
+    * delivery). */
+  def ksTwoSampleFromState(spark: SparkSession, statePath: String)
+      : DataFrame =
+    graft.ext.Stats.ksTwoSampleFromCounts(
+      valueCounts(spark, statePath), "v", "g", "n")
+
+  /** Exact Cramér–von Mises from the SAME monitor state — the
+    * [[ksTwoSampleFromState]] delegation contract: one value state
+    * feeds the whole two-sample family. */
+  def cvmTwoSampleFromState(spark: SparkSession, statePath: String)
+      : DataFrame =
+    graft.ext.Stats.cvmTwoSampleFromCounts(
+      valueCounts(spark, statePath), "v", "g", "n")
+
+  /** Exact Wasserstein-1 from the SAME monitor state. */
+  def wasserstein1FromState(spark: SparkSession, statePath: String)
+      : DataFrame =
+    graft.ext.Stats.wasserstein1FromCounts(
+      valueCounts(spark, statePath), "v", "g", "n")
+
   /** Current confusion counts (label, pred, n), ready for the
     * counts-based folds in [[graft.ext.Eval]]. */
   def counts(spark: SparkSession, statePath: String): DataFrame =

@@ -170,6 +170,72 @@ class Round16Spec extends SparkSpec {
       .count() === 20L)
   }
 
+  // ------------------------------------------------------------------
+  // 4. New sequential change detectors vs literal brute force.
+
+  test("pettittChangePoint == brute double-loop U_t (incl. ties); " +
+    "a planted level shift is found at the shift; p_ppm mirrors the " +
+    "textbook approximation") {
+    import spark.implicits._
+    // noisy series with ties and a level shift at t = 20
+    val xs = (0 until 32).map(i =>
+      (i.toLong, (i % 5).toLong + (if (i >= 20) 40L else 0L)))
+    val df = xs.toDF("t", "x")
+    val m = xs.size
+    // brute: U_t = sum_{i<=t} sum_{j>t} sign(x_i - x_j), t in [1, m)
+    val us = (1 until m).map { tp =>
+      val (a, b) = xs.map(_._2).splitAt(tp)
+      tp.toLong -> a.map(xi => b.map(xj =>
+        java.lang.Long.signum(xi - xj).toLong).sum).sum
+    }
+    val (bt, bu) = us.minBy { case (tp, u) => (-math.abs(u), tp) }
+    val k = math.abs(bu)
+    val pExp = math.min(1000000L, math.floor(2.0 *
+      math.exp(-6.0 * k.toDouble * k /
+        (m.toDouble * m * m + m.toDouble * m)) * 1000000.0 + 0.5)
+      .toLong)
+    val r = Stats.pettittChangePoint(df, "t", "x").head()
+    assert(r.getAs[Long]("n_periods") === m.toLong)
+    assert(r.getAs[Long]("change_t") === bt - 1L,
+      "change_t must be the LAST period of the pre-shift segment")
+    assert(r.getAs[Long]("k_stat") === k)
+    assert(r.getAs[Long]("p_ppm") === pExp)
+    // the split lands at the shift boundary (|U| ties between the
+    // last two pre-shift periods resolve earliest)
+    assert(r.getAs[Long]("change_t") >= 18L &&
+      r.getAs[Long]("change_t") <= 19L,
+      s"split ${r.getAs[Long]("change_t")} is off the planted boundary")
+    // m < 2: no interior split point — empty read-out
+    assert(Stats.pettittChangePoint(
+      Seq((1L, 5L)).toDF("t", "x"), "t", "x").count() === 0L)
+  }
+
+  test("pageHinkleyDrawup == brute centered-cumsum drawup; a dip-" +
+    "then-rise series peaks at the rise, earliest tie wins") {
+    import spark.implicits._
+    val xs = (0 until 24).map(i =>
+      (i.toLong, if (i < 8) 10L else if (i < 16) 2L else 30L))
+    val df = xs.toDF("t", "x")
+    val n = BigInt(xs.size)
+    val sx = xs.map(x => BigInt(x._2)).sum
+    val ds = xs.map(x => n * x._2 - sx)
+    val cs = ds.scanLeft(BigInt(0))(_ + _).tail
+    val dups = cs.zipWithIndex.map { case (c, i) =>
+      (xs(i)._1, c - cs.take(i + 1).min) }
+    val (bt, bd) = dups.minBy { case (tp, d) => (-d, tp) }
+    val expPpm = (bd * 1000000) / (n * sx)
+    val r = Stats.pageHinkleyDrawup(df, "t", "x").head()
+    assert(r.getAs[Long]("n_periods") === xs.size.toLong)
+    assert(r.getAs[Long]("peak_t") === bt)
+    assert(BigInt(r.getAs[Long]("ph_ppm")) === expPpm)
+    assert(r.getAs[Long]("peak_t") === 23L,
+      "the drawup must peak at the end of the planted rise")
+    // guard is loud
+    val e = intercept[IllegalArgumentException](
+      Stats.pageHinkleyDrawup(df, "t", "x", maxPeriods = 5L))
+    assert(e.getMessage.contains("pageHinkleyDrawup"))
+  }
+
   test("autocorrelation drops pairless lags (series shorter than " +
     "lag+1) — the per-lag GROUP BY reading both engines share") {
     import spark.implicits._

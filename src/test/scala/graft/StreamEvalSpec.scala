@@ -203,6 +203,60 @@ class StreamEvalSpec extends SparkSpec {
     assert(ksBySrc("c") > ksBySrc("a") && ksBySrc("c") > ksBySrc("b"))
   }
 
+  test("two-sample value monitor: stream-built KS/CvM/W1 == " +
+    "batch-built to the last digit, out-of-order batches, replay a " +
+    "no-op, NULL group loud") {
+    import spark.implicits._
+    val state = tmpDir("sevaltwos") + "/state"
+    // group 1 shifted +3 vs group 0, heavy ties — exercises the
+    // tie-aware CDF and the W1 gap weighting
+    def mkBatch(seed: Int, n: Int) =
+      (0 until n).map { i =>
+        val g = (i + seed) % 2
+        val v = (i * 7 + seed) % 10 + (if (g == 1) 3L else 0L)
+        (v, g)
+      }.toDF("v", "g")
+    val b1 = mkBatch(1, 60)
+    val b2 = mkBatch(5, 41)
+    val b3 = mkBatch(8, 33)
+    // out-of-order delivery relative to construction order
+    assert(StreamEval.mergeValueBatch(spark, b2, "v", "g",
+      state, 0L) === 41L)
+    assert(StreamEval.mergeValueBatch(spark, b3, "v", "g",
+      state, 1L) === 33L)
+    // replay after a simulated restart: no-op
+    assert(StreamEval.mergeValueBatch(spark, b3, "v", "g",
+      state, 1L) === 0L)
+    assert(StreamEval.mergeValueBatch(spark, b1, "v", "g",
+      state, 2L) === 60L)
+    val all = b2.unionByName(b3).unionByName(b1)
+    for ((name, fromState, batchOp) <- Seq(
+      ("ks", StreamEval.ksTwoSampleFromState(spark, state),
+        graft.ext.Stats.ksTwoSample(all, "v", "g")),
+      ("cvm", StreamEval.cvmTwoSampleFromState(spark, state),
+        graft.ext.Stats.cvmTwoSample(all, "v", "g")),
+      ("w1", StreamEval.wasserstein1FromState(spark, state),
+        graft.ext.Stats.wasserstein1(all, "v", "g")))) {
+      val got = fromState.collect().map(_.toSeq).toSeq
+      val want = batchOp.collect().map(_.toSeq).toSeq
+      assert(got === want, s"stream $name diverged:\n$got\nvs\n$want")
+    }
+    // the shifted fixture actually drifts — the read-out is non-zero
+    assert(StreamEval.ksTwoSampleFromState(spark, state)
+      .head().getAs[Long]("ks_ppm") > 100000L)
+    // a NULL group label fails the merge loudly, and the state is
+    // untouched by the failed batch
+    val before = StreamEval.valueCounts(spark, state)
+      .collect().map(_.toSeq).toSeq
+    val bad = Seq((1L, Some(0)), (2L, None))
+      .toDF("v", "g")
+    val e = intercept[Exception](
+      StreamEval.mergeValueBatch(spark, bad, "v", "g", state, 3L))
+    assert(e.getMessage.contains("mergeValueBatch"))
+    assert(StreamEval.valueCounts(spark, state)
+      .collect().map(_.toSeq).toSeq === before)
+  }
+
   test("end-to-end stream: file source -> monitor state via AvailableNow") {
     import spark.implicits._
     val landing = tmpDir("sevalland")
