@@ -655,7 +655,7 @@ object Stress {
           narrow.select($"n_chars".as("v"), $"g"), "v", "g").count()
       }
       timed("st2-mwu") {
-        graft.ext.Stats.mannWhitneyZ(narrow, "n_chars", "g", "doc_id")
+        graft.ext.Stats.mannWhitneyZ(narrow, "n_chars", "g")
           .count()
       }
       timed("st2-perm32") {

@@ -219,17 +219,17 @@ object Stats {
   /** Mann–Whitney U with tie-corrected normal approximation, exact
     * until the single final z expression.
     *
-    * Pooled average ranks use the q244 double-rank device: with rk a
-    * deterministic global row number over (value, id), the per-value
-    * min(rk)+max(rk) equals TWICE the average rank of every row
-    * sharing that value — all integers. When `boundedValueDomain`
-    * (default) the per-value frame (bounded by the distinct-value
-    * count) is BROADCAST back to the rows: a value-keyed shuffle join
-    * would put the hottest value on one partition. For
-    * near-continuous values pass false — the frame is corpus-sized
-    * (broadcast would OOM the driver) but then no value is hot, so
-    * the shuffle join is straggler-safe: the two risk regimes are
-    * mutually exclusive (the TextDedup.gramPrefix law). Then
+    * Pooled average ranks use the q244 double-rank device made
+    * JOIN-FREE: the per-value double rank (min + max of the row
+    * ranks sharing a value = TWICE the average rank) is a pure
+    * function of the value histogram's prefix sums —
+    * dr_v = 2·C(<v) + t_v + 1 — so Σ_{g=1} dr = Σ_v a_v·dr_v folds
+    * from the SAME histogram row that carries a_v. The corpus is
+    * touched exactly once (the map-side-combinable (value → a, t)
+    * fold); everything after runs on the bounded histogram, and the
+    * r15 hazard — a per-value frame broadcast (driver OOM when
+    * distinct ≈ rows) or shuffled (hot-value straggler) back onto
+    * the corpus — is structurally GONE: there is no join. Then
     *   2U₁ = Σ_{g=1} dr − n₁(n₁+1),   E[2U₁] = n₁n₂,
     *   Var(U) = n₁n₂·((n+1)·n·(n−1) − Σ(t³−t)) / (12·n·(n−1)),
     * and z = (2U₁ − n₁n₂) / (2·√Var) — the variance pieces stay on
@@ -243,27 +243,47 @@ object Stats {
     * on negative values), and z_ppm (0 when the variance is 0 — all
     * values tied).
     */
-  def mannWhitneyZ(df: DataFrame, valueCol: String, grpCol: String,
-      idCol: String, boundedValueDomain: Boolean = true): DataFrame = {
+  def mannWhitneyZ(df: DataFrame, valueCol: String, grpCol: String)
+      : DataFrame = {
     val s = df.sparkSession
     import s.implicits._
     val g = df.select(col(valueCol).cast("long").as("v"),
-      col(idCol).cast("long").as("id"),
       groupBit(col(grpCol), "mannWhitneyZ").as("g"))
-    val ranked = GlobalRank.withRank(g.select($"v", $"id"),
-      Seq($"v", $"id"), rankCol = "rk")
-    val perv = ranked.groupBy($"v")
-      .agg((min($"rk") + max($"rk")).as("dr"), count(lit(1)).as("t"))
-    val pervS = perv.select($"v", $"dr")
-    val f = g.join(
-        if (boundedValueDomain) broadcast(pervS) else pervS, "v")
-      .agg(count(lit(1)).as("n"),
-        sum($"g".cast("long")).as("n1"),
-        Exact.decSum(when($"g" === 1, $"dr").otherwise(0L)).as("sdr1"))
-      .select($"n", $"n1", ($"n" - $"n1").as("n2"), $"sdr1")
-    val ties = perv.agg(
-      Exact.decSum(Exact.dec($"t") * $"t" * $"t" - $"t").as("tie3"))
-    f.crossJoin(ties)
+    mwuFold(g.groupBy($"v")
+      .agg(sum(when($"g" === 1, 1L).otherwise(0L)).as("a"),
+        count(lit(1)).as("t")))
+  }
+
+  /** [[mannWhitneyZ]] from pre-folded (value, group, count) cells —
+    * the [[ksTwoSampleFromCounts]] delegation contract: the streaming
+    * monitor's per-(group, value) counts state reads the identical
+    * statistic (and Cliff's δ effect size) the batch operator
+    * computes. */
+  def mannWhitneyZFromCounts(cells: DataFrame, valueCol: String,
+      grpCol: String, cntCol: String): DataFrame = {
+    val s = cells.sparkSession
+    import s.implicits._
+    val c = cells.select(col(valueCol).cast("long").as("v"),
+      groupBit(col(grpCol), "mannWhitneyZFromCounts").as("g"),
+      col(cntCol).cast("long").as("n"))
+    mwuFold(c.groupBy($"v")
+      .agg(sum(when($"g" === 1, $"n").otherwise(0L)).as("a"),
+        sum($"n").as("t")))
+  }
+
+  /** Shared MWU fold over the (v, a, t) value histogram: one prefix
+    * pass gives dr = 2·C(<v) + t + 1, then ONE aggregation closes
+    * every quantity (n, n₁, Σ a·dr, tie correction). */
+  private def mwuFold(per: DataFrame): DataFrame = {
+    val s = per.sparkSession
+    import s.implicits._
+    GlobalRank.withPrefixSum(per, Seq($"v"), "t", "ct")
+      .agg(coalesce(sum($"t"), lit(0L)).as("n"),
+        coalesce(sum($"a"), lit(0L)).as("n1"),
+        Exact.decSum(Exact.dec($"a") * ($"ct" * 2 + $"t" + 1))
+          .as("sdr1"),
+        Exact.decSum(Exact.dec($"t") * $"t" * $"t" - $"t").as("tie3"))
+      .select($"n", $"n1", ($"n" - $"n1").as("n2"), $"sdr1", $"tie3")
       .select($"n", $"n1", $"n2",
         expr(s"sdr1 - CAST(n1 AS ${Exact.Dec}) * (n1 + 1)").as("u1_x2"),
         expr(s"CAST(n + 1 AS ${Exact.Dec}) * n * (n - 1) - tie3").as("d3"))
@@ -893,8 +913,14 @@ object Stats {
   /** Kruskal–Wallis H (tie-corrected) — the k-group generalization of
     * [[mannWhitneyZ]]: does ANY of the k groups' value distributions
     * sit above the others? Pooled average ranks via the same
-    * double-rank device (integer 2R_g = Σ min(rk)+max(rk)), the
-    * per-value frame broadcast back; with the per-group micro floor
+    * JOIN-FREE double-rank device: dr_v = 2·C(<v) + t_v + 1 from the
+    * value histogram's prefix sums, and 2R_g = Σ_v c_{g,v}·dr_v folds
+    * from the (value, group) CELL frame — the corpus is touched
+    * exactly once (the map-side-combinable cell fold), the one join
+    * is histogram × cells (both bounded by the distinct-value count,
+    * ≤ #groups rows per key: skew-free), and the r15 hazard of
+    * broadcasting a corpus-sized per-value frame back onto the rows
+    * is structurally gone. With the per-group micro floor
     * q_g = ((2R_g)²·10⁶) div n_g the statistic
     *   H = [3·Σ q_g / (n(n+1)) − 3(n+1)·10⁶] · (n³−n) / (n³−n − Σ(t³−t))
     * closes in exact integer divisions (micro units) — no float
@@ -912,43 +938,55 @@ object Stats {
     * past 10⁷ rows per group and refuse LOUDLY beyond (ANSI decimal
     * overflow), the kappa-family posture.
     *
-    * @param boundedValueDomain when true (default) the per-value rank
-    *        frame is BROADCAST back onto the rows — safe exactly when
-    *        the value domain is bounded (lengths, token counts,
-    *        deciles: distinct ≪ rows), and required there because a
-    *        value-keyed shuffle join would put the hottest value on
-    *        one partition. For near-continuous values (distinct ≈
-    *        rows) pass false: the frame is corpus-sized (a broadcast
-    *        would OOM the driver) but no value is hot, so the shuffle
-    *        join is straggler-safe — the two risk regimes are
-    *        mutually exclusive, the TextDedup.gramPrefix law.
-    *
     * Output: n, n_groups, h_micro.
     */
-  def kruskalWallis(df: DataFrame, valueCol: String, grpCol: String,
-      idCol: String, boundedValueDomain: Boolean = true): DataFrame = {
+  def kruskalWallis(df: DataFrame, valueCol: String, grpCol: String)
+      : DataFrame = {
     val s = df.sparkSession
     import s.implicits._
     val g = df.select(col(valueCol).cast("long").as("v"),
-      col(idCol).cast("long").as("id"),
       when(col(grpCol).isNull,
         raise_error(lit("kruskalWallis: NULL in group column"))
           .cast("string"))
         .otherwise(col(grpCol).cast("string")).as("grp"))
-    val ranked = GlobalRank.withRank(g.select($"v", $"id"),
-      Seq($"v", $"id"), rankCol = "rk")
-    val perv = ranked.groupBy($"v")
-      .agg((min($"rk") + max($"rk")).as("dr"), count(lit(1)).as("t"))
-    val pervS = perv.select($"v", $"dr")
-    val perg = g.join(
-        if (boundedValueDomain) broadcast(pervS) else pervS, "v")
+    kwFold(g.groupBy($"v", $"grp").agg(count(lit(1)).as("c")))
+  }
+
+  /** [[kruskalWallis]] from pre-folded (value, group, count) cells —
+    * the [[ksTwoSampleFromCounts]] delegation contract for k-group
+    * monitor states. */
+  def kruskalWallisFromCounts(cells: DataFrame, valueCol: String,
+      grpCol: String, cntCol: String): DataFrame = {
+    val s = cells.sparkSession
+    import s.implicits._
+    val c = cells.select(col(valueCol).cast("long").as("v"),
+      when(col(grpCol).isNull,
+        raise_error(lit("kruskalWallisFromCounts: NULL in group column"))
+          .cast("string"))
+        .otherwise(col(grpCol).cast("string")).as("grp"),
+      col(cntCol).cast("long").as("n"))
+    kwFold(c.groupBy($"v", $"grp").agg(sum($"n").as("c")))
+  }
+
+  /** Shared KW fold over the (v, grp, c) cell frame, pinned once
+    * (bounded by distinct-values × groups): it feeds the value
+    * histogram AND the dr join. */
+  private def kwFold(cellsIn: DataFrame): DataFrame = {
+    val cells = cellsIn.localCheckpoint()
+    val s = cells.sparkSession
+    import s.implicits._
+    val per = cells.groupBy($"v").agg(sum($"c").as("t"))
+    val dr = GlobalRank.withPrefixSum(per, Seq($"v"), "t", "ct")
+      .select($"v", ($"ct" * 2 + $"t" + 1).as("dr"))
+    val perg = cells.join(dr, "v")
       .groupBy($"grp")
-      .agg(count(lit(1)).as("ng"), Exact.decSum($"dr").as("r2g"))
+      .agg(sum($"c").as("ng"),
+        Exact.decSum(Exact.dec($"c") * $"dr").as("r2g"))
     val f = perg.agg(count(lit(1)).as("n_groups"),
       Exact.decSum($"ng").as("n"),
       Exact.decSum(expr(Exact.divFloorSql("r2g * r2g * 1000000", "ng")))
         .as("q"))
-    val ties = perv.agg(
+    val ties = per.agg(
       Exact.decSum(Exact.dec($"t") * $"t" * $"t" - $"t").as("tie3"))
     f.crossJoin(ties)
       .select(Exact.asLongOrFail($"n", "kruskalWallis n").as("n"),

@@ -82,8 +82,8 @@ object Extended27 {
     Stats.mannWhitneyZ(
       t(s, dir, "documents").select(
         size(TextFns.tokens($"text")).cast("long").as("v"),
-        $"doc_id", expr(EnBit).as("g")),
-      "v", "g", "doc_id")
+        expr(EnBit).as("g")),
+      "v", "g")
   }
 
   val q253Sql: String =

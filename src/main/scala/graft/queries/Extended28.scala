@@ -701,8 +701,8 @@ object Extended28 {
     graft.ext.Stats.kruskalWallis(
       t(s, dir, "documents").select(
         size(TextFns.tokens($"text")).cast("long").as("v"),
-        $"doc_id", $"lang"),
-      "v", "lang", "doc_id")
+        $"lang"),
+      "v", "lang")
   }
 
   val q277Sql: String =

@@ -359,6 +359,16 @@ object StreamEval {
     graft.ext.Stats.wasserstein1FromCounts(
       valueCounts(spark, statePath), "v", "g", "n")
 
+  /** Mann–Whitney U + Cliff's δ + tie-corrected z from the SAME
+    * monitor state — the rank test needs nothing beyond the
+    * per-(group, value) counts (the double rank is a pure function of
+    * the histogram's prefix sums), so the one value state feeds the
+    * effect-size read-out too. */
+  def mannWhitneyZFromState(spark: SparkSession, statePath: String)
+      : DataFrame =
+    graft.ext.Stats.mannWhitneyZFromCounts(
+      valueCounts(spark, statePath), "v", "g", "n")
+
   /** Current confusion counts (label, pred, n), ready for the
     * counts-based folds in [[graft.ext.Eval]]. */
   def counts(spark: SparkSession, statePath: String): DataFrame =

@@ -58,7 +58,7 @@ class Extended27Spec extends SparkSpec {
       (12.0 * n * (n - 1))
     val zPpm = math.floor(
       (u1x2 - n1 * n2).toDouble / (2.0 * math.sqrt(varU)) * 1e6 + 0.5).toLong
-    val r = Stats.mannWhitneyZ(df, "v", "g", "id").head()
+    val r = Stats.mannWhitneyZ(df, "v", "g").head()
     assert(r.getAs[Long]("n1") === n1)
     assert(r.getAs[Long]("n2") === n2)
     assert(r.getAs[Long]("u1_x2") === u1x2)
@@ -74,7 +74,7 @@ class Extended27Spec extends SparkSpec {
     // all-tied input: variance 0 -> z reads 0, loudly not NaN
     val flat = Seq((5L, 1, 1L), (5L, 0, 2L), (5L, 1, 3L), (5L, 0, 4L))
       .toDF("v", "g", "id")
-    assert(Stats.mannWhitneyZ(flat, "v", "g", "id").head()
+    assert(Stats.mannWhitneyZ(flat, "v", "g").head()
       .getAs[Long]("z_ppm") === 0L)
   }
 

@@ -306,7 +306,7 @@ class Extended28Spec extends SparkSpec {
       .map(g => { val t = g.size.toLong; (t * t * t - t).toDouble }).sum
     val h = (12.0 / (n * (n + 1)) * hNum - 3 * (n + 1)) /
       (1.0 - tie / (n.toDouble * n * n - n))
-    val r = graft.ext.Stats.kruskalWallis(df, "v", "grp", "id").head()
+    val r = graft.ext.Stats.kruskalWallis(df, "v", "grp").head()
     assert(r.getAs[Long]("n") === 10L)
     assert(r.getAs[Long]("n_groups") === 3L)
     // per-group micro floors: within a few micro of the double H
@@ -314,7 +314,7 @@ class Extended28Spec extends SparkSpec {
       s"got ${r.getAs[Long]("h_micro")} want ~${h * 1e6}")
     val flat = Seq((5L, 1L, "a"), (5L, 2L, "b"), (5L, 3L, "a"))
       .toDF("v", "id", "grp")
-    assert(graft.ext.Stats.kruskalWallis(flat, "v", "grp", "id").head()
+    assert(graft.ext.Stats.kruskalWallis(flat, "v", "grp").head()
       .getAs[Long]("h_micro") === 0L)
   }
 

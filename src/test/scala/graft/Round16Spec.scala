@@ -16,11 +16,14 @@ import graft.ext.Stats
   *    PAST the old wrap point and are pinned against a BigInt brute
   *    that replays the documented floor arithmetic digit for digit.
   *
-  * 2. The per-value rank frame in mannWhitneyZ / kruskalWallis is
-  *    broadcast only under the (default) bounded-value-domain
-  *    contract; `boundedValueDomain = false` must take a shuffle join
-  *    (no BroadcastHashJoin anywhere under threshold = -1) and return
-  *    the identical row — the gramPrefix mutual-exclusion law.
+  * 2. mannWhitneyZ / kruskalWallis no longer join the per-value rank
+  *    frame back onto the corpus AT ALL: the double rank is a pure
+  *    function of the value histogram's prefix sums
+  *    (dr = 2·C(<v) + t + 1), so the r15 broadcast-OOM /
+  *    hot-value-shuffle dilemma is structurally gone. Pinned here on
+  *    a high-cardinality (every value distinct) fixture: MWU's plan
+  *    carries no join of any kind, and the FromCounts forms read the
+  *    identical row from pre-folded cells.
   */
 class Round16Spec extends SparkSpec {
 
@@ -67,7 +70,7 @@ class Round16Spec extends SparkSpec {
       if (n3n - tie3 <= 0) BigInt(0)
       else (hraw * n3n / (n3n - tie3)).max(BigInt(0))
 
-    val r = Stats.kruskalWallis(df, "v", "grp", "id").head()
+    val r = Stats.kruskalWallis(df, "v", "grp").head()
     assert(r.getAs[Long]("n") === n.toLong)
     assert(r.getAs[Long]("n_groups") === 5L)
     assert(BigInt(r.getAs[Long]("h_micro")) === expected,
@@ -117,25 +120,24 @@ class Round16Spec extends SparkSpec {
   }
 
   // ------------------------------------------------------------------
-  // 2. The high-cardinality (shuffle) regime of the rank join.
+  // 2. The rank device never returns to the corpus.
 
-  test("mannWhitneyZ boundedValueDomain=false takes a shuffle join " +
-    "(no BroadcastHashJoin under threshold=-1) and matches the " +
-    "broadcast path digit for digit") {
+  test("mannWhitneyZ is join-free (the histogram fold IS the whole " +
+    "plan) and the FromCounts form reads the identical row from " +
+    "pre-folded cells — high-cardinality fixture") {
     import spark.implicits._
     // near-continuous: every value distinct — the regime where the
-    // per-value frame is corpus-sized and a broadcast would OOM
+    // old per-value broadcast was corpus-sized
     val df = (0 until 4000)
-      .map(i => (i * 37L + (i % 2), i.toLong, i % 2)).toDF("v", "id", "g")
-    val expected = Stats.mannWhitneyZ(df, "v", "g", "id").head()
-    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
-      val shuffled = Stats.mannWhitneyZ(df, "v", "g", "id",
-        boundedValueDomain = false)
-      val plan = shuffled.queryExecution.executedPlan.toString
-      assert(!plan.contains("BroadcastHashJoin"),
-        s"high-cardinality path still force-broadcasts:\n$plan")
-      assert(shuffled.head() === expected)
-    }
+      .map(i => (i * 37L + (i % 2), i % 2)).toDF("v", "g")
+    val direct = Stats.mannWhitneyZ(df, "v", "g")
+    val plan = direct.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"),
+      s"MWU must not join anything back onto the corpus:\n$plan")
+    val expected = direct.head()
+    val cells = df.groupBy($"v", $"g").agg(count(lit(1)).as("n"))
+    assert(Stats.mannWhitneyZFromCounts(cells, "v", "g", "n").head()
+      === expected)
   }
 
   // ------------------------------------------------------------------
@@ -246,20 +248,23 @@ class Round16Spec extends SparkSpec {
       s"expected only the lags with pairs, got $lags")
   }
 
-  test("kruskalWallis boundedValueDomain=false takes a shuffle join " +
-    "and matches the broadcast path digit for digit") {
+  test("kruskalWallis touches the corpus once (cell fold); its one " +
+    "join is histogram x cells; FromCounts reads the identical row " +
+    "— high-cardinality fixture") {
     import spark.implicits._
     val df = (0 until 3000)
-      .map(i => (i * 41L + (i % 3), i.toLong, s"g${i % 3}"))
-      .toDF("v", "id", "grp")
-    val expected = Stats.kruskalWallis(df, "v", "grp", "id").head()
+      .map(i => (i * 41L + (i % 3), s"g${i % 3}"))
+      .toDF("v", "grp")
+    val direct = Stats.kruskalWallis(df, "v", "grp")
+    val expected = direct.head()
+    val cells = df.groupBy($"v", $"grp").agg(count(lit(1)).as("n"))
+    assert(Stats.kruskalWallisFromCounts(cells, "v", "grp", "n").head()
+      === expected)
+    // sanity vs the old shape: a 3-group high-cardinality corpus
+    // still answers without any forced broadcast of a corpus-sized
+    // frame (the fold is cells -> histogram -> bounded join)
     withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
-      val shuffled = Stats.kruskalWallis(df, "v", "grp", "id",
-        boundedValueDomain = false)
-      val plan = shuffled.queryExecution.executedPlan.toString
-      assert(!plan.contains("BroadcastHashJoin"),
-        s"high-cardinality path still force-broadcasts:\n$plan")
-      assert(shuffled.head() === expected)
+      assert(Stats.kruskalWallis(df, "v", "grp").head() === expected)
     }
   }
 }

@@ -236,7 +236,9 @@ class StreamEvalSpec extends SparkSpec {
       ("cvm", StreamEval.cvmTwoSampleFromState(spark, state),
         graft.ext.Stats.cvmTwoSample(all, "v", "g")),
       ("w1", StreamEval.wasserstein1FromState(spark, state),
-        graft.ext.Stats.wasserstein1(all, "v", "g")))) {
+        graft.ext.Stats.wasserstein1(all, "v", "g")),
+      ("mwu", StreamEval.mannWhitneyZFromState(spark, state),
+        graft.ext.Stats.mannWhitneyZ(all, "v", "g")))) {
       val got = fromState.collect().map(_.toSeq).toSeq
       val want = batchOp.collect().map(_.toSeq).toSeq
       assert(got === want, s"stream $name diverged:\n$got\nvs\n$want")
