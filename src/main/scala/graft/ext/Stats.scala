@@ -304,6 +304,74 @@ object Stats {
           " * 1000000.0 + 0.5) AS BIGINT) END").as("z_ppm"))
   }
 
+  /** Spearman rank correlation between two integer columns, exact ppm
+    * (ties get AVERAGE ranks; Pearson on double-ranks equals Pearson
+    * on average ranks — the scaling by 2 cancels).
+    *
+    * JOIN-FREE corpus contract, the [[mannWhitneyZ]] device twice:
+    * ONE fold to the (x, y) PAIR histogram (map-side combinable),
+    * then each axis's double rank is a pure function of that
+    * histogram's own marginal prefix sums (dr = 2·C(<v) + t + 1) and
+    * every join is histogram × histogram (≤ distinct-pair rows, never
+    * a corpus row; per-key fan-out bounded by the other axis's domain
+    * — no hot-row skew). All sums DECIMAL (Σ c·drx·dry is
+    * n³-magnitude); the single final ratio runs in double on exact
+    * operands with floor(·1e6 + 0.5).
+    *
+    * Output: n, spearman_ppm.
+    */
+  def spearmanRho(df: DataFrame, xCol: String, yCol: String)
+      : DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val g = df.select(col(xCol).cast("long").as("x"),
+      col(yCol).cast("long").as("y"))
+    spearmanFold(g.groupBy($"x", $"y").agg(count(lit(1)).as("c")))
+  }
+
+  /** [[spearmanRho]] from pre-folded (x, y, count) cells — the
+    * [[ksTwoSampleFromCounts]] delegation contract. */
+  def spearmanRhoFromCounts(cells: DataFrame, xCol: String,
+      yCol: String, cntCol: String): DataFrame = {
+    val s = cells.sparkSession
+    import s.implicits._
+    val c = cells.select(col(xCol).cast("long").as("x"),
+      col(yCol).cast("long").as("y"), col(cntCol).cast("long").as("n"))
+    spearmanFold(c.groupBy($"x", $"y").agg(sum($"n").as("c")))
+  }
+
+  /** Shared Spearman fold over the pinned (x, y, c) pair histogram:
+    * marginal prefix passes give each axis's double rank, one
+    * aggregation closes every moment. */
+  private def spearmanFold(cellsIn: DataFrame): DataFrame = {
+    val cells = cellsIn.localCheckpoint()
+    val s = cells.sparkSession
+    import s.implicits._
+    def drFrame(k: String, out: String): DataFrame = {
+      val per = cells.groupBy(col(k)).agg(sum($"c").as("t"))
+      GlobalRank.withPrefixSum(per, Seq(col(k)), "t", "ct")
+        .select(col(k), ($"ct" * 2 + $"t" + 1).as(out))
+    }
+    cells
+      .join(drFrame("x", "drx"), "x")
+      .join(drFrame("y", "dry"), "y")
+      .agg(coalesce(sum($"c"), lit(0L)).as("n"),
+        Exact.decSum(Exact.dec($"c") * $"drx").as("sx"),
+        Exact.decSum(Exact.dec($"c") * $"dry").as("sy"),
+        Exact.decSum(Exact.dec($"c") * $"drx" * $"drx").as("sxx"),
+        Exact.decSum(Exact.dec($"c") * $"dry" * $"dry").as("syy"),
+        Exact.decSum(Exact.dec($"c") * $"drx" * $"dry").as("sxy"))
+      .select($"n",
+        expr(s"CAST(n AS ${Exact.Dec}) * sxy - sx * sy").as("num"),
+        expr(s"CAST(n AS ${Exact.Dec}) * sxx - sx * sx").as("radx"),
+        expr(s"CAST(n AS ${Exact.Dec}) * syy - sy * sy").as("rady"))
+      .select($"n",
+        expr("CASE WHEN radx = 0 OR rady = 0 THEN 0 ELSE" +
+          " CAST(floor(CAST(num AS DOUBLE) /" +
+          " (sqrt(CAST(radx AS DOUBLE)) * sqrt(CAST(rady AS DOUBLE)))" +
+          " * 1000000.0 + 0.5) AS BIGINT) END").as("spearman_ppm"))
+  }
+
   /** Pearson chi-square homogeneity over a bounded (bin × group)
     * contingency, plus Cramér's V.
     *

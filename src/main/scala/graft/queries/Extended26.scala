@@ -42,44 +42,18 @@ object Extended26 {
 
   // --------------------------------------------------------------------
   // q244 — Spearman rank correlation between document length and token
-  // count, exact ppm. Ties get AVERAGE ranks: the double-rank
-  // (min + max of the row-number ranks sharing a value) keeps every
-  // quantity integral, and Pearson on double-ranks equals Pearson on
-  // average ranks (scaling by 2 cancels). Ranks come from the
-  // two-pass GlobalRank; the per-value (min+max) fold keys on the
-  // bounded distinct-value set and is BROADCAST back (a value-keyed
-  // shuffle join would put the hottest length on one partition).
-  // All sums are DECIMAL (Σ drx·dry is n³-magnitude); the single
-  // final ratio runs in double on exact operands (< 2⁵³ through
-  // ~10⁸ docs) with floor(·1e6 + 0.5).
+  // count, exact ppm (average ranks for ties via the double-rank
+  // device). Delegates to Stats.spearmanRho: ONE corpus fold to the
+  // (length, token-count) PAIR histogram, double ranks from that
+  // histogram's marginal prefix sums, every join histogram-sized —
+  // the corpus is never joined back onto (the r15/r16 join-free
+  // discipline shared with q253/q277).
   def q244(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val d = t(s, dir, "documents")
-      .select($"doc_id", $"n_chars".cast("long").as("x"),
-        size(TextFns.tokens($"text")).cast("long").as("y"))
-      .localCheckpoint() // feeds two rank passes + the join fold
-    def doubleRanks(v: String, out: String): DataFrame =
-      graft.operators.GlobalRank.withRank(
-          d.select(col(v), $"doc_id"), Seq(col(v), $"doc_id"),
-          rankCol = "rk")
-        .groupBy(col(v)).agg((min($"rk") + max($"rk")).as(out))
-    val j = d
-      .join(broadcast(doubleRanks("x", "drx")), "x")
-      .join(broadcast(doubleRanks("y", "dry")), "y")
-    val f = j.agg(count(lit(1)).as("n"),
-      Exact.decSum($"drx").as("sx"), Exact.decSum($"dry").as("sy"),
-      Exact.decSum(Exact.dec($"drx") * $"drx").as("sxx"),
-      Exact.decSum(Exact.dec($"dry") * $"dry").as("syy"),
-      Exact.decSum(Exact.dec($"drx") * $"dry").as("sxy"))
-    f.select($"n",
-      expr(s"CAST(n AS ${Exact.Dec}) * sxy - sx * sy").as("num"),
-      expr(s"CAST(n AS ${Exact.Dec}) * sxx - sx * sx").as("radx"),
-      expr(s"CAST(n AS ${Exact.Dec}) * syy - sy * sy").as("rady"))
-      .select($"n",
-        expr("CASE WHEN radx = 0 OR rady = 0 THEN 0 ELSE" +
-          " CAST(floor(CAST(num AS DOUBLE) /" +
-          " (sqrt(CAST(radx AS DOUBLE)) * sqrt(CAST(rady AS DOUBLE)))" +
-          " * 1000000.0 + 0.5) AS BIGINT) END").as("spearman_ppm"))
+    graft.ext.Stats.spearmanRho(
+      t(s, dir, "documents").select($"n_chars".cast("long").as("x"),
+        size(TextFns.tokens($"text")).cast("long").as("y")),
+      "x", "y")
   }
 
   val q244Sql: String =

@@ -425,10 +425,13 @@ class QueryPlanSpec extends SparkSpec {
       _.isInstanceOf[BroadcastHashJoinExec]) >= 1)
   }
 
-  test("q244: both double-rank folds broadcast back onto the corpus " +
-    "(a value-keyed shuffle join would hot-spot the modal length)") {
-    assert(count(plan("q244_spearman_rho"),
-      _.isInstanceOf[BroadcastHashJoinExec]) === 2)
+  test("q244: Spearman's statistic plan never re-reads the corpus — " +
+    "the one documents scan ran inside the eager pair-histogram " +
+    "fold, so zero parquet scans (and no corpus-side join) remain") {
+    val p = plan("q244_spearman_rho")
+    assert(count(p,
+      _.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec])
+      === 0, p.toString)
   }
 
   test("q253: MWU folds from the value histogram — NO join returns " +

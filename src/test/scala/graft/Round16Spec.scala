@@ -140,6 +140,42 @@ class Round16Spec extends SparkSpec {
       === expected)
   }
 
+  test("spearmanRho == BigInt double-rank brute (ties on both axes); " +
+    "FromCounts reads the identical row") {
+    import spark.implicits._
+    val rows = (0 until 200).map(i =>
+      ((i % 13).toLong, ((i * 7) % 11).toLong))
+    val df = rows.toDF("x", "y")
+    def drMap(vs: Seq[Long]): Map[Long, BigInt] = {
+      val sorted = vs.sorted
+      vs.distinct.map { v =>
+        val first = sorted.indexOf(v) + 1L
+        val last = sorted.lastIndexOf(v) + 1L
+        v -> BigInt(first + last)
+      }.toMap
+    }
+    val dx = drMap(rows.map(_._1)); val dy = drMap(rows.map(_._2))
+    val n = BigInt(rows.size)
+    val sx = rows.map(r => dx(r._1)).sum
+    val sy = rows.map(r => dy(r._2)).sum
+    val sxx = rows.map(r => dx(r._1) * dx(r._1)).sum
+    val syy = rows.map(r => dy(r._2) * dy(r._2)).sum
+    val sxy = rows.map(r => dx(r._1) * dy(r._2)).sum
+    val num = n * sxy - sx * sy
+    val radx = n * sxx - sx * sx; val rady = n * syy - sy * sy
+    val expected =
+      if (radx == 0 || rady == 0) 0L
+      else math.floor(num.toDouble /
+        (math.sqrt(radx.toDouble) * math.sqrt(rady.toDouble))
+        * 1000000.0 + 0.5).toLong
+    val r = Stats.spearmanRho(df, "x", "y").head()
+    assert(r.getAs[Long]("n") === rows.size.toLong)
+    assert(r.getAs[Long]("spearman_ppm") === expected)
+    val cells = df.groupBy($"x", $"y").agg(count(lit(1)).as("n"))
+    assert(Stats.spearmanRhoFromCounts(cells, "x", "y", "n").head()
+      === r)
+  }
+
   // ------------------------------------------------------------------
   // 3. Bounded-frame contracts are structural (loud), not scaladoc.
 
