@@ -401,11 +401,37 @@ object Stats {
         raise_error(lit("chiSquareHomogeneity: NULL in group column"))
           .cast("string"))
         .otherwise(col(grpCol).cast("string")).as("grp"))
+    chi2Fold(base.groupBy($"bin", $"grp").agg(count(lit(1)).as("o")))
+  }
+
+  /** [[chiSquareHomogeneity]] from pre-folded (bin, group, count)
+    * cells — the [[ksTwoSampleFromCounts]] delegation contract: the
+    * binned drift monitor state reads the identical test. */
+  def chiSquareFromCounts(cells: DataFrame, binCol: String,
+      grpCol: String, cntCol: String): DataFrame = {
+    val s = cells.sparkSession
+    import s.implicits._
+    val c = cells.select(
+      when(col(binCol).isNull,
+        raise_error(lit("chiSquareFromCounts: NULL in bin column"))
+          .cast("string"))
+        .otherwise(col(binCol).cast("string")).as("bin"),
+      when(col(grpCol).isNull,
+        raise_error(lit("chiSquareFromCounts: NULL in group column"))
+          .cast("string"))
+        .otherwise(col(grpCol).cast("string")).as("grp"),
+      col(cntCol).cast("long").as("n"))
+    chi2Fold(c.groupBy($"bin", $"grp").agg(sum($"n").as("o")))
+  }
+
+  /** Shared chi-square fold over the (bin, grp, o) cell frame. */
+  private def chi2Fold(cellsIn: DataFrame): DataFrame = {
+    val s = cellsIn.sparkSession
+    import s.implicits._
     // pinned once (bounded: bins × groups): the cell frame feeds the
     // row/column marginals, the totals AND the main join — without
     // the pin the corpus aggregation that built it ran 4×
-    val cells = base.groupBy($"bin", $"grp").agg(count(lit(1)).as("o"))
-      .localCheckpoint()
+    val cells = cellsIn.localCheckpoint()
     val rows = cells.groupBy($"bin").agg(sum($"o").as("r"))
     val cols = cells.groupBy($"grp").agg(sum($"o").as("c"))
     val tot = cells.agg(sum($"o").as("n"),

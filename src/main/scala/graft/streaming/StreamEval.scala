@@ -268,6 +268,17 @@ object StreamEval {
     graft.ext.Drift.psiFromCounts(
       binnedCounts(spark, statePath), "group", "bin", "n", outGroupCol)
 
+  /** Chi-square homogeneity (+ Cramér's V) across the monitored
+    * groups, from the SAME binned state — the one-number "are the
+    * sources' bin distributions even compatible" significance test
+    * beside the per-group drift read-outs; literally
+    * [[graft.ext.Stats.chiSquareFromCounts]] over the persisted
+    * cells. */
+  def chiSquareFromState(spark: SparkSession, statePath: String)
+      : DataFrame =
+    graft.ext.Stats.chiSquareFromCounts(
+      binnedCounts(spark, statePath), "bin", "group", "n")
+
   // ------------------------------------------------------------------
   // Two-sample distribution monitoring on RAW values: per-(group,
   // value) counts are the sufficient statistic for the EXACT

@@ -201,6 +201,14 @@ class StreamEvalSpec extends SparkSpec {
     val ksBySrc = gotKs.map(r =>
       r(0).toString -> r(2).asInstanceOf[Long]).toMap
     assert(ksBySrc("c") > ksBySrc("a") && ksBySrc("c") > ksBySrc("b"))
+    // the SAME state also answers the chi-square homogeneity test —
+    // stream ≡ batch by the identical counts-fold delegation
+    val wantChi = graft.ext.Stats.chiSquareHomogeneity(
+      all, "bin", "source").collect().map(_.toSeq).toSeq
+    val gotChi = StreamEval.chiSquareFromState(spark, state)
+      .collect().map(_.toSeq).toSeq
+    assert(gotChi === wantChi,
+      s"stream chi2 diverged:\n$gotChi\nvs\n$wantChi")
   }
 
   test("two-sample value monitor: stream-built KS/CvM/W1 == " +
