@@ -658,6 +658,17 @@ object Stress {
         graft.ext.Stats.mannWhitneyZ(narrow, "n_chars", "g")
           .count()
       }
+      timed("st2-kw") {
+        graft.ext.Stats.kruskalWallis(narrow, "n_chars", "lang")
+          .count()
+      }
+      timed("st2-spearman") {
+        // n_chars vs a derived second axis: the pair-histogram fold
+        graft.ext.Stats.spearmanRho(
+          narrow.select($"n_chars".as("x"),
+            ($"n_chars" % 97 + $"doc_id" % 13).as("y")), "x", "y")
+          .count()
+      }
       timed("st2-perm32") {
         graft.ext.Stats.permutationMeanDiff(narrow, "n_chars", "g",
           "doc_id", reps = 32).count()

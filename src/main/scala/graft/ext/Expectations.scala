@@ -82,8 +82,9 @@ object Expectations {
         count_distinct(col("uid")).as("d"),
         coalesce(sum(when(col("uid").isNull, 1L).otherwise(0L)), lit(0L))
           .as("nulls"))
-      // countDistinct skips NULLs — add them back so a batch of only
-      // NULL uids doesn't read as "unique"
+      // duplicates among NON-NULL uids: countDistinct skips NULLs, so
+      // subtract the null count too — a NULL uid is the uid_null
+      // check's violation, not a duplicate of every other NULL
       .select(lit("rides.uid_duplicate").as("check"),
         col("n").as("n_checked"),
         (col("n") - col("d") - col("nulls")).as("n_violations"))
