@@ -153,8 +153,75 @@ object Extended29 {
       |    CAST((ssb * 1000000) // sst AS BIGINT))) END AS eta2_ppm
       |FROM e""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q282 — winnowing fingerprint overlap: document pairs sharing ≥ 3
+  // selected fingerprints (k=4 grams, w=5 windows — any common run of
+  // ≥ 8 tokens is guaranteed a shared fingerprint). Hot fingerprints
+  // (df > 50 docs: boilerplate) are dropped before the pair join, the
+  // LSH starCap discipline — the join volume is Σ df² over RARE
+  // fingerprints only.
+  private val WinK = 4
+  private val WinW = 5
+  private val WinMaxDf = 50
+  private val WinMinShared = 3
+
+  def q282(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fp = graft.ext.TextDedup.winnowFingerprints(
+      t(s, dir, "documents"), "doc_id", "text", k = WinK, w = WinW)
+    val rare = fp.groupBy($"fingerprint")
+      .agg(count(lit(1)).as("df")).filter($"df" <= WinMaxDf)
+      .select($"fingerprint")
+    val f2 = fp.join(rare, Seq("fingerprint"), "left_semi")
+    val b = f2.select($"fingerprint", $"doc_id".as("doc_b"))
+    f2.join(b, Seq("fingerprint"))
+      .filter($"doc_id" < $"doc_b")
+      .groupBy($"doc_id".as("doc_a"), $"doc_b")
+      .agg(count(lit(1)).as("shared"))
+      .filter($"shared" >= WinMinShared)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val q282Sql: String = {
+    val i = s"i + ${WinK - 1}"
+    s"""WITH tk AS (SELECT doc_id, ${DocOps.tokensSql} AS toks
+       |            FROM documents),
+       | g AS (SELECT doc_id, CAST(e.pos AS INTEGER) AS pos,
+       |         md5(e.g) || '-' || lpad(CAST(e.pos AS VARCHAR), 10, '0')
+       |           AS key
+       |       FROM (SELECT doc_id,
+       |          unnest(list_transform(
+       |            generate_series(1, len(toks) - ${WinK - 1}),
+       |            i -> struct_pack(pos := i,
+       |              g := array_to_string(list_slice(toks, i, $i),
+       |                ' ')))) AS e
+       |         FROM tk WHERE len(toks) >= ${WinK + WinW - 1}) q),
+       | win AS (SELECT doc_id,
+       |     min(key) OVER (PARTITION BY doc_id ORDER BY pos
+       |       ROWS BETWEEN CURRENT ROW AND ${WinW - 1} FOLLOWING)
+       |       AS sel,
+       |     count(*) OVER (PARTITION BY doc_id ORDER BY pos
+       |       ROWS BETWEEN CURRENT ROW AND ${WinW - 1} FOLLOWING)
+       |       AS c
+       |    FROM g),
+       | fp AS (SELECT DISTINCT doc_id, substr(sel, 1, 32)
+       |          AS fingerprint
+       |        FROM win WHERE c = $WinW),
+       | rare AS (SELECT fingerprint FROM fp GROUP BY fingerprint
+       |          HAVING count(*) <= $WinMaxDf),
+       | f2 AS (SELECT fp.doc_id, fp.fingerprint
+       |        FROM fp JOIN rare USING (fingerprint))
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(count(*) AS BIGINT) AS shared
+       |FROM f2 a JOIN f2 b
+       |  ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING count(*) >= $WinMinShared
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   /** Name → query, for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q282_winnow_overlap" -> (q282 _),
     "q278_pettitt_changepoint" -> (q278 _),
     "q279_page_hinkley" -> (q279 _),
     "q280_good_turing_mass" -> (q280 _),
@@ -163,6 +230,7 @@ object Extended29 {
 
   /** Name → DuckDB oracle SQL, for SparkEntry. */
   val oracles: Map[String, String] = Map(
+    "q282_winnow_overlap" -> q282Sql,
     "q278_pettitt_changepoint" -> q278Sql,
     "q279_page_hinkley" -> q279Sql,
     "q280_good_turing_mass" -> q280Sql,

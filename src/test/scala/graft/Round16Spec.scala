@@ -176,6 +176,45 @@ class Round16Spec extends SparkSpec {
       === r)
   }
 
+  test("winnowFingerprints == brute sliding-window argmin; the MOSS " +
+    "guarantee holds (shared run >= w+k-1 tokens => shared " +
+    "fingerprint); short docs emit nothing") {
+    import spark.implicits._
+    val run = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, s"one two three $run four five six"),
+      (2L, s"$run nine ten eleven twelve thirteen fourteen"),
+      (3L, "totally different words everywhere here friend okay yes"),
+      (4L, "tiny doc only")).toDF("doc_id", "text")
+    val k = 4; val w = 5
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def brute(text: String): Set[String] = {
+      val t = text.trim.split("\\s+")
+      if (t.length < k + w - 1) return Set.empty
+      val hs = (0 to t.length - k)
+        .map(i => md5hex(t.slice(i, i + k).mkString(" ")))
+      (0 to hs.length - w).map { q =>
+        (q until q + w).map(p => (hs(p), p)).min._1
+      }.toSet
+    }
+    val got = graft.ext.TextDedup
+      .winnowFingerprints(docs, "doc_id", "text", k, w)
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    for ((id, text) <- rows) {
+      assert(got.getOrElse(id, Set.empty) === brute(text),
+        s"doc $id fingerprint set diverged from brute winnowing")
+    }
+    // guarantee: docs 1 and 2 share the 8-token run => >= 1 shared
+    assert((got(1L) intersect got(2L)).nonEmpty)
+    // disjoint text shares nothing; sub-window doc emits nothing
+    assert((got(1L) intersect got.getOrElse(3L, Set.empty)).isEmpty)
+    assert(!got.contains(4L))
+  }
+
   // ------------------------------------------------------------------
   // 3. Bounded-frame contracts are structural (loud), not scaladoc.
 
