@@ -1183,6 +1183,53 @@ object Stats {
           " AS BIGINT) END").as("ph_ppm"))
   }
 
+  /** Robust (median/MAD) outlier read-out over an aggregated series:
+    * the day count is an outlier when its absolute deviation from the
+    * series MEDIAN exceeds `factor` × MAD — the rule a single burst
+    * day cannot poison, unlike mean/stddev fences (the burst inflates
+    * the stddev that is supposed to flag it). Entirely exact
+    * integers: both medians are exact rank selections (lower median,
+    * (m+1) div 2, ties by (value, period) — the [[theilSenSlope]]
+    * convention) on the bounded frame; no float anywhere.
+    *
+    * MAD = 0 (over half the periods share the median value) flags
+    * every deviating period — the degenerate-but-correct reading of
+    * the rule; callers wanting slack add it via `factor`.
+    *
+    * Output: n_periods, med, mad, n_outliers (an empty series reads
+    * n_periods = 0 with NULL medians). Bounded contract structural
+    * as in [[autocorrelation]].
+    */
+  def madOutliers(series: DataFrame, tCol: String, xCol: String,
+      factor: Long = 5L, maxPeriods: Long = 1000000L): DataFrame = {
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    val s = series.sparkSession
+    import s.implicits._
+    val base = series.select(col(tCol).as("t"),
+      col(xCol).cast("long").as("x")).localCheckpoint()
+    val m = base.count()
+    require(m <= maxPeriods,
+      s"madOutliers: $m periods exceed maxPeriods=$maxPeriods — " +
+        "this read-out runs on a bounded AGGREGATED series; " +
+        "aggregate the stream to periods first (or raise maxPeriods " +
+        "deliberately)")
+    val wv = org.apache.spark.sql.expressions.Window.orderBy($"x", $"t")
+    val med = base
+      .withColumn("rk", row_number().over(wv)) // bounded frame
+      .filter($"rk" === lit((m + 1) / 2)).select($"x".as("med"))
+    val dev = base.crossJoin(broadcast(med))
+      .select($"t", $"med", abs($"x" - $"med").as("dev"))
+    val wd = org.apache.spark.sql.expressions.Window.orderBy($"dev", $"t")
+    val mad = dev
+      .withColumn("rk", row_number().over(wd)) // bounded frame
+      .filter($"rk" === lit((m + 1) / 2)).select($"dev".as("mad"))
+    dev.crossJoin(broadcast(mad))
+      .agg(count(lit(1)).as("n_periods"),
+        first($"med").as("med"), first($"mad").as("mad"),
+        coalesce(sum(when($"dev" > $"mad" * factor, 1L).otherwise(0L)),
+          lit(0L)).as("n_outliers"))
+  }
+
   /** Kendall tau-b from a bounded contingency: concordant/discordant
     * pair counts fold from the CELL frame (≤ bins² rows — after the
     * one corpus aggregation, the quadratic pair loop runs on

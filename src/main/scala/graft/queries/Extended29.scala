@@ -219,9 +219,37 @@ object Extended29 {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // --------------------------------------------------------------------
+  // q283 — robust (median/MAD) outlier days of event volume: the
+  // burst-day count a mean/stddev fence cannot see past (the burst
+  // inflates the stddev meant to flag it). Exact rank-selected lower
+  // medians, integer fence dev > 5·MAD; same shared day frame.
+  def q283(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Stats.madOutliers(
+      Extended28.dailySeries(s, dir), "day", "cnt", factor = 5L)
+
+  val q283Sql: String =
+    """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+      |     CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
+      | m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM daily),
+      | med AS (SELECT x AS med FROM (SELECT x,
+      |       row_number() OVER (ORDER BY x, day) AS rk FROM daily)
+      |     CROSS JOIN m WHERE rk = (m + 1) // 2),
+      | dev AS (SELECT day, med, abs(x - med) AS dev
+      |         FROM daily CROSS JOIN med),
+      | mad AS (SELECT dev AS mad FROM (SELECT dev,
+      |       row_number() OVER (ORDER BY dev, day) AS rk FROM dev)
+      |     CROSS JOIN m WHERE rk = (m + 1) // 2)
+      |SELECT CAST(count(*) AS BIGINT) AS n_periods,
+      |  CAST(min(med) AS BIGINT) AS med, CAST(min(mad) AS BIGINT) AS mad,
+      |  CAST(coalesce(sum(CASE WHEN dev > mad * 5 THEN 1 ELSE 0 END), 0)
+      |    AS BIGINT) AS n_outliers
+      |FROM dev CROSS JOIN mad""".stripMargin
+
   /** Name → query, for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q282_winnow_overlap" -> (q282 _),
+    "q283_mad_outlier_days" -> (q283 _),
     "q278_pettitt_changepoint" -> (q278 _),
     "q279_page_hinkley" -> (q279 _),
     "q280_good_turing_mass" -> (q280 _),
@@ -231,6 +259,7 @@ object Extended29 {
   /** Name → DuckDB oracle SQL, for SparkEntry. */
   val oracles: Map[String, String] = Map(
     "q282_winnow_overlap" -> q282Sql,
+    "q283_mad_outlier_days" -> q283Sql,
     "q278_pettitt_changepoint" -> q278Sql,
     "q279_page_hinkley" -> q279Sql,
     "q280_good_turing_mass" -> q280Sql,

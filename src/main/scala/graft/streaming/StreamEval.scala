@@ -380,6 +380,19 @@ object StreamEval {
     graft.ext.Stats.mannWhitneyZFromCounts(
       valueCounts(spark, statePath), "v", "g", "n")
 
+  /** Kruskal–Wallis H across the monitored groups from the SAME
+    * binned state (bins as the ordinal value — the rank test is
+    * binning-compatible because ties get average ranks): "does ANY
+    * source's distribution sit above the others", the k-group
+    * significance companion to [[chiSquareFromState]]'s
+    * any-difference test; literally
+    * [[graft.ext.Stats.kruskalWallisFromCounts]] over the persisted
+    * cells. */
+  def kruskalWallisFromState(spark: SparkSession, statePath: String)
+      : DataFrame =
+    graft.ext.Stats.kruskalWallisFromCounts(
+      binnedCounts(spark, statePath), "bin", "group", "n")
+
   /** Current confusion counts (label, pred, n), ready for the
     * counts-based folds in [[graft.ext.Eval]]. */
   def counts(spark: SparkSession, statePath: String): DataFrame =

@@ -313,6 +313,32 @@ class Round16Spec extends SparkSpec {
     assert(e.getMessage.contains("pageHinkleyDrawup"))
   }
 
+  test("madOutliers == brute lower-median/MAD fence; the planted " +
+    "burst day is the ONLY outlier (a mean/stddev fence would dilute)") {
+    import spark.implicits._
+    val xs = (0 until 31).map(i =>
+      (i.toLong, if (i == 17) 5000L else 40L + (i % 9)))
+    val df = xs.toDF("t", "x")
+    val vals = xs.map(_._2)
+    def lowerMedian(vs: Seq[Long]): Long =
+      vs.sorted.apply(((vs.size + 1) / 2 - 1).toInt)
+    val med = lowerMedian(vals)
+    val devs = vals.map(v => math.abs(v - med))
+    val mad = lowerMedian(devs)
+    val nOut = devs.count(_ > mad * 5L)
+    val r = Stats.madOutliers(df, "t", "x").head()
+    assert(r.getAs[Long]("n_periods") === 31L)
+    assert(r.getAs[Long]("med") === med)
+    assert(r.getAs[Long]("mad") === mad)
+    assert(r.getAs[Long]("n_outliers") === nOut.toLong)
+    assert(nOut === 1, "fixture must plant exactly one burst outlier")
+    // constant series: MAD 0, zero outliers (nothing deviates)
+    val flat = (0 until 9).map(i => (i.toLong, 7L)).toDF("t", "x")
+    val rf = Stats.madOutliers(flat, "t", "x").head()
+    assert(rf.getAs[Long]("mad") === 0L)
+    assert(rf.getAs[Long]("n_outliers") === 0L)
+  }
+
   test("autocorrelation drops pairless lags (series shorter than " +
     "lag+1) — the per-lag GROUP BY reading both engines share") {
     import spark.implicits._

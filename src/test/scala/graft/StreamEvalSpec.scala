@@ -209,6 +209,13 @@ class StreamEvalSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq
     assert(gotChi === wantChi,
       s"stream chi2 diverged:\n$gotChi\nvs\n$wantChi")
+    // ... and the k-group rank test, from the same cells
+    val wantKw = graft.ext.Stats.kruskalWallis(all, "bin", "source")
+      .collect().map(_.toSeq).toSeq
+    val gotKw = StreamEval.kruskalWallisFromState(spark, state)
+      .collect().map(_.toSeq).toSeq
+    assert(gotKw === wantKw,
+      s"stream KW diverged:\n$gotKw\nvs\n$wantKw")
   }
 
   test("two-sample value monitor: stream-built KS/CvM/W1 == " +
