@@ -296,4 +296,26 @@ class StreamEvalSpec extends SparkSpec {
     assert(kappa.getAs[Long]("correct") === 27L)
     assert(kappa.getAs[Long]("kappa_ppm") > 800000L)
   }
+
+  test("end-to-end stream: file source -> two-sample value state via " +
+    "AvailableNow; read-out equals the batch operator") {
+    import spark.implicits._
+    val landing = tmpDir("sevalvland")
+    val state = tmpDir("sevalvst") + "/state"
+    val ckpt = tmpDir("sevalvckpt")
+    val rows = (0 until 40).map(i =>
+      ((i % 10) + (if (i % 2 == 1) 4L else 0L), i % 2))
+    rows.toDF("v", "g").write.parquet(s"$landing/part1")
+    val stream = spark.readStream
+      .schema("v BIGINT, g INT")
+      .parquet(s"$landing/*")
+    val q = StreamEval.startValues(stream, "v", "g", state, ckpt,
+      Trigger.AvailableNow())
+    q.awaitTermination(60000L)
+    val got = StreamEval.ksTwoSampleFromState(spark, state)
+      .head().toSeq
+    val want = graft.ext.Stats.ksTwoSample(
+      rows.toDF("v", "g"), "v", "g").head().toSeq
+    assert(got === want, s"e2e stream KS diverged: $got vs $want")
+  }
 }
