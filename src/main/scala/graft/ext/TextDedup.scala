@@ -632,9 +632,18 @@ object TextDedup {
       textCol: String, k: Int = 4, w: Int = 5): DataFrame = {
     require(k >= 1, s"gram order must be >= 1, got $k")
     require(w >= 1, s"window must be >= 1, got $w")
-    val toks = docs
+    val toksRaw = docs
       .select(col(idCol).as("__id"), TextFns.tokens(col(textCol)).as("__toks"))
       .filter(size(col("__toks")) >= k + w - 1)
+    // small-input parallelism guard: with the whole selection fused
+    // into the scan stage, a corpus that arrives as fewer splits than
+    // the cluster has slots would put the md5 workload on one task —
+    // spread the (id, tokens) rows first. A production corpus has
+    // thousands of splits, so the branch is a no-op exactly where the
+    // repartition would cost something.
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val toks = if (toksRaw.rdd.getNumPartitions < par)
+      toksRaw.repartition(par) else toksRaw
     val hashes = transform(
       TextFns.ngramsFromTokens(col("__toks"), k), g => md5(g))
     toks
