@@ -633,12 +633,12 @@ object Stress {
     }
     if (picks("stats2")) {
       // the q252+ two-sample / association shelf at generated scale.
-      // ks/cvm/w1 fold over the VALUE HISTOGRAM (distinct n_chars is
-      // bounded, so their prefix frames are metadata once the one
-      // corpus groupBy lands); mwu re-ranks the corpus (two-pass
-      // GlobalRank); bh explodes n·m·B coins but folds them map-side
-      // into an m·B-row frame — the probe prices exactly that
-      // explode-vs-fold trade.
+      // ks/cvm/w1/mwu/kw all fold over the VALUE HISTOGRAM (distinct
+      // n_chars is bounded, so everything after the one corpus
+      // groupBy is metadata — the r16 join-free double-rank form);
+      // spearman folds the (x, y) PAIR histogram; bh explodes n·m·B
+      // coins but folds them map-side into an m·B-row frame — the
+      // probe prices exactly that explode-vs-fold trade.
       val narrow = docs.select($"doc_id", $"n_chars", $"lang",
           expr("CASE WHEN lang = 'en' THEN 1 ELSE 0 END").as("g"))
         .localCheckpoint()
@@ -683,7 +683,8 @@ object Stress {
           m = 100).agg(sum($"mult")).head(); rows
       }
       timed("st2-winnow") {
-        // fingerprint density ~2/(w+1) of grams; doc-keyed windows
+        // fingerprint density ~2/(w+1) of grams; per-row array
+        // selection (zero shuffle), md5-hashing-bound
         graft.ext.TextDedup.winnowFingerprints(
           docs, "doc_id", "text", k = 4, w = 5).count()
       }

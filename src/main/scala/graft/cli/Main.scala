@@ -71,31 +71,11 @@ object Main {
 
   def run(spark: SparkSession, args: List[String]): Unit = args match {
     case "load" :: csv :: stationsCsv :: store :: Nil =>
-      val cleaned = RideTransform(
-        RideCsv.read(spark, csv), StationCsv.read(spark, stationsCsv))
-      val n = RidesTable.append(spark, cleaned, store)
-      println(s"loaded $n new rides into $store")
+      loadRides(spark, csv, stationsCsv, store, gated = false)
 
-    // load, gated by the rides data contract: the expectations report
-    // (ext/Expectations.rideContract) runs BEFORE the append touches
-    // the store — a malformed export fails the job LOUDLY, listing
-    // every violated check, instead of spending cluster-hours
-    // materializing metrics over garbage. The cleaned batch is pinned
-    // once so gate + append share one pass over the input.
+    // load, gated by the rides data contract (see loadRides)
     case "load-checked" :: csv :: stationsCsv :: store :: Nil =>
-      val cleaned = RideTransform(
-        RideCsv.read(spark, csv), StationCsv.read(spark, stationsCsv))
-        .localCheckpoint()
-      val gate = graft.ext.Expectations.rideContract(cleaned).collect()
-      val failed = gate.filter(_.getAs[Long]("pass") == 0L)
-      if (failed.nonEmpty)
-        sys.error("data contract FAILED — nothing was written:\n" +
-          failed.map(r => s"  ${r.getAs[String]("check")}: " +
-            s"${r.getAs[Long]("n_violations")} violation(s) over " +
-            s"${r.getAs[Long]("n_checked")} rows").mkString("\n"))
-      val n = RidesTable.append(spark, cleaned, store)
-      println(s"contract ok (${gate.length} checks); " +
-        s"loaded $n new rides into $store")
+      loadRides(spark, csv, stationsCsv, store, gated = true)
 
     // load-folder (reference bike_rides_cli.py cmd_load): every CSV in
     // the folder, in name order, each with an interim cleaned-CSV write.
@@ -651,6 +631,37 @@ object Main {
 
     case other =>
       sys.error(s"unknown command: ${other.mkString(" ")} — see Scaladoc for usage")
+  }
+
+  /** Shared load pipeline for `load` and `load-checked` — ONE copy of
+    * clean → (optional contract gate) → idempotent append, so the
+    * checked path can never load different data than the unchecked
+    * one. When gated, the expectations report
+    * (ext/Expectations.rideContract) runs BEFORE the append touches
+    * the store — a malformed export fails the job LOUDLY, listing
+    * every violated check, instead of spending cluster-hours
+    * materializing metrics over garbage; the cleaned batch is pinned
+    * once so gate + append share one pass over the input. */
+  private def loadRides(spark: SparkSession, csv: String,
+      stationsCsv: String, store: String, gated: Boolean): Unit = {
+    val base = RideTransform(
+      RideCsv.read(spark, csv), StationCsv.read(spark, stationsCsv))
+    val cleaned = if (gated) base.localCheckpoint() else base
+    if (gated) {
+      val gate = graft.ext.Expectations.rideContract(cleaned).collect()
+      val failed = gate.filter(_.getAs[Long]("pass") == 0L)
+      if (failed.nonEmpty)
+        sys.error("data contract FAILED — nothing was written:\n" +
+          failed.map(r => s"  ${r.getAs[String]("check")}: " +
+            s"${r.getAs[Long]("n_violations")} violation(s) over " +
+            s"${r.getAs[Long]("n_checked")} rows").mkString("\n"))
+      val n = RidesTable.append(spark, cleaned, store)
+      println(s"contract ok (${gate.length} checks); " +
+        s"loaded $n new rides into $store")
+    } else {
+      val n = RidesTable.append(spark, cleaned, store)
+      println(s"loaded $n new rides into $store")
+    }
   }
 
   /** Shared body of both semantic-dedup arities. */

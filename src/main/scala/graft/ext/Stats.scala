@@ -1123,6 +1123,12 @@ object Stats {
         "— this read-out runs on a bounded AGGREGATED series; " +
         "aggregate the stream to periods first (or raise maxPeriods " +
         "deliberately)")
+    // duplicate period keys would make the time rank (and therefore
+    // U_t) nondeterministic — refuse loudly, the maxPeriods posture
+    val mDist = base.select($"t").distinct().count()
+    require(mDist == m,
+      s"pettittChangePoint: $m rows but only $mDist distinct periods " +
+        "— one row per period required; aggregate the series first")
     val wv = org.apache.spark.sql.expressions.Window.orderBy($"x", $"t")
     val ranked = base
       .withColumn("rk", row_number().over(wv)) // bounded frame
@@ -1170,6 +1176,12 @@ object Stats {
         "— this read-out runs on a bounded AGGREGATED series; " +
         "aggregate the stream to periods first (or raise maxPeriods " +
         "deliberately)")
+    // duplicate period keys would lump tied periods into one RANGE
+    // frame step while the oracle's day key cannot tie — refuse loudly
+    val mDist = base.select($"t").distinct().count()
+    require(mDist == m,
+      s"pageHinkleyDrawup: $m rows but only $mDist distinct periods " +
+        "— one row per period required; aggregate the series first")
     val tot = base.agg(count(lit(1)).as("n"), Exact.decSum($"x").as("sx"))
     val wt = org.apache.spark.sql.expressions.Window.orderBy($"t")
     base.crossJoin(broadcast(tot))

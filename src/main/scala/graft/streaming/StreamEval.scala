@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -47,7 +47,30 @@ object StreamEval {
     * never write a state generation whose `max(batch_id)` would be
     * NULL over zero rows). */
   def mergeBatch(spark: SparkSession, batch: DataFrame, labelCol: String,
-      predCol: String, statePath: String, batchId: Long): Long = {
+      predCol: String, statePath: String, batchId: Long): Long =
+    mergeState(spark, batch, statePath, batchId,
+      keys = Seq("label", "pred"), sums = Seq("n" -> (sum(_)))) { b =>
+      b.select(col(labelCol).cast("int").as("label"),
+          col(predCol).cast("int").as("pred"))
+        .groupBy(col("label"), col("pred"))
+        .agg(count(lit(1)).as("n"))
+    }
+
+  /** The ONE monitor-merge skeleton every `merge*Batch` delegates to:
+    * the null-safe idempotent-replay gate, the empty-batch no-op, the
+    * unionByName-regroup merge and the crash-safe tmp-then-replace
+    * swap exist once — a fix to the replay or swap protocol cannot
+    * silently miss a monitor. Each monitor supplies only its
+    * per-batch `delta` fold (producing exactly keys ++ sum columns)
+    * and how each sum column merges (addition for counts; addition
+    * re-cast for the DECIMAL carriers).
+    *
+    * @return rows merged (0 on an idempotent replay or empty batch)
+    */
+  private def mergeState(spark: SparkSession, batch: DataFrame,
+      statePath: String, batchId: Long, keys: Seq[String],
+      sums: Seq[(String, Column => Column)])(
+      delta: DataFrame => DataFrame): Long = {
     val prev: Option[DataFrame] = readState(spark, statePath)
     // null-safe: a state written by an older build could be empty
     val maxSeen = prev.flatMap(p =>
@@ -56,14 +79,13 @@ object StreamEval {
     if (batchId <= maxSeen) return 0L
     val nRows = batch.count()
     if (nRows == 0L) return 0L
-    val delta = batch.select(col(labelCol).cast("int").as("label"),
-        col(predCol).cast("int").as("pred"))
-      .groupBy(col("label"), col("pred"))
-      .agg(count(lit(1)).as("n"))
-    val merged = prev.map(_.select(col("label"), col("pred"), col("n")))
-      .map(_.unionByName(delta)).getOrElse(delta)
-      .groupBy(col("label"), col("pred"))
-      .agg(sum(col("n")).as("n"))
+    val d = delta(batch)
+    val stateCols = (keys ++ sums.map(_._1)).map(col)
+    val mergeAggs = sums.map { case (n, f) => f(col(n)).as(n) }
+    val merged = prev.map(_.select(stateCols: _*))
+      .map(_.unionByName(d)).getOrElse(d)
+      .groupBy(keys.map(col): _*)
+      .agg(mergeAggs.head, mergeAggs.tail: _*)
       .withColumn("batch_id", lit(batchId))
     val tmp = statePath + "_tmp"
     merged.write.mode(SaveMode.Overwrite).parquet(tmp)
@@ -110,36 +132,22 @@ object StreamEval {
       labelCol: String, predCol: String, confMicroCol: String,
       statePath: String, batchId: Long, bins: Int = 10): Long = {
     require(bins > 0, "need at least one bin")
-    val prev: Option[DataFrame] = readState(spark, statePath)
-    val maxSeen = prev.flatMap(p =>
-        Option(p.agg(max(col("batch_id"))).head().get(0)))
-      .map(_.asInstanceOf[Long]).getOrElse(-1L)
-    if (batchId <= maxSeen) return 0L
-    val nRows = batch.count()
-    if (nRows == 0L) return 0L
-    // the row projection / guards / binning / squared-error term are
-    // graft.ext.Eval's OWN expressions — stream ≡ batch holds because
-    // the formulas exist once, not because two copies stay in lockstep
-    val delta = graft.ext.Eval
-      .scoredRows(batch, labelCol, predCol, confMicroCol, bins,
-        what = "mergeScoredBatch")
-      .withColumn("se", graft.ext.Eval.seFromOkCm)
-      .groupBy(col("bin"))
-      .agg(count(lit(1)).as("n"), sum(col("ok")).as("correct"),
-        graft.ext.Exact.decSum(col("cm")).as("conf_sum"),
-        graft.ext.Exact.decSum(col("se")).as("se_sum"))
-    val merged = prev.map(_.select(col("bin"), col("n"), col("correct"),
-        col("conf_sum"), col("se_sum")))
-      .map(_.unionByName(delta)).getOrElse(delta)
-      .groupBy(col("bin"))
-      .agg(sum(col("n")).as("n"), sum(col("correct")).as("correct"),
-        sum(col("conf_sum")).cast(graft.ext.Exact.Dec).as("conf_sum"),
-        sum(col("se_sum")).cast(graft.ext.Exact.Dec).as("se_sum"))
-      .withColumn("batch_id", lit(batchId))
-    val tmp = statePath + "_tmp"
-    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
-    replace(spark, tmp, statePath)
-    nRows
+    mergeState(spark, batch, statePath, batchId, keys = Seq("bin"),
+      sums = Seq("n" -> (sum(_)), "correct" -> (sum(_)),
+        "conf_sum" -> (c => sum(c).cast(graft.ext.Exact.Dec)),
+        "se_sum" -> (c => sum(c).cast(graft.ext.Exact.Dec)))) { b =>
+      // the row projection / guards / binning / squared-error term are
+      // graft.ext.Eval's OWN expressions — stream ≡ batch holds because
+      // the formulas exist once, not because two copies stay in lockstep
+      graft.ext.Eval
+        .scoredRows(b, labelCol, predCol, confMicroCol, bins,
+          what = "mergeScoredBatch")
+        .withColumn("se", graft.ext.Eval.seFromOkCm)
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("ok")).as("correct"),
+          graft.ext.Exact.decSum(col("cm")).as("conf_sum"),
+          graft.ext.Exact.decSum(col("se")).as("se_sum"))
+    }
   }
 
   /** Current per-bin scored state (bin, n, correct, conf_sum, se_sum). */
@@ -207,28 +215,14 @@ object StreamEval {
     * so the stream ≡ batch contract starts at the fold. */
   def mergeBinnedBatch(spark: SparkSession, batch: DataFrame,
       groupCol: String, binCol: String, statePath: String,
-      batchId: Long): Long = {
-    val prev: Option[DataFrame] = readState(spark, statePath)
-    val maxSeen = prev.flatMap(p =>
-        Option(p.agg(max(col("batch_id"))).head().get(0)))
-      .map(_.asInstanceOf[Long]).getOrElse(-1L)
-    if (batchId <= maxSeen) return 0L
-    val nRows = batch.count()
-    if (nRows == 0L) return 0L
-    val delta = batch.select(col(groupCol).as("group"),
-        col(binCol).cast("int").as("bin"))
-      .groupBy(col("group"), col("bin"))
-      .agg(count(lit(1)).as("n"))
-    val merged = prev.map(_.select(col("group"), col("bin"), col("n")))
-      .map(_.unionByName(delta)).getOrElse(delta)
-      .groupBy(col("group"), col("bin"))
-      .agg(sum(col("n")).as("n"))
-      .withColumn("batch_id", lit(batchId))
-    val tmp = statePath + "_tmp"
-    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
-    replace(spark, tmp, statePath)
-    nRows
-  }
+      batchId: Long): Long =
+    mergeState(spark, batch, statePath, batchId,
+      keys = Seq("group", "bin"), sums = Seq("n" -> (sum(_)))) { b =>
+      b.select(col(groupCol).as("group"),
+          col(binCol).cast("int").as("bin"))
+        .groupBy(col("group"), col("bin"))
+        .agg(count(lit(1)).as("n"))
+    }
 
   /** Current drift-state cells (group, bin, n). */
   def binnedCounts(spark: SparkSession, statePath: String): DataFrame =
@@ -314,29 +308,15 @@ object StreamEval {
     * landing in either sample. */
   def mergeValueBatch(spark: SparkSession, batch: DataFrame,
       valueCol: String, grpCol: String, statePath: String,
-      batchId: Long): Long = {
-    val prev: Option[DataFrame] = readState(spark, statePath)
-    val maxSeen = prev.flatMap(p =>
-        Option(p.agg(max(col("batch_id"))).head().get(0)))
-      .map(_.asInstanceOf[Long]).getOrElse(-1L)
-    if (batchId <= maxSeen) return 0L
-    val nRows = batch.count()
-    if (nRows == 0L) return 0L
-    val delta = batch.select(col(valueCol).cast("long").as("v"),
-        graft.ext.Stats.groupBit(col(grpCol), "mergeValueBatch")
-          .as("g"))
-      .groupBy(col("v"), col("g"))
-      .agg(count(lit(1)).as("n"))
-    val merged = prev.map(_.select(col("v"), col("g"), col("n")))
-      .map(_.unionByName(delta)).getOrElse(delta)
-      .groupBy(col("v"), col("g"))
-      .agg(sum(col("n")).as("n"))
-      .withColumn("batch_id", lit(batchId))
-    val tmp = statePath + "_tmp"
-    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
-    replace(spark, tmp, statePath)
-    nRows
-  }
+      batchId: Long): Long =
+    mergeState(spark, batch, statePath, batchId,
+      keys = Seq("v", "g"), sums = Seq("n" -> (sum(_)))) { b =>
+      b.select(col(valueCol).cast("long").as("v"),
+          graft.ext.Stats.groupBit(col(grpCol), "mergeValueBatch")
+            .as("g"))
+        .groupBy(col("v"), col("g"))
+        .agg(count(lit(1)).as("n"))
+    }
 
   /** Current two-sample value cells (v, g, n). */
   def valueCounts(spark: SparkSession, statePath: String): DataFrame =

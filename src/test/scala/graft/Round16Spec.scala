@@ -311,6 +311,15 @@ class Round16Spec extends SparkSpec {
     val e = intercept[IllegalArgumentException](
       Stats.pageHinkleyDrawup(df, "t", "x", maxPeriods = 5L))
     assert(e.getMessage.contains("pageHinkleyDrawup"))
+    // duplicate period keys refuse loudly in BOTH sequential
+    // detectors (a tied t would make the time rank nondeterministic)
+    val dup = Seq((1L, 5L), (1L, 9L), (2L, 3L)).toDF("t", "x")
+    val eDup = intercept[IllegalArgumentException](
+      Stats.pettittChangePoint(dup, "t", "x"))
+    assert(eDup.getMessage.contains("distinct periods"))
+    val eDup2 = intercept[IllegalArgumentException](
+      Stats.pageHinkleyDrawup(dup, "t", "x"))
+    assert(eDup2.getMessage.contains("distinct periods"))
   }
 
   test("madOutliers == brute lower-median/MAD fence; the planted " +
