@@ -373,6 +373,78 @@ object StreamEval {
     graft.ext.Stats.kruskalWallisFromCounts(
       binnedCounts(spark, statePath), "bin", "group", "n")
 
+  // ------------------------------------------------------------------
+  // Period-volume monitoring: per-day event counts are the sufficient
+  // statistic for the WHOLE sequential-detector shelf (CUSUM, Pettitt,
+  // Page–Hinkley drawup, median/MAD outliers), bounded by the day
+  // count forever, merged by addition — late or replayed events land
+  // in their own day's cell, so the series is correct regardless of
+  // arrival order.
+
+  /** Start a period-volume monitor over a streaming frame of
+    * timestamped rows. */
+  def startPeriods(rows: DataFrame, tsCol: String, statePath: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("60 seconds"))
+      : StreamingQuery = {
+    val spark = rows.sparkSession
+    rows.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        mergePeriodBatch(spark, batch, tsCol, statePath, id)
+        ()
+      }
+      .start()
+  }
+
+  /** One micro-batch: fold to (day, n) and add into the state — the
+    * [[mergeState]] contract (idempotent replay, crash-safe swap).
+    * The projection (`to_date` of the timestamp) is the same one the
+    * batch day-series queries apply. */
+  def mergePeriodBatch(spark: SparkSession, batch: DataFrame,
+      tsCol: String, statePath: String, batchId: Long): Long =
+    mergeState(spark, batch, statePath, batchId,
+      keys = Seq("day"), sums = Seq("n" -> (sum(_)))) { b =>
+      b.select(to_date(col(tsCol)).as("day"))
+        .groupBy(col("day")).agg(count(lit(1)).as("n"))
+    }
+
+  /** Current period counts (day, n) — the day series every
+    * sequential detector reads. */
+  def periodCounts(spark: SparkSession, statePath: String): DataFrame =
+    readState(spark, statePath)
+      .getOrElse(throw new IllegalStateException(
+        s"no monitor state at $statePath (and no backup generation)"))
+      .select(col("day"), col("n"))
+      .orderBy(col("day"))
+
+  /** CUSUM change point from the monitor state — LITERALLY
+    * [[graft.ext.Stats.cusumChangePoint]] over the persisted day
+    * series, so stream ≡ batch by the delegation contract shared by
+    * every read-out in this file. */
+  def cusumFromState(spark: SparkSession, statePath: String): DataFrame =
+    graft.ext.Stats.cusumChangePoint(
+      periodCounts(spark, statePath), "day", "n")
+
+  /** Pettitt change-point test from the SAME state. */
+  def pettittFromState(spark: SparkSession, statePath: String)
+      : DataFrame =
+    graft.ext.Stats.pettittChangePoint(
+      periodCounts(spark, statePath), "day", "n")
+
+  /** Page–Hinkley drawup from the SAME state. */
+  def pageHinkleyFromState(spark: SparkSession, statePath: String)
+      : DataFrame =
+    graft.ext.Stats.pageHinkleyDrawup(
+      periodCounts(spark, statePath), "day", "n")
+
+  /** Median/MAD outlier-day read-out from the SAME state. */
+  def madOutliersFromState(spark: SparkSession, statePath: String,
+      factor: Long = 5L): DataFrame =
+    graft.ext.Stats.madOutliers(
+      periodCounts(spark, statePath), "day", "n", factor)
+
   /** Current confusion counts (label, pred, n), ready for the
     * counts-based folds in [[graft.ext.Eval]]. */
   def counts(spark: SparkSession, statePath: String): DataFrame =

@@ -297,6 +297,49 @@ class StreamEvalSpec extends SparkSpec {
     assert(kappa.getAs[Long]("kappa_ppm") > 800000L)
   }
 
+  test("period monitor: every sequential detector reads stream == " +
+    "batch from the day-count state, out-of-order + replay") {
+    import spark.implicits._
+    val state = tmpDir("sevalper") + "/state"
+    // 3 batches interleaving days, with a level shift from day 20 —
+    // late arrivals land in their own day's cell
+    def mkBatch(seed: Int, n: Int) =
+      (0 until n).map { i =>
+        val d = (i * 7 + seed) % 30
+        val reps = if (d >= 20) 3 else 1
+        (java.sql.Timestamp.valueOf(
+          f"2024-03-${d + 1}%02d 0${(i + seed) % 9}:15:00"), reps)
+      }.flatMap { case (ts, r) => Seq.fill(r)(Tuple1(ts)) }
+        .toDF("ts")
+    val b1 = mkBatch(1, 40)
+    val b2 = mkBatch(4, 33)
+    val b3 = mkBatch(9, 27)
+    assert(StreamEval.mergePeriodBatch(spark, b2, "ts", state, 0L) > 0L)
+    assert(StreamEval.mergePeriodBatch(spark, b3, "ts", state, 1L) > 0L)
+    assert(StreamEval.mergePeriodBatch(spark, b3, "ts", state, 1L)
+      === 0L) // replay
+    assert(StreamEval.mergePeriodBatch(spark, b1, "ts", state, 2L) > 0L)
+    val all = b2.unionByName(b3).unionByName(b1)
+    val daily = all.groupBy(to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("n"))
+    for ((name, fromState, batchOp) <- Seq(
+      ("cusum", StreamEval.cusumFromState(spark, state),
+        graft.ext.Stats.cusumChangePoint(daily, "day", "n")),
+      ("pettitt", StreamEval.pettittFromState(spark, state),
+        graft.ext.Stats.pettittChangePoint(daily, "day", "n")),
+      ("ph", StreamEval.pageHinkleyFromState(spark, state),
+        graft.ext.Stats.pageHinkleyDrawup(daily, "day", "n")),
+      ("mad", StreamEval.madOutliersFromState(spark, state),
+        graft.ext.Stats.madOutliers(daily, "day", "n")))) {
+      val got = fromState.collect().map(_.toSeq).toSeq
+      val want = batchOp.collect().map(_.toSeq).toSeq
+      assert(got === want, s"stream $name diverged:\n$got\nvs\n$want")
+    }
+    // the planted level shift is detectable from the state
+    val pk = StreamEval.pettittFromState(spark, state).head()
+    assert(pk.getAs[Long]("k_stat") > 0L)
+  }
+
   test("end-to-end stream: file source -> two-sample value state via " +
     "AvailableNow; read-out equals the batch operator") {
     import spark.implicits._
