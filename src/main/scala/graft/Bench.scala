@@ -15,14 +15,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - STEADY STATE: each query runs once untimed (codegen compilation,
   *    JIT, parquet footers), then once timed. Engine throughput is the
   *    steady-state number; one-time JVM costs are not the query.
+  *  - LOAD ROBUSTNESS (round 17): every timed run stamps the
+  *    1-min loadavg and machine-wide JVM count, and after the steady
+  *    pass any query whose steady min exceeds 2× its committed
+  *    per-query envelope (scripts/bench_envelope.json — regenerated
+  *    each round from the exclusive round-end run via
+  *    scripts/make_bench_envelope.py) is RE-MEASURED once after a GC +
+  *    settle pause. Both values land in a `rechecked` map on the final
+  *    summary line and the steady map keeps the min — so a co-tenant
+  *    JVM during the driver's run (BENCH_r16's q152 15.99 s vs 6.44 s
+  *    exclusive at the same HEAD) can no longer manufacture a phantom
+  *    3× regression in the official artifact.
   * Queries run in sorted name order for run-to-run comparability.
   */
 object Bench {
 
   private def materialize(df: DataFrame): Long = df.queryExecution.toRdd.count()
 
-  /** 1-min loadavg (OS-reported) — sampled BEFORE the run starts so it
-    * reflects OTHER work on the machine, not this bench. */
+  /** 1-min loadavg (OS-reported). Sampled before the run for machine
+    * context, and after every timed query for per-query stamping. */
   private def loadAvg1: Double = java.lang.management.ManagementFactory
     .getOperatingSystemMXBean.getSystemLoadAverage
 
@@ -37,6 +48,28 @@ object Bench {
         } catch { case _: Throwable => false }
       }
     }).getOrElse(-1)
+
+  /** One timed measurement with its machine context (sampled right
+    * after the run, when any co-tenant that inflated it is still
+    * visible). sec = -1 on failure. */
+  final case class Timed(sec: Double, load1: Double, jvms: Int)
+
+  /** The committed per-query steady envelope (short keys → seconds)
+    * from the last EXCLUSIVE round-end bench. Flat JSON, parsed with a
+    * regex — no JSON library on the runtime classpath needed. Missing
+    * file (fresh checkout mid-edit, or a path-relocated run) degrades
+    * to an empty envelope: no rechecks, loudly logged. */
+  private def loadEnvelope(): Map[String, Double] = {
+    val path = sys.env.getOrElse("BENCH_ENVELOPE",
+      "scripts/bench_envelope.json")
+    val f = new java.io.File(path)
+    if (!f.isFile) { System.err.println(s"[bench] no envelope at $path" +
+      " — recheck pass disabled"); return Map.empty }
+    val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+    val entry = """"([^"]+)"\s*:\s*(-?[0-9.eE+]+)""".r
+    entry.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble)
+      .toMap
+  }
 
   def main(args: Array[String]): Unit = {
     val loadStart = loadAvg1
@@ -75,13 +108,16 @@ object Bench {
     // One timed fresh-plan run; success captured EXPLICITLY (the old
     // `try materialize catch -1L` discarded the -1 — a failing query's
     // wall time looked like a valid result). Failures record -1.0.
-    def timedRun(fn: (org.apache.spark.sql.SparkSession, String) => DataFrame): Double = {
+    // Machine context is sampled right AFTER the run: that is when a
+    // co-tenant that inflated this measurement shows in load1/jvms.
+    def timedRun(fn: (SparkSession, String) => DataFrame): Timed = {
       val t0 = System.nanoTime()
       val ok = try { materialize(fn(spark, sfDir)); true }
         catch { case _: Throwable => false }
       val t = (System.nanoTime() - t0) / 1e9
+      val ctx = Timed(if (ok) t else -1.0, loadAvg1, jvmCount)
       dropStaleBlocks()
-      if (ok) t else -1.0
+      ctx
     }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -96,22 +132,66 @@ object Bench {
     // materialization). With 150+ queries the single-shot total is
     // dominated by the ~0.4 s/query planning floor; the full steady
     // map is the execution-tracking signal for cross-round comparison.
-    val steady = results.map { case (name, single) =>
-      if (single < 0) name -> -1.0
+    // Each steady entry keeps the CONTEXT of the run that produced the
+    // min, so the artifact shows the machine state behind every number.
+    val steadyFirst = results.map { case (name, single) =>
+      if (single.sec < 0) name -> single
       else {
         val fn = SparkEntry.queries(name)
         val times = single +: (0 until 2).map(_ => timedRun(fn))
-        name -> (if (times.exists(_ < 0)) -1.0 else times.min)
+        name -> (if (times.exists(_.sec < 0)) Timed(-1.0, loadAvg1, jvmCount)
+                 else times.minBy(_.sec))
       }
     }
-    val steadyTotal = steady.map(_._2).filter(_ >= 0).sum
-    val steadyTop = steady.filter(_._2 >= 0).sortBy(-_._2).take(10)
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // ---- recheck pass (round 17) --------------------------------------
+    // Queries whose steady min reads >2× their committed exclusive-run
+    // envelope are re-measured ONCE each, after a GC + settle pause at
+    // the very end of the run (co-tenants that contaminated the main
+    // passes have usually finished by now; their presence either way is
+    // stamped in the recheck's own load1/jvms). The steady map keeps
+    // min(before, after) — min-of-N is the estimator, so a clean
+    // recheck corrects a contaminated entry and a still-contaminated
+    // recheck changes nothing. Bounded at 20 queries (largest
+    // overshoot first): a machine loaded for the WHOLE run would
+    // otherwise double the bench.
+    val envelope = loadEnvelope()
+    def short(name: String): String = name.takeWhile(_ != '_')
+    val overs = steadyFirst.flatMap { case (name, t) =>
+      envelope.get(short(name)) match {
+        case Some(env) if t.sec >= 0 && env > 0 && t.sec > 2 * env =>
+          Some((name, t, t.sec / env))
+        case _ => None
+      }
+    }.sortBy(-_._3).take(20)
+    val rechecked: Map[String, (Timed, Timed)] =
+      if (overs.isEmpty) Map.empty
+      else {
+        dropStaleBlocks()
+        Thread.sleep(3000) // settle: let the cleaner and any finishing
+                           // co-tenant wind down before re-measuring
+        overs.map { case (name, before, _) =>
+          val fn = SparkEntry.queries(name)
+          timedRun(fn) // warm the plan again untimed
+          name -> (before, timedRun(fn))
+        }.toMap
+      }
+    val steady = steadyFirst.map { case (name, t) =>
+      rechecked.get(name) match {
+        case Some((before, after)) if after.sec >= 0 && after.sec < t.sec =>
+          name -> after
+        case _ => name -> t
+      }
+    }
+
+    val steadyTotal = steady.map(_._2.sec).filter(_ >= 0).sum
+    val steadyTop = steady.filter(_._2.sec >= 0).sortBy(-_._2.sec).take(10)
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v.sec }
       .mkString("{", ",", "}")
-    val steadyQs = steady.map { case (k, v) => "\"" + k + "\":" + v }
+    val steadyQs = steady.map { case (k, v) => "\"" + k + "\":" + v.sec }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val total = results.map(_._2.sec).filter(_ >= 0).sum
     // Verbose per-query lines first (full names, full precision) — for
     // humans and local diffing: single-shot map, then the FULL steady map.
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"steady":$steadyQs,"steady_total":$steadyTotal,"sf":"$sfDir"}""")
@@ -122,23 +202,40 @@ object Bench {
     //  - `steady_sec` carries the full map sorted ASCENDING by time —
     //    the expensive (round-over-round informative) entries sit at
     //    the END of the line, inside the surviving window;
-    //  - `steady_top50` (new) carries the top-50 descending in ~650
-    //    chars — guaranteed whole, so per-query comparison below the
-    //    top-10 works from the artifact alone;
+    //  - `steady_ctx` stamps [sec, load1, jvms] per query, ascending by
+    //    sec for the same truncation survival;
+    //  - `steady_top50` carries the top-50 descending in ~650 chars —
+    //    guaranteed whole, so per-query comparison below the top-10
+    //    works from the artifact alone;
     //  - the LAST line is the short summary (totals + top-10 + load
-    //    context) that always fits whole.
+    //    context + the rechecked map) that always fits whole.
     def shortMap(m: Seq[(String, Double)]): String = m.map { case (k, v) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + f"$v%.3f"
+      "\"" + short(k) + "\":" + f"$v%.3f"
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"queries_sec","queries":${shortMap(results)}}""")
-    println(s"""{"metric":"steady_sec","order":"asc","queries":${shortMap(steady.sortBy(_._2))}}""")
-    println(s"""{"metric":"steady_top50","queries":${shortMap(steady.filter(_._2 >= 0).sortBy(-_._2).take(50))}}""")
+    def ctxMap(m: Seq[(String, Timed)]): String = m.map { case (k, t) =>
+      "\"" + short(k) + "\":[" + f"${t.sec}%.3f,${t.load1}%.2f,${t.jvms}]"
+    }.mkString("{", ",", "}")
+    val recheckedJson = rechecked.toSeq.sortBy(_._1).map {
+      case (k, (b, a)) =>
+        "\"" + short(k) + "\":{\"before\":" + f"${b.sec}%.3f" +
+          ",\"before_load1\":" + f"${b.load1}%.2f" +
+          ",\"before_jvms\":" + b.jvms +
+          ",\"after\":" + f"${a.sec}%.3f" +
+          ",\"after_load1\":" + f"${a.load1}%.2f" +
+          ",\"after_jvms\":" + a.jvms + "}"
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"queries_sec","queries":${shortMap(results.map(kv => kv._1 -> kv._2.sec))}}""")
+    println(s"""{"metric":"steady_sec","order":"asc","queries":${shortMap(steady.map(kv => kv._1 -> kv._2.sec).sortBy(_._2))}}""")
+    println(s"""{"metric":"steady_ctx","order":"asc","queries":${ctxMap(steady.sortBy(_._2.sec))}}""")
+    println(s"""{"metric":"steady_top50","queries":${shortMap(steady.filter(_._2.sec >= 0).map(kv => kv._1 -> kv._2.sec).sortBy(-_._2).take(50))}}""")
+    println(s"""{"metric":"rechecked","n_envelope":${envelope.size},"queries":$recheckedJson}""")
     // Load context: a loaded machine inflates every steady time 5–70%
     // (BENCH_r08 vs r09 drifted exactly so on unchanged code) — emit
     // the 1-min loadavg and machine-wide JVM count sampled at START
-    // (before this bench loaded the machine) and at END, so a future
-    // round can tell machine load from a real regression.
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"steady_total":$steadyTotal%.3f,"load1_start":$loadStart%.2f,"jvms_start":$jvmsStart,"load1_end":$loadAvg1%.2f,"jvms_end":$jvmCount,"steady_top10":${shortMap(steadyTop)},"sf":"$sfDir"}""")
+    // (before this bench loaded the machine) and at END, plus the
+    // recheck outcomes, so a future round can tell machine load from a
+    // real regression from the final line alone.
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"steady_total":$steadyTotal%.3f,"load1_start":$loadStart%.2f,"jvms_start":$jvmsStart,"load1_end":$loadAvg1%.2f,"jvms_end":$jvmCount,"rechecked":$recheckedJson,"steady_top10":${shortMap(steadyTop.map(kv => kv._1 -> kv._2.sec))},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -44,7 +44,8 @@ object SparkEntry {
       graft.queries.Extended26.queries ++
       graft.queries.Extended27.queries ++
       graft.queries.Extended28.queries ++
-      graft.queries.Extended29.queries
+      graft.queries.Extended29.queries ++
+      graft.queries.Extended30.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -74,5 +75,6 @@ object SparkEntry {
       graft.queries.Extended26.oracles ++
       graft.queries.Extended27.oracles ++
       graft.queries.Extended28.oracles ++
-      graft.queries.Extended29.oracles
+      graft.queries.Extended29.oracles ++
+      graft.queries.Extended30.oracles
 }

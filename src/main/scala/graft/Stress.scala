@@ -70,6 +70,26 @@ object Stress {
       println(f"[stress] gc-window   ${(System.nanoTime() - t0) / 1e9}%8.2f s")
     }
 
+    if (picks("srcprune")) {
+      // r17 item 4: `source =` residue pushdown now shrinks the
+      // PARTITION PLAN (ceil(parts·classes/20) readers over the same
+      // id span) and the reader strides over matching ids only — the
+      // probe prices the skipped generation: a 1-of-20 scan should
+      // read ~1/20th of the full text-synthesis cost, not full scan
+      // plus a Spark-side filter.
+      timed("srcprune-full") {
+        docs.agg(sum(length($"text"))).head(); rows
+      }
+      timed("srcprune-1of20") {
+        docs.filter($"source" === "src5")
+          .agg(sum(length($"text"))).head(); rows / 20
+      }
+      timed("srcprune-10of20") {
+        docs.filter($"source".isin((0 until 10).map("src" + _): _*))
+          .agg(sum(length($"text"))).head(); rows / 2
+      }
+    }
+
     if (picks("dedup")) timed("dedup") {
       val d = docs
       // starCap: the generated corpus has a 10k+-clone cluster; capped

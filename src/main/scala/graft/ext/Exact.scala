@@ -52,10 +52,23 @@ object Exact {
     * Contract: `num` ≥ 0 and `den` > 0 (Spark's `%` takes the
     * dividend's sign, so negative numerators would truncate toward
     * zero, not floor — every caller in the shelf divides squared or
-    * count-like quantities).
+    * count-like quantities). The contract is ENFORCED in the emitted
+    * SQL: a negative numerator or non-positive denominator
+    * raise_error's instead of silently mis-flooring — the exact
+    * failure class this helper exists to eliminate must not be
+    * reintroducible by a future sign-indefinite caller. The guard is
+    * a scalar CASE on values already in flight, so it adds no scan,
+    * shuffle, or job.
     */
-  def divFloorSql(num: String, den: String): String =
-    s"CAST((($num) - ($num) % ($den)) / ($den) AS $Dec)"
+  def divFloorSql(num: String, den: String): String = {
+    val n = s"(CASE WHEN ($num) < 0 THEN CAST(raise_error(" +
+      "'Exact.divFloorSql: negative numerator violates the num >= 0 " +
+      s"floor-division contract') AS $Dec) ELSE ($num) END)"
+    val d = s"(CASE WHEN ($den) <= 0 THEN CAST(raise_error(" +
+      "'Exact.divFloorSql: non-positive denominator violates the " +
+      s"den > 0 floor-division contract') AS $Dec) ELSE ($den) END)"
+    s"CAST(($n - $n % $d) / $d AS $Dec)"
+  }
 
   /** Read an exact DECIMAL value back out as BIGINT, failing LOUDLY
     * when it no longer fits — the schema-stable alternative to a

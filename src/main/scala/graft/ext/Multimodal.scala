@@ -8,10 +8,20 @@ import org.apache.spark.sql.functions._
   * decode / feature-extract / resize / frame-sample stages as
   * `mapPartitions` operators over typed rows.
   *
-  * The decode step is a clearly-marked STUB ([[StubImageDecoder]]): no
-  * imaging/audio libraries exist in this container, so it derives
-  * deterministic fake metadata from the payload bytes. Everything
-  * AROUND the stub is real and load-bearing:
+  * Two decoders ship behind the one [[ImageDecoder]] contract:
+  *  - [[JdkImageDecoder]] — REAL decode for the common raster formats
+  *    (PNG/JPEG/BMP/GIF) via the JDK's built-in `javax.imageio`, which
+  *    works headless with no external library (the r16 verdict's punch
+  *    item #3: the "no imaging libraries in this container" premise was
+  *    avoidable for these formats). Undecodable payloads fail LOUDLY.
+  *  - [[StubImageDecoder]] — the deterministic byte-arithmetic decoder,
+  *    kept for exotic kinds a JDK reader cannot touch AND as the
+  *    oracle-reproducible path: its arithmetic is expressible in plain
+  *    SQL, so the media-pipeline CORRECTNESS rows (q29/q31/q50/q64) can
+  *    be replayed digit-for-digit by DuckDB over the same bytes —
+  *    something no real codec allows.
+  *
+  * Everything around the decoders is shared and load-bearing:
   *  - schema: (media_id, kind, payload binary) → typed metadata rows;
   *  - partition-parallel execution: the decoder is initialized once per
   *    partition (amortized, like a Pandas-UDF batch iterator) and rows
@@ -19,8 +29,7 @@ import org.apache.spark.sql.functions._
   *    collect-to-driver;
   *  - frame sampling is a flatMap (1 row in → N frame rows out), the
   *    generator shape;
-  *  - swap [[StubImageDecoder]] for a JNI/javacpp decoder and nothing
-  *    else changes.
+  *  - swapping decoders changes nothing else.
   */
 object Multimodal {
 
@@ -38,11 +47,82 @@ object Multimodal {
   }
   case class ImageMeta2(width: Int, height: Int, nFrames: Int, format: String)
 
-  /** ===== STUB ===== Deterministic fake decoder: derives metadata from
-    * the payload bytes (length + leading codepoint). A real deployment
-    * replaces this with an actual imaging library; the container has
-    * none, per the build brief. The arithmetic is chosen to be exactly
-    * reproducible in any SQL engine for oracle checks. */
+  /** REAL decoder over the JDK's built-in `javax.imageio` — headless
+    * PNG/JPEG/BMP/GIF(+WBMP/TIFF where the JDK ships readers) decode
+    * with zero external dependencies. Metadata comes from the format's
+    * own reader (so width/height are the true raster dimensions and
+    * `format` is the reader's canonical name); multi-frame containers
+    * (animated GIF) report their true frame count. `resize` re-renders
+    * through a bilinear `Graphics2D` pass and re-encodes as PNG
+    * (lossless, deterministic across JDK builds for the same input).
+    * Undecodable payloads raise with the media kind's first bytes in
+    * the message — a corrupt image in a 100 TB curation run should
+    * count loudly, not silently become fake metadata. */
+  object JdkImageDecoder extends ImageDecoder {
+    private def reader(payload: Array[Byte]) = {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) {
+        val head = payload.take(8).map(b => f"${b & 0xff}%02x").mkString
+        throw new IllegalArgumentException(
+          s"JdkImageDecoder: no ImageIO reader for payload " +
+            s"(${payload.length} bytes, head 0x$head) — decode exotic " +
+            "kinds with a dedicated decoder or route them to " +
+            "StubImageDecoder explicitly")
+      }
+      val r = readers.next()
+      r.setInput(iis)
+      r
+    }
+
+    override def decodeMeta(payload: Array[Byte]): ImageMeta2 = {
+      val r = reader(payload)
+      try ImageMeta2(
+        width = r.getWidth(0),
+        height = r.getHeight(0),
+        nFrames = math.max(1, r.getNumImages(true)),
+        format = r.getFormatName.toLowerCase(java.util.Locale.ROOT))
+      finally r.dispose()
+    }
+
+    /** Decoded ARGB pixels of frame 0, row-major — the byte-for-byte
+      * golden surface for specs and for featurizers that want real
+      * pixel data. */
+    def decodePixels(payload: Array[Byte]): Array[Int] = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      require(img != null, "JdkImageDecoder: ImageIO.read returned null")
+      img.getRGB(0, 0, img.getWidth, img.getHeight, null, 0, img.getWidth)
+    }
+
+    override def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      require(w > 0 && h > 0, s"resize target must be positive, got ${w}x$h")
+      val src = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      require(src != null, "JdkImageDecoder: ImageIO.read returned null")
+      val dst = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+      val g = dst.createGraphics()
+      try {
+        g.setRenderingHint(
+          java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(src, 0, 0, w, h, null)
+      } finally g.dispose()
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(dst, "png", out)
+      out.toByteArray
+    }
+  }
+
+  /** ===== STUB ===== Deterministic byte-arithmetic decoder: derives
+    * metadata from the payload bytes (length + leading codepoint).
+    * Kept alongside [[JdkImageDecoder]] for two reasons: exotic kinds
+    * the JDK has no reader for, and ORACLE REPRODUCIBILITY — this
+    * arithmetic is expressible in plain SQL, so the media CORRECTNESS
+    * rows can be replayed by DuckDB over the same bytes (no real codec
+    * allows that). Real image decode goes through [[JdkImageDecoder]]. */
   object StubImageDecoder extends ImageDecoder {
     override def decodeMeta(payload: Array[Byte]): ImageMeta2 = {
       val len = payload.length

@@ -324,10 +324,23 @@ object Stats {
       : DataFrame = {
     val s = df.sparkSession
     import s.implicits._
-    val g = df.select(col(xCol).cast("long").as("x"),
-      col(yCol).cast("long").as("y"))
+    val g = df.select(
+      spearmanAxis(col(xCol), "spearmanRho", xCol).as("x"),
+      spearmanAxis(col(yCol), "spearmanRho", yCol).as("y"))
     spearmanFold(g.groupBy($"x", $"y").agg(count(lit(1)).as("c")))
   }
+
+  /** Loud NULL guard for a Spearman axis — the shelf's discipline
+    * (groupBit/chi² raise on NULL): a NULL x or y would otherwise
+    * silently vanish in the marginal joins, shrinking n with no
+    * signal. Callers with legitimately missing pairs filter BEFORE
+    * calling, so the drop is visible in their plan, not ours. */
+  private def spearmanAxis(c: Column, op: String, name: String): Column =
+    when(c.isNull,
+      raise_error(lit(s"$op: NULL in '$name' — Spearman is defined " +
+        "over complete pairs; filter missing rows explicitly before " +
+        "calling")).cast("long"))
+      .otherwise(c.cast("long"))
 
   /** [[spearmanRho]] from pre-folded (x, y, count) cells — the
     * [[ksTwoSampleFromCounts]] delegation contract. */
@@ -335,8 +348,10 @@ object Stats {
       yCol: String, cntCol: String): DataFrame = {
     val s = cells.sparkSession
     import s.implicits._
-    val c = cells.select(col(xCol).cast("long").as("x"),
-      col(yCol).cast("long").as("y"), col(cntCol).cast("long").as("n"))
+    val c = cells.select(
+      spearmanAxis(col(xCol), "spearmanRhoFromCounts", xCol).as("x"),
+      spearmanAxis(col(yCol), "spearmanRhoFromCounts", yCol).as("y"),
+      col(cntCol).cast("long").as("n"))
     spearmanFold(c.groupBy($"x", $"y").agg(sum($"n").as("c")))
   }
 
@@ -1096,6 +1111,26 @@ object Stats {
           " END").as("h_micro"))
   }
 
+  /** Shared guard pass for the sequential detectors: ONE aggregation
+    * job returns (row count, distinct periods) together — the r16
+    * finding that `count` + `distinct().count` as separate actions
+    * doubled the guard cost ahead of every read-out. Raises the same
+    * loud errors as before: maxPeriods first, then one-row-per-period.
+    * Returns the validated period count m. */
+  private[graft] def guardedPeriods(base: DataFrame, op: String,
+      maxPeriods: Long): Long = {
+    val r = base.agg(count(lit(1)), count_distinct(col("t"))).head()
+    val (m, mDist) = (r.getLong(0), r.getLong(1))
+    require(m <= maxPeriods,
+      s"$op: $m periods exceed maxPeriods=$maxPeriods — this " +
+        "read-out runs on a bounded AGGREGATED series; aggregate the " +
+        "stream to periods first (or raise maxPeriods deliberately)")
+    require(mDist == m,
+      s"$op: $m rows but only $mDist distinct periods — one row per " +
+        "period required; aggregate the series first")
+    m
+  }
+
   /** Pettitt change-point test over an aggregated series (the
     * rank-based, distribution-free companion to [[cusumChangePoint]]:
     * a single burst day cannot fake a regime shift here). The
@@ -1117,18 +1152,10 @@ object Stats {
     import s.implicits._
     val base = series.select(col(tCol).as("t"),
       col(xCol).cast("long").as("x")).localCheckpoint()
-    val m = base.count()
-    require(m <= maxPeriods,
-      s"pettittChangePoint: $m periods exceed maxPeriods=$maxPeriods " +
-        "— this read-out runs on a bounded AGGREGATED series; " +
-        "aggregate the stream to periods first (or raise maxPeriods " +
-        "deliberately)")
     // duplicate period keys would make the time rank (and therefore
-    // U_t) nondeterministic — refuse loudly, the maxPeriods posture
-    val mDist = base.select($"t").distinct().count()
-    require(mDist == m,
-      s"pettittChangePoint: $m rows but only $mDist distinct periods " +
-        "— one row per period required; aggregate the series first")
+    // U_t) nondeterministic — refuse loudly, the maxPeriods posture.
+    // ONE agg pass carries both guards (row count + distinct periods).
+    val m = guardedPeriods(base, "pettittChangePoint", maxPeriods)
     val wv = org.apache.spark.sql.expressions.Window.orderBy($"x", $"t")
     val ranked = base
       .withColumn("rk", row_number().over(wv)) // bounded frame
@@ -1170,18 +1197,10 @@ object Stats {
     import s.implicits._
     val base = series.select(col(tCol).as("t"),
       col(xCol).cast("long").as("x")).localCheckpoint()
-    val m = base.count()
-    require(m <= maxPeriods,
-      s"pageHinkleyDrawup: $m periods exceed maxPeriods=$maxPeriods " +
-        "— this read-out runs on a bounded AGGREGATED series; " +
-        "aggregate the stream to periods first (or raise maxPeriods " +
-        "deliberately)")
     // duplicate period keys would lump tied periods into one RANGE
-    // frame step while the oracle's day key cannot tie — refuse loudly
-    val mDist = base.select($"t").distinct().count()
-    require(mDist == m,
-      s"pageHinkleyDrawup: $m rows but only $mDist distinct periods " +
-        "— one row per period required; aggregate the series first")
+    // frame step while the oracle's day key cannot tie — refuse
+    // loudly. ONE agg pass carries both guards.
+    val m = guardedPeriods(base, "pageHinkleyDrawup", maxPeriods)
     val tot = base.agg(count(lit(1)).as("n"), Exact.decSum($"x").as("sx"))
     val wt = org.apache.spark.sql.expressions.Window.orderBy($"t")
     base.crossJoin(broadcast(tot))

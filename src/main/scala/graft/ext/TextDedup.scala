@@ -640,10 +640,18 @@ object TextDedup {
     // the cluster has slots would put the md5 workload on one task —
     // spread the (id, tokens) rows first. A production corpus has
     // thousands of splits, so the branch is a no-op exactly where the
-    // repartition would cost something.
-    val par = docs.sparkSession.sparkContext.defaultParallelism
-    val toks = if (toksRaw.rdd.getNumPartitions < par)
-      toksRaw.repartition(par) else toksRaw
+    // repartition would cost something. The split count is ESTIMATED
+    // from the optimizer's size stats (driver metadata, no job, no
+    // eager RDD compilation — the r16 finding: `.rdd` force-planned
+    // the query outside AQE's view on every call); unknown-size
+    // sources report huge sizeInBytes and correctly skip the guard.
+    val s = docs.sparkSession
+    val par = s.sparkContext.defaultParallelism
+    val splitBytes =
+      BigInt(s.sessionState.conf.filesMaxPartitionBytes).max(BigInt(1))
+    val estSplits =
+      toksRaw.queryExecution.optimizedPlan.stats.sizeInBytes / splitBytes + 1
+    val toks = if (estSplits < par) toksRaw.repartition(par) else toksRaw
     val hashes = transform(
       TextFns.ngramsFromTokens(col("__toks"), k), g => md5(g))
     toks

@@ -41,16 +41,22 @@ object Extended28 {
     * (compute the subspace once, read it many times). The memo is
     * driver metadata only (k·(dim+1) floats per path), results are
     * bit-identical by construction (same code, same input), and the
-    * key is the data path: fixture directories are immutable within
-    * a JVM — callers that rewrite data under a reused path must use a
-    * fresh path (the test-fixture discipline this repo already
-    * follows). */
+    * key is (data path, table fingerprint): a rewrite under a reused
+    * path changes the file listing's (path, length, mtime) hash
+    * ([[Tables.fingerprint]]) and misses the memo, so an append-style
+    * store or a long-lived session re-ingesting under the same
+    * directory can never read a stale subspace. [[clearMemos]] drops
+    * everything for callers that want a hard reset. */
   private val muVsMemo = new java.util.concurrent.ConcurrentHashMap[
     String, (Array[Float], Seq[Array[Float]])]()
 
+  /** Drop all driver-side memo state (subspace chain + day frames). */
+  def clearMemos(): Unit = { muVsMemo.clear(); dailyMemo.clear() }
+
   private def muVs(s: SparkSession, dir: String)
       : (Array[Float], Seq[Array[Float]]) =
-    muVsMemo.computeIfAbsent(dir, _ => {
+    muVsMemo.computeIfAbsent(
+      dir + "|" + Tables.fingerprint(s, dir, "embeddings"), _ => {
       val emb = t(s, dir, "embeddings")
       val got = emb.select(size(col("embedding"))).head().getInt(0)
       require(got == Dim,
@@ -511,22 +517,43 @@ object Extended28 {
     * localCheckpoint'd frame, driver rows survive Bench's
     * per-query unpersist-everything sweep (a localCheckpointed RDD
     * cannot be recomputed once its blocks are dropped). Same
-    * immutable-fixture-path contract as [[muVsMemo]].
+    * (path, fingerprint) keying as [[muVsMemo]].
+    *
+    * The day is collected as a STRING and rebuilt with `to_date`, so
+    * the read-back is independent of `spark.sql.datetime.java8API`
+    * (under that config `getDate` would see a `java.time.LocalDate`
+    * and throw). The collect is bounded BEFORE materialization: one
+    * row per day means even a century is ~37k rows, so `MaxDays + 1`
+    * caps the fetch and a corrupt-timestamp fixture whose day domain
+    * explodes (epoch garbage spreading over millennia) fails loudly
+    * here instead of OOMing the driver and only then hitting the
+    * Stats-side maxPeriods guards.
     */
   private val dailyMemo = new java.util.concurrent.ConcurrentHashMap[
-    String, Seq[(java.sql.Date, Long)]]()
+    String, Seq[(String, Long)]]()
 
-  private[queries] def dailySeries(s: SparkSession, dir: String)
+  /** Hard cap on the collected day frame (driver metadata bound). */
+  private val MaxDays = 100000
+
+  private[graft] def dailySeries(s: SparkSession, dir: String)
       : DataFrame = {
-    val rows = dailyMemo.computeIfAbsent(dir, _ => {
-      import s.implicits._
-      t(s, dir, "events")
-        .groupBy(to_date($"ts").as("day"))
-        .agg(count(lit(1)).as("cnt"))
-        .collect().map(r => (r.getDate(0), r.getLong(1))).toSeq
-    })
+    val rows = dailyMemo.computeIfAbsent(
+      dir + "|" + Tables.fingerprint(s, dir, "events"), _ => {
+        import s.implicits._
+        val got = t(s, dir, "events")
+          .groupBy(date_format(to_date($"ts"), "yyyy-MM-dd").as("day"))
+          .agg(count(lit(1)).as("cnt"))
+          .limit(MaxDays + 1)
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        require(got.size <= MaxDays,
+          s"dailySeries: events spans more than $MaxDays distinct days —" +
+            " refusing to materialize the day frame on the driver" +
+            " (corrupt timestamps?)")
+        got
+      })
     import s.implicits._
-    rows.toDF("day", "cnt")
+    rows.toDF("day_s", "cnt")
+      .select(to_date($"day_s").as("day"), $"cnt")
   }
 
   // --------------------------------------------------------------------

@@ -23,6 +23,28 @@ object Tables {
   def registerAll(s: SparkSession, dir: String): Unit =
     All.foreach(n => load(s, dir, n).createOrReplaceTempView(n))
 
+  /** Cheap content fingerprint of one table directory: the sorted
+    * (path, length, modificationTime) listing hashed. Driver-side memo
+    * caches (e.g. [[Extended28]]'s subspace/day-frame memos) key on
+    * `dir + "|" + fingerprint` so a rewrite under a reused path — an
+    * append-style store, a long-lived session re-ingesting — invalidates
+    * the memo instead of silently serving stale results. One FS listing
+    * per call: driver metadata, no Spark job. */
+  def fingerprint(s: SparkSession, dir: String, name: String): String = {
+    val path = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    def walk(p: org.apache.hadoop.fs.Path): Seq[String] = {
+      val st = fs.getFileStatus(p)
+      if (st.isDirectory)
+        fs.listStatus(p).toSeq.sortBy(_.getPath.toString).flatMap(c =>
+          if (c.isDirectory) walk(c.getPath)
+          else Seq(s"${c.getPath}:${c.getLen}:${c.getModificationTime}"))
+      else Seq(s"${st.getPath}:${st.getLen}:${st.getModificationTime}")
+    }
+    java.util.UUID.nameUUIDFromBytes(
+      walk(path).mkString("\n").getBytes("UTF-8")).toString
+  }
+
   def load(s: SparkSession, dir: String, name: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = s.read.parquet(s"$dir/$name.parquet")

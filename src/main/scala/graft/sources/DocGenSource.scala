@@ -138,7 +138,14 @@ private[sources] class DocGenScan(rows: Long, parts: Int, seed: Long,
     if (begin >= stop || residues.exists(_.isEmpty))
       return Array.empty
     val span = stop - begin
-    val per = math.max(1L, (span + parts - 1) / parts)
+    // residue pruning keeps |residues|/20 of the ids: plan
+    // proportionally FEWER, WIDER partitions so each carries the same
+    // generated-row workload — a selective `source =` filter plans a
+    // smaller scan (the partition-pruning analog), not `parts`
+    // near-empty readers each paying task overhead for span/20 rows.
+    val keepClasses = residues.map(_.size).getOrElse(20)
+    val effParts = math.max(1L, (parts.toLong * keepClasses + 19) / 20)
+    val per = math.max(1L, (span + effParts - 1) / effParts)
     (begin until stop by per)
       .map(start => DocGenPartition(start, math.min(start + per, stop)))
       .toArray

@@ -445,6 +445,82 @@ object StreamEval {
     graft.ext.Stats.madOutliers(
       periodCounts(spark, statePath), "day", "n", factor)
 
+  // ------------------------------------------------------------------
+  // Winnowing-fingerprint novelty monitoring: the corpus fingerprint
+  // frame (fingerprint, df) is the sufficient statistic for "has this
+  // content been seen" — the winnowing guarantee says any shared token
+  // run of ≥ k+w−1 tokens shares a selected fingerprint — it is bounded
+  // by the distinct-fingerprint count (~2·grams/(w+1) per doc, deduped
+  // across the corpus), and it merges by ADDITION of document
+  // frequencies: the same semilattice contract as every state in this
+  // file. Arriving batches are then decontaminated against the state
+  // with one keyed join — history is never rescanned (the
+  // [[graft.ext.TextDedup.novelAgainst]] precedent, persisted).
+
+  /** Start a fingerprint monitor over a streaming frame of
+    * (id, text) document rows. */
+  def startFingerprints(docs: DataFrame, idCol: String, textCol: String,
+      statePath: String, checkpointDir: String, k: Int = 4, w: Int = 5,
+      trigger: Trigger = Trigger.ProcessingTime("60 seconds"))
+      : StreamingQuery = {
+    val spark = docs.sparkSession
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        mergeFingerprintBatch(spark, batch, idCol, textCol, statePath,
+          id, k, w)
+        ()
+      }
+      .start()
+  }
+
+  /** One document micro-batch: winnow-fingerprint it
+    * ([[graft.ext.TextDedup.winnowFingerprints]] — the SAME per-row
+    * zero-shuffle selection the batch queries run, so stream ≡ batch
+    * starts at the fold), fold to (fingerprint, df) and add into the
+    * state. Same idempotent-replay and crash-safe-swap contract as
+    * [[mergeBatch]]. */
+  def mergeFingerprintBatch(spark: SparkSession, batch: DataFrame,
+      idCol: String, textCol: String, statePath: String, batchId: Long,
+      k: Int = 4, w: Int = 5): Long =
+    mergeState(spark, batch, statePath, batchId,
+      keys = Seq("fingerprint"), sums = Seq("df" -> (sum(_)))) { b =>
+      graft.ext.TextDedup.winnowFingerprints(b, idCol, textCol, k, w)
+        .groupBy(col("fingerprint")).agg(count(lit(1)).as("df"))
+    }
+
+  /** Current corpus fingerprint frame (fingerprint, df). */
+  def fingerprintCounts(spark: SparkSession, statePath: String)
+      : DataFrame =
+    readState(spark, statePath)
+      .getOrElse(throw new IllegalStateException(
+        s"no monitor state at $statePath (and no backup generation)"))
+      .select(col("fingerprint"), col("df"))
+
+  /** Incremental decontamination read-out: fingerprint the ARRIVING
+    * batch and price each document's overlap with the accumulated
+    * corpus state — one keyed join against the bounded fingerprint
+    * frame, never a rescan of history. Output per batch document:
+    * (idCol, n_fp, n_shared, novel) where novel = 1 iff NO fingerprint
+    * is already known. Documents shorter than k+w−1 tokens select no
+    * fingerprints and are absent (the winnowing guarantee threshold —
+    * same drop rule as the batch operator). */
+  def winnowNoveltyFromState(spark: SparkSession, statePath: String,
+      batch: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, w: Int = 5): DataFrame = {
+    val fps = graft.ext.TextDedup.winnowFingerprints(
+      batch, idCol, textCol, k, w)
+    val st = fingerprintCounts(spark, statePath)
+      .select(col("fingerprint"), lit(1L).as("__hit"))
+    fps.join(st, Seq("fingerprint"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_fp"),
+        coalesce(sum(col("__hit")), lit(0L)).as("n_shared"))
+      .withColumn("novel",
+        when(col("n_shared") === 0L, 1L).otherwise(0L))
+  }
+
   /** Current confusion counts (label, pred, n), ready for the
     * counts-based folds in [[graft.ext.Eval]]. */
   def counts(spark: SparkSession, statePath: String): DataFrame =

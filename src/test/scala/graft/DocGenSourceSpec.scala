@@ -88,6 +88,28 @@ class DocGenSourceSpec extends SparkSpec {
     assert(both.collect().forall(r => r.getLong(0) % 20 == 5 && r.getLong(0) >= 1000))
   }
 
+  test("source filters plan FEWER InputPartitions (partition-level " +
+      "pruning, not just a reader stride)") {
+    def nParts(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collectFirst {
+        case b: BatchScanExec => b
+      }.getOrElse(fail("no BatchScanExec")).batch.planInputPartitions().length
+    assert(nParts(gen(20000, 8)) === 8)
+    // one residue class of 20 → ceil(8/20) = 1 partition, same rows
+    val one = gen(20000, 8).filter($"source" === "src5")
+    assert(nParts(one) === 1)
+    assert(one.count() === 1000L)
+    // ten classes → ceil(8·10/20) = 4 partitions
+    val ten = gen(20000, 8).filter($"source".isin(
+      (0 until 10).map("src" + _): _*))
+    assert(nParts(ten) === 4)
+    assert(ten.count() === 10000L)
+    // pruning never changes values
+    assert(one.orderBy($"doc_id").collect().toSeq ===
+      gen(20000, 8).collect().filter(_.getString(3) == "src5")
+        .sortBy(_.getLong(0)).toSeq)
+  }
+
   test("n_chars matches text length; near-dups exist for dedup ops") {
     val df = gen(1000, 4).cache()
     try {

@@ -1,11 +1,27 @@
 package graft
 
 import graft.ext.Multimodal
-import graft.ext.Multimodal.{MediaRow, StubImageDecoder}
+import graft.ext.Multimodal.{JdkImageDecoder, MediaRow, StubImageDecoder}
 
 /** Multimodal plumbing: typed binary columns, partition-parallel decode,
-  * frame-sample generator shape. The decoder is the documented stub. */
+  * frame-sample generator shape. Real PNG/JPEG decode goes through the
+  * JDK's built-in javax.imageio ([[JdkImageDecoder]]); the SQL-
+  * reproducible stub stays for the oracle rows and exotic kinds. */
 class MultimodalSpec extends SparkSpec {
+
+  /** A deterministic 4x3 PNG: per-pixel ARGB from a fixed formula,
+    * encoded by the JDK's own writer so the bytes are a real PNG. */
+  private def pngFixture: (Array[Byte], Array[Int]) = {
+    val (w, h) = (4, 3)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, 0xff000000 | (x * 40 << 16) | (y * 70 << 8) | (x + y))
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    val pixels = img.getRGB(0, 0, w, h, null, 0, w)
+    (out.toByteArray, pixels)
+  }
 
   private def media(n: Int) = {
     import spark.implicits._
@@ -58,5 +74,55 @@ class MultimodalSpec extends SparkSpec {
     val gotSeq = got.collect().map(r =>
       (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))
     assert(gotSeq.toSeq === viaBytes.toSeq)
+  }
+
+  test("JdkImageDecoder decodes a real PNG fixture: width/height/format" +
+      " goldens and byte-for-byte pixel round-trip") {
+    val (png, pixels) = pngFixture
+    val m = JdkImageDecoder.decodeMeta(png)
+    assert(m.width === 4)
+    assert(m.height === 3)
+    assert(m.nFrames === 1)
+    assert(m.format === "png")
+    // PNG is lossless: decoded ARGB must equal what was encoded
+    assert(JdkImageDecoder.decodePixels(png).toSeq === pixels.toSeq)
+    // JPEG payload decodes too (lossy — only meta is pinned)
+    val jout = new java.io.ByteArrayOutputStream()
+    val rgb = new java.awt.image.BufferedImage(
+      4, 3, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    javax.imageio.ImageIO.write(rgb, "jpeg", jout)
+    val jm = JdkImageDecoder.decodeMeta(jout.toByteArray)
+    assert((jm.width, jm.height, jm.format) === ((4, 3, "jpeg")))
+  }
+
+  test("JdkImageDecoder drives the SAME pipeline stages as the stub " +
+      "(imageMeta / resized / sampleFrames over real PNG payloads)") {
+    import spark.implicits._
+    val (png, _) = pngFixture
+    val rows = spark.createDataset((1L to 6L).map(i =>
+      MediaRow(i, "image", png))).repartition(3)
+    val metas = Multimodal.imageMeta(rows, JdkImageDecoder)
+      .collect().sortBy(_.media_id)
+    assert(metas.length === 6)
+    assert(metas.forall(m =>
+      m.width == 4 && m.height == 3 && m.format == "png"))
+    // resize to 2x2 and decode back: real re-rendered PNG bytes
+    val rs = Multimodal.resized(rows, 2, 2, JdkImageDecoder).collect()
+    assert(rs.forall { r =>
+      val m = JdkImageDecoder.decodeMeta(r.payload)
+      m.width == 2 && m.height == 2 && m.format == "png"
+    })
+    val frames = Multimodal.sampleFrames(rows, stride = 1, JdkImageDecoder)
+      .collect()
+    assert(frames.length === 6) // 1 frame per still PNG
+    assert(frames.forall(f =>
+      JdkImageDecoder.decodeMeta(f.payload).width == 64))
+  }
+
+  test("JdkImageDecoder fails LOUDLY on an undecodable payload") {
+    val e = intercept[IllegalArgumentException] {
+      JdkImageDecoder.decodeMeta("not an image".getBytes("UTF-8"))
+    }
+    assert(e.getMessage.contains("no ImageIO reader"))
   }
 }

@@ -361,4 +361,68 @@ class StreamEvalSpec extends SparkSpec {
       rows.toDF("v", "g"), "v", "g").head().toSeq
     assert(got === want, s"e2e stream KS diverged: $got vs $want")
   }
+
+  test("fingerprint monitor: stream-merged state == batch fold " +
+    "(out-of-order + replay); novelty read-out == direct comparison " +
+    "against the full corpus, without rescanning history") {
+    import spark.implicits._
+    val state = tmpDir("sevalfp") + "/state"
+    // corpus docs: 3 families of repeated token runs + unique tails so
+    // winnowing has real shared fingerprints; >= k+w-1 = 8 tokens each
+    def doc(id: Long, family: Int, tail: String) =
+      (id, s"alpha beta gamma delta f$family f$family epsilon zeta " +
+        s"eta theta $tail run$id end")
+    val corpus = ((0L until 12L).map(i => doc(i, (i % 3).toInt, s"c$i")))
+      .toDF("doc_id", "text")
+    val Seq(b1, b2, b3) = Seq(0, 1, 2).map(k =>
+      corpus.filter($"doc_id" % 3 === k))
+    // out-of-order batch content, one replay — state must equal the
+    // one-shot batch fold regardless
+    assert(StreamEval.mergeFingerprintBatch(spark, b2, "doc_id", "text",
+      state, 0L) > 0L)
+    assert(StreamEval.mergeFingerprintBatch(spark, b1, "doc_id", "text",
+      state, 1L) > 0L)
+    assert(StreamEval.mergeFingerprintBatch(spark, b1, "doc_id", "text",
+      state, 1L) === 0L) // replay no-op
+    assert(StreamEval.mergeFingerprintBatch(spark, b3, "doc_id", "text",
+      state, 2L) > 0L)
+    val fromState = StreamEval.fingerprintCounts(spark, state)
+      .orderBy("fingerprint").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val fromBatch = graft.ext.TextDedup
+      .winnowFingerprints(corpus, "doc_id", "text")
+      .groupBy($"fingerprint").agg(count(lit(1)).as("df"))
+      .orderBy("fingerprint").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(fromState === fromBatch, "stream state != batch fingerprint fold")
+
+    // novelty: one doc repeating corpus family 0 (must overlap), one
+    // genuinely novel doc (all-new vocabulary)
+    val arriving = Seq(
+      doc(100L, 0, "c0"), // same family-0 run as corpus doc 0
+      (101L, "zz yy xx ww vv uu tt ss rr qq pp oo nn")).toDF("doc_id", "text")
+    val nov = StreamEval.winnowNoveltyFromState(spark, state, arriving,
+      "doc_id", "text").orderBy("doc_id").collect()
+    val byId = nov.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(byId(100L)._2 > 0L && byId(100L)._3 === 0L,
+      s"repeat doc must share fingerprints: ${byId(100L)}")
+    assert(byId(101L)._2 === 0L && byId(101L)._3 === 1L,
+      s"novel doc must share none: ${byId(101L)}")
+    // read-out == the direct join against the full corpus fingerprints
+    val directCorpusFps = graft.ext.TextDedup
+      .winnowFingerprints(corpus, "doc_id", "text")
+      .select($"fingerprint").distinct()
+    val direct = graft.ext.TextDedup
+      .winnowFingerprints(arriving, "doc_id", "text")
+      .join(directCorpusFps.withColumn("__hit", lit(1L)),
+        Seq("fingerprint"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_fp"),
+        coalesce(sum($"__hit"), lit(0L)).as("n_shared"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(nov.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      === direct, "state-fed novelty != direct corpus comparison")
+  }
 }
