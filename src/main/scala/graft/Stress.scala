@@ -90,6 +90,38 @@ object Stress {
       }
     }
 
+    if (picks("fpstate")) {
+      // r17: fingerprint-state growth — the semilattice (fingerprint,
+      // df) layout REWRITES the whole state per merge (O(state)),
+      // the append layout writes only newly-seen fingerprints
+      // (O(new)). Same batches through both; per-batch times should
+      // GROW for merge and stay FLAT for append as the state
+      // accumulates. (Winnowing the batch itself is a shared,
+      // constant cost in every bar.) k = 6: the generator's 30-word
+      // vocabulary saturates the 4-gram space at ~810k fingerprints,
+      // which would cap the state and hide the growth — 30⁶ does not.
+      val fpK = 6
+      val nb = 8
+      val mPath = java.nio.file.Files
+        .createTempDirectory("fpmerge").toString + "/state"
+      val aPath = java.nio.file.Files
+        .createTempDirectory("fpappend").toString + "/state"
+      for (b <- 0 until nb) {
+        val batch = docs
+          .filter(pmod($"doc_id", lit(nb.toLong)) === b.toLong)
+        timed(f"fpmerge-b$b") {
+          graft.streaming.StreamEval.mergeFingerprintBatch(
+            spark, batch, "doc_id", "text", mPath, b.toLong, k = fpK)
+        }
+        gcWindow()
+        timed(f"fpappend-b$b") {
+          graft.streaming.StreamEval.appendFingerprintBatch(
+            spark, batch, "doc_id", "text", aPath, b.toLong, k = fpK)
+        }
+        gcWindow()
+      }
+    }
+
     if (picks("dedup")) timed("dedup") {
       val d = docs
       // starCap: the generated corpus has a 10k+-clone cluster; capped

@@ -5,9 +5,10 @@ import org.apache.spark.sql.functions._
 
 import graft.streaming.StreamEval
 
-/** Round-17 batch (q284–q290): the streaming monitor family,
+/** Round-17 batch (q284–q291): the streaming monitor family,
   * oracle-gated — EVERY StreamEval state type (value, period, binned,
-  * fingerprint, scored, confusion) now carries a CORRECTNESS row.
+  * fingerprint both layouts, scored, confusion) carries a CORRECTNESS
+  * row.
   *
   * The [[StreamEval]] monitors were spec-pinned (stream ≡ batch in
   * StreamEvalSpec with out-of-order + replay + crash-swap) but carried
@@ -319,8 +320,31 @@ object Extended30 {
        |  END AS BIGINT) AS kappa_ppm
        |FROM tot CROSS JOIN marg""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q291 — the SAME winnow-novelty read-out as q287 through the
+  // APPEND-ONLY first-seen state layout ([[StreamEval
+  // .appendFingerprintBatch]]): O(new)-write generations instead of a
+  // full-state rewrite per merge — the 100 TB shape for the one
+  // monitor state that grows with the corpus. The oracle IS q287's:
+  // both layouts must land on the identical novelty rows.
+  def q291(s: SparkSession, dir: String): DataFrame = {
+    val statePath = freshState("q291")
+    val docs = t(s, dir, "documents")
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    mergeBuckets(corpus, pmod(col("doc_id"), lit(3)))(
+      (batch, bid) => StreamEval.appendFingerprintBatch(
+        s, batch, "doc_id", "text", statePath, bid, WinK, WinW))
+    StreamEval.winnowNoveltyFromSet(s, statePath,
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
+        WinK, WinW)
+      .orderBy(col("doc_id"))
+  }
+
+  val q291Sql: String = q287Sql
+
   /** Name → query, for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q291_monitor_winnow_append" -> (q291 _),
     "q288_monitor_calibration_state" -> (q288 _),
     "q289_monitor_brier_state" -> (q289 _),
     "q290_monitor_kappa_state" -> (q290 _),
@@ -332,6 +356,7 @@ object Extended30 {
 
   /** Name → DuckDB oracle SQL, for SparkEntry. */
   val oracles: Map[String, String] = Map(
+    "q291_monitor_winnow_append" -> q291Sql,
     "q288_monitor_calibration_state" -> q288Sql,
     "q289_monitor_brier_state" -> q289Sql,
     "q290_monitor_kappa_state" -> q290Sql,

@@ -521,6 +521,98 @@ object StreamEval {
         when(col("n_shared") === 0L, 1L).otherwise(0L))
   }
 
+  // ------------------------------------------------------------------
+  // Append-only first-seen fingerprint layout — the 100 TB shape for
+  // the ONE monitor state that grows with the corpus.
+  // [[mergeFingerprintBatch]]'s semilattice (fingerprint, df) state
+  // REWRITES the full state parquet on every merge: correct, and the
+  // right shape for the bounded states (confusion ≤ classes²,
+  // calibration ≤ bins, drift cells, day counts), but O(|state|) write
+  // per batch once the state is corpus-sized. Here each batch's
+  // NEWLY-SEEN fingerprints land under their own `batch_id=N`
+  // subdirectory instead:
+  //  - write cost is O(new fingerprints), never O(state);
+  //  - the probe (batch anti-join state) is the irreducible cost of
+  //    EXACT novelty — cap it with a Bloom prefilter
+  //    ([[StreamNovelty]]) when approximate suffices;
+  //  - replay idempotency comes from the LAYOUT: a batch directory
+  //    only comes into existence by RENAME of a fully-written temp
+  //    (no torn generation is ever visible), so re-delivery of batch N
+  //    sees its directory and no-ops;
+  //  - earlier generations are never touched — no swap protocol needed.
+  // The trade: presence only, no document frequency (novelty needs
+  // presence only; keep the mergeState form when df matters).
+
+  /** One document micro-batch into the append layout: fingerprint it,
+    * anti-join against ALL existing generations, write only the novel
+    * fingerprints under `batch_id=N`. Returns the number of NEW
+    * fingerprints (0 on replay or when nothing is novel — an
+    * all-duplicate batch still creates its (empty) generation so a
+    * replay of it stays a no-op). */
+  def appendFingerprintBatch(spark: SparkSession, batch: DataFrame,
+      idCol: String, textCol: String, statePath: String, batchId: Long,
+      k: Int = 4, w: Int = 5): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(statePath)
+    val fs = root.getFileSystem(conf)
+    val gen = new org.apache.hadoop.fs.Path(root, s"batch_id=$batchId")
+    if (fs.exists(gen)) return 0L // replay: the generation is complete
+    val fresh = graft.ext.TextDedup
+      .winnowFingerprints(batch, idCol, textCol, k, w)
+      .select(col("fingerprint")).distinct()
+    val novel = fingerprintSetIfAny(spark, statePath) match {
+      case Some(st) => fresh.join(st, Seq("fingerprint"), "left_anti")
+      case None => fresh
+    }
+    // write-tmp-then-rename: `_`-prefixed dirs are invisible to parquet
+    // readers, so a crash mid-write never leaves a torn generation and
+    // the rename publishes it atomically (same-directory HDFS/posix
+    // rename)
+    val tmp = new org.apache.hadoop.fs.Path(root, s"_tmp_b$batchId")
+    if (fs.exists(tmp)) fs.delete(tmp, true) // leftover from a crash
+    novel.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val n = spark.read.parquet(tmp.toString).count()
+    require(fs.rename(tmp, gen),
+      s"appendFingerprintBatch: publishing $tmp -> $gen failed; " +
+        "no generation was installed (state unchanged)")
+    n
+  }
+
+  /** All fingerprints seen so far (distinct by construction — each is
+    * stored exactly once, in the generation that first saw it). */
+  def fingerprintSet(spark: SparkSession, statePath: String): DataFrame =
+    fingerprintSetIfAny(spark, statePath)
+      .getOrElse(throw new IllegalStateException(
+        s"no fingerprint generations at $statePath"))
+
+  private def fingerprintSetIfAny(spark: SparkSession,
+      statePath: String): Option[DataFrame] = {
+    val root = new org.apache.hadoop.fs.Path(statePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return None
+    val gens = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+    if (gens.isEmpty) None
+    else Some(spark.read.parquet(statePath).select(col("fingerprint")))
+  }
+
+  /** [[winnowNoveltyFromState]] over the append layout — identical
+    * read-out (presence is all novelty needs), O(new)-write state. */
+  def winnowNoveltyFromSet(spark: SparkSession, statePath: String,
+      batch: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, w: Int = 5): DataFrame = {
+    val fps = graft.ext.TextDedup.winnowFingerprints(
+      batch, idCol, textCol, k, w)
+    val st = fingerprintSet(spark, statePath)
+      .select(col("fingerprint"), lit(1L).as("__hit"))
+    fps.join(st, Seq("fingerprint"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_fp"),
+        coalesce(sum(col("__hit")), lit(0L)).as("n_shared"))
+      .withColumn("novel",
+        when(col("n_shared") === 0L, 1L).otherwise(0L))
+  }
+
   /** Current confusion counts (label, pred, n), ready for the
     * counts-based folds in [[graft.ext.Eval]]. */
   def counts(spark: SparkSession, statePath: String): DataFrame =

@@ -424,5 +424,34 @@ class StreamEvalSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(nov.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
       === direct, "state-fed novelty != direct corpus comparison")
+
+    // ---- append-only first-seen layout: identical fingerprint SET and
+    // identical novelty read-out, O(new)-write generations, replay
+    // detected from the published directory itself
+    val aState = tmpDir("sevalfpa") + "/state"
+    assert(StreamEval.appendFingerprintBatch(spark, b2, "doc_id", "text",
+      aState, 0L) > 0L)
+    val n1 = StreamEval.appendFingerprintBatch(spark, b1, "doc_id", "text",
+      aState, 1L)
+    assert(n1 >= 0L)
+    assert(StreamEval.appendFingerprintBatch(spark, b1, "doc_id", "text",
+      aState, 1L) === 0L, "replay must no-op off the published generation")
+    assert(StreamEval.appendFingerprintBatch(spark, b3, "doc_id", "text",
+      aState, 2L) > 0L)
+    val setFps = StreamEval.fingerprintSet(spark, aState)
+      .orderBy("fingerprint").collect().map(_.getString(0)).toSeq
+    assert(setFps === fromBatch.map(_._1),
+      "append-layout fingerprint set != batch fold's distinct fingerprints")
+    val novA = StreamEval.winnowNoveltyFromSet(spark, aState, arriving,
+      "doc_id", "text").orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(novA === direct,
+      "append-layout novelty != direct corpus comparison")
+    // generations are per-batch directories; merging never rewrote them
+    val fs = new org.apache.hadoop.fs.Path(aState).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val gens = fs.listStatus(new org.apache.hadoop.fs.Path(aState))
+      .map(_.getPath.getName).filter(_.startsWith("batch_id=")).sorted
+    assert(gens.toSeq === Seq("batch_id=0", "batch_id=1", "batch_id=2"))
   }
 }
