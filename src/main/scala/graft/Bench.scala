@@ -66,9 +66,13 @@ object Bench {
     if (!f.isFile) { System.err.println(s"[bench] no envelope at $path" +
       " — recheck pass disabled"); return Map.empty }
     val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-    val entry = """"([^"]+)"\s*:\s*(-?[0-9.eE+]+)""".r
-    entry.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble)
-      .toMap
+    // full JSON number syntax — the old char-class ([0-9.eE+]) had no
+    // '-' INSIDE it, so a negative exponent like 1e-05 matched as "1e"
+    // and .toDouble crashed the whole bench at startup
+    val entry = """"([^"]+)"\s*:\s*(-?[0-9]+(?:\.[0-9]+)?(?:[eE][+-]?[0-9]+)?)""".r
+    entry.findAllMatchIn(txt).flatMap { m =>
+      scala.util.Try(m.group(2).toDouble).toOption.map(m.group(1) -> _)
+    }.toMap
   }
 
   def main(args: Array[String]): Unit = {
@@ -157,9 +161,26 @@ object Bench {
     // otherwise double the bench.
     val envelope = loadEnvelope()
     def short(name: String): String = name.takeWhile(_ != '_')
+    // Two triggers, same recheck (round 18 — the second is new):
+    //  1. RATIO: steady min > 2× the envelope, the r17 rule.
+    //  2. LOAD-AWARE: among the top-k most expensive queries BY
+    //     ENVELOPE (where contamination distorts the artifact most),
+    //     any entry over its envelope AT ALL whose min-producing run
+    //     was stamped with load1 above a threshold gets re-measured —
+    //     BENCH_r17's q152 stood at 1.89× (11.73 s, load1 6.16) just
+    //     UNDER the 2× ratio while smaller overshoots were corrected.
+    //     The threshold is the contamination boundary, not an idle
+    //     bound: this bench alone drives load1 to ~parallelism/4.
+    val loadThreshold =
+      sys.env.getOrElse("BENCH_RECHECK_LOAD1", "3.0").toDouble
+    val topByEnvelope = envelope.toSeq.sortBy(-_._2).take(30)
+      .map(_._1).toSet
     val overs = steadyFirst.flatMap { case (name, t) =>
       envelope.get(short(name)) match {
-        case Some(env) if t.sec >= 0 && env > 0 && t.sec > 2 * env =>
+        case Some(env) if t.sec >= 0 && env > 0 &&
+            (t.sec > 2 * env ||
+              (topByEnvelope(short(name)) && t.sec > env &&
+                t.load1 > loadThreshold)) =>
           Some((name, t, t.sec / env))
         case _ => None
       }

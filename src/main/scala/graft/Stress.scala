@@ -120,6 +120,64 @@ object Stress {
         }
         gcWindow()
       }
+      // r18: compaction — collapse the nb generations into one and
+      // show (a) the novelty probe priced the same before and after,
+      // (b) appends stay flat on the compacted state, (c) the state
+      // directory count is bounded. The probe batch is half SEEN
+      // (batch 0's text) and half NOVEL (a different generator seed,
+      // ids offset past the corpus) — the realistic arriving mix, and
+      // the shape where a Bloom prefilter earns its keep (the novel
+      // half drops out before the exact join).
+      val novelDocs = spark.read.format("graftdocs")
+        .option("rows", rows).option("partitions", cpus.toInt * 2)
+        .option("seed", 1337L).load()
+        .filter(pmod($"doc_id", lit(nb.toLong)) === 0L)
+        .withColumn("doc_id", $"doc_id" + rows)
+      val probeBatch = docs
+        .filter(pmod($"doc_id", lit(nb.toLong)) === 0L)
+        .unionByName(novelDocs)
+      def probe(path: String, bits: Int = 0): Long =
+        graft.streaming.StreamEval.winnowNoveltyFromSet(
+          spark, path, probeBatch, "doc_id", "text", k = fpK,
+          bloomBits = bits).queryExecution.toRdd.count()
+      timed("fpprobe-pre")(probe(aPath))
+      gcWindow()
+      timed("fpcompact") {
+        graft.streaming.StreamEval.compactFingerprintGenerations(
+          spark, aPath, upTo = nb - 1L)
+      }
+      gcWindow()
+      timed("fpprobe-post")(probe(aPath))
+      gcWindow()
+      timed(f"fpappend-b$nb-postcompact") {
+        graft.streaming.StreamEval.appendFingerprintBatch(
+          spark, novelDocs, "doc_id", "text", aPath, nb.toLong, k = fpK)
+      }
+      gcWindow()
+      // r18: Bloom-prefiltered probe pricing — the same batches into a
+      // sidecar-carrying state, then the SAME probe with and without
+      // the prefilter. Bits sized ~10/fingerprint at the probe corpus
+      // (state fingerprints ≈ 2·grams/(w+1); the generated corpus at
+      // 2M docs holds ~30M — 2^28 bits keeps the survivor rate low
+      // while the packed filter stays a 32 MB broadcast).
+      val bBits = sys.env.getOrElse("GRAFT_STRESS_BLOOM_BITS",
+        (1 << 28).toString).toInt
+      val bPath = java.nio.file.Files
+        .createTempDirectory("fpbloom").toString + "/state"
+      for (b <- 0 until nb) {
+        val batch = docs
+          .filter(pmod($"doc_id", lit(nb.toLong)) === b.toLong)
+        timed(f"fpbloomapp-b$b") {
+          graft.streaming.StreamEval.appendFingerprintBatch(
+            spark, batch, "doc_id", "text", bPath, b.toLong, k = fpK,
+            bloomBits = bBits)
+        }
+        gcWindow()
+      }
+      timed("fpnovel-exact")(probe(bPath))
+      gcWindow()
+      timed("fpnovel-bloom")(probe(bPath, bits = bBits))
+      gcWindow()
     }
 
     if (picks("dedup")) timed("dedup") {

@@ -59,32 +59,48 @@ object Multimodal {
     * the message — a corrupt image in a 100 TB curation run should
     * count loudly, not silently become fake metadata. */
   object JdkImageDecoder extends ImageDecoder {
-    private def reader(payload: Array[Byte]) = {
+    // the default ImageIO cache backs every ImageInputStream with an
+    // on-disk temp file — per-ROW disk churn inside mapPartitions, and
+    // a leaked file descriptor per stream until GC. Memory-backed
+    // streams are strictly better for byte-array payloads.
+    override def init(): Unit = javax.imageio.ImageIO.setUseCache(false)
+
+    /** Run `f` over a reader for the payload, closing BOTH the reader
+      * and its ImageInputStream on every path — including the
+      * no-reader throw (an unclosed stream per undecodable row would
+      * exhaust file descriptors over a large curation run). */
+    private def withReader[A](payload: Array[Byte])(
+        f: javax.imageio.ImageReader => A): A = {
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(payload))
-      val readers = javax.imageio.ImageIO.getImageReaders(iis)
-      if (!readers.hasNext) {
-        val head = payload.take(8).map(b => f"${b & 0xff}%02x").mkString
-        throw new IllegalArgumentException(
-          s"JdkImageDecoder: no ImageIO reader for payload " +
-            s"(${payload.length} bytes, head 0x$head) — decode exotic " +
-            "kinds with a dedicated decoder or route them to " +
-            "StubImageDecoder explicitly")
+      var r: javax.imageio.ImageReader = null
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) {
+          val head = payload.take(8).map(b => f"${b & 0xff}%02x").mkString
+          throw new IllegalArgumentException(
+            s"JdkImageDecoder: no ImageIO reader for payload " +
+              s"(${payload.length} bytes, head 0x$head) — decode exotic " +
+              "kinds with a dedicated decoder or route them to " +
+              "StubImageDecoder explicitly")
+        }
+        r = readers.next()
+        r.setInput(iis)
+        f(r)
+      } finally {
+        if (r != null) r.dispose()
+        iis.close()
       }
-      val r = readers.next()
-      r.setInput(iis)
-      r
     }
 
-    override def decodeMeta(payload: Array[Byte]): ImageMeta2 = {
-      val r = reader(payload)
-      try ImageMeta2(
-        width = r.getWidth(0),
-        height = r.getHeight(0),
-        nFrames = math.max(1, r.getNumImages(true)),
-        format = r.getFormatName.toLowerCase(java.util.Locale.ROOT))
-      finally r.dispose()
-    }
+    override def decodeMeta(payload: Array[Byte]): ImageMeta2 =
+      withReader(payload) { r =>
+        ImageMeta2(
+          width = r.getWidth(0),
+          height = r.getHeight(0),
+          nFrames = math.max(1, r.getNumImages(true)),
+          format = r.getFormatName.toLowerCase(java.util.Locale.ROOT))
+      }
 
     /** Decoded ARGB pixels of frame 0, row-major — the byte-for-byte
       * golden surface for specs and for featurizers that want real
@@ -211,6 +227,50 @@ object Multimodal {
           if (cpLen > cpIdx)
             s.codePointAt(s.offsetByCodePoints(0, cpIdx)).toFloat
           else 0f
+        }
+        MediaFeatures(r.media_id, f)
+      }
+    }
+  }
+
+  /** REAL-pixel featurizer: decode frame 0 via
+    * [[JdkImageDecoder.decodePixels]] and fold the ARGB grid into a
+    * fixed 8-dim vector — per-channel means and standard deviations
+    * over (A, R, G, B), in that order — the bridge from real decode
+    * into the ANN/VectorIndex path ([[features]]' stub arithmetic
+    * stays as the SQL-reproducible oracle surface; swapping THIS in
+    * changes the numbers, not the plumbing). Accumulation is integer
+    * (sums and sums-of-squares of 0–255 channel values — exact in
+    * Long far beyond any raster the JDK can hold), the float division
+    * happens once per image, so the vector is deterministic across
+    * partitionings and JVMs. Same once-per-partition decoder-init,
+    * bounded-batch mapPartitions contract as [[imageMeta]]. */
+  def pixelFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      JdkImageDecoder.init()
+      rows.map { r =>
+        val px = JdkImageDecoder.decodePixels(r.payload)
+        val n = px.length.toDouble
+        val sum = new Array[Long](4)
+        val sq = new Array[Long](4)
+        px.foreach { p =>
+          var c = 0
+          while (c < 4) {
+            val v = (p >>> (24 - 8 * c)) & 0xff // A, R, G, B
+            sum(c) += v
+            sq(c) += v.toLong * v
+            c += 1
+          }
+        }
+        val f = new Array[Float](8)
+        var c = 0
+        while (c < 4) {
+          val mean = sum(c) / n
+          f(c) = mean.toFloat
+          f(c + 4) = math.sqrt(math.max(0.0, sq(c) / n - mean * mean)).toFloat
+          c += 1
         }
         MediaFeatures(r.media_id, f)
       }

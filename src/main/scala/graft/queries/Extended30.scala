@@ -53,19 +53,49 @@ object Extended30 {
   private val PurchaseBit =
     "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END"
 
-  /** Fresh state path for one query invocation. */
+  /** One run-scoped root for every monitor state, deleted by a JVM
+    * shutdown hook — a Bench run exercises each monitor query ~4×
+    * (warmup + steady + recheck) and the fingerprint states scale with
+    * the documents corpus, so per-invocation dirs that outlive the run
+    * would pile tens of parquet trees under /tmp per round (the r17
+    * verdict's hygiene finding). The states must survive until the
+    * lazily-returned read-out MATERIALIZES, so eager deletion inside
+    * the query fn is off the table; process exit is the correct
+    * lifetime. */
+  private lazy val stateRoot: java.nio.file.Path = {
+    val root = java.nio.file.Files.createTempDirectory("graft_monitor_states_")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def nuke(p: java.io.File): Unit = {
+        Option(p.listFiles).foreach(_.foreach(nuke))
+        p.delete(); ()
+      }
+      nuke(root.toFile)
+    }))
+    root
+  }
+
+  /** Fresh state path for one query invocation (under [[stateRoot]]). */
   private def freshState(tag: String): String =
-    java.nio.file.Files.createTempDirectory(s"graft_${tag}_")
+    java.nio.file.Files.createTempDirectory(stateRoot, s"${tag}_")
       .toString + "/state"
 
   /** Deterministic 3-way batch split on the given bucket expression
     * (day-of-month for the event monitors, doc_id for the fingerprint
     * monitor), with one replay: merge batches 0,1,2 in order, then
     * re-deliver batch 1 (id 1 ≤ max 2) — the idempotency gate must
-    * make it a no-op or the state (and the oracle hash) goes wrong. */
+    * make it a no-op or the state (and the oracle hash) goes wrong.
+    * A NULL bucket value raises LOUDLY (the shelf's NULL discipline —
+    * a row whose bucket is NULL would land in NO batch and silently
+    * vanish from the monitor state while the DuckDB oracle still
+    * aggregates it). */
   private def mergeBuckets(df: DataFrame, bucket: org.apache.spark.sql.Column)(
       merge: (DataFrame, Long) => Long): Unit = {
-    val withB = df.withColumn("__b", bucket)
+    val guarded = when(bucket.isNull,
+        raise_error(lit("mergeBuckets: NULL bucket value — the row " +
+          "would be silently absent from the monitor state"))
+          .cast("long"))
+      .otherwise(bucket.cast("long"))
+    val withB = df.withColumn("__b", guarded)
     (0L to 2L).foreach { bid =>
       merge(withB.filter(col("__b") === bid).drop("__b"), bid)
     }
@@ -342,8 +372,68 @@ object Extended30 {
 
   val q291Sql: String = q287Sql
 
+  // --------------------------------------------------------------------
+  // q292 — q291's read-out with a COMPACTION mid-stream
+  // ([[StreamEval.compactFingerprintGenerations]]): merge generations
+  // 0 and 1, compact through 1 (the two dirs collapse into ONE
+  // consolidated generation carrying the watermark marker), merge
+  // generation 2, then REPLAY batches 0 and 1 — both must no-op, batch
+  // 0 through the marker alone (its directory no longer exists). The
+  // oracle IS q287's: compaction must not move a single novelty row.
+  def q292(s: SparkSession, dir: String): DataFrame = {
+    val statePath = freshState("q292")
+    val docs = t(s, dir, "documents")
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      .withColumn("__b", pmod(col("doc_id"), lit(3)))
+    def batch(bid: Long) = corpus.filter(col("__b") === bid).drop("__b")
+    def merge(bid: Long) = StreamEval.appendFingerprintBatch(
+      s, batch(bid), "doc_id", "text", statePath, bid, WinK, WinW)
+    merge(0L); merge(1L)
+    StreamEval.compactFingerprintGenerations(s, statePath, upTo = 1L)
+    merge(2L)
+    require(merge(0L) == 0L && merge(1L) == 0L,
+      "q292: replay of a compacted-away batch merged rows — the " +
+        "compaction watermark failed the no-op contract")
+    StreamEval.winnowNoveltyFromSet(s, statePath,
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
+        WinK, WinW)
+      .orderBy(col("doc_id"))
+  }
+
+  val q292Sql: String = q287Sql
+
+  // --------------------------------------------------------------------
+  // q293 — q291's read-out through the BLOOM-prefiltered probe: every
+  // generation is appended with a Bloom sidecar, and both the per-batch
+  // anti-join and the final novelty read-out drop the batch's
+  // fingerprints through the OR-merged Bloom first — only maybe-seen
+  // survivors pay the exact state join (bloom-negatives are novel by
+  // the no-false-negative guarantee). The oracle IS q287's: the
+  // prefilter changes the plan, never a row. Bits sized LOW on purpose
+  // (2¹⁸ ≈ 262k bits for ~10⁵ corpus fingerprints at sf0.01) so real
+  // false positives flow through the exact join in the gated run.
+  private val BloomBits = 1 << 18
+
+  def q293(s: SparkSession, dir: String): DataFrame = {
+    val statePath = freshState("q293")
+    val docs = t(s, dir, "documents")
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    mergeBuckets(corpus, pmod(col("doc_id"), lit(3)))(
+      (batch, bid) => StreamEval.appendFingerprintBatch(
+        s, batch, "doc_id", "text", statePath, bid, WinK, WinW,
+        bloomBits = BloomBits))
+    StreamEval.winnowNoveltyFromSet(s, statePath,
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
+        WinK, WinW, bloomBits = BloomBits)
+      .orderBy(col("doc_id"))
+  }
+
+  val q293Sql: String = q287Sql
+
   /** Name → query, for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q292_monitor_winnow_compact" -> (q292 _),
+    "q293_monitor_winnow_bloom" -> (q293 _),
     "q291_monitor_winnow_append" -> (q291 _),
     "q288_monitor_calibration_state" -> (q288 _),
     "q289_monitor_brier_state" -> (q289 _),
@@ -356,6 +446,8 @@ object Extended30 {
 
   /** Name → DuckDB oracle SQL, for SparkEntry. */
   val oracles: Map[String, String] = Map(
+    "q292_monitor_winnow_compact" -> q292Sql,
+    "q293_monitor_winnow_bloom" -> q293Sql,
     "q291_monitor_winnow_append" -> q291Sql,
     "q288_monitor_calibration_state" -> q288Sql,
     "q289_monitor_brier_state" -> q289Sql,

@@ -533,79 +533,393 @@ object StreamEval {
   // subdirectory instead:
   //  - write cost is O(new fingerprints), never O(state);
   //  - the probe (batch anti-join state) is the irreducible cost of
-  //    EXACT novelty — cap it with a Bloom prefilter
-  //    ([[StreamNovelty]]) when approximate suffices;
+  //    EXACT novelty — the optional per-generation Bloom SIDECAR
+  //    ([[StreamNovelty]]'s word frames, OR-merged across generations)
+  //    prefilters it: bloom-negative fingerprints are DEFINITELY novel
+  //    (no false negatives) and skip the join; only the maybe-seen
+  //    survivors pay the exact probe. Exactness is preserved — a false
+  //    positive just routes one more fingerprint through the exact
+  //    join;
   //  - replay idempotency comes from the LAYOUT: a batch directory
   //    only comes into existence by RENAME of a fully-written temp
   //    (no torn generation is ever visible), so re-delivery of batch N
   //    sees its directory and no-ops;
-  //  - earlier generations are never touched — no swap protocol needed.
+  //  - one micro-batch per minute is ~526k generation directories a
+  //    year — [[compactFingerprintGenerations]] bounds that: it merges
+  //    generations ≤ upTo into ONE consolidated generation carrying an
+  //    in-directory compaction marker, and the replay gate treats any
+  //    batchId ≤ marker as already merged, so compaction never
+  //    re-opens the no-op contract.
   // The trade: presence only, no document frequency (novelty needs
   // presence only; keep the mergeState form when df matters).
+  //
+  // Single-writer contract (what foreachBatch guarantees): merges and
+  // compactions are serialized with each other and with read-outs.
+  // Every entry point first repairs a compaction that crashed between
+  // its two renames ([[recoverFingerprintState]]), so no caller ever
+  // observes the one non-atomic window.
+
+  /** Marker FILE inside a generation directory: its presence means
+    * "this generation contains every fingerprint of the ORIGINAL
+    * generations ≤ its own batch_id". Rides inside the directory so
+    * one rename publishes content and watermark atomically;
+    * `_`-prefixed, so parquet readers never see it. */
+  private val FpCompactMarker = "_compacted_through"
+
+  private def fpBloomName(bits: Int, hashes: Int) = s"_bloom_b${bits}_h$hashes"
+
+  private type HPath = org.apache.hadoop.fs.Path
+
+  private def fsOf(spark: SparkSession, p: HPath) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** (watermark, live generations ascending by id). Watermark W = the
+    * highest generation carrying [[FpCompactMarker]] (−1 if none); the
+    * live set is every generation with id ≥ W — anything below W is a
+    * stale leftover of a compaction whose sweep did not finish, pruned
+    * HERE (by the read rule) rather than trusted to deletion, so a
+    * failed delete can never duplicate fingerprints. */
+  private def fpGenerations(spark: SparkSession, statePath: String)
+      : (Long, Seq[(Long, HPath)]) = {
+    val root = new HPath(statePath)
+    val fs = fsOf(spark, root)
+    if (!fs.exists(root)) return (-1L, Nil)
+    val gens = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+      .map(s => (s.getPath.getName.stripPrefix("batch_id=").toLong, s.getPath))
+      .sortBy(_._1).toSeq
+    val wm = gens.filter { case (_, p) =>
+      fs.exists(new HPath(p, FpCompactMarker))
+    }.map(_._1).lastOption.getOrElse(-1L)
+    (wm, gens.filter(_._1 >= wm))
+  }
+
+  /** Repair a [[compactFingerprintGenerations]] run that crashed in
+    * its two-rename swap window. The swap order is: write tmp (parquet
+    * + sidecars, marker LAST) → rename gen(upTo) aside → rename tmp
+    * into place → delete aside. So on entry exactly one of these
+    * holds, each with one safe move:
+    *  - tmp + gen both present: crash before the first rename — the
+    *    state is untouched; delete the tmp.
+    *  - gen absent, tmp carries the marker: crash between the renames —
+    *    the tmp is COMPLETE (the marker is written after everything
+    *    else); roll FORWARD by publishing it.
+    *  - aside present with its generation also present: crash after
+    *    publish, before cleanup; delete the aside.
+    * Called by every entry point (merge, compact, read), so the
+    * non-atomic window lasts exactly until the next touch. */
+  private def recoverFingerprintState(spark: SparkSession,
+      statePath: String): Unit = {
+    val root = new HPath(statePath)
+    val fs = fsOf(spark, root)
+    if (!fs.exists(root)) return
+    val entries = fs.listStatus(root).map(_.getPath)
+    entries.filter(_.getName.startsWith("_tmp_compact_")).foreach { tmp =>
+      val id = tmp.getName.stripPrefix("_tmp_compact_")
+      val gen = new HPath(root, s"batch_id=$id")
+      if (fs.exists(gen)) fs.delete(tmp, true)
+      else if (fs.exists(new HPath(tmp, FpCompactMarker)))
+        require(fs.rename(tmp, gen),
+          s"recoverFingerprintState: roll-forward $tmp -> $gen failed")
+      else fs.delete(tmp, true) // torn write; aside restore below
+    }
+    entries.filter(_.getName.startsWith("_aside_gen_")).foreach { aside =>
+      val id = aside.getName.stripPrefix("_aside_gen_")
+      val gen = new HPath(root, s"batch_id=$id")
+      if (fs.exists(gen)) fs.delete(aside, true)
+      else require(fs.rename(aside, gen),
+        s"recoverFingerprintState: restoring $aside -> $gen failed")
+    }
+  }
 
   /** One document micro-batch into the append layout: fingerprint it,
-    * anti-join against ALL existing generations, write only the novel
+    * anti-join against the live generations, write only the novel
     * fingerprints under `batch_id=N`. Returns the number of NEW
     * fingerprints (0 on replay or when nothing is novel — an
     * all-duplicate batch still creates its (empty) generation so a
-    * replay of it stays a no-op). */
+    * replay of it stays a no-op). The count comes from an
+    * [[org.apache.spark.sql.Observation]] riding the write job itself
+    * — no second read of the generation just to size it.
+    *
+    * @param bloomBits when > 0, two things happen: (1) the new
+    *        generation gets a Bloom SIDECAR (a [[StreamNovelty]] word
+    *        frame of its fingerprints, `bloomBits` bits / 5 hashes,
+    *        `_`-prefixed so parquet readers skip it — it travels with
+    *        the generation through compaction renames); (2) if EVERY
+    *        live generation already carries a matching sidecar, the
+    *        anti-join is prefiltered: the batch's fingerprints drop
+    *        through the OR-merged Bloom first and only the maybe-seen
+    *        survivors pay the exact probe — bloom-negatives are novel
+    *        by the no-false-negative guarantee. Result rows are
+    *        IDENTICAL with or without the prefilter; only the plan
+    *        shape changes. Sizing: ~10–15 bits per expected corpus
+    *        fingerprint for a useful survivor rate; an undersized
+    *        Bloom degrades gracefully (more survivors, same answer).
+    */
   def appendFingerprintBatch(spark: SparkSession, batch: DataFrame,
       idCol: String, textCol: String, statePath: String, batchId: Long,
-      k: Int = 4, w: Int = 5): Long = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val root = new org.apache.hadoop.fs.Path(statePath)
-    val fs = root.getFileSystem(conf)
-    val gen = new org.apache.hadoop.fs.Path(root, s"batch_id=$batchId")
+      k: Int = 4, w: Int = 5, bloomBits: Int = 0,
+      bloomHashes: Int = 5): Long = {
+    recoverFingerprintState(spark, statePath)
+    val root = new HPath(statePath)
+    val fs = fsOf(spark, root)
+    val gen = new HPath(root, s"batch_id=$batchId")
+    val (wm, live) = fpGenerations(spark, statePath)
+    if (batchId <= wm) return 0L // compacted away: still a no-op replay
     if (fs.exists(gen)) return 0L // replay: the generation is complete
     val fresh = graft.ext.TextDedup
       .winnowFingerprints(batch, idCol, textCol, k, w)
       .select(col("fingerprint")).distinct()
-    val novel = fingerprintSetIfAny(spark, statePath) match {
-      case Some(st) => fresh.join(st, Seq("fingerprint"), "left_anti")
-      case None => fresh
-    }
-    // write-tmp-then-rename: `_`-prefixed dirs are invisible to parquet
-    // readers, so a crash mid-write never leaves a torn generation and
-    // the rename publishes it atomically (same-directory HDFS/posix
-    // rename)
-    val tmp = new org.apache.hadoop.fs.Path(root, s"_tmp_b$batchId")
+    val bloom =
+      if (bloomBits > 0 && live.nonEmpty)
+        loadBloomIfUsable(spark, live, bloomBits, bloomHashes)
+      else None
+    val novel =
+      if (live.isEmpty)
+        writeGeneration(spark, fs, root, gen, batchId, fresh,
+          bloomBits, bloomHashes)
+      else bloom match {
+        case Some(packed) =>
+          // fresh feeds both branches of the split — persist it for the
+          // duration of this (eager) call so the winnow runs once
+          val freshP = fresh.persist()
+          try {
+            val probed = freshP.crossJoin(broadcast(packed))
+              .withColumn("__maybe", StreamNovelty.mightContainPositions(
+                StreamNovelty.keyPositions(col("fingerprint"), bloomBits,
+                  bloomHashes, buckets = 1), col("bloom")))
+            val definitelyNovel =
+              probed.filter(!col("__maybe")).select(col("fingerprint"))
+            val survivors =
+              probed.filter(col("__maybe")).select(col("fingerprint"))
+            val survNovel = survivors.join(
+              fingerprintSetOf(spark, live), Seq("fingerprint"), "left_anti")
+            writeGeneration(spark, fs, root, gen, batchId,
+              definitelyNovel.unionByName(survNovel),
+              bloomBits, bloomHashes)
+          } finally fresh.unpersist()
+        case None =>
+          writeGeneration(spark, fs, root, gen, batchId,
+            fresh.join(fingerprintSetOf(spark, live),
+              Seq("fingerprint"), "left_anti"),
+            bloomBits, bloomHashes)
+      }
+    novel
+  }
+
+  /** Write-tmp-then-rename publish of one generation (`_`-prefixed
+    * tmp is invisible to parquet readers, so a crash mid-write never
+    * leaves a torn generation and the rename publishes atomically).
+    * Returns the generation's row count, observed ON the write job. */
+  private def writeGeneration(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, root: HPath, gen: HPath,
+      batchId: Long, novel: DataFrame, bloomBits: Int,
+      bloomHashes: Int): Long = {
+    val tmp = new HPath(root, s"_tmp_b$batchId")
     if (fs.exists(tmp)) fs.delete(tmp, true) // leftover from a crash
-    novel.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    val n = spark.read.parquet(tmp.toString).count()
+    val obs = org.apache.spark.sql.Observation(s"fp_append_b$batchId")
+    novel.observe(obs, count(lit(1)).as("n"))
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val n = obs.get("n").asInstanceOf[Long]
+    if (bloomBits > 0)
+      // sidecar INSIDE the tmp so the rename below publishes content
+      // and Bloom together; built from the just-written parquet — one
+      // read of the NEW generation only, never of the state
+      StreamNovelty.batchWords(spark.read.parquet(tmp.toString),
+          "fingerprint", bloomBits, bloomHashes, buckets = 1)
+        .write.mode(SaveMode.Overwrite)
+        .parquet(new HPath(tmp, fpBloomName(bloomBits, bloomHashes)).toString)
     require(fs.rename(tmp, gen),
       s"appendFingerprintBatch: publishing $tmp -> $gen failed; " +
         "no generation was installed (state unchanged)")
     n
   }
 
+  /** The OR-merged, packed Bloom over the live generations' sidecars,
+    * or None unless EVERY live generation carries a sidecar with the
+    * SAME (bits, hashes) — a generation missing from the Bloom would
+    * turn its fingerprints into false negatives and silently break
+    * exactness, so the prefilter is all-or-nothing. The parameters are
+    * encoded in the sidecar directory NAME, so the check is a driver
+    * listing, no reads. */
+  private def loadBloomIfUsable(spark: SparkSession,
+      live: Seq[(Long, HPath)], bits: Int, hashes: Int)
+      : Option[DataFrame] = {
+    require(bits % 64 == 0 && bits > 0,
+      s"bloomBits must be a positive multiple of 64, got $bits")
+    val name = fpBloomName(bits, hashes)
+    val dirs = live.map { case (_, p) => new HPath(p, name) }
+    val fs = fsOf(spark, dirs.head)
+    if (!dirs.forall(fs.exists)) None
+    else Some(StreamNovelty.packedGlobal(
+      StreamNovelty.mergeWords(
+        dirs.map(d => spark.read.parquet(d.toString))),
+      bits, buckets = 1))
+  }
+
+  /** Merge every live generation with id ≤ `upTo` into ONE
+    * consolidated generation published at `batch_id=upTo`, carrying
+    * the [[FpCompactMarker]] — the bound on the append layout's
+    * directory count (one micro-batch a minute is ~526k generations a
+    * year unbounded; compacted, the live set is one consolidated
+    * generation plus the tail since the last compaction).
+    *
+    * Contracts preserved, by construction:
+    *  - EXACTNESS: generations are disjoint (a fingerprint is stored
+    *    once, in the generation that first saw it), so the
+    *    consolidated set is a plain union — byte-identical
+    *    [[fingerprintSet]] / novelty read-outs before and after;
+    *  - REPLAY NO-OP: the marker makes the replay gate treat any
+    *    batchId ≤ upTo as merged, so re-delivery of a compacted-away
+    *    batch still no-ops (spec-pinned);
+    *  - CRASH SAFETY: the consolidated tmp is fully written (parquet,
+    *    sidecars, marker LAST) before the two-rename swap, and every
+    *    entry point repairs the swap window via
+    *    [[recoverFingerprintState]]; stale sub-watermark generations
+    *    are pruned by the READ RULE, so the final sweep's deletes are
+    *    pure hygiene — a failure there changes no answer.
+    *
+    * Bloom sidecars consolidate too: each (bits, hashes) family
+    * present in EVERY input generation is OR-merged into the
+    * consolidated generation (word frames merge by bit-OR —
+    * [[StreamNovelty.mergeWords]]); `backfillBloomBits` > 0 builds
+    * that family fresh from the consolidated fingerprints even where
+    * inputs lack it, the upgrade path for a state that started
+    * without sidecars.
+    *
+    * @return the consolidated generation's fingerprint count */
+  def compactFingerprintGenerations(spark: SparkSession,
+      statePath: String, upTo: Long,
+      backfillBloomBits: Int = 0, bloomHashes: Int = 5): Long = {
+    recoverFingerprintState(spark, statePath)
+    val root = new HPath(statePath)
+    val fs = fsOf(spark, root)
+    val (wm, live) = fpGenerations(spark, statePath)
+    require(upTo > wm,
+      s"compactFingerprintGenerations: upTo=$upTo is already covered " +
+        s"by the watermark $wm")
+    val toCompact = live.filter(_._1 <= upTo)
+    require(toCompact.exists(_._1 == upTo),
+      s"compactFingerprintGenerations: no generation at batch_id=$upTo " +
+        "to anchor the compaction — compact up to a merged batch id")
+    // contiguity: a gap below upTo would let the marker silently
+    // swallow a batch that was never merged
+    val expected = (math.max(wm, 0L) to upTo).toSet
+    require(toCompact.map(_._1).toSet == expected,
+      s"compactFingerprintGenerations: generations ${toCompact.map(_._1)}" +
+        s" do not cover ${expected.toSeq.sorted} — a never-merged batch" +
+        " below upTo would be marked as merged")
+    val tmp = new HPath(root, s"_tmp_compact_$upTo")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    val consolidated = toCompact.map { case (_, p) =>
+      spark.read.parquet(p.toString).select(col("fingerprint"))
+    }.reduce(_ unionByName _)
+    val obs = org.apache.spark.sql.Observation(s"fp_compact_$upTo")
+    consolidated.observe(obs, count(lit(1)).as("n"))
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val n = obs.get("n").asInstanceOf[Long]
+    // sidecar families carried by EVERY input generation OR-merge over
+    val families = toCompact.map { case (_, p) =>
+      fs.listStatus(p).map(_.getPath.getName)
+        .filter(_.startsWith("_bloom_")).toSet
+    }.reduce(_ intersect _)
+    families.foreach { fam =>
+      StreamNovelty.mergeWords(toCompact.map { case (_, p) =>
+        spark.read.parquet(new HPath(p, fam).toString)
+      }).write.mode(SaveMode.Overwrite)
+        .parquet(new HPath(tmp, fam).toString)
+    }
+    if (backfillBloomBits > 0 &&
+        !families.contains(fpBloomName(backfillBloomBits, bloomHashes)))
+      StreamNovelty.batchWords(spark.read.parquet(tmp.toString),
+          "fingerprint", backfillBloomBits, bloomHashes, buckets = 1)
+        .write.mode(SaveMode.Overwrite)
+        .parquet(new HPath(tmp,
+          fpBloomName(backfillBloomBits, bloomHashes)).toString)
+    // marker LAST: its presence certifies the tmp is complete (the
+    // roll-forward in recoverFingerprintState keys on it)
+    fs.create(new HPath(tmp, FpCompactMarker)).close()
+    // two-rename swap of generation upTo (aside name is `_`-prefixed:
+    // never visible to readers, never parsed as a partition value)
+    val aside = new HPath(root, s"_aside_gen_$upTo")
+    val genUpTo = new HPath(root, s"batch_id=$upTo")
+    require(fs.rename(genUpTo, aside),
+      s"compactFingerprintGenerations: setting $genUpTo aside failed; " +
+        "state unchanged")
+    require(fs.rename(tmp, genUpTo),
+      s"compactFingerprintGenerations: publishing $tmp -> $genUpTo " +
+        "failed; original generation preserved at " + aside +
+        " (recoverFingerprintState restores it)")
+    fs.delete(aside, true)
+    // sweep the now-redundant generations BELOW the new watermark —
+    // pruned by the read rule either way; failures retried next round
+    toCompact.filter(_._1 < upTo)
+      .foreach { case (_, p) => fs.delete(p, true) }
+    n
+  }
+
   /** All fingerprints seen so far (distinct by construction — each is
-    * stored exactly once, in the generation that first saw it). */
+    * stored exactly once, in the generation that first saw it;
+    * compaction unions disjoint generations, preserving that). */
   def fingerprintSet(spark: SparkSession, statePath: String): DataFrame =
     fingerprintSetIfAny(spark, statePath)
       .getOrElse(throw new IllegalStateException(
         s"no fingerprint generations at $statePath"))
 
+  private def fingerprintSetOf(spark: SparkSession,
+      live: Seq[(Long, HPath)]): DataFrame =
+    spark.read.parquet(live.map(_._2.toString): _*)
+      .select(col("fingerprint"))
+
   private def fingerprintSetIfAny(spark: SparkSession,
       statePath: String): Option[DataFrame] = {
-    val root = new org.apache.hadoop.fs.Path(statePath)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) return None
-    val gens = fs.listStatus(root)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
-    if (gens.isEmpty) None
-    else Some(spark.read.parquet(statePath).select(col("fingerprint")))
+    recoverFingerprintState(spark, statePath)
+    val (_, live) = fpGenerations(spark, statePath)
+    if (live.isEmpty) None else Some(fingerprintSetOf(spark, live))
   }
 
   /** [[winnowNoveltyFromState]] over the append layout — identical
-    * read-out (presence is all novelty needs), O(new)-write state. */
+    * read-out (presence is all novelty needs), O(new)-write state.
+    *
+    * @param bloomBits when > 0, the probe is prefiltered through the
+    *        generations' Bloom sidecars exactly as in
+    *        [[appendFingerprintBatch]]: bloom-negative fingerprints
+    *        skip the state join (definitely novel), survivors pay the
+    *        exact probe — identical rows, cheaper plan. Requires every
+    *        live generation to carry a matching sidecar (loud
+    *        otherwise: a silent fallback would hide a mis-sized
+    *        probe). The winnow itself runs once per branch of the
+    *        split — per-row scan work, no shuffle; the EAGER append
+    *        path persists instead, but a lazily-returned plan must not
+    *        pin cache it cannot release. */
   def winnowNoveltyFromSet(spark: SparkSession, statePath: String,
       batch: DataFrame, idCol: String, textCol: String,
-      k: Int = 4, w: Int = 5): DataFrame = {
+      k: Int = 4, w: Int = 5, bloomBits: Int = 0,
+      bloomHashes: Int = 5): DataFrame = {
     val fps = graft.ext.TextDedup.winnowFingerprints(
       batch, idCol, textCol, k, w)
     val st = fingerprintSet(spark, statePath)
       .select(col("fingerprint"), lit(1L).as("__hit"))
-    fps.join(st, Seq("fingerprint"), "left")
+    val joined =
+      if (bloomBits <= 0) fps.join(st, Seq("fingerprint"), "left")
+      else {
+        val (_, live) = fpGenerations(spark, statePath)
+        val packed = loadBloomIfUsable(spark, live, bloomBits, bloomHashes)
+          .getOrElse(throw new IllegalStateException(
+            s"winnowNoveltyFromSet: bloom probe requested but not every" +
+              s" live generation at $statePath carries a " +
+              fpBloomName(bloomBits, bloomHashes) + " sidecar"))
+        val probed = fps.crossJoin(broadcast(packed))
+          .withColumn("__maybe", StreamNovelty.mightContainPositions(
+            StreamNovelty.keyPositions(col("fingerprint"), bloomBits,
+              bloomHashes, buckets = 1), col("bloom")))
+          .drop("bloom")
+        probed.filter(col("__maybe")).drop("__maybe")
+          .join(st, Seq("fingerprint"), "left")
+          .unionByName(probed.filter(!col("__maybe")).drop("__maybe")
+            .withColumn("__hit", lit(null).cast("long")))
+      }
+    joined
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_fp"),
         coalesce(sum(col("__hit")), lit(0L)).as("n_shared"))

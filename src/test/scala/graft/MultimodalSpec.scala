@@ -125,4 +125,35 @@ class MultimodalSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("no ImageIO reader"))
   }
+
+  test("pixelFeatures: per-channel means/stddevs over REAL decoded " +
+    "pixels match the hand-computed golden; deterministic across " +
+    "partitionings") {
+    import spark.implicits._
+    val (png, pixels) = pngFixture
+    // golden from the SAME pixel array the fixture hands back — the
+    // exact integer channel fold the operator performs, in plain Scala
+    def chan(shift: Int) = pixels.map(p => (p >>> shift) & 0xff)
+    val golden = Seq(24, 16, 8, 0).map(chan).flatMap { vs =>
+      val mean = vs.map(_.toLong).sum.toDouble / vs.length
+      val sq = vs.map(v => v.toLong * v).sum.toDouble / vs.length
+      Seq(mean.toFloat, math.sqrt(math.max(0.0, sq - mean * mean)).toFloat)
+    }
+    // golden sanity (interleaved mean/sd per channel): the fixture is
+    // opaque (A ≡ 255, sdA ≡ 0) with a genuinely varying R channel
+    assert(golden(0) === 255f && golden(1) === 0f)
+    assert(golden(3) > 0f, "R channel must actually vary")
+    val rows = spark.createDataset(
+      (1L to 6L).map(i => MediaRow(i, "image", png))).repartition(4)
+    val out = Multimodal.pixelFeatures(rows).collect().sortBy(_.media_id)
+    assert(out.length === 6)
+    out.foreach { mf =>
+      // interleaved golden is (meanA, sdA, meanR, sdR, ...); the
+      // operator lays out means first then sds — reorder to compare
+      val want = Array(golden(0), golden(2), golden(4), golden(6),
+        golden(1), golden(3), golden(5), golden(7))
+      assert(mf.feature.toSeq === want.toSeq,
+        s"pixel features diverged for media ${mf.media_id}")
+    }
+  }
 }

@@ -454,4 +454,224 @@ class StreamEvalSpec extends SparkSpec {
       .map(_.getPath.getName).filter(_.startsWith("batch_id=")).sorted
     assert(gens.toSeq === Seq("batch_id=0", "batch_id=1", "batch_id=2"))
   }
+
+  // ---- round 18: compaction, Bloom prefilter, remaining e2e wrappers --
+
+  private def fpDoc(id: Long, family: Int, tail: String) =
+    (id, s"alpha beta gamma delta f$family f$family epsilon zeta " +
+      s"eta theta $tail run$id end")
+
+  private def listGens(state: String) = {
+    val p = new org.apache.hadoop.fs.Path(state)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty[String]
+    else fs.listStatus(p).map(_.getPath.getName)
+      .filter(!_.startsWith("_")).sorted.toSeq
+  }
+
+  test("compactFingerprintGenerations: read-outs byte-identical pre/" +
+    "post; replay of a compacted-away batch no-ops off the marker; " +
+    "directory count collapses; guards raise") {
+    import spark.implicits._
+    val state = tmpDir("sevalcmp") + "/state"
+    val corpus = (0L until 12L).map(i => fpDoc(i, (i % 3).toInt, s"c$i"))
+      .toDF("doc_id", "text")
+    val Seq(b0, b1, b2) = Seq(0, 1, 2).map(k =>
+      corpus.filter($"doc_id" % 3 === k))
+    val arriving = Seq(fpDoc(100L, 0, "c0"),
+      (101L, "zz yy xx ww vv uu tt ss rr qq pp oo nn")).toDF("doc_id", "text")
+    def novelty() = StreamEval.winnowNoveltyFromSet(spark, state,
+      arriving, "doc_id", "text").orderBy("doc_id").collect()
+      .map(_.toSeq).toSeq
+
+    StreamEval.appendFingerprintBatch(spark, b0, "doc_id", "text", state, 0L)
+    StreamEval.appendFingerprintBatch(spark, b1, "doc_id", "text", state, 1L)
+    val before = novelty()
+    val setBefore = StreamEval.fingerprintSet(spark, state)
+      .orderBy("fingerprint").collect().map(_.getString(0)).toSeq
+
+    // compacting past the highest merged batch must refuse (a marker
+    // there would silently swallow never-merged batch 2)
+    val eAnchor = intercept[IllegalArgumentException](
+      StreamEval.compactFingerprintGenerations(spark, state, upTo = 2L))
+    assert(eAnchor.getMessage.contains("anchor"))
+
+    val n = StreamEval.compactFingerprintGenerations(spark, state, upTo = 1L)
+    assert(n === setBefore.size.toLong,
+      "consolidated count != distinct fingerprints")
+    assert(listGens(state) === Seq("batch_id=1"),
+      "compaction must leave ONE consolidated generation")
+    assert(novelty() === before, "novelty read-out moved across compaction")
+    assert(StreamEval.fingerprintSet(spark, state)
+      .orderBy("fingerprint").collect().map(_.getString(0)).toSeq
+      === setBefore, "fingerprint set moved across compaction")
+
+    // replay of batch 0: its directory is GONE — only the watermark
+    // marker can (and must) make this a no-op
+    assert(StreamEval.appendFingerprintBatch(spark, b0, "doc_id", "text",
+      state, 0L) === 0L, "compacted-away replay must no-op off the marker")
+    assert(StreamEval.appendFingerprintBatch(spark, b1, "doc_id", "text",
+      state, 1L) === 0L)
+
+    // merging continues on top; a SECOND compaction advances the
+    // watermark and the answers still never move
+    StreamEval.appendFingerprintBatch(spark, b2, "doc_id", "text", state, 2L)
+    val withB2 = novelty()
+    val eCovered = intercept[IllegalArgumentException](
+      StreamEval.compactFingerprintGenerations(spark, state, upTo = 1L))
+    assert(eCovered.getMessage.contains("watermark"))
+    StreamEval.compactFingerprintGenerations(spark, state, upTo = 2L)
+    assert(listGens(state) === Seq("batch_id=2"))
+    assert(novelty() === withB2)
+    assert(StreamEval.appendFingerprintBatch(spark, b2, "doc_id", "text",
+      state, 2L) === 0L)
+    // the full merged corpus equals the one-shot batch fold
+    val want = graft.ext.TextDedup
+      .winnowFingerprints(corpus, "doc_id", "text")
+      .select($"fingerprint").distinct()
+      .orderBy("fingerprint").collect().map(_.getString(0)).toSeq
+    assert(StreamEval.fingerprintSet(spark, state)
+      .orderBy("fingerprint").collect().map(_.getString(0)).toSeq === want)
+  }
+
+  test("bloom prefilter: novelty rows identical with/without (tiny " +
+    "bloom forces real false positives through the exact join); " +
+    "sidecars consolidate through compaction; missing sidecar is loud") {
+    import spark.implicits._
+    val corpus = (0L until 12L).map(i => fpDoc(i, (i % 3).toInt, s"c$i"))
+      .toDF("doc_id", "text")
+    val Seq(b0, b1, b2) = Seq(0, 1, 2).map(k =>
+      corpus.filter($"doc_id" % 3 === k))
+    val arriving = Seq(fpDoc(100L, 0, "c0"),
+      (101L, "zz yy xx ww vv uu tt ss rr qq pp oo nn")).toDF("doc_id", "text")
+
+    val plain = tmpDir("sevalnob") + "/state"
+    Seq(b0, b1, b2).zipWithIndex.foreach { case (b, i) =>
+      StreamEval.appendFingerprintBatch(spark, b, "doc_id", "text",
+        plain, i.toLong)
+    }
+    val want = StreamEval.winnowNoveltyFromSet(spark, plain, arriving,
+      "doc_id", "text").orderBy("doc_id").collect().map(_.toSeq).toSeq
+
+    // 64-bit bloom: ~60 corpus fingerprints over 64 bits saturates the
+    // filter, so the genuinely-novel doc's fingerprints FALSE-POSITIVE
+    // into the survivor set — the exact join must still clear them
+    for (bits <- Seq(64, 1 << 16)) {
+      val st = tmpDir(s"sevalb$bits") + "/state"
+      Seq(b0, b1, b2).zipWithIndex.foreach { case (b, i) =>
+        StreamEval.appendFingerprintBatch(spark, b, "doc_id", "text",
+          st, i.toLong, bloomBits = bits)
+      }
+      val got = StreamEval.winnowNoveltyFromSet(spark, st, arriving,
+          "doc_id", "text", bloomBits = bits)
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      assert(got === want, s"bloom($bits) probe changed novelty rows")
+      // compaction OR-merges the sidecars: the probe stays usable and
+      // exact over the consolidated generation
+      StreamEval.compactFingerprintGenerations(spark, st, upTo = 2L)
+      val gotC = StreamEval.winnowNoveltyFromSet(spark, st, arriving,
+          "doc_id", "text", bloomBits = bits)
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      assert(gotC === want, s"bloom($bits) probe moved across compaction")
+    }
+
+    // a state whose generations lack sidecars must refuse the bloom
+    // probe loudly — a silent fallback would hide a mis-sized probe
+    val e = intercept[IllegalStateException](
+      StreamEval.winnowNoveltyFromSet(spark, plain, arriving,
+        "doc_id", "text", bloomBits = 1 << 16).collect())
+    assert(e.getMessage.contains("sidecar"))
+
+    // ... and compaction can BACKFILL the sidecar, upgrading the state
+    StreamEval.compactFingerprintGenerations(spark, plain, upTo = 2L,
+      backfillBloomBits = 1 << 16)
+    val upgraded = StreamEval.winnowNoveltyFromSet(spark, plain, arriving,
+        "doc_id", "text", bloomBits = 1 << 16)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(upgraded === want, "backfilled bloom probe changed novelty rows")
+  }
+
+  test("appendFingerprintBatch returns counts without re-reading the " +
+    "generation (observation on the write job); mixed bloom/plain " +
+    "generations fall back to the exact-only probe") {
+    import spark.implicits._
+    val state = tmpDir("sevalobs") + "/state"
+    val corpus = (0L until 12L).map(i => fpDoc(i, (i % 3).toInt, s"c$i"))
+      .toDF("doc_id", "text")
+    val b0 = corpus.filter($"doc_id" % 3 === 0)
+    val b1 = corpus.filter($"doc_id" % 3 === 1)
+    val n0 = StreamEval.appendFingerprintBatch(spark, b0, "doc_id", "text",
+      state, 0L, bloomBits = 1 << 16)
+    assert(n0 === spark.read.parquet(s"$state/batch_id=0").count(),
+      "observed count != generation row count")
+    // batch 1 WITHOUT a sidecar: append must fall back to the exact
+    // anti-join (bloom unusable — gen 1 would be a false-negative hole)
+    val n1 = StreamEval.appendFingerprintBatch(spark, b1, "doc_id", "text",
+      state, 1L)
+    assert(n1 === spark.read.parquet(s"$state/batch_id=1").count())
+    // an all-duplicate batch still creates its (empty) generation
+    assert(StreamEval.appendFingerprintBatch(spark, b0, "doc_id", "text",
+      state, 2L) === 0L)
+    assert(listGens(state).contains("batch_id=2"))
+    assert(StreamEval.appendFingerprintBatch(spark, b0, "doc_id", "text",
+      state, 2L) === 0L) // and replays off it
+  }
+
+  test("end-to-end stream: file source -> period state via AvailableNow;" +
+    " read-out equals the batch operator") {
+    import spark.implicits._
+    val landing = tmpDir("sevalpland")
+    val state = tmpDir("sevalpst") + "/state"
+    val ckpt = tmpDir("sevalpckpt")
+    val rows = (0 until 60).map { i =>
+      val reps = if (i % 30 >= 20) 3 else 1
+      (java.sql.Timestamp.valueOf(f"2024-03-${i % 30 + 1}%02d 08:15:00"),
+        reps)
+    }.flatMap { case (ts, r) => Seq.fill(r)(Tuple1(ts)) }
+    rows.toDF("ts").write.parquet(s"$landing/part1")
+    val stream = spark.readStream.schema("ts TIMESTAMP")
+      .parquet(s"$landing/*")
+    val q = StreamEval.startPeriods(stream, "ts", state, ckpt,
+      Trigger.AvailableNow())
+    q.awaitTermination(60000L)
+    val daily = rows.toDF("ts")
+      .groupBy(to_date($"ts").as("day")).agg(count(lit(1)).as("n"))
+    assert(StreamEval.pettittFromState(spark, state).head().toSeq ===
+      graft.ext.Stats.pettittChangePoint(daily, "day", "n").head().toSeq)
+    assert(StreamEval.cusumFromState(spark, state).head().toSeq ===
+      graft.ext.Stats.cusumChangePoint(daily, "day", "n").head().toSeq)
+  }
+
+  test("end-to-end stream: file source -> fingerprint monitor via " +
+    "AvailableNow; novelty read-out equals the direct comparison") {
+    import spark.implicits._
+    val landing = tmpDir("sevalfland")
+    val state = tmpDir("sevalfst") + "/state"
+    val ckpt = tmpDir("sevalfckpt")
+    val corpus = (0L until 12L).map(i => fpDoc(i, (i % 3).toInt, s"c$i"))
+    corpus.toDF("doc_id", "text").write.parquet(s"$landing/part1")
+    val stream = spark.readStream.schema("doc_id BIGINT, text STRING")
+      .parquet(s"$landing/*")
+    val q = StreamEval.startFingerprints(stream, "doc_id", "text",
+      state, ckpt, trigger = Trigger.AvailableNow())
+    q.awaitTermination(60000L)
+    val arriving = Seq(fpDoc(100L, 0, "c0"),
+      (101L, "zz yy xx ww vv uu tt ss rr qq pp oo nn")).toDF("doc_id", "text")
+    val got = StreamEval.winnowNoveltyFromState(spark, state, arriving,
+      "doc_id", "text").orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val directCorpusFps = graft.ext.TextDedup
+      .winnowFingerprints(corpus.toDF("doc_id", "text"), "doc_id", "text")
+      .select($"fingerprint").distinct()
+    val want = graft.ext.TextDedup
+      .winnowFingerprints(arriving, "doc_id", "text")
+      .join(directCorpusFps.withColumn("__hit", lit(1L)),
+        Seq("fingerprint"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_fp"),
+        coalesce(sum($"__hit"), lit(0L)).as("n_shared"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === want, "e2e fingerprint stream diverged from direct")
+  }
 }
