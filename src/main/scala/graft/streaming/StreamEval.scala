@@ -568,6 +568,11 @@ object StreamEval {
 
   private def fpBloomName(bits: Int, hashes: Int) = s"_bloom_b${bits}_h$hashes"
 
+  /** Survivor-set bound for the broadcast-probe formulation of the
+    * exact join (≈20 MB of md5-hex strings): below it the state is
+    * scanned with a broadcast hash probe instead of shuffled. */
+  private val MaxBroadcastSurvivors = 500000L
+
   private type HPath = org.apache.hadoop.fs.Path
 
   private def fsOf(spark: SparkSession, p: HPath) =
@@ -632,6 +637,37 @@ object StreamEval {
     }
   }
 
+  /** Start an append-layout fingerprint monitor — the production
+    * wiring of the whole layout: O(new)-write generations
+    * ([[appendFingerprintBatch]]), optional Bloom sidecars feeding the
+    * prefiltered probe, and PERIODIC COMPACTION so directory growth is
+    * bounded at the source — every `compactEvery`-th batch folds the
+    * accumulated generations into one behind the watermark marker
+    * (skipped on a replayed batch whose id the watermark already
+    * covers). Novelty read-outs go through [[winnowNoveltyFromSet]] at
+    * any moment, exactly as [[startFingerprints]] pairs with
+    * [[winnowNoveltyFromState]]. */
+  def startFingerprintSet(docs: DataFrame, idCol: String,
+      textCol: String, statePath: String, checkpointDir: String,
+      k: Int = 4, w: Int = 5, bloomBits: Int = 0, compactEvery: Long = 0L,
+      trigger: Trigger = Trigger.ProcessingTime("60 seconds"))
+      : StreamingQuery = {
+    val spark = docs.sparkSession
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        appendFingerprintBatch(spark, batch, idCol, textCol, statePath,
+          id, k, w, bloomBits)
+        if (compactEvery > 0L && id > 0L && id % compactEvery == 0L &&
+            id > fpGenerations(spark, statePath)._1)
+          compactFingerprintGenerations(spark, statePath, upTo = id,
+            backfillBloomBits = bloomBits)
+        ()
+      }
+      .start()
+  }
+
   /** One document micro-batch into the append layout: fingerprint it,
     * anti-join against the live generations, write only the novel
     * fingerprints under `batch_id=N`. Returns the number of NEW
@@ -692,8 +728,24 @@ object StreamEval {
               probed.filter(!col("__maybe")).select(col("fingerprint"))
             val survivors =
               probed.filter(col("__maybe")).select(col("fingerprint"))
-            val survNovel = survivors.join(
-              fingerprintSetOf(spark, live), Seq("fingerprint"), "left_anti")
+            // the survivors' exact probe: with a well-sized Bloom the
+            // survivor set is tiny (true duplicates + the FP rate), so
+            // BROADCAST it and probe the state as a scan-side semi-join
+            // — the corpus-sized state is SCANNED once, never shuffled
+            // or sorted, where the plain anti-join shuffles all of it
+            // per batch. A saturated Bloom (survivors too big to
+            // broadcast) falls back to the shuffle anti-join — same
+            // rows either way.
+            val nSurv = survivors.count() // cheap off the cache
+            val survNovel =
+              if (nSurv <= MaxBroadcastSurvivors) {
+                val hits = fingerprintSetOf(spark, live)
+                  .join(broadcast(survivors), Seq("fingerprint"),
+                    "left_semi")
+                survivors.join(broadcast(hits), Seq("fingerprint"),
+                  "left_anti")
+              } else survivors.join(fingerprintSetOf(spark, live),
+                Seq("fingerprint"), "left_anti")
             writeGeneration(spark, fs, root, gen, batchId,
               definitelyNovel.unionByName(survNovel),
               bloomBits, bloomHashes)

@@ -642,6 +642,47 @@ class StreamEvalSpec extends SparkSpec {
       graft.ext.Stats.cusumChangePoint(daily, "day", "n").head().toSeq)
   }
 
+  test("end-to-end stream: append-layout fingerprint monitor via " +
+    "AvailableNow with bloom sidecars + periodic compaction; novelty " +
+    "read-out equals the plain-state comparison") {
+    import spark.implicits._
+    val landing = tmpDir("sevalaland")
+    val state = tmpDir("sevalast") + "/state"
+    val ckpt = tmpDir("sevalackpt")
+    val corpus = (0L until 12L).map(i => fpDoc(i, (i % 3).toInt, s"c$i"))
+    // three files -> AvailableNow still delivers as micro-batches of
+    // the whole backlog; write them before starting so every row lands
+    corpus.grouped(4).zipWithIndex.foreach { case (g, i) =>
+      g.toDF("doc_id", "text").write.parquet(s"$landing/part$i")
+    }
+    val stream = spark.readStream.schema("doc_id BIGINT, text STRING")
+      .option("maxFilesPerTrigger", 1) // 3 files -> 3 real micro-batches
+      .parquet(s"$landing/*")
+    val q = StreamEval.startFingerprintSet(stream, "doc_id", "text",
+      state, ckpt, bloomBits = 1 << 16, compactEvery = 1L,
+      trigger = Trigger.AvailableNow())
+    q.awaitTermination(60000L)
+    val arriving = Seq(fpDoc(100L, 0, "c0"),
+      (101L, "zz yy xx ww vv uu tt ss rr qq pp oo nn")).toDF("doc_id", "text")
+    val got = StreamEval.winnowNoveltyFromSet(spark, state, arriving,
+        "doc_id", "text", bloomBits = 1 << 16)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    // reference: the same corpus through plain appends, no bloom
+    val ref = tmpDir("sevalaref") + "/state"
+    StreamEval.appendFingerprintBatch(spark,
+      corpus.toDF("doc_id", "text"), "doc_id", "text", ref, 0L)
+    val want = StreamEval.winnowNoveltyFromSet(spark, ref, arriving,
+      "doc_id", "text").orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(got === want, "e2e append-layout stream diverged")
+    // the wrapper's periodic compaction actually ran: three
+    // micro-batches collapsed to ONE live generation, and the
+    // generations stayed disjoint (counts match WITHOUT distinct)
+    assert(listGens(state).size === 1,
+      s"expected one compacted generation, got ${listGens(state)}")
+    assert(StreamEval.fingerprintSet(spark, state).count()
+      === StreamEval.fingerprintSet(spark, ref).count())
+  }
+
   test("end-to-end stream: file source -> fingerprint monitor via " +
     "AvailableNow; novelty read-out equals the direct comparison") {
     import spark.implicits._
