@@ -720,10 +720,9 @@ object StreamEval {
           // duration of this (eager) call so the winnow runs once
           val freshP = fresh.persist()
           try {
-            val probed = freshP.crossJoin(broadcast(packed))
-              .withColumn("__maybe", StreamNovelty.mightContainPositions(
-                StreamNovelty.keyPositions(col("fingerprint"), bloomBits,
-                  bloomHashes, buckets = 1), col("bloom")))
+            val probed = freshP.withColumn("__maybe",
+              StreamNovelty.mightContainWords(spark, packed,
+                col("fingerprint"), bloomBits, bloomHashes, buckets = 1))
             val definitelyNovel =
               probed.filter(!col("__maybe")).select(col("fingerprint"))
             val survivors =
@@ -787,26 +786,41 @@ object StreamEval {
     n
   }
 
-  /** The OR-merged, packed Bloom over the live generations' sidecars,
-    * or None unless EVERY live generation carries a sidecar with the
-    * SAME (bits, hashes) — a generation missing from the Bloom would
-    * turn its fingerprints into false negatives and silently break
-    * exactness, so the prefilter is all-or-nothing. The parameters are
-    * encoded in the sidecar directory NAME, so the check is a driver
-    * listing, no reads. */
+  /** The OR-merged packed Bloom WORDS over the live generations'
+    * sidecars, or None unless EVERY live generation carries a sidecar
+    * with the SAME (bits, hashes) — a generation missing from the
+    * Bloom would turn its fingerprints into false negatives and
+    * silently break exactness, so the prefilter is all-or-nothing.
+    * The parameters are encoded in the sidecar directory NAME, so the
+    * check is a driver listing, no reads.
+    *
+    * Collected to the DRIVER (bits/8 bytes — the filter is sized by
+    * the caller precisely so it fits one machine) and shipped to
+    * executors as a broadcast VARIABLE by the probe: a first cut
+    * carried the packed array as a crossJoin column and every
+    * UnsafeProjection after it copied the whole filter per row — 32 MB
+    * × a 4M-fingerprint batch is ~125 TB of memcpy, a measured
+    * multi-minute stall ([[StreamNovelty.mightContainWords]]'s
+    * caveat). */
   private def loadBloomIfUsable(spark: SparkSession,
       live: Seq[(Long, HPath)], bits: Int, hashes: Int)
-      : Option[DataFrame] = {
+      : Option[Array[Long]] = {
     require(bits % 64 == 0 && bits > 0,
       s"bloomBits must be a positive multiple of 64, got $bits")
     val name = fpBloomName(bits, hashes)
     val dirs = live.map { case (_, p) => new HPath(p, name) }
     val fs = fsOf(spark, dirs.head)
+    // `_`-prefixed paths are hidden only during RECURSIVE listing
+    // (which is what keeps the sidecars invisible to generation
+    // reads); an EXPLICITLY passed root is read normally — Spark logs
+    // a misleading "All paths were ignored" WARN and then reads the
+    // data (verified empirically; the oracle rows gate it every run)
     if (!dirs.forall(fs.exists)) None
     else Some(StreamNovelty.packedGlobal(
       StreamNovelty.mergeWords(
         dirs.map(d => spark.read.parquet(d.toString))),
-      bits, buckets = 1))
+      bits, buckets = 1)
+      .head().getSeq[Long](0).toArray)
   }
 
   /** Merge every live generation with id ≤ `upTo` into ONE
@@ -961,11 +975,9 @@ object StreamEval {
             s"winnowNoveltyFromSet: bloom probe requested but not every" +
               s" live generation at $statePath carries a " +
               fpBloomName(bloomBits, bloomHashes) + " sidecar"))
-        val probed = fps.crossJoin(broadcast(packed))
-          .withColumn("__maybe", StreamNovelty.mightContainPositions(
-            StreamNovelty.keyPositions(col("fingerprint"), bloomBits,
-              bloomHashes, buckets = 1), col("bloom")))
-          .drop("bloom")
+        val probed = fps.withColumn("__maybe",
+          StreamNovelty.mightContainWords(spark, packed,
+            col("fingerprint"), bloomBits, bloomHashes, buckets = 1))
         probed.filter(col("__maybe")).drop("__maybe")
           .join(st, Seq("fingerprint"), "left")
           .unionByName(probed.filter(!col("__maybe")).drop("__maybe")

@@ -221,7 +221,17 @@ object StreamNovelty {
 
   /** Membership test of [[keyPositions]] output against a
     * [[packedGlobal]] bloom array: true iff ALL bits are set. False ⇒
-    * definitely never admitted; true ⇒ maybe (standard Bloom read). */
+    * definitely never admitted; true ⇒ maybe (standard Bloom read).
+    *
+    * SIZE CAVEAT: `bloomArr` rides as a COLUMN, so every operator
+    * boundary that materializes the row (an UnsafeProjection after a
+    * join, an exchange) COPIES the whole array per row — fine for the
+    * few-KB filters this expression path was built for, quadratic
+    * disaster for corpus-scale ones (a 2²⁸-bit filter is 32 MB; carried
+    * through a 4M-row batch that is ~125 TB of memcpy, measured as a
+    * multi-minute stall). For large filters use
+    * [[mightContainWords]], which ships the words ONCE per executor as
+    * a broadcast variable and leaves the row untouched. */
   def mightContainPositions(posArr: org.apache.spark.sql.Column,
       bloomArr: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
@@ -229,5 +239,34 @@ object StreamNovelty {
       call_function("bit_get",
         element_at(bloomArr, floor(p / lit(64L)).cast("int") + 1),
         (p % 64).cast("int")) === 1)
+  }
+
+  /** Membership test against a DRIVER-HELD packed global bloom (the
+    * single row of [[packedGlobal]], collected): the words ship to
+    * executors ONCE as a broadcast variable and the probe is an O(1)
+    * per-row UDF over the same murmur double-hash family — no bloom
+    * bytes ever enter the row, so filter size never multiplies row
+    * width (the [[mightContainPositions]] caveat). A UDF by the same
+    * necessity as [[batchWords]]: the hash family is JVM code; the
+    * work is a few array reads per row. NULL keys probe to NULL (no
+    * membership claim), matching [[keyPositions]]. */
+  def mightContainWords(spark: org.apache.spark.sql.SparkSession,
+      words: Array[Long], keyCol: org.apache.spark.sql.Column,
+      numBits: Int, numHashes: Int, buckets: Int)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    require(words.length.toLong * 64 >= numBits.toLong * buckets,
+      s"packed words (${words.length}) shorter than " +
+        s"$numBits bits x $buckets buckets")
+    val bc = spark.sparkContext.broadcast(words)
+    udf { key: String =>
+      Option(key).map { k =>
+        val base = bucketOf(k, buckets).toLong * numBits
+        hashes(k, numHashes, numBits).forall { p =>
+          val g = base + p
+          ((bc.value((g / 64).toInt) >>> (g % 64).toInt) & 1L) == 1L
+        }
+      }
+    }.apply(keyCol)
   }
 }

@@ -156,4 +156,32 @@ class MultimodalSpec extends SparkSpec {
         s"pixel features diverged for media ${mf.media_id}")
     }
   }
+
+  test("pixelFeatures bridges into the ANN path: cosine over the " +
+    "real-pixel vectors ranks the duplicate image above distinct ones") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val (pngA, _) = pngFixture
+    // a second, genuinely different raster (other ramp direction)
+    val imgB = new java.awt.image.BufferedImage(
+      4, 3, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+    for (y <- 0 until 3; x <- 0 until 4)
+      imgB.setRGB(x, y, 0xff000000 | (y * 80 << 16) | (x * 10 << 8) | 200)
+    val outB = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(imgB, "png", outB)
+    val rows = spark.createDataset(Seq(
+      MediaRow(1L, "image", pngA), MediaRow(2L, "image", pngA),
+      MediaRow(3L, "image", outB.toByteArray)))
+    val feats = Multimodal.pixelFeatures(rows).toDF()
+    val cos = feats.as("a").crossJoin(feats.as("b"))
+      .filter(col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("i"), col("b.media_id").as("j"),
+        graft.functions.VectorFns.cosine(
+          col("a.feature"), col("b.feature")).as("cos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(cos((1L, 2L)) > cos((1L, 3L)) && cos((1L, 2L)) > cos((2L, 3L)),
+      s"duplicate pair must outrank cross pairs: $cos")
+    assert(cos((1L, 2L)) > 0.999999, s"identical images: ${cos((1L, 2L))}")
+  }
 }
