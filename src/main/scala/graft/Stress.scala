@@ -128,9 +128,17 @@ object Stress {
       // ids offset past the corpus) — the realistic arriving mix, and
       // the shape where a Bloom prefilter earns its keep (the novel
       // half drops out before the exact join).
+      //
+      // The novel seed must sit FAR outside the id space: the
+      // generator derives a doc's stream from mix(seed ^ id), so for a
+      // small seed s the set {s ^ id} largely COINCIDES with
+      // {42 ^ id} over the id range — corpus B becomes a permutation
+      // of corpus A's texts (measured: seed 1337 "novel" docs were 96%
+      // duplicate at the fingerprint level). A high-bit seed makes the
+      // two input sets disjoint.
       val novelDocs = spark.read.format("graftdocs")
         .option("rows", rows).option("partitions", cpus.toInt * 2)
-        .option("seed", 1337L).load()
+        .option("seed", 1L << 40).load()
         .filter(pmod($"doc_id", lit(nb.toLong)) === 0L)
         .withColumn("doc_id", $"doc_id" + rows)
       val probeBatch = docs

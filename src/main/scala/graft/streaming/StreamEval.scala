@@ -573,6 +573,36 @@ object StreamEval {
     * scanned with a broadcast hash probe instead of shuffled. */
   private val MaxBroadcastSurvivors = 500000L
 
+  /** Process-lifetime cache of OR-merged packed Bloom words, keyed by
+    * the EXACT live sidecar-directory set (+ bits/hashes). Safe by the
+    * layout's immutability: a sidecar directory's content never
+    * changes after its publishing rename except when compaction
+    * replaces a generation — and compaction always SHRINKS the live
+    * set, so the key changes with the content. Without the cache,
+    * every probe re-reads O(state) sidecar words — the same
+    * O(state)-per-batch shape the append layout exists to avoid;
+    * with it, a steady merge loop pays one full load, then O(new)
+    * OR-ins ([[appendFingerprintBatch]] folds the new generation's
+    * packed words into the cached array after publishing). Bounded at
+    * [[BloomCacheMax]] entries (each bits/8 bytes). */
+  private val bloomCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int, Int), Array[Long]]()
+  private val BloomCacheMax = 8
+
+  private def bloomKey(dirs: Seq[HPath], bits: Int, hashes: Int)
+      : (String, Int, Int) =
+    (dirs.map(_.toString).sorted.mkString("\n"), bits, hashes)
+
+  private def bloomCachePut(key: (String, Int, Int),
+      words: Array[Long]): Unit = {
+    if (bloomCache.size >= BloomCacheMax) bloomCache.clear()
+    bloomCache.put(key, words)
+    ()
+  }
+
+  /** Test hook: drop all cached Bloom words. */
+  private[graft] def clearBloomCache(): Unit = bloomCache.clear()
+
   private type HPath = org.apache.hadoop.fs.Path
 
   private def fsOf(spark: SparkSession, p: HPath) =
@@ -755,6 +785,30 @@ object StreamEval {
               Seq("fingerprint"), "left_anti"),
             bloomBits, bloomHashes)
       }
+    // O(new) cache maintenance: fold the just-published generation's
+    // packed words into the cached filter so the NEXT load is a cache
+    // hit instead of an O(state) sidecar re-merge — the same
+    // O(new)-not-O(state) discipline as the generation write itself.
+    // Skipped when the pre-append state had no usable filter (mixed
+    // sidecars) — the probe refuses/falls back there anyway.
+    if (bloomBits > 0 && (bloom.isDefined || live.isEmpty)) {
+      val genSidecar = new HPath(gen, fpBloomName(bloomBits, bloomHashes))
+      val newWords = StreamNovelty.packedGlobal(
+        spark.read.parquet(genSidecar.toString), bloomBits, buckets = 1)
+        .head().getSeq[Long](0).toArray
+      val merged = bloom match {
+        case Some(old) =>
+          val m = old.clone()
+          var i = 0
+          while (i < m.length) { m(i) |= newWords(i); i += 1 }
+          m
+        case None => newWords
+      }
+      val allDirs = live.map { case (_, p) =>
+        new HPath(p, fpBloomName(bloomBits, bloomHashes))
+      } :+ genSidecar
+      bloomCachePut(bloomKey(allDirs, bloomBits, bloomHashes), merged)
+    }
     novel
   }
 
@@ -816,11 +870,18 @@ object StreamEval {
     // a misleading "All paths were ignored" WARN and then reads the
     // data (verified empirically; the oracle rows gate it every run)
     if (!dirs.forall(fs.exists)) None
-    else Some(StreamNovelty.packedGlobal(
-      StreamNovelty.mergeWords(
-        dirs.map(d => spark.read.parquet(d.toString))),
-      bits, buckets = 1)
-      .head().getSeq[Long](0).toArray)
+    else {
+      val key = bloomKey(dirs, bits, hashes)
+      Option(bloomCache.get(key)).orElse {
+        val words = StreamNovelty.packedGlobal(
+          StreamNovelty.mergeWords(
+            dirs.map(d => spark.read.parquet(d.toString))),
+          bits, buckets = 1)
+          .head().getSeq[Long](0).toArray
+        bloomCachePut(key, words)
+        Some(words)
+      }
+    }
   }
 
   /** Merge every live generation with id ≤ `upTo` into ONE

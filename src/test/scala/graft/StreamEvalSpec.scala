@@ -566,6 +566,14 @@ class StreamEvalSpec extends SparkSpec {
           "doc_id", "text", bloomBits = bits)
         .orderBy("doc_id").collect().map(_.toSeq).toSeq
       assert(got === want, s"bloom($bits) probe changed novelty rows")
+      // the incrementally-OR'd cached filter (folded generation by
+      // generation during the appends) and a COLD full sidecar
+      // re-merge must drive the probe to identical rows
+      StreamEval.clearBloomCache()
+      val cold = StreamEval.winnowNoveltyFromSet(spark, st, arriving,
+          "doc_id", "text", bloomBits = bits)
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      assert(cold === got, s"bloom($bits) cached filter != cold re-merge")
       // compaction OR-merges the sidecars: the probe stays usable and
       // exact over the consolidated generation
       StreamEval.compactFingerprintGenerations(spark, st, upTo = 2L)
