@@ -583,6 +583,26 @@ class StreamEvalSpec extends SparkSpec {
       assert(gotC === want, s"bloom($bits) probe moved across compaction")
     }
 
+    // an ALL-DUPLICATE batch through the bloom path: its generation
+    // and sidecar are EMPTY — the empty sidecar must OR-merge as zero
+    // bits (not break the packed load or the cache fold) and the
+    // replay/no-op contract must hold
+    val dupSt = tmpDir("sevaldupb") + "/state"
+    StreamEval.appendFingerprintBatch(spark, b0, "doc_id", "text",
+      dupSt, 0L, bloomBits = 1 << 16)
+    assert(StreamEval.appendFingerprintBatch(spark, b0, "doc_id", "text",
+      dupSt, 1L, bloomBits = 1 << 16) === 0L, "all-dup batch must add 0")
+    val gotDup = StreamEval.winnowNoveltyFromSet(spark, dupSt,
+        b0.unionByName(arriving), "doc_id", "text", bloomBits = 1 << 16)
+      .filter(col("doc_id") >= 100L)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val wantDup = StreamEval.winnowNoveltyFromSet(spark, dupSt,
+        b0.unionByName(arriving), "doc_id", "text")
+      .filter(col("doc_id") >= 100L)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(gotDup === wantDup,
+      "bloom probe over an empty generation's sidecar diverged")
+
     // a state whose generations lack sidecars must refuse the bloom
     // probe loudly — a silent fallback would hide a mis-sized probe
     val e = intercept[IllegalStateException](
