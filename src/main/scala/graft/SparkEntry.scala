@@ -45,7 +45,8 @@ object SparkEntry {
       graft.queries.Extended27.queries ++
       graft.queries.Extended28.queries ++
       graft.queries.Extended29.queries ++
-      graft.queries.Extended30.queries
+      graft.queries.Extended30.queries ++
+      graft.queries.Extended31.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -76,5 +77,6 @@ object SparkEntry {
       graft.queries.Extended27.oracles ++
       graft.queries.Extended28.oracles ++
       graft.queries.Extended29.oracles ++
-      graft.queries.Extended30.oracles
+      graft.queries.Extended30.oracles ++
+      graft.queries.Extended31.oracles
 }

@@ -40,6 +40,38 @@ object Stress {
       println(f"[stress] $name%-12s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n rows, $rows docs, load1 $l0%.1f -> $load1%.1f)")
     }
 
+    // Shuffle-bytes accounting for plan-shape adjudications: wall time
+    // on a 128 GB local[32] box cannot distinguish "shuffled the state"
+    // from "scanned it" (everything is memory-resident), but the bytes
+    // can — a probe whose claim is "the state is scanned, never
+    // shuffled" must show it in shuffleWrite. Listener delivery is
+    // async; the 2 s drain after the body is ample for a probe-sized
+    // job count.
+    def timedShuffle(name: String)(body: => Long): Unit = {
+      val w = new java.util.concurrent.atomic.AtomicLong
+      val r = new java.util.concurrent.atomic.AtomicLong
+      val lis = new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted)
+            : Unit = {
+          val m = sc.stageInfo.taskMetrics
+          if (m != null) {
+            w.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+            r.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+            ()
+          }
+        }
+      }
+      spark.sparkContext.addSparkListener(lis)
+      val l0 = load1
+      val t0 = System.nanoTime()
+      val n = try body finally {
+        Thread.sleep(2000L)
+        spark.sparkContext.removeSparkListener(lis)
+      }
+      println(f"[stress] $name%-12s ${(System.nanoTime() - t0) / 1e9 - 2.0}%8.2f s  ($n rows, shuffleW ${w.get / 1e6}%.1f MB, shuffleR ${r.get / 1e6}%.1f MB, load1 $l0%.1f -> $load1%.1f)")
+    }
+
     // Cleaner work window between composed-pipeline stages, on by
     // default (GRAFT_STRESS_GC=0 disables — the A/B dial): one
     // uninterrupted multi-minute chain at a large fixed heap never
@@ -182,9 +214,30 @@ object Stress {
         }
         gcWindow()
       }
-      timed("fpnovel-exact")(probe(bPath))
+      timedShuffle("fpnovel-exact")(probe(bPath))
       gcWindow()
-      timed("fpnovel-bloom")(probe(bPath, bits = bBits))
+      timedShuffle("fpnovel-bloom")(probe(bPath, bits = bBits))
+      gcWindow()
+      // the structural claim priced in BYTES: one more batch through
+      // each append path — the bloom append's survivors probe the
+      // state as a broadcast-scan (shuffleW ~ batch), the plain
+      // append's anti-join shuffles batch AND state. A third disjoint
+      // seed so BOTH paths see the same genuinely-novel content.
+      val extraBatch = spark.read.format("graftdocs")
+        .option("rows", rows).option("partitions", cpus.toInt * 2)
+        .option("seed", 1L << 41).load()
+        .filter(pmod($"doc_id", lit(nb.toLong)) === 0L)
+        .withColumn("doc_id", $"doc_id" + 2L * rows)
+      timedShuffle("fpapp-shuffle") {
+        graft.streaming.StreamEval.appendFingerprintBatch(
+          spark, extraBatch, "doc_id", "text", aPath, nb + 1L, k = fpK)
+      }
+      gcWindow()
+      timedShuffle("fpbloomapp-shuffle") {
+        graft.streaming.StreamEval.appendFingerprintBatch(
+          spark, extraBatch, "doc_id", "text", bPath, nb.toLong, k = fpK,
+          bloomBits = bBits)
+      }
       gcWindow()
     }
 

@@ -593,6 +593,51 @@ object TextDedup {
     *         (idCol, span_id, start_pos, end_pos, span_tokens) with
     *         1-based token positions, end inclusive.
     */
+  /** CCNet-style paragraph dedup WITH RECONSTRUCTION (the
+    * corpus-transforming sibling of [[dupSpans]], which only reports):
+    * split every document into paragraphs on `sep`, keep each distinct
+    * paragraph's GLOBAL FIRST occurrence (ordered by (id, position) —
+    * deterministic, engine-portable) and drop every later repeat —
+    * boilerplate headers, licence blocks, templated passages — then
+    * reassemble each document from its surviving paragraphs in
+    * original order. Documents whose every paragraph was seen earlier
+    * come back with empty text (the row is kept — silently dropping a
+    * document would corrupt downstream joins).
+    *
+    * Scale shape: one hash-aggregation by paragraph content (map-side
+    * combinable) for the first-occurrence frame, one co-partitioned
+    * join back (same key — the exchange is reused), one keyed regroup
+    * by document for reassembly (per-doc sort_array over its own
+    * bounded paragraph list, never a global window), and a final keyed
+    * join to restore all-duplicate documents. The corpus text shuffles
+    * twice; at 100 TB, key the aggregation on xxhash64(paragraph) as
+    * in [[dupSpans]]' hashGrams mode if the paragraph exchange
+    * dominates (same collision arithmetic; string mode stays the
+    * oracle default).
+    *
+    * @return (idCol, textCol) with deduplicated, reassembled text */
+  def dedupParagraphsKeepFirst(docs: DataFrame, idCol: String,
+      textCol: String, sep: String): DataFrame = {
+    require(sep.nonEmpty, "paragraph separator must be non-empty")
+    val paras = docs.select(col(idCol),
+        posexplode(split(col(textCol),
+          java.util.regex.Pattern.quote(sep))).as(Seq("__pos", "__para")))
+    val first = paras.groupBy(col("__para"))
+      .agg(min(struct(col(idCol).as("__fid"), col("__pos").as("__fpos")))
+        .as("__f"))
+    val kept = paras.join(first, Seq("__para"))
+      .filter(col(idCol) === col("__f.__fid") &&
+        col("__pos") === col("__f.__fpos"))
+    val rebuilt = kept
+      .groupBy(col(idCol))
+      .agg(array_join(transform(
+        sort_array(collect_list(struct(col("__pos"), col("__para")))),
+        e => e("__para")), sep).as("__text"))
+    docs.select(col(idCol))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("__text"), lit("")).as(textCol))
+  }
+
   /** Winnowing fingerprints (Schleimer–Wilkerson–Aiken, the MOSS
     * scheme): from each window of `w` consecutive k-gram hashes,
     * select the minimum — the classic local fingerprinting guarantee

@@ -238,4 +238,25 @@ class TextDedupSpec extends SparkSpec {
       ngram = 3, dfCap = 3L)
     assert(capped.filter($"doc_in" === 1L && $"doc_out" === 2L).isEmpty)
   }
+
+  test("dedupParagraphsKeepFirst: global first occurrence survives " +
+    "(within-doc repeats too), documents reassemble in order, an " +
+    "all-duplicate document keeps its row with empty text") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "intro\nLICENSE\nbody one\nLICENSE"), // within-doc repeat
+      (2L, "LICENSE\nbody two"),                 // cross-doc repeat
+      (3L, "LICENSE"),                           // nothing novel
+      (4L, "body two\nfresh tail")               // cross-doc repeat mid-doc
+    ).toDF("doc_id", "text")
+    val out = TextDedup
+      .dedupParagraphsKeepFirst(docs, "doc_id", "text", "\n")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(out === Seq(
+      1L -> "intro\nLICENSE\nbody one", // first LICENSE kept, repeat dropped
+      2L -> "body two",
+      3L -> "",                         // row kept, text emptied
+      4L -> "fresh tail"))
+  }
 }
