@@ -218,6 +218,26 @@ object Stress {
       gcWindow()
       timedShuffle("fpnovel-bloom")(probe(bPath, bits = bBits))
       gcWindow()
+      // the same read-out pair on MOSTLY-NOVEL arrivals (a fourth
+      // disjoint seed) — the realistic decontamination mix, and the
+      // regime where the survivor set is small enough to broadcast:
+      // the bloom read-out should show the state SCANNED (shuffleW ~
+      // batch partials only) where the exact probe shuffles it. The
+      // half-seen probe above deliberately saturates the survivor
+      // bound instead, demonstrating the fallback.
+      val freshArrivals = spark.read.format("graftdocs")
+        .option("rows", rows).option("partitions", cpus.toInt * 2)
+        .option("seed", 1L << 42).load()
+        .filter(pmod($"doc_id", lit(nb.toLong)) === 0L)
+        .withColumn("doc_id", $"doc_id" + 3L * rows)
+      def probeN(path: String, bits: Int = 0): Long =
+        graft.streaming.StreamEval.winnowNoveltyFromSet(
+          spark, path, freshArrivals, "doc_id", "text", k = fpK,
+          bloomBits = bits).queryExecution.toRdd.count()
+      timedShuffle("fpnovelN-exact")(probeN(bPath))
+      gcWindow()
+      timedShuffle("fpnovelN-bloom")(probeN(bPath, bits = bBits))
+      gcWindow()
       // the structural claim priced in BYTES: one more batch through
       // each append path — the bloom append's survivors probe the
       // state as a broadcast-scan (shuffleW ~ batch), the plain
