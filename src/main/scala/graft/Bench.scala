@@ -59,9 +59,11 @@ object Bench {
     * regex — no JSON library on the runtime classpath needed. Missing
     * file (fresh checkout mid-edit, or a path-relocated run) degrades
     * to an empty envelope: no rechecks, loudly logged. */
-  private def loadEnvelope(): Map[String, Double] = {
-    val path = sys.env.getOrElse("BENCH_ENVELOPE",
-      "scripts/bench_envelope.json")
+  private[graft] def loadEnvelope(): Map[String, Double] =
+    loadEnvelope(sys.env.getOrElse("BENCH_ENVELOPE",
+      "scripts/bench_envelope.json"))
+
+  private[graft] def loadEnvelope(path: String): Map[String, Double] = {
     val f = new java.io.File(path)
     if (!f.isFile) { System.err.println(s"[bench] no envelope at $path" +
       " — recheck pass disabled"); return Map.empty }

@@ -88,7 +88,7 @@ object Extended30 {
     * a row whose bucket is NULL would land in NO batch and silently
     * vanish from the monitor state while the DuckDB oracle still
     * aggregates it). */
-  private def mergeBuckets(df: DataFrame, bucket: org.apache.spark.sql.Column)(
+  private[graft] def mergeBuckets(df: DataFrame, bucket: org.apache.spark.sql.Column)(
       merge: (DataFrame, Long) => Long): Unit = {
     val guarded = when(bucket.isNull,
         raise_error(lit("mergeBuckets: NULL bucket value — the row " +
