@@ -42,6 +42,35 @@ object Graph {
       .filter(col("u") =!= col("v"))
       .distinct()
 
+  /** Canonical co-occurrence edge set from (group, item) rows: every
+    * distinct item pair (u < v) sharing a group — the market-basket
+    * projection behind the co-order graph queries.
+    *
+    * Shape (guide §2.4 — remove shuffles outright): ONE exchange on the
+    * group key with map-side partial `collect_set`, pairs generated
+    * inside each group row by codegen'd array lambdas, then the
+    * unavoidable edge distinct. The equivalent self-join formulation
+    * pays a (group,item)-distinct exchange PLUS the join's group-key
+    * exchange before the same edge distinct — two extra data-sized
+    * shuffles for identical output.
+    *
+    * Skew contract: one output row per group, quadratic pairs per
+    * group — same pair volume the self-join emits, but collected on
+    * one task per group. Fine while group fan-out is bounded (orders
+    * hold tens of items); for a heavy-tailed group column keep the
+    * self-join form instead. */
+  def coOccurrenceEdges(rows: DataFrame, grpCol: String,
+      itemCol: String): DataFrame = {
+    val grouped = rows.groupBy(col(grpCol))
+      .agg(sort_array(collect_set(col(itemCol))).as("items"))
+    grouped
+      .select(explode(flatten(transform(col("items"), (x, i) =>
+        transform(slice(col("items"), i + lit(2), size(col("items"))),
+          y => struct(x.as("u"), y.as("v")))))).as("e"))
+      .select(col("e.u"), col("e.v"))
+      .distinct()
+  }
+
   /** Degree of every node with at least one edge. */
   def degrees(edges: DataFrame,
       srcCol: String = "u", dstCol: String = "v"): DataFrame =
@@ -75,6 +104,14 @@ object Graph {
     *   intermediates; None = localCheckpoint
     * @return one row: (n_triangles)
     */
+  /** Max edge count for which [[triangleCount]] broadcasts the edge /
+    * degree frames instead of shuffling the (quadratic) wedge stream.
+    * ~4M edges ≈ 64 MB of raw keys — comfortably inside the broadcast
+    * cap on any executor sizing; override per session with
+    * `spark.conf.set("graft.broadcastMaxEdges", n)`. */
+  private def broadcastMaxEdges(df: DataFrame): Long =
+    df.sparkSession.conf.get("graft.broadcastMaxEdges", "4000000").toLong
+
   def triangleCount(edges: DataFrame,
       srcCol: String = "u", dstCol: String = "v",
       assumeCanonical: Boolean = false,
@@ -101,11 +138,23 @@ object Graph {
       maxDegBound <= (Long.MaxValue - maxId) / (maxId + 1)
     def ordOf(d: Column, id: Column): Column =
       if (fitsLong) d * (maxId + 1) + id else struct(d, id)
+    // The SAME edge-count read gates the join strategy (guide §3.1):
+    // when the edge set fits a broadcast, the wedge stream — the
+    // O(m^1.5) QUADRATIC intermediate — must never hit an exchange.
+    // Measured at sf0.1 before this gate: the wedge join shuffled
+    // ~700 MB (343 MB write + 356 MB read) to close triangles over a
+    // ~12 MB edge set. Degrees (≤ 2·edges rows) broadcast under the
+    // same bound, removing both edge-side orientation shuffles. Beyond
+    // the bound (a graph whose edge list outgrows one executor) the
+    // shuffling plan below is unchanged — the decision input is the
+    // bounds row this operator already reads.
+    val small = maxDegBound <= broadcastMaxEdges(e)
+    def maybeB(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     val withOrd = e
-      .join(deg.select(col("node").as("u"),
-        ordOf(col("degree"), col("node")).as("ou")), "u")
-      .join(deg.select(col("node").as("v"),
-        ordOf(col("degree"), col("node")).as("ov")), "v")
+      .join(maybeB(deg.select(col("node").as("u"),
+        ordOf(col("degree"), col("node")).as("ou"))), "u")
+      .join(maybeB(deg.select(col("node").as("v"),
+        ordOf(col("degree"), col("node")).as("ov"))), "v")
     val oriented = TextDedup.materialize(
       withOrd.select(
           when(col("ou") < col("ov"),
@@ -116,10 +165,10 @@ object Graph {
     // wedges are distinct by construction (distinct edges ⇒ distinct
     // (x, y, z)), so the closing inner join counts each triangle once
     oriented.as("e1")
-      .join(oriented.as("e2"),
+      .join(maybeB(oriented.as("e2")),
         col("e1.lo") === col("e2.lo") && col("e1.hi") < col("e2.hi"))
       .select(col("e1.hi").as("lo"), col("e2.hi").as("hi"))
-      .join(oriented, Seq("lo", "hi"))
+      .join(maybeB(oriented), Seq("lo", "hi"))
       .agg(count(lit(1)).as("n_triangles"))
   }
 
@@ -289,12 +338,25 @@ object Graph {
     var round = 0
     while (round < maxRounds) {
       val deg = TextDedup.materialize(degrees(e), checkpointDir)
-      if (deg.filter(col("degree") < k).isEmpty)
+      // ONE scalar read answers both loop questions — fixpoint ("any
+      // node below k?", the old isEmpty probe) AND the node count that
+      // gates the keep-list join strategy below (guide §3.1): a
+      // node-sized keep list under the broadcast bound turns the two
+      // semi joins into map-side filters over the pinned edge blocks —
+      // zero exchanges per peel round where the default plan shuffled
+      // the (shrinking) edge set twice per round.
+      val stats = deg.agg(count(lit(1)),
+        sum(when(col("degree") < k, 1L).otherwise(0L))).head()
+      val (nNodes, nBelow) = (stats.getLong(0),
+        if (stats.isNullAt(1)) 0L else stats.getLong(1))
+      if (nBelow == 0L)
         return deg // fixpoint: every surviving node already has deg >= k
       val keep = deg.filter(col("degree") >= k)
+      def maybeB(df: DataFrame): DataFrame =
+        if (nNodes <= broadcastMaxEdges(deg)) broadcast(df) else df
       e = TextDedup.materialize(
-        e.join(keep.select(col("node").as("u")), Seq("u"), "left_semi")
-          .join(keep.select(col("node").as("v")), Seq("v"), "left_semi")
+        e.join(maybeB(keep.select(col("node").as("u"))), Seq("u"), "left_semi")
+          .join(maybeB(keep.select(col("node").as("v"))), Seq("v"), "left_semi")
           .select(col("u"), col("v")),
         checkpointDir)
       round += 1
@@ -353,11 +415,10 @@ object Graph {
     var h = TextDedup.materialize(
       nbr.groupBy(col("node")).agg(count(lit(1)).as("h")),
       checkpointDir)
-    var round = 0
-    while (round < maxRounds) {
+    def hStep(cur: DataFrame): DataFrame = {
       val w = Window.partitionBy(col("node")).orderBy(col("val").desc)
-      val step = nbr
-        .join(h.select(col("node").as("nb"), col("h").as("val")), "nb")
+      nbr
+        .join(cur.select(col("node").as("nb"), col("h").as("val")), "nb")
         .select(col("node"), col("val"))
         .withColumn("r", row_number().over(w))
         .groupBy(col("node"))
@@ -366,12 +427,29 @@ object Graph {
         // cast keeps the value LONG across rounds (row_number is int,
         // the round-0 degree is long — the schema must not flip)
         .agg(max(when(col("val") >= col("r"), col("r"))).cast("long").as("h"))
-      val next = TextDedup.materialize(step, checkpointDir)
-      val converged = next.alias("a")
-        .join(h.alias("b"), expr("a.node = b.node AND a.h <> b.h"))
-        .isEmpty
+    }
+    // Convergence is a SUM compare, not a join: the h-index sequence is
+    // monotone NON-INCREASING per node (Lü et al. 2016, Thm 1 — h⁰ =
+    // degree, each application can only lower a value), so Σh unchanged
+    // ⟺ no node changed. DECIMAL(38,0) keeps the sum exact at any node
+    // count. TWO H-applications per materialization: the profiled cost
+    // of this loop at bench scale is per-round fixed overhead (planning
+    // + job scheduling — 219 jobs, ~8.3 s build, task time a fraction
+    // of that), so halving the materialization/probe count halves the
+    // loop's latency while every H past the fixpoint is the identity —
+    // same fixpoint, same returned frame (monotonicity also gives
+    // fix(H∘H) = fix(H): no cycles exist on a monotone sequence).
+    def sumH(df: DataFrame): java.math.BigDecimal =
+      df.agg(graft.ext.Exact.decSum(col("h"))).head().getDecimal(0)
+    var prevSum = sumH(h)
+    var round = 0
+    while (round < maxRounds) {
+      val next = TextDedup.materialize(hStep(hStep(h)), checkpointDir)
       h = next
-      round += 1
+      round += 2
+      val s = sumH(h)
+      val converged = s.compareTo(prevSum) == 0
+      prevSum = s
       if (converged)
         return h.select(col("node"), col("h").as("coreness"))
     }
@@ -430,28 +508,46 @@ object Graph {
     var labels = TextDedup.materialize(
       nbr.select(col("node")).distinct().withColumn("label", col("node")),
       checkpointDir)
+    // argmax by (count DESC, label ASC) as min(struct(-c, label)) —
+    // a two-level hash agg with map-side partial combine instead of
+    // a per-node window sort (-c is safe: 1 <= c <= n). Both aggs
+    // hash-partition on the same `node` key.
+    def lpaStep(cur: DataFrame): DataFrame = nbr
+      .join(cur.withColumnRenamed("node", "nb"), "nb")
+      .groupBy(col("node"), col("label")).agg(count(lit(1)).as("c"))
+      .groupBy(col("node"))
+      .agg(min(struct((-col("c")).as("nc"), col("label"))).as("best"))
+      .select(col("node"), col("best.label").as("label"))
+    // TWO synchronous rounds per materialization: the loop's profiled
+    // cost at bench scale is per-round fixed overhead (planning + job
+    // scheduling), so halving the materialization/probe count halves
+    // the loop latency. Semantics are EXACTLY fixed-round LPA:
+    //  - an odd maxRounds runs one single leading round so the doubled
+    //    loop covers an even remainder — total applications always
+    //    equal maxRounds when no early stop fires;
+    //  - earlyStop now tests the 2-round composite F = H∘H. On a
+    //    converged labeling that is the same test; on a synchronous-LPA
+    //    2-CYCLE (the one non-converging topology) F is the identity,
+    //    and stopping there returns the labeling an even number of
+    //    rounds before round maxRounds — the identical frame fixed
+    //    rounds would return, since the remaining F-applications are
+    //    identities. Either way the returned labeling is unchanged.
     var round = 0
     var converged = false
+    if (maxRounds % 2 == 1) {
+      labels = TextDedup.materialize(lpaStep(labels), checkpointDir)
+      round = 1
+    }
     while (round < maxRounds && !converged) {
-      // argmax by (count DESC, label ASC) as min(struct(-c, label)) —
-      // a two-level hash agg with map-side partial combine instead of
-      // a per-node window sort (-c is safe: 1 <= c <= n). Both aggs
-      // hash-partition on the same `node` key.
-      val step = nbr
-        .join(labels.withColumnRenamed("node", "nb"), "nb")
-        .groupBy(col("node"), col("label")).agg(count(lit(1)).as("c"))
-        .groupBy(col("node"))
-        .agg(min(struct((-col("c")).as("nc"), col("label"))).as("best"))
-        .select(col("node"), col("best.label").as("label"))
-      if (earlyStop) {
-        val next = TextDedup.materialize(step, checkpointDir)
+      val next = TextDedup.materialize(lpaStep(lpaStep(labels)),
+        checkpointDir)
+      if (earlyStop)
         converged = next.alias("a")
           .join(labels.alias("b"),
             expr("a.node = b.node AND a.label <> b.label"))
           .isEmpty
-        labels = next
-      } else labels = TextDedup.materialize(step, checkpointDir)
-      round += 1
+      labels = next
+      round += 2
     }
     labels
   }

@@ -213,29 +213,46 @@ object TextDedup {
       srcCol: String = "id_a", dstCol: String = "id_b",
       nodeCol: String = "id", maxRounds: Int = 15,
       checkpointDir: Option[String] = None): DataFrame = {
+    // pinned REPARTITIONED on the per-round join key, so every round's
+    // edge-side exchange is pre-satisfied (the [[Graph.pageRank]] edge
+    // discipline) — only the node-sized label frame shuffles per round
     val sym = materialize(
       pairs.select(col(srcCol).as("a"), col(dstCol).as("b"))
-        .union(pairs.select(col(dstCol).as("a"), col(srcCol).as("b"))),
+        .union(pairs.select(col(dstCol).as("a"), col(srcCol).as("b")))
+        .repartition(col("b")),
       checkpointDir)
     var labels = materialize(
       nodes.select(col(nodeCol).as("node"), col(nodeCol).as("component")),
       checkpointDir)
+    def propagate(cur: DataFrame): DataFrame = {
+      val nbMin = sym.join(cur, sym("b") === cur("node"))
+        .groupBy(col("a")).agg(min(col("component")).as("nb"))
+      cur.select(col("node"), col("component"))
+        .join(nbMin, col("node") === nbMin("a"), "left")
+        .select(col("node"),
+          least(col("component"), coalesce(col("nb"), col("component")))
+            .as("component"))
+    }
+    // Convergence is a SUM compare: labels are min-ids, monotone
+    // NON-INCREASING per node, so Σcomponent unchanged ⟺ no label
+    // changed (DECIMAL(38,0) keeps the sum exact at any node count /
+    // id range). TWO propagation rounds per materialization: the
+    // loop's profiled cost at bench scale is per-round fixed overhead
+    // (planning + job scheduling), halved by the doubled step, while
+    // rounds past the fixpoint are identities (monotonicity ⇒ no
+    // cycles ⇒ fix(H∘H) = fix(H)) — same labels, and the diameter
+    // guard below still fires if maxRounds is exceeded.
+    def sumLabels(df: DataFrame): java.math.BigDecimal =
+      df.agg(Exact.decSum(col("component"))).head().getDecimal(0)
+    var prevSum = sumLabels(labels)
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
-      val nbMin = sym.join(labels, sym("b") === labels("node"))
-        .groupBy(col("a")).agg(min(col("component")).as("nb"))
-      // carry the previous label through the checkpoint so convergence is
-      // a filter on materialized data, not another join per round
-      val merged = materialize(
-        labels.join(nbMin, labels("node") === nbMin("a"), "left")
-          .select(col("node"), col("component").as("old"),
-            least(col("component"), coalesce(col("nb"), col("component")))
-              .as("component")),
-        checkpointDir)
-      converged = merged.filter(col("component") =!= col("old")).isEmpty
-      labels = merged.select(col("node"), col("component"))
-      round += 1
+      labels = materialize(propagate(propagate(labels)), checkpointDir)
+      round += 2
+      val s = sumLabels(labels)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
     }
     // Partially-propagated labels would silently keep extra "unique" docs
     // downstream — refuse to return them. Diameter > maxRounds means the

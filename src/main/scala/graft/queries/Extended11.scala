@@ -94,15 +94,18 @@ object Extended11 {
   // composes the summary row.
   def q152(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val op = t(s, dir, "lineitem")
-      .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
-    // canonical by construction (a.p < b.p, distinct); checkpointed here
-    // because n_edges below reuses it alongside the operator's own pass
-    val e = op.as("a").join(op.as("b"), $"a.o" === $"b.o" && $"a.p" < $"b.p")
-      .select($"a.p".as("u"), $"b.p".as("v")).distinct()
+    val li = t(s, dir, "lineitem")
+    // canonical by construction (sorted per-order item set, i < j
+    // pairs, distinct) via the one-exchange group-collect shape
+    // (Graph.coOccurrenceEdges — r18: replaces the op self-join, which
+    // paid a (o,p)-distinct exchange + the join's o exchange for the
+    // same edges); checkpointed here because n_edges below reuses it
+    // alongside the operator's own pass
+    val e = graft.ext.Graph.coOccurrenceEdges(
+        li.select($"l_orderkey".as("o"), $"l_partkey".as("p")), "o", "p")
       .localCheckpoint()
     val nTri = graft.ext.Graph.triangleCount(e, assumeCanonical = true)
-    op.agg(countDistinct($"p").as("n_parts"))
+    li.agg(countDistinct($"l_partkey").as("n_parts"))
       .crossJoin(e.agg(count(lit(1)).as("n_edges")))
       .crossJoin(nTri)
       .select($"n_parts", $"n_edges", $"n_triangles")

@@ -98,10 +98,13 @@ object Extended15 {
   // agree whenever either converges.
   def q165(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val op = t(s, dir, "lineitem")
-      .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
-    val e = op.as("a").join(op.as("b"), $"a.o" === $"b.o" && $"a.p" < $"b.p")
-      .select($"a.p".as("u"), $"b.p".as("v")).distinct()
+    // one-exchange group-collect edge build (Graph.coOccurrenceEdges,
+    // r18); PINNED because labelPropagation's nbr union reads the edge
+    // set twice — unpinned, the whole build ran once per union branch
+    val e = graft.ext.Graph.coOccurrenceEdges(
+      t(s, dir, "lineitem")
+        .select($"l_orderkey".as("o"), $"l_partkey".as("p")), "o", "p")
+      .localCheckpoint()
     // earlyStop ON measured FASTER than fixed rounds here (4.9 vs 6.8 s
     // steady at sf0.1): the co-order graph converges before round 4, so
     // the probe's extra join+action per round buys back whole rounds.

@@ -38,11 +38,14 @@ object Extended17 {
   // runs.
   def q179(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val op = t(s, dir, "lineitem")
-      .filter($"l_partkey" % 7 === 0)
-      .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
-    val e = op.as("a").join(op.as("b"), $"a.o" === $"b.o" && $"a.p" < $"b.p")
-      .select($"a.p".as("u"), $"b.p".as("v")).distinct()
+    // one-exchange group-collect edge build (Graph.coOccurrenceEdges,
+    // r18); PINNED because coreness's nbr union reads the edge set
+    // twice — unpinned, the whole build ran once per union branch
+    val e = graft.ext.Graph.coOccurrenceEdges(
+      t(s, dir, "lineitem")
+        .filter($"l_partkey" % 7 === 0)
+        .select($"l_orderkey".as("o"), $"l_partkey".as("p")), "o", "p")
+      .localCheckpoint()
     graft.ext.Graph.coreness(e, assumeCanonical = true)
       .groupBy($"coreness")
       .agg(count(lit(1)).as("n_nodes"), sum($"node").as("id_sum"))

@@ -998,7 +998,19 @@ object Extended18 {
     // thresholds sit astride the blocked-pair score distribution
     // (p99 ≈ 3200 bp, max ≈ 5100 at the gate SF) so the three levels
     // show REAL agglomeration — 9000/7000/5000 was all-singletons
-    Seq(3000L, 2000L, 1000L).map { tau =>
+    // The three levels are INDEPENDENT fixpoints over the same pinned
+    // pair frame, and each one is a latency-bound loop of small jobs
+    // (profiled: 183 jobs, task time a fraction of wall). Run them as
+    // concurrent driver-side jobs (guide §2.6 — overlap independent
+    // jobs so one loop's stragglers back-fill the others' idle cores);
+    // each level's CC is deterministic, so concurrency cannot change a
+    // row. The futures only BUILD the per-level 1-row aggregates (the
+    // CC loop's internal actions run inside); the final union stays
+    // lazy for the caller.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val levels = Seq(3000L, 2000L, 1000L).map { tau => Future {
       // banded graphs are denser than the old single-band cut — long
       // chains near tau are likelier, so give propagation headroom
       // (the loop exits on convergence; extra rounds cost nothing)
@@ -1011,7 +1023,9 @@ object Extended18 {
         count(lit(1)).as("n_clusters"),
         sum(when($"sz" === 1L, 1L).otherwise(0L)).as("n_singletons"),
         max($"sz").as("largest"))
-    }.reduce(_ unionByName _).orderBy($"tau_bp".desc)
+    }}
+    levels.map(Await.result(_, Duration.Inf))
+      .reduce(_ unionByName _).orderBy($"tau_bp".desc)
   }
 
   val q196Sql: String = {
