@@ -77,9 +77,17 @@ object StreamEval {
         Option(p.agg(max(col("batch_id"))).head().get(0)))
       .map(_.asInstanceOf[Long]).getOrElse(-1L)
     if (batchId <= maxSeen) return 0L
-    val nRows = batch.count()
-    if (nRows == 0L) return 0L
-    val d = delta(batch)
+    // The batch-row count rides the merge write itself as an
+    // Observation (r18 — the old standalone `batch.count()` was one
+    // full extra scan of every micro-batch per merge, guide §1.4's
+    // don't-pay-twice rule applied to the return value). The
+    // empty-batch no-op contract is kept by checking the observed
+    // count BEFORE publishing: an empty batch writes a tmp that is
+    // discarded unpublished, so `max(batch_id)` still never moves on
+    // empty batches (rare in practice — the replay gate above stays
+    // the cheap early exit).
+    val obs = org.apache.spark.sql.Observation()
+    val d = delta(batch.observe(obs, count(lit(1)).as("n")))
     val stateCols = (keys ++ sums.map(_._1)).map(col)
     val mergeAggs = sums.map { case (n, f) => f(col(n)).as(n) }
     val merged = prev.map(_.select(stateCols: _*))
@@ -89,6 +97,17 @@ object StreamEval {
       .withColumn("batch_id", lit(batchId))
     val tmp = statePath + "_tmp"
     merged.write.mode(SaveMode.Overwrite).parquet(tmp)
+    // a PROVABLY-empty batch (e.g. an empty LocalRelation) lets
+    // PropagateEmptyRelation fold the CollectMetrics node away — the
+    // completed execution then reports no "n" metric, which is exactly
+    // the zero-rows case
+    val nRows = scala.util.Try(obs.get("n").asInstanceOf[Long])
+      .getOrElse(0L)
+    if (nRows == 0L) {
+      val p = new org.apache.hadoop.fs.Path(tmp)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      return 0L
+    }
     replace(spark, tmp, statePath)
     nRows
   }
@@ -740,7 +759,7 @@ object StreamEval {
       if (bloomBits > 0 && live.nonEmpty)
         loadBloomIfUsable(spark, live, bloomBits, bloomHashes)
       else None
-    val novel =
+    val (novel, newWords) =
       if (live.isEmpty)
         writeGeneration(spark, fs, root, gen, batchId, fresh,
           bloomBits, bloomHashes)
@@ -786,23 +805,22 @@ object StreamEval {
             bloomBits, bloomHashes)
       }
     // O(new) cache maintenance: fold the just-published generation's
-    // packed words into the cached filter so the NEXT load is a cache
+    // packed words (returned by the write — never re-read from the
+    // sidecar, r18) into the cached filter so the NEXT load is a cache
     // hit instead of an O(state) sidecar re-merge — the same
     // O(new)-not-O(state) discipline as the generation write itself.
     // Skipped when the pre-append state had no usable filter (mixed
     // sidecars) — the probe refuses/falls back there anyway.
     if (bloomBits > 0 && (bloom.isDefined || live.isEmpty)) {
       val genSidecar = new HPath(gen, fpBloomName(bloomBits, bloomHashes))
-      val newWords = StreamNovelty.packedGlobal(
-        spark.read.parquet(genSidecar.toString), bloomBits, buckets = 1)
-        .head().getSeq[Long](0).toArray
       val merged = bloom match {
         case Some(old) =>
           val m = old.clone()
+          val nw = newWords.get
           var i = 0
-          while (i < m.length) { m(i) |= newWords(i); i += 1 }
+          while (i < m.length) { m(i) |= nw(i); i += 1 }
           m
-        case None => newWords
+        case None => newWords.get
       }
       val allDirs = live.map { case (_, p) =>
         new HPath(p, fpBloomName(bloomBits, bloomHashes))
@@ -815,29 +833,49 @@ object StreamEval {
   /** Write-tmp-then-rename publish of one generation (`_`-prefixed
     * tmp is invisible to parquet readers, so a crash mid-write never
     * leaves a torn generation and the rename publishes atomically).
-    * Returns the generation's row count, observed ON the write job. */
+    * Returns the generation's row count, observed ON the write job,
+    * plus — when a Bloom sidecar was built — the sidecar's packed
+    * words, so the caller's O(new) cache OR-in never re-reads the
+    * sidecar it just wrote (r18: that re-read was one extra job + two
+    * extra reads of every generation per append). The word frame is
+    * bounded (≤ bloomBits/64 rows), so collecting it is driver-cheap
+    * and the sidecar parquet is written FROM the collected rows — one
+    * read of the new generation instead of two. */
   private def writeGeneration(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, root: HPath, gen: HPath,
       batchId: Long, novel: DataFrame, bloomBits: Int,
-      bloomHashes: Int): Long = {
+      bloomHashes: Int): (Long, Option[Array[Long]]) = {
     val tmp = new HPath(root, s"_tmp_b$batchId")
     if (fs.exists(tmp)) fs.delete(tmp, true) // leftover from a crash
     val obs = org.apache.spark.sql.Observation(s"fp_append_b$batchId")
     novel.observe(obs, count(lit(1)).as("n"))
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     val n = obs.get("n").asInstanceOf[Long]
-    if (bloomBits > 0)
-      // sidecar INSIDE the tmp so the rename below publishes content
-      // and Bloom together; built from the just-written parquet — one
-      // read of the NEW generation only, never of the state
-      StreamNovelty.batchWords(spark.read.parquet(tmp.toString),
+    val packed =
+      if (bloomBits <= 0) None
+      else {
+        // sidecar INSIDE the tmp so the rename below publishes content
+        // and Bloom together; built from the just-written parquet — one
+        // read of the NEW generation only, never of the state
+        val wordsDf = StreamNovelty.batchWords(
+          spark.read.parquet(tmp.toString),
           "fingerprint", bloomBits, bloomHashes, buckets = 1)
-        .write.mode(SaveMode.Overwrite)
-        .parquet(new HPath(tmp, fpBloomName(bloomBits, bloomHashes)).toString)
+        val rows = wordsDf.collect()
+        spark.createDataFrame(java.util.Arrays.asList(rows: _*),
+            wordsDf.schema)
+          .coalesce(1).write.mode(SaveMode.Overwrite)
+          .parquet(new HPath(tmp,
+            fpBloomName(bloomBits, bloomHashes)).toString)
+        val arr = new Array[Long](bloomBits / 64)
+        rows.foreach { r => // (bucket = 0, word_idx, word) — buckets = 1
+          arr(r.getInt(1)) |= r.getLong(2)
+        }
+        Some(arr)
+      }
     require(fs.rename(tmp, gen),
       s"appendFingerprintBatch: publishing $tmp -> $gen failed; " +
         "no generation was installed (state unchanged)")
-    n
+    (n, packed)
   }
 
   /** The OR-merged packed Bloom WORDS over the live generations'
@@ -1027,8 +1065,16 @@ object StreamEval {
       batch: DataFrame, idCol: String, textCol: String,
       k: Int = 4, w: Int = 5, bloomBits: Int = 0,
       bloomHashes: Int = 5): DataFrame = {
-    val fps = graft.ext.TextDedup.winnowFingerprints(
+    val fps0 = graft.ext.TextDedup.winnowFingerprints(
       batch, idCol, textCol, k, w)
+    // Bloom path only: the probe batch is winnowed by the eager
+    // survivor-count job AND by the returned read-out plan (where the
+    // broadcast subtree references it a second time) — a LAZY local
+    // checkpoint pins the winnow on its first materialization so the
+    // tokenize+hash pass over the batch runs once, not three times
+    // (r18; blocks are dropped by the caller's unpersist sweep, as
+    // with every loop-state pin in this library).
+    val fps = if (bloomBits > 0) fps0.localCheckpoint(false) else fps0
     val st = fingerprintSet(spark, statePath)
       .select(col("fingerprint"), lit(1L).as("__hit"))
     val joined =
