@@ -714,15 +714,16 @@ object TextDedup {
     val estSplits =
       toksRaw.queryExecution.optimizedPlan.stats.sizeInBytes / splitBytes + 1
     val toks = if (estSplits < par) toksRaw.repartition(par) else toksRaw
-    val hashes = transform(
-      TextFns.ngramsFromTokens(col("__toks"), k), g => md5(g))
-    toks
-      .select(col("__id"), hashes.as("__hs"))
-      .select(col("__id").as(idCol),
-        explode(array_distinct(transform(
-          sequence(lit(1), size(col("__hs")) - (w - 1)),
-          q => array_min(slice(col("__hs"), q, lit(w))))))
-          .as("fingerprint"))
+    // fused codegen'd selection (r18 optimization round): gram build +
+    // md5 + window minima + distinct in one JVM pass per row — the HOF
+    // formulation (transform(ngrams, md5) → array_distinct(transform(
+    // sequence, array_min(slice)))) computed the identical fingerprint
+    // set but paid a gram-string allocation per shingle, a fresh
+    // MessageDigest per hash and a w-element array copy per window;
+    // byte-identical by WinnowSpec's HOF-vs-expression equality pin
+    toks.select(col("__id").as(idCol),
+      explode(graft.plans.TextExpressions.winnowFps(col("__toks"), k, w))
+        .as("fingerprint"))
   }
 
   def dupSpans(docs: DataFrame, textCol: String, idCol: String,

@@ -381,6 +381,140 @@ object PiiUtil {
   }
 }
 
+/** Static eval core for [[WinnowFps]]: word k-gram shingling + md5 +
+  * sliding-window minima + order-preserving distinct in ONE pass.
+  *
+  * Derivation is EXACTLY the HOF pipeline in
+  * [[graft.ext.TextDedup.winnowFingerprints]] (and the DuckDB oracles):
+  * gram i = tokens[i..i+k) joined with single spaces (nulls skipped,
+  * empties kept — array_join semantics); hash i = lowercase md5 hex of
+  * gram i (UTF-8 bytes); window q selects the lexicographic min of
+  * hashes [q, q+w); the result is the first-occurrence-ordered distinct
+  * of the window minima (array_distinct semantics). Hex is pure ASCII,
+  * so String.compareTo ≡ UTF8String binary ordering here.
+  *
+  * Why it exists (optimization round 18): the HOF formulation pays, per
+  * row, one interpreted lambda tree per stage, a gram-string allocation
+  * per shingle, a fresh commons-codec MessageDigest per md5 call, and a
+  * w-element array copy per window (slice + array_min). This runs the
+  * identical arithmetic with a thread-local digest, one reusable byte
+  * buffer, and an O(n) monotone-deque window minimum.
+  *
+  * Inputs with fewer than w full grams return an EMPTY array — callers
+  * (winnowFingerprints) filter `size(tokens) >= k + w - 1` first, so
+  * the branch is unreachable there; the HOF formulation errors on that
+  * domain (sequence(1, 0) → slice(_, 0, w)), so empty is the only
+  * behavior change and only outside the operator's contract.
+  */
+object WinnowUtil {
+
+  private val md = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest =
+      MessageDigest.getInstance("MD5")
+  }
+
+  private val hex = "0123456789abcdef".toCharArray
+
+  def compute(tokens: ArrayData, k: Int, w: Int)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val digest = md.get()
+    val n = tokens.numElements()
+    // ngramsFromTokens: greatest(n - (k-1), 1) grams — the short-tail
+    // single gram when n < k is kept for parity, though callers filter
+    val nGrams = math.max(n - (k - 1), 1)
+    val hs = new Array[String](nGrams)
+    var buf = new Array[Byte](64)
+    var i = 0
+    while (i < nGrams) {
+      var len = 0
+      var j = i
+      val end = math.min(i + k, n)
+      var first = true
+      while (j < end) {
+        if (!tokens.isNullAt(j)) { // array_join skips nulls
+          val t = tokens.getUTF8String(j)
+          val tb = t.numBytes()
+          if (len + tb + 1 > buf.length)
+            buf = java.util.Arrays.copyOf(buf, math.max(buf.length * 2, len + tb + 1))
+          if (!first) { buf(len) = ' '; len += 1 }
+          t.writeToMemory(buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + len)
+          len += tb
+          first = false
+        }
+        j += 1
+      }
+      digest.reset()
+      digest.update(buf, 0, len)
+      val d = digest.digest()
+      val hexChars = new Array[Char](32)
+      var b = 0
+      while (b < 16) {
+        hexChars(2 * b) = hex((d(b) >> 4) & 0x0f)
+        hexChars(2 * b + 1) = hex(d(b) & 0x0f)
+        b += 1
+      }
+      hs(i) = new String(hexChars)
+      i += 1
+    }
+    val nWin = nGrams - (w - 1)
+    if (nWin <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        new Array[Any](0))
+    // monotone deque of indices: values ascending front→back; ties keep
+    // the LATER index (same string value, so the selected fingerprint —
+    // what the output carries — is identical to array_min's)
+    val dq = new Array[Int](nGrams)
+    var head = 0
+    var tail = 0 // exclusive
+    val seen = new java.util.LinkedHashSet[String]()
+    i = 0
+    while (i < nGrams) {
+      while (tail > head && hs(dq(tail - 1)).compareTo(hs(i)) >= 0) tail -= 1
+      dq(tail) = i; tail += 1
+      if (dq(head) <= i - w) head += 1
+      if (i >= w - 1) seen.add(hs(dq(head)))
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    i = 0
+    while (it.hasNext) {
+      out(i) = org.apache.spark.unsafe.types.UTF8String.fromString(it.next())
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Native winnowing fingerprint selection (Schleimer–Wilkerson–Aiken)
+  * over a token array: distinct window-min md5 hex strings of word
+  * k-grams, one JVM pass per row. Byte-identical to the HOF pipeline in
+  * [[graft.ext.TextDedup.winnowFingerprints]] on its contract domain
+  * (see [[WinnowUtil]]); same preference ladder as [[TokenSimHash]]. */
+case class WinnowFps(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+
+  require(k >= 1, "gram order must be >= 1")
+  require(w >= 1, "window must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "winnow_fps"
+
+  override protected def nullSafeEval(tokens: Any): Any =
+    WinnowUtil.compute(tokens.asInstanceOf[ArrayData], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.WinnowUtil.compute($c, $k, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFps =
+    copy(child = newChild)
+}
+
 /** Native fused PII audit + redaction over a string column — one
   * expression producing `struct<n_emails, n_ips, n_phones: bigint,
   * redacted: string>`. See [[PiiUtil]] for the exact semantics and why
@@ -434,4 +568,9 @@ object TextExpressions {
     * `array<string>` token column over word `ngram`-shingles. */
   def minhashSig(tokens: Column, ngram: Int, numHashes: Int): Column =
     Bridge.column(MinHashSig(Bridge.expression(tokens), ngram, numHashes))
+
+  /** Codegen'd winnowing fingerprints (distinct window-min md5 hex of
+    * word k-grams) of an `array<string>` token column. */
+  def winnowFps(tokens: Column, k: Int, w: Int): Column =
+    Bridge.column(WinnowFps(Bridge.expression(tokens), k, w))
 }

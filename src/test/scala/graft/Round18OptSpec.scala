@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-18 optimization pins: every change an optimization makes to an
+  * operator's internals keeps its output byte-identical, proven here
+  * against the formulation it replaced. */
+class Round18OptSpec extends SparkSpec {
+
+  test("WinnowFps expression == the HOF md5/array_min/slice pipeline " +
+    "it replaced, including array order, across (k, w) shapes") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa", "dup", "model", "the", "")
+    val texts = (1 to 60).map { i =>
+      val n = 8 + rnd.nextInt(60)
+      (i.toLong, (0 until n).map(_ => vocab(rnd.nextInt(vocab.size)))
+        .mkString(" "))
+    } :+ (999L, "  leading   and trailing   whitespace body of a doc  ")
+    val docs = texts.toDF("doc_id", "text")
+    for ((k, w) <- Seq((4, 5), (6, 5), (3, 2), (1, 1))) {
+      val toks = docs
+        .select($"doc_id", graft.functions.TextFns.tokens($"text").as("t"))
+        .filter(size($"t") >= k + w - 1)
+      // the exact pre-r18 formulation (TextDedup.winnowFingerprints)
+      val hofHashes = transform(
+        graft.functions.TextFns.ngramsFromTokens($"t", k), g => md5(g))
+      val hof = toks.select($"doc_id", hofHashes.as("hs"))
+        .select($"doc_id", array_distinct(transform(
+          sequence(lit(1), size($"hs") - (w - 1)),
+          q => array_min(slice($"hs", q, lit(w))))).as("fps"))
+      val fused = toks.select($"doc_id",
+        graft.plans.TextExpressions.winnowFps($"t", k, w).as("fps"))
+      val a = hof.orderBy($"doc_id").collect()
+        .map(r => r.getLong(0) -> r.getSeq[String](1))
+      val b = fused.orderBy($"doc_id").collect()
+        .map(r => r.getLong(0) -> r.getSeq[String](1))
+      assert(a.toSeq === b.toSeq,
+        s"winnow expression diverged from the HOF pipeline at k=$k w=$w")
+    }
+  }
+
+  test("WinnowFps on inputs below one full window returns empty " +
+    "(outside winnowFingerprints' filtered domain)") {
+    import spark.implicits._
+    val docs = Seq((1L, "only three tokens")).toDF("doc_id", "text")
+    val got = docs.select(graft.plans.TextExpressions.winnowFps(
+      graft.functions.TextFns.tokens($"text"), 4, 5).as("fps"))
+      .head().getSeq[String](0)
+    assert(got.isEmpty)
+  }
+}
