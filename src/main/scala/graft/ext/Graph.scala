@@ -162,6 +162,36 @@ object Graph {
             .otherwise(struct(col("ov").as("lo"), col("ou").as("hi"))).as("e"))
         .select(col("e.lo"), col("e.hi")),
       checkpointDir)
+    if (small && fitsLong) {
+      // Adjacency-intersection close (r18, guide §1.2 step 2 — fix the
+      // per-task work once the shape is right): with the whole edge set
+      // broadcastable, the wedge formulation below is pure CPU — it
+      // materializes every wedge as a join row (O(Σ deg²) rows through
+      // the join machinery) and hash-probes each against the edge set.
+      // The classic edge-iterator form does the identical count with no
+      // wedge rows at all: one groupBy over the oriented edges builds
+      // each node's SORTED out-neighbor array (out-degree ≤ O(√m) by
+      // the degree orientation), and each oriented edge (lo, hi) closes
+      // exactly |adj(lo) ∩ adj(hi)| triangles — every common
+      // out-neighbor w has lo < hi < w in orientation order, so each
+      // triangle is counted once, at its lowest edge. The intersection
+      // is an allocation-free codegen'd merge of two sorted long
+      // arrays. Measured at sf0.1: q152 steady 8.0 → 4.2 s (the
+      // wedge close's 27.8 s stage task time collapses). Long keys
+      // only (fitsLong); the struct-key fallback keeps the wedge plan
+      // below.
+      val adj = oriented.groupBy(col("lo"))
+        .agg(sort_array(collect_list(col("hi"))).as("nb"))
+      oriented
+        .join(broadcast(adj.select(col("lo"), col("nb").as("nb_lo"))),
+          Seq("lo"))
+        .join(broadcast(adj.select(col("lo").as("hi"), col("nb").as("nb_hi"))),
+          Seq("hi"), "left")
+        .agg(coalesce(sum(when(col("nb_hi").isNull, lit(0L))
+          .otherwise(graft.plans.GraphExpressions
+            .sortedIntersectCount(col("nb_lo"), col("nb_hi")))), lit(0L))
+          .as("n_triangles"))
+    } else
     // wedges are distinct by construction (distinct edges ⇒ distinct
     // (x, y, z)), so the closing inner join counts each triangle once
     oriented.as("e1")

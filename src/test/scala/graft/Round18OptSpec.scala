@@ -41,6 +41,32 @@ class Round18OptSpec extends SparkSpec {
     }
   }
 
+  test("triangleCount: adjacency-intersection close == wedge-join close " +
+    "on random graphs (broadcastMaxEdges gates the two paths)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 4) {
+      val n = 20 + trial * 15
+      val edges = (for {
+        u <- 0 until n; v <- (u + 1) until n
+        if rnd.nextDouble() < 0.15
+      } yield (u.toLong, v.toLong)).toDF("u", "v")
+      val fast = graft.ext.Graph.triangleCount(edges, assumeCanonical = true)
+        .head().getLong(0)
+      spark.conf.set("graft.broadcastMaxEdges", "0")
+      val wedge = try graft.ext.Graph
+        .triangleCount(edges, assumeCanonical = true).head().getLong(0)
+      finally spark.conf.unset("graft.broadcastMaxEdges")
+      assert(fast === wedge, s"trial $trial: intersect path diverged")
+    }
+    // expression semantics on its own: merge count of sorted arrays
+    val c = Seq((Array(1L, 3L, 5L, 9L), Array(2L, 3L, 9L, 10L)))
+      .toDF("a", "b")
+      .select(graft.plans.GraphExpressions.sortedIntersectCount($"a", $"b"))
+      .head().getLong(0)
+    assert(c === 2L)
+  }
+
   test("WinnowFps on inputs below one full window returns empty " +
     "(outside winnowFingerprints' filtered domain)") {
     import spark.implicits._
