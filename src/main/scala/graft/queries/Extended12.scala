@@ -87,17 +87,21 @@ object Extended12 {
   def q157(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val k = 100
-    val op = t(s, dir, "lineitem")
-      .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
-    val e0 = op.as("a").join(op.as("b"), $"a.o" === $"b.o" && $"a.p" < $"b.p")
-      .select($"a.p".as("u"), $"b.p".as("v")).distinct()
+    // one-exchange group-collect edge build (Graph.coOccurrenceEdges,
+    // r18) — same canonical edge set as the old op self-join, two
+    // fewer data-sized exchanges; and the keep lists are node-sized,
+    // so the per-round semi joins BROADCAST (guide §3.1) — the peel
+    // rounds stop shuffling the (shrinking) edge set twice per round
+    val e0 = graft.ext.Graph.coOccurrenceEdges(
+      t(s, dir, "lineitem")
+        .select($"l_orderkey".as("o"), $"l_partkey".as("p")), "o", "p")
       .localCheckpoint()
     def degrees(e: DataFrame): DataFrame = e
       .select(explode(array($"u", $"v")).as("n"))
       .groupBy($"n").agg(count(lit(1)).as("d"))
     def surviveEdges(e: DataFrame, keep: DataFrame): DataFrame = e
-      .join(keep.select($"n".as("u")), Seq("u"), "left_semi")
-      .join(keep.select($"n".as("v")), Seq("v"), "left_semi")
+      .join(broadcast(keep.select($"n".as("u"))), Seq("u"), "left_semi")
+      .join(broadcast(keep.select($"n".as("v"))), Seq("v"), "left_semi")
       .select($"u", $"v")
     var e = e0
     var rows = Seq.empty[DataFrame]
