@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 /** Graph analytics operators over an undirected edge DataFrame — the
   * library form of the q152/q157 query shapes, with the two properties a
@@ -111,6 +112,23 @@ object Graph {
     * `spark.conf.set("graft.broadcastMaxEdges", n)`. */
   private def broadcastMaxEdges(df: DataFrame): Long =
     df.sparkSession.conf.get("graft.broadcastMaxEdges", "4000000").toLong
+
+  /** Max node count for which the iterative fixpoints (coreness, LPA,
+    * min-label CC) run as a DRIVER LOOP over a pinned adjacency frame:
+    * the node→value map is collected once, re-broadcast per round, and
+    * each round is ONE job (adjacency scan + per-row argmax/h-index —
+    * no join, no shuffle, no per-round materialization or probe jobs).
+    * The value frame is node-sized by definition, so collecting it is
+    * the same data volume the per-round broadcast join ships anyway
+    * (guide §8 — broadcast the plan); beyond the bound the distributed
+    * join loops below are unchanged. Override per session with
+    * `spark.conf.set("graft.driverLoopMaxNodes", n)`. */
+  private[ext] def driverLoopMaxNodes(df: DataFrame): Long =
+    df.sparkSession.conf.get("graft.driverLoopMaxNodes", "1000000").toLong
+
+  private[ext] def isLongType(df: DataFrame, colName: String): Boolean =
+    df.schema(colName).dataType ==
+      org.apache.spark.sql.types.LongType
 
   def triangleCount(edges: DataFrame,
       srcCol: String = "u", dstCol: String = "v",
@@ -445,10 +463,69 @@ object Graph {
     var h = TextDedup.materialize(
       nbr.groupBy(col("node")).agg(count(lit(1)).as("h")),
       checkpointDir)
+    // node-sized value frame vs edge-sized nbr: broadcast-gate the
+    // per-round join exactly as in [[labelPropagation]] — the
+    // localCheckpoint's unknown stats otherwise force a sort-merge
+    // join that re-sorts the edge-sized side every H-application
+    val nNodes = h.count()
+    if (isLongType(h, "node") && nNodes <= driverLoopMaxNodes(h)) {
+      // Driver-loop fixpoint (r18): the h-vector is node-sized, so the
+      // whole iteration state fits a broadcast map. Each H-application
+      // becomes ONE job — scan the pinned adjacency, compute each
+      // node's h-index from its neighbors' mapped values in a per-row
+      // pass, collect the node-sized result — replacing the per-round
+      // join + window-rank + agg + materialize + sum-probe job chain
+      // (profiled at sf0.1/q179: 87 jobs, wall dominated by scheduling,
+      // task time a fraction). Arithmetic is EXACTLY hStep's: h = max
+      // rank r (neighbors sorted desc) with value_r >= r; convergence
+      // = map equality (≡ the monotone sum compare); maxRounds refusal
+      // contract preserved per-application.
+      val adj = TextDedup.materialize(
+        nbr.groupBy(col("node")).agg(collect_list(col("nb")).as("nbs")),
+        checkpointDir)
+      val sess = edges.sparkSession
+      var cur = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+      h.collect().foreach(r => cur.put(r.getLong(0), r.getLong(1)))
+      var round = 0
+      while (round < maxRounds) {
+        val bc = sess.sparkContext.broadcast(cur)
+        val step = udf((nbs: Seq[Long]) => {
+          val m = bc.value
+          val arr = new Array[Long](nbs.length)
+          var i = 0
+          while (i < arr.length) { arr(i) = m.get(nbs(i)).longValue; i += 1 }
+          java.util.Arrays.sort(arr)
+          val n = arr.length
+          var hv = 0L
+          var r = 1
+          while (r <= n && arr(n - r) >= r) { hv = r; r += 1 }
+          hv
+        })
+        val rows = adj.select(col("node"), step(col("nbs"))).collect()
+        bc.unpersist(false)
+        val next = new java.util.HashMap[java.lang.Long, java.lang.Long](
+          math.max(16, rows.length * 2))
+        rows.foreach(r => next.put(r.getLong(0), r.getLong(1)))
+        round += 1
+        val converged = next == cur
+        cur = next
+        if (converged) {
+          import sess.implicits._
+          return cur.entrySet().iterator().asScala
+            .map(e => (e.getKey.longValue, e.getValue.longValue)).toSeq
+            .toDF("node", "coreness")
+        }
+      }
+      throw new IllegalStateException(
+        s"coreness did not reach fixpoint in $maxRounds rounds " +
+          "(propagation depth exceeds maxRounds); raise maxRounds")
+    }
+    def maybeB(df: DataFrame): DataFrame =
+      if (nNodes <= broadcastMaxEdges(h)) broadcast(df) else df
     def hStep(cur: DataFrame): DataFrame = {
       val w = Window.partitionBy(col("node")).orderBy(col("val").desc)
       nbr
-        .join(cur.select(col("node").as("nb"), col("h").as("val")), "nb")
+        .join(maybeB(cur.select(col("node").as("nb"), col("h").as("val"))), "nb")
         .select(col("node"), col("val"))
         .withColumn("r", row_number().over(w))
         .groupBy(col("node"))
@@ -538,12 +615,78 @@ object Graph {
     var labels = TextDedup.materialize(
       nbr.select(col("node")).distinct().withColumn("label", col("node")),
       checkpointDir)
+    // The label frame is NODE-sized but rides a localCheckpoint, whose
+    // stats are unknown — the planner sort-merge-joined it against the
+    // pinned nbr frame, paying a full sort of the edge-sized side EVERY
+    // round (measured at sf0.1/q165: 6.7 s task time per round, the
+    // whole query's cost). One count on the already-materialized frame
+    // gates the join strategy (guide §3.1, the kCore pattern): under
+    // the broadcast bound each round is a broadcast hash probe fused
+    // into the nbr scan — no sort, no edge-side exchange. Beyond the
+    // bound the SMJ plan below is unchanged.
+    val nNodes = labels.count()
+    if (isLongType(labels, "node") && nNodes <= driverLoopMaxNodes(labels)) {
+      // Driver-loop fixpoint (r18, the [[coreness]] pattern): the
+      // labeling is node-sized, so each synchronous round is ONE job —
+      // scan the pinned adjacency, per-row argmax of the neighbors'
+      // mapped labels ((count DESC, label ASC), exactly lpaStep's
+      // two-level agg), collect the node-sized result. Replaces the
+      // per-round broadcast join + two aggs + materialize (+ earlyStop
+      // probe join) job chain; round accounting is the EXACT
+      // single-step semantics the oracle unrolls, and earlyStop's
+      // round-changes-nothing test is a free map equality.
+      val adj = TextDedup.materialize(
+        nbr.groupBy(col("node")).agg(collect_list(col("nb")).as("nbs")),
+        checkpointDir)
+      val sess = edges.sparkSession
+      var cur = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+      labels.collect().foreach(r => cur.put(r.getLong(0), r.getLong(1)))
+      var round = 0
+      var converged = false
+      while (round < maxRounds && !converged) {
+        val bc = sess.sparkContext.broadcast(cur)
+        val step = udf((nbs: Seq[Long]) => {
+          val m = bc.value
+          val arr = new Array[Long](nbs.length)
+          var i = 0
+          while (i < arr.length) { arr(i) = m.get(nbs(i)).longValue; i += 1 }
+          java.util.Arrays.sort(arr)
+          // longest run wins; ties keep the SMALLEST label — the
+          // ascending sort visits labels smallest-first and only a
+          // strictly greater count replaces the champion
+          var bestL = arr(0)
+          var bestC = 0
+          var i2 = 0
+          while (i2 < arr.length) {
+            var j = i2
+            while (j < arr.length && arr(j) == arr(i2)) j += 1
+            if (j - i2 > bestC) { bestC = j - i2; bestL = arr(i2) }
+            i2 = j
+          }
+          bestL
+        })
+        val rows = adj.select(col("node"), step(col("nbs"))).collect()
+        bc.unpersist(false)
+        val next = new java.util.HashMap[java.lang.Long, java.lang.Long](
+          math.max(16, rows.length * 2))
+        rows.foreach(r => next.put(r.getLong(0), r.getLong(1)))
+        if (earlyStop) converged = next == cur
+        cur = next
+        round += 1
+      }
+      import sess.implicits._
+      return cur.entrySet().iterator().asScala
+        .map(e => (e.getKey.longValue, e.getValue.longValue)).toSeq
+        .toDF("node", "label")
+    }
+    def maybeB(df: DataFrame): DataFrame =
+      if (nNodes <= broadcastMaxEdges(labels)) broadcast(df) else df
     // argmax by (count DESC, label ASC) as min(struct(-c, label)) —
     // a two-level hash agg with map-side partial combine instead of
     // a per-node window sort (-c is safe: 1 <= c <= n). Both aggs
     // hash-partition on the same `node` key.
     def lpaStep(cur: DataFrame): DataFrame = nbr
-      .join(cur.withColumnRenamed("node", "nb"), "nb")
+      .join(maybeB(cur.withColumnRenamed("node", "nb")), "nb")
       .groupBy(col("node"), col("label")).agg(count(lit(1)).as("c"))
       .groupBy(col("node"))
       .agg(min(struct((-col("c")).as("nc"), col("label"))).as("best"))
@@ -573,7 +716,7 @@ object Graph {
         checkpointDir)
       if (earlyStop)
         converged = next.alias("a")
-          .join(labels.alias("b"),
+          .join(maybeB(labels.alias("b")),
             expr("a.node = b.node AND a.label <> b.label"))
           .isEmpty
       labels = next

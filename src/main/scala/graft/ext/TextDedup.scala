@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 import graft.functions.TextFns
 
@@ -224,11 +225,70 @@ object TextDedup {
     var labels = materialize(
       nodes.select(col(nodeCol).as("node"), col(nodeCol).as("component")),
       checkpointDir)
+    // node-sized label frame vs edge-sized sym: broadcast-gate the
+    // per-round joins (guide §3.1, the [[Graph.labelPropagation]] r18
+    // pattern) — the localCheckpoint's unknown stats otherwise force a
+    // sort-merge join that re-sorts the edge-sized side every round
+    val nNodes = labels.count()
+    if (Graph.isLongType(labels, "node") &&
+        nNodes <= Graph.driverLoopMaxNodes(labels)) {
+      // Driver-loop fixpoint (r18, the [[Graph.coreness]] pattern):
+      // the component labeling is node-sized, so each min-propagation
+      // round is ONE job — scan the pinned adjacency, per-row
+      // min(own, min(neighbors)) over the broadcast label map, collect
+      // the node-sized result, merge over the full map (nodes without
+      // pairs keep their label, exactly propagate's left join).
+      // Convergence = map equality (≡ the monotone sum compare);
+      // the maxRounds diameter-refusal contract is per-round exact.
+      val adj = materialize(
+        sym.groupBy(col("a")).agg(collect_list(col("b")).as("nbs")),
+        checkpointDir)
+      val sess = pairs.sparkSession
+      var cur = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+      labels.collect().foreach(r => cur.put(r.getLong(0), r.getLong(1)))
+      var round = 0
+      var converged = false
+      while (!converged && round < maxRounds) {
+        val bc = sess.sparkContext.broadcast(cur)
+        val step = udf((node: Long, nbs: Seq[Long]) => {
+          val m = bc.value
+          var best = m.get(node).longValue
+          var i = 0
+          while (i < nbs.length) {
+            val v = m.get(nbs(i)).longValue
+            if (v < best) best = v
+            i += 1
+          }
+          best
+        })
+        val rows = adj
+          .select(col("a"), step(col("a"), col("nbs"))).collect()
+        bc.unpersist(false)
+        val next = new java.util.HashMap[java.lang.Long, java.lang.Long](cur)
+        rows.foreach(r => next.put(r.getLong(0), r.getLong(1)))
+        converged = next == cur
+        cur = next
+        round += 1
+      }
+      if (!converged) throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxRounds rounds " +
+          "(graph diameter exceeds maxRounds); raise maxRounds or use " +
+          "connectedComponentsStar")
+      import sess.implicits._
+      return cur.entrySet().iterator().asScala
+        .map(e => (e.getKey.longValue, e.getValue.longValue)).toSeq
+        .toDF("node", "component")
+    }
+    val bound = pairs.sparkSession.conf
+      .get("graft.broadcastMaxEdges", "4000000").toLong
+    def maybeB(df: DataFrame): DataFrame =
+      if (nNodes <= bound) org.apache.spark.sql.functions.broadcast(df)
+      else df
     def propagate(cur: DataFrame): DataFrame = {
-      val nbMin = sym.join(cur, sym("b") === cur("node"))
+      val nbMin = sym.join(maybeB(cur), sym("b") === cur("node"))
         .groupBy(col("a")).agg(min(col("component")).as("nb"))
       cur.select(col("node"), col("component"))
-        .join(nbMin, col("node") === nbMin("a"), "left")
+        .join(maybeB(nbMin), col("node") === nbMin("a"), "left")
         .select(col("node"),
           least(col("component"), coalesce(col("nb"), col("component")))
             .as("component"))
