@@ -627,7 +627,7 @@ object TextDedup {
     val sh = docs
       .withColumn("_toks", TextFns.tokens(col(textCol)))
       .select(col(idCol),
-        array_distinct(TextFns.ngramsFromTokens(col("_toks"), ngram)).as("sh"))
+        graft.plans.TextExpressions.distinctNgrams(col("_toks"), ngram).as("sh"))
     val a = sh.select(col(idCol).as("id_a"), col("sh").as("sh_a"))
     val b = sh.select(col(idCol).as("id_b"), col("sh").as("sh_b"))
     candidates.join(a, "id_a").join(b, "id_b")

@@ -486,6 +486,82 @@ object WinnowUtil {
   }
 }
 
+/** Static eval core for [[DistinctNGrams]]: word n-gram shingling +
+  * order-preserving distinct in ONE pass — byte-identical to
+  * `array_distinct(TextFns.ngramsFromTokens(toks, n))` on every input
+  * (short-tail single gram when the array is shorter than n; null
+  * tokens skipped with no separator, array_join semantics; distinct
+  * keeps first occurrence). The HOF pipeline evaluates an interpreted
+  * lambda per shingle with a slice copy + array_join allocation each,
+  * then a second array_distinct pass; this builds each gram string
+  * once off a reusable byte buffer. */
+object NGramUtil {
+
+  def distinct(tokens: ArrayData, n: Int)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val m = tokens.numElements()
+    val nGrams = math.max(m - (n - 1), 1)
+    val seen = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]()
+    var buf = new Array[Byte](64)
+    var i = 0
+    while (i < nGrams) {
+      var len = 0
+      var j = i
+      val end = math.min(i + n, m)
+      var first = true
+      while (j < end) {
+        if (!tokens.isNullAt(j)) {
+          val t = tokens.getUTF8String(j)
+          val tb = t.numBytes()
+          if (len + tb + 1 > buf.length)
+            buf = java.util.Arrays.copyOf(buf,
+              math.max(buf.length * 2, len + tb + 1))
+          if (!first) { buf(len) = ' '; len += 1 }
+          t.writeToMemory(buf,
+            org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + len)
+          len += tb
+          first = false
+        }
+        j += 1
+      }
+      seen.add(org.apache.spark.unsafe.types.UTF8String
+        .fromBytes(java.util.Arrays.copyOf(buf, len)))
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Native distinct word n-grams of an `array<string>` token column —
+  * the shingle-set builder behind similarity joins, greedy cover and
+  * decontamination. Same preference ladder as [[TokenSimHash]]. */
+case class DistinctNGrams(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  require(n >= 1, "gram order must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "distinct_ngrams"
+
+  override protected def nullSafeEval(tokens: Any): Any =
+    NGramUtil.distinct(tokens.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.NGramUtil.distinct($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): DistinctNGrams =
+    copy(child = newChild)
+}
+
 /** Native winnowing fingerprint selection (Schleimer–Wilkerson–Aiken)
   * over a token array: distinct window-min md5 hex strings of word
   * k-grams, one JVM pass per row. Byte-identical to the HOF pipeline in
@@ -573,4 +649,9 @@ object TextExpressions {
     * word k-grams) of an `array<string>` token column. */
   def winnowFps(tokens: Column, k: Int, w: Int): Column =
     Bridge.column(WinnowFps(Bridge.expression(tokens), k, w))
+
+  /** Codegen'd distinct word n-grams of an `array<string>` token
+    * column (≡ array_distinct(ngramsFromTokens(t, n)), one pass). */
+  def distinctNgrams(tokens: Column, n: Int): Column =
+    Bridge.column(DistinctNGrams(Bridge.expression(tokens), n))
 }

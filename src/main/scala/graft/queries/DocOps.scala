@@ -122,7 +122,7 @@ object DocOps {
     val d = t(s, dir, "documents")
       .withColumn("toks", TextFns.tokens($"text"))
       .select($"doc_id",
-        array_distinct(TextFns.ngramsFromTokens($"toks", 3)).as("sh"))
+        graft.plans.TextExpressions.distinctNgrams($"toks", 3).as("sh"))
     d.select(explode(array(
         struct($"doc_id".as("pair"), lit(0).as("side"), $"sh"),
         struct(($"doc_id" - 1).as("pair"), lit(1).as("side"), $"sh")

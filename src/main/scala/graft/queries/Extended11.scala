@@ -146,9 +146,8 @@ object Extended11 {
     // early-stop, and checkpointDir live in TrainPrep.greedyCover;
     // this query is its 3-round instance.
     val pairs = t(s, dir, "documents")
-      .select($"doc_id", explode(array_distinct(
-        graft.functions.TextFns.ngramsFromTokens(
-          graft.functions.TextFns.tokens($"text"), 3))).as("tok"))
+      .select($"doc_id", explode(graft.plans.TextExpressions.distinctNgrams(
+        graft.functions.TextFns.tokens($"text"), 3)).as("tok"))
     graft.ext.TrainPrep.greedyCover(pairs, "doc_id", "tok", rounds = 3)
       .select($"round", $"id".as("doc_id"), $"gain")
       .orderBy($"round")

@@ -104,7 +104,7 @@ object Extended3 {
     val sh = t(s, dir, "documents")
       .withColumn("toks", TextFns.tokens($"text"))
       .select($"doc_id",
-        explode(array_distinct(TextFns.ngramsFromTokens($"toks", 4))).as("sh"))
+        explode(graft.plans.TextExpressions.distinctNgrams($"toks", 4)).as("sh"))
     val bench = sh.filter($"doc_id" % 25 === 0)
       .select($"doc_id".as("bench_id"), $"sh")
     val train = sh.filter($"doc_id" % 25 =!= 0)

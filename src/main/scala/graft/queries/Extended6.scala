@@ -147,7 +147,7 @@ object Extended6 {
     val sh = t(s, dir, "documents")
       .withColumn("toks", TextFns.tokens($"text"))
       .select($"source",
-        explode(array_distinct(TextFns.ngramsFromTokens($"toks", 5))).as("ng"))
+        explode(graft.plans.TextExpressions.distinctNgrams($"toks", 5)).as("ng"))
       .distinct()
     val pairs = flatten(transform($"srcs", (a, i) =>
       transform(slice($"srcs", i + lit(2), size($"srcs")),

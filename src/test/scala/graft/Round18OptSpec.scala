@@ -41,6 +41,29 @@ class Round18OptSpec extends SparkSpec {
     }
   }
 
+  test("DistinctNGrams expression == array_distinct(ngramsFromTokens) " +
+    "including array order, across n and short-tail inputs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val vocab = Vector("alpha", "beta", "gamma", "", "dup", "the")
+    val texts = (1 to 50).map { i =>
+      val n = 1 + rnd.nextInt(40)
+      (i.toLong, (0 until n).map(_ => vocab(rnd.nextInt(vocab.size)))
+        .mkString(" "))
+    }
+    val docs = texts.toDF("doc_id", "text")
+      .select($"doc_id", graft.functions.TextFns.tokens($"text").as("t"))
+    for (n <- Seq(1, 3, 5)) {
+      val hof = docs.select($"doc_id", array_distinct(
+        graft.functions.TextFns.ngramsFromTokens($"t", n)).as("g"))
+        .orderBy($"doc_id").collect().map(r => r.getSeq[String](1))
+      val fused = docs.select($"doc_id",
+        graft.plans.TextExpressions.distinctNgrams($"t", n).as("g"))
+        .orderBy($"doc_id").collect().map(r => r.getSeq[String](1))
+      assert(hof.toSeq === fused.toSeq, s"diverged at n=$n")
+    }
+  }
+
   test("triangleCount: adjacency-intersection close == wedge-join close " +
     "on random graphs (broadcastMaxEdges gates the two paths)") {
     import spark.implicits._
