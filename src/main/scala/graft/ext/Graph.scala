@@ -253,6 +253,66 @@ object Graph {
       e.groupBy(col("src").as("node")).agg(count(lit(1)).as("d")),
       checkpointDir)
     val n = deg.agg(count(lit(1)).as("cnt"))
+    val nNodes = deg.count()
+    // driver loop ONLY in convergence mode: it replaces the per-round
+    // materialize + probe chain. The fixed-round mode plans ONE lazy
+    // unrolled superstep chain with no per-round jobs at all — measured
+    // FASTER than the driver loop's per-round collect round-trips
+    // (q134: 2.4 s lazy vs 2.9 s driver-looped), so it stays lazy.
+    if (checkConvergence && isLongType(deg, "node") && nNodes > 0 &&
+        nNodes <= driverLoopMaxNodes(deg)) {
+      // Driver-loop fixpoint (r18, the [[coreness]] pattern): the rank
+      // vector is node-sized, so each superstep is ONE job — scan the
+      // pinned REVERSE adjacency, per-row damped sum of the mapped
+      // in-neighbor contributions (`r div d`, the exact integer
+      // arithmetic of the join step), collect the node-sized result.
+      // Replaces the per-step join + dst agg + materialize + probe
+      // chain; convergence = map equality; fixed-round mode runs
+      // exactly maxIterations applications, as the q134 oracle unrolls.
+      val radj = TextDedup.materialize(
+        e.join(deg.select(col("node").as("dst")), Seq("dst"), "left_semi")
+          .groupBy(col("dst")).agg(collect_list(col("src")).as("ins")),
+        checkpointDir)
+      val sess = edges.sparkSession
+      val degRows = deg.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val dMap = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+      degRows.foreach { case (node, d) => dMap.put(node, d) }
+      val bcD = sess.sparkContext.broadcast(dMap)
+      val r0 = 1000000000000L / nNodes
+      val restart = 150000000000L / nNodes
+      var cur = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+      degRows.foreach { case (node, _) => cur.put(node, r0) }
+      var iter = 0
+      var converged = false
+      while (iter < maxIterations && !converged) {
+        val bcR = sess.sparkContext.broadcast(cur)
+        val step = udf((ins: Seq[Long]) => {
+          val rm = bcR.value
+          val dm = bcD.value
+          var acc = 0L
+          var i = 0
+          while (i < ins.length) {
+            val u = ins(i)
+            acc += rm.get(u).longValue / dm.get(u).longValue
+            i += 1
+          }
+          restart + (85L * acc) / 100L
+        })
+        val rows = radj.select(col("dst"), step(col("ins"))).collect()
+        bcR.unpersist(false)
+        val next = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+        degRows.foreach { case (node, _) => next.put(node, restart) }
+        rows.foreach(r => next.put(r.getLong(0), r.getLong(1)))
+        if (checkConvergence) converged = next == cur
+        cur = next
+        iter += 1
+      }
+      bcD.unpersist(false)
+      import sess.implicits._
+      return degRows.toSeq
+        .map { case (node, d) => (node, d, cur.get(node).longValue) }
+        .toDF("node", "d", "r")
+    }
     // ranks carries the node's degree so each superstep is exactly one
     // join (edges ⋈ ranks) + one aggregation
     var ranks = deg.crossJoin(broadcast(n))
@@ -330,6 +390,64 @@ object Graph {
           when(col("__seed").isNotNull, expr("1000000000000 div ns"))
             .otherwise(lit(0L)).as("r0")),
       checkpointDir)
+    val nUniverse = base.count()
+    // convergence mode only — see [[pageRank]]'s r18 note: the lazy
+    // fixed-round unroll has no per-round jobs to replace
+    if (checkConvergence && isLongType(base, "node") && nUniverse > 0 &&
+        nUniverse <= driverLoopMaxNodes(base)) {
+      // Driver-loop fixpoint — identical shape to [[pageRank]]'s r18
+      // branch, with the restart mass per node read from the pinned
+      // base frame instead of the uniform constant. Every src in `e`
+      // has d >= 1 by construction, so the distributed step's
+      // `filter(d > 0)` on the forwarding side is implicit here.
+      val radj = TextDedup.materialize(
+        e.join(base.select(col("node").as("dst")), Seq("dst"), "left_semi")
+          .groupBy(col("dst")).agg(collect_list(col("src")).as("ins")),
+        checkpointDir)
+      val sess = edges.sparkSession
+      val baseRows = base.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val dMap = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+      val rstMap = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+      baseRows.foreach { case (node, d, rst, _) =>
+        dMap.put(node, d); rstMap.put(node, rst)
+      }
+      val bcD = sess.sparkContext.broadcast(dMap)
+      var cur = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+      baseRows.foreach { case (node, _, _, r0) => cur.put(node, r0) }
+      var iter = 0
+      var converged = false
+      while (iter < maxIterations && !converged) {
+        val bcR = sess.sparkContext.broadcast(cur)
+        val step = udf((ins: Seq[Long]) => {
+          val rm = bcR.value
+          val dm = bcD.value
+          var acc = 0L
+          var i = 0
+          while (i < ins.length) {
+            val u = ins(i)
+            acc += rm.get(u).longValue / dm.get(u).longValue
+            i += 1
+          }
+          (85L * acc) / 100L
+        })
+        val rows = radj.select(col("dst"), step(col("ins"))).collect()
+        bcR.unpersist(false)
+        val next = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+        baseRows.foreach { case (node, _, rst, _) => next.put(node, rst) }
+        rows.foreach { r =>
+          next.put(r.getLong(0), rstMap.get(r.getLong(0)) + r.getLong(1))
+        }
+        if (checkConvergence) converged = next == cur
+        cur = next
+        iter += 1
+      }
+      bcD.unpersist(false)
+      import sess.implicits._
+      return baseRows.toSeq
+        .map { case (node, d, _, _) => (node, d, cur.get(node).longValue) }
+        .toDF("node", "d", "r")
+    }
     var ranks = base.select(col("node"), col("d"), col("r0").as("r"))
     var iter = 0
     var converged = false
