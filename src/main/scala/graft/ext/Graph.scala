@@ -501,9 +501,66 @@ object Graph {
       if (assumeCanonical) edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
       else canonicalEdges(edges, srcCol, dstCol)
     var e = TextDedup.materialize(canon, checkpointDir)
+    val deg0 = TextDedup.materialize(degrees(e), checkpointDir)
+    val nAll = deg0.count()
+    if (isLongType(deg0, "node") && nAll <= driverLoopMaxNodes(deg0)) {
+      // Driver-loop peel (r18, the [[labelPropagation]] pattern): the
+      // loop state that matters is the NODE keep-set, which is
+      // node-sized — so instead of materializing the shrinking edge
+      // set + its degree frame every round, pin the FULL adjacency
+      // once and run each round as ONE job: per-row count of the
+      // node's neighbors still in the broadcast keep-set (== its
+      // degree in the keep-induced subgraph), collect node-sized
+      // degrees, shrink the set driver-side. Fixpoint and the
+      // maxRounds refusal are per-round exactly the distributed
+      // loop's; the returned frame is the same (node, degree-within-
+      // fixpoint-subgraph) rows.
+      val adj = TextDedup.materialize(
+        e.select(col("u").as("node"), col("v").as("nb"))
+          .union(e.select(col("v").as("node"), col("u").as("nb")))
+          .groupBy(col("node")).agg(collect_list(col("nb")).as("nbs")),
+        checkpointDir)
+      val sess = edges.sparkSession
+      var keep = new java.util.HashSet[java.lang.Long]()
+      deg0.collect().foreach(r => keep.add(r.getLong(0)))
+      var round = 0
+      while (round < maxRounds) {
+        val bc = sess.sparkContext.broadcast(keep)
+        val degIn = udf((node: Long, nbs: Seq[Long]) => {
+          val ks = bc.value
+          if (!ks.contains(node)) -1L
+          else {
+            var c = 0L
+            var i = 0
+            while (i < nbs.length) {
+              if (ks.contains(nbs(i))) c += 1
+              i += 1
+            }
+            c
+          }
+        })
+        val rows = adj.select(col("node"), degIn(col("node"), col("nbs")))
+          .collect().filter(_.getLong(1) >= 0)
+        bc.unpersist(false)
+        round += 1
+        if (rows.forall(_.getLong(1) >= k)) {
+          import sess.implicits._
+          return rows.toSeq.map(r => (r.getLong(0), r.getLong(1)))
+            .toDF("node", "degree")
+        }
+        val next = new java.util.HashSet[java.lang.Long]()
+        rows.foreach(r => if (r.getLong(1) >= k) next.add(r.getLong(0)))
+        keep = next
+      }
+      throw new IllegalStateException(
+        s"kCore did not reach fixpoint in $maxRounds rounds " +
+          "(peel depth exceeds maxRounds); raise maxRounds")
+    }
     var round = 0
     while (round < maxRounds) {
-      val deg = TextDedup.materialize(degrees(e), checkpointDir)
+      val deg =
+        if (round == 0) deg0 // already materialized for the gate above
+        else TextDedup.materialize(degrees(e), checkpointDir)
       // ONE scalar read answers both loop questions — fixpoint ("any
       // node below k?", the old isEmpty probe) AND the node count that
       // gates the keep-list join strategy below (guide §3.1): a
