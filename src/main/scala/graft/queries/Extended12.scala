@@ -96,26 +96,47 @@ object Extended12 {
       t(s, dir, "lineitem")
         .select($"l_orderkey".as("o"), $"l_partkey".as("p")), "o", "p")
       .localCheckpoint()
-    def degrees(e: DataFrame): DataFrame = e
-      .select(explode(array($"u", $"v")).as("n"))
-      .groupBy($"n").agg(count(lit(1)).as("d"))
-    def surviveEdges(e: DataFrame, keep: DataFrame): DataFrame = e
-      .join(broadcast(keep.select($"n".as("u"))), Seq("u"), "left_semi")
-      .join(broadcast(keep.select($"n".as("v"))), Seq("v"), "left_semi")
-      .select($"u", $"v")
-    var e = e0
-    var rows = Seq.empty[DataFrame]
+    // Driver-loop peel (r18, the Graph.kCore pattern): the loop state
+    // is the node keep-set, so each round is ONE job over the pinned
+    // FULL adjacency (per-row count of neighbors still in the
+    // broadcast keep-set == degree in the keep-induced subgraph)
+    // instead of a degree materialize + two semi joins + a stats agg
+    // per round. The per-round (n_nodes, n_removed) rows fall out of
+    // the collected node-sized degree map: a node counts iff it keeps
+    // >= 1 edge in the current subgraph, exactly the distributed deg
+    // frame's membership.
+    val adj = e0.select($"u".as("node"), $"v".as("nb"))
+      .union(e0.select($"v".as("node"), $"u".as("nb")))
+      .groupBy($"node").agg(collect_list($"nb").as("nbs"))
+      .localCheckpoint()
+    var keep = new java.util.HashSet[java.lang.Long]()
+    adj.select($"node").collect().foreach(r => keep.add(r.getLong(0)))
+    var stats = Seq.empty[(Long, Long, Long)]
     for (round <- 1 to 3) {
-      val deg = degrees(e).localCheckpoint()
-      val keep = deg.filter($"d" >= k)
-      val stat = deg.agg(
-          count(lit(1)).as("n_nodes"),
-          count(when($"d" < k, 1)).as("n_removed"))
-        .select(lit(round.toLong).as("round"), $"n_nodes", $"n_removed")
-      rows = rows :+ stat
-      e = surviveEdges(e, keep).localCheckpoint()
+      val bc = s.sparkContext.broadcast(keep)
+      val degIn = udf((node: Long, nbs: Seq[Long]) => {
+        val ks = bc.value
+        if (!ks.contains(node)) -1L
+        else {
+          var c = 0L
+          var i = 0
+          while (i < nbs.length) {
+            if (ks.contains(nbs(i))) c += 1
+            i += 1
+          }
+          c
+        }
+      })
+      val degs = adj.select($"node", degIn($"node", $"nbs"))
+        .collect().filter(_.getLong(1) >= 1) // nodes with >= 1 live edge
+      bc.unpersist(false)
+      stats = stats :+ ((round.toLong, degs.length.toLong,
+        degs.count(_.getLong(1) < k).toLong))
+      val next = new java.util.HashSet[java.lang.Long]()
+      degs.foreach(r => if (r.getLong(1) >= k) next.add(r.getLong(0)))
+      keep = next
     }
-    rows.reduce(_ unionByName _).orderBy($"round")
+    stats.toDF("round", "n_nodes", "n_removed").orderBy($"round")
   }
 
   val q157Sql: String =
