@@ -261,6 +261,57 @@ object Retrieval {
           col(simCol).as("sim")))
         .groupBy(col("x"), col("y")).agg(max(col("sim")).as("sim")),
       checkpointDir)
+    // Driver-loop greedy (r18, the Graph fixpoint pattern): MMR pools
+    // are rerank-sized by construction (a top-N list), so under the
+    // bound the whole greedy runs on the collected (id, rel) and
+    // symmetrized sims — the k distributed rounds (pool anti-join +
+    // score join + 1-row argmax materialize + probe each) collapse to
+    // zero jobs. Arithmetic replicated exactly, including the
+    // absent-pair = 0 floor and the npres < nChosen negative-sim
+    // guard; integer (long) score domain only.
+    val mmrBound = candidates.sparkSession.conf
+      .get("graft.mmrDriverMaxCandidates", "4096").toLong
+    val nCand = cand.count()
+    val longTyped = Seq("id", "rel").forall(c =>
+      cand.schema(c).dataType == org.apache.spark.sql.types.LongType) &&
+      sym.schema("sim").dataType == org.apache.spark.sql.types.LongType
+    if (longTyped && nCand <= mmrBound) {
+      val sess = candidates.sparkSession
+      val candRows = cand.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val simMap = new java.util.HashMap[(Long, Long), java.lang.Long]()
+      sym.collect().foreach(r =>
+        simMap.put((r.getLong(0), r.getLong(1)), r.getLong(2)))
+      var chosen = List.empty[Long]
+      var outRows = Seq.empty[(Long, Long, Long, Long, Long)]
+      var r = 1
+      while (r <= k && chosen.size < candRows.length) {
+        val chosenSet = chosen.toSet
+        var best: (Long, Long, Long, Long) = null // (id, rel, maxsim, score)
+        candRows.foreach { case (id, rel) =>
+          if (!chosenSet.contains(id)) {
+            var ms = Long.MinValue
+            var npres = 0
+            chosen.foreach { y =>
+              val s0 = simMap.get((id, y))
+              if (s0 != null) { npres += 1; if (s0 > ms) ms = s0 }
+            }
+            val maxsim =
+              if (npres == 0) 0L
+              else if (npres < chosen.size) math.max(ms, 0L)
+              else ms
+            val score = lamNum.toLong * rel - (lamDen - lamNum).toLong * maxsim
+            if (best == null || score > best._4 ||
+                (score == best._4 && id < best._1))
+              best = (id, rel, maxsim, score)
+          }
+        }
+        outRows = outRows :+ ((r.toLong, best._1, best._2, best._3, best._4))
+        chosen = best._1 :: chosen
+        r += 1
+      }
+      import sess.implicits._
+      return outRows.toDF("rank", "id", "rel", "maxsim", "mmr_scaled")
+    }
     var out = Seq.empty[DataFrame]
     var chosen: Option[DataFrame] = None
     var nChosen = 0

@@ -90,6 +90,27 @@ class Round18OptSpec extends SparkSpec {
     assert(c === 2L)
   }
 
+  test("mmrSelect: driver-loop greedy == distributed rounds " +
+    "(graft.mmrDriverMaxCandidates gates the two paths)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(19)
+    val cand = (1L to 20L).map(id => (id, 40L + rnd.nextInt(80)))
+    val sims = (for {
+      a <- 1L to 20L; b <- (a + 1) to 20L
+      if rnd.nextDouble() < 0.4
+    } yield (a, b, rnd.nextInt(200).toLong - 60L))
+    def run(): Seq[(Long, Long, Long, Long, Long)] = graft.ext.Retrieval
+      .mmrSelect(cand.toDF("id", "rel"), sims.toDF("a", "b", "sim"),
+        "id", "rel", k = 8, lamNum = 7, lamDen = 10)
+      .orderBy($"rank")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val driver = run()
+    spark.conf.set("graft.mmrDriverMaxCandidates", "0")
+    val dist = try run()
+    finally spark.conf.unset("graft.mmrDriverMaxCandidates")
+    assert(driver === dist)
+  }
+
   test("WinnowFps on inputs below one full window returns empty " +
     "(outside winnowFingerprints' filtered domain)") {
     import spark.implicits._
