@@ -452,9 +452,17 @@ object TextDedup {
         .select(col("doc_id"), col("ngram").as("tok"))
         .distinct(),
       checkpointDir)
+    // hash-sorted token structs (r18): XXH64 + co-sort ONCE per doc so
+    // the per-pair verify merges on longs instead of re-hashing every
+    // token's bytes per candidate (see JaccardUtil.hashSortTokens)
     val sets = materialize(
       ex.groupBy(col("doc_id"))
-        .agg(collect_set(col("tok")).as("toks"), count(lit(1)).as("n_set")),
+        .agg(collect_set(col("tok")).as("toks_raw"),
+          count(lit(1)).as("n_set"))
+        .select(col("doc_id"),
+          graft.plans.TextExpressions.hashSortTokens(col("toks_raw"))
+            .as("toks"),
+          col("n_set")),
       checkpointDir)
     val dfreq = ex.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))
@@ -493,7 +501,8 @@ object TextDedup {
       .join(sets.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"),
         col("n_set").as("nb")), "doc_b")
       .withColumn("inter",
-        graft.plans.TextExpressions.intersectCount(col("toks_a"), col("toks_b")))
+        graft.plans.TextExpressions.hashSortedIntersect(
+          col("toks_a"), col("toks_b")))
       .withColumn("n_union", col("na") + col("nb") - col("inter"))
       .filter(col("inter") * simDen >= col("n_union") * simNum)
       .select(col("doc_a"), col("doc_b"), col("inter"), col("n_union"))
@@ -541,9 +550,16 @@ object TextDedup {
         .select(col("doc_id"), col("ngram").as("tok"))
         .distinct(),
       checkpointDir)
+    // hash-sorted token structs — same r18 verify rewrite as
+    // similarityJoin's (hash once per doc, merge on longs per pair)
     val sets = materialize(
       ex.groupBy(col("doc_id"))
-        .agg(collect_set(col("tok")).as("toks"), count(lit(1)).as("n_set")),
+        .agg(collect_set(col("tok")).as("toks_raw"),
+          count(lit(1)).as("n_set"))
+        .select(col("doc_id"),
+          graft.plans.TextExpressions.hashSortTokens(col("toks_raw"))
+            .as("toks"),
+          col("n_set")),
       checkpointDir)
     val dfreq = ex.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     // containment prefix length: n − ceil(t·n) + 1, integer ceil; the
@@ -568,7 +584,8 @@ object TextDedup {
       .join(sets.select(col("doc_id").as("doc_out"), col("toks").as("toks_b")),
         "doc_out")
       .withColumn("inter",
-        graft.plans.TextExpressions.intersectCount(col("toks_a"), col("toks_b")))
+        graft.plans.TextExpressions.hashSortedIntersect(
+          col("toks_a"), col("toks_b")))
       .filter(col("inter") * simDen >= col("n_in") * simNum)
       .select(col("doc_in"), col("doc_out"), col("inter"), col("n_in"))
   }

@@ -304,6 +304,92 @@ object JaccardUtil {
     inter
   }
 
+  /** Per-doc build half of the hash-sorted intersect (r18): XXH64 each
+    * token once, co-sort (hash, token) ascending. The per-PAIR probe
+    * then merges on longs instead of hashing every string byte again
+    * ([[hashSortedIntersect]]) — the q138/q145 verify stage was ~pure
+    * CPU in UTF8String murmur re-hashing (UTF8String caches nothing;
+    * HashSet.add + contains each re-scan the bytes). A plain
+    * sorted-STRING merge was tried and REVERTED (commit 47fc025):
+    * shingles share long prefixes, compareTo scans them — sorting by
+    * the 64-bit hash makes ties (forced string compares) vanishingly
+    * rare while staying EXACT (equal-hash runs are confirmed by string
+    * equality, so a collision can never miscount).
+    */
+  def hashSortTokens(arr: ArrayData): InternalRow = {
+    val n = arr.numElements()
+    var m = 0
+    val strs = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) { strs(m) = arr.getUTF8String(i); m += 1 }
+      i += 1
+    }
+    val idx = new Array[Integer](m)
+    val hashes = new Array[Long](m)
+    i = 0
+    while (i < m) {
+      val s = strs(i)
+      hashes(i) = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+      idx(i) = Integer.valueOf(i)
+      i += 1
+    }
+    java.util.Arrays.sort(idx, new java.util.Comparator[Integer] {
+      override def compare(a: Integer, b: Integer): Int = {
+        val c = java.lang.Long.compare(hashes(a), hashes(b))
+        if (c != 0) c else strs(a).compareTo(strs(b))
+      }
+    })
+    val hOut = new Array[Long](m)
+    val tOut = new Array[Any](m)
+    i = 0
+    while (i < m) {
+      hOut(i) = hashes(idx(i)); tOut(i) = strs(idx(i)); i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(hOut),
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(tOut)))
+  }
+
+  /** Per-pair probe half: exact |A ∩ B| of two [[hashSortTokens]]
+    * structs — a merge over the sorted hash arrays; only equal-hash
+    * runs (overwhelmingly 1×1) touch string bytes, and those are
+    * confirmed by equality, so the count is exact set intersection
+    * regardless of hash collisions (strings within a doc are distinct
+    * by construction, hence strictly sorted within a run). */
+  def hashSortedIntersect(a: InternalRow, b: InternalRow): Long = {
+    val ha = a.getArray(0); val ta = a.getArray(1)
+    val hb = b.getArray(0); val tb = b.getArray(1)
+    val na = ha.numElements(); val nb = hb.numElements()
+    var i = 0; var j = 0; var inter = 0L
+    while (i < na && j < nb) {
+      val x = ha.getLong(i); val y = hb.getLong(j)
+      if (x < y) i += 1
+      else if (x > y) j += 1
+      else {
+        var i2 = i + 1
+        while (i2 < na && ha.getLong(i2) == x) i2 += 1
+        var j2 = j + 1
+        while (j2 < nb && hb.getLong(j2) == x) j2 += 1
+        if (i2 - i == 1 && j2 - j == 1) {
+          if (ta.getUTF8String(i).equals(tb.getUTF8String(j))) inter += 1
+        } else {
+          var p = i; var q = j
+          while (p < i2 && q < j2) {
+            val c = ta.getUTF8String(p).compareTo(tb.getUTF8String(q))
+            if (c < 0) p += 1
+            else if (c > 0) q += 1
+            else { inter += 1; p += 1; q += 1 }
+          }
+        }
+        i = i2; j = j2
+      }
+    }
+    inter
+  }
+
   /** Boxed Double (null when the union is empty). */
   def compute(a: ArrayData, b: ArrayData): java.lang.Double = {
     val sa = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]()
@@ -622,6 +708,72 @@ case class PiiScan(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Build half of the hash-sorted exact intersect (see
+  * [[JaccardUtil.hashSortTokens]]): `array<string>` →
+  * `struct<h: array<bigint>, t: array<string>>` co-sorted by
+  * (XXH64(token), token). One JVM call per doc at set-build time;
+  * the per-pair probe ([[HashSortedIntersect]]) then never re-hashes
+  * token bytes.
+  */
+case class HashSortTokens(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = HashSortTokens.schema
+  override def prettyName: String = "hash_sort_tokens"
+
+  override protected def nullSafeEval(tokens: Any): Any =
+    JaccardUtil.hashSortTokens(tokens.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.JaccardUtil.hashSortTokens($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): HashSortTokens =
+    copy(child = newChild)
+}
+
+object HashSortTokens {
+  val schema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(
+        "h", ArrayType(LongType, containsNull = false), nullable = false),
+      org.apache.spark.sql.types.StructField(
+        "t", ArrayType(StringType, containsNull = false), nullable = false)))
+}
+
+/** Probe half: exact distinct-set |A ∩ B| of two [[HashSortTokens]]
+  * structs via the long-merge sweep ([[JaccardUtil.hashSortedIntersect]]).
+  * Replaces [[StringArrayIntersect]] in the q138/q145 verify stages —
+  * identical LongType result (exactness argument on the util). */
+case class HashSortedIntersect(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == HashSortTokens.schema &&
+        right.dataType == HashSortTokens.schema)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two hash_sort_tokens structs")
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = left.nullable || right.nullable
+  override def prettyName: String = "hash_sorted_intersect_count"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    JaccardUtil.hashSortedIntersect(
+      a.asInstanceOf[InternalRow], b.asInstanceOf[InternalRow])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.plans.JaccardUtil.hashSortedIntersect($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HashSortedIntersect =
+    copy(left = newLeft, right = newRight)
+}
+
 object TextExpressions {
 
   /** Codegen'd SimHash of an `array<string>` token column. */
@@ -639,6 +791,16 @@ object TextExpressions {
   /** Codegen'd distinct-set intersection count (LongType). */
   def intersectCount(a: Column, b: Column): Column =
     Bridge.column(StringArrayIntersect(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Codegen'd hash-sorted token struct (build half of the exact
+    * hash-merge intersect). */
+  def hashSortTokens(tokens: Column): Column =
+    Bridge.column(HashSortTokens(Bridge.expression(tokens)))
+
+  /** Codegen'd exact intersect count over two [[hashSortTokens]]
+    * structs (probe half — merge on longs, no per-pair re-hashing). */
+  def hashSortedIntersect(a: Column, b: Column): Column =
+    Bridge.column(HashSortedIntersect(Bridge.expression(a), Bridge.expression(b)))
 
   /** Codegen'd MinHash signature (array of `numHashes` hex chunks) of an
     * `array<string>` token column over word `ngram`-shingles. */

@@ -7,6 +7,49 @@ import org.apache.spark.sql.functions._
   * against the formulation it replaced. */
 class Round18OptSpec extends SparkSpec {
 
+  test("hashSortedIntersect over hashSortTokens structs == the hash-set " +
+    "intersectCount it replaced, across random distinct-token arrays") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(18)
+    val vocab = (1 to 400).map(i => s"tok_${i}_" + ("x" * (i % 17)))
+    val rows = (1 to 80).map { i =>
+      val a = rnd.shuffle(vocab).take(1 + rnd.nextInt(60)).distinct
+      val b = rnd.shuffle(vocab).take(1 + rnd.nextInt(60)).distinct
+      (i.toLong, a, b)
+    } :+ (998L, Seq("solo"), Seq.empty[String]) :+
+      (999L, Seq.empty[String], Seq.empty[String])
+    val df = rows.toDF("id", "a", "b")
+    val both = df.select($"id",
+      graft.plans.TextExpressions.intersectCount($"a", $"b").as("old"),
+      graft.plans.TextExpressions.hashSortedIntersect(
+        graft.plans.TextExpressions.hashSortTokens($"a"),
+        graft.plans.TextExpressions.hashSortTokens($"b")).as("nw"))
+      .collect()
+    both.foreach(r => assert(r.getLong(1) === r.getLong(2),
+      s"intersect diverged at id=${r.getLong(0)}"))
+  }
+
+  test("hashSortedIntersect equal-hash runs: collisions are confirmed " +
+    "by string equality, never miscounted") {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    def side(pairs: (Long, String)*): GenericInternalRow =
+      new GenericInternalRow(Array[Any](
+        new GenericArrayData(pairs.map(_._1).toArray),
+        new GenericArrayData(
+          pairs.map(p => UTF8String.fromString(p._2)).toArray[Any])))
+    // crafted COLLIDING hashes: run of 3 on A vs run of 2 on B at h=5;
+    // only "bb" and "cc" are true string matches inside the run
+    val a = side(1L -> "z", 5L -> "aa", 5L -> "bb", 5L -> "cc", 9L -> "q")
+    val b = side(5L -> "bb", 5L -> "cc", 7L -> "nn", 9L -> "q")
+    assert(graft.plans.JaccardUtil.hashSortedIntersect(a, b) === 3L)
+    // 1x1 equal-hash run whose strings DIFFER (pure collision) counts 0
+    val c = side(5L -> "aa")
+    val d = side(5L -> "zz")
+    assert(graft.plans.JaccardUtil.hashSortedIntersect(c, d) === 0L)
+  }
+
   test("WinnowFps expression == the HOF md5/array_min/slice pipeline " +
     "it replaced, including array order, across (k, w) shapes") {
     import spark.implicits._
