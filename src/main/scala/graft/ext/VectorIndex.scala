@@ -26,9 +26,49 @@ import graft.functions.VectorFns
 object VectorIndex {
 
   /** Deterministic k-means centroids as driver arrays (k and dim are
-    * small: centroids are broadcast metadata, the DATA never collects). */
+    * small: centroids are broadcast metadata, the DATA never collects).
+    *
+    * Driver-loop rung (r18, the graph-fixpoint pattern): the training
+    * input is sample-sized by contract ("at corpus scale train on a
+    * sample" — the codebook never grows with the data), so under
+    * `graft.kmeansDriverMaxRows` the (id, vec) rows collect ONCE and
+    * every Lloyd iteration runs on the driver — replacing the
+    * per-iteration assign+agg+collect job (plus the init sort job)
+    * with zero jobs. Arithmetic replicated exactly: the
+    * [[graft.plans.CosineArgmax]] per-row loops are sequential in both
+    * paths; only the per-cell component MEAN's addition order can
+    * differ (distributed partial sums vs ascending-id driver sum) —
+    * the same freedom the DuckDB oracles already exercise, and every
+    * k-means oracle re-gates it. Beyond the bound (or non-long ids /
+    * null-ful arrays) the distributed loop below is unchanged. */
   def trainCentroids(embeddings: DataFrame, vecCol: String, k: Int,
       iterations: Int = 5, idCol: String = "vec_id"): Array[Array[Float]] = {
+    driverLloydRows(embeddings, vecCol, idCol).map { rows =>
+      var centroids: Array[Array[Float]] =
+        rows.take(k).map(_._2.map(_.toFloat))
+      (0 until iterations).foreach { _ =>
+        val dim = centroids.head.length
+        val sums = Array.fill(centroids.length)(new Array[Double](dim))
+        val ns = new Array[Long](centroids.length)
+        rows.foreach { case (_, v) =>
+          val cell = cosineArgmaxDriver(v, centroids)
+          ns(cell) += 1
+          var i = 0
+          while (i < math.min(dim, v.length)) {
+            sums(cell)(i) += v(i); i += 1
+          }
+        }
+        val updated = centroids.clone()
+        var c = 0
+        while (c < centroids.length) {
+          if (ns(c) > 0)
+            updated(c) = sums(c).map(s => (s / ns(c).toDouble).toFloat)
+          c += 1
+        }
+        centroids = updated
+      }
+      centroids
+    }.getOrElse {
     var centroids: Array[Array[Float]] = embeddings
       .orderBy(col(idCol)).limit(k)
       .select(vecCol).collect()
@@ -55,6 +95,107 @@ object VectorIndex {
       centroids = updated
     }
     centroids
+    }
+  }
+
+  /** Collect the (id, vector-as-double) rows for a driver-side Lloyd
+    * loop, ascending id, when the input is provably small and simply
+    * typed: long/int id, float/double array with no null elements,
+    * row count ≤ `graft.kmeansDriverMaxRows` (default 131072; 0
+    * disables). Returns None beyond the gate — callers keep the
+    * distributed loop. float→double is exact, so arithmetic on the
+    * collected doubles is bit-identical to the expressions' own
+    * float-promoted math. */
+  private def driverLloydRows(embeddings: DataFrame, vecCol: String,
+      idCol: String): Option[Array[(Long, Array[Double])]] = {
+    val bound = embeddings.sparkSession.conf
+      .get("graft.kmeansDriverMaxRows", "131072").toLong
+    if (bound <= 0) return None
+    val idOk = embeddings.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType => true
+      case _ => false
+    }
+    val vecType = embeddings.schema(vecCol).dataType
+    val isFloat = vecType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, _) => true
+      case _ => false
+    }
+    val isDouble = vecType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType, _) => true
+      case _ => false
+    }
+    if (!idOk || !(isFloat || isDouble)) return None
+    val got = embeddings
+      .select(col(idCol).cast("long").as("__id"), col(vecCol).as("__v"))
+      .limit((bound + 1).toInt).collect()
+    if (got.length > bound) return None
+    // a null id / null array / null element puts the input outside the
+    // expressions' replicated non-null fast paths — keep distributed
+    if (got.exists(r => r.isNullAt(0) || r.isNullAt(1) ||
+        r.getSeq[Any](1).contains(null))) return None
+    Some(got.map { r =>
+      val v =
+        if (isFloat) r.getSeq[Float](1).map(_.toDouble).toArray
+        else r.getSeq[Double](1).toArray
+      (r.getLong(0), v)
+    }.sortBy(_._1))
+  }
+
+  /** Driver replica of [[graft.plans.CosineArgmax]]'s assignment (no
+    * width cap, non-null elements): sequential double self-dot and
+    * per-centroid dots, ties toward the LARGER label under nan-safe
+    * `>=` — bit-identical to the expression's nullSafeEval loop. */
+  private def cosineArgmaxDriver(v: Array[Double],
+      centroids: Array[Array[Float]]): Int = {
+    var sv = 0.0
+    var i = 0
+    while (i < v.length) { sv += v(i) * v(i); i += 1 }
+    val nv = math.sqrt(sv)
+    // norms: sequential double self-dot, the CosineArgmax contract
+    var bestS = 0.0
+    var bestL = 0
+    var c = 0
+    while (c < centroids.length) {
+      val cent = centroids(c)
+      val m = math.min(v.length, cent.length)
+      var s = 0.0
+      var cn = 0.0
+      var t = 0
+      while (t < cent.length) { cn += cent(t).toDouble * cent(t).toDouble; t += 1 }
+      t = 0
+      while (t < m) { s += v(t) * cent(t).toDouble; t += 1 }
+      val score = s / (nv * math.sqrt(cn))
+      val acc =
+        if (c == 0 || java.lang.Double.isNaN(score)) true
+        else if (java.lang.Double.isNaN(bestS)) false
+        else score >= bestS
+      if (acc) { bestS = score; bestL = c }
+      c += 1
+    }
+    bestL
+  }
+
+  /** Driver replica of [[graft.plans.ArgminL2]]: left-to-right double
+    * sum of squared diffs, strict `<` keeps the first (lowest) cell. */
+  private def argminL2Driver(v: Array[Double], off: Int,
+      codebook: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < codebook.length) {
+      val cent = codebook(c)
+      var s = 0.0
+      var t = 0
+      while (t < cent.length) {
+        val d = v(off + t) - cent(t); s += d * d; t += 1
+      }
+      if (s < bestD) { bestD = s; best = c }
+      c += 1
+    }
+    best
   }
 
   /** Assignment: nearest centroid by cosine in ONE native codegen'd
@@ -517,6 +658,43 @@ object VectorIndex {
       m: Int, k: Int, iterations: Int): Array[Array[Array[Double]]] = {
     require(m >= 1 && k >= 2 && iterations >= 1,
       s"bad PQ params m=$m k=$k iters=$iterations")
+    // Driver-loop rung (r18, same gate + doctrine as trainCentroids'):
+    // collect the sample-sized training rows ONCE and run every
+    // subspace's whole Lloyd chain on the driver — m·(1 + iterations)
+    // tiny assign/agg jobs collapse to one collect. ArgminL2 assignment
+    // replicated exactly (left-assoc double sum, strict < first-min);
+    // the subvector cast float→double is exact.
+    driverLloydRows(embeddings, vecCol, idCol).foreach { rows =>
+      val dimD = rows.headOption.map(_._2.length).getOrElse(0)
+      if (dimD > 0 && dimD % m == 0) {
+        val dsubD = dimD / m
+        return (0 until m).map { j =>
+          val off = j * dsubD
+          var cents: Array[Array[Double]] =
+            rows.take(k).map(_._2.slice(off, off + dsubD))
+          (0 until iterations).foreach { _ =>
+            val sums = Array.fill(cents.length)(new Array[Double](dsubD))
+            val ns = new Array[Long](cents.length)
+            rows.foreach { case (_, v) =>
+              val cell = argminL2Driver(v, off, cents)
+              ns(cell) += 1
+              var i = 0
+              while (i < dsubD) { sums(cell)(i) += v(off + i); i += 1 }
+            }
+            val upd = cents.clone()
+            var c = 0
+            while (c < cents.length) {
+              if (ns(c) > 0)
+                upd(c) = sums(c).map(s =>
+                  (s / ns(c).toDouble).toFloat.toDouble)
+              c += 1
+            }
+            cents = upd
+          }
+          cents
+        }.toArray
+      }
+    }
     val dim = vecDim(embeddings, vecCol)
     require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
     val dsub = dim / m

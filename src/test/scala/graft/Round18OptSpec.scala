@@ -7,6 +7,34 @@ import org.apache.spark.sql.functions._
   * against the formulation it replaced. */
 class Round18OptSpec extends SparkSpec {
 
+  test("trainCentroids / pqTrain: driver-loop Lloyd == distributed Lloyd " +
+    "(graft.kmeansDriverMaxRows gates the two paths)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    // quantized floats: sums stay exactly representable in double, so
+    // the one legitimately order-free step (the cell MEAN) cannot
+    // introduce ulp noise into the A/B
+    val vecs = (1L to 300L).map { id =>
+      (id, Seq.fill(8)((rnd.nextInt(2001) - 1000).toFloat / 256.0f))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    def runBoth[T](f: () => T): (T, T) = {
+      val driver = f()
+      spark.conf.set("graft.kmeansDriverMaxRows", "0")
+      val dist = try f()
+      finally spark.conf.unset("graft.kmeansDriverMaxRows")
+      (driver, dist)
+    }
+    val (cd, cx) = runBoth(() =>
+      graft.ext.VectorIndex.trainCentroids(df, "embedding", k = 5,
+        iterations = 3).map(_.toSeq).toSeq)
+    assert(cd === cx, "trainCentroids driver path diverged")
+    val (pd, px) = runBoth(() =>
+      graft.ext.VectorIndex.pqTrain(df, "embedding", "vec_id",
+        m = 2, k = 4, iterations = 3).map(_.map(_.toSeq).toSeq).toSeq)
+    assert(pd === px, "pqTrain driver path diverged")
+  }
+
   test("hashSortedIntersect over hashSortTokens structs == the hash-set " +
     "intersectCount it replaced, across random distinct-token arrays") {
     import spark.implicits._
