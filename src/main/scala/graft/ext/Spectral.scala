@@ -74,6 +74,19 @@ object Spectral {
       stopAt: Option[Double])
       : (Array[Float], Array[Float], Seq[(Int, Double, Double)]) = {
     require(iterations >= 1, "need at least one power step")
+    // Driver-loop rung (r18, the kmeansDriverMaxRows doctrine): under
+    // `graft.spectralDriverMaxRows` the float vectors collect ONCE and
+    // all power steps fold on the driver — the 1 + (iterations − 1)
+    // scan jobs (each compiling a fresh literal-iterate plan) collapse
+    // to one collect. Per-row arithmetic is FloatVectorDot's own
+    // sequential double loop; cross-row sums accumulate in collect
+    // order (the single-partition scan order the oracle SFs exercise),
+    // and every broadcast iterate is float-rounded exactly as the
+    // distributed path rounds it — the documented discipline that
+    // absorbs sum-order ulp drift either way.
+    driverVecRows(emb, vecCol).foreach { rows =>
+      return iterateDriver(rows, iterations, stopAt)
+    }
     val dim = vecDim(emb, vecCol)
     val v0: Array[Float] =
       Array.fill(dim)((1.0 / math.sqrt(dim.toDouble)).toFloat)
@@ -411,6 +424,105 @@ object Spectral {
           (x, vc) => (x.cast("double") - col("__abtt_y") * vc.cast("double"))
             .cast("float")))
       .drop("__abtt_y")
+  }
+
+  /** Collect the float vectors for the driver power loop when the
+    * input is provably small and uniformly shaped: array<float>, no
+    * null rows/elements, one dimension, row count ≤
+    * `graft.spectralDriverMaxRows` (default 131072; 0 disables).
+    * None beyond the gate — callers keep the distributed scans. */
+  private def driverVecRows(emb: DataFrame,
+      vecCol: String): Option[Array[Array[Float]]] = {
+    val bound = emb.sparkSession.conf
+      .get("graft.spectralDriverMaxRows", "131072").toLong
+    if (bound <= 0) return None
+    emb.schema(vecCol).dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, _) =>
+      case _ => return None
+    }
+    val got = emb.select(col(vecCol)).limit((bound + 1).toInt).collect()
+    if (got.length > bound || got.isEmpty) return None
+    if (got.exists(r => r.isNullAt(0) || r.getSeq[Any](0).contains(null)))
+      return None
+    val rows = got.map(_.getSeq[Float](0).toArray)
+    val d = rows.head.length
+    if (rows.exists(_.length != d) || d == 0) return None
+    Some(rows)
+  }
+
+  /** The power loop of [[iterate]] with every scan replaced by a fold
+    * over the collected rows — arithmetic mirrored step for step
+    * (FloatVectorDot per row; Σ y·x, Σ y, Σ x in row order; identical
+    * driver-side c/λ/residual/normalization folds). */
+  private def iterateDriver(rows: Array[Array[Float]], iterations: Int,
+      stopAt: Option[Double])
+      : (Array[Float], Array[Float], Seq[(Int, Double, Double)]) = {
+    val dim = rows.head.length
+    val n = rows.length.toLong
+    val v0: Array[Float] =
+      Array.fill(dim)((1.0 / math.sqrt(dim.toDouble)).toFloat)
+    // fused scan 1 replica: msum, asum (v0-projection sums), s
+    val msum = new Array[Double](dim)
+    val asum = new Array[Double](dim)
+    var s = 0.0
+    rows.foreach { x =>
+      val xv = VecOps.seqDot(x, v0)
+      var j = 0
+      while (j < dim) {
+        msum(j) += x(j).toDouble
+        asum(j) += xv * x(j).toDouble
+        j += 1
+      }
+      s += xv
+    }
+    val mu: Array[Float] = Array.tabulate(dim)(j => (msum(j) / n).toFloat)
+    val residuals = Seq.newBuilder[(Int, Double, Double)]
+    var v: Array[Float] = v0
+    var k = 0
+    while (k < iterations) {
+      val c0 = seqDot(mu, v)
+      val (w, ys) =
+        if (k == 0)
+          (Array.tabulate(dim)(j => asum(j) - c0 * msum(j)), s - n * c0)
+        else {
+          val wk = new Array[Double](dim)
+          var ysk = 0.0
+          rows.foreach { x =>
+            val y = VecOps.seqDot(x, v) - c0
+            var j = 0
+            while (j < dim) { wk(j) += y * x(j).toDouble; j += 1 }
+            ysk += y
+          }
+          (wk, ysk)
+        }
+      val c = Array.tabulate(dim)(j => w(j) - mu(j).toDouble * ys)
+      var n2 = 0.0
+      var j = 0
+      while (j < dim) { n2 += c(j) * c(j); j += 1 }
+      val norm = math.sqrt(n2)
+      require(norm > 0.0,
+        "power iteration collapsed to zero — corpus has no variance" +
+          " along the current iterate")
+      val lambda = {
+        var acc = 0.0; var i = 0
+        while (i < dim) { acc += v(i).toDouble * c(i); i += 1 }
+        acc
+      }
+      val residual =
+        if (lambda > 0.0) {
+          var r2 = 0.0; var i = 0
+          while (i < dim) {
+            val d = c(i) - lambda * v(i).toDouble; r2 += d * d; i += 1
+          }
+          math.sqrt(r2) / lambda
+        } else Double.NaN
+      residuals += ((k + 1, lambda, residual))
+      v = c.map(x => (x / norm).toFloat)
+      k += 1
+      if (stopAt.exists(t => residual <= t)) k = iterations
+    }
+    (mu, v, residuals.result())
   }
 
   private def vecDim(emb: DataFrame, vecCol: String): Int =

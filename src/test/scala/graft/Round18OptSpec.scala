@@ -35,6 +35,26 @@ class Round18OptSpec extends SparkSpec {
     assert(pd === px, "pqTrain driver path diverged")
   }
 
+  test("Spectral.iterate: driver-loop power steps == distributed scans " +
+    "(graft.spectralDriverMaxRows gates the two paths)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val vecs = (1L to 200L).map { id =>
+      (id, Seq.fill(16)((rnd.nextInt(513) - 256).toFloat / 128.0f))
+    }
+    val df = vecs.toDF("vec_id", "embedding").coalesce(1)
+    def run(): (Seq[Float], Seq[Float], Seq[(Int, Double, Double)]) = {
+      val (mu, v, res) = graft.ext.Spectral
+        .topComponentWithResiduals(df, "embedding", iterations = 6)
+      (mu.toSeq, v.toSeq, res)
+    }
+    val driver = run()
+    spark.conf.set("graft.spectralDriverMaxRows", "0")
+    val dist = try run()
+    finally spark.conf.unset("graft.spectralDriverMaxRows")
+    assert(driver === dist, "spectral driver path diverged")
+  }
+
   test("hashSortedIntersect over hashSortTokens structs == the hash-set " +
     "intersectCount it replaced, across random distinct-token arrays") {
     import spark.implicits._
